@@ -1,0 +1,1 @@
+"""dedup queries — populated in this round; see registry.all_queries()."""

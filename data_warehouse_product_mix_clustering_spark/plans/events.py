@@ -1,0 +1,1 @@
+"""events queries — populated in this round; see registry.all_queries()."""

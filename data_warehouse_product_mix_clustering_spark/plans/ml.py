@@ -1,0 +1,1 @@
+"""ml queries — populated in this round; see registry.all_queries()."""

@@ -1,0 +1,65 @@
+"""Query registry: the engine's public query surface.
+
+Every operator family from SURVEY.md §2 is exposed as a named query:
+``fn(spark, sf_dir) -> DataFrame`` (the Spark plan) plus, where the
+semantics are SQL-expressible, a DuckDB ``oracle`` string over the same
+parquet tables. The driver's correctness gate runs both sides at sf0.01
+and hash-compares; ``__spark_entry__.py`` is a thin adapter over this
+registry.
+
+Cross-engine determinism rules (enforced by convention in every query):
+- Alias every computed column identically in Spark and SQL.
+- Cast counts/row_numbers to long/BIGINT on both sides (DuckDB COUNT is
+  BIGINT, Spark row_number is int, DuckDB SUM(int) is HUGEINT — explicit
+  casts keep schemas identical).
+- Round floating aggregates: coarse (integer cents/dollars) for sums over
+  many rows, 4-6 decimals for ratios — double summation order differs
+  across engines, so low bits are not comparable.
+- Never output raw nanosecond timestamps (Spark truncates parquet ns to µs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False  # included in bench.py's headline set
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, headline: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, headline, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return all."""
+    import data_warehouse_product_mix_clustering_spark.plans.warehouse  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.text  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.dedup  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.similarity  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.events  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.ml  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.media  # noqa: F401
+
+    return dict(_REGISTRY)

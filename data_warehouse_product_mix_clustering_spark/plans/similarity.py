@@ -1,0 +1,1 @@
+"""similarity queries — populated in this round; see registry.all_queries()."""

@@ -1,0 +1,1 @@
+"""text queries — populated in this round; see registry.all_queries()."""

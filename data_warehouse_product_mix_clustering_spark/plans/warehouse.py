@@ -1,0 +1,826 @@
+"""Warehouse / dashboard-parity queries (SURVEY.md §2 — the reference surface).
+
+Each query re-expresses one or more reference operators (cited per query) as
+a declarative Spark plan over the star schema built from the driver's
+testdata, with a mirrored DuckDB oracle. Catalyst supplies pushdown /
+pruning / join selection; the only hand-placed hints are broadcasts of
+dimension-sized inputs.
+
+Cross-engine float discipline (see functions/numeric.py):
+- exact-decimal money sums → ``money_round`` / ``sql_money_round`` (decimal
+  snap absorbs engine-order summation noise AND the round() impl divergence)
+- division-derived ratios/averages → ``ratio_round`` / ``sql_ratio_round``
+  (+1e-9 nudge off the half-boundary rationals)
+- integer-valued double sums (quantities) → exact in double, no rounding
+  needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.etl.star_schema import (
+    build_star_schema,
+    dim_category,
+    dim_date,
+    dim_product,
+    dim_subcategory,
+    fact_priced,
+    fact_sales,
+    star_sql,
+)
+from data_warehouse_product_mix_clustering_spark.functions.numeric import (
+    money_round,
+    ratio_round,
+    sql_money_round,
+    sql_ratio_round,
+)
+from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join
+from data_warehouse_product_mix_clustering_spark.operators.pagination import paginate
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+# ---------------------------------------------------------------------------
+# Flagship: dashboard cluster-summary shape (J6 + A1/A2 + F12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cluster_summary",
+    oracle=star_sql(f"""
+        SELECT p.ProductID AS product_id, p.Name AS product_name,
+               CAST(count(DISTINCT f.SalesOrderID) AS BIGINT) AS order_frequency,
+               coalesce(sum(f.OrderQty), 0) AS total_quantity,
+               {sql_money_round("coalesce(sum(f.LineTotal), 0)")} AS total_revenue
+        FROM dim_product p LEFT JOIN fact_sales f ON p.ProductID = f.ProductID
+        GROUP BY p.ProductID, p.Name
+    """),
+    headline=True,
+)
+def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + grouped agg with COUNT(DISTINCT) and COALESCE defaults.
+
+    Reference: Clustering_Analysis.py:84-100 (product_clustering LEFT JOIN
+    FactProductSales, GROUP BY, COUNT(DISTINCT SalesOrderID), SUM(OrderQty),
+    COALESCE → 0). Expressed as fact ⋈(right outer) broadcast(dim) so every
+    product survives while the big side never shuffles for the join; the
+    aggregation runs partial+final so only (product × partial) rows shuffle.
+    """
+    ss = build_star_schema(spark, sf_dir)
+    return (
+        ss.fact_sales.join(F.broadcast(ss.dim_product), "ProductID", "right")
+        .groupBy("ProductID", "Name")
+        .agg(
+            F.count_distinct("SalesOrderID").alias("order_frequency"),
+            F.coalesce(F.sum("OrderQty"), F.lit(0.0)).alias("total_quantity"),
+            money_round(F.coalesce(F.sum("LineTotal"), F.lit(0.0))).alias("total_revenue"),
+        )
+        .select(
+            F.col("ProductID").alias("product_id"),
+            F.col("Name").alias("product_name"),
+            "order_frequency",
+            "total_quantity",
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way dimension join + rollup (J7 + A5/A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "category_rollup",
+    oracle=star_sql(f"""
+        SELECT c.CategoryID AS category_id, s.Type AS category, s.Brand AS brand,
+               CAST(count(DISTINCT f.ProductID) AS BIGINT) AS n_products,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_money_round("sum(f.LineTotal)")} AS revenue,
+               sum(f.OrderQty) AS quantity
+        FROM fact_sales f
+        JOIN dim_product p ON f.ProductID = p.ProductID
+        JOIN dim_subcategory s ON p.Brand = s.Brand AND p.Type = s.Type
+        JOIN dim_category c ON s.Type = c.Type
+        GROUP BY c.CategoryID, s.Type, s.Brand
+    """),
+)
+def category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim join then (category, brand) rollup.
+
+    Reference: pages/1_Product_Categories.py:44-53 (DimProduct ⋈
+    DimProductSubcategory ⋈ DimProductCategory) + :104-110 (grouped profit /
+    qty / count per category+subcategory). All three dims broadcast.
+    """
+    f = fact_sales(spark, sf_dir)
+    p = dim_product(spark, sf_dir)
+    sub = dim_subcategory(spark, sf_dir)
+    cat = dim_category(spark, sf_dir)
+    return (
+        f.join(F.broadcast(p), "ProductID")
+        .join(F.broadcast(sub), ["Brand", "Type"])
+        .join(F.broadcast(cat), "Type")
+        .groupBy("CategoryID", "Type", "Brand")
+        .agg(
+            F.count_distinct("ProductID").alias("n_products"),
+            F.count(F.lit(1)).alias("n_lines"),
+            money_round(F.sum("LineTotal")).alias("revenue"),
+            F.sum("OrderQty").alias("quantity"),
+        )
+        .select(
+            F.col("CategoryID").alias("category_id"),
+            F.col("Type").alias("category"),
+            F.col("Brand").alias("brand"),
+            "n_products",
+            "n_lines",
+            "revenue",
+            "quantity",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of / interval joins (J4/J5 — the custom operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_price_intervals",
+    oracle=star_sql(f"""
+        SELECT d.IntervalId AS interval_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT f.ProductID) AS BIGINT) AS n_products,
+               {sql_money_round("sum(f.LineTotal)")} AS revenue
+        FROM fact_sales f
+        JOIN dim_date d ON f.OrderDate >= d.StartDate
+                       AND (d.EndDate IS NULL OR f.OrderDate <= d.EndDate)
+        GROUP BY d.IntervalId
+    """),
+    headline=True,
+)
+def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join of the fact against validity intervals.
+
+    Reference: src/pipelines/etl.py:27-42 (merge_asof on sorted inputs +
+    interval post-filter, NULL EndDate = open). Implemented with the
+    engine's ``asof_join`` (broadcast range-join strategy); the oracle uses
+    the equivalent containment join (intervals are non-overlapping, so the
+    latest-start-≤-date row IS the containing row).
+    """
+    f = fact_sales(spark, sf_dir)
+    d = dim_date(spark, sf_dir)
+    joined = asof_join(
+        f, d, left_on="OrderDate", right_on="StartDate", end_col="EndDate", how="inner"
+    )
+    return (
+        joined.groupBy("IntervalId")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("ProductID").alias("n_products"),
+            money_round(F.sum("LineTotal")).alias("revenue"),
+        )
+        .withColumnRenamed("IntervalId", "interval_id")
+    )
+
+
+@register(
+    "interval_join_per_product",
+    oracle=star_sql(f"""
+        SELECT ProductID AS product_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_money_round("sum(profit)")} AS total_profit
+        FROM fact_priced
+        GROUP BY ProductID
+    """),
+)
+def interval_join_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product interval join → effective cost → row-level profit.
+
+    Reference: notebooks/etl_transform.ipynb cell 28 (per-product equi +
+    range join) and the driver-dict probe it replaces
+    (src/pipelines/clustering.py:24-54). profit = LineTotal − StandardCost ×
+    OrderQty (F1, clustering.py:79).
+    """
+    fp = fact_priced(spark, sf_dir)
+    return (
+        fp.groupBy("ProductID")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_round(F.sum("profit")).alias("total_profit"),
+        )
+        .withColumnRenamed("ProductID", "product_id")
+    )
+
+
+@register(
+    "dim_date_intervals",
+    oracle=star_sql("""
+        SELECT StartDate AS start_date, EndDate AS end_date, IntervalId AS interval_id
+        FROM dim_date
+    """),
+)
+def dim_date_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validity-interval dimension itself: distinct + surrogate keys.
+
+    Reference: src/pipelines/etl.py:78-80 (drop_duplicates + Id = index+1).
+    Surrogate ids are row_number over an explicit total order (F13) — never
+    monotonically_increasing_id, which is partition-layout-dependent.
+    """
+    return dim_date(spark, sf_dir).select(
+        F.col("StartDate").alias("start_date"),
+        F.col("EndDate").alias("end_date"),
+        F.col("IntervalId").alias("interval_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The 8-feature product matrix (A1-A12 + F1-F9 — the analytical heart)
+# ---------------------------------------------------------------------------
+
+_FEATURES_SQL = star_sql(f"""
+    , final AS (
+        SELECT max(OrderDate) + INTERVAL 1 DAY AS final_date FROM fact_priced
+    ),
+    alltime AS (
+        SELECT ProductID, min(OrderDate) AS first_sale, sum(LineTotal) AS alltime_rev
+        FROM fact_priced GROUP BY ProductID
+    ),
+    active AS (
+        SELECT ProductID,
+               sum(OrderQty) AS sum_qty, sum(LineTotal) AS sum_line,
+               sum(profit) AS sum_profit,
+               count(DISTINCT SalesOrderID) AS order_frequency,
+               count(DISTINCT CustomerID) AS nunique_customer
+        FROM fact_priced, final
+        WHERE OrderDate >= final_date - INTERVAL 365 DAY
+        GROUP BY ProductID
+    )
+    SELECT a.ProductID AS product_id,
+           {sql_money_round("a.sum_profit")} AS profit,
+           {sql_ratio_round("a.sum_profit / a.sum_line")} AS profit_margin,
+           {sql_ratio_round("a.sum_line / a.sum_qty", 4)} AS average_unit_price,
+           {sql_ratio_round("a.sum_qty / a.order_frequency")} AS avg_quantity_sold,
+           CAST(a.nunique_customer AS BIGINT) AS nunique_customer,
+           {sql_ratio_round("CAST(a.order_frequency AS DOUBLE) / a.nunique_customer")} AS customer_loyalty,
+           {sql_ratio_round("a.sum_line * date_diff('day', t.first_sale, f.final_date) / (t.alltime_rev * 365)")} AS revenue_growth,
+           CAST(date_diff('day', t.first_sale, f.final_date) AS BIGINT) AS selling_duration
+    FROM active a JOIN alltime t ON a.ProductID = t.ProductID CROSS JOIN final f
+""")
+# Note: the body starts with ", final AS (...)" which continues star_sql's
+# WITH-clause CTE list — valid SQL as-is.
+
+
+@register("product_features", oracle=_FEATURES_SQL, headline=True)
+def product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 8-feature per-product matrix (MATRIX_FEATURES).
+
+    Reference: src/pipelines/clustering.py:79-121 —
+    profit (F1, summed), profit_margin (F3), average_unit_price (F2),
+    avg_quantity_sold (F8), nunique_customer, customer_loyalty (F4),
+    revenue_growth (F7 = last-year revenue over annualized lifetime revenue),
+    selling_duration (F5, FINAL_DATE = max date + 1 day, :85).
+    Active = any sale in the trailing 365 days (:86-89). Non-standard
+    semantics preserved deliberately (SURVEY.md §7.3).
+
+    Plan shape: one pass computes the all-time aggs, one the active-window
+    aggs (both partial+final hash aggs on ProductID), joined product-to-
+    product; the 1-row FINAL_DATE agg is cross-joined (scalar subquery) —
+    no driver round-trip.
+    """
+    fp = fact_priced(spark, sf_dir)
+    final = fp.select(
+        F.date_add(F.max("OrderDate").cast("date"), 1).cast("timestamp").alias("final_date")
+    )
+    alltime = fp.groupBy("ProductID").agg(
+        F.min("OrderDate").alias("first_sale"),
+        F.sum("LineTotal").alias("alltime_rev"),
+    )
+    active = (
+        fp.crossJoin(F.broadcast(final))
+        .filter(F.col("OrderDate") >= F.col("final_date") - F.expr("INTERVAL 365 DAY"))
+        .groupBy("ProductID")
+        .agg(
+            F.sum("OrderQty").alias("sum_qty"),
+            F.sum("LineTotal").alias("sum_line"),
+            F.sum("profit").alias("sum_profit"),
+            F.count_distinct("SalesOrderID").alias("order_frequency"),
+            F.count_distinct("CustomerID").alias("nunique_customer"),
+        )
+    )
+    dur = F.datediff(F.col("final_date"), F.col("first_sale"))
+    return (
+        active.join(alltime, "ProductID")
+        .crossJoin(F.broadcast(final))
+        .select(
+            F.col("ProductID").alias("product_id"),
+            money_round(F.col("sum_profit")).alias("profit"),
+            ratio_round(F.col("sum_profit") / F.col("sum_line")).alias("profit_margin"),
+            ratio_round(F.col("sum_line") / F.col("sum_qty"), 4).alias("average_unit_price"),
+            ratio_round(F.col("sum_qty") / F.col("order_frequency")).alias("avg_quantity_sold"),
+            F.col("nunique_customer"),
+            ratio_round(
+                F.col("order_frequency").cast("double") / F.col("nunique_customer")
+            ).alias("customer_loyalty"),
+            ratio_round(
+                F.col("sum_line") * dur / (F.col("alltime_rev") * F.lit(365))
+            ).alias("revenue_growth"),
+            dur.cast("long").alias("selling_duration"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / median / percent-of-total (A7, A9, A11)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_category_priority",
+    oracle="""
+        SELECT p.p_type AS category,
+               {cols}
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    """.format(
+        cols=",\n               ".join(
+            f"""CAST(count(*) FILTER (WHERE o.o_orderpriority = '{v}') AS BIGINT) AS \"{v}\""""
+            for v in _PRIORITIES
+        )
+    ),
+)
+def pivot_category_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: category × order-priority count matrix with 0 fill.
+
+    Reference: notebooks/data_clustering.ipynb cell 26
+    (``groupby.size().unstack(fill_value=0)``, A9). Explicit pivot values →
+    single-pass pivot agg, no extra distinct-values job.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    part = table(spark, "part", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("category"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "returnflag_stats",
+    oracle=star_sql(f"""
+        SELECT ReturnFlag AS return_flag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_ratio_round("avg(LineTotal)", 4)} AS avg_line_total,
+               {sql_money_round("median(LineTotal)", 4, 6)} AS median_line_total,
+               sum(OrderQty) AS total_quantity,
+               {sql_ratio_round("avg(OrderQty)")} AS avg_quantity
+        FROM fact_sales
+        GROUP BY ReturnFlag
+    """),
+)
+def returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stat grouped agg including an exact median (A7).
+
+    Reference: Clustering_Analysis.py:221-230 (cluster stats: count / mean /
+    median / sum). Spark 3.4+ ``median`` is an exact interpolated
+    percentile — matches DuckDB's; the interpolated midpoint of two
+    4-decimal values is an exact 5-decimal value, so it gets the decimal
+    snap (6 digits) rather than the ratio nudge.
+    """
+    f = fact_sales(spark, sf_dir)
+    return f.groupBy(F.col("ReturnFlag").alias("return_flag")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        ratio_round(F.avg("LineTotal"), 4).alias("avg_line_total"),
+        money_round(F.median("LineTotal"), 4, 6).alias("median_line_total"),
+        F.sum("OrderQty").alias("total_quantity"),
+        ratio_round(F.avg("OrderQty")).alias("avg_quantity"),
+    )
+
+
+@register(
+    "category_pct_of_total",
+    oracle=star_sql(f"""
+        SELECT Type AS category,
+               {sql_money_round("sum_rev")} AS revenue,
+               {sql_ratio_round("100 * sum_rev / sum(sum_rev) OVER ()")} AS revenue_pct
+        FROM (
+            SELECT p.Type, sum(f.LineTotal) AS sum_rev
+            FROM fact_sales f JOIN dim_product p ON f.ProductID = p.ProductID
+            GROUP BY p.Type
+        )
+    """),
+)
+def category_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via a window over the empty partition (A11).
+
+    Reference: Clustering_Analysis.py:244-245 (cluster profit share). The
+    global-total window on the *aggregated* frame (6 rows) is trivially
+    cheap; the percent math never touches the fact again.
+    """
+    f = fact_sales(spark, sf_dir)
+    p = dim_product(spark, sf_dir)
+    agg = (
+        f.join(F.broadcast(p), "ProductID")
+        .groupBy("Type")
+        .agg(F.sum("LineTotal").alias("sum_rev"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        F.col("Type").alias("category"),
+        money_round(F.col("sum_rev")).alias("revenue"),
+        ratio_round(F.lit(100) * F.col("sum_rev") / F.sum("sum_rev").over(w)).alias(
+            "revenue_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / search / sort / pagination / distinct (P3-P11, O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_search",
+    oracle=star_sql("""
+        SELECT ProductID AS product_id, Name AS product_name, Size AS size
+        FROM dim_product
+        WHERE contains(lower(Name), 'green') OR contains(CAST(ProductID AS VARCHAR), '42')
+    """),
+)
+def product_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search across name OR stringified id (P9).
+
+    Reference: pages/2_Product_Details.py:163-167. Pure column predicates →
+    pushed into the parquet scan where possible.
+    """
+    p = dim_product(spark, sf_dir)
+    return p.filter(
+        F.lower(F.col("Name")).contains("green")
+        | F.col("ProductID").cast("string").contains("42")
+    ).select(
+        F.col("ProductID").alias("product_id"),
+        F.col("Name").alias("product_name"),
+        F.col("Size").alias("size"),
+    )
+
+
+@register(
+    "product_pagination",
+    oracle=star_sql(f"""
+        , revs AS (
+            SELECT p.ProductID, p.Name,
+                   {sql_money_round("coalesce(sum(f.LineTotal), 0)")} AS revenue
+            FROM dim_product p LEFT JOIN fact_sales f ON p.ProductID = f.ProductID
+            GROUP BY p.ProductID, p.Name
+        )
+        SELECT CAST(row_number() OVER (ORDER BY revenue DESC, ProductID) AS BIGINT) AS rank,
+               ProductID AS product_id, Name AS product_name, revenue
+        FROM revs
+        ORDER BY revenue DESC, ProductID
+        LIMIT 20 OFFSET 40
+    """),
+)
+def product_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic offset/limit pagination over a ranked product list (O3).
+
+    Reference: pages/2_Product_Details.py:192-231 (20 products/page over the
+    sorted frame). Ordering is (snapped revenue DESC, ProductID) — a total
+    order, so page 3 is identical across engines and runs. Spark plans
+    offset+limit as a global TopK of 60 rows, not a full sort.
+    """
+    ss = build_star_schema(spark, sf_dir)
+    revs = (
+        ss.fact_sales.join(F.broadcast(ss.dim_product), "ProductID", "right")
+        .groupBy("ProductID", "Name")
+        .agg(money_round(F.coalesce(F.sum("LineTotal"), F.lit(0.0))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("ProductID"))
+    ranked = revs.withColumn("rank", F.row_number().over(w).cast("long"))
+    return paginate(
+        ranked.select(
+            "rank",
+            F.col("ProductID").alias("product_id"),
+            F.col("Name").alias("product_name"),
+            "revenue",
+        ),
+        order_by=[F.col("revenue").desc(), F.col("product_id")],
+        page=3,
+        page_size=20,
+    )
+
+
+@register(
+    "top3_per_category",
+    oracle=star_sql(f"""
+        , revs AS (
+            SELECT p.Type, f.ProductID, {sql_money_round("sum(f.LineTotal)")} AS revenue
+            FROM fact_sales f JOIN dim_product p ON f.ProductID = p.ProductID
+            GROUP BY p.Type, f.ProductID
+        )
+        SELECT Type AS category, ProductID AS product_id, revenue,
+               CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY Type ORDER BY revenue DESC, ProductID) AS rk
+            FROM revs
+        )
+        WHERE rk <= 3
+    """),
+)
+def top3_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (window row_number ≤ k) — O1 extended to grouped top-k.
+
+    One shuffle on the group key; rank ties broken by ProductID for
+    cross-engine determinism.
+    """
+    f = fact_sales(spark, sf_dir)
+    p = dim_product(spark, sf_dir)
+    revs = (
+        f.join(F.broadcast(p), "ProductID")
+        .groupBy("Type", "ProductID")
+        .agg(money_round(F.sum("LineTotal")).alias("revenue"))
+    )
+    w = Window.partitionBy("Type").orderBy(F.col("revenue").desc(), F.col("ProductID"))
+    return (
+        revs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("Type").alias("category"),
+            F.col("ProductID").alias("product_id"),
+            "revenue",
+            "rank",
+        )
+    )
+
+
+@register(
+    "latest_order_top1",
+    oracle="""
+        SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+               o_orderdate AS order_date, round(o_totalprice, 2) AS total_price
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    """,
+)
+def latest_order_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT 1 — latest-run lookup (O2).
+
+    Reference: Clustering_Analysis.py:29-34 (latest PipelineLog row). Spark
+    plans TakeOrderedAndProject: no global sort materialized. o_totalprice
+    is already an exact 2-decimal value, so plain round is identity-safe.
+    """
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "category_values",
+    oracle=star_sql("""
+        SELECT Type AS category, CAST(count(DISTINCT Brand) AS BIGINT) AS n_brands
+        FROM dim_product GROUP BY Type
+    """),
+)
+def category_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-distinct dropdown values + per-value cardinality (O4/O5, A6).
+
+    Reference: pages/2_Product_Details.py:103-118 (``sorted(unique())``).
+    """
+    p = dim_product(spark, sf_dir)
+    return p.groupBy(F.col("Type").alias("category")).agg(
+        F.count_distinct("Brand").alias("n_brands")
+    )
+
+
+@register(
+    "semi_join_large_parts",
+    oracle=f"""
+        SELECT l_partkey AS product_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_money_round("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        GROUP BY l_partkey
+    """,
+)
+def semi_join_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join replacing the reference's collected IN-list (P4).
+
+    Reference: src/pipelines/etl.py:53,65,73 (``isin(salable_products)``) —
+    at scale never a driver-collected list; the semi-join broadcasts the
+    filtered key set instead.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    big = table(spark, "part", sf_dir).filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(F.broadcast(big), li.l_partkey == big.p_partkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("product_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+        SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS segment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (coverage beyond reference).
+
+    The reference has no anti join (SURVEY.md §2.3 'NOT present'); included
+    as engine surface a warehouse user expects.
+    """
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "recent_activity",
+    oracle=star_sql("""
+        , final AS (SELECT max(OrderDate) + INTERVAL 1 DAY AS final_date FROM fact_sales)
+        SELECT ProductID AS product_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               sum(OrderQty) AS total_quantity
+        FROM fact_sales, final
+        WHERE OrderDate >= final_date - INTERVAL 365 DAY
+        GROUP BY ProductID
+    """),
+)
+def recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-365-day activity window relative to the data's end (P5/F9).
+
+    Reference: src/pipelines/clustering.py:85-89 (FINAL_DATE = max+1 day;
+    active = OrderDate ≥ FINAL_DATE − 365 days).
+    """
+    f = fact_sales(spark, sf_dir)
+    final = f.select(
+        F.date_add(F.max("OrderDate").cast("date"), 1).cast("timestamp").alias("final_date")
+    )
+    return (
+        f.crossJoin(F.broadcast(final))
+        .filter(F.col("OrderDate") >= F.col("final_date") - F.expr("INTERVAL 365 DAY"))
+        .groupBy(F.col("ProductID").alias("product_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("OrderQty").alias("total_quantity"),
+        )
+    )
+
+
+@register(
+    "quarter_rollup",
+    oracle=star_sql(f"""
+        SELECT ProductID AS product_id,
+               CAST(year(OrderDate) * 4 + quarter(OrderDate) AS BIGINT) AS quarter_key,
+               CAST(year(OrderDate) AS BIGINT) || '-Q' || CAST(quarter(OrderDate) AS BIGINT)
+                   AS quarter_label,
+               CAST(count(DISTINCT SalesOrderID) AS BIGINT) AS order_frequency,
+               sum(OrderQty) AS total_quantity,
+               {sql_money_round("sum(LineTotal)")} AS revenue
+        FROM fact_sales
+        GROUP BY ProductID, year(OrderDate), quarter(OrderDate)
+    """),
+)
+def quarter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(product, quarter) rollup with a sortable quarter key (A5/F10).
+
+    Reference: notebooks/LSTM_features_learning.ipynb cell 6-8 +
+    src/utils/quarter_format.py:3-41 — QuarterFormatter's total order and
+    subtraction become ``year*4 + quarter`` ints; its ``__str__`` becomes the
+    label (SURVEY.md §7.3).
+    """
+    f = fact_sales(spark, sf_dir)
+    y = F.year("OrderDate").cast("long")
+    q = F.quarter("OrderDate").cast("long")
+    return f.groupBy(
+        F.col("ProductID").alias("product_id"),
+        (y * 4 + q).alias("quarter_key"),
+        F.concat(y.cast("string"), F.lit("-Q"), q.cast("string")).alias("quarter_label"),
+    ).agg(
+        F.count_distinct("SalesOrderID").alias("order_frequency"),
+        F.sum("OrderQty").alias("total_quantity"),
+        money_round(F.sum("LineTotal")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline aggregates (A1 at benchmark scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               sum(l_quantity) AS sum_qty,
+               {sql_money_round("sum(l_extendedprice)", 0)} AS sum_base_price,
+               {sql_money_round("sum(l_extendedprice * (1 - l_discount))", 0)} AS sum_disc_price,
+               {sql_money_round("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 0, 6)} AS sum_charge,
+               {sql_ratio_round("avg(l_quantity)", 4)} AS avg_qty,
+               {sql_ratio_round("avg(l_extendedprice)", 2)} AS avg_price,
+               {sql_ratio_round("avg(l_discount)")} AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the scan+hash-agg throughput anchor.
+
+    Multi-function grouped agg (A1) — partial aggregation map-side means
+    only (6 groups × partitions) rows shuffle regardless of fact size.
+    Quantity sums are integer-valued doubles (exact); money sums get the
+    decimal snap (4 digits for price/disc_price, 6 for charge).
+    """
+    li = table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            money_round(F.sum(disc_price), 0).alias("sum_disc_price"),
+            money_round(F.sum(disc_price * (1 + F.col("l_tax"))), 0, 6).alias("sum_charge"),
+            ratio_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            ratio_round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            ratio_round(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "nation_revenue",
+    oracle=f"""
+        SELECT n.n_name AS nation, r.r_name AS region,
+               {sql_money_round("sum(l.l_extendedprice * (1 - l.l_discount))", 0)} AS revenue,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    """,
+    headline=True,
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table join chain → revenue per nation (J7 at benchmark scale).
+
+    lineitem⋈orders is the only big-big join (shuffle on the order key);
+    customer/nation/region broadcast. At 100 TB, bucketing lineitem+orders
+    by orderkey makes the big join shuffle-free.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    r = table(spark, "region", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            money_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Generic sources & sinks (SURVEY.md §2.1, S1-S9).
+
+The reference's sources are ODBC SQL scans with hand-written projection
+pushdown (reference src/pipelines/etl.py:19-21) and its sinks are
+``to_sql(if_exists='replace')`` full-table rewrites (etl.py:102-107).
+Spark-first equivalents:
+
+- Parquet is the engine-native format (columnar, pushdown, pruning).
+- CSV source/sink for the reference's cache-file surface (S4/S5).
+- JDBC source/sink behind an import-guard (no driver jar in this image).
+- ``write_parquet_table`` is the S6 'replace table' equivalent: atomic
+  overwrite, optional hash-partitioning for downstream co-located joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source (S4). Explicit schema preferred: inferSchema double-scans."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S5)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    buckets: tuple[int, str] | None = None,
+) -> None:
+    """Table sink (S6 replace / S7 append).
+
+    ``partition_by`` gives partition pruning on the listed columns;
+    ``buckets=(n, key)`` pre-shuffles so later joins/aggs on ``key``
+    co-locate without a shuffle (only honored by saveAsTable, so bucketed
+    writes go through the session catalog).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source (S1) — the reference's SQL Server extract equivalent.
+
+    Projection/predicate pushdown happens inside the remote DBMS via the
+    query string; ``partition_column`` + bounds parallelize the scan across
+    executors instead of the reference's single ODBC cursor.
+
+    No JDBC driver jar ships in this image; this raises a clear error if the
+    jar is missing rather than failing deep inside py4j.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "JDBC source unavailable (driver jar not on classpath?). "
+            "Add the vendor jar via spark.jars to use S1/JDBC scans."
+        ) from exc
