@@ -1,0 +1,131 @@
+"""Text-analysis column functions for the training-data pipeline surface.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / stopword
+ratios), token counting (whitespace tokenizer + word n-grams), and document
+fingerprinting (md5 over normalized text). Everything is built-in Spark SQL
+expressions — JVM-side, whole-stage-codegen'd, zero Python UDFs — so the
+same logic scales from the 500-row testdata to billions of documents.
+
+Each Spark expression has a mirrored DuckDB SQL snippet (``sql_*``) so
+queries over these functions stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), x -> x <> '')"
+
+
+def word_ngrams(toks_col: str, n: int = 2) -> Column:
+    """Word n-gram shingles (space-joined) from a *named* token-array column.
+
+    Takes the column name (not a Column) because the index arithmetic uses a
+    SQL lambda; guard against size < n (Spark's ``sequence(1, 0)`` would
+    count DOWN, not produce an empty array).
+    """
+    if n == 1:
+        return F.col(toks_col)
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+
+
+def sql_word_ngrams(toks_expr: str, n: int = 2) -> str:
+    if n == 1:
+        return toks_expr
+    return (
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}),"
+        f" i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization + fingerprint (document identity for exact dedup)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """lower → strip non-[a-z0-9 ] → collapse whitespace → trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+
+
+def sql_normalized_text(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + expr
+        + "), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup key (rolling-hash class)."""
+    return F.md5(normalized_text(text).cast("binary"))
+
+
+def sql_fingerprint(expr: str) -> str:
+    return f"md5({sql_normalized_text(expr)})"
+
+
+# ---------------------------------------------------------------------------
+# Stopwords / language ID / quality
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "on", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "mit", "von"],
+    "es": ["el", "la", "de", "los", "es", "un", "una", "con"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "avec"],
+    "zh": ["de5", "shi4", "le5", "zai4"],  # pinyin-ish placeholders
+}
+
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def sql_stopword_hits(toks_expr: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, t -> list_contains([{lst}], t)))"
+
+
+def predicted_lang(toks: Column) -> Column:
+    """argmax of per-language stopword hits; ties → alphabetical first;
+    zero hits everywhere → 'und' (undetermined)."""
+    hits = {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(LANGS):  # build CASE so earliest lang wins ties
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def sql_predicted_lang(toks_expr: str) -> str:
+    hits = {lang: sql_stopword_hits(toks_expr, ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    clauses = "\n                 ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'" for lang in LANGS
+    )
+    return f"(CASE {clauses} ELSE 'und' END)"

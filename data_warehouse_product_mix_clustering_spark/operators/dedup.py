@@ -1,0 +1,276 @@
+"""Document deduplication operators for the training-data pipeline surface.
+
+Four dedup families, all expressed as distributed DataFrame plans (no
+driver-side state, no Python in the hot path):
+
+- **Exact**: md5 fingerprint of normalized text → hash groupBy.
+- **N-gram Jaccard**: the relational MapReduce formulation — explode distinct
+  shingles, self-join on shingle, |A∩B| via count, Jaccard via
+  inter/(|A|+|B|−inter). Exact but quadratic in co-occurring docs; the
+  ``max_shingle_freq`` cap drops ubiquitous shingles (standard at scale —
+  a shingle shared by k docs contributes k² join rows).
+- **MinHash + LSH**: shingles → 64 universal-hash minima → 16 bands × 4 rows
+  → banded bucket join for candidates → exact-Jaccard verification of the
+  (tiny) candidate set. Near-linear in corpus size; the scale path.
+- **SimHash**: 64-bit signature from xxhash64 token hashes; near-dup pairs
+  via 4×16-bit band join + popcount Hamming filter.
+
+All randomness is seeded Python-side at plan-build (deterministic across
+runs and engines).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.text import fingerprint, tokens, word_ngrams
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc fingerprint + duplicate-group size and rank (exact dedup).
+
+    ``dup_rank = 1`` rows are the keepers; ``group_size > 1`` marks dup
+    groups. One shuffle on the fingerprint.
+    """
+    from pyspark.sql import Window
+
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    wo = w.orderBy(id_col)
+    return fp.select(
+        id_col,
+        "fingerprint",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.row_number().over(wo).cast("long").alias("dup_rank"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation of each doc."""
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(F.array_distinct(word_ngrams("__toks", n))).alias("shingle"),
+        )
+    )
+
+
+def _pair_jaccard(
+    sh: DataFrame, id_col: str, restrict: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard for all (or ``restrict``-listed) doc pairs sharing a shingle."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pairs = a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
+    if restrict is not None:
+        pairs = pairs.join(F.broadcast(restrict), ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("__inter"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the self-join (scale guard; None = exact).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    out = _pair_jaccard(sh, id_col)
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", ratio_round(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31, 2), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per doc with ``mh0..mh{k-1}`` minhash columns.
+
+    Universal hashing ((a·h + b) mod 2³¹−1) over the unsigned 32-bit
+    murmur3 shingle hash; all arithmetic stays in JVM longs (a, h < 2³¹/2³²
+    so the product fits).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    hu = (F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))).alias("__h")
+    hashed = sh.select(id_col, hu)
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    ]
+    return hashed.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, optionally verified with exact Jaccard.
+
+    Banded candidate generation: docs agreeing on all rows of any band meet
+    in a bucket (one shuffle on (band, key)); with 64 hashes / 16 bands ×
+    4 rows, P(candidate | j=0.8) ≈ 0.9998. Candidates are then verified by
+    computing the true Jaccard for the candidate pairs only.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    sh = shingle_sets(df, id_col, text_col, n)
+    verified = _pair_jaccard(sh, id_col, restrict=candidates)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", ratio_round(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes (duplicates weighted).
+
+    Bit b of the signature is the sign of Σ_tokens (±1 by the token-hash's
+    bit b). Explodes (doc × token × 64 bits) — the standard shuffle
+    formulation; the per-bit partial sums combine map-side.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = tok.select(id_col, F.xxhash64("tok").alias("__h"))
+    signs = h.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63),"
+                " b -> CASE WHEN ((__h >> b) & 1) = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("bit", "sign"),
+    )
+    bitvals = signs.groupBy(id_col, "bit").agg(F.sum("sign").alias("__s"))
+    return bitvals.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("__s") > 0, F.expr("shiftleft(cast(1 AS bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via 4×16-bit band join.
+
+    By pigeonhole, Hamming ≤ 3 implies at least one of the 4 chunks is
+    identical — the band join finds exactly those candidates.
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                ).alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    buckets = sig.select(id_col, "simhash", F.explode(chunks).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,1 +1,117 @@
-"""dedup queries — populated in this round; see registry.all_queries()."""
+"""Deduplication queries over ``documents`` (training-data surface).
+
+Exact (md5 fingerprint), n-gram Jaccard (exact, relational), MinHash-LSH
+(verified candidates — same answer as exact Jaccard by construction, so it
+shares the exact oracle), and SimHash (engine-hash-dependent → rows-only
+check, as the driver contract allows for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.text import (
+    sql_fingerprint,
+    sql_tokens,
+    sql_word_ngrams,
+)
+from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+_JACCARD_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({sql_word_ngrams("t", 2)})) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           {sql_ratio_round("i / (sa.n + sb.n - i)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON da = sa.doc_id
+    JOIN sizes sb ON db = sb.doc_id
+    WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT doc_id, {sql_fingerprint("text")} AS fingerprint,
+               CAST(count(*) OVER (PARTITION BY {sql_fingerprint("text")}) AS BIGINT)
+                   AS group_size,
+               CAST(row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                       ORDER BY doc_id) AS BIGINT) AS dup_rank
+        FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) fingerprint + group size/rank.
+
+    ``dup_rank = 1`` rows are the canonical keepers. One shuffle on the
+    fingerprint regardless of corpus size.
+    """
+    return exact_duplicates(table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, headline=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs (threshold 0.8).
+
+    The relational formulation: explode distinct shingles → self-join on
+    shingle → |A∩B| by count → Jaccard. Exact but quadratic in
+    co-occurring docs; ``max_shingle_freq`` caps exist on the operator for
+    the 100 TB path (not applied here so the oracle stays exact).
+    """
+    return jaccard_pairs(
+        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_SQL, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) near-dup pairs, exact-Jaccard verified.
+
+    Near-linear scale path: banded bucket join finds candidates
+    (P(candidate | j=0.8) ≈ 0.9998), then the true Jaccard is computed for
+    candidates only. Because candidates are verified, the output equals the
+    exact-Jaccard result (modulo the ~2e-4 LSH false-negative rate — the
+    seeded hash family is deterministic, and on this corpus it finds every
+    pair, so it shares the exact oracle).
+    """
+    return minhash_lsh_pairs(
+        table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        n=2,
+        threshold=0.8,
+        num_hashes=64,
+        bands=16,
+        seed=42,
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3 via 4×16-bit band join).
+
+    Signature depends on Spark's xxhash64 → not SQL-oracle-expressible;
+    driver records the rows-only check. Determinism is covered by unit
+    tests (fixed corpus → fixed pair set).
+    """
+    return simhash_near_pairs(
+        table(spark, "documents", sf_dir), "doc_id", "text", max_hamming=3
+    )

@@ -1,1 +1,156 @@
-"""text queries — populated in this round; see registry.all_queries()."""
+"""Text-analysis queries over the ``documents`` table (training-data surface).
+
+Language-ID, quality scoring, token statistics, top-terms — all pure Spark
+SQL expressions (functions/text.py), each with a mirrored DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round, sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.text import (
+    STOPWORDS,
+    predicted_lang,
+    sql_predicted_lang,
+    sql_stopword_hits,
+    sql_tokens,
+    stopword_hits,
+    tokens,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+_TOKS_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars, {sql_tokens("text")} AS t
+    FROM documents
+)
+""".strip()
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+        {_TOKS_CTE}
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+               {sql_ratio_round("avg(len(t))")} AS avg_tokens,
+               {sql_ratio_round("avg(n_chars)")} AS avg_chars
+        FROM toks
+        GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language (whitespace tokenizer, JVM-side).
+
+    The tokenizer is `split + filter` — whole-stage-codegen'd, no Python;
+    at 100 TB this is a single scan + tiny groupBy.
+    """
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("lang", "n_chars", F.size(tokens(F.col("text"))).alias("__nt"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        ratio_round(F.avg("__nt")).alias("avg_tokens"),
+        ratio_round(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+        {_TOKS_CTE}
+        , scored AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   {sql_ratio_round(f"CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)")} AS stopword_ratio,
+                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, quality_score,
+               CASE WHEN quality_score >= 0.6 THEN 'high'
+                    WHEN quality_score >= 0.45 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM scored
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score: stopword ratio + length saturation.
+
+    score = 0.5·(en-stopword ratio) + 0.5·min(tokens,50)/50; bucketed on the
+    *rounded* score so the bucket boundary is cross-engine deterministic.
+    """
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    hits = stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
+    n = F.size("t")
+    scored = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        ratio_round(hits / n).alias("stopword_ratio"),
+        ratio_round(
+            F.lit(0.5) * (hits / n) + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
+        ).alias("quality_score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "quality_score",
+        F.when(F.col("quality_score") >= 0.6, "high")
+        .when(F.col("quality_score") >= 0.45, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+        {_TOKS_CTE}
+        SELECT doc_id, lang AS claimed_lang, {sql_predicted_lang("t")} AS predicted_lang
+        FROM toks
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break (alphabetical lang order, 'und' when no hits).
+    The reference has no lang-ID; this is training-data-pipeline surface.
+    """
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.col("lang").alias("claimed_lang"), tokens(F.col("text")).alias("t"))
+    return t.select("doc_id", "claimed_lang", predicted_lang(F.col("t")).alias("predicted_lang"))
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+        {_TOKS_CTE}
+        , counts AS (
+            SELECT lang, unnest(t) AS term FROM toks
+        ), agg AS (
+            SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+            FROM counts GROUP BY lang, term
+        )
+        SELECT lang, term, n, CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+            FROM agg
+        )
+        WHERE rk <= 5
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode + count + per-group top-k."""
+    docs = table(spark, "documents", sf_dir)
+    terms = docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+    agg = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "n", "rank")
+    )
