@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the registry's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with a ``noop`` write — full plan execution on the
+executors, no driver-side collect — so timings measure the engine, not
+row transfer. One warm-up run of the cheapest query amortizes JVM/codegen
+start-up out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_warehouse_product_mix_clustering_spark.plans.registry import all_queries
+from data_warehouse_product_mix_clustering_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    queries = {n: q for n, q in all_queries().items() if q.headline}
+    spark = get_spark(app_name="data_warehouse_product_mix_clustering_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
+    first = next(iter(queries.values()))
+    _force(first.fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(queries.items()):
+        t0 = time.perf_counter()
+        _force(q.fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
