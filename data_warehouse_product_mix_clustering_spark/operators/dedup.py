@@ -69,13 +69,23 @@ def shingle_sets(
 def _pair_jaccard(
     sh: DataFrame, id_col: str, restrict: DataFrame | None = None
 ) -> DataFrame:
-    """Jaccard for all (or ``restrict``-listed) doc pairs sharing a shingle."""
+    """Jaccard for all (or ``restrict``-listed) doc pairs sharing a shingle.
+
+    With ``restrict`` (a small (doc_a, doc_b) candidate list, e.g. from LSH)
+    the plan is candidate-centric: candidates ⋈ shingles(doc_a) ⋈
+    shingles(doc_b, same shingle) — linear in |candidates| × doc size, never
+    touching the quadratic shingle self-join. Without it, the exact
+    formulation: self-join on shingle (k docs sharing a shingle → k² rows).
+    """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    pairs = a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
     if restrict is not None:
-        pairs = pairs.join(F.broadcast(restrict), ["doc_a", "doc_b"], "left_semi")
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        pairs = F.broadcast(restrict).join(a, "doc_a").join(b, ["doc_b", "shingle"])
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        pairs = a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("__inter"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))

@@ -67,7 +67,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(table(spark, "documents", sf_dir), "doc_id", "text")
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, headline=True)
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-Jaccard near-dup pairs (threshold 0.8).
 
