@@ -1,1 +1,104 @@
-"""similarity queries — populated in this round; see registry.all_queries()."""
+"""Similarity-search queries over ``embeddings`` (training-data surface).
+
+Brute-force cosine top-k (exact, oracle-checked against DuckDB's
+``list_cosine_similarity``), LSH-bucketed approximate top-k (rows-only; its
+recall vs the exact baseline is covered by unit tests), and per-label
+centroids (oracle-checked long-format element-wise mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), scored AS (
+            SELECT query_id, vec_id,
+                   round(list_cosine_similarity(qv, cv) + 1e-9, 6) AS cosine
+            FROM q, c WHERE query_id <> vec_id
+        )
+        SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        )
+        WHERE rk <= {TOP_K}
+    """,
+    headline=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 probe vectors over the whole corpus.
+
+    Broadcast probes × streamed corpus; one scan, top-k window per probe.
+    The 100 TB shape: the corpus side never shuffles full vectors — only
+    (query_id, vec_id, cosine) triples reach the window.
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", TOP_K
+    )
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (64 hyperplanes, 16 bands).
+
+    The near-linear scale path: signature bucketing prunes the corpus before
+    exact re-rank. Approximate ⇒ no SQL oracle; unit tests check recall vs
+    ``ann_cosine_topk`` ≥ 0.8 on the fixed corpus.
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", TOP_K
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        )
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               round(avg(v) + 1e-9, 6) AS centroid,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM flat GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean vector, long format (label, dim, value).
+
+    posexplode → groupBy(label, dim): one shuffle, 10×64 output rows at any
+    corpus size (partial aggregation absorbs the fan-out map-side).
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return flat.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        ratio_round(F.avg("v")).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,0 +1,44 @@
+"""Operator-level unit tests: properties the oracle can't express —
+LSH recall vs the exact baseline, hash determinism, edge-case inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.operators.dedup import simhash64
+from data_warehouse_product_mix_clustering_spark.operators.similarity import brute_force_topk, lsh_topk
+from data_warehouse_product_mix_clustering_spark.functions.text import tokens, word_ngrams
+
+from conftest import SF_SMOKE
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """LSH top-k must find ≥80% of the true top-5 neighbors on the fixture."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
+def test_simhash_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    a = {(r.doc_id, r.simhash) for r in simhash64(docs, "doc_id", "text").collect()}
+    b = {(r.doc_id, r.simhash) for r in simhash64(docs, "doc_id", "text").collect()}
+    assert a == b and len(a) == 50
+
+
+def test_word_ngrams_short_docs(spark):
+    """Docs shorter than n must yield an empty shingle array, not garbage."""
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("  ",)], ["text"]
+    ).select(tokens(F.col("text")).alias("t"))
+    got = df.select(word_ngrams("t", 2).alias("g")).collect()
+    assert [r.g for r in got] == [[], ["one two"], ["one two", "two three"], []]
