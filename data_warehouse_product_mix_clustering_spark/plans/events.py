@@ -1,1 +1,218 @@
-"""events queries — populated in this round; see registry.all_queries()."""
+"""Event-analytics queries over ``events`` (new-capability surface).
+
+Tumbling/sliding event-time windows, gap-based sessionization, funnel
+conversion, and JSON-props extraction — each a pure DataFrame plan with a
+DuckDB oracle. ``events_stream_hourly`` runs the tumbling agg through
+Structured Streaming (availableNow replay) and shares the batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round, sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+from data_warehouse_product_mix_clustering_spark.streaming.events import (
+    hourly_agg,
+    run_available_now,
+    stream_events,
+)
+
+_HOURLY_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-9, 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_hourly", oracle=_HOURLY_SQL, headline=True)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h window × event_type: count + sum(value).
+
+    ``F.window`` epoch-aligns hour buckets exactly like date_trunc; partial
+    aggregation makes this one small shuffle at any scale.
+    """
+    return hourly_agg(table(spark, "events", sf_dir))
+
+
+@register("events_stream_hourly", oracle=_HOURLY_SQL)
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling agg through Structured Streaming.
+
+    availableNow replay + complete output = batch-equivalent results, so
+    the streaming plan is held to the same SQL oracle (SURVEY §2.10 — new
+    capability; the reference has no streaming).
+    """
+    out = run_available_now(
+        spark, hourly_agg(stream_events(spark, sf_dir)), "events_stream_hourly_sink"
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+@register(
+    "events_sliding_qtr_hour",
+    oracle="""
+        WITH slid AS (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                       - k * INTERVAL 15 MINUTE AS window_start,
+                   value
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+        )
+        SELECT window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM slid GROUP BY 1
+    """,
+)
+def events_sliding_qtr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h window, 15 min slide: each event lands in 4 windows.
+
+    Spark's window(ts, 1h, 15m) materializes the 4 assignments map-side;
+    the oracle mirrors it with an explicit 0..3 offset cross join.
+    """
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sessions",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(date_sub('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle → new session), pure windows.
+
+    lag → new-session flag → running sum = session id; one shuffle on
+    user_id covers both windows and the final per-session rollup (the agg
+    reuses the partitioning). The batch twin of streaming session windows.
+    """
+    ev = table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") <= 1800, 0
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(run).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        # duration = floor of the µs difference: DuckDB's date_sub counts
+        # COMPLETE seconds between the endpoints; casting each endpoint to
+        # long would floor them independently and disagree on sub-second gaps.
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "duration_sec"
+        ),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(t_view) AS BIGINT) AS viewed,
+               CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+                   AS clicked_after_view,
+               CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+        FROM stages
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion by first-occurrence ordering.
+
+    Conditional min per stage in ONE pass over events (no per-stage joins),
+    then a global rollup — the scale-correct funnel shape.
+    """
+    ev = table(spark, "events", sf_dir)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "events_props_stats",
+    oracle=f"""
+        SELECT event_type,
+               {sql_ratio_round("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")}
+                   AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-props extraction (semi-structured column → typed stats).
+
+    get_json_object is JVM-side; no Python parses any row.
+    """
+    ev = table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        ratio_round(F.avg(k)).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -17,8 +17,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one testdata table. Lazy; nothing is scanned until an action."""
+    """Read one testdata table. Lazy; nothing is scanned until an action.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as epoch-nanos long (legacy conf, runtime
+    settable) and truncate to a µs timestamp — the same truncation DuckDB
+    applies, so oracle comparisons stay exact.
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,107 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY §2.10 — its only recurrence
+is a monthly batch cron, reference Dockerfile:37); this module is the
+new-capability path: file-source streams, event-time tumbling windows with
+watermarks, and an availableNow batch-replay runner whose result equals the
+batch plan — so the streaming operator shares the batch query's SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ``ts`` is parquet TIMESTAMP(NANOS): declared long (epoch nanos, via the
+# nanosAsLong legacy conf) and truncated to a µs timestamp after the scan.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def hourly_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1 h event-time window × event_type: count + value stats.
+
+    Works on both batch and streaming DataFrames (the plan is identical;
+    streaming adds watermark-gated state cleanup).
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """File-source stream of the events table with an event-time watermark.
+
+    FileStreamSource watches a *directory*; the testdata table is a single
+    read-only file, so we stage a symlink dir under /tmp (one per sf_dir) —
+    at production scale the source would be the landing directory itself.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+
+
+def run_available_now(
+    spark: SparkSession, stream_df: DataFrame, name: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Replay the whole stream (Trigger.AvailableNow) into a memory sink.
+
+    Complete output mode: every window is emitted once the replay drains,
+    so the result set equals the equivalent batch query — which makes
+    streaming plans oracle-checkable.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)
