@@ -1,1 +1,55 @@
-"""media queries — populated in this round; see registry.all_queries()."""
+"""Multimodal-column queries (training-data surface, new capability).
+
+``media_metadata`` computes typed metadata over the opaque binary payload
+entirely JVM-side (oracle-checked); ``media_frame_features`` crosses the
+Arrow boundary once into the deterministic fake decoder (rows-only check —
+the kernel is Python, not SQL-expressible; determinism is unit-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.operators.media import frame_features, media_format, payload
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+
+@register(
+    "media_metadata",
+    oracle="""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4' ELSE 'png' END
+                   AS media_format,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum
+        FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads: format, size, checksum.
+
+    Pure JVM expressions over the binary column — the 100 TB shape for
+    metadata extraction (no decode, no Python).
+    """
+    docs = table(spark, "documents", sf_dir)
+    p = payload(F.col("text"))
+    return docs.select(
+        "doc_id",
+        media_format(F.col("doc_id")).alias("media_format"),
+        F.octet_length(p).cast("long").alias("n_bytes"),
+        F.md5(p).alias("checksum"),
+    )
+
+
+@register("media_frame_features")
+def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + frame-sample + featurize via Arrow-batched mapInPandas.
+
+    The decode step is the deterministic fake (codec libs not shipped —
+    operators/media.py:real_decode is the gated real path); the plumbing
+    (schema, batch shape, one narrow Python crossing) is the real design.
+    """
+    return frame_features(table(spark, "documents", sf_dir), "doc_id", "text")

@@ -1,1 +1,142 @@
-"""ml queries — populated in this round; see registry.all_queries()."""
+"""ML-stage queries (reference §2.8: scale → cluster → profile).
+
+``features_zscore`` is the StandardScaler math as pure SQL (oracle-checked,
+population std like sklearn's default). The KMeans stages are MLlib
+pipelines — algorithmically different init than the reference's sklearn
+(SURVEY §4.3.3), so they are rows-only checks here with partition-quality
+assertions in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round, sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.ml.pipelines import (
+    assign_vectors,
+    kmeans_assign,
+    silhouette,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.plans.warehouse import _FEATURES_SQL, product_features
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+MATRIX_FEATURES = [
+    "profit",
+    "profit_margin",
+    "average_unit_price",
+    "avg_quantity_sold",
+    "nunique_customer",
+    "customer_loyalty",
+    "revenue_growth",
+    "selling_duration",
+]
+
+def _z_expr(c: str) -> str:
+    raw = (
+        f"(CAST({c} AS DOUBLE) - avg(CAST({c} AS DOUBLE)) OVER ())"
+        f" / stddev_pop(CAST({c} AS DOUBLE)) OVER ()"
+    )
+    return f"{sql_ratio_round(raw)} AS z_{c}"
+
+
+_Z_COLS = ",\n               ".join(_z_expr(c) for c in MATRIX_FEATURES)
+
+
+@register(
+    "features_zscore",
+    oracle=f"""
+        WITH feats AS ({_FEATURES_SQL})
+        SELECT product_id,
+               {_Z_COLS}
+        FROM feats
+    """,
+)
+def features_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler semantics as a relational plan: z = (x − μ) / σ_pop.
+
+    Exactly the reference's sklearn StandardScaler math (ddof=0,
+    src/pipelines/clustering.py:127-128), expressed as one global agg
+    broadcast back over the feature matrix — so it IS oracle-checkable,
+    unlike the iterative KMeans stage.
+    """
+    feats = product_features(spark, sf_dir)
+    stats = feats.agg(
+        *[
+            F.avg(F.col(c).cast("double")).alias(f"__mu_{c}")
+            for c in MATRIX_FEATURES
+        ],
+        *[
+            F.stddev_pop(F.col(c).cast("double")).alias(f"__sd_{c}")
+            for c in MATRIX_FEATURES
+        ],
+    )
+    return feats.crossJoin(F.broadcast(stats)).select(
+        "product_id",
+        *[
+            ratio_round(
+                (F.col(c).cast("double") - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}")
+            ).alias(f"z_{c}")
+            for c in MATRIX_FEATURES
+        ],
+    )
+
+
+@register("product_clusters", headline=True)
+def product_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production clustering: 8 features → scale → KMeans.
+
+    Reference src/pipelines/clustering.py:125-136 (k=4, seed=42). MLlib
+    k-means‖ init ⇒ partitions, not labels, are the contract; rows-only
+    driver check + silhouette/determinism unit tests.
+    """
+    feats = product_features(spark, sf_dir)
+    return kmeans_assign(feats, MATRIX_FEATURES).select(
+        "product_id", F.col("cluster").cast("int").alias("cluster"), *MATRIX_FEATURES
+    )
+
+
+@register("cluster_profile")
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats incl. median profit (A7 shape, dashboard parity).
+
+    Reference Clustering_Analysis.py:221-230: count, mean/median/sum of
+    profit, mean margin, mean loyalty per learned cluster.
+    """
+    pc = product_clusters(spark, sf_dir)
+    return pc.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_products"),
+        ratio_round(F.avg("profit"), 2).alias("avg_profit"),
+        ratio_round(F.median("profit"), 2).alias("median_profit"),
+        ratio_round(F.sum("profit"), 2).alias("total_profit"),
+        ratio_round(F.avg("profit_margin")).alias("avg_margin"),
+        ratio_round(F.avg("customer_loyalty")).alias("avg_loyalty"),
+    )
+
+
+@register("embedding_clusters")
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=10 over the raw embedding vectors (M6 shape).
+
+    array_to_vector keeps the whole path JVM-side; the driver's rows-only
+    check covers schema/rows, unit tests cover determinism.
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    return assign_vectors(emb, "embedding", k=10).select(
+        "vec_id", "label", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+@register("clustering_quality")
+def clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette of the product clustering — the M8 evaluation surface."""
+    pc = kmeans_assign(product_features(spark, sf_dir), MATRIX_FEATURES)
+    s = silhouette(pc, MATRIX_FEATURES)
+    sizes = pc.groupBy("cluster").count()
+    return sizes.agg(
+        F.lit(round(s, 6)).alias("silhouette"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.min("count").cast("long").alias("min_cluster_size"),
+        F.max("count").cast("long").alias("max_cluster_size"),
+    )

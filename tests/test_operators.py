@@ -42,3 +42,17 @@ def test_word_ngrams_short_docs(spark):
     ).select(tokens(F.col("text")).alias("t"))
     got = df.select(word_ngrams("t", 2).alias("g")).collect()
     assert [r.g for r in got] == [[], ["one two"], ["one two", "two three"], []]
+
+
+def test_media_frame_features_deterministic(spark):
+    """The fake decoder must be pure: same payload -> same frames/features."""
+    from data_warehouse_product_mix_clustering_spark.operators.media import frame_features
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    a = frame_features(docs, "doc_id", "text").collect()
+    b = frame_features(docs, "doc_id", "text").collect()
+    key = lambda r: (r.doc_id, r.frame_index)
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+    pngs = [r for r in a if r.media_format == "png"]
+    assert pngs and all(r.frame_index == 0 for r in pngs)  # png = single frame
+    assert all(len(r.features) == 8 for r in a)
