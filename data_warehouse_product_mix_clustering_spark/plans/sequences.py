@@ -1,0 +1,180 @@
+"""Time-series / sequence queries (reference M4, A8, M5/M6 surface).
+
+The notebook pipeline builds per-product quarterly sequences, embeds them
+with an LSTM autoencoder, and clusters the embeddings
+(notebooks/LSTM_features_learning.ipynb). Here: the sequence assembly and
+the pooled-embedding stand-in are oracle-checked relational plans; the
+true array-of-struct sequence and the KMeans stage are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.etl.star_schema import star_sql
+from data_warehouse_product_mix_clustering_spark.functions.numeric import (
+    money_round,
+    ratio_round,
+    sql_money_round,
+    sql_ratio_round,
+)
+from data_warehouse_product_mix_clustering_spark.ml.autoencoder import EMBEDDING_COLS, pooled_embeddings
+from data_warehouse_product_mix_clustering_spark.ml.pipelines import kmeans_assign
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.plans.warehouse import quarter_rollup
+
+# revenue is cent-rounded exactly like quarter_rollup's output — the Spark
+# plans consume quarter_rollup, so the oracle must aggregate the same grid.
+_QUARTERLY_CTE = f"""
+    , quarterly AS (
+        SELECT ProductID AS product_id,
+               CAST(year(OrderDate) * 4 + quarter(OrderDate) AS BIGINT) AS quarter_key,
+               CAST(count(DISTINCT SalesOrderID) AS BIGINT) AS order_frequency,
+               sum(OrderQty) AS total_quantity,
+               {sql_money_round("sum(LineTotal)")} AS revenue
+        FROM fact_sales
+        GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "quarterly_sequences",
+    oracle=star_sql(
+        _QUARTERLY_CTE
+        + f"""
+        SELECT product_id, quarter_key,
+               CAST(row_number() OVER (
+                   PARTITION BY product_id ORDER BY quarter_key) AS BIGINT) AS seq_pos,
+               order_frequency, total_quantity,
+               {sql_money_round("revenue")} AS revenue
+        FROM quarterly
+    """
+    ),
+)
+def quarterly_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 in relational form: quarter-ordered per-product sequence rows.
+
+    ``seq_pos`` is the position the LSTM consumes; the quarterly agg and
+    the ordering window share the product_id shuffle (one exchange).
+    """
+    q = quarter_rollup(spark, sf_dir)
+    w = Window.partitionBy("product_id").orderBy("quarter_key")
+    return q.select(
+        "product_id",
+        "quarter_key",
+        F.row_number().over(w).cast("long").alias("seq_pos"),
+        "order_frequency",
+        "total_quantity",
+        "revenue",
+    )
+
+
+@register("sequence_arrays")
+def sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's true shape: one row per product with the ordered struct array.
+
+    sort_array(collect_list(struct(quarter_key, …))) — the quarter key
+    leads the struct so the sort is by time. Nested output ⇒ rows-only
+    driver check (array-of-struct value hashing is engine-specific).
+    """
+    q = quarter_rollup(spark, sf_dir)
+    return q.groupBy("product_id").agg(
+        F.count(F.lit(1)).cast("long").alias("seq_len"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("quarter_key", "order_frequency", "total_quantity", "revenue")
+            )
+        ).alias("sequence"),
+    )
+
+
+@register(
+    "trajectory_stats",
+    oracle=star_sql(
+        _QUARTERLY_CTE
+        + f"""
+        SELECT p.Type AS category, q.quarter_key,
+               CAST(count(*) AS BIGINT) AS n_products,
+               {sql_ratio_round("avg(q.revenue)", 2)} AS avg_revenue,
+               {sql_ratio_round("stddev_samp(q.revenue)", 2)} AS std_revenue
+        FROM quarterly q
+        JOIN (SELECT DISTINCT ProductID, Type FROM dim_product) p
+          ON q.product_id = p.ProductID
+        GROUP BY p.Type, q.quarter_key
+    """
+    ),
+)
+def trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: mean + std of quarterly revenue per (category, quarter).
+
+    Reference nb LSTM cell 24 computes cluster trajectories; the category
+    axis is the oracle-checkable analogue (cluster ids are model output).
+    The tiny dim side broadcasts; stddev_samp is NULL for n=1 groups in
+    both engines.
+    """
+    from data_warehouse_product_mix_clustering_spark.etl.star_schema import dim_product
+
+    q = quarter_rollup(spark, sf_dir)
+    dp = dim_product(spark, sf_dir).select("ProductID", "Type").distinct()
+    return (
+        q.join(F.broadcast(dp), q.product_id == dp.ProductID)
+        .groupBy(F.col("Type").alias("category"), "quarter_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            ratio_round(F.avg("revenue"), 2).alias("avg_revenue"),
+            ratio_round(F.stddev_samp("revenue"), 2).alias("std_revenue"),
+        )
+    )
+
+
+_EMB_STATS = ",\n               ".join(
+    f"""{sql_ratio_round(f"avg(CAST({f} AS DOUBLE))", 6)} AS {f}_mean,
+               {sql_ratio_round(f"coalesce(stddev_pop(CAST({f} AS DOUBLE)), 0.0)", 6)} AS {f}_std,
+               {sql_ratio_round(f"arg_min(CAST({f} AS DOUBLE), quarter_key)", 6)} AS {f}_first,
+               {sql_ratio_round(f"arg_max(CAST({f} AS DOUBLE), quarter_key)", 6)} AS {f}_last"""
+    for f in ("order_frequency", "total_quantity", "revenue")
+)
+
+
+@register(
+    "sequence_embeddings",
+    oracle=star_sql(
+        _QUARTERLY_CTE
+        + f"""
+        SELECT product_id, CAST(count(*) AS BIGINT) AS seq_len,
+               {_EMB_STATS}
+        FROM quarterly
+        GROUP BY product_id
+    """
+    ),
+)
+def sequence_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5's output contract via the deterministic pooled embedder.
+
+    12-d per-product embedding ([mean, std, first, last] × 3 quarterly
+    features) — the oracle-checkable stand-in for the LSTM autoencoder
+    (ml/autoencoder.py gates the torch path). One hash agg, no sequence
+    materialization.
+    """
+    q = quarter_rollup(spark, sf_dir)
+    emb = pooled_embeddings(q)
+    return emb.select(
+        "product_id",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        *[ratio_round(F.col(c), 6).alias(c) for c in EMBEDDING_COLS],
+    )
+
+
+@register("sequence_clusters")
+def sequence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: KMeans k=4 over the sequence embeddings (scaled, seed 42).
+
+    Same pipeline shape as the notebook's KMeans-on-LSTM-embeddings
+    (cell 22); model output ⇒ rows-only check + unit-tested determinism.
+    """
+    emb = pooled_embeddings(quarter_rollup(spark, sf_dir))
+    return kmeans_assign(emb, EMBEDDING_COLS).select(
+        "product_id", F.col("cluster").cast("int").alias("cluster"), "seq_len"
+    )

@@ -1,0 +1,54 @@
+"""ETL write-path tests (S4-S9): CSV roundtrip, table overwrite/append,
+warehouse build + pipeline log."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.etl.pipeline_log import latest_run, log_run, run_warehouse_build
+from data_warehouse_product_mix_clustering_spark.sources.io import read_csv, write_csv, write_parquet_table
+
+from conftest import SF_SMOKE
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    assert {r.lang for r in back.select("lang").distinct().collect()} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+
+
+def test_parquet_overwrite_then_append(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    path = str(tmp_path / "tbl")
+    write_parquet_table(docs, path, mode="overwrite")
+    write_parquet_table(docs, path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 100  # replace, not double
+    write_parquet_table(docs, path, mode="append")
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_warehouse_build_and_log(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    tables = run_warehouse_build(spark, SF_SMOKE, wh)
+    assert set(tables) == {
+        "DimProduct",
+        "DimDate",
+        "DimProductPriceCostHistory",
+        "FactProductSales",
+    }
+    fact = spark.read.parquet(tables["FactProductSales"])
+    assert fact.count() > 0 and "ProductID" in fact.columns
+
+    log_run(spark, wh, "clustering", datetime.datetime(2030, 1, 2, tzinfo=datetime.timezone.utc))
+    log_run(spark, wh, "etl2", datetime.datetime(2030, 1, 3, tzinfo=datetime.timezone.utc))
+    top = latest_run(spark, wh).collect()
+    assert len(top) == 1 and top[0].PipelineName == "etl2"
