@@ -33,21 +33,33 @@ def kmeans_assign(
 ) -> DataFrame:
     """Standardize ``feature_cols`` and append a KMeans cluster id.
 
-    The fit materializes the (tiny) feature matrix once per KMeans
-    iteration; the input plan should be cached by the caller if it is
-    expensive. Output drops the intermediate vector columns.
+    The upstream plan (often a multi-join feature matrix) would otherwise
+    re-execute once per fit pass (scaler fit + each KMeans step + the final
+    transform), so the input is cached here and materialized once; the
+    cluster output is tiny (id + features + label), so it is materialized
+    off the cache and the cache released before returning.
     """
-    pipe = Pipeline(
-        stages=[
-            VectorAssembler(inputCols=feature_cols, outputCol="__feat"),
-            StandardScaler(
-                inputCol="__feat", outputCol="__scaled", withMean=True, withStd=True
-            ),
-            KMeans(featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed),
-        ]
-    )
-    model = pipe.fit(df)
-    return model.transform(df).drop("__feat", "__scaled")
+    df = df.cache()
+    try:
+        pipe = Pipeline(
+            stages=[
+                VectorAssembler(inputCols=feature_cols, outputCol="__feat"),
+                StandardScaler(
+                    inputCol="__feat", outputCol="__scaled", withMean=True, withStd=True
+                ),
+                KMeans(
+                    featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed
+                ),
+            ]
+        )
+        model = pipe.fit(df)
+        # localCheckpoint materializes the (small) assignment output on the
+        # executors and truncates lineage, so the cached input can be freed
+        # without the returned plan recomputing the feature matrix.
+        out = model.transform(df).drop("__feat", "__scaled").localCheckpoint(eager=True)
+    finally:
+        df.unpersist()
+    return out
 
 
 def assign_vectors(
