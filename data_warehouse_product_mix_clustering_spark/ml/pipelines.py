@@ -30,8 +30,16 @@ def kmeans_assign(
     k: int = DEFAULT_K,
     seed: int = DEFAULT_SEED,
     cluster_col: str = "cluster",
+    order_col: str | None = None,
+    n_init: int = 5,
 ) -> DataFrame:
     """Standardize ``feature_cols`` and append a KMeans cluster id.
+
+    ``order_col`` (an id column) makes the fit REPRODUCIBLE: k-means‖ init
+    samples rows in partition-internal order, and shuffle-block fetch order
+    is nondeterministic — without a deterministic repartition+sort, two
+    same-seed fits can land in different local optima. With it, same seed +
+    same data ⇒ same partition.
 
     The upstream plan (often a multi-join feature matrix) would otherwise
     re-execute once per fit pass (scaler fit + each KMeans step + the final
@@ -39,25 +47,46 @@ def kmeans_assign(
     cluster output is tiny (id + features + label), so it is materialized
     off the cache and the cache released before returning.
     """
+    if order_col is not None:
+        # The feature matrix is orders of magnitude smaller than the fact
+        # data it came from; a handful of partitions keeps the many tiny
+        # per-iteration KMeans jobs from being dominated by task overhead.
+        df = df.repartition(8, F.col(order_col)).sortWithinPartitions(order_col)
     df = df.cache()
     try:
-        pipe = Pipeline(
+        prep = Pipeline(
             stages=[
                 VectorAssembler(inputCols=feature_cols, outputCol="__feat"),
                 StandardScaler(
                     inputCol="__feat", outputCol="__scaled", withMean=True, withStd=True
                 ),
-                KMeans(
-                    featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed
-                ),
             ]
-        )
-        model = pipe.fit(df)
+        ).fit(df)
+        scaled = prep.transform(df).cache()
+        # sklearn restarts k-means n_init(=10) times and keeps the lowest-
+        # inertia run; MLlib does ONE k-means‖ init, which can land in a
+        # visibly bad local optimum. Restart over deterministic derived
+        # seeds and keep the best cost — the matrix is cached, so each
+        # extra fit is cheap relative to the upstream plan.
+        best = None
+        for i in range(n_init):
+            m = KMeans(
+                featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed + i
+            ).fit(scaled)
+            cost = m.summary.trainingCost
+            if best is None or cost < best[0]:
+                best = (cost, m)
         # localCheckpoint materializes the (small) assignment output on the
         # executors and truncates lineage, so the cached input can be freed
         # without the returned plan recomputing the feature matrix.
-        out = model.transform(df).drop("__feat", "__scaled").localCheckpoint(eager=True)
+        out = (
+            best[1]
+            .transform(scaled)
+            .drop("__feat", "__scaled")
+            .localCheckpoint(eager=True)
+        )
     finally:
+        scaled.unpersist()
         df.unpersist()
     return out
 
@@ -68,25 +97,50 @@ def assign_vectors(
     k: int,
     seed: int = DEFAULT_SEED,
     cluster_col: str = "cluster",
+    order_col: str | None = None,
 ) -> DataFrame:
     """KMeans over an ``array<float>`` embedding column (M6 shape).
 
-    array_to_vector is a JVM expression — no Python per row.
+    array_to_vector is a JVM expression — no Python per row. ``order_col``
+    reproducibility semantics as in ``kmeans_assign``.
     """
     from pyspark.ml.functions import array_to_vector
 
+    if order_col is not None:
+        # The feature matrix is orders of magnitude smaller than the fact
+        # data it came from; a handful of partitions keeps the many tiny
+        # per-iteration KMeans jobs from being dominated by task overhead.
+        df = df.repartition(8, F.col(order_col)).sortWithinPartitions(order_col)
     withv = df.withColumn("__vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(featuresCol="__vec", predictionCol=cluster_col, k=k, seed=seed)
-    model = km.fit(withv)
-    return model.transform(withv).drop("__vec")
+    withv = withv.cache()
+    try:
+        km = KMeans(featuresCol="__vec", predictionCol=cluster_col, k=k, seed=seed)
+        model = km.fit(withv)
+        out = model.transform(withv).drop("__vec").localCheckpoint(eager=True)
+    finally:
+        withv.unpersist()
+    return out
 
 
 def silhouette(
     df: DataFrame, feature_cols: list[str], cluster_col: str = "cluster"
 ) -> float:
-    """Mean silhouette (squared euclidean) of an assigned clustering (M8)."""
-    withv = VectorAssembler(inputCols=feature_cols, outputCol="__feat").transform(df)
+    """Mean silhouette (squared euclidean) of an assigned clustering (M8).
+
+    Evaluated in the SAME standardized space the clustering ran in — raw
+    features are scale-dominated (profit in dollars vs ratios), which makes
+    the raw-space silhouette meaningless for a scaled-space fit.
+    """
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols, outputCol="__feat"),
+            StandardScaler(
+                inputCol="__feat", outputCol="__scaled", withMean=True, withStd=True
+            ),
+        ]
+    )
+    withv = pipe.fit(df).transform(df)
     ev = ClusteringEvaluator(
-        featuresCol="__feat", predictionCol=cluster_col, metricName="silhouette"
+        featuresCol="__scaled", predictionCol=cluster_col, metricName="silhouette"
     )
     return float(ev.evaluate(withv))

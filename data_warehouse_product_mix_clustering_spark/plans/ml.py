@@ -92,7 +92,7 @@ def product_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check + silhouette/determinism unit tests.
     """
     feats = product_features(spark, sf_dir)
-    return kmeans_assign(feats, MATRIX_FEATURES).select(
+    return kmeans_assign(feats, MATRIX_FEATURES, order_col="product_id").select(
         "product_id", F.col("cluster").cast("int").alias("cluster"), *MATRIX_FEATURES
     )
 
@@ -123,7 +123,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     check covers schema/rows, unit tests cover determinism.
     """
     emb = table(spark, "embeddings", sf_dir)
-    return assign_vectors(emb, "embedding", k=10).select(
+    return assign_vectors(emb, "embedding", k=10, order_col="vec_id").select(
         "vec_id", "label", F.col("cluster").cast("int").alias("cluster")
     )
 
@@ -131,7 +131,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("clustering_quality")
 def clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silhouette of the product clustering — the M8 evaluation surface."""
-    pc = kmeans_assign(product_features(spark, sf_dir), MATRIX_FEATURES)
+    pc = kmeans_assign(product_features(spark, sf_dir), MATRIX_FEATURES, order_col="product_id")
     s = silhouette(pc, MATRIX_FEATURES)
     sizes = pc.groupBy("cluster").count()
     return sizes.agg(

@@ -175,6 +175,6 @@ def sequence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell 22); model output ⇒ rows-only check + unit-tested determinism.
     """
     emb = pooled_embeddings(quarter_rollup(spark, sf_dir))
-    return kmeans_assign(emb, EMBEDDING_COLS).select(
+    return kmeans_assign(emb, EMBEDDING_COLS, order_col="product_id").select(
         "product_id", F.col("cluster").cast("int").alias("cluster"), "seq_len"
     )

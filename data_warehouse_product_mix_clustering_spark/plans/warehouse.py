@@ -240,35 +240,42 @@ def dim_date_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATURES_SQL = star_sql(f"""
     , final AS (
-        SELECT max(OrderDate) + INTERVAL 1 DAY AS final_date FROM fact_priced
+        SELECT max(OrderDate) + INTERVAL 1 DAY AS final_date FROM fact_sales
     ),
-    alltime AS (
-        SELECT ProductID, min(OrderDate) AS first_sale, sum(LineTotal) AS alltime_rev
-        FROM fact_priced GROUP BY ProductID
-    ),
-    active AS (
+    stats AS (
         SELECT ProductID,
-               sum(OrderQty) AS sum_qty, sum(LineTotal) AS sum_line,
-               sum(profit) AS sum_profit,
-               count(DISTINCT SalesOrderID) AS order_frequency,
-               count(DISTINCT CustomerID) AS nunique_customer
-        FROM fact_priced, final
-        WHERE OrderDate >= final_date - INTERVAL 365 DAY
+               min(OrderDate) AS first_sale,
+               sum(LineTotal) AS alltime_rev,
+               max(f.final_date) AS final_date,
+               sum(CASE WHEN OrderDate >= f.final_date - INTERVAL 365 DAY
+                        THEN OrderQty END) AS sum_qty,
+               sum(CASE WHEN OrderDate >= f.final_date - INTERVAL 365 DAY
+                        THEN LineTotal END) AS sum_line,
+               sum(CASE WHEN OrderDate >= f.final_date - INTERVAL 365 DAY
+                        THEN profit END) AS sum_profit,
+               count(DISTINCT CASE WHEN OrderDate >= f.final_date - INTERVAL 365 DAY
+                                   THEN SalesOrderID END) AS order_frequency,
+               count(DISTINCT CASE WHEN OrderDate >= f.final_date - INTERVAL 365 DAY
+                                   THEN CustomerID END) AS nunique_customer
+        FROM fact_priced, final f
         GROUP BY ProductID
     )
-    SELECT a.ProductID AS product_id,
-           {sql_money_round("a.sum_profit")} AS profit,
-           {sql_ratio_round("a.sum_profit / a.sum_line")} AS profit_margin,
-           {sql_ratio_round("a.sum_line / a.sum_qty", 4)} AS average_unit_price,
-           {sql_ratio_round("a.sum_qty / a.order_frequency")} AS avg_quantity_sold,
-           CAST(a.nunique_customer AS BIGINT) AS nunique_customer,
-           {sql_ratio_round("CAST(a.order_frequency AS DOUBLE) / a.nunique_customer")} AS customer_loyalty,
-           {sql_ratio_round("a.sum_line * date_diff('day', t.first_sale, f.final_date) / (t.alltime_rev * 365)")} AS revenue_growth,
-           CAST(date_diff('day', t.first_sale, f.final_date) AS BIGINT) AS selling_duration
-    FROM active a JOIN alltime t ON a.ProductID = t.ProductID CROSS JOIN final f
+    SELECT ProductID AS product_id,
+           {sql_money_round("sum_profit")} AS profit,
+           {sql_ratio_round("sum_profit / sum_line")} AS profit_margin,
+           {sql_ratio_round("sum_line / sum_qty", 4)} AS average_unit_price,
+           {sql_ratio_round("sum_qty / order_frequency")} AS avg_quantity_sold,
+           CAST(nunique_customer AS BIGINT) AS nunique_customer,
+           {sql_ratio_round("CAST(order_frequency AS DOUBLE) / nunique_customer")} AS customer_loyalty,
+           {sql_ratio_round("sum_line * date_diff('day', first_sale, final_date) / (alltime_rev * 365)")} AS revenue_growth,
+           CAST(date_diff('day', first_sale, final_date) AS BIGINT) AS selling_duration
+    FROM stats
+    WHERE order_frequency > 0
 """)
-# Note: the body starts with ", final AS (...)" which continues star_sql's
-# WITH-clause CTE list — valid SQL as-is.
+# Notes: the body starts with ", final AS (...)" which continues star_sql's
+# WITH-clause CTE list — valid SQL as-is. FINAL_DATE comes from fact_sales
+# (= fact_priced's date set: the interval and price joins are row-preserving
+# by construction), so the scalar pass skips the join subtree entirely.
 
 
 @register("product_features", oracle=_FEATURES_SQL, headline=True)
@@ -283,35 +290,40 @@ def product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Active = any sale in the trailing 365 days (:86-89). Non-standard
     semantics preserved deliberately (SURVEY.md §7.3).
 
-    Plan shape: one pass computes the all-time aggs, one the active-window
-    aggs (both partial+final hash aggs on ProductID), joined product-to-
-    product; the 1-row FINAL_DATE agg is cross-joined (scalar subquery) —
-    no driver round-trip.
+    Plan shape: ONE pass over the priced fact computes all-time AND
+    active-window aggregates together (conditional aggregation — the
+    active-window measures are CASE-gated on the broadcast FINAL_DATE), so
+    the join subtree executes once, there is a single shuffle on ProductID,
+    and no product-to-product self-join. The FINAL_DATE scalar itself comes
+    from the cheap pre-join fact (row-preserving joins make the date sets
+    identical), also broadcast — no driver round-trip.
     """
     fp = fact_priced(spark, sf_dir)
-    final = fp.select(
+    final = fact_sales(spark, sf_dir).select(
         F.date_add(F.max("OrderDate").cast("date"), 1).cast("timestamp").alias("final_date")
     )
-    alltime = fp.groupBy("ProductID").agg(
-        F.min("OrderDate").alias("first_sale"),
-        F.sum("LineTotal").alias("alltime_rev"),
-    )
-    active = (
+    in_window = F.col("OrderDate") >= F.col("final_date") - F.expr("INTERVAL 365 DAY")
+    stats = (
         fp.crossJoin(F.broadcast(final))
-        .filter(F.col("OrderDate") >= F.col("final_date") - F.expr("INTERVAL 365 DAY"))
         .groupBy("ProductID")
         .agg(
-            F.sum("OrderQty").alias("sum_qty"),
-            F.sum("LineTotal").alias("sum_line"),
-            F.sum("profit").alias("sum_profit"),
-            F.count_distinct("SalesOrderID").alias("order_frequency"),
-            F.count_distinct("CustomerID").alias("nunique_customer"),
+            F.min("OrderDate").alias("first_sale"),
+            F.sum("LineTotal").alias("alltime_rev"),
+            F.max("final_date").alias("final_date"),
+            F.sum(F.when(in_window, F.col("OrderQty"))).alias("sum_qty"),
+            F.sum(F.when(in_window, F.col("LineTotal"))).alias("sum_line"),
+            F.sum(F.when(in_window, F.col("profit"))).alias("sum_profit"),
+            F.count_distinct(F.when(in_window, F.col("SalesOrderID"))).alias(
+                "order_frequency"
+            ),
+            F.count_distinct(F.when(in_window, F.col("CustomerID"))).alias(
+                "nunique_customer"
+            ),
         )
     )
     dur = F.datediff(F.col("final_date"), F.col("first_sale"))
     return (
-        active.join(alltime, "ProductID")
-        .crossJoin(F.broadcast(final))
+        stats.filter(F.col("order_frequency") > 0)
         .select(
             F.col("ProductID").alias("product_id"),
             money_round(F.col("sum_profit")).alias("profit"),
