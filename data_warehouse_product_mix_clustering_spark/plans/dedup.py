@@ -115,3 +115,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         table(spark, "documents", sf_dir), "doc_id", "text", max_hamming=3
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e) + 1e-9, 6) >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
+
+    The exact O(n²) formulation — the oracle-checkable baseline; the scale
+    path is the same banded-LSH candidate generation as ``ann_lsh_topk``
+    (operators/similarity.py) with the threshold filter replacing top-k.
+    Threshold 0.42 targets the synthetic corpus's near-dup tail.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import as_double, cosine
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    scored = pairs.select(
+        "vec_a", "vec_b", ratio_round(cosine(F.col("ea"), F.col("eb"))).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= 0.42)

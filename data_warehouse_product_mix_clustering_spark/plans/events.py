@@ -216,3 +216,18 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.avg(k)).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register("events_stream_sessions")
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization (applyInPandasWithState).
+
+    Per-user session state with an event-time timeout; sessions emit when
+    the watermark passes last_event + 30 min. Output is watermark-dependent
+    (the final still-open session per user stays in state) ⇒ rows-only
+    check; equivalence with the batch sessionization is unit-tested
+    (tests/test_streaming.py).
+    """
+    from data_warehouse_product_mix_clustering_spark.streaming.sessions import run_streaming_sessions
+
+    return run_streaming_sessions(spark, sf_dir)

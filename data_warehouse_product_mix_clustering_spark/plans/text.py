@@ -16,6 +16,7 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     sql_predicted_lang,
     sql_stopword_hits,
     sql_tokens,
+    sql_word_ngrams,
     stopword_hits,
     tokens,
 )
@@ -153,4 +154,41 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("lang", "term", "n", "rank")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+        {_TOKS_CTE}
+        , grams AS (
+            SELECT doc_id, unnest(list_distinct({sql_word_ngrams("t", 3)})) AS g
+            FROM toks
+        )
+        SELECT doc_id, min(md5(g)) AS min_fp, max(md5(g)) AS max_fp,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window document fingerprints (winnowing-style min-hash).
+
+    md5 over sliding word 3-grams, keeping the min/max digest per doc —
+    an engine-portable rolling-hash fingerprint (md5 is identical across
+    engines, unlike murmur/xxhash). Matching min_fp across docs is the
+    near-dup candidate signal at scale.
+    """
+    from data_warehouse_product_mix_clustering_spark.functions.text import word_ngrams
+
+    docs = table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("t", 3))).alias("g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("g").cast("binary"))).alias("min_fp"),
+        F.max(F.md5(F.col("g").cast("binary"))).alias("max_fp"),
+        F.count(F.lit(1)).alias("n_grams"),
     )

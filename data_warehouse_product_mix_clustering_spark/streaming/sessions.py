@@ -1,0 +1,144 @@
+"""Custom stateful streaming operator: gap-based session windows.
+
+The batch twin lives in plans/events.py (``events_sessions``, pure window
+functions). This module is the Structured Streaming version the reference
+never had (SURVEY §2.10 — new capability): per-user session state kept in
+``applyInPandasWithState`` with an event-time timeout, so sessions close
+when the watermark passes ``last_event + gap``.
+
+An availableNow replay of the whole table emits every session exactly once
+(the final watermark closes all state), which lets unit tests compare the
+streaming operator's output against the batch sessionization — the same
+oracle-by-equivalence trick as events_stream_hourly.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+GAP_SECONDS = 30 * 60
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events into per-user session state.
+
+    Emits a session row whenever a gap > GAP_SECONDS closes one, or when
+    the state times out (watermark passed last_event + gap).
+    """
+    (user_id,) = key
+    out_rows: list[tuple] = []
+
+    def emit(s):
+        out_rows.append(
+            (
+                user_id,
+                pd.Timestamp(s[0], unit="us"),
+                pd.Timestamp(s[1], unit="us"),
+                int(s[2]),
+                float(s[3]),
+            )
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            emit(state.get)
+            state.remove()
+    else:
+        cur = list(state.get) if state.exists else None
+        ts_all = []
+        for pdf in batches:
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_all.append((pd.Timestamp(ts).value // 1000, float(value)))
+        ts_all.sort()
+        for ts_us, value in ts_all:
+            if cur is None:
+                cur = [ts_us, ts_us, 0, 0.0]
+            elif ts_us - cur[1] > GAP_SECONDS * 1_000_000:
+                emit(cur)
+                cur = [ts_us, ts_us, 0, 0.0]
+            cur[1] = max(cur[1], ts_us)
+            cur[2] += 1
+            cur[3] += value
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] // 1000 + GAP_SECONDS * 1000)
+
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        )
+
+
+def streaming_sessions(events_stream: DataFrame) -> DataFrame:
+    """Gap-sessionize a watermarked event stream (custom stateful operator).
+
+    State partitions by user (one shuffle); each user's state is a single
+    open session tuple — constant memory per key, watermark-driven cleanup.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """availableNow replay of the events table through the sessionizer."""
+    from data_warehouse_product_mix_clustering_spark.streaming.events import stream_events
+
+    name = "events_stream_sessions_sink"
+    q = (
+        streaming_sessions(stream_events(spark, sf_dir, watermark="0 seconds"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)

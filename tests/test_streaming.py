@@ -1,0 +1,43 @@
+"""Streaming-operator tests: the custom stateful sessionizer must agree
+with the batch window-function sessionization on a full replay."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.plans.events import events_sessions
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+from data_warehouse_product_mix_clustering_spark.streaming.sessions import GAP_SECONDS, run_streaming_sessions
+
+from conftest import SF_SMOKE
+
+
+def test_streaming_sessions_match_batch(spark):
+    batch_rows = events_sessions(spark, SF_SMOKE).collect()
+    batch = {
+        (r.user_id, r.session_start, r.n_events, round(r.sum_value, 2)): r
+        for r in batch_rows
+    }
+    stream = {
+        (r.user_id, r.session_start, r.n_events, round(r.sum_value, 2))
+        for r in run_streaming_sessions(spark, SF_SMOKE).collect()
+    }
+    extra = stream - set(batch)
+    assert not extra, f"streaming emitted sessions batch never saw: {list(extra)[:3]}"
+
+    # Sessions still OPEN at end-of-stream legitimately never emit: the
+    # watermark stops at max(ts), before their last_event + gap timeout.
+    max_ts = table(spark, "events", SF_SMOKE).agg(F.max("ts")).first()[0]
+    cutoff = max_ts - datetime.timedelta(seconds=GAP_SECONDS)
+    missing = set(batch) - stream
+    for key in missing:
+        r = batch[key]
+        last_event = r.session_start + datetime.timedelta(seconds=r.duration_sec)
+        assert last_event >= cutoff, (
+            f"closed session missing from streaming output: {key} "
+            f"(last_event={last_event}, cutoff={cutoff})"
+        )
+    # and the overwhelming majority must have closed + matched
+    assert len(missing) <= max(1, len(batch) // 100)
