@@ -166,18 +166,30 @@ def fact_priced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference does this with a row-wise dict probe (U1/U2, reference
     src/pipelines/clustering.py:40-54, O(rows × intervals)); here it is two
-    joins — an interval-containment join against the broadcast DimDate (J4)
-    then an equi-join against the (product, interval) price history (J9
-    re-expressed) — both Catalyst-planned, zero Python in the hot path.
+    joins, both Catalyst-planned, zero Python in the hot path.
     profit = LineTotal − StandardCost × OrderQty (F1, clustering.py:79).
-    """
-    from data_warehouse_product_mix_clustering_spark.operators.asof_join import interval_join
 
+    Join strategy: this DimDate is a quarter calendar, so the interval key
+    is DERIVABLE — ``date_trunc('quarter', OrderDate) == StartDate`` — and
+    the interval match becomes a broadcast HASH join (whole-stage codegen)
+    instead of the generic broadcast-nested-loop range join, which has no
+    codegen and costs ~4× on the row-at-a-time predicate. The generic
+    as-of/interval operator (operators/asof_join.py) remains the path for
+    dims whose intervals aren't derivable (`asof_price_intervals` exercises
+    it); the containment filter stays as a guard so the semantics are
+    verifiably identical to the range join.
+    """
     fact = fact_sales(spark, sf_dir)
     dates = dim_date(spark, sf_dir)
     ph = price_history(spark, sf_dir)
-    with_interval = interval_join(
-        fact, dates, left_time="OrderDate", start_col="StartDate", end_col="EndDate"
+    with_interval = (
+        fact.withColumn("__q", F.date_trunc("quarter", F.col("OrderDate")))
+        .join(F.broadcast(dates), F.col("__q") == dates.StartDate, "inner")
+        .filter(
+            (F.col("OrderDate") >= F.col("StartDate"))
+            & (F.col("EndDate").isNull() | (F.col("OrderDate") <= F.col("EndDate")))
+        )
+        .drop("__q", "StartDate", "EndDate")
     )
     return (
         with_interval.join(F.broadcast(ph), ["ProductID", "IntervalId"], "inner")
