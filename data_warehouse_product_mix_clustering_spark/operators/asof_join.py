@@ -120,25 +120,38 @@ def _asof_union(
     """Union + window last(ignorenulls): the large-large as-of strategy.
 
     One shuffle on (by, event_time); each partition is sorted once and the
-    most recent right-side values are carried forward — the distributed
-    equivalent of pandas merge_asof's merge walk.
+    most recent right-side ROW is carried forward — the distributed
+    equivalent of pandas merge_asof's merge walk. The right row travels as
+    ONE struct: per-column ``last(ignorenulls)`` would skip a genuinely
+    NULL field (e.g. an open interval's end date) and resurrect the
+    previous row's value; a struct is non-null as a whole, so its internal
+    NULLs survive the carry.
     """
     ts = "__asof_ts"
     side = "__asof_side"  # 0 = right (sorts before left on ties → inclusive)
+    rstruct = "__asof_r"
     rcols = _right_cols(right, right_on, by)
 
-    lpart = left.withColumn(ts, F.col(left_on)).withColumn(side, F.lit(1))
-    for c in rcols:
-        lpart = lpart.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    lpart = lpart.withColumn("__r_on", F.lit(None).cast(right.schema[right_on].dataType))
-
-    rpart = right.withColumn(ts, F.col(right_on)).withColumn(side, F.lit(0))
-    rpart = rpart.withColumnRenamed(right_on, "__r_on")
+    rpart = right.select(
+        *[F.col(k) for k in by],
+        F.col(right_on).alias(ts),
+        F.lit(0).alias(side),
+        F.struct(
+            *[F.col(c) for c in rcols], F.col(right_on).alias("__r_on")
+        ).alias(rstruct),
+    )
+    struct_type = rpart.schema[rstruct].dataType
+    lpart = left.select(
+        "*",
+        F.col(left_on).alias(ts),
+        F.lit(1).alias(side),
+        F.lit(None).cast(struct_type).alias(rstruct),
+    )
     for c in left.columns:
-        if c not in by and c not in rpart.columns:
+        if c not in by:
             rpart = rpart.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    cols = by + [c for c in left.columns if c not in by] + rcols + ["__r_on", ts, side]
+    cols = by + [c for c in left.columns if c not in by] + [rstruct, ts, side]
     unioned = lpart.select(*cols).unionByName(rpart.select(*cols))
 
     w = (
@@ -146,27 +159,29 @@ def _asof_union(
         .orderBy(F.col(ts).asc(), F.col(side).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[F.col(c) for c in by],
-        *[F.col(c) for c in left.columns if c not in by],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
-        F.last("__r_on", ignorenulls=True).over(w).alias("__r_on"),
-        F.col(side).alias(side),
+    carried = (
+        unioned.withColumn(rstruct, F.last(rstruct, ignorenulls=True).over(w))
+        .filter(F.col(side) == 1)
+        .drop(side, ts)
     )
-    out = carried.filter(F.col(side) == 1).drop(side)
 
+    matched = F.col(rstruct).isNotNull()
     if end_col is not None:
-        # end_col was carried with the matched interval; discard stale matches.
-        keep = F.col(end_col).isNull() | (F.col(left_on) <= F.col(end_col))
-        null_cols = [F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c) for c in rcols]
-        null_on = F.when(keep, F.col("__r_on")).otherwise(F.lit(None)).alias("__r_on")
-        out = out.select(
-            *[F.col(c) for c in by],
-            *[F.col(c) for c in left.columns if c not in by],
-            *null_cols,
-            null_on,
+        # discard stale matches: the carried interval already ended.
+        matched = matched & (
+            F.col(f"{rstruct}.{end_col}").isNull()
+            | (F.col(left_on) <= F.col(f"{rstruct}.{end_col}"))
         )
-    out = out.withColumnRenamed("__r_on", right_on)
+    out = carried.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(matched, F.col(f"{rstruct}.{c}")).otherwise(F.lit(None)).alias(c)
+            for c in rcols
+        ],
+        F.when(matched, F.col(f"{rstruct}.__r_on")).otherwise(F.lit(None)).alias(
+            right_on
+        ),
+    )
     if how == "inner":
         out = out.filter(F.col(right_on).isNotNull())
     return out

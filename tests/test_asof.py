@@ -1,0 +1,112 @@
+"""As-of/interval join edge cases (SURVEY §7.3): open intervals (NULL end),
+events before any interval, inclusive boundary ties, per-key variant — and
+strategy agreement (broadcast range join vs union+window large-large path)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join, interval_join
+
+D = lambda s: dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, D("2024-01-05"), "before-any"),
+            (2, D("2024-02-01"), "on-start-tie"),
+            (3, D("2024-02-15"), "inside-first"),
+            (4, D("2024-03-10"), "gap-after-first-closed"),
+            (5, D("2024-04-02"), "inside-open"),
+            (6, D("2030-01-01"), "far-future-open"),
+        ],
+        ["id", "ts", "label"],
+    )
+    right = spark.createDataFrame(
+        [
+            (D("2024-02-01"), D("2024-02-29"), 10.0),
+            (D("2024-04-01"), None, 20.0),
+        ],
+        ["start", "end", "price"],
+    )
+    return left, right
+
+
+EXPECTED = {
+    1: None,  # before any interval
+    2: 10.0,  # inclusive start boundary
+    3: 10.0,
+    4: None,  # after first interval closed, before second starts
+    5: 20.0,  # open interval
+    6: 20.0,  # open interval extends forever
+}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_interval_semantics(spark, frames, strategy):
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="ts", right_on="start", end_col="end", strategy=strategy
+    )
+    got = {r.id: r.price for r in out.collect()}
+    assert got == EXPECTED, f"{strategy}: {got}"
+
+
+def test_asof_strategies_agree_on_real_data(spark):
+    """Both strategies must produce identical matches on the testdata dims."""
+    from data_warehouse_product_mix_clustering_spark.etl.star_schema import dim_date, fact_sales
+
+    from conftest import SF_SMOKE
+
+    fact = fact_sales(spark, SF_SMOKE).select("SalesOrderID", "LineNumber", "OrderDate")
+    dates = dim_date(spark, SF_SMOKE)
+
+    def run(strategy):
+        rows = asof_join(
+            fact, dates, "OrderDate", "StartDate", end_col="EndDate",
+            strategy=strategy,
+        ).collect()
+        return sorted(
+            (r.SalesOrderID, r.LineNumber, r.OrderDate, r.IntervalId) for r in rows
+        )
+
+    a, b = run("broadcast"), run("union")
+    assert a == b
+    assert len(a) == fact.count()
+    assert all(iv is not None for *_, iv in a)  # every date falls in an interval
+
+
+def test_asof_by_keys(spark):
+    """Per-key as-of (the notebook variant): intervals scoped to a product."""
+    left = spark.createDataFrame(
+        [(1, D("2024-01-10")), (2, D("2024-01-10"))], ["pid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, D("2024-01-01"), 5.0),
+            (2, D("2024-01-05"), 7.0),
+            (2, D("2024-01-09"), 8.0),
+        ],
+        ["pid", "start", "cost"],
+    )
+    for strategy in ("broadcast", "union"):
+        got = {
+            r.pid: r.cost
+            for r in asof_join(
+                left, right, "ts", "start", by=["pid"], strategy=strategy
+            ).collect()
+        }
+        assert got == {1: 5.0, 2: 8.0}, strategy
+
+
+def test_interval_join_inner_drops_unmatched(spark, frames):
+    left, right = frames
+    out = interval_join(
+        left, right, left_time="ts", start_col="start", end_col="end", how="inner"
+    )
+    got = {r.id: r.price for r in out.collect()}
+    assert got == {k: v for k, v in EXPECTED.items() if v is not None}
