@@ -231,3 +231,21 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_product_mix_clustering_spark.streaming.sessions import run_streaming_sessions
 
     return run_streaming_sessions(spark, sf_dir)
+
+
+@register("events_approx_stats")
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: the opt-in scale path for exact count-distinct.
+
+    HyperLogLog++ cardinality (bounded relative error, mergeable partial
+    state — no Expand blow-up) and t-digest-style quantiles. SURVEY A2/A7
+    note: exact by default, approx as the explicit 100 TB escape hatch.
+    Sketch outputs are engine-specific ⇒ rows-only; error bounds vs exact
+    are unit-tested (tests/test_operators.py).
+    """
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95_value"),
+    )

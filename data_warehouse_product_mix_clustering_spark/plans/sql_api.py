@@ -1,0 +1,62 @@
+"""spark.sql entry point (S3: the reference pushes literal SQL to its DBMS).
+
+The reference's dashboard queries are raw SQL strings executed by
+PostgreSQL (reference Clustering_Analysis.py:84-100); in this engine the
+"DBMS" is Spark itself. These queries run the SAME ANSI-SQL text on Spark
+(over registered temp views) that the driver's DuckDB oracle runs — one
+string, two engines, hash-identical results — demonstrating that the SQL
+surface, not just the DataFrame API, is a first-class entry point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import sql_money_round, sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import load_testdata
+
+# Written once in the engine-portable SQL subset (ANSI + date_trunc/round):
+# used verbatim as BOTH the Spark query text and the DuckDB oracle.
+_NATION_REVENUE_SQL = f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           {sql_money_round("sum(l.l_extendedprice * (1 - l.l_discount))", 0)} AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+"""
+
+_ORDER_PRIORITY_SQL = f"""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_money_round("sum(o_totalprice)", 0)} AS total_price,
+           {sql_ratio_round("avg(o_totalprice)", 2)} AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_testdata(spark, sf_dir, register_views=True)
+    return spark.sql(sql)
+
+
+@register("nation_revenue_sql", oracle=_NATION_REVENUE_SQL)
+def nation_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation_revenue as literal SQL through spark.sql (S3 parity).
+
+    Catalyst plans the identical physical strategy as the DataFrame
+    version — broadcast dims, one big-big shuffle join — proving the two
+    APIs are the same engine surface.
+    """
+    return _run_sql(spark, sf_dir, _NATION_REVENUE_SQL)
+
+
+@register("order_priority_sql", oracle=_ORDER_PRIORITY_SQL)
+def order_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority rollup, single-string SQL on both engines."""
+    return _run_sql(spark, sf_dir, _ORDER_PRIORITY_SQL)

@@ -51,17 +51,27 @@ def write_parquet_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     buckets: tuple[int, str] | None = None,
+    table_name: str | None = None,
 ) -> None:
     """Table sink (S6 replace / S7 append).
 
     ``partition_by`` gives partition pruning on the listed columns;
     ``buckets=(n, key)`` pre-shuffles so later joins/aggs on ``key``
-    co-locate without a shuffle (only honored by saveAsTable, so bucketed
-    writes go through the session catalog).
+    co-locate without a shuffle. Bucketing metadata only exists in the
+    session catalog, so bucketed writes require ``table_name`` and go
+    through ``saveAsTable`` (path becomes the table location).
     """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if buckets is not None:
+        if table_name is None:
+            raise ValueError("bucketed writes need table_name (catalog metadata)")
+        n, key = buckets
+        writer.format("parquet").option("path", path).bucketBy(
+            n, key
+        ).sortBy(key).saveAsTable(table_name)
+        return
     writer.parquet(path)
 
 

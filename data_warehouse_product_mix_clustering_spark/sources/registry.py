@@ -46,7 +46,7 @@ def load_testdata(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, name, sf_dir)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -52,3 +52,24 @@ def test_warehouse_build_and_log(spark, tmp_path):
     log_run(spark, wh, "etl2", datetime.datetime(2030, 1, 3, tzinfo=datetime.timezone.utc))
     top = latest_run(spark, wh).collect()
     assert len(top) == 1 and top[0].PipelineName == "etl2"
+
+
+def test_bucketed_write_avoids_shuffle_on_agg(spark, tmp_path):
+    """Bucketed table: groupBy on the bucket key plans without an Exchange."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_parquet_table(
+        docs,
+        str(tmp_path / "orders_bucketed"),
+        buckets=(4, "o_custkey"),
+        table_name="orders_bucketed_test",
+    )
+    try:
+        back = spark.table("orders_bucketed_test")
+        assert back.count() == docs.count()
+        agg = back.groupBy("o_custkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan[:500]}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed_test")

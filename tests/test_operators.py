@@ -56,3 +56,30 @@ def test_media_frame_features_deterministic(spark):
     pngs = [r for r in a if r.media_format == "png"]
     assert pngs and all(r.frame_index == 0 for r in pngs)  # png = single frame
     assert all(len(r.features) == 8 for r in a)
+
+
+def test_approx_stats_error_bounds(spark):
+    """HLL++/percentile_approx must land within tight bounds of exact."""
+    from data_warehouse_product_mix_clustering_spark.plans.events import events_approx_stats
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    ev = table(spark, "events", SF_SMOKE)
+    exact = {
+        r.event_type: (r.users, r.med)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.median("value").alias("med"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: (r.approx_users, r.approx_median_value)
+        for r in events_approx_stats(spark, SF_SMOKE).collect()
+    }
+    for et, (users, med) in exact.items():
+        au, amed = approx[et]
+        assert abs(au - users) / users < 0.05, f"{et}: HLL err {au} vs {users}"
+        assert abs(amed - med) / max(abs(med), 1) < 0.05, f"{et}: median err"
