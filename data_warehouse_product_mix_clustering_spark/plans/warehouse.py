@@ -836,3 +836,49 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey AS order_key,
+               {sql_money_round("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+               o.o_orderdate AS order_date, o.o_orderpriority AS ship_priority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, order_date, order_key
+        LIMIT 10
+    """,
+    headline=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → agg → top-10.
+
+    The segment filter pushes into the customer scan; customer broadcasts
+    into orders; the lineitem⋈orders join is the only shuffle. Top-k via
+    global sort+limit — Spark runs it as a per-partition top-k + single
+    merge, no full sort materialization.
+    """
+    c = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("ship_priority"),
+        )
+        .agg(
+            money_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("order_key", "revenue", "order_date", "ship_priority")
+        .orderBy(F.col("revenue").desc(), "order_date", "order_key")
+        .limit(10)
+    )

@@ -73,3 +73,22 @@ def test_bucketed_write_avoids_shuffle_on_agg(spark, tmp_path):
         assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan[:500]}"
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bucketed_test")
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """Partitioned fact table: a year filter must prune to one partition."""
+    from pyspark.sql import functions as F
+    from data_warehouse_product_mix_clustering_spark.etl.star_schema import fact_sales
+
+    fact = fact_sales(spark, SF_SMOKE).withColumn("order_year", F.year("OrderDate"))
+    path = str(tmp_path / "fact_partitioned")
+    write_parquet_table(fact, path, partition_by=["order_year"])
+    back = spark.read.parquet(path)
+    years = sorted(r.order_year for r in back.select("order_year").distinct().collect())
+    assert len(years) > 1
+    one = back.filter(F.col("order_year") == years[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert f"order_year = {years[0]}" in plan or "PartitionFilters" in plan
+    # pruned row count matches the unpartitioned filter
+    expect = fact.filter(F.col("order_year") == years[0]).count()
+    assert one.count() == expect
