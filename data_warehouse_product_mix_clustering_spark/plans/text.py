@@ -192,3 +192,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5(F.col("g").cast("binary"))).alias("max_fp"),
         F.count(F.lit(1)).alias("n_grams"),
     )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "doc_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: null + distinct counts per column, ONE table pass.
+
+    All measures compute in a single aggregate; stack() unpivots the one
+    result row into (column_name, n_nulls, n_distinct) — the standard
+    data-quality sweep a training pipeline runs before ingestion. At 100 TB
+    swap count(DISTINCT) for approx_count_distinct (events_approx_stats
+    shows the pattern).
+    """
+    docs = table(spark, "documents", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"__n_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"__d_{c}"))
+    one = docs.agg(*aggs)
+    stack = ", ".join(f"'{c}', __n_{c}, __d_{c}" for c in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )

@@ -1,0 +1,55 @@
+"""Incremental warehouse ETL via foreachBatch + checkpointing.
+
+The reference's only refresh mechanism is a monthly full-table replace
+(reference Dockerfile:37, src/pipelines/etl.py:102-107). The production
+Spark pattern is incremental: a file-source stream over the landing
+directory, a foreachBatch sink appending only NEW files' rows into the
+warehouse table, and a checkpoint making the pipeline exactly-once across
+restarts — re-running it after no new data appends nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_product_mix_clustering_spark.streaming.events import stream_events
+
+
+def incremental_events_etl(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> int:
+    """One incremental run: ingest unseen event files, append to parquet.
+
+    Returns the number of micro-batches executed this run (0 when the
+    checkpoint says everything was already ingested). Idempotent across
+    reruns — the checkpoint tracks consumed source files.
+    """
+    stream = stream_events(spark, sf_dir, watermark="0 seconds")
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return n_batches
+
+
+def read_warehouse_events(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir) if os.path.exists(out_dir) else None

@@ -83,3 +83,36 @@ def test_approx_stats_error_bounds(spark):
         au, amed = approx[et]
         assert abs(au - users) / users < 0.05, f"{et}: HLL err {au} vs {users}"
         assert abs(amed - med) / max(abs(med), 1) < 0.05, f"{et}: median err"
+
+
+def test_salted_aggregate_matches_unsalted(spark):
+    """Salted two-stage agg must equal the plain groupBy exactly."""
+    from data_warehouse_product_mix_clustering_spark.operators.skew import salted_aggregate
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plain = {
+        r.l_returnflag: (r.n, round(r.s, 2), r.mn, round(r.av, 6))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            F.sum("l_quantity").alias("s"),
+            F.min("l_quantity").alias("mn"),
+            F.avg("l_quantity").alias("av"),
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, round(r.s, 2), r.mn, round(r.av, 6))
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {
+                "n": ("l_quantity", "count"),
+                "s": ("l_quantity", "sum"),
+                "mn": ("l_quantity", "min"),
+                "av": ("l_quantity", "avg"),
+            },
+        ).collect()
+    }
+    assert plain == salted

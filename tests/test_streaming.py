@@ -41,3 +41,23 @@ def test_streaming_sessions_match_batch(spark):
         )
     # and the overwhelming majority must have closed + matched
     assert len(missing) <= max(1, len(batch) // 100)
+
+
+def test_incremental_etl_is_idempotent(spark, tmp_path):
+    """Second availableNow run with an intact checkpoint ingests nothing."""
+    from data_warehouse_product_mix_clustering_spark.streaming.incremental import (
+        incremental_events_etl,
+        read_warehouse_events,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    out = str(tmp_path / "wh_events")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = incremental_events_etl(spark, SF_SMOKE, out, ckpt)
+    assert n1 >= 1
+    count1 = read_warehouse_events(spark, out).count()
+    assert count1 == table(spark, "events", SF_SMOKE).count()
+
+    n2 = incremental_events_etl(spark, SF_SMOKE, out, ckpt)
+    count2 = read_warehouse_events(spark, out).count()
+    assert count2 == count1, "re-run duplicated rows despite checkpoint"
