@@ -48,6 +48,7 @@ def asof_join(
     end_col: str | None = None,
     how: str = "left",
     strategy: str = "broadcast",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with ``right_on <= left_on``.
 
@@ -61,13 +62,30 @@ def asof_join(
          semantics, NULL = open-ended).
     how : 'left' keeps unmatched left rows with NULL right columns;
          'inner' drops them.
+    tolerance : optional INTERVAL string (e.g. ``'30 days'``), pandas
+         merge_asof semantics: matches older than ``left_on − tolerance``
+         are discarded. Applied as a post-condition in both strategies.
     """
     by = by or []
     if strategy == "broadcast":
-        return _asof_broadcast(left, right, left_on, right_on, by, end_col, how)
-    if strategy == "union":
-        return _asof_union(left, right, left_on, right_on, by, end_col, how)
-    raise ValueError(f"unknown asof strategy: {strategy}")
+        out = _asof_broadcast(left, right, left_on, right_on, by, end_col, how)
+    elif strategy == "union":
+        out = _asof_union(left, right, left_on, right_on, by, end_col, how)
+    else:
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    if tolerance is not None:
+        rcols = _right_cols(right, right_on, by) + [right_on]
+        fresh = F.col(right_on) >= F.col(left_on) - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in rcols
+            ],
+        )
+        if how == "inner":
+            out = out.filter(F.col(right_on).isNotNull())
+    return out
 
 
 def _asof_broadcast(

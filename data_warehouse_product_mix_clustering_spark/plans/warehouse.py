@@ -882,3 +882,36 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "order_date", "order_key")
         .limit(10)
     )
+
+
+@register(
+    "global_metrics",
+    oracle=star_sql(f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT SalesOrderID) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT CustomerID) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT ProductID) AS BIGINT) AS n_products,
+               {sql_money_round("sum(LineTotal)", 0)} AS total_revenue,
+               {sql_ratio_round("avg(LineTotal)", 2)} AS avg_line_value,
+               min(OrderDate) AS first_order,
+               max(OrderDate) AS last_order
+        FROM fact_sales
+    """),
+)
+def global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard metric tiles (A4): global counts / sums / date range.
+
+    Reference: Clustering_Analysis.py:118-124 + pages/2:137-146 (len, sum,
+    mean, nunique tiles). One scan, one 1-row aggregate.
+    """
+    f = fact_sales(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("SalesOrderID").alias("n_orders"),
+        F.count_distinct("CustomerID").alias("n_customers"),
+        F.count_distinct("ProductID").alias("n_products"),
+        money_round(F.sum("LineTotal"), 0).alias("total_revenue"),
+        ratio_round(F.avg("LineTotal"), 2).alias("avg_line_value"),
+        F.min("OrderDate").alias("first_order"),
+        F.max("OrderDate").alias("last_order"),
+    )

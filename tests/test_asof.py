@@ -110,3 +110,19 @@ def test_interval_join_inner_drops_unmatched(spark, frames):
     )
     got = {r.id: r.price for r in out.collect()}
     assert got == {k: v for k, v in EXPECTED.items() if v is not None}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_tolerance(spark, strategy):
+    """merge_asof tolerance: matches older than left_on - tolerance drop."""
+    left = spark.createDataFrame(
+        [(1, D("2024-03-01")), (2, D("2024-01-02"))], ["id", "ts"]
+    )
+    right = spark.createDataFrame([(D("2024-01-01"), 9.0)], ["start", "price"])
+    got = {
+        r.id: r.price
+        for r in asof_join(
+            left, right, "ts", "start", strategy=strategy, tolerance="30 DAYS"
+        ).collect()
+    }
+    assert got == {1: None, 2: 9.0}, f"{strategy}: {got}"
