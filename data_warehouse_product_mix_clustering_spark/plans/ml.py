@@ -140,3 +140,45 @@ def clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("count").cast("long").alias("min_cluster_size"),
         F.max("count").cast("long").alias("max_cluster_size"),
     )
+
+
+@register("features_pca")
+def features_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA(k=4) over the standardized feature matrix (M3).
+
+    Reference src/utils/pca.py:3-9 defines this but never wires it into a
+    pipeline; exposed here as a first-class query. Model output (SVD basis
+    signs are data-dependent) ⇒ rows-only check; the variance ordering is
+    unit-tested.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    feats = product_features(spark, sf_dir)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=MATRIX_FEATURES, outputCol="__feat"),
+            StandardScaler(
+                inputCol="__feat", outputCol="__scaled", withMean=True, withStd=True
+            ),
+            PCA(k=4, inputCol="__scaled", outputCol="__pc"),
+        ]
+    )
+    feats = feats.cache()
+    try:
+        model = pipe.fit(feats)
+        out = (
+            model.transform(feats)
+            .select(
+                "product_id",
+                *[
+                    F.round(vector_to_array("__pc")[i], 6).alias(f"pc{i}")
+                    for i in range(4)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        feats.unpersist()
+    return out

@@ -229,3 +229,63 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)"
         )
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+        {_TOKS_CTE}
+        , tf AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tfc AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tf GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tfc.doc_id, tfc.term,
+                   round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) + 1e-9, 6)
+                       AS tfidf
+            FROM tfc JOIN df ON tfc.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (training-data relevance scoring).
+
+    tf × ln(N/df): term counts per doc, document frequency via a second
+    agg on the same exploded pass, the 1-row corpus count broadcast. The
+    df side is vocabulary-sized — it broadcasts; the big explode shuffles
+    once on (doc, term).
+    """
+    docs = table(spark, "documents", sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tfc.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + F.lit(1e-9), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
