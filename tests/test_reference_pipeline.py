@@ -114,3 +114,39 @@ def test_fact_asof_golden(warehouse):
         4: (1, 2, 501),  # open interval
         6: (4, 1, 504),  # salable without history still date-matches (ref semantics)
     }
+
+
+def test_feature_math_golden(spark, warehouse):
+    """The 8-feature math on the fixture warehouse, vs hand-derived values.
+
+    Reference src/pipelines/clustering.py:79-121 semantics: FINAL_DATE =
+    max(OrderDate)+1d = 2024-08-16; active window = FINAL_DATE - 365d =
+    2023-08-17 -> all 4 surviving fact rows are active.
+    """
+    from pyspark.sql import functions as F
+
+    fact = warehouse.fact_product_sales
+    pch = warehouse.dim_price_cost_history
+    priced = fact.join(pch, ["ProductID", "Interval"], "left").withColumn(
+        "profit", F.col("LineTotal") - F.col("StandardCost") * F.col("OrderQty")
+    )
+    rows = {
+        r.ProductID: r
+        for r in priced.groupBy("ProductID")
+        .agg(
+            F.sum("profit").alias("profit"),
+            F.sum("LineTotal").alias("rev"),
+            F.sum("OrderQty").alias("qty"),
+            F.count_distinct("SalesOrderID").alias("orders"),
+            F.count_distinct("CustomerID").alias("cust"),
+        )
+        .collect()
+    }
+    # P1: orders 2 & 4 -> rev 42, qty 2, profit (20-10*1) + (22-12*1) = 20
+    assert rows[1].rev == 42.0 and rows[1].qty == 2 and rows[1].profit == 20.0
+    assert rows[1].orders == 2 and rows[1].cust == 1  # same customer twice
+    # P2: order 3 -> rev 27, qty 3, profit 27 - 5*3 = 12
+    assert rows[2].rev == 27.0 and rows[2].profit == 12.0
+    # P4: no history -> NULL cost -> NULL profit (reference drops these in
+    # clustering.py:80 dropna(subset=[StandardCost]))
+    assert rows[4].profit is None and rows[4].rev == 50.0
