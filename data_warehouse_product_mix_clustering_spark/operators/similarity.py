@@ -116,6 +116,36 @@ def lsh_band_keys(vec: Column, planes: list[list[float]], bands: int) -> list[Co
     return out
 
 
+def _with_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    prefix: str,
+) -> DataFrame:
+    """(id, vec) → one row per (band, bucket-key) the vector hashes into."""
+    sig = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
+    )
+    keys = lsh_band_keys(F.col(f"{prefix}_vec"), planes, bands)
+    bandkeys = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+            for b, key in enumerate(keys)
+        ]
+    )
+    return sig.select(
+        f"{prefix}_id", f"{prefix}_vec", F.explode(bandkeys).alias("bk")
+    ).select(
+        f"{prefix}_id",
+        f"{prefix}_vec",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,29 +170,8 @@ def lsh_topk(
     assert n_planes % bands == 0
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
-        sig = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            as_double(F.col(vec_col)).alias(f"{prefix}_vec"),
-        )
-        keys = lsh_band_keys(F.col(f"{prefix}_vec"), planes, bands)
-        bandkeys = F.array(
-            *[
-                F.struct(F.lit(b).alias("band"), key.alias("key"))
-                for b, key in enumerate(keys)
-            ]
-        )
-        return sig.select(
-            f"{prefix}_id", f"{prefix}_vec", F.explode(bandkeys).alias("bk")
-        ).select(
-            f"{prefix}_id",
-            f"{prefix}_vec",
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
-
-    qb = F.broadcast(with_buckets(queries, "query"))
-    cb = with_buckets(corpus, "cand")
+    qb = F.broadcast(_with_band_buckets(queries, id_col, vec_col, planes, bands, "query"))
+    cb = _with_band_buckets(corpus, id_col, vec_col, planes, bands, "cand")
     cands = (
         qb.join(cb, ["band", "key"])
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -180,3 +189,135 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def block_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    round_out: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine-similarity join via blocked matrix multiply.
+
+    The naive formulation (crossJoin + per-row array fold) materializes
+    O(N²) JVM rows through the shuffle — the actual scale-killer, far worse
+    than the O(N²) FLOPs themselves. This operator instead:
+
+    1. hashes each vector into one of B blocks,
+    2. replicates each vector to the B block-*pairs* it participates in
+       (shuffle volume N·B rows, not N²),
+    3. computes each block-pair's cosine sub-matrix with one vectorized
+       NumPy/BLAS matmul inside an Arrow-batched ``applyInPandas`` kernel,
+       emitting only the above-threshold pairs.
+
+    FLOPs are unchanged (it is exact) but they run at BLAS speed instead of
+    one-expression-tree-eval-per-pair, and the shuffle/materialization cost
+    drops from quadratic to N·B. On a cluster, pick B ≈ N·d·8 / (executor
+    block budget) so one block pair (~2·(N/B)·d doubles) fits in memory.
+
+    This is the justified-Python-kernel case: Spark's built-in operators
+    cannot express a blocked GEMM without materializing the pair grid.
+
+    Rounding matches ``ratio_round`` (+1e-9 nudge at 6dp) so the output is
+    hash-identical to the crossJoin formulation and the DuckDB oracle; the
+    threshold is applied to the *rounded* value on all paths.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # A vector in block i joins every block pair (min(i,j), max(i,j)).
+    targets = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("b1"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("b2"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    rep = v.select("vid", "vec", "blk", F.explode(targets).alias("t")).select(
+        "vid", "vec", "blk", F.col("t.b1").alias("b1"), F.col("t.b2").alias("b2")
+    )
+
+    eps = 1e-9  # RATIO_EPS: keep in sync with functions.numeric
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b1 = int(pdf["b1"].iloc[0])
+        b2 = int(pdf["b2"].iloc[0])
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        X = np.vstack(pdf["vec"].to_numpy()[order])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        if b1 == b2:
+            sim = X @ X.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            cos = np.round(sim[ii, jj] + eps, round_out)
+            keep = cos >= threshold
+            lo, hi = ids[ii[keep]], ids[jj[keep]]
+        else:
+            blk = pdf["blk"].to_numpy()[order]
+            ma, mb = blk == b1, blk == b2
+            if not ma.any() or not mb.any():
+                return pd.DataFrame(
+                    {"vec_a": ids[:0], "vec_b": ids[:0], "cosine": np.array([])}
+                )
+            sim = X[ma] @ X[mb].T
+            ii, jj = np.nonzero(np.ones(sim.shape, dtype=bool))
+            cos = np.round(sim[ii, jj] + eps, round_out)
+            keep = cos >= threshold
+            ia, ib = ids[ma][ii[keep]], ids[mb][jj[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos[keep]})
+
+    out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
+    return rep.groupBy("b1", "b2").applyInPandas(kernel, out_schema)
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: LSH candidates + exact verify.
+
+    Self-join on (band, bucket-key) generates candidates (one shuffle,
+    near-linear when the corpus has separated near-dup structure), then the
+    exact cosine verifies candidates only — output ⊆ the exact pair set,
+    recall 1−(1−p^r)^b where p = 1−θ/π. At threshold 0.9 with 16×4 banding
+    recall ≈ 1−3e-5 per pair; at low thresholds (≈0.4, where background
+    pairs are just as close) LSH cannot prune — use ``block_cosine_pairs``
+    for exact low-threshold joins instead.
+
+    Output schema matches ``block_cosine_pairs``: (vec_a, vec_b, cosine).
+    """
+    assert n_planes % bands == 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    left = _with_band_buckets(df, id_col, vec_col, planes, bands, "a")
+    right = _with_band_buckets(df, id_col, vec_col, planes, bands, "b")
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_vec", "b_id", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = cands.select(
+        F.col("a_id").alias("vec_a"),
+        F.col("b_id").alias("vec_b"),
+        ratio_round(cosine(F.col("a_vec"), F.col("b_vec"))).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -130,23 +130,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
+    """Embedding-cosine near-duplicate pairs — EXACT, blocked-matmul plan.
 
-    The exact O(n²) formulation — the oracle-checkable baseline; the scale
-    path is the same banded-LSH candidate generation as ``ann_lsh_topk``
-    (operators/similarity.py) with the threshold filter replacing top-k.
-    Threshold 0.42 targets the synthetic corpus's near-dup tail.
+    Exact same answer as the naive all-pairs crossJoin, but computed as a
+    blocked matrix multiply (``block_cosine_pairs``): vectors are hashed
+    into B blocks, replicated N·B (not N²) through the shuffle, and each
+    block-pair's cosine sub-matrix is one BLAS GEMM in an Arrow kernel.
+    Exactness matters here because the synthetic corpus has a *continuous*
+    cosine tail (max pair ≈0.51, background ≈0.40): no LSH banding can
+    separate ≥0.42 from 0.40 with recall 1, so the scale fix must stay
+    exact. For corpora with separated near-dups (real duplicate detection
+    at ≥0.9), ``dedup_embedding_lsh`` below is the near-linear path.
     """
-    from data_warehouse_product_mix_clustering_spark.operators.similarity import as_double, cosine
-    from pyspark.sql import functions as F
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import block_cosine_pairs
 
-    emb = table(spark, "embeddings", sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("eb"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
-
-    scored = pairs.select(
-        "vec_a", "vec_b", ratio_round(cosine(F.col("ea"), F.col("eb"))).alias("cosine")
+    return block_cosine_pairs(
+        table(spark, "embeddings", sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=0.42,
+        n_blocks=8,
     )
-    return scored.filter(F.col("cosine") >= 0.42)
+
+
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidates + exact verify.
+
+    The near-linear scale path for separated corpora: self-join on banded
+    sign-bit buckets → exact-cosine verify of candidates only. Recall < 1
+    by construction (candidates only), so no SQL oracle — the driver
+    records rows-only; pytest pins recall=1 on a planted-duplicate fixture
+    and subset-of-exact on this corpus (tests/test_operators.py).
+    Threshold 0.42 matches ``dedup_embedding_cosine`` so the two plans are
+    directly comparable.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        table(spark, "embeddings", sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=0.42,
+        dim=64,
+        n_planes=64,
+        bands=16,
+        seed=42,
+    )

@@ -28,6 +28,79 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
 
 
+def test_block_cosine_pairs_matches_exact(spark):
+    """Blocked-matmul cosine join must equal the naive crossJoin exactly,
+    for any block count (1 = single matmul, 3 = uneven blocks, 8 = default)."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        as_double,
+        block_cosine_pairs,
+        cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", ratio_round(cosine(F.col("ea"), F.col("eb"))).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.42)
+        .collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in block_cosine_pairs(
+                emb, threshold=0.42, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == exact, f"n_blocks={n_blocks}: {len(got)} vs {len(exact)} pairs"
+
+
+def test_lsh_cosine_pairs_planted_duplicates(spark):
+    """On a corpus with SEPARATED near-dups (the real dedup regime, cos≥0.95
+    planted vs ≤0.6 background), LSH candidates must reach recall 1, and
+    must generate far fewer candidates than all-pairs."""
+    import random
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        block_cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    rng = random.Random(7)
+    dim, n_base, n_dups = 32, 120, 30
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    for j in range(n_dups):  # perturbed copy of base j -> cosine ~0.99
+        base = rows[j][1]
+        rows.append(
+            (n_base + j, [x + rng.gauss(0.0, 0.05) for x in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in block_cosine_pairs(df, threshold=0.9, n_blocks=4).collect()
+    }
+    # 8 bands × 8 bits: random-pair collision ≈5%, recall at cos≈0.999 ≈ 1.
+    # (the 16×4 default trades pruning for recall at looser thresholds)
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_cosine_pairs(df, threshold=0.9, dim=dim, bands=8).collect()
+    }
+    assert len(exact) >= n_dups  # every planted pair is above 0.9
+    assert approx == exact, f"recall {len(approx & exact)}/{len(exact)}"
+    # pruning: candidate pairs (pre-verify) must be far fewer than all-pairs
+    n = n_base + n_dups
+    cand = lsh_cosine_pairs(df, threshold=-1.0, dim=dim, bands=8).count()
+    assert cand < 0.2 * n * (n - 1) / 2, f"LSH pruned nothing: {cand} candidates"
+
+
 def test_simhash_deterministic(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
     a = {(r.doc_id, r.simhash) for r in simhash64(docs, "doc_id", "text").collect()}
