@@ -32,6 +32,7 @@ def kmeans_assign(
     cluster_col: str = "cluster",
     order_col: str | None = None,
     n_init: int = 5,
+    probe_iter: int = 5,
 ) -> DataFrame:
     """Standardize ``feature_cols`` and append a KMeans cluster id.
 
@@ -65,17 +66,38 @@ def kmeans_assign(
         scaled = prep.transform(df).cache()
         # sklearn restarts k-means n_init(=10) times and keeps the lowest-
         # inertia run; MLlib does ONE k-means‖ init, which can land in a
-        # visibly bad local optimum. Restart over deterministic derived
-        # seeds and keep the best cost — the matrix is cached, so each
-        # extra fit is cheap relative to the upstream plan.
-        best = None
-        for i in range(n_init):
+        # visibly bad local optimum. Restarting with FULL convergence per
+        # seed costs n_init × maxIter Spark jobs — at small matrix sizes
+        # that is pure scheduling overhead. Probe-then-refine instead:
+        # every derived seed runs only ``probe_iter`` iterations (enough to
+        # expose a bad init — inertia ranking stabilizes within a few
+        # steps), then the winning seed alone is fit to full convergence.
+        # Deterministic: seeds are derived, cost comparison is exact, ties
+        # keep the earliest seed.
+        # Probes run on concurrent driver threads: each probe is a chain of
+        # tiny jobs whose wall-clock is scheduling latency, not compute, so
+        # overlapping them hides that latency. Selection stays
+        # deterministic — all costs are collected, then compared exactly,
+        # ties keeping the earliest seed.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def probe(i: int) -> float:
             m = KMeans(
-                featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed + i
+                featuresCol="__scaled",
+                predictionCol=cluster_col,
+                k=k,
+                seed=seed + i,
+                maxIter=probe_iter,
             ).fit(scaled)
-            cost = m.summary.trainingCost
-            if best is None or cost < best[0]:
-                best = (cost, m)
+            return m.summary.trainingCost
+
+        with ThreadPoolExecutor(max_workers=n_init) as pool:
+            costs = list(pool.map(probe, range(n_init)))
+        best_i = min(range(n_init), key=lambda i: (costs[i], i))
+        final = KMeans(
+            featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed + best_i
+        ).fit(scaled)
+        best = (final.summary.trainingCost, final)
         # localCheckpoint materializes the (small) assignment output on the
         # executors and truncates lineage, so the cached input can be freed
         # without the returned plan recomputing the feature matrix.

@@ -170,8 +170,19 @@ def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     f = fact_sales(spark, sf_dir)
     d = dim_date(spark, sf_dir)
+    # disjoint: the quarter calendar can't overlap, so the latest-match
+    # dedup window (a full re-shuffle of the joined fact) is skipped;
+    # bucket: quarter-trunc equi key upgrades the BroadcastNestedLoopJoin
+    # to a codegen'd BroadcastHashJoin.
     joined = asof_join(
-        f, d, left_on="OrderDate", right_on="StartDate", end_col="EndDate", how="inner"
+        f,
+        d,
+        left_on="OrderDate",
+        right_on="StartDate",
+        end_col="EndDate",
+        how="inner",
+        disjoint=True,
+        bucket="quarter",
     )
     return (
         joined.groupBy("IntervalId")

@@ -56,6 +56,71 @@ def test_asof_interval_semantics(spark, frames, strategy):
     assert got == EXPECTED, f"{strategy}: {got}"
 
 
+@pytest.mark.parametrize("disjoint", [False, True])
+@pytest.mark.parametrize("bucket", [None, "month", "quarter"])
+def test_asof_fast_paths_same_semantics(spark, frames, disjoint, bucket):
+    """disjoint (window-free) and bucket (hash-join) paths must be
+    semantically identical to the generic range join — incl. open
+    intervals, pre-interval rows, and rows far past the last bucket."""
+    if disjoint is False and bucket is None:
+        pytest.skip("baseline covered above")
+    left, right = frames
+    out = asof_join(
+        left,
+        right,
+        left_on="ts",
+        right_on="start",
+        end_col="end",
+        disjoint=disjoint,
+        bucket=bucket,
+    )
+    got = {r.id: r.price for r in out.collect()}
+    assert got == EXPECTED, f"disjoint={disjoint} bucket={bucket}: {got}"
+
+
+def test_asof_bucketed_dedup_overlapping_intervals(spark):
+    """Without disjoint, the bucketed hash path must still pick the LATEST
+    matching interval when intervals overlap (dedup window preserved)."""
+    left = spark.createDataFrame([(1, D("2024-01-20"))], ["id", "ts"])
+    right = spark.createDataFrame(
+        [
+            (D("2024-01-01"), D("2024-03-01"), 1.0),  # covers ts, older
+            (D("2024-01-15"), D("2024-02-01"), 2.0),  # covers ts, latest
+        ],
+        ["start", "end", "price"],
+    )
+    for kwargs in ({}, {"bucket": "month"}):
+        got = {
+            r.id: r.price
+            for r in asof_join(
+                left, right, "ts", "start", end_col="end", **kwargs
+            ).collect()
+        }
+        assert got == {1: 2.0}, kwargs
+
+
+def test_asof_tied_start_deterministic(spark):
+    """Two intervals sharing a StartDate: the open one must win, on every
+    strategy, every run (ADVICE determinism fix)."""
+    left = spark.createDataFrame([(1, D("2024-02-10"))], ["id", "ts"])
+    right = spark.createDataFrame(
+        [
+            (D("2024-01-01"), D("2024-06-30"), 1.0),
+            (D("2024-01-01"), None, 2.0),
+        ],
+        ["start", "end", "price"],
+    )
+    for strategy in ("broadcast", "union"):
+        for _ in range(3):
+            got = {
+                r.id: r.price
+                for r in asof_join(
+                    left, right, "ts", "start", end_col="end", strategy=strategy
+                ).collect()
+            }
+            assert got == {1: 2.0}, strategy
+
+
 def test_asof_strategies_agree_on_real_data(spark):
     """Both strategies must produce identical matches on the testdata dims."""
     from data_warehouse_product_mix_clustering_spark.etl.star_schema import dim_date, fact_sales
