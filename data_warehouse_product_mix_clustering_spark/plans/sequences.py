@@ -178,3 +178,37 @@ def sequence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, EMBEDDING_COLS, order_col="product_id").select(
         "product_id", F.col("cluster").cast("int").alias("cluster"), "seq_len"
     )
+
+
+@register("sequence_embeddings_lstm")
+def sequence_embeddings_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5's REAL path: the trained (NumPy) LSTM autoencoder embedding.
+
+    Reference: src/models/LSTM_Autoencoder.py:5-98 + LSTM_features_learning
+    cells 17-20 (hidden=12, AdamW 2e-3/5e-4, batch 16, masked MSE, global
+    StandardScaler). Trained on a deterministic product sample driver-side,
+    scored distributed (Arrow ``mapInPandas``, broadcast weights). Learned
+    output ⇒ rows-only driver check; training quality (beats the pooled
+    baseline's best-possible reconstruction) is pinned in tests/test_ml.py.
+    """
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import lstm_autoencoder_embeddings
+
+    return lstm_autoencoder_embeddings(quarter_rollup(spark, sf_dir))
+
+
+@register("sequence_clusters_lstm")
+def sequence_clusters_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 over the LEARNED embeddings: KMeans k=4 on the LSTM vectors.
+
+    The notebook's cell-22 pipeline end-to-end (train → embed → cluster),
+    fully distributed at the scoring/clustering stages. Fewer epochs than
+    the embedding query — cluster structure stabilizes well before the
+    reconstruction loss floor.
+    """
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import lstm_autoencoder_embeddings
+    from data_warehouse_product_mix_clustering_spark.ml.pipelines import assign_vectors
+
+    emb = lstm_autoencoder_embeddings(quarter_rollup(spark, sf_dir), epochs=60)
+    return assign_vectors(
+        emb, "embedding", k=4, order_col="product_id"
+    ).select("product_id", F.col("cluster").cast("int").alias("cluster"), "seq_len")

@@ -54,3 +54,65 @@ def test_product_clustering_same_seed_similar(spark):
     a, b = _assign(spark), _assign(spark)
     ari = adjusted_rand_index(a, b)
     assert ari >= 0.9, f"same-seed partitions diverged: ARI={ari:.3f}"
+
+
+def test_lstm_autoencoder_learns_beyond_pooled_baseline(spark):
+    """The trained autoencoder must reconstruct (scaled) sequences better
+    than the pooled embedder's best possible reconstruction — a constant
+    per-sequence value, whose optimal MSE is the per-sequence variance.
+    Beating it proves the model learned temporal structure, which is the
+    capability the pooled stand-in lacks."""
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import SEQ_FEATURES
+    from data_warehouse_product_mix_clustering_spark.ml.lstm_np import LSTMAutoencoderNP
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import quarter_rollup
+
+    q = quarter_rollup(spark, SF_SMOKE)
+    rows = (
+        q.orderBy("product_id", "quarter_key")
+        .select("product_id", *SEQ_FEATURES)
+        .collect()
+    )
+    by_pid: dict = {}
+    for r in rows:
+        by_pid.setdefault(r.product_id, []).append([float(r[f]) for f in SEQ_FEATURES])
+    seqs = [np.array(v) for v in by_pid.values()]
+    allv = np.vstack(seqs)
+    mu, sd = allv.mean(0), allv.std(0)
+    sd[sd == 0] = 1.0
+    seqs = [(s - mu) / sd for s in seqs]
+
+    num = sum(float(((s - s.mean(0)) ** 2).sum()) for s in seqs)
+    den = sum(s.size for s in seqs)
+    baseline = num / den  # optimal constant-per-sequence reconstruction
+
+    model = LSTMAutoencoderNP(len(SEQ_FEATURES), 12, seed=2)
+    model.fit(seqs, epochs=60)
+    mse = model.reconstruction_mse(seqs)
+    assert mse < baseline, f"LSTM mse {mse:.4f} ≥ pooled-baseline {baseline:.4f}"
+
+    # determinism: same seed + data ⇒ identical embeddings
+    again = LSTMAutoencoderNP(len(SEQ_FEATURES), 12, seed=2)
+    again.fit(seqs, epochs=60)
+    assert np.array_equal(model.encode(seqs), again.encode(seqs))
+
+
+def test_lstm_embedding_pipeline_end_to_end(spark):
+    """The distributed path: sample-train, mapInPandas-score, KMeans on the
+    learned vectors. Embeddings must be 12-d, non-degenerate, and cluster."""
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import lstm_autoencoder_embeddings
+    from data_warehouse_product_mix_clustering_spark.ml.pipelines import assign_vectors
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import quarter_rollup
+
+    q = quarter_rollup(spark, SF_SMOKE)
+    emb = lstm_autoencoder_embeddings(q, epochs=15)
+    rows = emb.collect()
+    assert len(rows) == q.select("product_id").distinct().count()
+    assert all(len(r.embedding) == 12 for r in rows)
+    dims = {tuple(round(x, 6) for x in r.embedding) for r in rows}
+    assert len(dims) > len(rows) // 2  # embeddings differ across products
+
+    clustered = assign_vectors(emb, "embedding", k=4, order_col="product_id")
+    labels = {r.cluster for r in clustered.select("cluster").distinct().collect()}
+    assert labels == {0, 1, 2, 3}
