@@ -1,4 +1,4 @@
-"""Skew-mitigation operators: salted aggregation and salted broadcast join.
+"""Skew-mitigation operators: salted aggregation and salted shuffle join.
 
 At 100 TB a handful of hot keys (one viral product, one default user id)
 can pin an entire stage on one reducer. AQE's skew-join splitting handles
@@ -63,19 +63,48 @@ def salted_aggregate(
     return stage2.select(*keys, *finals)
 
 
-def salted_broadcast_join(
+def broadcast_join(
     big: DataFrame,
     small: DataFrame,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Plain broadcast join of a big table against a broadcastable small one.
+
+    Broadcasting avoids the key-based shuffle of the big side entirely, so
+    key skew cannot pin a reducer — no salting involved or needed. For a
+    skewed join where NEITHER side broadcasts, use ``salted_shuffle_join``
+    (explicit mitigation) or rely on AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin``, pinned by tests/test_plans.py).
+    """
+    return big.join(F.broadcast(small), key, how)
+
+
+def salted_shuffle_join(
+    big: DataFrame,
+    medium: DataFrame,
     key: str,
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-proof join of a big table against a broadcastable small one.
+    """Skew-proof shuffle join: salt the big side, replicate the other.
 
-    Broadcasting already avoids key-based shuffle of the big side, which is
-    the usual skew killer; this variant additionally salts the big side so
-    downstream per-key stages inherit a balanced partitioning. Provided for
-    symmetry/documentation — prefer plain ``broadcast()`` unless the
-    downstream stage re-partitions by the hot key.
+    For a hot key that would pin one reducer in a shuffled join when the
+    other side is too large to broadcast: the big side gets a random salt
+    in [0, n_salts), the medium side is replicated once per salt value, and
+    the join key becomes (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers. Cost: medium side shuffled ``n_salts`` ×, so
+    size(medium) × n_salts should stay well under size(big).
+
+    Results equal the unsalted join exactly (each big row meets each
+    matching medium row exactly once — at the big row's own salt).
+    ``how`` supports inner/left (the replicated side cannot drive
+    right/full-outer semantics).
     """
-    return big.join(F.broadcast(small), key, how)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_shuffle_join supports inner/left, got: {how}")
+    bs = big.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    ms = medium.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bs.join(ms, [key, "__salt"], how).drop("__salt")

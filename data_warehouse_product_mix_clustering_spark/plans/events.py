@@ -88,14 +88,14 @@ def events_sliding_qtr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessions",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
             FROM events
         ), numbered AS (
             SELECT user_id, ts, value,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM flagged
         )
@@ -119,6 +119,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         F.when(
             F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") <= 1800, 0
@@ -126,7 +127,9 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("new_session"),
     )
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Same total order as the lag window: with ties on ts alone, session
+    # numbering would be nondeterministic and could diverge from the oracle.
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     numbered = flagged.withColumn(

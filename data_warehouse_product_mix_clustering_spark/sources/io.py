@@ -94,26 +94,32 @@ def read_jdbc(
     No JDBC driver jar ships in this image; this raises a clear error if the
     jar is missing rather than failing deep inside py4j.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partition_column requires lower_bound/upper_bound")
+        # Spark rejects 'query' combined with 'partitionColumn'; the
+        # documented parallel-scan form is a dbtable subquery alias.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) __jdbc_sub")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     try:
         return reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "JDBC source unavailable (driver jar not on classpath?). "
-            "Add the vendor jar via spark.jars to use S1/JDBC scans."
-        ) from exc
+        # Only a missing driver gets the jar hint; option-validation or
+        # SQL errors surface as-is instead of a misleading wrapper.
+        msg = str(exc)
+        if "No suitable driver" in msg or "ClassNotFoundException" in msg:
+            raise RuntimeError(
+                "JDBC source unavailable (driver jar not on classpath?). "
+                "Add the vendor jar via spark.jars to use S1/JDBC scans."
+            ) from exc
+        raise

@@ -28,6 +28,46 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
 
 
+def test_ann_lsh_recall_at_10(spark):
+    """Pin ann_lsh_topk's approximation quality, not just its row count:
+    recall@10 vs the exact plan over 50 queries (deterministic — seeded
+    hyperplanes, fixed corpus; measured 0.904 on this near-uniform fixture,
+    the hardest regime for hyperplane LSH)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall@10 {recall:.3f} < 0.9"
+
+
+def test_salted_shuffle_join_matches_plain(spark):
+    """Salted shuffle join must equal the unsalted join exactly, on a
+    fixture with one hot key, for inner and left (incl. unmatched rows)."""
+    from data_warehouse_product_mix_clustering_spark.operators.skew import salted_shuffle_join
+
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    other = spark.range(0, 3000).select(  # keys ≥ 3000 unmatched on left join
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    for how in ("inner", "left"):
+        plain = {(r.k, r.v, r.w) for r in big.join(other, "k", how).collect()}
+        salted = {
+            (r.k, r.v, r.w)
+            for r in salted_shuffle_join(big, other, "k", n_salts=8, how=how).collect()
+        }
+        assert salted == plain, how
+
+
 def test_block_cosine_pairs_matches_exact(spark):
     """Blocked-matmul cosine join must equal the naive crossJoin exactly,
     for any block count (1 = single matmul, 3 = uneven blocks, 8 = default)."""

@@ -45,9 +45,14 @@ def test_oracle_parity(name, spark, duck_smoke):
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
+            # NaN must match NaN exactly — a NaN on one engine vs a value
+            # (incl. 0.0) on the other is a real divergence.
+            assert (g.isna() == w.isna()).all(), (
+                f"{name}.{c}: NaN placement differs "
+                f"({int(g.isna().sum())} vs {int(w.isna().sum())} NaNs)"
+            )
             both_nan = g.isna() & w.isna()
-            close = np.isclose(g.fillna(0), w.fillna(0), rtol=0, atol=0, equal_nan=True)
-            bad = ~(both_nan | close) & ~(g.isna() == w.isna()) | (~close & ~both_nan)
+            bad = ~both_nan & ~np.isclose(g, w, rtol=0, atol=0, equal_nan=False)
             if bad.any():
                 diffs = (g - w).abs()
                 raise AssertionError(

@@ -63,3 +63,101 @@ def test_dim_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _with_confs(spark, confs: dict[str, str]):
+    """Set runtime confs, returning the previous values for restore."""
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def _restore_confs(spark, prev: dict[str, str | None]):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skewed big-big join story (lineitem⋈orders with a hot
+    key) relies on AQE's runtime skew-join splitting. Pin that it actually
+    engages: a join where one key holds ~1/3 of a 300k-row side must come
+    out of AQE re-planning with the skew=true marker on the join node."""
+    from pyspark.sql import functions as F
+
+    prev = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        },
+    )
+    try:
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        other = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        q = big.join(other, "k").groupBy().count()
+        assert q.collect()[0][0] > 0
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:1200]}"
+    finally:
+        _restore_confs(spark, prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The claimed 100 TB shuffle-free join path: lineitem + orders written
+    bucketed on the order key must join with ZERO Exchange operators."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import write_parquet_table
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+    )
+    write_parquet_table(
+        li, str(tmp_path / "li"), buckets=(4, "l_orderkey"), table_name="bkt_lineitem"
+    )
+    write_parquet_table(
+        orders,
+        str(tmp_path / "ord"),
+        buckets=(4, "o_orderkey"),
+        table_name="bkt_orders",
+    )
+    prev = _with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"})
+    try:
+        j = (
+            spark.table("bkt_lineitem")
+            .join(
+                spark.table("bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1200]}"
+    finally:
+        _restore_confs(spark, prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
