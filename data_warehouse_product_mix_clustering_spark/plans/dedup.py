@@ -9,6 +9,7 @@ check, as the driver contract allows for non-SQL-expressible ops).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.functions.numeric import sql_ratio_round
 from data_warehouse_product_mix_clustering_spark.functions.text import (
@@ -150,6 +151,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=0.42,
         n_blocks=8,
+    )
+
+
+@register(
+    "documents_dedup",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rn = 1
+    """,
+)
+def documents_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup op a pipeline actually materializes: the SURVIVING corpus.
+
+    Exact dedup keeping the lowest doc_id per content fingerprint — what a
+    training-data pipeline writes back out after ``dedup_exact``'s group
+    report. One shuffle on the fingerprint at any scale.
+    """
+    docs = table(spark, "documents", sf_dir)
+    ranked = exact_duplicates(docs, "doc_id", "text")
+    keep = ranked.filter(F.col("dup_rank") == 1).select("doc_id")
+    return (
+        docs.join(keep, "doc_id", "inner")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
 
 

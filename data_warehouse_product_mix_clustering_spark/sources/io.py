@@ -7,9 +7,12 @@ Spark-first equivalents:
 
 - Parquet is the engine-native format (columnar, pushdown, pruning).
 - CSV source/sink for the reference's cache-file surface (S4/S5).
+- JSON-lines and ORC source/sink for interchange parity.
 - JDBC source/sink behind an import-guard (no driver jar in this image).
 - ``write_parquet_table`` is the S6 'replace table' equivalent: atomic
   overwrite, optional hash-partitioning for downstream co-located joins.
+- ``read_parquet_evolving`` (schema drift) and ``compact_parquet``
+  (small-file compaction) cover the operational 100 TB chores.
 """
 
 from __future__ import annotations
@@ -73,6 +76,76 @@ def write_parquet_table(
         ).sortBy(key).saveAsTable(table_name)
         return
     writer.parquet(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source. Explicit schema preferred: inference double-scans,
+    and at 100 TB a schema drift mid-dataset silently widens columns."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format; parquet is the engine-native one)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning contract as parquet."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added over
+    time): ``mergeSchema`` unions the per-file footers, so old files
+    surface the new columns as NULL instead of failing the scan. The merge
+    reads footers only — data pages are still pruned/pushed down normally.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the 100 TB operational chore).
+
+    Streaming/incremental sinks accumulate many tiny files; every reader
+    then pays per-file open/footer cost and loses row-group-sized IO. This
+    rewrites a dataset into ~``target_file_bytes`` files: file count is
+    derived from the actual on-disk size, and an optional
+    ``sortWithinPartitions`` restores clustering (better min/max pruning)
+    without a global sort. Returns the output file count.
+
+    Writes to a NEW path (atomic swap is the caller's rename) — never
+    rewrite a dataset in place while readers may be scanning it.
+    """
+    # On-disk size via the scan's own statistics (no driver-side file walk).
+    df = spark.read.parquet(path)
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int(int(size) // target_file_bytes) + 1)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files
 
 
 def read_jdbc(

@@ -36,6 +36,73 @@ def test_parquet_overwrite_then_append(spark, tmp_path):
     assert spark.read.parquet(path).count() == 200
 
 
+def test_json_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_json, write_json
+
+    path = str(tmp_path / "docs_json")
+    write_json(docs, path)
+    back = read_json(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_orc, write_orc
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path, columns=["l_orderkey", "l_quantity"])
+    assert back.columns == ["l_orderkey", "l_quantity"]
+    assert back.count() == li.count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "l_shipdate" not in plan.split("ReadSchema")[-1]  # pruned at the scan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Old files without the new column must read back with NULLs, not fail."""
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_parquet_evolving
+
+    old = spark.range(0, 10).select(F.col("id"), F.lit("a").alias("v1"))
+    new = spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    )
+    p1, p2 = str(tmp_path / "part1"), str(tmp_path / "part2")
+    old.write.parquet(p1)
+    new.write.parquet(p2)
+    merged = read_parquet_evolving(spark, p1, p2)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("v2").isNull()).count() == 10  # old files
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """200 tiny files → a handful of right-sized ones, same data."""
+    import glob
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import compact_parquet
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    frag = str(tmp_path / "fragmented")
+    li.repartition(200).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*")) == 200
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, frag, out, target_file_bytes=8 * 1024 * 1024,
+                    sort_within_by=["l_orderkey"])
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) < 20, f"still fragmented: {len(files)} files"
+    assert spark.read.parquet(out).count() == li.count()
+
+
 def test_warehouse_build_and_log(spark, tmp_path):
     wh = str(tmp_path / "wh")
     tables = run_warehouse_build(spark, SF_SMOKE, wh)
