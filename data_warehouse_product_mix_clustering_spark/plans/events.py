@@ -53,6 +53,37 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_dedup",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under at-least-once delivery, held to the batch oracle.
+
+    The stream replays every file TWICE (staged duplicate links — the
+    redelivery case); watermarked ``dropDuplicates`` on (event_id, ts)
+    must collapse the copies so the downstream per-type rollup equals the
+    batch query over the single-copy table. Dedup emits rows (append
+    mode), so the rollup runs as a batch agg over the drained sink.
+    """
+    from data_warehouse_product_mix_clustering_spark.streaming.events import stream_events_duplicated
+
+    deduped = run_available_now(
+        spark,
+        stream_events_duplicated(spark, sf_dir),
+        "events_stream_dedup_sink",
+        output_mode="append",
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+    )
+
+
+@register(
     "events_sliding_qtr_hour",
     oracle="""
         WITH slid AS (

@@ -85,18 +85,23 @@ def stream_events(
 
 
 def run_available_now(
-    spark: SparkSession, stream_df: DataFrame, name: str, timeout_sec: int = 300
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 300,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay the whole stream (Trigger.AvailableNow) into a memory sink.
 
     Complete output mode: every window is emitted once the replay drains,
     so the result set equals the equivalent batch query — which makes
-    streaming plans oracle-checkable.
+    streaming plans oracle-checkable. Append mode is for row-emitting
+    stateful operators (dedup) that cannot run in complete mode.
     """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -105,3 +110,35 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_events_duplicated(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """The events stream under AT-LEAST-ONCE delivery: every file twice.
+
+    Stages a landing dir with two links to the same source file — the
+    redelivery/replay case a real ingestion pipeline must absorb — then
+    applies watermarked streaming dedup on the event key:
+    ``dropDuplicates("event_id", "ts")``. Including the event-time column
+    in the key lets the watermark expire state, so memory is bounded by
+    the watermark horizon, not the stream's lifetime key cardinality.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_dup_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    for link_name in ("events_copy1.parquet", "events_copy2.parquet"):
+        link = os.path.join(stage, link_name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+    )
