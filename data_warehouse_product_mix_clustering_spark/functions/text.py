@@ -29,6 +29,23 @@ def sql_tokens(expr: str) -> str:
     return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), x -> x <> '')"
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, simplified to constructs
+# Java regex and DuckDB/RE2 treat identically): common contractions, letter
+# runs, 1-3-digit number chunks, single punctuation marks. Applied to
+# lowered text; count of matches ≈ subword token count, the unit LLM data
+# budgets are measured in (vs whitespace words, which undercount ~1.3×).
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
+def sql_bpe_tokens(expr: str) -> str:
+    quoted = BPE_PATTERN.replace("'", "''")
+    return f"regexp_extract_all(lower({expr}), '{quoted}')"
+
+
 def word_ngrams(toks_col: str, n: int = 2) -> Column:
     """Word n-gram shingles (space-joined) from a *named* token-array column.
 

@@ -191,6 +191,98 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
+
+    The other classic ANN scale path next to hyperplane LSH: a KMeans
+    codebook of ``nlist`` coarse cells partitions the corpus once; each
+    query probes only its ``nprobe`` nearest cells and exact cosine
+    re-ranks the candidates. Search cost is ~``nprobe/nlist`` of
+    brute-force; recall rises with ``nprobe`` (= 1 when nprobe = nlist).
+
+    Distribution: the codebook fit is one MLlib KMeans over the corpus
+    (deterministic: seeded + deterministic repartition order); cell
+    assignment, probe selection (tiny centers literal, exploded per
+    query), candidate join, and re-rank are all JVM expressions. At
+    production scale the assigned corpus would be written bucketed by
+    cell id so probes prune partitions; here the join does the routing.
+
+    Output schema matches ``brute_force_topk``: (query_id, id, cosine, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    # Deterministic partition order so the seeded k-means‖ init is stable.
+    c = c.repartition(8, F.col(id_col)).sortWithinPartitions(id_col)
+    withv = c.withColumn("__mlv", array_to_vector(F.col("__v"))).cache()
+    try:
+        model = KMeans(
+            featuresCol="__mlv", predictionCol="__cell", k=nlist, seed=seed
+        ).fit(withv)
+        assigned = (
+            model.transform(withv)
+            .select(id_col, "__v", "__cell")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        withv.unpersist()
+
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("cvec"),
+            )
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    qcells = q.select(
+        "query_id", "__qv", F.explode(centers_arr).alias("c")
+    ).select(
+        "query_id",
+        "__qv",
+        F.col("c.cell").alias("__cell"),
+        cosine(F.col("__qv"), F.col("c.cvec")).alias("__csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    probes = (
+        qcells.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "__cell")
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        ratio_round(cosine(F.col("__qv"), F.col("__v"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def block_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

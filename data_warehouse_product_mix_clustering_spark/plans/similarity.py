@@ -73,6 +73,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: KMeans coarse cells, nprobe-cell search.
+
+    The second ANN scale path (inverted-file quantization): seeded 16-cell
+    codebook, 4 cells probed per query, exact cosine re-rank of the probed
+    cells only — ~4/16 of brute-force search cost. Approximate + learned
+    codebook ⇒ no SQL oracle; unit tests pin recall vs ``ann_cosine_topk``.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+        nlist=16,
+        nprobe=4,
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

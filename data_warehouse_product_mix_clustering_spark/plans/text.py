@@ -14,6 +14,8 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     STOPWORDS,
     predicted_lang,
     sql_predicted_lang,
+    bpe_tokens,
+    sql_bpe_tokens,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
@@ -288,4 +290,45 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=f"""
+        WITH counted AS (
+            SELECT doc_id,
+                   CAST(len({sql_tokens("text")}) AS BIGINT) AS ws_tokens,
+                   CAST(len({sql_bpe_tokens("text")}) AS BIGINT) AS bpe_tokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT doc_id, ws_tokens, bpe_tokens,
+               {sql_ratio_round("n_chars / nullif(bpe_tokens, 0)")} AS chars_per_token
+        FROM counted
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: whitespace words vs a BPE-ish regex.
+
+    The BPE-ish count (contractions + letter runs + 1-3-digit chunks +
+    punctuation marks, functions/text.py:BPE_PATTERN) approximates the unit
+    LLM data budgets are measured in; chars_per_token is the compression
+    diagnostic. Pure regexp_extract_all — JVM-side, one scan, identical
+    regex semantics in the DuckDB oracle.
+    """
+    docs = table(spark, "documents", sf_dir)
+    counted = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(bpe_tokens(F.col("text"))).cast("long").alias("bpe_tokens"),
+        "n_chars",
+    )
+    return counted.select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        ratio_round(
+            F.col("n_chars") / F.nullif(F.col("bpe_tokens"), F.lit(0))
+        ).alias("chars_per_token"),
     )
