@@ -31,8 +31,8 @@ def kmeans_assign(
     seed: int = DEFAULT_SEED,
     cluster_col: str = "cluster",
     order_col: str | None = None,
-    n_init: int = 5,
-    probe_iter: int = 5,
+    n_init: int = 4,
+    probe_iter: int = 4,
 ) -> DataFrame:
     """Standardize ``feature_cols`` and append a KMeans cluster id.
 

@@ -284,3 +284,67 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, group_id).
+
+    The grouping step of a real dedup pipeline: pair output (from exact /
+    MinHash / SimHash matching) becomes transitive duplicate GROUPS, with
+    ``group_id = min(member id)`` as the canonical representative.
+
+    Distributed label propagation (the simplified large-star idea): every
+    node starts labeled with itself; each iteration every node adopts the
+    minimum label in its neighborhood (its own + all neighbors'); stop when
+    an iteration changes nothing. Converges in O(component diameter)
+    iterations — near-dup components are shallow (dozens of docs chained
+    by pairwise matches), so a handful of shuffles total. Each iteration
+    localCheckpoints the (tiny: nodes-sized) label frame to cut lineage.
+
+    Output: one row per node appearing in ``pairs``: (id, group_id).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))

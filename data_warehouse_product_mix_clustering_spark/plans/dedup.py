@@ -18,6 +18,7 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     sql_word_ngrams,
 )
 from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+    connected_components,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -206,4 +207,40 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=64,
         bands=16,
         seed=42,
+    )
+
+
+@register(
+    "dedup_groups",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS group_id
+        FROM reach GROUP BY src
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate GROUPS from the near-dup pair graph.
+
+    The grouping step a dedup pipeline runs after pairwise matching:
+    connected components over the exact-Jaccard pairs via distributed
+    min-label propagation (operators/dedup.py:connected_components),
+    O(component diameter) shuffles. The oracle computes the same
+    components with a recursive-CTE transitive closure — exact agreement,
+    including the canonical min-id representative.
+    """
+    pairs = jaccard_pairs(
+        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("group_id")
     )

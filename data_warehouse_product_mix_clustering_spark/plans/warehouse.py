@@ -397,6 +397,118 @@ def pivot_category_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_category_priority",
+    oracle=f"""
+        SELECT p.p_type AS category, o.o_orderpriority AS priority,
+               CAST(GROUPING(p.p_type) * 2 + GROUPING(o.o_orderpriority) AS BIGINT)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_money_round("sum(l.l_extendedprice * (1 - l.l_discount))")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY CUBE(p.p_type, o.o_orderpriority)
+    """,
+)
+def cube_category_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (category, priority): every subtotal level in one pass.
+
+    The warehouse rollup surface beyond plain GROUP BY: per-cell, per-axis
+    and grand totals with an explicit grouping id (so subtotal NULLs are
+    distinguishable from genuine NULL keys). Spark expands the cube
+    map-side into the same single shuffle a plain agg uses.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    part = table(spark, "part", sf_dir)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_type").alias("category"),
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("__rev"),
+        )
+    )
+    return (
+        joined.cube("category", "priority")
+        .agg(
+            (F.grouping("category") * 2 + F.grouping("priority"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_lines"),
+            money_round(F.sum("__rev")).alias("revenue"),
+        )
+        .select("category", "priority", "gid", "n_lines", "revenue")
+    )
+
+
+@register(
+    "quarterly_running_revenue",
+    oracle=f"""
+        WITH q AS (
+            SELECT p.p_type AS category,
+                   CAST(year(o.o_orderdate) * 4 + quarter(o.o_orderdate) AS BIGINT)
+                       AS quarter_key,
+                   {sql_money_round("sum(l.l_extendedprice * (1 - l.l_discount))")}
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        )
+        SELECT category, quarter_key, revenue,
+               {sql_money_round("sum(revenue) OVER (PARTITION BY category ORDER BY quarter_key ROWS UNBOUNDED PRECEDING)", snap=2)}
+                   AS running_revenue,
+               {sql_money_round("avg(revenue) OVER (PARTITION BY category ORDER BY quarter_key ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")}
+                   AS moving_avg_4q
+        FROM q
+    """,
+)
+def quarterly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 4-quarter moving average per category (window frames).
+
+    The time-series window surface: cumulative and sliding frames over the
+    quarter grid. One shuffle on category serves the agg and both windows
+    (quarter_key is unique per category, so the frame order is total).
+    """
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    part = table(spark, "part", sf_dir)
+    y = F.year("o_orderdate").cast("long")
+    qq = F.quarter("o_orderdate").cast("long")
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("category"), (y * 4 + qq).alias("quarter_key")
+        )
+        .agg(
+            money_round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+    run = (
+        Window.partitionBy("category")
+        .orderBy("quarter_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mov = (
+        Window.partitionBy("category").orderBy("quarter_key").rowsBetween(-3, 0)
+    )
+    return q.select(
+        "category",
+        "quarter_key",
+        "revenue",
+        money_round(F.sum("revenue").over(run), snap=2).alias("running_revenue"),
+        # avg of ≤4 exact-2dp values is an exact 4dp decimal → decimal-snap
+        # (the 1e-9 nudge is below FP sum noise at 1e7 magnitudes).
+        money_round(F.avg("revenue").over(mov)).alias("moving_avg_4q"),
+    )
+
+
+@register(
     "returnflag_stats",
     oracle=star_sql(f"""
         SELECT ReturnFlag AS return_flag,
@@ -661,6 +773,53 @@ def semi_join_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "customer_order_setops",
+    oracle="""
+        WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+             urgent AS (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+        SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent)
+        UNION ALL
+        SELECT 'hi_only', CAST(count(*) AS BIGINT)
+        FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urgent)
+        UNION ALL
+        SELECT 'either', CAST(count(*) AS BIGINT)
+        FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent)
+    """,
+)
+def customer_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.5): INTERSECT / EXCEPT / UNION-distinct cohorts.
+
+    High-value vs urgent-order customer key sets, each set op sized. Spark
+    plans these as hash semi/anti joins over the distinct key sets — the
+    same single-shuffle shape as the explicit joins above.
+    """
+    orders = table(spark, "orders", sf_dir)
+    hi = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey").distinct()
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    counts = [
+        ("both", hi.intersect(urgent)),
+        ("hi_only", hi.subtract(urgent)),
+        ("either", hi.union(urgent).distinct()),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_customers")).select(
+            F.lit(name).alias("segment"), "n_customers"
+        )
+        for name, df in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(

@@ -103,6 +103,61 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(out).count() == li.count()
 
 
+def test_scd2_merge_golden(spark):
+    """SCD2 merge: change closes + reopens, new key opens, same-attrs no-op,
+    untouched keys carry; re-applying the batch is idempotent."""
+    import datetime as dt
+
+    from data_warehouse_product_mix_clustering_spark.etl.scd2 import scd2_merge
+
+    D = lambda s: dt.date.fromisoformat(s)
+    dim = spark.createDataFrame(
+        [
+            (1, "red", D("2024-01-01"), None),     # will change -> close+open
+            (2, "blue", D("2024-01-01"), None),    # identical update -> no-op
+            (3, "green", D("2023-01-01"), D("2024-01-01")),  # history row
+            (3, "lime", D("2024-01-01"), None),    # open, no update -> carried
+        ],
+        "pid int, color string, StartDate date, EndDate date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "crimson", D("2024-06-01")),
+            (2, "blue", D("2024-06-01")),
+            (9, "black", D("2024-06-01")),         # brand-new key
+        ],
+        "pid int, color string, ts date",
+    )
+    merged = scd2_merge(dim, updates, key="pid", attrs=["color"], ts_col="ts")
+    got = {tuple(r) for r in merged.collect()}
+    want = {
+        (1, "red", D("2024-01-01"), D("2024-06-01")),
+        (1, "crimson", D("2024-06-01"), None),
+        (2, "blue", D("2024-01-01"), None),
+        (3, "green", D("2023-01-01"), D("2024-01-01")),
+        (3, "lime", D("2024-01-01"), None),
+        (9, "black", D("2024-06-01"), None),
+    }
+    assert got == want
+    # idempotence: same batch again changes nothing
+    again = scd2_merge(merged, updates, key="pid", attrs=["color"], ts_col="ts")
+    assert {tuple(r) for r in again.collect()} == want
+    # the output feeds the engine's as-of join directly
+    from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join
+
+    facts = spark.createDataFrame(
+        [(1, D("2024-03-01")), (1, D("2024-07-01"))], "pid int, d date"
+    )
+    matched = asof_join(
+        facts, merged, left_on="d", right_on="StartDate",
+        by=["pid"], end_col="EndDate",
+    )
+    assert {(r.d, r.color) for r in matched.collect()} == {
+        (D("2024-03-01"), "red"),
+        (D("2024-07-01"), "crimson"),
+    }
+
+
 def test_warehouse_build_and_log(spark, tmp_path):
     wh = str(tmp_path / "wh")
     tables = run_warehouse_build(spark, SF_SMOKE, wh)
