@@ -53,6 +53,38 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_attribution",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_event,
+               p.event_id AS purchase_event,
+               CAST(date_sub('second', v.ts, p.ts) AS BIGINT) AS gap_sec
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join (view→purchase attribution ≤ 1 h).
+
+    Two watermarked event-time streams joined on user with a range bound —
+    the join state expires at the watermark horizon, so memory is bounded
+    at any stream length. availableNow replay in append mode must emit
+    exactly the batch range join's pairs, which the SQL oracle enforces.
+    """
+    from data_warehouse_product_mix_clustering_spark.streaming.events import stream_attribution
+
+    return run_available_now(
+        spark,
+        stream_attribution(spark, sf_dir),
+        "events_stream_attribution_sink",
+        output_mode="append",
+    )
+
+
+@register(
     "events_stream_dedup",
     oracle="""
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

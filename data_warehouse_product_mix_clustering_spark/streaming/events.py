@@ -59,13 +59,15 @@ def hourly_agg(events: DataFrame) -> DataFrame:
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession, sf_dir: str, watermark: str | None = "2 hours"
 ) -> DataFrame:
     """File-source stream of the events table with an event-time watermark.
 
     FileStreamSource watches a *directory*; the testdata table is a single
     read-only file, so we stage a symlink dir under /tmp (one per sf_dir) —
     at production scale the source would be the landing directory itself.
+    ``watermark=None`` skips the watermark for callers that rename the
+    event-time column first (re-defining a watermark is disallowed).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = os.path.join(
@@ -76,12 +78,12 @@ def stream_events(
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
-    return (
+    out = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(stage)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
     )
+    return out.withWatermark("ts", watermark) if watermark else out
 
 
 def run_available_now(
@@ -110,6 +112,60 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-bounded join: views attributed to purchases.
+
+    The remaining core streaming operator beside windows/sessions/dedup:
+    two event-time streams joined on user with a range condition
+    (``view_ts ∈ [purchase_ts − window, purchase_ts]``). Watermarks on
+    BOTH sides + the time bound let Spark expire join state — without
+    them a stream-stream join buffers forever. Emits one row per
+    qualifying (view, purchase) pair in append mode; the result equals
+    the batch range join, so the plan is oracle-checkable.
+    """
+    views = (
+        stream_events(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user = p_user
+                AND view_ts <= purchase_ts
+                AND view_ts >= purchase_ts - INTERVAL {attribution_window}"""
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_event",
+        "purchase_event",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("gap_sec"),
+    )
 
 
 def stream_events_duplicated(
