@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -82,46 +83,54 @@ def _fake_decode(payload_bytes: bytes, fmt: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def decode_media_batch(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary payload → per-sampled-frame feature rows.
+def make_decode_kernel(sample_every: int = 1):
+    """mapInPandas kernel factory: payload → per-sampled-frame feature rows.
 
-    Arrow hands columnar batches; each output row is one sampled frame with
-    an 8-dim feature vector (byte-histogram moments of the frame's slice).
+    ``sample_every`` is the frame-sampling rate (keep frames 0, k, 2k, …) —
+    the standard video knob: decode cost scales 1/k while coverage stays
+    uniform. Arrow hands columnar batches; each output row is one kept
+    frame with an 8-dim feature vector (byte-histogram moments).
     """
-    for pdf in batches:
-        out: dict[str, list] = {
-            "doc_id": [],
-            "media_format": [],
-            "frame_index": [],
-            "width": [],
-            "height": [],
-            "features": [],
-        }
-        for doc_id, fmt, data in zip(
-            pdf["doc_id"], pdf["media_format"], pdf["payload"]
-        ):
-            raw = bytes(data)
-            width, height, n_frames = _fake_decode(raw, fmt)
-            stride = max(1, len(raw) // max(n_frames, 1))
-            for fi in range(n_frames):
-                chunk = raw[fi * stride : (fi + 1) * stride] or b"\x00"
-                feats = []
-                for j in range(8):
-                    sl = chunk[j::8] or b"\x00"
-                    feats.append(round(sum(sl) / len(sl) / 255.0, 6))
-                out["doc_id"].append(doc_id)
-                out["media_format"].append(fmt)
-                out["frame_index"].append(fi)
-                out["width"].append(width)
-                out["height"].append(height)
-                out["features"].append(feats)
-        yield pd.DataFrame(out)
+
+    def decode_media_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "media_format": [],
+                "frame_index": [],
+                "width": [],
+                "height": [],
+                "features": [],
+            }
+            for doc_id, fmt, data in zip(
+                pdf["doc_id"], pdf["media_format"], pdf["payload"]
+            ):
+                raw = bytes(data)
+                width, height, n_frames = _fake_decode(raw, fmt)
+                stride = max(1, len(raw) // max(n_frames, 1))
+                for fi in range(0, n_frames, sample_every):
+                    chunk = raw[fi * stride : (fi + 1) * stride] or b"\x00"
+                    feats = []
+                    for j in range(8):
+                        sl = chunk[j::8] or b"\x00"
+                        feats.append(round(sum(sl) / len(sl) / 255.0, 6))
+                    out["doc_id"].append(doc_id)
+                    out["media_format"].append(fmt)
+                    out["frame_index"].append(fi)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return decode_media_batch
 
 
-def frame_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Attach payload+format, then decode to per-frame features.
+def frame_features(
+    df: DataFrame, id_col: str, text_col: str, sample_every: int = 1
+) -> DataFrame:
+    """Attach payload+format, then decode to per-(sampled-)frame features.
 
     Shape: narrow projection before the Python boundary (only id, format,
     payload cross into Arrow), explode happens inside the kernel.
@@ -131,4 +140,62 @@ def frame_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         media_format(F.col(id_col)).alias("media_format"),
         payload(F.col(text_col)).alias("payload"),
     )
-    return media.mapInPandas(decode_media_batch, FRAME_FEATURES_SCHEMA)
+    return media.mapInPandas(make_decode_kernel(sample_every), FRAME_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_resize(raw: bytes, fmt: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a decode→resample→encode round trip:
+    resamples the payload bytes to exactly width×height by nearest index.
+    ``real_decode`` is the gated entry for the true codec path."""
+    n = max(1, width * height)
+    src = raw or b"\x00"
+    step = len(src) / n
+    return bytes(src[min(int(i * step), len(src) - 1)] for i in range(n))
+
+
+def resize_media(
+    df: DataFrame, id_col: str, text_col: str, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out at a fixed target size.
+
+    The transform every multimodal training pipeline runs before batching
+    (uniform tensor shapes). Kernel is the deterministic fake resampler
+    (codec libs gated behind ``real_decode``); the Spark side — narrow
+    Arrow crossing, binary output column, typed size metadata — is real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _fake_resize(bytes(d), f, width, height)
+                for d, f in zip(pdf["payload"], pdf["media_format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    media = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        media_format(F.col(id_col)).alias("media_format"),
+        payload(F.col(text_col)).alias("payload"),
+    )
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)

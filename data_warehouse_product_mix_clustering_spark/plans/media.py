@@ -53,3 +53,17 @@ def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema, batch shape, one narrow Python crossing) is the real design.
     """
     return frame_features(table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+@register("media_resized")
+def media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every payload resampled to a uniform 32×32 target.
+
+    Binary-in/binary-out ``mapInPandas`` with typed size metadata — the
+    batch-prep step of a multimodal training pipeline. Binary output ⇒
+    rows-only driver check; determinism + exact output size are pinned in
+    tests/test_operators.py.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.media import resize_media
+
+    return resize_media(table(spark, "documents", sf_dir), "doc_id", "text")

@@ -257,3 +257,25 @@ def test_salted_aggregate_matches_unsalted(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_media_resize_and_frame_sampling(spark):
+    """Resize: every payload lands at exactly the target byte size,
+    deterministically. Sampling: every-2nd-frame output is exactly the
+    even-index subset of the full decode."""
+    from data_warehouse_product_mix_clustering_spark.operators.media import frame_features, resize_media
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    r1 = resize_media(docs, "doc_id", "text", width=16, height=8).collect()
+    r2 = resize_media(docs, "doc_id", "text", width=16, height=8).collect()
+    assert len(r1) == 40
+    assert all(r.n_bytes == 16 * 8 and len(r.payload) == 16 * 8 for r in r1)
+    assert sorted(map(repr, r1)) == sorted(map(repr, r2))
+
+    full = {(r.doc_id, r.frame_index) for r in frame_features(docs, "doc_id", "text").collect()}
+    sampled = {
+        (r.doc_id, r.frame_index)
+        for r in frame_features(docs, "doc_id", "text", sample_every=2).collect()
+    }
+    assert sampled == {(d, fi) for d, fi in full if fi % 2 == 0}
+    assert len(sampled) < len(full)  # some multi-frame media exists

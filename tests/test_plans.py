@@ -119,6 +119,30 @@ def test_aqe_splits_skewed_join(spark):
         _restore_confs(spark, prev)
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """The partitioned-fact scale story: a join against a filtered dim must
+    prune fact partitions at RUNTIME (dynamicpruning subquery on the scan),
+    not scan all partitions and filter after."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").parquet(str(tmp_path / "fact"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("5-LOW", "l")], ["prio", "tag"]
+    )
+    j = (
+        fact.join(dim.filter(F.col("tag") == "u"), fact.o_orderpriority == dim.prio)
+        .groupBy("prio")
+        .count()
+    )
+    assert j.collect()[0]["count"] > 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"fact scan not dynamically pruned:\n{plan[:1200]}"
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """The claimed 100 TB shuffle-free join path: lineitem + orders written
     bucketed on the order key must join with ZERO Exchange operators."""
