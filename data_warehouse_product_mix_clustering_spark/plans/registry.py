@@ -63,5 +63,6 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.media  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.sequences  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.sql_api  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
 
     return dict(_REGISTRY)
