@@ -16,6 +16,7 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     sql_predicted_lang,
     bpe_tokens,
     sql_bpe_tokens,
+    sql_fingerprint,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
@@ -331,4 +332,70 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(
             F.col("n_chars") / F.nullif(F.col("bpe_tokens"), F.lit(0))
         ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "training_corpus",
+    oracle=f"""
+        WITH keep AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, lang, {sql_tokens("text")} AS t,
+                   {sql_bpe_tokens("text")} AS bt
+            FROM keep WHERE rn = 1
+        ), scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(bt) AS BIGINT) AS n_tokens,
+                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM scored
+        WHERE lang = 'en' AND quality_score >= 0.45
+          AND n_tokens BETWEEN 10 AND 5000
+    """,
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline a training-data job actually ships: exact
+    dedup (keep lowest doc_id per fingerprint) → language filter →
+    quality gate (score ≥ 0.45) → token budget (10..5000 BPE-ish tokens).
+
+    One fingerprint shuffle + one scan's worth of token expressions;
+    every stage is an operator proven individually above, composed here
+    and held to a single end-to-end oracle.
+    """
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens, fingerprint
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    t = kept.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("t"),
+        bpe_tokens(F.col("text")).alias("bt"),
+    ).filter(F.size("t") > 0)
+    hits = stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
+    n = F.size("t")
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.size("bt").cast("long").alias("n_tokens"),
+        ratio_round(
+            F.lit(0.5) * (hits / n) + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
+        ).alias("quality_score"),
+    )
+    return scored.filter(
+        (F.col("lang") == "en")
+        & (F.col("quality_score") >= 0.45)
+        & F.col("n_tokens").between(10, 5000)
     )
