@@ -115,6 +115,32 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cluster_trajectories")
+def cluster_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean quarterly revenue trajectory per learned cluster.
+
+    Reference notebooks/LSTM_features_learning.ipynb cell 24: the
+    time-series view of each cluster's behavior. Labels come from the
+    KMeans fit (⇒ rows-only check; the category-axis twin
+    ``trajectory_stats`` carries the oracle for the same math), the
+    quarterly grid from ``quarter_rollup``; one broadcast of the tiny
+    (product, cluster) map onto the rollup.
+    """
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import quarter_rollup
+
+    pc = product_clusters(spark, sf_dir).select("product_id", "cluster")
+    q = quarter_rollup(spark, sf_dir)
+    return (
+        q.join(F.broadcast(pc), "product_id")
+        .groupBy("cluster", "quarter_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            ratio_round(F.avg("revenue"), 2).alias("avg_revenue"),
+            ratio_round(F.sum("revenue"), 2).alias("total_revenue"),
+        )
+    )
+
+
 @register("embedding_clusters")
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans k=10 over the raw embedding vectors (M6 shape).
