@@ -52,7 +52,7 @@ def kmeans_assign(
         # The feature matrix is orders of magnitude smaller than the fact
         # data it came from; a handful of partitions keeps the many tiny
         # per-iteration KMeans jobs from being dominated by task overhead.
-        df = df.repartition(8, F.col(order_col)).sortWithinPartitions(order_col)
+        df = df.repartition(4, F.col(order_col)).sortWithinPartitions(order_col)
     df = df.cache()
     try:
         prep = Pipeline(
@@ -72,8 +72,6 @@ def kmeans_assign(
         # every derived seed runs only ``probe_iter`` iterations (enough to
         # expose a bad init — inertia ranking stabilizes within a few
         # steps), then the winning seed alone is fit to full convergence.
-        # Deterministic: seeds are derived, cost comparison is exact, ties
-        # keep the earliest seed.
         # Probes run on concurrent driver threads: each probe is a chain of
         # tiny jobs whose wall-clock is scheduling latency, not compute, so
         # overlapping them hides that latency. Selection stays
@@ -132,7 +130,7 @@ def assign_vectors(
         # The feature matrix is orders of magnitude smaller than the fact
         # data it came from; a handful of partitions keeps the many tiny
         # per-iteration KMeans jobs from being dominated by task overhead.
-        df = df.repartition(8, F.col(order_col)).sortWithinPartitions(order_col)
+        df = df.repartition(4, F.col(order_col)).sortWithinPartitions(order_col)
     withv = df.withColumn("__vec", array_to_vector(F.col(vec_col).cast("array<double>")))
     withv = withv.cache()
     try:
