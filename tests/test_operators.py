@@ -279,3 +279,39 @@ def test_media_resize_and_frame_sampling(spark):
     }
     assert sampled == {(d, fi) for d, fi in full if fi % 2 == 0}
     assert len(sampled) < len(full)  # some multi-frame media exists
+
+
+def test_builtin_minhashlsh_agrees_with_custom(spark):
+    """Cross-validate the custom MinHash-LSH path against MLlib's built-in
+    MinHashLSH: both, after exact-Jaccard verification at 0.8, must produce
+    the same pair set as the exact relational formulation."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8).collect()
+    }
+
+    sh = shingle_sets(docs, "doc_id", "text", n=2)
+    grouped = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+        .filter(F.size("sh") > 0)  # MinHashLSH requires ≥ 1 nonzero element
+    )
+    cv = CountVectorizer(inputCol="sh", outputCol="__v", binary=True).fit(grouped)
+    vec = cv.transform(grouped)
+    lsh = MinHashLSH(inputCol="__v", outputCol="__h", numHashTables=16, seed=42).fit(vec)
+    # distance threshold 0.2 == Jaccard 0.8; verify candidates exactly like
+    # the custom operator does (approxSimilarityJoin distance is exact
+    # Jaccard distance, so thresholding it IS the verification step)
+    joined = lsh.approxSimilarityJoin(vec, vec, 0.2, distCol="__d")
+    builtin = {
+        (min(r.datasetA.doc_id, r.datasetB.doc_id), max(r.datasetA.doc_id, r.datasetB.doc_id))
+        for r in joined.filter("datasetA.doc_id < datasetB.doc_id").collect()
+    }
+    assert builtin == exact, (
+        f"builtin {len(builtin)} vs exact {len(exact)} pairs"
+    )
