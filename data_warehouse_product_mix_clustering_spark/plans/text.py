@@ -399,3 +399,29 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality_score") >= 0.45)
         & F.col("n_tokens").between(10, 5000)
     )
+
+
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.split import sql_split_column
+
+    return f"""
+        SELECT doc_id, {sql_split_column("doc_id", _SPLIT_FRACTIONS)} AS split
+        FROM documents
+    """
+
+
+@register("doc_split", oracle=_split_oracle())
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash (90/5/5).
+
+    Pure function of md5(doc_id): stable across engines, runs, partitions,
+    and dataset growth (new docs never move old ones between splits) — the
+    split mechanism a 100 TB corpus needs, zero shuffle, zero RNG state.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.split import hash_split
+
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+    return hash_split(docs, "doc_id", _SPLIT_FRACTIONS)
