@@ -315,3 +315,50 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
         F.percentile_approx("value", 0.95, 10000).alias("approx_p95_value"),
     )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the NATIVE ``session_window`` operator.
+
+    The built-in twin of ``events_sessions``' manual window formulation —
+    one operator, merge-on-overlap semantics. Session windows are
+    half-open ([start, last+gap)), so an event exactly 30 min after its
+    predecessor starts a NEW session (strict <) — the oracle mirrors that
+    boundary, where the manual plan's rule is inclusive (<=); both rules
+    are pinned so the distinction is explicit, not accidental.
+    """
+    ev = table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
