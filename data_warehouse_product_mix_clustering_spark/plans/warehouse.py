@@ -1085,3 +1085,77 @@ def global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("OrderDate").alias("first_order"),
         F.max("OrderDate").alias("last_order"),
     )
+
+
+@register(
+    "customer_value_quartiles",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey AS cust_key,
+                   {sql_money_round("sum(o_totalprice)", snap=2)} AS lifetime_value
+            FROM orders GROUP BY o_custkey
+        ), tiled AS (
+            SELECT cust_key, lifetime_value,
+                   CAST(ntile(4) OVER (ORDER BY lifetime_value DESC, cust_key)
+                        AS BIGINT) AS quartile
+            FROM cust
+        )
+        SELECT quartile, CAST(count(*) AS BIGINT) AS n_customers,
+               {sql_money_round("sum(lifetime_value)", snap=2)} AS segment_value,
+               {sql_money_round("min(lifetime_value)", snap=2)} AS min_value,
+               {sql_money_round("max(lifetime_value)", snap=2)} AS max_value
+        FROM tiled GROUP BY quartile
+    """,
+)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation by lifetime-value quartile (ntile window).
+
+    The ntile runs over an un-partitioned window — a single-reducer sort —
+    but its input is the already-aggregated per-customer rollup, orders of
+    magnitude smaller than the fact table; the deterministic (value, key)
+    order makes the tile boundaries cross-engine stable.
+    """
+    orders = table(spark, "orders", sf_dir)
+    cust = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        money_round(F.sum("o_totalprice"), snap=2).alias("lifetime_value")
+    )
+    w = Window.orderBy(F.col("lifetime_value").desc(), F.col("cust_key"))
+    tiled = cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_round(F.sum("lifetime_value"), snap=2).alias("segment_value"),
+        money_round(F.min("lifetime_value"), snap=2).alias("min_value"),
+        money_round(F.max("lifetime_value"), snap=2).alias("max_value"),
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+        SELECT o.o_orderkey AS order_key, o.o_custkey AS cust_key
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: orders 1.5× above their customer's mean.
+
+    Written as the correlated scalar subquery a user would type
+    (spark.sql) — Catalyst DECORRELATES it into one aggregate + one join
+    (SURVEY §4.2: optimizations the reference hand-rolls row-wise are
+    free here). The plan guard in tests/test_plans.py pins that no
+    per-row subquery execution survives.
+    """
+    orders = table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("__orders_corr")
+    return spark.sql("""
+        SELECT o.o_orderkey AS order_key, o.o_custkey AS cust_key
+        FROM __orders_corr o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM __orders_corr o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """)

@@ -185,3 +185,11 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         _restore_confs(spark, prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must decorrelate into one aggregate +
+    one join — no per-row subquery node in the physical plan."""
+    plan = plan_of(spark, "orders_above_customer_avg")
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan, plan[:800]
+    assert "Join" in plan  # the decorrelated agg joins back
