@@ -348,3 +348,36 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("group_id"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus.
+
+    The incremental-pipeline shape: the existing corpus is represented by
+    its (tiny relative to text) fingerprint column only; the new batch is
+    fingerprinted, de-duplicated *within itself* (keep lowest id), then
+    anti-joined against the existing set. Cost: one shuffle over the new
+    batch + one join against the fingerprint set — the full corpus text is
+    never re-read, which is what makes continuous ingestion affordable.
+
+    ``existing_fingerprints`` needs a single ``fingerprint`` column (e.g.
+    the saved output of ``exact_duplicates``). Returns the surviving new
+    rows with their fingerprint attached, ready to append to both the
+    corpus and the fingerprint store.
+    """
+    from pyspark.sql import Window
+
+    fp = new_docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    first_in_batch = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    existing = existing_fingerprints.select("fingerprint").distinct()
+    return first_in_batch.join(existing, "fingerprint", "left_anti")

@@ -315,3 +315,51 @@ def test_builtin_minhashlsh_agrees_with_custom(spark):
     assert builtin == exact, (
         f"builtin {len(builtin)} vs exact {len(exact)} pairs"
     )
+
+
+def test_incremental_dedup(spark):
+    """New-batch dedup against an existing corpus: in-batch dups collapse
+    to the lowest id, already-ingested content is dropped entirely."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import exact_duplicates, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    store = exact_duplicates(corpus, "doc_id", "text").select("fingerprint")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),    # duplicate of ingested doc 1 -> dropped
+            (11, "epsilon zeta"),  # new -> kept
+            (12, "epsilon zeta"),  # in-batch dup of 11 -> dropped
+            (13, "eta theta"),     # new -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = incremental_dedup(batch, store, "doc_id", "text")
+    assert {r.doc_id for r in got.collect()} == {11, 13}
+    # idempotence: appending survivors to the store, the same batch now
+    # contributes nothing
+    new_store = store.unionByName(got.select("fingerprint"))
+    again = incremental_dedup(batch, new_store, "doc_id", "text")
+    assert again.count() == 0
+
+
+def test_operator_api_contracts(spark):
+    """Invalid-parameter paths must fail fast with clear errors."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join
+    from data_warehouse_product_mix_clustering_spark.operators.skew import salted_shuffle_join
+    from data_warehouse_product_mix_clustering_spark.operators.split import split_boundaries
+
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="unknown asof strategy"):
+        asof_join(df, df, "a", "b", strategy="nope")
+    with pytest.raises(ValueError, match="disjoint=True requires end_col"):
+        asof_join(df, df, "a", "b", disjoint=True)
+    with pytest.raises(ValueError, match="bucket must be one of"):
+        asof_join(df, df, "a", "b", end_col="b", bucket="fortnight")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_shuffle_join(df, df, "a", how="right")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_boundaries({"train": 0.5, "test": 0.1})
