@@ -425,3 +425,42 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, "documents", sf_dir).select("doc_id")
     return hash_split(docs, "doc_id", _SPLIT_FRACTIONS)
+
+
+_STRATA_FRACTIONS = {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 0.5, "it": 0.5}
+
+
+def _stratified_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.split import split_boundaries
+
+    whens = "\n".join(
+        f"WHEN lang = '{lang}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
+        f" < '{split_boundaries({'keep': frac, 'drop': 1 - frac})[0][1]}' THEN TRUE"
+        for lang, frac in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CASE {whens} ELSE FALSE END
+    """
+
+
+@register("doc_stratified_sample", oracle=_stratified_oracle())
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (corpus rebalancing).
+
+    The language-rebalancing op of a corpus pipeline: each stratum keeps a
+    different fraction, decided by the same content-hash threshold rule as
+    ``doc_split`` — no RNG, stable under growth and re-partitioning,
+    expressible identically in the oracle. Keeps 20% of the dominant
+    language and 50% of the rest.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.split import split_boundaries
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    keep = F.lit(False)
+    for lang, frac in _STRATA_FRACTIONS.items():
+        bound = split_boundaries({"keep": frac, "drop": 1 - frac})[0][1]
+        keep = keep | ((F.col("lang") == lang) & (prefix < F.lit(bound)))
+    return docs.filter(keep)

@@ -1159,3 +1159,27 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE o2.o_custkey = o.o_custkey
         )
     """)
+
+
+@register(
+    "order_value_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+               CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_low,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (floor-bucket arithmetic).
+
+    floor(x / w) is the portable width_bucket: identical in every engine,
+    single partial-aggregated shuffle, output rows = bucket count.
+    """
+    orders = table(spark, "orders", sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return orders.groupBy(
+        bucket.cast("long").alias("bucket"),
+        (bucket * 25000).cast("double").alias("bucket_low"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
