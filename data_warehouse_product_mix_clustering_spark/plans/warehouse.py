@@ -1183,3 +1183,94 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("long").alias("bucket"),
         (bucket * 25000).cast("double").alias("bucket_low"),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 bulk line (qty > 45), by priority.
+
+    The EXISTS correlated predicate becomes a left-semi join — the big
+    side streams once, no duplicate-counting, no distinct needed. (The
+    testdata carries no receipt/commit dates, so the flag predicate is a
+    quantity threshold; the plan shape is identical to Q4's.)
+    """
+    orders = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "returnflag_priority_split",
+    oracle="""
+        SELECT l_returnflag AS return_flag,
+               CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS high_priority_lines,
+               CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS low_priority_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return-flag conditional priority counts.
+
+    Conditional aggregation (count_if) instead of two passes or a pivot —
+    one join, one shuffle. (Q12 groups by ship mode; the testdata carries
+    no shipmode column, so return flag stands in — same plan shape.)
+    """
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.count_if(high).alias("high_priority_lines"),
+            F.count_if(~high).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle=f"""
+        SELECT {sql_ratio_round(
+            "100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount))", 4)} AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-class revenue share (conditional ratio).
+
+    Both the numerator and denominator come out of ONE aggregation over
+    the joined fact (CASE inside sum), so the percent is a single-pass
+    global aggregate with the part dim broadcast.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    part = table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            ratio_round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
