@@ -52,8 +52,44 @@ def register(
     return deco
 
 
+# Names surfaced FIRST by all_queries(). The driver's correctness gate runs
+# (at most) the first 50 entries per round, so queries that have not yet
+# received a driver CORRECTNESS row are listed here to steer coverage; the
+# remaining (already driver-attested in r1/r2) queries follow in registration
+# order. Ordering affects only iteration order — every query stays reachable
+# by name regardless.
+_DRIVER_PRIORITY: list[str] = [
+    # Oracle-backed, never driver-checked through round 2.
+    "events_stream_attribution",
+    "events_stream_dedup",
+    "events_session_window",
+    "media_metadata",
+    "quarterly_sequences",
+    "trajectory_stats",
+    "sequence_embeddings",
+    "nation_revenue_sql",
+    "order_priority_sql",
+    "lineitem_profile",
+    "lineitem_quality",
+    # Rows-only (no SQL oracle), never driver-checked through round 2.
+    "ann_ivf_topk",
+    "cluster_trajectories",
+    "features_pca",
+    "media_frame_features",
+    "media_resized",
+    "sequence_arrays",
+    "sequence_clusters",
+    "sequence_embeddings_lstm",
+    "sequence_clusters_lstm",
+]
+
+
 def all_queries() -> dict[str, Query]:
-    """Import every query module (side effect: registration) and return all."""
+    """Import every query module (side effect: registration) and return all.
+
+    The returned dict is ordered: ``_DRIVER_PRIORITY`` names first, then the
+    rest in registration order (see the priority list's comment for why).
+    """
     import data_warehouse_product_mix_clustering_spark.plans.warehouse  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.text  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.dedup  # noqa: F401
@@ -65,4 +101,6 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.sql_api  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
 
-    return dict(_REGISTRY)
+    prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    prioritized.update(_REGISTRY)
+    return prioritized
