@@ -1,0 +1,119 @@
+"""Driver-side NumPy k-means for small feature matrices.
+
+The reference clusters with sklearn ``KMeans(n_init=10)`` (k-means++ init,
+Lloyd iterations, keep the lowest-inertia restart) on an in-memory pandas
+matrix (reference src/pipelines/clustering.py:125-133). For matrices that
+fit on the driver, replicating that shape directly in vectorized NumPy is
+both closer to the reference's semantics and orders of magnitude faster
+than iterative MLlib jobs, whose per-iteration cost at dimension-table
+sizes is pure scheduler latency, not compute. MLlib k-means‖ remains the
+distributed path above ``DRIVER_ROWS_CAP`` (see ml/pipelines.py) — that is
+the 100 TB story; this is the dimension-sized fast path.
+
+Everything here is deterministic: seeded ``RandomState`` per restart,
+exact inertia comparison with earliest-index tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Above this row count the caller should use the distributed MLlib path.
+# 1M rows x 8 float64 features is ~64 MB on the driver — comfortable; the
+# cap is deliberately conservative so the driver never becomes the scale
+# bottleneck.
+DRIVER_ROWS_CAP = 1_000_000
+
+
+def _pairwise_sq_dists(X: np.ndarray, centers: np.ndarray, x_sq: np.ndarray) -> np.ndarray:
+    """||x - c||^2 via the expanded form; one BLAS GEMM per call."""
+    d2 = x_sq[:, None] + (centers**2).sum(1)[None, :] - 2.0 * (X @ centers.T)
+    np.maximum(d2, 0.0, out=d2)  # FP cancellation can dip slightly negative
+    return d2
+
+
+def _kmeanspp_init(
+    X: np.ndarray, k: int, rng: np.random.RandomState, x_sq: np.ndarray
+) -> np.ndarray:
+    """k-means++ seeding: each next center sampled ∝ D²(x)."""
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[int(rng.randint(n))]
+    closest = _pairwise_sq_dists(X, centers[:1], x_sq)[:, 0]
+    for c in range(1, k):
+        total = closest.sum()
+        if total > 0:
+            probs = closest / total
+            idx = int(rng.choice(n, p=probs))
+        else:  # all points coincide with existing centers
+            idx = int(rng.randint(n))
+        centers[c] = X[idx]
+        d = _pairwise_sq_dists(X, centers[c : c + 1], x_sq)[:, 0]
+        np.minimum(closest, d, out=closest)
+    return centers
+
+
+def _lloyd(
+    X: np.ndarray,
+    centers: np.ndarray,
+    x_sq: np.ndarray,
+    max_iter: int,
+    tol_abs: float,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Lloyd iterations with sklearn-style empty-cluster repair
+    (an emptied cluster is re-seeded on the point farthest from its
+    current assignment, farthest-first, so k non-empty clusters survive).
+    """
+    k = centers.shape[0]
+    n = X.shape[0]
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(max_iter):
+        d2 = _pairwise_sq_dists(X, centers, x_sq)
+        labels = d2.argmin(1)
+        counts = np.bincount(labels, minlength=k)
+        empties = np.flatnonzero(counts == 0)
+        if empties.size:
+            assigned_d2 = d2[np.arange(n), labels]
+            far_order = np.argsort(-assigned_d2, kind="stable")
+            for j, cid in enumerate(empties):
+                labels[far_order[j]] = cid
+            counts = np.bincount(labels, minlength=k)
+        new_centers = np.zeros_like(centers)
+        np.add.at(new_centers, labels, X)
+        new_centers /= counts[:, None]
+        shift = float(((new_centers - centers) ** 2).sum())
+        centers = new_centers
+        if shift <= tol_abs:
+            break
+    d2 = _pairwise_sq_dists(X, centers, x_sq)
+    labels = d2.argmin(1)
+    inertia = float(d2[np.arange(n), labels].sum())
+    return labels, centers, inertia
+
+
+def kmeans_fit_predict(
+    X: np.ndarray,
+    k: int,
+    seed: int,
+    n_init: int = 10,
+    max_iter: int = 300,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """sklearn-shaped k-means: n_init k-means++ restarts, keep lowest inertia.
+
+    Deterministic: restart i uses RandomState(seed + i); the winner is the
+    exact-lowest inertia with earliest restart index breaking ties.
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    x_sq = (X**2).sum(1)
+    # sklearn scales tol by the mean per-feature variance of the data.
+    tol_abs = tol * float(X.var(axis=0).mean())
+    best: tuple[float, int, np.ndarray] | None = None
+    for i in range(n_init):
+        rng = np.random.RandomState(seed + i)
+        centers = _kmeanspp_init(X, k, rng, x_sq)
+        labels, _, inertia = _lloyd(X, centers, x_sq, max_iter, tol_abs)
+        if best is None or (inertia, i) < (best[0], best[1]):
+            best = (inertia, i, labels)
+    assert best is not None
+    return best[2]

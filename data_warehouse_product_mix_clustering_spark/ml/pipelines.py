@@ -24,6 +24,19 @@ DEFAULT_K = 4  # reference src/pipelines/clustering.py:14
 DEFAULT_SEED = 42  # reference src/pipelines/clustering.py:14
 
 
+def _attach_labels(
+    df: DataFrame, ids, labels, order_col: str, cluster_col: str
+) -> DataFrame:
+    """Broadcast-join driver-computed (id, label) back onto the plan."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    lab = spark.createDataFrame(
+        pd.DataFrame({order_col: ids, cluster_col: labels.astype("int32")})
+    )
+    return df.join(F.broadcast(lab), order_col)
+
+
 def kmeans_assign(
     df: DataFrame,
     feature_cols: list[str],
@@ -47,7 +60,43 @@ def kmeans_assign(
     transform), so the input is cached here and materialized once; the
     cluster output is tiny (id + features + label), so it is materialized
     off the cache and the cache released before returning.
+
+    Two physical strategies behind one contract:
+    - matrix fits on the driver (≤ kmeans_np.DRIVER_ROWS_CAP — the usual
+      case for a dimension-sized feature matrix): standardize + cluster in
+      vectorized NumPy, sklearn-shaped (k-means++ init, ``n_init`` full
+      restarts, lowest inertia wins) — the reference's exact algorithm
+      family, with zero per-iteration Spark jobs; labels broadcast-joined
+      back onto the plan.
+    - larger: distributed MLlib k-means‖ with probe-then-refine restarts —
+      the 100 TB path.
     """
+    if order_col is not None:
+        from data_warehouse_product_mix_clustering_spark.ml.kmeans_np import (
+            DRIVER_ROWS_CAP,
+            kmeans_fit_predict,
+        )
+
+        # localCheckpoint materializes the feature matrix once and truncates
+        # lineage, so neither the size probe, the collect, nor the returned
+        # joined plan recomputes the upstream multi-join.
+        df = df.localCheckpoint(eager=True)
+        if df.count() <= DRIVER_ROWS_CAP:
+            # Sort driver-side (pandas) rather than paying a Spark sort
+            # shuffle: any total order works, it only has to be the SAME
+            # order every run for the seeded fit to be reproducible.
+            pdf = (
+                df.select(order_col, *feature_cols)
+                .toPandas()
+                .sort_values(order_col, ignore_index=True)
+            )
+            X = pdf[feature_cols].to_numpy(dtype=float)
+            mu, sd = X.mean(0), X.std(0)  # ddof=0 — sklearn StandardScaler
+            sd[sd == 0] = 1.0
+            labels = kmeans_fit_predict(
+                (X - mu) / sd, k=k, seed=seed, n_init=max(n_init, 10)
+            )
+            return _attach_labels(df, pdf[order_col], labels, order_col, cluster_col)
     if order_col is not None:
         # The feature matrix is orders of magnitude smaller than the fact
         # data it came from; a handful of partitions keeps the many tiny
@@ -122,10 +171,30 @@ def assign_vectors(
     """KMeans over an ``array<float>`` embedding column (M6 shape).
 
     array_to_vector is a JVM expression — no Python per row. ``order_col``
-    reproducibility semantics as in ``kmeans_assign``.
+    reproducibility semantics and the driver-side NumPy fast path as in
+    ``kmeans_assign`` (embedding matrices at dimension-table size cluster
+    in milliseconds driver-side; MLlib k-means‖ is the above-cap path).
     """
     from pyspark.ml.functions import array_to_vector
 
+    if order_col is not None:
+        import numpy as np
+
+        from data_warehouse_product_mix_clustering_spark.ml.kmeans_np import (
+            DRIVER_ROWS_CAP,
+            kmeans_fit_predict,
+        )
+
+        df = df.localCheckpoint(eager=True)
+        if df.count() <= DRIVER_ROWS_CAP:
+            pdf = (
+                df.select(order_col, vec_col)
+                .toPandas()
+                .sort_values(order_col, ignore_index=True)
+            )
+            X = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            labels = kmeans_fit_predict(X, k=k, seed=seed, n_init=10)
+            return _attach_labels(df, pdf[order_col], labels, order_col, cluster_col)
     if order_col is not None:
         # The feature matrix is orders of magnitude smaller than the fact
         # data it came from; a handful of partitions keeps the many tiny
