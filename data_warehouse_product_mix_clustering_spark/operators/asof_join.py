@@ -62,6 +62,7 @@ def asof_join(
     tolerance: str | None = None,
     disjoint: bool = False,
     bucket: str | None = None,
+    horizon: DataFrame | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with ``right_on <= left_on``.
 
@@ -91,6 +92,16 @@ def asof_join(
          coverage is exhaustive: open intervals span to max(left_on));
          pick a unit near the typical interval length so the explosion
          stays ~1-2 rows per interval.
+    horizon : optional 1-row, 1-column DataFrame whose value is an upper
+         bound on ``max(left_on)`` (bucketed strategy only). Open intervals
+         are exploded up to this bound instead of a ``max`` aggregate over
+         the left — which, when the left is itself a join, would re-execute
+         that whole plan just for one scalar. Callers that know the time
+         column's provenance (e.g. a fact whose date comes from one base
+         table) pass a max over the narrow base column instead; a few extra
+         buckets from a loose bound only pad the broadcast dim by rows.
+         CONTRACT: the bound must be ≥ max(left_on), else rows past it
+         silently lose their open-interval matches.
     """
     by = by or []
     if disjoint and end_col is None:
@@ -98,7 +109,8 @@ def asof_join(
     if strategy == "broadcast":
         if bucket is not None:
             out = _asof_bucketed(
-                left, right, left_on, right_on, by, end_col, how, bucket, disjoint
+                left, right, left_on, right_on, by, end_col, how, bucket, disjoint,
+                horizon,
             )
         else:
             out = _asof_broadcast(
@@ -207,6 +219,7 @@ def _asof_bucketed(
     how: str,
     bucket: str,
     disjoint: bool,
+    horizon: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast HASH as-of join via a derived calendar-bucket equi key.
 
@@ -225,8 +238,13 @@ def _asof_bucketed(
     bk = "__asof_bk"
 
     # Upper coverage bound: open/endless intervals must reach the newest
-    # left row. One tiny broadcast row; the scan is pruned to left_on.
-    upper = left.select(F.max(F.col(left_on)).alias("__asof_max"))
+    # left row. One tiny broadcast row; computed from the caller's cheap
+    # ``horizon`` plan when given (see asof_join docstring), else a
+    # left_on-pruned aggregate over the left.
+    if horizon is not None:
+        upper = horizon.select(F.col(horizon.columns[0]).alias("__asof_max"))
+    else:
+        upper = left.select(F.max(F.col(left_on)).alias("__asof_max"))
     stop_ts = F.date_trunc(
         bucket,
         F.greatest(

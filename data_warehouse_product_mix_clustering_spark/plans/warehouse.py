@@ -168,12 +168,16 @@ def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent containment join (intervals are non-overlapping, so the
     latest-start-≤-date row IS the containing row).
     """
-    f = fact_sales(spark, sf_dir)
+    # The agg reads 3 columns; pruning the fact to them BEFORE the as-of
+    # keeps the lineitem⋈orders shuffle rows narrow.
+    f = fact_sales(spark, sf_dir).select("OrderDate", "ProductID", "LineTotal")
     d = dim_date(spark, sf_dir)
     # disjoint: the quarter calendar can't overlap, so the latest-match
     # dedup window (a full re-shuffle of the joined fact) is skipped;
     # bucket: quarter-trunc equi key upgrades the BroadcastNestedLoopJoin
-    # to a codegen'd BroadcastHashJoin.
+    # to a codegen'd BroadcastHashJoin; horizon: OrderDate IS orders'
+    # o_orderdate, so the open-interval coverage bound is a single-column
+    # scan of orders instead of re-executing the whole fact join for one max.
     joined = asof_join(
         f,
         d,
@@ -183,6 +187,7 @@ def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         disjoint=True,
         bucket="quarter",
+        horizon=table(spark, "orders", sf_dir).select(F.max("o_orderdate")),
     )
     return (
         joined.groupBy("IntervalId")
