@@ -363,3 +363,35 @@ def test_operator_api_contracts(spark):
         salted_shuffle_join(df, df, "a", how="right")
     with pytest.raises(ValueError, match="sum to 1"):
         split_boundaries({"train": 0.5, "test": 0.1})
+
+
+def test_ivf_recall_on_separated_clusters(spark):
+    """On a CLUSTERED corpus (the regime IVF is built for — distinct
+    centroids, tight spread), nprobe=4/16 must reach recall@10 ≥ 0.9.
+    Complements test_ivf_recall_vs_brute_force, which pins the honest-but-
+    low curve on the near-uniform fixture (IVF's worst case)."""
+    import random
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    dim, n_clusters, per_cluster = 32, 10, 60
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0.0, 0.15) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 30)  # 3 queries per cluster
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10, vec_col="embedding").collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@10 {recall:.3f} < 0.9 on separated clusters"
