@@ -71,6 +71,8 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_sql",
     "lineitem_profile",
     "lineitem_quality",
+    # New in round 3 (oracle-backed) — needs its first driver row.
+    "asof_union_monthly_quotes",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "cluster_trajectories",

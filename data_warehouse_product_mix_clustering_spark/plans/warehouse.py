@@ -201,6 +201,106 @@ def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_union_monthly_quotes",
+    oracle="""
+        WITH fact AS (
+            SELECT l_partkey AS ProductID, o_orderdate AS OrderDate,
+                   l_returnflag AS ReturnFlag,
+                   l_extendedprice * (1 - l_discount) AS LineTotal,
+                   l_quantity AS OrderQty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        months AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS qdate FROM orders
+        ),
+        quotes AS (
+            SELECT p_partkey AS ProductID, qdate,
+                   p_retailprice * (1 + 0.01 * ((p_partkey
+                       + EXTRACT(year FROM qdate) * 12
+                       + EXTRACT(month FROM qdate)) % 10)) AS quote_price
+            FROM part CROSS JOIN months
+        )
+        SELECT f.ReturnFlag AS return_flag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {rev} AS revenue,
+               {quoted} AS quoted_value
+        FROM fact f
+        ASOF JOIN quotes q
+          ON f.ProductID = q.ProductID AND f.OrderDate >= q.qdate
+        GROUP BY f.ReturnFlag
+    """.format(
+        rev=sql_money_round("sum(f.LineTotal)"),
+        quoted=sql_money_round("sum(q.quote_price * f.OrderQty)"),
+    ),
+    headline=True,
+)
+def asof_union_monthly_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large backward as-of join — the union strategy at bench scale.
+
+    The 100 TB fact ⋈ 100 GB dim story: the fact (600k rows at sf0.1)
+    as-of joined per product to a monthly quote table (|part| × ~80 months
+    ≈ 1.6M rows at sf0.1) — NEITHER side broadcastable at scale.
+    ``strategy="union"`` runs it as ONE shuffle on the by-key + a single
+    per-partition sorted window walk (no join operator at all), the
+    distributed equivalent of pandas merge_asof's merge walk (reference
+    src/pipelines/etl.py:27-42 at production scale). The oracle is DuckDB's
+    native ASOF JOIN over identically-derived quotes.
+    """
+    f = fact_sales(spark, sf_dir).select(
+        "ProductID", "OrderDate", "ReturnFlag", "LineTotal", "OrderQty"
+    )
+    months = (
+        table(spark, "orders", sf_dir)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
+        .distinct()
+    )
+    quotes = (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .crossJoin(F.broadcast(months))
+        .select(
+            F.col("p_partkey").alias("ProductID"),
+            "qdate",
+            (
+                F.col("p_retailprice")
+                * (
+                    F.lit(1)
+                    + F.lit(0.01)
+                    * (
+                        (
+                            F.col("p_partkey")
+                            + F.year("qdate") * F.lit(12)
+                            + F.month("qdate")
+                        )
+                        % 10
+                    )
+                )
+            ).alias("quote_price"),
+        )
+    )
+    joined = asof_join(
+        f,
+        quotes,
+        left_on="OrderDate",
+        right_on="qdate",
+        by=["ProductID"],
+        how="inner",
+        strategy="union",
+    )
+    return (
+        joined.groupBy("ReturnFlag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            money_round(F.sum("LineTotal")).alias("revenue"),
+            money_round(F.sum(F.col("quote_price") * F.col("OrderQty"))).alias(
+                "quoted_value"
+            ),
+        )
+        .withColumnRenamed("ReturnFlag", "return_flag")
+    )
+
+
+@register(
     "interval_join_per_product",
     oracle=star_sql(f"""
         SELECT ProductID AS product_id,

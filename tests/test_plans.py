@@ -193,3 +193,32 @@ def test_correlated_subquery_is_decorrelated(spark):
     plan = plan_of(spark, "orders_above_customer_avg")
     assert "Subquery" not in plan or "SubqueryBroadcast" in plan, plan[:800]
     assert "Join" in plan  # the decorrelated agg joins back
+
+
+def test_union_asof_single_shuffle_no_join(spark):
+    """The union (large-large) as-of strategy must execute as ONE shuffle
+    on the by-keys + a window walk: no join operator of any kind, exactly
+    one hashpartitioning Exchange (the window's), never a BNLJ/cartesian."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join
+
+    left = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") * 2).alias("v"),
+    )
+    right = spark.range(0, 5_000).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") * 3).alias("t2"),
+        F.col("id").alias("p"),
+    )
+    out = asof_join(left, right, left_on="t", right_on="t2", by=["k"], strategy="union")
+    assert out.count() == 10_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"union as-of must not plan a join: {op}\n{plan[:1200]}"
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}:\n{plan[:1200]}"
+    assert "Window" in plan
