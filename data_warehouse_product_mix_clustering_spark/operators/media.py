@@ -6,11 +6,14 @@ checksum) is typed columns computed JVM-side; decode / feature-extraction
 runs as Arrow-batched ``mapInPandas`` so each Python worker sees columnar
 batches, never a row at a time.
 
-The container ships no codec libraries, so ``decode_media_batch`` uses a
-clearly-marked deterministic fake decoder (seeded by the payload checksum);
-``real_decode`` is the gated entry point that raises until a codec lib is
-installed. The Spark-side plumbing — schema, batching, partitioning — is
-real and is what the tests cover.
+PNG decodes FOR REAL via a pure-stdlib decoder (zlib inflate + scanline
+unfiltering, ``_decode_png``) — genuine PNG payloads flowing through the
+kernels yield true dimensions, pixels, and pixel-derived features. The
+container ships no other codec libraries, so wav/mp4 use a clearly-marked
+deterministic fake decoder (seeded by payload content) and ``real_decode``
+raises for them until soundfile/av is installed. Detection is by content
+magic, so the synthetic text-byte corpus exercises the fake path while
+real PNGs in the same column decode for real.
 """
 
 from __future__ import annotations
@@ -59,13 +62,112 @@ def media_format(id_col: Column) -> Column:
     return out
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → samples/pixel
+
+
+def _decode_png(raw: bytes) -> dict:
+    """Pure-stdlib PNG decode (zlib + struct): real width/height/pixels.
+
+    Handles 8-bit-depth, non-interlaced images of any color type, with full
+    scanline unfiltering (None/Sub/Up/Average/Paeth). Palette indices are
+    returned as-is (the feature kernels consume raw sample bytes, not
+    colors). 16-bit and Adam7 images raise NotImplementedError — the
+    deterministic fake remains the fallback for those.
+    """
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack(">I4s", raw[pos : pos + 8])
+        pos += 8
+        data = raw[pos : pos + length]
+        pos += length + 4  # skip CRC
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = meta
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported "
+            "by the stdlib decoder (8-bit non-interlaced only)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    dec = zlib.decompress(bytes(idat))
+    if len(dec) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    pixels = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(height):
+        ft = dec[i]
+        i += 1
+        line = bytearray(dec[i : i + stride])
+        i += stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        pixels += line
+        prev = line
+    return {
+        "width": int(width),
+        "height": int(height),
+        "channels": channels,
+        "n_frames": 1,
+        "pixels": bytes(pixels),
+    }
+
+
 def real_decode(payload_bytes: bytes, fmt: str) -> dict:
-    """Real codec path — requires PIL / soundfile / av, not shipped here."""
+    """Real codec path. PNG decodes with the stdlib-only decoder above;
+    wav/mp4 need soundfile/av (not shipped here) and raise."""
+    if fmt == "png":
+        return _decode_png(payload_bytes)
     raise NotImplementedError(
-        "STUB: media decoding needs codec libraries (PIL/soundfile/av) that "
+        "STUB: wav/mp4 decoding needs codec libraries (soundfile/av) that "
         "are not installed in this environment; the pipeline uses the "
         "deterministic fake decoder instead."
     )
+
+
+def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
+    """Real decode when the payload actually is a decodable format, else
+    None (→ caller falls back to the deterministic fake). Detection is by
+    content magic, not the format tag, so synthetic text payloads tagged
+    'png' still take the fake path while genuine PNGs decode for real."""
+    if fmt == "png" and raw[:8] == _PNG_MAGIC:
+        try:
+            return real_decode(raw, fmt)
+        except NotImplementedError:
+            return None
+    return None
 
 
 def _fake_decode(payload_bytes: bytes, fmt: str) -> tuple[int, int, int]:
@@ -108,10 +210,18 @@ def make_decode_kernel(sample_every: int = 1):
                 pdf["doc_id"], pdf["media_format"], pdf["payload"]
             ):
                 raw = bytes(data)
-                width, height, n_frames = _fake_decode(raw, fmt)
-                stride = max(1, len(raw) // max(n_frames, 1))
+                decoded = _maybe_real_decode(raw, fmt)
+                if decoded is not None:
+                    width, height, n_frames = (
+                        decoded["width"], decoded["height"], decoded["n_frames"],
+                    )
+                    src = decoded["pixels"]  # features over REAL pixel bytes
+                else:
+                    width, height, n_frames = _fake_decode(raw, fmt)
+                    src = raw
+                stride = max(1, len(src) // max(n_frames, 1))
                 for fi in range(0, n_frames, sample_every):
-                    chunk = raw[fi * stride : (fi + 1) * stride] or b"\x00"
+                    chunk = src[fi * stride : (fi + 1) * stride] or b"\x00"
                     feats = []
                     for j in range(8):
                         sl = chunk[j::8] or b"\x00"
@@ -165,6 +275,21 @@ def _fake_resize(raw: bytes, fmt: str, width: int, height: int) -> bytes:
     return bytes(src[min(int(i * step), len(src) - 1)] for i in range(n))
 
 
+def _real_resize(decoded: dict, width: int, height: int) -> bytes:
+    """True 2-D nearest-neighbor resample of REAL decoded pixels (first
+    channel → grayscale plane of exactly width×height bytes)."""
+    sw, sh, ch = decoded["width"], decoded["height"], decoded["channels"]
+    px = decoded["pixels"]
+    out = bytearray(width * height)
+    for y in range(height):
+        sy = min(int(y * sh / height), sh - 1)
+        row = sy * sw * ch
+        for x in range(width):
+            sx = min(int(x * sw / width), sw - 1)
+            out[y * width + x] = px[row + sx * ch]
+    return bytes(out)
+
+
 def resize_media(
     df: DataFrame, id_col: str, text_col: str, width: int = 32, height: int = 32
 ) -> DataFrame:
@@ -177,9 +302,15 @@ def resize_media(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(raw: bytes, fmt: str) -> bytes:
+            decoded = _maybe_real_decode(raw, fmt)
+            if decoded is not None:
+                return _real_resize(decoded, width, height)
+            return _fake_resize(raw, fmt, width, height)
+
         for pdf in batches:
             resized = [
-                _fake_resize(bytes(d), f, width, height)
+                one(bytes(d), f)
                 for d, f in zip(pdf["payload"], pdf["media_format"])
             ]
             yield pd.DataFrame(
