@@ -36,6 +36,7 @@ def scd2_merge(
     ts_col: str,
     start_col: str = "StartDate",
     end_col: str = "EndDate",
+    on_stale: str = "error",
 ) -> DataFrame:
     """Apply an update batch to an SCD2 dimension; returns the new dimension.
 
@@ -45,14 +46,49 @@ def scd2_merge(
         ``end_col IS NULL`` marking each key's open (current) row.
     updates : update batch — (key, attrs..., ts_col); at most one row per
         key (pre-aggregate upstream: latest per key wins).
+    on_stale : what to do with a CHANGED update whose ``ts_col`` is <= the
+        open row's ``start_col``. Applying it would close the open row at
+        or before its own start — an inverted/overlapping validity interval
+        that corrupts every downstream as-of join (especially the
+        ``disjoint=True`` fast path, whose contract is well-formed
+        intervals). ``"error"`` (default) raises ValueError (one extra
+        dimension-sized job); ``"drop"`` discards those updates.
     Semantics: a key whose attrs differ from its open row closes that row
     at the update timestamp and opens a new row from it; an unseen key
     opens its first row; an identical update is ignored (idempotence).
     """
+    if on_stale not in ("error", "drop"):
+        raise ValueError(f"on_stale must be 'error' or 'drop': {on_stale}")
     dcols = [key, *attrs, start_col, end_col]
     closed = dim.filter(F.col(end_col).isNotNull()).select(*dcols)
     open_rows = dim.filter(F.col(end_col).isNull()).select(*dcols).alias("o")
     up = updates.select(key, *attrs, ts_col).alias("u")
+
+    # Guard inverted intervals before they can be produced: a stale update
+    # only matters when it would actually close the open row (attrs differ).
+    stale_cond = (
+        _any_attr_differs(attrs, "o", "u")
+        & (F.col(f"u.{ts_col}") <= F.col(f"o.{start_col}"))
+    )
+    stale_join = open_rows.join(up, F.col(f"o.{key}") == F.col(f"u.{key}"), "inner")
+    if on_stale == "error":
+        bad = stale_join.filter(stale_cond).select(F.col(f"u.{key}")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"scd2_merge: update batch has {ts_col} <= the open row's "
+                f"{start_col} for key={bad[0][0]!r} (would produce an "
+                "inverted validity interval); fix the batch or pass "
+                "on_stale='drop'"
+            )
+    else:
+        stale_keys = stale_join.filter(stale_cond).select(
+            F.col(f"u.{key}").alias("__stale_key")
+        )
+        up = (
+            up.join(
+                stale_keys, F.col(f"u.{key}") == F.col("__stale_key"), "left_anti"
+            ).alias("u")
+        )
 
     j = open_rows.join(up, F.col(f"o.{key}") == F.col(f"u.{key}"), "full_outer")
     changed = _any_attr_differs(attrs, "o", "u")

@@ -321,6 +321,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -346,7 +347,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partial labels are WRONG group ids (a chain deeper than the cap
+        # still carries distinct labels); failing loudly beats silently
+        # under-merging duplicate groups.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iterations="
+            f"{max_iterations}; a component's diameter exceeds the cap - "
+            "raise max_iterations (iterations needed ~ component diameter)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("group_id"))
 
 

@@ -64,6 +64,11 @@ def check_constraints(
     count needs a grouped pass by definition). Zero violations everywhere
     = the table honors its contract; alert on any non-zero row.
     """
+    if not not_null and not unique and not ranges:
+        raise ValueError(
+            "check_constraints: no constraints given (not_null, unique and "
+            "ranges are all empty)"
+        )
     parts: list[DataFrame] = []
     aggs: list[Column] = []
     names: list[str] = []

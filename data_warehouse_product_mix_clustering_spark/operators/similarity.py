@@ -350,12 +350,16 @@ def block_cosine_pairs(
         ids = pdf["vid"].to_numpy()[order]
         X = np.vstack(pdf["vec"].to_numpy()[order])
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        # Round in place, threshold the 2-D matrix, THEN materialize index
+        # arrays — only surviving pairs allocate int64 indices (the dense
+        # N²-index intermediate was this kernel's peak memory).
         if b1 == b2:
-            sim = X @ X.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            cos = np.round(sim[ii, jj] + eps, round_out)
-            keep = cos >= threshold
-            lo, hi = ids[ii[keep]], ids[jj[keep]]
+            cos2d = X @ X.T
+            np.add(cos2d, eps, out=cos2d)
+            np.round(cos2d, round_out, out=cos2d)
+            ii, jj = np.nonzero(np.triu(cos2d >= threshold, k=1))
+            cos = cos2d[ii, jj]
+            lo, hi = ids[ii], ids[jj]
         else:
             blk = pdf["blk"].to_numpy()[order]
             ma, mb = blk == b1, blk == b2
@@ -363,13 +367,14 @@ def block_cosine_pairs(
                 return pd.DataFrame(
                     {"vec_a": ids[:0], "vec_b": ids[:0], "cosine": np.array([])}
                 )
-            sim = X[ma] @ X[mb].T
-            ii, jj = np.nonzero(np.ones(sim.shape, dtype=bool))
-            cos = np.round(sim[ii, jj] + eps, round_out)
-            keep = cos >= threshold
-            ia, ib = ids[ma][ii[keep]], ids[mb][jj[keep]]
+            cos2d = X[ma] @ X[mb].T
+            np.add(cos2d, eps, out=cos2d)
+            np.round(cos2d, round_out, out=cos2d)
+            ii, jj = np.nonzero(cos2d >= threshold)
+            cos = cos2d[ii, jj]
+            ia, ib = ids[ma][ii], ids[mb][jj]
             lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos[keep]})
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos})
 
     out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
     return rep.groupBy("b1", "b2").applyInPandas(kernel, out_schema)

@@ -214,3 +214,41 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     # pruned row count matches the unpartitioned filter
     expect = fact.filter(F.col("order_year") == years[0]).count()
     assert one.count() == expect
+
+
+def test_scd2_merge_rejects_stale_updates(spark):
+    """A changed update with ts <= the open row's StartDate would invert the
+    validity interval; default raises, on_stale='drop' discards it while
+    the rest of the batch still applies."""
+    import datetime as dt
+
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.etl.scd2 import scd2_merge
+
+    D = lambda s: dt.date.fromisoformat(s)
+    dim = spark.createDataFrame(
+        [(1, "red", D("2024-01-01"), None), (2, "blue", D("2024-01-01"), None)],
+        "pid int, color string, StartDate date, EndDate date",
+    )
+    updates = spark.createDataFrame(
+        [(1, "crimson", D("2023-12-01")), (2, "navy", D("2024-06-01"))],
+        "pid int, color string, ts date",
+    )
+    with pytest.raises(ValueError, match="inverted validity interval"):
+        scd2_merge(dim, updates, key="pid", attrs=["color"], ts_col="ts")
+    merged = scd2_merge(
+        dim, updates, key="pid", attrs=["color"], ts_col="ts", on_stale="drop"
+    )
+    got = {tuple(r) for r in merged.collect()}
+    assert got == {
+        (1, "red", D("2024-01-01"), None),           # stale update dropped
+        (2, "blue", D("2024-01-01"), D("2024-06-01")),
+        (2, "navy", D("2024-06-01"), None),
+    }
+    # a stale-but-identical update is a no-op, not an error
+    same = spark.createDataFrame(
+        [(1, "red", D("2023-12-01"))], "pid int, color string, ts date"
+    )
+    ok = scd2_merge(dim, same, key="pid", attrs=["color"], ts_col="ts")
+    assert ok.count() == 2

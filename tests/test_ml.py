@@ -116,3 +116,50 @@ def test_lstm_embedding_pipeline_end_to_end(spark):
     clustered = assign_vectors(emb, "embedding", k=4, order_col="product_id")
     labels = {r.cluster for r in clustered.select("cluster").distinct().collect()}
     assert labels == {0, 1, 2, 3}
+
+
+def test_lstm_backward_matches_finite_differences():
+    """Central-difference gradient check of the hand-derived BPTT: for
+    sampled elements of EVERY parameter tensor, the analytic gradient must
+    match (f(p+h) - f(p-h)) / 2h to tight relative error. This is the
+    'finite-difference-checked' guarantee the README claims."""
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.lstm_np import LSTMAutoencoderNP, pad_batch
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.normal(size=(t, 5)) for t in (4, 2, 6)]  # ragged → mask path
+    X, lengths = pad_batch(seqs)
+    T = X.shape[1]
+    model = LSTMAutoencoderNP(input_size=5, hidden_size=7, seed=9)
+
+    def loss_of() -> float:
+        emb, _ = model._encode_forward(X, lengths)
+        Y, _ = model._decode_forward(emb, T)
+        mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float64)
+        diff = (Y - X) * mask[:, :, None]
+        return float((diff * diff).sum() / (mask.sum() * X.shape[2]))
+
+    emb, enc_cache = model._encode_forward(X, lengths)
+    Y, dec_cache = model._decode_forward(emb, T)
+    loss, grads = model._backward(X, lengths, Y, enc_cache, dec_cache)
+    assert abs(loss - loss_of()) < 1e-12
+
+    # h balances truncation (O(h^2)) against roundoff amplification
+    # (~1e-16/h on tiny-magnitude gradients); 1e-5 keeps both below tol.
+    h = 1e-5
+    for name, p in model.params.items():
+        flat = p.reshape(-1)
+        gflat = grads[name].reshape(-1)
+        idxs = rng.choice(flat.size, size=min(6, flat.size), replace=False)
+        for i in idxs:
+            orig = flat[i]
+            flat[i] = orig + h
+            up = loss_of()
+            flat[i] = orig - h
+            down = loss_of()
+            flat[i] = orig
+            numeric = (up - down) / (2 * h)
+            denom = max(abs(numeric), abs(gflat[i]), 1e-8)
+            rel = abs(numeric - gflat[i]) / denom
+            assert rel < 5e-5, f"{name}[{i}]: analytic {gflat[i]:.3e} vs numeric {numeric:.3e} (rel {rel:.2e})"

@@ -501,3 +501,30 @@ def test_real_png_through_spark_kernels(spark):
     assert len(small) == 48
     # spot-check nearest-neighbor: out(0,0) is the R sample of src(0,0)
     assert small[0] == decoded["pixels"][0]
+
+
+def test_connected_components_raises_when_cap_hit(spark):
+    """Truncated label propagation must fail loudly, never return partial
+    (wrong) group labels: a 10-node chain has diameter 9, so cap=2 cannot
+    converge; an adequate cap labels the whole chain as one group."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    groups = {r.group_id for r in connected_components(chain, max_iterations=20).collect()}
+    assert groups == {0}
+
+
+def test_check_constraints_rejects_empty_spec(spark):
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.quality import check_constraints
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no constraints"):
+        check_constraints(df)
