@@ -406,36 +406,48 @@ def product_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Active = any sale in the trailing 365 days (:86-89). Non-standard
     semantics preserved deliberately (SURVEY.md §7.3).
 
-    Plan shape: ONE pass over the priced fact computes all-time AND
-    active-window aggregates together (conditional aggregation — the
-    active-window measures are CASE-gated on the broadcast FINAL_DATE), so
-    the join subtree executes once, there is a single shuffle on ProductID,
-    and no product-to-product self-join. The FINAL_DATE scalar itself comes
-    from the cheap pre-join fact (row-preserving joins make the date sets
-    identical), also broadcast — no driver round-trip.
+    Plan shape: one pass over the priced fact, aggregated in TWO levels.
+    Level 1 groups by (ProductID, SalesOrderID) — OrderDate and CustomerID
+    are constant within an order, so this loses nothing — and reduces the
+    fact to one narrow row per product-order. Level 2 groups by ProductID
+    with a SINGLE count_distinct (CustomerID); order_frequency becomes a
+    plain conditional count because level-1 rows are already distinct
+    orders. Two distinct aggregates in one pass would make Catalyst plan an
+    Expand (every fact row tripled — one replica per distinct group —
+    before the first shuffle); the two-level shape shuffles the fact once,
+    narrow, un-tripled, then shuffles the much smaller per-order rows.
+    The active-window measures stay CASE-gated on the broadcast FINAL_DATE
+    scalar, which comes from the cheap pre-join fact (row-preserving joins
+    make the date sets identical) — no driver round-trip.
     """
     fp = fact_priced(spark, sf_dir)
     final = fact_sales(spark, sf_dir).select(
         F.date_add(F.max("OrderDate").cast("date"), 1).cast("timestamp").alias("final_date")
     )
     in_window = F.col("OrderDate") >= F.col("final_date") - F.expr("INTERVAL 365 DAY")
-    stats = (
+    per_order = (
         fp.crossJoin(F.broadcast(final))
-        .groupBy("ProductID")
+        .groupBy("ProductID", "SalesOrderID")
         .agg(
-            F.min("OrderDate").alias("first_sale"),
-            F.sum("LineTotal").alias("alltime_rev"),
-            F.max("final_date").alias("final_date"),
-            F.sum(F.when(in_window, F.col("OrderQty"))).alias("sum_qty"),
-            F.sum(F.when(in_window, F.col("LineTotal"))).alias("sum_line"),
-            F.sum(F.when(in_window, F.col("profit"))).alias("sum_profit"),
-            F.count_distinct(F.when(in_window, F.col("SalesOrderID"))).alias(
-                "order_frequency"
-            ),
-            F.count_distinct(F.when(in_window, F.col("CustomerID"))).alias(
-                "nunique_customer"
-            ),
+            F.min("OrderDate").alias("OrderDate"),
+            F.min("final_date").alias("final_date"),
+            F.min("CustomerID").alias("CustomerID"),
+            F.sum("OrderQty").alias("o_qty"),
+            F.sum("LineTotal").alias("o_line"),
+            F.sum("profit").alias("o_profit"),
         )
+    )
+    stats = per_order.groupBy("ProductID").agg(
+        F.min("OrderDate").alias("first_sale"),
+        F.sum("o_line").alias("alltime_rev"),
+        F.max("final_date").alias("final_date"),
+        F.sum(F.when(in_window, F.col("o_qty"))).alias("sum_qty"),
+        F.sum(F.when(in_window, F.col("o_line"))).alias("sum_line"),
+        F.sum(F.when(in_window, F.col("o_profit"))).alias("sum_profit"),
+        F.count(F.when(in_window, F.lit(1))).alias("order_frequency"),
+        F.count_distinct(F.when(in_window, F.col("CustomerID"))).alias(
+            "nunique_customer"
+        ),
     )
     dur = F.datediff(F.col("final_date"), F.col("first_sale"))
     return (
