@@ -163,3 +163,40 @@ def test_lstm_backward_matches_finite_differences():
             denom = max(abs(numeric), abs(gflat[i]), 1e-8)
             rel = abs(numeric - gflat[i]) / denom
             assert rel < 5e-5, f"{name}[{i}]: analytic {gflat[i]:.3e} vs numeric {numeric:.3e} (rel {rel:.2e})"
+
+
+def test_lstm_reference_config_keeps_descending():
+    """The reference trains 1000 epochs (notebooks/LSTM_features_learning.ipynb);
+    this repo defaults to 150 because the loss is already past the pooled
+    baseline by then. This test proves the reference config is REACHABLE:
+    on a small synthetic corpus the full 1000-epoch run keeps improving —
+    the loss at 1000 epochs is strictly below the loss at the 150-epoch
+    default, and the tail of the curve is non-increasing overall."""
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.lstm_np import LSTMAutoencoderNP
+
+    rng = np.random.default_rng(7)
+    # 12 sequences with real temporal structure (sines + trend + noise):
+    # something a longer fit can keep extracting signal from.
+    seqs = []
+    for i in range(12):
+        t = np.arange(5 + (i % 4))[:, None]
+        base = np.sin(0.7 * t + i) + 0.1 * t + 0.05 * rng.normal(size=(len(t), 3))
+        seqs.append(np.concatenate([base, np.cos(0.3 * t + i)], axis=1))
+    allv = np.vstack(seqs)
+    mu, sd = allv.mean(0), allv.std(0)
+    sd[sd == 0] = 1.0
+    seqs = [(s - mu) / sd for s in seqs]
+
+    model = LSTMAutoencoderNP(input_size=4, hidden_size=6, seed=2)
+    losses = model.fit(seqs, epochs=1000, batch_size=16)
+    assert len(losses) == 1000
+    assert losses[999] < losses[149], (
+        f"1000-epoch loss {losses[999]:.5f} not below 150-epoch {losses[149]:.5f}"
+    )
+    # The tail should still be trending down, not diverging: compare mean
+    # loss over the last 100 epochs vs epochs 150-250.
+    early = float(np.mean(losses[150:250]))
+    late = float(np.mean(losses[-100:]))
+    assert late < early, f"late mean {late:.5f} not below early mean {early:.5f}"
