@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 from data_warehouse_product_mix_clustering_spark.functions.text import fingerprint, tokens, word_ngrams
+from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
 
 _MERSENNE31 = (1 << 31) - 1
 
@@ -56,9 +57,14 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation of each doc."""
+    """Distinct (id, shingle) pairs — the set representation of each doc.
+
+    ``fan_out`` first: shingling expands each doc ~|tokens|×, so a corpus
+    written as few row groups must be spread across the cluster BEFORE the
+    expansion or the whole dedup family serializes on a handful of cores.
+    """
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             id_col,
             F.explode(F.array_distinct(word_ngrams("__toks", n))).alias("shingle"),
@@ -220,7 +226,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit b). Explodes (doc × token × 64 bits) — the standard shuffle
     formulation; the per-bit partial sums combine map-side.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = tok.select(id_col, F.xxhash64("tok").alias("__h"))
     signs = h.select(
         id_col,

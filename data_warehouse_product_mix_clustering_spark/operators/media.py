@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -245,7 +247,7 @@ def frame_features(
     Shape: narrow projection before the Python boundary (only id, format,
     payload cross into Arrow), explode happens inside the kernel.
     """
-    media = df.select(
+    media = fan_out(df).select(
         F.col(id_col).cast("long").alias("doc_id"),
         media_format(F.col(id_col)).alias("media_format"),
         payload(F.col(text_col)).alias("payload"),
@@ -324,7 +326,9 @@ def resize_media(
                 }
             )
 
-    media = df.select(
+    # fan_out before the Arrow crossing: decode cost is per-payload; a
+    # single-row-group corpus would otherwise serialize it on one worker.
+    media = fan_out(df).select(
         F.col(id_col).cast("long").alias("doc_id"),
         media_format(F.col(id_col)).alias("media_format"),
         payload(F.col(text_col)).alias("payload"),

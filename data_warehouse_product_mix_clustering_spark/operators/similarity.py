@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
 
 
 def as_double(arr: Column) -> Column:
@@ -69,7 +70,9 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
         )
     )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    # fan_out: the corpus side carries the |corpus|x|queries| scoring work;
+    # a single-row-group parquet corpus would serialize it on one core.
+    c = fan_out(corpus).select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col(id_col))
@@ -171,7 +174,7 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
 
     qb = F.broadcast(_with_band_buckets(queries, id_col, vec_col, planes, bands, "query"))
-    cb = _with_band_buckets(corpus, id_col, vec_col, planes, bands, "cand")
+    cb = _with_band_buckets(fan_out(corpus), id_col, vec_col, planes, bands, "cand")
     cands = (
         qb.join(cb, ["band", "key"])
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -322,7 +325,7 @@ def block_cosine_pairs(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    v = df.select(
+    v = fan_out(df).select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
