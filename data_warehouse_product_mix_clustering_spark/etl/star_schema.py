@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
 
@@ -104,7 +105,10 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl.py:70 uses left + downstream dropna at :88 — inner expresses the same
     surviving set declaratively).
     """
-    li = table(spark, "lineitem", sf_dir)
+    # fan_out: the detail scan drives every downstream join+agg stage; a
+    # few-row-group parquet layout would pin that whole chain on as many
+    # cores as there are row groups (no-op when the input is well split).
+    li = fan_out(table(spark, "lineitem", sf_dir))
     orders = table(spark, "orders", sf_dir)
     return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
         F.col("l_partkey").alias("ProductID"),
