@@ -1,0 +1,83 @@
+"""Token-budget shard packing: a distributed prefix sum over ordered docs.
+
+A training-data job's last step before writing tensors is packing documents
+into shards of ~equal token budget (sequential greedy packing is the
+classic formulation). The deterministic relational equivalent: order docs
+by a stable key, take the RUNNING token total before each doc, and assign
+``shard = cum_before DIV budget``. That is a global prefix sum — naively a
+single-partition window sort, the textbook scale-killer.
+
+This operator computes it distributed, the same two-pass shape as
+``operators/keys.py::with_surrogate_key(strategy="distributed")``:
+
+1. range-partition by the order key + sort within partitions;
+2. per-partition running totals via a partition-local window;
+3. per-partition grand totals (one tiny ≤P-row collect) → exclusive scan
+   on the driver → broadcast offset map added back.
+
+No single-partition funnel: every pass is parallel in P, and the only
+driver data is one row per partition. Same answer as the global-window
+formulation for any partitioning (prefix sums are associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign ``shard_col = (running weight before this row) DIV budget``.
+
+    ``order_col`` must be a total order (unique); ``weight_col`` a
+    non-negative integral weight (token count). A single document heavier
+    than ``budget`` still lands in exactly one shard (its own cum range) —
+    packing never splits a document.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    sizes = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("__w"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sizes:
+        offsets[row["__pid"]] = acc
+        acc += int(row["__w"] or 0)
+    if offsets:
+        offmap = F.coalesce(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+                F.col("__pid")
+            ],
+            F.lit(0),
+        )
+    else:  # empty input: no partition rows, no offsets
+        offmap = F.lit(0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return (
+        with_pid.withColumn(
+            "__cum_before", (local_before + offmap).cast("long")
+        )
+        # integer DIV, not float floor: exact at any corpus size
+        .withColumn(shard_col, F.expr(f"__cum_before DIV {int(budget)}"))
+        .drop("__pid", "__cum_before")
+    )

@@ -1,0 +1,250 @@
+"""Training-data pipeline queries beyond dedup/text basics.
+
+The operations a large-scale corpus job runs between "clean documents" and
+"tensors on disk": shard packing to a token budget, curriculum ordering by
+quality, benchmark-contamination screening, per-source sampling caps, and
+per-language size profiling. All oracle-checked against DuckDB; scale notes
+inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round, sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.text import (
+    STOPWORDS,
+    sql_stopword_hits,
+    sql_tokens,
+    sql_word_ngrams,
+    stopword_hits,
+    tokens,
+)
+from data_warehouse_product_mix_clustering_spark.operators.dedup import shingle_sets
+from data_warehouse_product_mix_clustering_spark.operators.packing import pack_shards
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+SHARD_BUDGET = 4096  # tokens per shard
+
+
+@register(
+    "shard_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {SHARD_BUDGET} AS BIGINT) AS shard_id
+        FROM toks
+    """,
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into ~4096-token shards in doc_id order.
+
+    The oracle states the semantics as one global window cumsum; the Spark
+    plan computes the SAME prefix sum distributed (operators/packing.py:
+    range partition → partition-local running totals → driver exclusive
+    scan of ≤P partition totals). No single-partition sort at any scale.
+    """
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_shards(
+        docs, order_col="doc_id", weight_col="n_tokens", budget=SHARD_BUDGET
+    ).select("doc_id", "n_tokens", "shard_id")
+
+
+_QUALITY_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+        FROM toks WHERE len(t) > 0
+    )
+""".strip()
+
+
+@register(
+    "curriculum_stages",
+    oracle=f"""
+        {_QUALITY_CTE}
+        SELECT doc_id, quality_score,
+               CAST(ntile(4) OVER (ORDER BY quality_score DESC, doc_id)
+                    AS BIGINT) AS stage
+        FROM scored
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quality quartiles, best-first (stage 1..4).
+
+    Quality = the doc_quality score (stopword ratio + length saturation),
+    rounded BEFORE ranking so the order is cross-engine deterministic
+    (ties broken by doc_id — a total order).
+
+    Scale note: ntile over a global order is a single-partition sort; at
+    corpus scale the same staging comes from bucketing on approx quantile
+    thresholds of the score (two scans, fully parallel). The exact-ntile
+    formulation is kept here because it is oracle-checkable; the threshold
+    variant trades exact quartile boundaries for scale.
+    """
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    hits = stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
+    scored = t.select(
+        "doc_id",
+        ratio_round(
+            F.lit(0.5) * (hits / F.size("t"))
+            + F.lit(0.5) * (F.least(F.size("t"), F.lit(50)) / F.lit(50.0))
+        ).alias("quality_score"),
+    )
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return scored.withColumn("stage", F.ntile(4).over(w).cast("long"))
+
+
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 → held-out benchmark doc
+CONTAM_THRESHOLD = 0.2
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({sql_word_ngrams("t", 3)})) AS shingle
+            FROM toks
+        ),
+        ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        tr AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (shingle IN (SELECT shingle FROM ev))
+                        AS BIGINT) AS n_shared
+            FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_shingles, n_shared,
+               {sql_ratio_round("n_shared * 1.0 / n_shingles")} AS overlap_ratio,
+               {sql_ratio_round("n_shared * 1.0 / n_shingles")}
+                   >= {CONTAM_THRESHOLD} AS contaminated
+        FROM tr
+        WHERE n_shared > 0
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: train-doc 3-gram overlap vs eval set.
+
+    The held-out set is docs with ``doc_id % 50 == 0`` (stand-in for a
+    benchmark suite); every other doc is scored by the fraction of its
+    distinct 3-gram shingles that appear anywhere in the eval set — the
+    standard n-gram-overlap decontamination check.
+
+    Scale shape: the eval shingle set is benchmark-sized by construction →
+    broadcast to a semi-join against the (huge) train shingles; one shuffle
+    on doc_id for the per-doc counts. Train-side shingling inherits
+    ``fan_out`` from shingle_sets.
+    """
+    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", n=3)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    tr = sh.filter(~is_eval)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        tr.join(F.broadcast(ev), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = ratio_round(F.col("n_shared") / F.col("n_shingles"))
+    return (
+        sizes.join(shared, "doc_id", "inner")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            ratio.alias("overlap_ratio"),
+            (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+SOURCE_CAP = 5
+
+
+@register(
+    "per_source_sample",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, rk FROM ranked WHERE rk <= {SOURCE_CAP}
+    """,
+)
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling cap (<=5 docs/source).
+
+    Source-mix rebalancing without an RNG: rank docs within each source by
+    md5(text) — a stable, uniform, engine-agnostic shuffle key — and keep
+    the first 5. Same sample on every run and every engine; one
+    shuffle on source, the window's sort is per-source (no global order).
+    """
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+@register(
+    "lang_token_percentiles",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, CAST(len({sql_tokens("text")}) AS DOUBLE) AS nt
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {sql_ratio_round("quantile_cont(nt, 0.5)")} AS median_tokens,
+               {sql_ratio_round("quantile_cont(nt, 0.9)")} AS p90_tokens
+        FROM toks
+        GROUP BY lang
+    """,
+)
+def lang_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution: exact median and p90.
+
+    Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``); at 100 TB swap to ``percentile_approx`` (KLL-style
+    mergeable sketch) — the exact form is kept because it oracle-checks.
+    """
+    docs = table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("double").alias("nt")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ratio_round(F.expr("percentile(nt, 0.5)")).alias("median_tokens"),
+        ratio_round(F.expr("percentile(nt, 0.9)")).alias("p90_tokens"),
+    )

@@ -73,6 +73,14 @@ _DRIVER_PRIORITY: list[str] = [
     "lineitem_quality",
     # New in round 3 (oracle-backed) — needs its first driver row.
     "asof_union_monthly_quotes",
+    "shard_packing",
+    "curriculum_stages",
+    "contamination_check",
+    "per_source_sample",
+    "lang_token_percentiles",
+    "revenue_grouping_sets",
+    "top_supplier_period",
+    "untapped_customer_balance",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "cluster_trajectories",
@@ -102,6 +110,7 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.sequences  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.sql_api  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.pipeline  # noqa: F401
 
     prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
     prioritized.update(_REGISTRY)

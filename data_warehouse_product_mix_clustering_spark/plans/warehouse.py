@@ -1391,3 +1391,148 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / window-max / anti-join-with-scalar-subquery (TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle=f"""
+        WITH o AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   o_orderpriority AS priority, o_totalprice
+            FROM orders
+        )
+        SELECT o_year, priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_money_round("sum(o_totalprice)")} AS revenue,
+               CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+               CAST(GROUPING(priority) AS BIGINT) AS g_priority
+        FROM o
+        GROUP BY GROUPING SETS ((o_year, priority), (o_year), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup in one pass: (year, priority) + (year) + grand total.
+
+    GROUPING SETS — the generalization behind the reference dashboard's
+    separate per-year and per-priority summary panels (A9's cube is the
+    dense variant). One Expand + one shuffle regardless of grain count;
+    ``grouping()`` flags disambiguate the NULLs of coarser grains.
+    """
+    o = table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return o.groupingSets(
+        [["o_year", "priority"], ["o_year"], []], "o_year", "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_round(F.sum("o_totalprice")).alias("revenue"),
+        F.grouping("o_year").cast("long").alias("g_year"),
+        F.grouping("priority").cast("long").alias("g_priority"),
+    )
+
+
+@register(
+    "top_supplier_period",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {sql_money_round("sum(l_extendedprice * (1 - l_discount))")}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max revenue in a 3-month window.
+
+    The max is taken over the ROUNDED per-supplier revenue (both engines),
+    so the winner is cross-engine deterministic even under summation-order
+    float noise. The scalar max travels as a broadcast single-row join —
+    no global window, no second scan of lineitem.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            money_round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = table(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "untapped_customer_balance",
+    oracle=f"""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               {sql_money_round("sum(c_acctbal)")} AS total_balance
+        FROM customer, avg_bal
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_acctbal > a
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-09-01'
+          )
+        GROUP BY n_name
+    """,
+)
+def untapped_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers per nation.
+
+    Above-average-balance customers with no orders since the cutoff:
+    scalar subquery (broadcast single-row avg) + anti-join against the
+    recent-order custkey set + dim join + agg. The anti-join probe side is
+    pre-shrunk to distinct custkeys past the date filter — at scale that
+    projection is the only thing shuffled.
+    """
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-09-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_round(F.sum("c_acctbal")).alias("total_balance"),
+        )
+    )

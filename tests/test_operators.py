@@ -528,3 +528,37 @@ def test_check_constraints_rejects_empty_spec(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="no constraints"):
         check_constraints(df)
+
+
+def test_pack_shards_matches_sequential(spark):
+    """Distributed prefix-sum packing == the sequential greedy definition:
+    running total before each row, integer-divided by the budget. Includes
+    an oversized row (> budget) which must land in exactly one shard."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.packing import pack_shards
+
+    weights = [10, 25, 7, 100, 3, 40, 1, 1, 60, 12]  # one row > budget=50
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {
+        r.id: r.shard_id
+        for r in pack_shards(df, "id", "w", budget=50).collect()
+    }
+    cum = 0
+    for i, w in enumerate(weights):
+        assert out[i] == cum // 50, f"row {i}: {out[i]} != {cum // 50}"
+        cum += w
+
+    with pytest.raises(ValueError):
+        pack_shards(df, "id", "w", budget=0)
+
+
+def test_pack_shards_empty_and_single(spark):
+    from data_warehouse_product_mix_clustering_spark.operators.packing import pack_shards
+
+    empty = spark.createDataFrame([], "id long, w long")
+    assert pack_shards(empty, "id", "w", budget=10).count() == 0
+    one = spark.createDataFrame([(5, 3)], "id long, w long")
+    row = pack_shards(one, "id", "w", budget=10).collect()[0]
+    assert row.shard_id == 0
