@@ -91,6 +91,35 @@ def _lloyd(
     return labels, centers, inertia
 
 
+def kmeans_fit(
+    X: np.ndarray,
+    k: int,
+    seed: int,
+    n_init: int = 10,
+    max_iter: int = 300,
+    tol: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """sklearn-shaped k-means returning (labels, centers).
+
+    n_init k-means++ restarts, keep lowest inertia. Deterministic:
+    restart i uses RandomState(seed + i); the winner is the exact-lowest
+    inertia with earliest restart index breaking ties.
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    x_sq = (X**2).sum(1)
+    # sklearn scales tol by the mean per-feature variance of the data.
+    tol_abs = tol * float(X.var(axis=0).mean())
+    best: tuple[float, int, np.ndarray, np.ndarray] | None = None
+    for i in range(n_init):
+        rng = np.random.RandomState(seed + i)
+        centers = _kmeanspp_init(X, k, rng, x_sq)
+        labels, fitted, inertia = _lloyd(X, centers, x_sq, max_iter, tol_abs)
+        if best is None or (inertia, i) < (best[0], best[1]):
+            best = (inertia, i, labels, fitted)
+    assert best is not None
+    return best[2], best[3]
+
+
 def kmeans_fit_predict(
     X: np.ndarray,
     k: int,
@@ -99,21 +128,5 @@ def kmeans_fit_predict(
     max_iter: int = 300,
     tol: float = 1e-4,
 ) -> np.ndarray:
-    """sklearn-shaped k-means: n_init k-means++ restarts, keep lowest inertia.
-
-    Deterministic: restart i uses RandomState(seed + i); the winner is the
-    exact-lowest inertia with earliest restart index breaking ties.
-    """
-    X = np.ascontiguousarray(X, dtype=np.float64)
-    x_sq = (X**2).sum(1)
-    # sklearn scales tol by the mean per-feature variance of the data.
-    tol_abs = tol * float(X.var(axis=0).mean())
-    best: tuple[float, int, np.ndarray] | None = None
-    for i in range(n_init):
-        rng = np.random.RandomState(seed + i)
-        centers = _kmeanspp_init(X, k, rng, x_sq)
-        labels, _, inertia = _lloyd(X, centers, x_sq, max_iter, tol_abs)
-        if best is None or (inertia, i) < (best[0], best[1]):
-            best = (inertia, i, labels)
-    assert best is not None
-    return best[2]
+    """Labels-only convenience wrapper over ``kmeans_fit``."""
+    return kmeans_fit(X, k, seed, n_init=n_init, max_iter=max_iter, tol=tol)[0]

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: list[str] = [
     "untapped_customer_balance",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
+    "ann_pq_topk",
     "cluster_trajectories",
     "features_pca",
     "media_frame_features",

@@ -15,6 +15,7 @@ from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_
 from data_warehouse_product_mix_clustering_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
+    pq_topk,
 )
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
@@ -124,4 +125,19 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         ratio_round(F.avg("v")).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 (m=16 subspace codebooks).
+
+    The third ANN scale path: vectors compress to m one-byte codes, queries
+    scan codes via ADC lookup tables, exact cosine re-ranks the candidate
+    pool. Approximate ⇒ rows-only driver check; recall@10 ≥ 0.9 vs the
+    exact baseline is pinned in tests/test_operators.py.
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", TOP_K
     )

@@ -562,3 +562,25 @@ def test_pack_shards_empty_and_single(spark):
     one = spark.createDataFrame([(5, 3)], "id long, w long")
     row = pack_shards(one, "id", "w", budget=10).collect()[0]
     assert row.shard_id == 0
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ-ADC with exact re-rank must recover ≥0.9 of true top-10 on the
+    near-uniform fixture (hardest regime for quantization: neighbors are
+    barely separated, so code collisions matter most). Determinism: seeded
+    codebooks + fixed corpus ⇒ identical output across runs."""
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    out1 = pq_topk(emb, queries, k=10).collect()
+    approx = {(r.query_id, r.vec_id) for r in out1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"PQ recall@10 {recall:.3f} < 0.9"
+
+    out2 = pq_topk(emb, queries, k=10).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
