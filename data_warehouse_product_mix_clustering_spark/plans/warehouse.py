@@ -63,18 +63,34 @@ def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: Clustering_Analysis.py:84-100 (product_clustering LEFT JOIN
     FactProductSales, GROUP BY, COUNT(DISTINCT SalesOrderID), SUM(OrderQty),
-    COALESCE → 0). Expressed as fact ⋈(right outer) broadcast(dim) so every
-    product survives while the big side never shuffles for the join; the
-    aggregation runs partial+final so only (product × partial) rows shuffle.
+    COALESCE → 0). Plan shape: the bare fact aggregates FIRST in two narrow
+    levels — (ProductID, SalesOrderID) partials, then per-product rollup
+    where the distinct-order count is a plain count of level-1 rows — and
+    the dim attaches by broadcast LEFT join afterwards, so product names
+    never ride the fact shuffle and no Expand/distinct machinery runs.
+    Unmatched products survive via the dim-driving join; COALESCE restores
+    the reference's zero defaults.
     """
     ss = build_star_schema(spark, sf_dir)
+    per_order = ss.fact_sales.groupBy("ProductID", "SalesOrderID").agg(
+        F.sum("OrderQty").alias("__qty"), F.sum("LineTotal").alias("__line")
+    )
+    per_product = per_order.groupBy("ProductID").agg(
+        F.count(F.lit(1)).alias("order_frequency"),
+        F.sum("__qty").alias("__tq"),
+        F.sum("__line").alias("__tr"),
+    )
     return (
-        ss.fact_sales.join(F.broadcast(ss.dim_product), "ProductID", "right")
-        .groupBy("ProductID", "Name")
-        .agg(
-            F.count_distinct("SalesOrderID").alias("order_frequency"),
-            F.coalesce(F.sum("OrderQty"), F.lit(0.0)).alias("total_quantity"),
-            money_round(F.coalesce(F.sum("LineTotal"), F.lit(0.0))).alias("total_revenue"),
+        ss.dim_product.select("ProductID", "Name")
+        .join(F.broadcast(per_product), "ProductID", "left")
+        .select(
+            "ProductID",
+            "Name",
+            F.coalesce(F.col("order_frequency"), F.lit(0)).cast("long").alias(
+                "order_frequency"
+            ),
+            F.coalesce(F.col("__tq"), F.lit(0.0)).alias("total_quantity"),
+            money_round(F.coalesce(F.col("__tr"), F.lit(0.0))).alias("total_revenue"),
         )
         .select(
             F.col("ProductID").alias("product_id"),
