@@ -1117,26 +1117,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table join chain → revenue per nation (J7 at benchmark scale).
 
-    lineitem⋈orders is the only big-big join (shuffle on the order key);
-    customer/nation/region broadcast. At 100 TB, bucketing lineitem+orders
-    by orderkey makes the big join shuffle-free.
+    Aggregate pushdown below the join: lineitem rolls up to per-order
+    revenue FIRST (the one big shuffle, on the order key), the orders join
+    then reuses that hash partitioning (no second shuffle of the big
+    side), dims broadcast, and the final (nation, region) agg sees one
+    narrow row per order — the distinct-order count becomes a plain count.
+    At 100 TB, bucketing lineitem+orders by orderkey removes even the one
+    shuffle.
     """
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     c = table(spark, "customer", sf_dir)
     n = table(spark, "nation", sf_dir)
     r = table(spark, "region", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            money_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
-                "revenue"
-            ),
-            F.count_distinct("o_orderkey").alias("n_orders"),
+            money_round(F.sum("__rev"), 0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
