@@ -74,3 +74,90 @@ def lineitem_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=[["l_orderkey", "l_linenumber"]],
         ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
     )
+
+
+@register(
+    "referential_integrity",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk,
+               CAST(count(*) AS BIGINT) AS orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part.p_partkey',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer.c_custkey',
+               CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation.n_nationkey',
+               CAST(count(*) AS BIGINT)
+        FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    """,
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK audit: orphan counts for every star-schema edge.
+
+    The pre-publish referential contract of the warehouse — each foreign
+    key anti-joins its referenced dimension (broadcast when the dim is
+    small; orderkey→orders is the one big-big anti-join and shuffles on
+    the key). One count per edge, unioned into a single tiny result.
+    """
+    from pyspark.sql import functions as F
+
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    edges = [
+        (
+            "lineitem.l_orderkey -> orders.o_orderkey",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem.l_partkey -> part.p_partkey",
+            li.join(
+                F.broadcast(table(spark, "part", sf_dir).select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem.l_suppkey -> supplier.s_suppkey",
+            li.join(
+                F.broadcast(table(spark, "supplier", sf_dir).select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "orders.o_custkey -> customer.c_custkey",
+            o.join(
+                F.broadcast(table(spark, "customer", sf_dir).select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "customer.c_nationkey -> nation.n_nationkey",
+            table(spark, "customer", sf_dir).join(
+                F.broadcast(table(spark, "nation", sf_dir).select("n_nationkey")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for fk, orphans in edges:
+        one = orphans.agg(F.count(F.lit(1)).alias("orphans")).select(
+            F.lit(fk).alias("fk"), "orphans"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

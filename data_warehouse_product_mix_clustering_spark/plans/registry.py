@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     "revenue_grouping_sets",
     "top_supplier_period",
     "untapped_customer_balance",
+    "referential_integrity",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",
