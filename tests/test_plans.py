@@ -222,3 +222,37 @@ def test_union_asof_single_shuffle_no_join(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}:\n{plan[:1200]}"
     assert "Window" in plan
+
+
+def test_nation_revenue_preaggregates_below_join(spark):
+    """The per-order rollup must run BEFORE the orders join (aggregate
+    pushdown): a HashAggregate keyed on l_orderkey appears under the join,
+    and the detail table never shuffles unaggregated (no Exchange whose
+    input still carries l_extendedprice)."""
+    plan = plan_of(spark, "nation_revenue")
+    assert "l_orderkey" in plan.split("HashAggregate", 2)[-1]
+    pre_agg, _, post = plan.partition("HashAggregate")
+    assert "BroadcastHashJoin" in pre_agg or "BroadcastHashJoin" in post
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "l_extendedprice" not in line, (
+                f"raw detail rows shuffling:\n{line}"
+            )
+
+
+def test_cluster_summary_no_expand_no_name_shuffle(spark):
+    """cluster_summary's two-level agg must not plan an Expand (the old
+    dual-distinct shape) and product names must not travel through any
+    shuffle — the dim attaches after aggregation."""
+    plan = plan_of(spark, "cluster_summary")
+    assert "Expand" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "Name" not in line, f"dim name riding the shuffle:\n{line}"
+
+
+def test_product_features_no_expand(spark):
+    """The feature-matrix agg must keep the Expand-free two-level shape
+    (one narrow fact shuffle, a single distinct column at level 2)."""
+    plan = plan_of(spark, "product_features")
+    assert "Expand" not in plan
