@@ -584,3 +584,17 @@ def test_pq_recall_vs_brute_force(spark):
 
     out2 = pq_topk(emb, queries, k=10).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_fan_out_conditional(spark):
+    """fan_out repartitions a single-partition input up to cluster
+    parallelism and leaves an already-well-split plan untouched."""
+    from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
+
+    one = spark.range(1000).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(one).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target * 2)
+    assert fan_out(wide) is wide  # no-op: same plan object, no new Exchange
