@@ -82,6 +82,9 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_period",
     "untapped_customer_balance",
     "referential_integrity",
+    "trailing_30d_revenue",
+    "customer_revenue_distribution",
+    "asof_tolerance_quotes",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",

@@ -1557,3 +1557,189 @@ def untapped_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_round(F.sum("c_acctbal")).alias("total_balance"),
         )
     )
+
+
+@register(
+    "trailing_30d_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+                   CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS order_day,
+                   {sql_money_round("sum(o_totalprice)")} AS day_revenue
+            FROM orders
+            GROUP BY day_no
+        )
+        SELECT order_day, day_revenue,
+               {sql_money_round("sum(day_revenue) OVER (ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)")}
+                   AS trailing_30d
+        FROM daily
+    """,
+)
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-day revenue + trailing-30-day rolling sum.
+
+    RANGE (value-based) frames differ from ROWS frames exactly when days
+    are missing — the frame spans 30 *calendar* days, not 30 rows. The
+    window runs over the PRE-AGGREGATED daily table (one row per day —
+    dimension-sized at any SF), so the global order is never a fact-scale
+    single-partition sort; the fact reduces in one shuffle first.
+    """
+    o = table(spark, "orders", sf_dir)
+    daily = (
+        o.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+            F.col("o_orderdate").cast("date").alias("od"),
+            "o_totalprice",
+        )
+        .groupBy("day_no")
+        .agg(
+            F.min("od").cast("timestamp").alias("order_day"),
+            money_round(F.sum("o_totalprice")).alias("day_revenue"),
+        )
+    )
+    w = Window.orderBy("day_no").rangeBetween(-30, 0)
+    return daily.select(
+        "order_day",
+        "day_revenue",
+        money_round(F.sum("day_revenue").over(w)).alias("trailing_30d"),
+    )
+
+
+@register(
+    "customer_revenue_distribution",
+    oracle=f"""
+        WITH cr AS (
+            SELECT o_custkey AS customer_id,
+                   {sql_money_round("sum(o_totalprice)")} AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT customer_id, revenue,
+               {sql_ratio_round("percent_rank() OVER (ORDER BY revenue, customer_id)")}
+                   AS pct_rank,
+               {sql_ratio_round("cume_dist() OVER (ORDER BY revenue, customer_id)")}
+                   AS cume
+        FROM cr
+    """,
+)
+def customer_revenue_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over per-customer revenue (O1 family).
+
+    Distribution position of every customer in the revenue ranking —
+    the dashboard's \"where does this customer sit\" lens. Ties broken by
+    customer id for a total (cross-engine deterministic) order; the window
+    input is the pre-aggregated per-customer rollup, not the fact.
+    """
+    o = table(spark, "orders", sf_dir)
+    cr = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        money_round(F.sum("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("revenue", "customer_id")
+    return cr.select(
+        "customer_id",
+        "revenue",
+        ratio_round(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio_round(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "asof_tolerance_quotes",
+    oracle="""
+        WITH fact AS (
+            SELECT l_partkey AS ProductID, o_orderdate AS OrderDate,
+                   l_returnflag AS ReturnFlag, l_quantity AS OrderQty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        months AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS qdate
+            FROM orders WHERE EXTRACT(month FROM o_orderdate) % 3 = 1
+        ),
+        quotes AS (
+            SELECT p_partkey AS ProductID, qdate,
+                   p_retailprice * (1 + 0.01 * ((p_partkey
+                       + EXTRACT(year FROM qdate) * 12
+                       + EXTRACT(month FROM qdate)) % 10)) AS quote_price
+            FROM part CROSS JOIN months
+        ),
+        matched AS (
+            SELECT f.ReturnFlag,
+                   CASE WHEN q.qdate >= f.OrderDate - INTERVAL 45 DAY
+                        THEN q.quote_price END AS eff_price,
+                   f.OrderQty
+            FROM fact f
+            ASOF LEFT JOIN quotes q
+              ON f.ProductID = q.ProductID AND f.OrderDate >= q.qdate
+        )
+        SELECT ReturnFlag AS return_flag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(eff_price) AS BIGINT) AS n_quoted,
+               {quoted} AS quoted_value
+        FROM matched
+        GROUP BY ReturnFlag
+    """.format(
+        quoted=sql_money_round("sum(eff_price * OrderQty)"),
+    ),
+)
+def asof_tolerance_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof semantics).
+
+    Quotes exist only every third month, so the latest match can be up to
+    ~90 days stale; ``tolerance='45 days'`` voids those matches (NULL right
+    columns) exactly like merge_asof's tolerance — the fact row survives,
+    its quote does not. Exercises the operator's tolerance post-filter
+    under the large-large union strategy with a DuckDB ASOF LEFT JOIN +
+    CASE gate as the oracle.
+    """
+    f = fact_sales(spark, sf_dir).select(
+        "ProductID", "OrderDate", "ReturnFlag", "OrderQty"
+    )
+    months = (
+        table(spark, "orders", sf_dir)
+        .filter(F.month("o_orderdate") % 3 == 1)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
+        .distinct()
+    )
+    quotes = (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .crossJoin(F.broadcast(months))
+        .select(
+            F.col("p_partkey").alias("ProductID"),
+            "qdate",
+            (
+                F.col("p_retailprice")
+                * (
+                    F.lit(1)
+                    + F.lit(0.01)
+                    * (
+                        (
+                            F.col("p_partkey")
+                            + F.year("qdate") * F.lit(12)
+                            + F.month("qdate")
+                        )
+                        % 10
+                    )
+                )
+            ).alias("quote_price"),
+        )
+    )
+    joined = asof_join(
+        f,
+        quotes,
+        left_on="OrderDate",
+        right_on="qdate",
+        by=["ProductID"],
+        how="left",
+        strategy="union",
+        tolerance="45 days",
+    )
+    return joined.groupBy(F.col("ReturnFlag").alias("return_flag")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("quote_price").alias("n_quoted"),
+        money_round(F.sum(F.col("quote_price") * F.col("OrderQty"))).alias(
+            "quoted_value"
+        ),
+    )
