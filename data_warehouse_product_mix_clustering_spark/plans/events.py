@@ -362,3 +362,45 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_stream_topk",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS rk
+            FROM hourly
+        )
+        WHERE rk <= 2
+    """,
+)
+def events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: the 2 busiest event types per hour.
+
+    Rank-over-stream is the standard two-stage pattern: the stateful
+    windowed count runs IN the stream (watermarked, incremental), the
+    top-k rank runs over the drained aggregate — per-window rows are
+    dimension-sized, so the rank window never touches raw events. Complete
+    replay ⇒ results equal the batch window query, enforced by the oracle.
+    """
+    out = run_available_now(
+        spark,
+        hourly_agg(stream_events(spark, sf_dir)),
+        "events_stream_topk_sink",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        out.select("window_start", "event_type", "n_events")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+    )

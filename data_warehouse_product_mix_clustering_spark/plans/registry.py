@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "trailing_30d_revenue",
     "customer_revenue_distribution",
     "asof_tolerance_quotes",
+    "events_stream_topk",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",
