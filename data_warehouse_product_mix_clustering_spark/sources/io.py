@@ -175,8 +175,10 @@ def read_jdbc(
             raise ValueError("partition_column requires lower_bound/upper_bound")
         # Spark rejects 'query' combined with 'partitionColumn'; the
         # documented parallel-scan form is a dbtable subquery alias.
+        # No leading underscore: standard SQL identifiers may not start
+        # with one and strict DBMSs (Derby) reject it.
         reader = (
-            reader.option("dbtable", f"({query}) __jdbc_sub")
+            reader.option("dbtable", f"({query}) spark_jdbc_sub")
             .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))

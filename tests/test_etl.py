@@ -252,3 +252,47 @@ def test_scd2_merge_rejects_stale_updates(spark):
     )
     ok = scd2_merge(dim, same, key="pid", attrs=["color"], ts_col="ts")
     assert ok.count() == 2
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """S1 runtime proof: write → read (query pushdown) → read (partitioned
+    scan) through a REAL JDBC engine — the Derby embedded driver that ships
+    on Spark's own classpath for the Hive metastore. Covers the
+    query-vs-partitionColumn API contract (dbtable subquery alias) end to
+    end, not just its option plumbing."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(100).selectExpr("id", "id * 2 AS val")
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t1")
+        .option("driver", props["driver"])
+        .mode("overwrite")
+        .save()
+    )
+
+    # Query pushdown: the filter executes inside Derby.
+    back = read_jdbc(
+        spark, url, 'SELECT "id", "val" FROM t1 WHERE "id" >= 10', properties=props
+    )
+    assert back.count() == 90
+
+    # Partitioned parallel scan: 4 executor-side range slices, exact data.
+    part = read_jdbc(
+        spark,
+        url,
+        'SELECT "id", "val" FROM t1',
+        properties=props,
+        partition_column='"id"',
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=100,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    assert part.agg(F.sum("val")).first()[0] == 9900
