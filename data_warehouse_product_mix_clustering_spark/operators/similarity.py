@@ -472,6 +472,8 @@ def pq_topk(
         .select(as_double(F.col(vec_col)).alias("v"))
         .collect()
     )
+    if not train_rows:
+        raise ValueError("pq_topk: empty corpus — nothing to train codebooks on")
     X = np.array([r.v for r in train_rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]

@@ -128,6 +128,8 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     and then on the small pre-expansion rows (docs before shingles, payload
     pointers before decode), never on the expanded data.
     """
+    if df.isStreaming:  # no static partitioning to probe; leave untouched
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() < target:
