@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round, sql_ratio_round
 from data_warehouse_product_mix_clustering_spark.functions.text import (
     STOPWORDS,
+    sql_bpe_tokens,
+    sql_fingerprint,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
@@ -248,3 +250,92 @@ def lang_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(F.expr("percentile(nt, 0.5)")).alias("median_tokens"),
         ratio_round(F.expr("percentile(nt, 0.9)")).alias("p90_tokens"),
     )
+
+
+PUBLISH_BUDGET = 2048
+
+
+@register(
+    "training_corpus_sharded",
+    oracle=f"""
+        WITH keep AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), tk AS (
+            SELECT doc_id, lang, {sql_tokens("text")} AS t,
+                   {sql_bpe_tokens("text")} AS bt
+            FROM keep WHERE rn = 1
+        ), scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(bt) AS BIGINT) AS n_tokens,
+                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+            FROM tk WHERE len(t) > 0
+        ), corpus AS (
+            SELECT doc_id, n_tokens FROM scored
+            WHERE lang = 'en' AND quality_score >= 0.45
+              AND n_tokens BETWEEN 10 AND 5000
+              AND doc_id % {EVAL_MOD} <> 0
+        ), ash AS (
+            SELECT doc_id,
+                   unnest(list_distinct({sql_word_ngrams(sql_tokens("text"), 3)})) AS shingle
+            FROM documents
+        ), ev AS (
+            SELECT DISTINCT shingle FROM ash WHERE doc_id % {EVAL_MOD} = 0
+        ), contam AS (
+            SELECT doc_id
+            FROM (
+                SELECT doc_id,
+                       count(*) AS n,
+                       count(*) FILTER (shingle IN (SELECT shingle FROM ev)) AS ns
+                FROM ash WHERE doc_id % {EVAL_MOD} <> 0
+                GROUP BY doc_id
+            )
+            WHERE {sql_ratio_round("ns * 1.0 / n")} >= {CONTAM_THRESHOLD}
+        ), survivors AS (
+            SELECT doc_id, n_tokens FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        )
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {PUBLISH_BUDGET} AS BIGINT) AS shard_id
+        FROM survivors
+    """,
+)
+def training_corpus_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus publish pipeline, one composed plan:
+
+    exact dedup → language filter → quality gate → token budget →
+    benchmark-contamination screen (eval docs held out, overlapping train
+    docs dropped) → token-budget shard packing of the survivors. Every
+    stage is an operator proven individually in this registry; this query
+    holds the composition to a single end-to-end oracle — the shape a
+    training-data job actually ships.
+    """
+    from data_warehouse_product_mix_clustering_spark.plans.text import training_corpus
+
+    tc = training_corpus(spark, sf_dir).filter(F.col("doc_id") % EVAL_MOD != 0)
+    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", n=3)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    tr = sh.filter(~is_eval)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    shared = (
+        tr.join(F.broadcast(ev), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    contaminated = (
+        sizes.join(shared, "doc_id", "inner")
+        .filter(ratio_round(F.col("__ns") / F.col("__n")) >= CONTAM_THRESHOLD)
+        .select("doc_id")
+    )
+    survivors = tc.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
+    )
+    return pack_shards(
+        survivors, order_col="doc_id", weight_col="n_tokens", budget=PUBLISH_BUDGET
+    ).select("doc_id", "n_tokens", "shard_id")

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_revenue_distribution",
     "asof_tolerance_quotes",
     "events_stream_topk",
+    "training_corpus_sharded",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",
