@@ -199,9 +199,14 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # persist: the bucket self-join reads this twice (a/b branches); without
+    # a cache each branch re-runs the ENTIRE shingle→minhash pipeline — the
+    # most expensive stages in the plan — doubling the query. The cached
+    # relation is narrow (id, band:int, key:int — N×bands rows, no text),
+    # MEMORY_AND_DISK, so it spills rather than OOMs at corpus scale.
     buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ).persist()
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "key")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "key")
     candidates = (
