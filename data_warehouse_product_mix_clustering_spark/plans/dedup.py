@@ -8,14 +8,21 @@ check, as the driver contract allows for non-SQL-expressible ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_product_mix_clustering_spark.functions.numeric import sql_ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.numeric import (
+    ratio_round,
+    sql_ratio_round,
+)
 from data_warehouse_product_mix_clustering_spark.functions.text import (
+    STOPWORDS,
     sql_fingerprint,
+    sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
+    stopword_hits,
+    tokens,
 )
 from data_warehouse_product_mix_clustering_spark.operators.dedup import (
     connected_components,
@@ -243,4 +250,113 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), F.col("group_id")
+    )
+
+
+@register(
+    "dedup_best_of_group",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        groups AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS group_id
+            FROM reach GROUP BY src
+        ),
+        toks AS (
+            SELECT doc_id, {{tok}} AS t FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {{score}} AS quality_score
+            FROM toks
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(g.group_id, d.doc_id) AS group_id,
+                   s.quality_score
+            FROM documents d
+            LEFT JOIN groups g ON d.doc_id = g.doc_id
+            JOIN scored s ON d.doc_id = s.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, group_id, quality_score,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY quality_score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY group_id) AS n_members
+            FROM labeled
+        )
+        SELECT group_id, doc_id AS survivor_doc_id, quality_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """.format(
+        tok=sql_tokens("text"),
+        score=sql_ratio_round(
+            "0.5 * (CAST({h} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)".format(
+                h=sql_stopword_hits("t", STOPWORDS["en"])
+            )
+        ),
+    ),
+)
+def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: keep the BEST doc per dup group.
+
+    Production dedup keeps the highest-quality member of each duplicate
+    cluster, not the lowest id: transitive groups from the near-dup pair
+    graph (min-label propagation) are joined to the doc-quality score and
+    the argmax per group survives (rounded-score rank, doc_id tie-break —
+    cross-engine deterministic). Singleton docs survive as their own
+    group. Shuffles: the pair-graph propagation (O(diameter)) + one
+    groupBy-window on group_id — no step touches full text after scoring.
+    """
+    docs = table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+    t = tokens(F.col("text"))
+    hits = stopword_hits(t, STOPWORDS["en"]).cast("double")
+    n = F.size(t)
+    scored = docs.select(
+        "doc_id",
+        ratio_round(
+            F.lit(0.5) * (hits / n)
+            + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
+        ).alias("quality_score"),
+    )
+    labeled = (
+        scored.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", "doc_id").alias("group_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("group_id")
+    ranked = labeled.select(
+        "doc_id",
+        "group_id",
+        "quality_score",
+        F.row_number()
+        .over(
+            Window.partitionBy("group_id").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "group_id",
+        F.col("doc_id").alias("survivor_doc_id"),
+        "quality_score",
+        F.col("n_members").cast("long").alias("n_members"),
     )

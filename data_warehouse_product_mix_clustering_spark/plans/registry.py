@@ -87,6 +87,10 @@ _DRIVER_PRIORITY: list[str] = [
     "asof_tolerance_quotes",
     "events_stream_topk",
     "training_corpus_sharded",
+    "doc_pii_redacted",
+    "doc_repetition",
+    "corpus_shuffle",
+    "dedup_best_of_group",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",

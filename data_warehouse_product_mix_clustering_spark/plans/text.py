@@ -464,3 +464,182 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound = split_boundaries({"keep": frac, "drop": 1 - frac})[0][1]
         keep = keep | ((F.col("lang") == lang) & (prefix < F.lit(bound)))
     return docs.filter(keep)
+
+
+# --- PII redaction -----------------------------------------------------------
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers only, no alternation, no
+# backreferences, no lookaround (RE2 has none).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus carries no PII, so the query derives a deterministic
+# contact header from the row itself (source + doc_id) and redacts THAT —
+# both engines build the identical string, so the scrubber is exercised on
+# real matches while inputs stay the driver's parquet tables.
+_CONTACT_SQL = (
+    "'reach ' || source || '.team@example.org or 10.' "
+    "|| CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) "
+    "|| ' :: ' || text"
+)
+
+
+@register(
+    "doc_pii_redacted",
+    oracle=f"""
+        WITH lined AS (
+            SELECT doc_id, {_CONTACT_SQL} AS contact FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}', 0)) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(contact, '{_IP_RE}', 0)) AS BIGINT)
+                   AS n_ips,
+               md5(regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_IP_RE}', '<IP>', 'g')) AS redacted_hash,
+               CAST(length(regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                          '{_IP_RE}', '<IP>', 'g')) AS BIGINT)
+                   AS redacted_len
+        FROM lined
+    """,
+)
+def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails and IPv4s, count the hits.
+
+    Training-corpus hygiene pass. Pure JVM `regexp_replace` /
+    `regexp_extract_all` — one scan, no shuffle, whole-stage codegen; at
+    100 TB this is embarrassingly parallel map work. The redacted text is
+    emitted as an md5 so the oracle hash-compares full content without
+    hauling wide strings through the result set.
+    """
+    docs = table(spark, "documents", sf_dir)
+    contact = F.concat(
+        F.lit("reach "), F.col("source"), F.lit(".team@example.org or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" :: "), F.col("text"),
+    )
+    lined = docs.select("doc_id", contact.alias("contact"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("contact"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return lined.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("contact", F.lit(_EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(_IP_RE), 0))
+        .cast("long").alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+        {_TOKS_CTE}
+        , counts AS (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        ), agg AS (
+            SELECT doc_id, tok, count(*) AS c FROM counts GROUP BY doc_id, tok
+        ), stats AS (
+            SELECT doc_id, tok, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, tok) AS rn,
+                   sum(c) OVER (PARTITION BY doc_id) AS total,
+                   count(*) OVER (PARTITION BY doc_id) AS n_distinct
+            FROM agg
+        )
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS n_tokens,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               {sql_ratio_round("CAST(n_distinct AS DOUBLE) / total")} AS distinct_ratio,
+               tok AS top_token,
+               {sql_ratio_round("CAST(c AS DOUBLE) / total")} AS top_token_fraction,
+               ({sql_ratio_round("CAST(c AS DOUBLE) / total")} >= 0.12) AS is_repetitive
+        FROM stats WHERE rn = 1
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: distinct-token ratio + top-token mass.
+
+    Boilerplate/degenerate-text filter for a pretraining corpus: documents
+    dominated by one token (or with a collapsed vocabulary) get flagged.
+    One explode + one (doc, token) groupBy whose partial aggregation
+    combines map-side, then per-doc windows — the window partitions by
+    doc_id, so parallelism scales with the corpus, no global sort. The
+    repetitive flag thresholds the ROUNDED fraction so the boundary is
+    cross-engine deterministic.
+    """
+    docs = table(spark, "documents", sf_dir)
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    ranked = tok_counts.select(
+        "doc_id",
+        "tok",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rn"),
+        F.sum("c").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    top_frac = ratio_round(F.col("c").cast("double") / F.col("total"))
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        ratio_round(F.col("n_distinct").cast("double") / F.col("total")).alias(
+            "distinct_ratio"
+        ),
+        F.col("tok").alias("top_token"),
+        top_frac.alias("top_token_fraction"),
+        (top_frac >= 0.12).alias("is_repetitive"),
+    )
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT)
+                   AS shard_id,
+               CAST(row_number() OVER (
+                   PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+               ) AS BIGINT) AS shard_pos
+        FROM keyed
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, shard-parallel.
+
+    LLM training wants each epoch's read order decorrelated from ingest
+    order. A single global ORDER BY md5 is a scale anti-pattern (one total
+    sort); instead the hash key itself assigns a shard (first hex nibble)
+    and position-within-shard comes from a per-shard window — 16-way (or
+    256-way with two nibbles) parallel, no global sort, and the (shard_id,
+    shard_pos) order is a fixed permutation of the corpus: same seed ⇒
+    same order on any engine, any partitioning, any run.
+    """
+    docs = table(spark, "documents", sf_dir)
+    k = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", k.alias("k"))
+    nib = F.substring("k", 1, 1)
+    return keyed.select(
+        "doc_id",
+        (F.expr("instr('0123456789abcdef', substring(k, 1, 1))") - 1)
+        .cast("long")
+        .alias("shard_id"),
+        F.row_number()
+        .over(Window.partitionBy(nib).orderBy("k", "doc_id"))
+        .cast("long")
+        .alias("shard_pos"),
+    )
