@@ -256,3 +256,30 @@ def test_product_features_no_expand(spark):
     (one narrow fact shuffle, a single distinct column at level 2)."""
     plan = plan_of(spark, "product_features")
     assert "Expand" not in plan
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """The deterministic shuffle must parallelize: position comes from a
+    per-shard window (Exchange on the shard nibble), never a global sort
+    (Exchange SinglePartition / rangepartitioning over the whole corpus)."""
+    plan = plan_of(spark, "corpus_shuffle")
+    assert "SinglePartition" not in plan, f"global sort in shuffle plan:\n{plan}"
+    assert "rangepartitioning" not in plan, f"global sort in shuffle plan:\n{plan}"
+    assert "hashpartitioning" in plan
+
+
+def test_pii_redaction_is_one_scan_no_shuffle(spark):
+    """Redaction is map-only: no Exchange of any kind in the plan, and the
+    scan prunes to the columns the contact line needs."""
+    plan = plan_of(spark, "doc_pii_redacted")
+    assert "Exchange" not in plan, f"shuffle in a map-only scrub:\n{plan}"
+    assert "ReadSchema" in plan and "text" in plan
+
+
+def test_best_of_group_ranks_without_text(spark):
+    """Survivor selection must not carry document text through the group
+    ranking shuffle — only (doc_id, group_id, score) travel."""
+    plan = plan_of(spark, "dedup_best_of_group")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(group_id" in line:
+            assert "text" not in line, f"text riding the ranking shuffle:\n{line}"
