@@ -339,3 +339,56 @@ def training_corpus_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(
         survivors, order_col="doc_id", weight_col="n_tokens", budget=PUBLISH_BUDGET
     ).select("doc_id", "n_tokens", "shard_id")
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), per_src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM toks GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               {sql_ratio_round("CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()")}
+                   AS observed_share,
+               {sql_ratio_round(
+                   "(1.0 / count(*) OVER ()) /"
+                   " (CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ())"
+               )} AS uniform_weight
+        FROM per_src
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source token share + resampling weight.
+
+    The mixture-balancing step of a pretraining data recipe: measure each
+    source's observed token share, then emit the multiplicative sampling
+    weight that would equalize the mixture (target share / observed share;
+    generalizing to any target vector is a broadcast join away). One scan +
+    one tiny groupBy; the share/weight window runs over |sources| rows on a
+    single partition — dimension-sized by definition, not a scale concern.
+    """
+    docs = table(spark, "documents", sf_dir)
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        ratio_round(obs).alias("observed_share"),
+        ratio_round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / obs).alias(
+            "uniform_weight"
+        ),
+    )

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_repetition",
     "corpus_shuffle",
     "dedup_best_of_group",
+    "source_mixture_weights",
     # Rows-only (no SQL oracle), never driver-checked through round 2.
     "ann_ivf_topk",
     "ann_pq_topk",
