@@ -321,12 +321,18 @@ def connected_components(
 
     Output: one row per node appearing in ``pairs``: (id, group_id).
     """
+    # Materialize the edge list ONCE: every propagation iteration joins
+    # against it, and without this the (often expensive) upstream pair plan
+    # — a shingle self-join or LSH bucket join — would re-execute per
+    # iteration, multiplying the dominant cost by O(diameter). The edge
+    # frame itself is pairs-sized (tiny next to the corpus).
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

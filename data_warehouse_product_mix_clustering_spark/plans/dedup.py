@@ -318,7 +318,10 @@ def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-window on group_id — no step touches full text after scoring.
     """
     docs = table(spark, "documents", sf_dir)
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    # Pair source is the LSH-verified MinHash path — near-linear, the 100 TB
+    # shape — whose verified output equals the exact-Jaccard pair set (same
+    # reasoning as dedup_minhash_lsh sharing the exact oracle).
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "group_id"
     )
