@@ -14,41 +14,36 @@ from pyspark.sql import functions as F
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Per-column profile: rows, nulls, distincts, min/max — ONE scan.
+    """Per-column profile: rows, nulls, distincts, min/max — columnar passes.
 
-    All per-column aggregates are computed in a single aggregation (one
-    pass, partial aggregation map-side), then pivoted to one row per
-    column with a ``stack`` expression — no per-column jobs, no driver
-    loop over data. min/max are stringified so heterogeneous column types
-    share one output schema.
+    One independent subplan per column, unioned: each computes count /
+    non-null / exact distinct / min / max over JUST that column, so the
+    parquet scan prunes to a single column and the distinct count plans as
+    a plain two-stage aggregate. The alternative — all ``count_distinct``s
+    in one aggregation — makes Catalyst Expand every row once per distinct
+    column (a |cols|× row multiplication of the full fact through one
+    shuffle); on columnar storage, |cols| single-column passes read the
+    same total bytes WITHOUT the blow-up and each tiny subplan runs in
+    parallel within one job. min/max are stringified so heterogeneous
+    column types share one output schema.
     """
     cols = columns or df.columns
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    parts = []
     for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
-    )
-    return one.select(
-        F.col("__n").alias("__n"),
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(column_name, n_non_null, n_distinct, min_value, max_value)"
-        ),
-    ).select(
-        "column_name",
-        F.col("__n").cast("long").alias("n_rows"),
-        (F.col("__n") - F.col("n_non_null")).cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_value",
-        "max_value",
-    )
+        parts.append(
+            df.select(F.col(c)).agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias("n_nulls"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def check_constraints(
