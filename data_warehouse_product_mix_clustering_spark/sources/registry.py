@@ -10,27 +10,50 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_warehouse_product_mix_clustering_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` across testdata vintages, type-gated.
+
+    Two on-disk encodings have been observed across driver rounds:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so it
+      arrives as epoch-nanos LongType via the ``nanosAsLong`` legacy conf →
+      truncate to a µs timestamp (the same truncation DuckDB applies).
+    - parquet timestamp[us] (current): arrives as TIMESTAMP_NTZ → cast to the
+      session-tz TIMESTAMP, value-preserving because the session tz is UTC
+      (session.py pins ``spark.sql.session.timeZone=UTC``).
+
+    Applying the nanos division unconditionally is what crashed round 3
+    (AnalysisException on TIMESTAMP_NTZ) and, on the streaming path, silently
+    collapsed µs values to ~1970 — hence the explicit type gate.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table. Lazy; nothing is scanned until an action.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as epoch-nanos long (legacy conf, runtime
-    settable) and truncate to a µs timestamp — the same truncation DuckDB
-    applies, so oracle comparisons stay exact.
+    ``events`` gets its ``ts`` column normalized to a µs session-tz
+    timestamp regardless of the file's encoding (see normalize_events_ts).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name == "events":
-        from pyspark.sql import functions as F
-
+        # Harmless for µs files; required in case ts is TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

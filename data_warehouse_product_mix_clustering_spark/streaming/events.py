@@ -14,27 +14,26 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
+from pyspark.sql.types import StructType
+
+from data_warehouse_product_mix_clustering_spark.sources.registry import (
+    normalize_events_ts,
 )
 
-# ``ts`` is parquet TIMESTAMP(NANOS): declared long (epoch nanos, via the
-# nanosAsLong legacy conf) and truncated to a µs timestamp after the scan.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Schema for the events stream, derived from the actual parquet file.
+
+    readStream requires a declared schema; hardcoding one (round 1-3) broke
+    when the testdata's ``ts`` encoding changed from TIMESTAMP(NANOS) to
+    timestamp[us]. Deriving it from a batch read of the same file keeps the
+    stream schema in lockstep with the data; normalize_events_ts then
+    type-gates the ts fixup for either encoding.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(
+        os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    ).schema
 
 
 def hourly_agg(events: DataFrame) -> DataFrame:
@@ -69,7 +68,7 @@ def stream_events(
     ``watermark=None`` skips the watermark for callers that rename the
     event-time column first (re-defining a watermark is disallowed).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_file_schema(spark, sf_dir)
     stage = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
@@ -78,11 +77,7 @@ def stream_events(
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
-    out = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    out = normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
     return out.withWatermark("ts", watermark) if watermark else out
 
 
@@ -180,7 +175,7 @@ def stream_events_duplicated(
     in the key lets the watermark expire state, so memory is bounded by
     the watermark horizon, not the stream's lifetime key cardinality.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_file_schema(spark, sf_dir)
     stage = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_stream_dup_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
@@ -192,9 +187,7 @@ def stream_events_duplicated(
         if not os.path.exists(link):
             os.symlink(src, link)
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
         .withWatermark("ts", watermark)
         .dropDuplicates(["event_id", "ts"])
     )

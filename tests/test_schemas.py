@@ -40,3 +40,39 @@ def test_all_testdata_tables_load(spark):
     for name in S.TESTDATA_TABLES:
         df = table(spark, name, SF_SMOKE)
         assert df.count() > 0, f"{name} empty"
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path, unit):
+    """The events loader must type-gate its ts fixup: timestamp[us] files
+    (current testdata) pass through as-is, TIMESTAMP(NANOS) files (round 1-2
+    testdata) are read as epoch-nanos longs and truncated to µs. Round 3
+    shipped with the nanos division applied unconditionally, which crashed
+    every events query when the testdata switched to µs — this test pins
+    both vintages so a future encoding change is a red unit test, not a
+    crashed bench."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = t0 + dt.timedelta(hours=1, microseconds=123456)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t1], pa.timestamp(unit)),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["view", "purchase"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    d = tmp_path / unit
+    d.mkdir()
+    # version=2.6 preserves TIMESTAMP(NANOS) on disk for unit="ns"
+    pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+    df = table(spark, "events", str(d))
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == [t0, t1], f"{unit}: {got}"
