@@ -51,8 +51,13 @@ def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decode step is the deterministic fake (codec libs not shipped —
     operators/media.py:real_decode is the gated real path); the plumbing
     (schema, batch shape, one narrow Python crossing) is the real design.
+    The 8-dim feature vector is serialized to JSON at the query boundary
+    so the driver's canonicalizer can sort/hash the result (values are
+    6-decimal rounded in the kernel); the array form stays available via
+    operators.media.frame_features.
     """
-    return frame_features(table(spark, "documents", sf_dir), "doc_id", "text")
+    ff = frame_features(table(spark, "documents", sf_dir), "doc_id", "text")
+    return ff.withColumn("features", F.to_json("features"))
 
 
 @register("media_resized")

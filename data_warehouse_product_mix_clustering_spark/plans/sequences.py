@@ -71,13 +71,12 @@ def quarterly_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sequence_arrays")
-def sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_arrays_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4's true shape: one row per product with the ordered struct array.
 
     sort_array(collect_list(struct(quarter_key, …))) — the quarter key
-    leads the struct so the sort is by time. Nested output ⇒ rows-only
-    driver check (array-of-struct value hashing is engine-specific).
+    leads the struct so the sort is by time. Library form; the registered
+    query serializes the array (below) so the driver can canonicalize it.
     """
     q = quarter_rollup(spark, sf_dir)
     return q.groupBy("product_id").agg(
@@ -87,6 +86,58 @@ def sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct("quarter_key", "order_frequency", "total_quantity", "revenue")
             )
         ).alias("sequence"),
+    )
+
+
+@register(
+    "sequence_arrays",
+    oracle=star_sql(
+        _QUARTERLY_CTE
+        + """
+        SELECT product_id, CAST(count(*) AS BIGINT) AS seq_len,
+               string_agg(
+                   quarter_key || ':' || order_frequency || ':'
+                       || CAST(total_quantity AS BIGINT) || ':'
+                       || CAST(round(revenue * 100) AS BIGINT),
+                   ';' ORDER BY quarter_key) AS sequence_csv
+        FROM quarterly
+        GROUP BY product_id
+    """
+    ),
+)
+def sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's sequence, serialized for cross-engine comparison.
+
+    Each element is ``quarter_key:order_frequency:total_quantity:cents``
+    (integers only — float→string formatting differs across engines, so
+    revenue rides as exact cents), joined time-ordered with ';'. The
+    nested array-of-struct shape stays available via
+    ``sequence_arrays_nested``; this boundary form is hashable by the
+    driver's canonicalizer AND oracle-checkable in DuckDB via string_agg.
+    """
+    q = quarter_rollup(spark, sf_dir)
+    elem = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "quarter_key", "order_frequency", "total_quantity", "revenue"
+                    )
+                )
+            ),
+            lambda s: F.concat_ws(
+                ":",
+                s.quarter_key.cast("string"),
+                s.order_frequency.cast("string"),
+                s.total_quantity.cast("long").cast("string"),
+                F.round(s.revenue * 100).cast("long").cast("string"),
+            ),
+        ),
+        ";",
+    )
+    return q.groupBy("product_id").agg(
+        F.count(F.lit(1)).cast("long").alias("seq_len"),
+        elem.alias("sequence_csv"),
     )
 
 
@@ -193,7 +244,15 @@ def sequence_embeddings_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_warehouse_product_mix_clustering_spark.ml.autoencoder import lstm_autoencoder_embeddings
 
-    return lstm_autoencoder_embeddings(quarter_rollup(spark, sf_dir))
+    emb = lstm_autoencoder_embeddings(quarter_rollup(spark, sf_dir))
+    # Serialize the vector at the query boundary: the driver's canonicalizer
+    # sorts result columns and cannot hash raw array cells. Values are
+    # already 6-decimal rounded by the scorer.
+    return emb.select(
+        "product_id",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.to_json(F.col("embedding")).alias("embedding_json"),
+    )
 
 
 @register("sequence_clusters_lstm")
