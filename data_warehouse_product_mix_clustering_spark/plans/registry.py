@@ -59,50 +59,67 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # Oracle-backed, never driver-checked through round 2.
+    # Red/ERR in round 3, fixed this round (events ts loader type-gate,
+    # array-output serialization) — re-earn green rows first.
     "events_stream_attribution",
-    "events_stream_dedup",
+    "events_stream_topk",
     "events_session_window",
-    "media_metadata",
-    "quarterly_sequences",
-    "trajectory_stats",
-    "sequence_embeddings",
     "nation_revenue_sql",
     "order_priority_sql",
-    "lineitem_profile",
-    "lineitem_quality",
-    # New in round 3 (oracle-backed) — needs its first driver row.
-    "asof_union_monthly_quotes",
-    "shard_packing",
-    "curriculum_stages",
-    "contamination_check",
-    "per_source_sample",
-    "lang_token_percentiles",
-    "revenue_grouping_sets",
-    "top_supplier_period",
-    "untapped_customer_balance",
-    "referential_integrity",
-    "trailing_30d_revenue",
-    "customer_revenue_distribution",
-    "asof_tolerance_quotes",
-    "events_stream_topk",
-    "training_corpus_sharded",
-    "doc_pii_redacted",
-    "doc_repetition",
-    "corpus_shuffle",
-    "dedup_best_of_group",
-    "source_mixture_weights",
-    # Rows-only (no SQL oracle), never driver-checked through round 2.
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "cluster_trajectories",
-    "features_pca",
     "media_frame_features",
-    "media_resized",
     "sequence_arrays",
-    "sequence_clusters",
     "sequence_embeddings_lstm",
-    "sequence_clusters_lstm",
+    # Plan changed in r3 (agg-below-join) without a fresh driver row.
+    "nation_revenue",
+    # New this round: driver-attested ANN recall gate.
+    "ann_recall_audit",
+    # Events family attested in r1 only — the loader they all share changed
+    # this round, so their attestation predates the code.
+    "events_tumbling_hourly",
+    "events_stream_hourly",
+    "events_sliding_qtr_hour",
+    "events_sessions",
+    "events_funnel",
+    "events_props_stats",
+    "events_stream_sessions",
+    "events_approx_stats",
+    # Star-schema consumers attested r2, before the r3 fact-join re-plan.
+    "returnflag_stats",
+    "category_pct_of_total",
+    "product_search",
+    "product_pagination",
+    "top3_per_category",
+    "category_values",
+    "recent_activity",
+    "quarter_rollup",
+    "global_metrics",
+    # r1-only attestations (oldest on record).
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "features_zscore",
+    "product_clusters",
+    "cluster_profile",
+    "embedding_clusters",
+    "clustering_quality",
+    # Dedup family re-planned in r3 (LSH bucket cache, edge-list
+    # materialization) after its r2 attestation.
+    "dedup_minhash_lsh",
+    "dedup_groups",
+    "documents_dedup",
+    "dedup_exact",
+    "dedup_embedding_lsh",
+    # Remaining r2 attestations, oldest-first refresh.
+    "doc_profile",
+    "pricing_summary",
+    "shipping_priority",
+    "latest_order_top1",
+    "semi_join_large_parts",
+    "customer_order_setops",
+    "anti_join_inactive_customers",
+    "promo_revenue_pct",
+    "customer_value_quartiles",
+    "orders_above_customer_avg",
 ]
 
 

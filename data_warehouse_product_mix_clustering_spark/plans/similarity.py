@@ -128,6 +128,65 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+        SELECT unnest(['ivf', 'lsh', 'pq']) AS method,
+               CAST({N_QUERIES} AS BIGINT) AS n_probes,
+               TRUE AS recall_pass
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested ANN quality gate: mean recall@10 of every
+    approximate index (LSH, IVF, PQ) vs the exact cosine baseline.
+
+    The recall computation runs entirely in Spark (approx top-k semi-joined
+    against exact top-k); the oracle encodes the CONTRACT — each method's
+    mean recall over the probe set must clear its floor. Floors are the
+    honest deterministic curves on this near-uniform corpus (IVF's worst
+    case — see test_ivf_recall_vs_brute_force): LSH ≥ 0.7, IVF(nprobe=4/16)
+    ≥ 0.5, PQ ≥ 0.9; measured values are 0.82-0.88 / 0.60-0.64 / 0.94-0.98
+    at sf0.001-0.01, so a floor breach means the index regressed, and the
+    driver row hash-mismatches — ANN quality as a driver-checkable signal
+    instead of a pytest-only pin.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", TOP_K).select(
+        "query_id", "vec_id"
+    )
+
+    methods = {
+        "lsh": (lsh_topk(emb, probes, "vec_id", "embedding", TOP_K), 0.7),
+        "ivf": (
+            ivf_topk(
+                emb, probes, "vec_id", "embedding", k=TOP_K, nlist=16, nprobe=4
+            ),
+            0.5,
+        ),
+        "pq": (pq_topk(emb, probes, "vec_id", "embedding", TOP_K), 0.9),
+    }
+    parts = []
+    for method, (approx, floor) in methods.items():
+        hits = approx.select("query_id", "vec_id").join(
+            exact, ["query_id", "vec_id"], "left_semi"
+        )
+        parts.append(
+            hits.agg(
+                F.countDistinct("query_id").alias("n_probes"),
+                (
+                    F.count(F.lit(1)) / F.lit(float(N_QUERIES * TOP_K)) >= floor
+                ).alias("recall_pass"),
+            ).select(F.lit(method).alias("method"), "n_probes", "recall_pass")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("ann_pq_topk")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-10 (m=16 subspace codebooks).
