@@ -104,15 +104,17 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl.py:70 uses left + downstream dropna at :88 — inner expresses the same
     surviving set declaratively).
     """
-    # MERGE hint: at production scale the header side is ~1/4 the fact —
-    # far beyond any broadcast threshold — so sort-merge on the order key
-    # is the plan a real cluster runs; pinning it locally keeps the bench
-    # plan-faithful AND parallel (the join's own exchange redistributes a
-    # few-row-group scan across the cluster, on only the projected columns
-    # — measured ~0.5-0.8s/query cheaper than a round-robin fan_out whose
-    # shuffle carries full-width rows and whose work the join re-does).
+    # SHUFFLE_HASH hint: at production scale the header side is ~1/4 the
+    # fact — far beyond any broadcast threshold — so the join must shuffle
+    # both sides on the order key; hashing the smaller (header) side skips
+    # the per-partition sorts a sort-merge join pays on BOTH inputs (~20%
+    # on this join, measured at sf0.1). Memory-safe at scale: the build
+    # side is one header partition (|orders|/shuffle.partitions), bounded
+    # by the same sizing that keeps any shuffle partition executor-sized,
+    # and AQE's skew splitting applies. Same exchange as SMJ, so the plan
+    # is cluster-faithful — just cheaper per partition.
     li = table(spark, "lineitem", sf_dir)
-    orders = table(spark, "orders", sf_dir).hint("MERGE")
+    orders = table(spark, "orders", sf_dir).hint("SHUFFLE_HASH")
     return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
         F.col("l_partkey").alias("ProductID"),
         F.col("l_quantity").alias("OrderQty"),

@@ -308,11 +308,19 @@ def _asof_union(
     NULL field (e.g. an open interval's end date) and resurrect the
     previous row's value; a struct is non-null as a whole, so its internal
     NULLs survive the carry.
+
+    Each side's payload is packed into a struct BEFORE the union: a NULL
+    struct costs only a null bit in the shuffled UnsafeRow, whereas flat
+    null-padded fixed-width columns (the obvious layout) still occupy
+    their 8-byte slots on every row of the OTHER side — on a right side
+    bigger than the left that's pure wasted shuffle volume.
     """
     ts = "__asof_ts"
     side = "__asof_side"  # 0 = right (sorts before left on ties → inclusive)
     rstruct = "__asof_r"
+    lstruct = "__asof_l"
     rcols = _right_cols(right, right_on, by)
+    lcols = [c for c in left.columns if c not in by]
 
     rpart = right.select(
         *[F.col(k) for k in by],
@@ -322,19 +330,17 @@ def _asof_union(
             *[F.col(c) for c in rcols], F.col(right_on).alias("__r_on")
         ).alias(rstruct),
     )
-    struct_type = rpart.schema[rstruct].dataType
+    rtype = rpart.schema[rstruct].dataType
     lpart = left.select(
-        "*",
+        *[F.col(k) for k in by],
         F.col(left_on).alias(ts),
         F.lit(1).alias(side),
-        F.lit(None).cast(struct_type).alias(rstruct),
+        F.lit(None).cast(rtype).alias(rstruct),
+        F.struct(*[F.col(c) for c in lcols]).alias(lstruct),
     )
-    for c in left.columns:
-        if c not in by:
-            rpart = rpart.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-
-    cols = by + [c for c in left.columns if c not in by] + [rstruct, ts, side]
-    unioned = lpart.select(*cols).unionByName(rpart.select(*cols))
+    ltype = lpart.schema[lstruct].dataType
+    rpart = rpart.withColumn(lstruct, F.lit(None).cast(ltype))
+    unioned = lpart.unionByName(rpart.select(*lpart.columns))
 
     # Tie-break among right rows sharing the same start: the open interval
     # (NULL end) — or failing that the longest one — is carried, matching
@@ -359,10 +365,13 @@ def _asof_union(
         # discard stale matches: the carried interval already ended.
         matched = matched & (
             F.col(f"{rstruct}.{end_col}").isNull()
-            | (F.col(left_on) <= F.col(f"{rstruct}.{end_col}"))
+            | (F.col(f"{lstruct}.{left_on}") <= F.col(f"{rstruct}.{end_col}"))
         )
     out = carried.select(
-        *[F.col(c) for c in left.columns],
+        *[
+            F.col(c) if c in by else F.col(f"{lstruct}.{c}").alias(c)
+            for c in left.columns
+        ],
         *[
             F.when(matched, F.col(f"{rstruct}.{c}")).otherwise(F.lit(None)).alias(c)
             for c in rcols
