@@ -357,15 +357,18 @@ def _asof_union(
     carried = (
         unioned.withColumn(rstruct, F.last(rstruct, ignorenulls=True).over(w))
         .filter(F.col(side) == 1)
-        .drop(side, ts)
+        .drop(side)
     )
 
     matched = F.col(rstruct).isNotNull()
     if end_col is not None:
-        # discard stale matches: the carried interval already ended.
+        # Discard stale matches: the carried interval already ended. The
+        # retained __asof_ts column holds left_on's value on side-1 rows —
+        # reading left_on through lstruct would break when left_on is also
+        # a by-key (by-keys are excluded from the packed struct).
         matched = matched & (
             F.col(f"{rstruct}.{end_col}").isNull()
-            | (F.col(f"{lstruct}.{left_on}") <= F.col(f"{rstruct}.{end_col}"))
+            | (F.col(ts) <= F.col(f"{rstruct}.{end_col}"))
         )
     out = carried.select(
         *[

@@ -97,7 +97,7 @@ def sequence_arrays_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT product_id, CAST(count(*) AS BIGINT) AS seq_len,
                string_agg(
                    quarter_key || ':' || order_frequency || ':'
-                       || CAST(total_quantity AS BIGINT) || ':'
+                       || CAST(trunc(total_quantity) AS BIGINT) || ':'
                        || CAST(round(revenue * 100) AS BIGINT),
                    ';' ORDER BY quarter_key) AS sequence_csv
         FROM quarterly
@@ -129,6 +129,9 @@ def sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ":",
                 s.quarter_key.cast("string"),
                 s.order_frequency.cast("string"),
+                # cast('long') truncates toward zero; the oracle matches with
+                # CAST(trunc(...) AS BIGINT) — DuckDB's bare double→BIGINT cast
+                # ROUNDS, which would silently diverge on fractional sums.
                 s.total_quantity.cast("long").cast("string"),
                 F.round(s.revenue * 100).cast("long").cast("string"),
             ),

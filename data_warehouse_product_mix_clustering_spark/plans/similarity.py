@@ -168,6 +168,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq": (pq_topk(emb, probes, "vec_id", "embedding", TOP_K), 0.9),
     }
+    # n_probes counts the PROBE SET (matching the oracle's pinned N_QUERIES),
+    # not probes-with-≥-1-hit: countDistinct over the semi-joined hits would
+    # silently add a stricter every-probe-hits gate on top of the mean-recall
+    # floor (a probe with zero overlap would flip the row red even when the
+    # mean clears its floor).
+    probe_count = probes.agg(F.countDistinct("vec_id").alias("n_probes"))
     parts = []
     for method, (approx, floor) in methods.items():
         hits = approx.select("query_id", "vec_id").join(
@@ -175,11 +181,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(
             hits.agg(
-                F.countDistinct("query_id").alias("n_probes"),
                 (
                     F.count(F.lit(1)) / F.lit(float(N_QUERIES * TOP_K)) >= floor
                 ).alias("recall_pass"),
-            ).select(F.lit(method).alias("method"), "n_probes", "recall_pass")
+            )
+            .crossJoin(F.broadcast(probe_count))
+            .select(F.lit(method).alias("method"), "n_probes", "recall_pass")
         )
     out = parts[0]
     for p in parts[1:]:

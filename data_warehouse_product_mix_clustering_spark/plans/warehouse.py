@@ -213,11 +213,14 @@ def asof_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_product = joined.groupBy("IntervalId", "ProductID").agg(
         F.count(F.lit(1)).alias("n"), F.sum("LineTotal").alias("rev")
     )
+    # F.count(col) (not count(*)) so a NULL-ProductID group is NOT counted
+    # as a product — matching count(DISTINCT ProductID)'s NULL-skipping
+    # semantics exactly, not just for today's non-null l_partkey.
     return (
         per_product.groupBy("IntervalId")
         .agg(
             F.sum("n").cast("long").alias("n_lines"),
-            F.count(F.lit(1)).alias("n_products"),
+            F.count(F.col("ProductID")).alias("n_products"),
             money_round(F.sum("rev")).alias("revenue"),
         )
         .withColumnRenamed("IntervalId", "interval_id")
