@@ -320,15 +320,24 @@ def _asof_union(
     rstruct = "__asof_r"
     lstruct = "__asof_l"
     rcols = _right_cols(right, right_on, by)
-    lcols = [c for c in left.columns if c not in by]
+    # The event-time columns do NOT ride inside the payload structs — ts
+    # already holds left_on (side 1) / right_on (side 0), and duplicating
+    # them (the obvious layout) adds 8 bytes × every shuffled row. They are
+    # reconstructed after the window: left_on from ts, right_on from a
+    # second carry expression over the SAME window frame (one sort pass,
+    # two aggregate buffers).
+    lcols = [c for c in left.columns if c not in by and c != left_on]
+    rfields = [F.col(c) for c in rcols] or [F.lit(True).alias("__asof_m")]
+    lfields = [F.col(c) for c in lcols] or [F.lit(True).alias("__asof_m")]
 
-    rpart = right.select(
+    # A NULL right_on row can never be an as-of match (the range predicate
+    # is null-rejecting in the broadcast strategy); dropping it here keeps
+    # the two carry expressions (rstruct, rts) row-consistent.
+    rpart = right.filter(F.col(right_on).isNotNull()).select(
         *[F.col(k) for k in by],
         F.col(right_on).alias(ts),
         F.lit(0).alias(side),
-        F.struct(
-            *[F.col(c) for c in rcols], F.col(right_on).alias("__r_on")
-        ).alias(rstruct),
+        F.struct(*rfields).alias(rstruct),
     )
     rtype = rpart.schema[rstruct].dataType
     lpart = left.select(
@@ -336,7 +345,7 @@ def _asof_union(
         F.col(left_on).alias(ts),
         F.lit(1).alias(side),
         F.lit(None).cast(rtype).alias(rstruct),
-        F.struct(*[F.col(c) for c in lcols]).alias(lstruct),
+        F.struct(*lfields).alias(lstruct),
     )
     ltype = lpart.schema[lstruct].dataType
     rpart = rpart.withColumn(lstruct, F.lit(None).cast(ltype))
@@ -354,11 +363,26 @@ def _asof_union(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Both carries in ONE select so Catalyst plans a single Window operator
+    # (chained withColumns put a Project between two same-spec Windows,
+    # which blocks CollapseWindow → two walks per partition).
+    rts = "__asof_rts"
+    rcarry = "__asof_rc"
     carried = (
-        unioned.withColumn(rstruct, F.last(rstruct, ignorenulls=True).over(w))
+        unioned.select(
+            *[F.col(k) for k in by],
+            F.col(ts),
+            F.col(side),
+            F.col(lstruct),
+            F.last(rstruct, ignorenulls=True).over(w).alias(rcarry),
+            F.last(F.when(F.col(side) == 0, F.col(ts)), ignorenulls=True)
+            .over(w)
+            .alias(rts),
+        )
         .filter(F.col(side) == 1)
         .drop(side)
     )
+    rstruct = rcarry
 
     matched = F.col(rstruct).isNotNull()
     if end_col is not None:
@@ -370,18 +394,20 @@ def _asof_union(
             F.col(f"{rstruct}.{end_col}").isNull()
             | (F.col(ts) <= F.col(f"{rstruct}.{end_col}"))
         )
+    def _left_out(c: str) -> Column:
+        if c in by:
+            return F.col(c)
+        if c == left_on:
+            return F.col(ts).alias(c)
+        return F.col(f"{lstruct}.{c}").alias(c)
+
     out = carried.select(
-        *[
-            F.col(c) if c in by else F.col(f"{lstruct}.{c}").alias(c)
-            for c in left.columns
-        ],
+        *[_left_out(c) for c in left.columns],
         *[
             F.when(matched, F.col(f"{rstruct}.{c}")).otherwise(F.lit(None)).alias(c)
             for c in rcols
         ],
-        F.when(matched, F.col(f"{rstruct}.__r_on")).otherwise(F.lit(None)).alias(
-            right_on
-        ),
+        F.when(matched, F.col(rts)).otherwise(F.lit(None)).alias(right_on),
     )
     if how == "inner":
         out = out.filter(F.col(right_on).isNotNull())
