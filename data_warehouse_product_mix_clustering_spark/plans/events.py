@@ -299,6 +299,138 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessions(spark, sf_dir)
 
 
+@register(
+    "stream_sessions_audit",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_seq, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_seq
+        ), mx AS (SELECT max(ts) AS max_ts FROM events),
+        open_s AS (
+            SELECT count(*) AS n_open FROM sessions, mx
+            WHERE epoch_us(max_ts) // 1000 <= epoch_us(session_end) // 1000 + 1800000
+        )
+        SELECT CAST((SELECT count(*) FROM sessions) AS BIGINT) AS n_batch,
+               CAST((SELECT count(*) FROM sessions) - n_open AS BIGINT) AS n_stream,
+               CAST(n_open AS BIGINT) AS n_open_final,
+               CAST(0 AS BIGINT) AS n_unexplained,
+               TRUE AS contract_pass
+    FROM open_s
+    """,
+)
+def stream_sessions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciles streaming sessionization against the batch twin as a
+    driver-attestable CONTRACT (the ``ann_recall_audit`` pattern).
+
+    The streaming operator (``events_stream_sessions``) legitimately emits
+    fewer sessions than the batch plan: a session whose last event lies
+    within the 30 min gap of the stream's final watermark never times out,
+    so its state is still open when the availableNow replay drains. This
+    query runs BOTH plans and proves the delta is EXACTLY that set:
+
+    - every streaming session matches a batch session on
+      (user_id, session_start, n_events);
+    - every batch session missing from the stream is still-open at the
+      final watermark (``watermark_ms <= session_end_ms + gap_ms`` — the
+      state-timeout fires only when the watermark passes last_event + gap,
+      both held at Spark's millisecond watermark precision);
+    - counts reconcile: n_batch − n_stream == n_open_final.
+
+    The oracle derives the EXPECTED n_stream from batch data plus this
+    watermark contract, so a streaming regression (dropped, duplicated, or
+    mis-bucketed sessions) flips n_stream / n_unexplained / contract_pass
+    and hash-mismatches the driver row.
+    """
+    from data_warehouse_product_mix_clustering_spark.streaming.sessions import run_streaming_sessions
+
+    ev = table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") <= 1800, 0
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("session_seq", F.sum("new_session").over(run))
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    stream = run_streaming_sessions(spark, sf_dir)
+
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    classified = (
+        sessions.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "is_open",
+            F.expr("unix_micros(max_ts) div 1000")
+            <= F.expr("unix_micros(session_end) div 1000") + F.lit(1800000),
+        )
+        .join(
+            stream.select(
+                "user_id", "session_start", F.col("n_events").alias("s_n_events")
+            ),
+            ["user_id", "session_start"],
+            "left",
+        )
+    )
+    batch_side = classified.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("is_open"), 1).otherwise(0)).alias("n_open_final"),
+        F.sum(
+            F.when(
+                # a batch session is unexplained if it's absent from the
+                # stream without being open, or present with a different
+                # event count
+                (F.col("s_n_events").isNull() & ~F.col("is_open"))
+                | (F.col("s_n_events").isNotNull()
+                   & (F.col("s_n_events") != F.col("n_events"))),
+                1,
+            ).otherwise(0)
+        ).alias("n_unexpl_batch"),
+    )
+    stream_count = stream.agg(F.count(F.lit(1)).alias("n_stream"))
+    stream_only = stream.join(
+        sessions.select("user_id", "session_start"),
+        ["user_id", "session_start"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_stream_only"))
+
+    unexplained = F.col("n_unexpl_batch") + F.col("n_stream_only")
+    return (
+        batch_side.crossJoin(stream_count)
+        .crossJoin(stream_only)
+        .select(
+            F.col("n_batch").cast("long").alias("n_batch"),
+            F.col("n_stream").cast("long").alias("n_stream"),
+            F.col("n_open_final").cast("long").alias("n_open_final"),
+            unexplained.cast("long").alias("n_unexplained"),
+            (
+                (unexplained == 0)
+                & (F.col("n_batch") - F.col("n_stream") == F.col("n_open_final"))
+            ).alias("contract_pass"),
+        )
+    )
+
+
 @register("events_approx_stats")
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: the opt-in scale path for exact count-distinct.
