@@ -147,14 +147,96 @@ def _decode_png(raw: bytes) -> dict:
     }
 
 
+_WAV_MAGIC_RIFF = b"RIFF"
+_WAV_MAGIC_WAVE = b"WAVE"
+
+
+def _decode_wav(raw: bytes) -> dict:
+    """Pure-stdlib WAV decode: RIFF/fmt/data chunk walk via struct.unpack.
+
+    Emits REAL sample_rate / channels / bits_per_sample / n_samples from
+    the container header — no codec library needed for PCM WAV (the header
+    is a fixed little-endian layout). Compressed audio_format values other
+    than 1 (PCM) raise NotImplementedError; the fake decoder remains the
+    fallback for those.
+
+    Audio maps onto the frame-feature kernel's image vocabulary as
+    1-second frames: n_frames = ceil(duration_sec), width = samples per
+    frame (the sample rate), height = 1, pixels = the raw PCM data bytes.
+    """
+    import math
+    import struct
+
+    if raw[:4] != _WAV_MAGIC_RIFF or raw[8:12] != _WAV_MAGIC_WAVE:
+        raise ValueError("not a WAV payload")
+    pos, fmt_chunk, data_len = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, length = struct.unpack("<4sI", raw[pos : pos + 8])
+        pos += 8
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", raw[pos : pos + 16])
+        elif cid == b"data":
+            data_len = min(length, len(raw) - pos)
+        pos += length + (length & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt_chunk
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio_format={audio_format} (non-PCM) needs a codec "
+            "library; only PCM parses header-side"
+        )
+    bytes_per_sample = max(1, bits // 8) * max(1, channels)
+    n_samples = data_len // bytes_per_sample
+    n_frames = max(1, math.ceil(n_samples / max(1, sample_rate)))
+    data_start = raw.find(b"data")
+    pcm = raw[data_start + 8 : data_start + 8 + data_len] if data_start >= 0 else b""
+    return {
+        "width": int(sample_rate),
+        "height": 1,
+        "channels": int(channels),
+        "n_frames": int(n_frames),
+        "pixels": pcm,
+        "sample_rate": int(sample_rate),
+        "bits_per_sample": int(bits),
+        "n_samples": int(n_samples),
+        "block_align": int(block_align),
+    }
+
+
+def make_wav(
+    pcm: bytes, sample_rate: int = 8000, channels: int = 1, sampwidth: int = 1
+) -> bytes:
+    """Encode raw PCM bytes as a WAV container (stdlib ``wave`` writer).
+
+    The encoder half of the round trip that attests ``_decode_wav``:
+    synthesize with the standard library, decode with this module's RIFF
+    parser, compare fields. ``wave`` truncates trailing bytes that don't
+    fill a whole frame (channels × sampwidth)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        frame = channels * sampwidth
+        w.writeframes(pcm[: len(pcm) - len(pcm) % frame])
+    return buf.getvalue()
+
+
 def real_decode(payload_bytes: bytes, fmt: str) -> dict:
-    """Real codec path. PNG decodes with the stdlib-only decoder above;
-    wav/mp4 need soundfile/av (not shipped here) and raise."""
+    """Real codec path. PNG decodes with the stdlib-only decoder above and
+    WAV with the stdlib RIFF parser; mp4 needs a codec library (av, not
+    shipped here) and raises."""
     if fmt == "png":
         return _decode_png(payload_bytes)
+    if fmt == "wav":
+        return _decode_wav(payload_bytes)
     raise NotImplementedError(
-        "STUB: wav/mp4 decoding needs codec libraries (soundfile/av) that "
-        "are not installed in this environment; the pipeline uses the "
+        "STUB: mp4 decoding needs a codec library (av) that is not "
+        "installed in this environment; the pipeline uses the "
         "deterministic fake decoder instead."
     )
 
@@ -164,7 +246,11 @@ def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
     None (→ caller falls back to the deterministic fake). Detection is by
     content magic, not the format tag, so synthetic text payloads tagged
     'png' still take the fake path while genuine PNGs decode for real."""
-    if fmt == "png" and raw[:8] == _PNG_MAGIC:
+    is_png = fmt == "png" and raw[:8] == _PNG_MAGIC
+    is_wav = (
+        fmt == "wav" and raw[:4] == _WAV_MAGIC_RIFF and raw[8:12] == _WAV_MAGIC_WAVE
+    )
+    if is_png or is_wav:
         try:
             return real_decode(raw, fmt)
         except NotImplementedError:
@@ -253,6 +339,56 @@ def frame_features(
         payload(F.col(text_col)).alias("payload"),
     )
     return media.mapInPandas(make_decode_kernel(sample_every), FRAME_FEATURES_SCHEMA)
+
+
+WAV_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def wav_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Encode→decode WAV round trip: stdlib ``wave`` writer in, this
+    module's RIFF parser out.
+
+    Synthesis parameters are pure functions of the row id
+    (``sample_rate = 8000 + 4000·(id % 3)``, ``channels = 1 + id % 2``,
+    8-bit PCM of the utf-8 text bytes), so every decoded field is
+    predictable from (id, text length) — which makes the REAL decoder
+    oracle-checkable in SQL: a header-parse regression diverges the
+    decoded fields from the closed-form expectation and hash-mismatches.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c.name: [] for c in WAV_ROUNDTRIP_SCHEMA}
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                did = int(doc_id)
+                rate = 8000 + 4000 * (did % 3)
+                channels = 1 + did % 2
+                wav = make_wav(bytes(data), rate, channels, sampwidth=1)
+                d = _decode_wav(wav)
+                rows["doc_id"].append(did)
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["n_channels"].append(d["channels"])
+                rows["bits_per_sample"].append(d["bits_per_sample"])
+                rows["n_samples"].append(d["n_samples"])
+                rows["duration_ms"].append(
+                    d["n_samples"] * 1000 // d["sample_rate"]
+                )
+            yield pd.DataFrame(rows)
+
+    media = fan_out(df).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload(F.col(text_col)).alias("payload"),
+    )
+    return media.mapInPandas(kernel, WAV_ROUNDTRIP_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

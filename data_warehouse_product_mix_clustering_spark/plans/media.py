@@ -60,6 +60,35 @@ def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ff.withColumn("features", F.to_json("features"))
 
 
+@register(
+    "media_wav_metadata",
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(8 AS BIGINT) AS bits_per_sample,
+               CAST(octet_length(encode(text)) // (1 + doc_id % 2) AS BIGINT)
+                   AS n_samples,
+               CAST((octet_length(encode(text)) // (1 + doc_id % 2)) * 1000
+                    // (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms
+        FROM documents
+    """,
+)
+def media_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode, driver-attested via an encode→decode round trip.
+
+    Each document's utf-8 bytes become 8-bit PCM in a WAV container
+    (stdlib ``wave`` writer, per-row rate/channel parameters derived from
+    doc_id), then operators.media._decode_wav parses the RIFF/fmt/data
+    header back. The oracle states the closed-form expectation for every
+    decoded field, so the decoder itself is under the hash gate — unlike
+    a fake-decoder row, a header-parse bug here turns the driver row red.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.media import wav_roundtrip
+
+    return wav_roundtrip(table(spark, "documents", sf_dir), "doc_id", "text")
+
+
 @register("media_resized")
 def media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: every payload resampled to a uniform 32×32 target.

@@ -469,6 +469,61 @@ def test_png_decoder_roundtrip():
     assert g["pixels"] == bytes((x * y * 31) % 256 for y in range(4) for x in range(5))
 
 
+def test_wav_decoder_roundtrip():
+    """The RIFF parser must recover the exact header fields the stdlib
+    ``wave`` writer encoded — rates, channels, widths, sample counts —
+    and the raw PCM data bytes."""
+    from data_warehouse_product_mix_clustering_spark.operators.media import _decode_wav, make_wav, real_decode
+
+    pcm = bytes((i * 37) % 256 for i in range(1003))
+    for rate, channels, sampwidth in [(8000, 1, 1), (16000, 2, 1), (44100, 2, 2)]:
+        wav = make_wav(pcm, rate, channels, sampwidth)
+        d = real_decode(wav, "wav")
+        frame = channels * sampwidth
+        kept = len(pcm) - len(pcm) % frame
+        assert d["sample_rate"] == rate
+        assert d["channels"] == channels
+        assert d["bits_per_sample"] == sampwidth * 8
+        assert d["n_samples"] == kept // frame
+        assert d["pixels"] == pcm[:kept]
+        # image-vocabulary mapping for the frame kernel: 1-second frames
+        assert d["height"] == 1 and d["width"] == rate
+        import math
+
+        assert d["n_frames"] == max(1, math.ceil(d["n_samples"] / rate))
+
+    # non-PCM audio_format must refuse (fake-decoder fallback), not lie
+    import struct
+
+    compressed = bytearray(make_wav(pcm, 8000, 1, 1))
+    fmt_at = bytes(compressed).find(b"fmt ")
+    struct.pack_into("<H", compressed, fmt_at + 8, 6)  # 6 = A-law
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_wav(bytes(compressed))
+
+
+def test_real_wav_through_spark_kernel(spark):
+    """Genuine WAV payloads through the mapInPandas frame kernel: real
+    sample-rate-derived dimensions, 1-second frame sampling."""
+    from data_warehouse_product_mix_clustering_spark.operators.media import (
+        FRAME_FEATURES_SCHEMA,
+        make_decode_kernel,
+        make_wav,
+    )
+
+    rate = 1000
+    pcm = bytes((i * 11) % 256 for i in range(2500))  # 2.5 s at 1 kHz mono
+    media = spark.createDataFrame(
+        [(1, "wav", bytearray(make_wav(pcm, rate, 1, 1)))],
+        "doc_id long, media_format string, payload binary",
+    )
+    rows = media.mapInPandas(make_decode_kernel(1), FRAME_FEATURES_SCHEMA).collect()
+    assert len(rows) == 3  # ceil(2.5) one-second frames
+    assert all(r.width == rate and r.height == 1 for r in rows)
+
+
 def test_real_png_through_spark_kernels(spark):
     """A genuine PNG payload through the SAME mapInPandas kernels the
     synthetic corpus uses: frame features carry the real dimensions, and
