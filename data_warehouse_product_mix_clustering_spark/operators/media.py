@@ -313,7 +313,10 @@ def make_decode_kernel(sample_every: int = 1):
                     feats = []
                     for j in range(8):
                         sl = chunk[j::8] or b"\x00"
-                        feats.append(round(sum(sl) / len(sl) / 255.0, 6))
+                        # repo-wide cross-engine rounding convention: +1e-9
+                        # pushes exact .5e-6 boundaries off the rounding
+                        # cliff so Python/Spark/DuckDB all agree at 6dp
+                        feats.append(round(sum(sl) / len(sl) / 255.0 + 1e-9, 6))
                     out["doc_id"].append(doc_id)
                     out["media_format"].append(fmt)
                     out["frame_index"].append(fi)

@@ -44,20 +44,104 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_frame_features")
+@register(
+    "media_frame_features",
+    oracle="""
+        WITH meta AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                      WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4' ELSE 'png' END
+                     AS media_format,
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS len
+          FROM documents
+        ), bytes AS (
+          SELECT doc_id, media_format, len,
+                 list_transform(range(0, len),
+                   i -> (strpos('0123456789ABCDEF',
+                                substring(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16
+                      + strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS bl
+          FROM meta
+        ), hashed AS (
+          SELECT doc_id, media_format, len, bl,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), bl[1:least(64, len)]),
+                             (a, x) -> (a*131 + x) % 2147483648) AS h
+          FROM bytes
+        ), dims AS (
+          SELECT doc_id, media_format, len, bl,
+                 16 + h % 48 AS width,
+                 16 + (h // 256) % 48 AS height,
+                 CASE WHEN media_format = 'png' THEN 1
+                      ELSE 1 + (h // 65536) % 4 END AS n_frames
+          FROM hashed
+        ), frames AS (
+          SELECT doc_id, media_format, width, height, len, bl,
+                 unnest(range(0, n_frames)) AS frame_index,
+                 greatest(1, len // n_frames) AS stride
+          FROM dims
+        ), chunks AS (
+          SELECT doc_id, media_format, frame_index, width, height,
+                 CASE WHEN len(c0) = 0 THEN [CAST(0 AS BIGINT)] ELSE c0 END AS chunk
+          FROM (
+            SELECT *, bl[CAST(frame_index*stride+1 AS INTEGER)
+                       : CAST(least((frame_index+1)*stride, len) AS INTEGER)] AS c0
+            FROM frames
+          )
+        )
+        SELECT doc_id, media_format,
+               CAST(frame_index AS BIGINT) AS frame_index,
+               CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+               array_to_string(
+                 list_transform(range(0, 8), j ->
+                   CAST(CASE WHEN len(list_transform(
+                                 range(CAST(j AS INTEGER), CAST(len(chunk) AS INTEGER), 8),
+                                 k -> chunk[CAST(k+1 AS INTEGER)])) = 0
+                        THEN 0
+                        ELSE round(round(
+                               CAST(list_sum(list_transform(
+                                 range(CAST(j AS INTEGER), CAST(len(chunk) AS INTEGER), 8),
+                                 k -> chunk[CAST(k+1 AS INTEGER)])) AS DOUBLE)
+                               / len(list_transform(
+                                 range(CAST(j AS INTEGER), CAST(len(chunk) AS INTEGER), 8),
+                                 k -> chunk[CAST(k+1 AS INTEGER)]))
+                               / 255.0 + 1e-9, 6) * 1000000)
+                        END AS BIGINT)::VARCHAR),
+                 ',') AS features
+        FROM chunks
+    """,
+)
 def media_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + frame-sample + featurize via Arrow-batched mapInPandas.
+    """Decode + frame-sample + featurize via Arrow-batched mapInPandas —
+    now HASH-CHECKED, not rows-only.
 
-    The decode step is the deterministic fake (codec libs not shipped —
-    operators/media.py:real_decode is the gated real path); the plumbing
-    (schema, batch shape, one narrow Python crossing) is the real design.
-    The 8-dim feature vector is serialized to JSON at the query boundary
-    so the driver's canonicalizer can sort/hash the result (values are
-    6-decimal rounded in the kernel); the array form stays available via
-    operators.media.frame_features.
+    The synthetic corpus takes the deterministic fake-decoder path (text
+    payloads carry no codec magic), which makes every output row a pure
+    function of (doc_id, payload bytes) — and that function is SQL:
+    the oracle re-states the 64-byte polynomial hash (list_reduce), the
+    derived dimensions, the frame chunking, and the 8 strided byte-mean
+    features, byte-extracted in DuckDB via hex()+strpos arithmetic. The
+    REAL decode paths (PNG zlib inflate, WAV RIFF parse) are attested by
+    test_png_decoder_roundtrip / media_wav_metadata.
+
+    Features serialize as micro-int CSV (×1e6) at the query boundary:
+    integer strings hash identically across engines, whereas float JSON
+    formatting differs (Java scientific notation under 1e-3).
     """
     ff = frame_features(table(spark, "documents", sf_dir), "doc_id", "text")
-    return ff.withColumn("features", F.to_json("features"))
+    return ff.select(
+        "doc_id",
+        "media_format",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.array_join(
+            F.transform(
+                "features", lambda f: F.round(f * 1e6).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("features"),
+    )
 
 
 @register(
