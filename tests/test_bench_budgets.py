@@ -1,0 +1,61 @@
+"""Per-query bench regression guard.
+
+The driver records ``BENCH_r{N}.json`` per round; ``bench_budgets.json``
+pins a wall-clock budget per headline query (round-4 numbers × 1.5
+headroom). A breach turns into a red test here instead of a silent
+regression only visible in the judge's round diff.
+
+The guard reads the NEWEST bench artifact only — older rounds are
+history, not a contract. Queries missing from either side are skipped
+(new headline queries get budgets when they first appear in a bench).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_bench(since_round: int) -> tuple[str, dict] | None:
+    benches = sorted(
+        REPO.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for path in reversed(benches):
+        # budgets only bind benches produced by code that carried them —
+        # older artifacts measured plans the budgets were set to replace
+        if int(re.search(r"r(\d+)", path.name).group(1)) < since_round:
+            break
+        doc = json.loads(path.read_text())
+        parsed = doc.get("parsed") or doc
+        if doc.get("rc", 0) == 0 and isinstance(parsed.get("queries"), dict):
+            return path.name, parsed
+    return None
+
+
+def test_headline_queries_within_budget():
+    budgets_doc = json.loads((REPO / "bench_budgets.json").read_text())
+    budgets = budgets_doc["budgets"]
+
+    latest = _latest_bench(int(budgets_doc.get("since_round", 0)))
+    if latest is None:
+        pytest.skip("no successful BENCH_r*.json artifact to check")
+    name, parsed = latest
+    if parsed.get("sf") != budgets_doc["sf"]:
+        pytest.skip(f"{name} ran at sf={parsed.get('sf')}, budgets pin sf0.1")
+
+    breaches = {
+        q: (sec, budgets[q])
+        for q, sec in parsed["queries"].items()
+        if q in budgets and sec > budgets[q]
+    }
+    assert not breaches, (
+        f"{name}: headline queries over budget (sec vs budget): {breaches} — "
+        "either fix the plan regression or consciously raise "
+        "bench_budgets.json with a justification"
+    )
