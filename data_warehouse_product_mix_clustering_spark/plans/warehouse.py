@@ -1257,24 +1257,93 @@ def global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer segmentation by lifetime-value quartile (ntile window).
+    """Customer segmentation by lifetime-value quartile.
 
-    The ntile runs over an un-partitioned window — a single-reducer sort —
-    but its input is the already-aggregated per-customer rollup, orders of
-    magnitude smaller than the fact table; the deterministic (value, key)
-    order makes the tile boundaries cross-engine stable.
+    Runs ``quantile_segment`` on its EXACT path (ntile over an
+    un-partitioned window — a single-reducer sort). Correct here because
+    the input is the already-aggregated per-customer rollup, orders of
+    magnitude smaller than the fact table; past ~100 M customers the
+    operator's ``exact=False`` path (approx_percentile boundaries +
+    broadcast bucket join — see ``value_segments_audit``) replaces the
+    global sort. The deterministic (value, key) order makes the tile
+    boundaries cross-engine stable.
     """
+    from data_warehouse_product_mix_clustering_spark.operators.segmentation import quantile_segment
+
     orders = table(spark, "orders", sf_dir)
     cust = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         money_round(F.sum("o_totalprice"), snap=2).alias("lifetime_value")
     )
-    w = Window.orderBy(F.col("lifetime_value").desc(), F.col("cust_key"))
-    tiled = cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    tiled = quantile_segment(
+        cust, "lifetime_value", 4, tiebreak=["cust_key"], segment_col="quartile"
+    )
     return tiled.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         money_round(F.sum("lifetime_value"), snap=2).alias("segment_value"),
         money_round(F.min("lifetime_value"), snap=2).alias("min_value"),
         money_round(F.max("lifetime_value"), snap=2).alias("max_value"),
+    )
+
+
+@register(
+    "value_segments_audit",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey AS cust_key, sum(o_totalprice) AS lifetime_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(4 AS BIGINT) AS n_segments,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               TRUE AS sizes_ok,
+               TRUE AS monotone_ok
+        FROM cust
+    """,
+)
+def value_segments_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested contract for ``quantile_segment``'s SCALE path
+    (``exact=False``: approx_percentile boundaries + broadcast bucket
+    fold — no global sort, no single reducer).
+
+    Approximate tile boundaries are sketch outputs, not oracle-stable
+    values, so — ``ann_recall_audit``-style — the oracle pins the
+    CONTRACT instead: 4 segments come back, every segment's size is
+    within the sketch's rank-error envelope of N/4 (accuracy=10000 ⇒
+    error ≤ N/10000, checked with a generous N/100 + 2 slack so tie
+    clustering can't flap the row), and segments are strictly
+    value-ordered (every customer in segment k outranks every customer
+    in segment k+1 — guaranteed by bucket assignment, unlike ntile's
+    tie-splitting). A regression in the approx path flips a boolean and
+    hash-mismatches the driver row.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.segmentation import quantile_segment
+
+    orders = table(spark, "orders", sf_dir)
+    cust = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.sum("o_totalprice").alias("lifetime_value")
+    )
+    seg = quantile_segment(
+        cust, "lifetime_value", 4, exact=False, segment_col="segment"
+    )
+    per_seg = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lifetime_value").alias("lo"),
+        F.max("lifetime_value").alias("hi"),
+    )
+    total = seg.agg(F.count(F.lit(1)).alias("n_total"))
+    nxt = Window.orderBy("segment")
+    checked = (
+        per_seg.withColumn("next_hi", F.lead("hi").over(nxt))
+        .crossJoin(F.broadcast(total))
+    )
+    return checked.agg(
+        F.countDistinct("segment").alias("n_segments"),
+        F.max("n_total").cast("long").alias("n_customers"),
+        F.every(
+            F.abs(F.col("n") - F.col("n_total") / 4) <= F.col("n_total") / 100 + 2
+        ).alias("sizes_ok"),
+        F.every(
+            F.col("next_hi").isNull() | (F.col("lo") > F.col("next_hi"))
+        ).alias("monotone_ok"),
     )
 
 

@@ -653,3 +653,42 @@ def test_fan_out_conditional(spark):
 
     wide = spark.range(1000).repartition(target * 2)
     assert fan_out(wide) is wide  # no-op: same plan object, no new Exchange
+
+
+def test_quantile_segment_exact_vs_approx(spark):
+    """The segmentation operator's two paths agree: exact ntile yields
+    equal tiles; the approx (scale) path buckets nearly identically and
+    is strictly value-ordered across segments."""
+    from data_warehouse_product_mix_clustering_spark.operators.segmentation import quantile_segment
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 1000).cast("double").alias("v")
+    )
+    exact = quantile_segment(df, "v", 4, tiebreak=["k"])
+    sizes = {r.segment: r.n for r in
+             exact.groupBy("segment").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {1: 250, 2: 250, 3: 250, 4: 250}
+    # descending convention: the largest value sits in segment 1
+    top = exact.orderBy(F.col("v").desc()).first()
+    assert top.segment == 1
+
+    approx = quantile_segment(df, "v", 4, exact=False)
+    both = (
+        exact.select("k", F.col("segment").alias("e"))
+        .join(approx.select("k", F.col("segment").alias("a")), "k")
+    )
+    agree = both.filter(F.col("e") == F.col("a")).count() / 1000
+    assert agree >= 0.99, f"exact/approx agreement {agree:.3f}"
+    # strict value ordering across approx segments (ties never split)
+    seg_bounds = approx.groupBy("segment").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()
+    for s in seg_bounds:
+        for t in seg_bounds:
+            if s.segment < t.segment:
+                assert s.lo > t.hi
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_segment(df, "v", 1)
