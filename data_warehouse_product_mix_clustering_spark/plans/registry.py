@@ -59,67 +59,64 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # Red/ERR in round 3, fixed this round (events ts loader type-gate,
-    # array-output serialization) — re-earn green rows first.
-    "events_stream_attribution",
-    "events_stream_topk",
-    "events_session_window",
-    "nation_revenue_sql",
-    "order_priority_sql",
-    "media_frame_features",
-    "sequence_arrays",
-    "sequence_embeddings_lstm",
-    # Plan changed in r3 (agg-below-join) without a fresh driver row.
-    "nation_revenue",
-    # New this round: driver-attested ANN recall gate.
-    "ann_recall_audit",
-    # Events family attested in r1 only — the loader they all share changed
-    # this round, so their attestation predates the code.
-    "events_tumbling_hourly",
-    "events_stream_hourly",
-    "events_sliding_qtr_hour",
-    "events_sessions",
-    "events_funnel",
-    "events_props_stats",
-    "events_stream_sessions",
-    "events_approx_stats",
-    # Star-schema consumers attested r2, before the r3 fact-join re-plan.
-    "returnflag_stats",
-    "category_pct_of_total",
-    "product_search",
-    "product_pagination",
-    "top3_per_category",
-    "category_values",
-    "recent_activity",
-    "quarter_rollup",
-    "global_metrics",
-    # r1-only attestations (oldest on record).
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_centroids",
-    "features_zscore",
-    "product_clusters",
-    "cluster_profile",
-    "embedding_clusters",
-    "clustering_quality",
-    # Dedup family re-planned in r3 (LSH bucket cache, edge-list
-    # materialization) after its r2 attestation.
-    "dedup_minhash_lsh",
-    "dedup_groups",
-    "documents_dedup",
-    "dedup_exact",
-    "dedup_embedding_lsh",
-    # Remaining r2 attestations, oldest-first refresh.
-    "doc_profile",
-    "pricing_summary",
-    "shipping_priority",
-    "latest_order_top1",
-    "semi_join_large_parts",
-    "customer_order_setops",
-    "anti_join_inactive_customers",
-    "promo_revenue_pct",
-    "customer_value_quartiles",
-    "orders_above_customer_avg",
+    # New in round 5 — no driver row yet.
+    "value_segments_audit",
+    "stream_sessions_audit",
+    "media_wav_metadata",
+    # Code changed in round 5 — existing rows predate the change.
+    "media_frame_features",  # upgraded rows-only → full hash oracle
+    "sequence_arrays",  # oracle cast semantics aligned (trunc)
+    "ann_recall_audit",  # n_probes counted from the probe set
+    "customer_value_quartiles",  # routed through quantile_segment
+    "asof_price_intervals",  # union/operator rewrite + NULL-distinct fix
+    "asof_union_monthly_quotes",  # _asof_union narrowed + single Window
+    "asof_tolerance_quotes",
+    # Round-4's end-of-round re-plan (SHUFFLE_HASH fact join, star_schema
+    # 107-117) landed AFTER these queries' r3 attestations and the r4
+    # window didn't cover them — the judge's #1 ask for r5.
+    "cluster_summary",
+    "product_features",
+    "interval_join_per_product",
+    "category_rollup",
+    "dim_date_intervals",
+    "quarterly_sequences",
+    "trajectory_stats",
+    # Remaining star-schema consumers still carrying r3 rows.
+    "quarterly_running_revenue",
+    "pivot_category_priority",
+    "cube_category_priority",
+    "sequence_embeddings",
+    "features_pca",
+    "sequence_clusters",
+    "sequence_clusters_lstm",
+    "cluster_trajectories",
+    # Oldest attestations on record (r2), oldest-first refresh.
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_bpe_tokens",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_split",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_top_terms",
+    "order_priority_check",
+    "order_value_histogram",
+    "returnflag_priority_split",
+    "training_corpus",
+    # r3 refresh, fills the 50-query window.
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "media_metadata",
+    "media_resized",
+    "events_stream_dedup",
+    "dedup_best_of_group",
+    "contamination_check",
+    "corpus_shuffle",
+    "curriculum_stages",
 ]
 
 
