@@ -58,9 +58,13 @@ def brute_force_topk(
 
     ``queries`` must carry (id_col, vec_col); self-matches are excluded.
     Plan: broadcast(queries) × corpus → cosine → per-query top-k window.
-    The window partitions by query id, so the shuffle is |corpus|·|queries|
-    rows wide but each partition's top-k heap is tiny; at cluster scale
-    prefer more queries per batch, not bigger k.
+    The ``rank <= k`` filter triggers Catalyst's InferWindowGroupLimit
+    (Spark 3.5+): a PARTIAL WindowGroupLimit runs below the Exchange — a
+    map-side top-k heap per partition — so the shuffle carries at most
+    k rows per (query, map partition), NOT |corpus|·|queries| triples.
+    Pinned in tests/test_plans.py (partial WindowGroupLimit below the
+    Exchange); full scoring work still happens map-side, so at cluster
+    scale prefer more queries per broadcast batch over bigger k.
 
     Output: (query_id, vec_id, cosine, rank) — cosine rounded (6dp) before
     ranking so the order is cross-engine deterministic.

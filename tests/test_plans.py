@@ -283,3 +283,17 @@ def test_best_of_group_ranks_without_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(group_id" in line:
             assert "text" not in line, f"text riding the ranking shuffle:\n{line}"
+
+
+def test_brute_force_topk_partial_window_group_limit(spark):
+    """The top-k shuffle must be k-bounded map-side: Catalyst's
+    InferWindowGroupLimit plans a PARTIAL WindowGroupLimit below the
+    Exchange (a per-partition top-k heap), so at most k rows per (query,
+    map partition) shuffle — not |corpus|x|queries| score triples."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    # tree prints parent-first: the map side is BELOW (after) the Exchange
+    map_side = plan.split("Exchange hashpartitioning(query_id", 1)[1]
+    assert "Partial" in map_side.split("WindowGroupLimit", 1)[1].split("\n", 1)[0], (
+        f"no Partial WindowGroupLimit on the map side of the top-k shuffle:\n"
+        f"{plan[:1500]}"
+    )
