@@ -221,7 +221,13 @@ def test_union_asof_single_shuffle_no_join(spark):
         assert op not in plan, f"union as-of must not plan a join: {op}\n{plan[:1200]}"
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected exactly 1 shuffle, saw {n_exchanges}:\n{plan[:1200]}"
-    assert "Window" in plan
+    # both carries (right struct + right event time) must plan as ONE
+    # Window operator — chained withColumns would block CollapseWindow and
+    # walk every partition twice (regression guard for the r5 rewrite)
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.lstrip("+- :").startswith("Window ")
+    )
+    assert n_windows == 1, f"expected exactly 1 Window operator, saw {n_windows}"
 
 
 def test_nation_revenue_preaggregates_below_join(spark):
