@@ -191,3 +191,27 @@ def test_asof_tolerance(spark, strategy):
         ).collect()
     }
     assert got == {1: None, 2: 9.0}, f"{strategy}: {got}"
+
+
+def test_asof_union_left_on_also_by_key(spark):
+    """left_on may double as a by-key: the stale-interval check reads the
+    retained window timestamp, not the packed left struct (which excludes
+    by-keys) — regression guard for the r5 fix."""
+    left = spark.createDataFrame(
+        [(D("2024-02-10"), 1), (D("2024-06-10"), 2)], ["ts", "id"]
+    )
+    right = spark.createDataFrame(
+        [(D("2024-02-10"), D("2024-01-01"), D("2024-03-31"), 5.0),
+         (D("2024-06-10"), D("2024-01-01"), D("2024-01-31"), 7.0)],
+        ["ts", "start", "end", "price"],
+    )
+    got = {
+        r.id: r.price
+        for r in asof_join(
+            left, right, left_on="ts", right_on="start", by=["ts"],
+            end_col="end", strategy="union",
+        ).collect()
+    }
+    # id=1's interval contains its ts; id=2's carried interval ended before
+    # its ts, so the match must be discarded (stale), not resurrected
+    assert got == {1: 5.0, 2: None}, got
