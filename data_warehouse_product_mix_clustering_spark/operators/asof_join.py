@@ -63,8 +63,13 @@ def asof_join(
     disjoint: bool = False,
     bucket: str | None = None,
     horizon: DataFrame | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right_on <= left_on``.
+    """As-of join. Backward (default): latest right row with
+    ``right_on <= left_on``. Forward: earliest right row with
+    ``right_on >= left_on`` (pandas merge_asof ``direction='forward'``) —
+    implemented by running the backward machinery on a NEGATED epoch-micros
+    axis, so every strategy/tolerance path is shared, not re-derived.
 
     Parameters
     ----------
@@ -104,6 +109,19 @@ def asof_join(
          silently lose their open-interval matches.
     """
     by = by or []
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction == "forward":
+        # Interval/bucket semantics are inherently backward (an interval
+        # CONTAINS the event time); forward is the plain nearest-after join.
+        if end_col is not None or disjoint or bucket is not None:
+            raise ValueError(
+                "direction='forward' supports plain as-of only "
+                "(no end_col/disjoint/bucket)"
+            )
+        return _asof_forward(
+            left, right, left_on, right_on, by, how, strategy, tolerance
+        )
     if disjoint and end_col is None:
         raise ValueError("disjoint=True requires end_col (interval semantics)")
     if strategy == "broadcast":
@@ -133,6 +151,60 @@ def asof_join(
         if how == "inner":
             out = out.filter(F.col(right_on).isNotNull())
     return out
+
+
+def _asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+    how: str,
+    strategy: str,
+    tolerance: str | None,
+) -> DataFrame:
+    """Forward as-of via time negation: the EARLIEST right row at/after
+    left_on is the LATEST row on the ``-epoch_micros`` axis, so the whole
+    backward implementation (broadcast + union strategies, dedup
+    tie-breaks, null handling) is reused verbatim. The original event-time
+    columns ride through untouched — only the synthetic negated columns
+    join — and tolerance is re-applied on the originals with the flipped
+    bound (``right_on <= left_on + tolerance``).
+    """
+    def _negate(df: DataFrame, col: str) -> Column:
+        dt = dict(df.dtypes)[col]
+        if dt in ("timestamp", "timestamp_ntz", "date"):
+            return -F.unix_micros(F.col(col).cast("timestamp"))
+        return -F.col(col)  # numeric event times negate directly
+
+    negl, negr = "__asof_fwd_l", "__asof_fwd_r"
+    l2 = left.withColumn(negl, _negate(left, left_on))
+    r2 = right.withColumn(negr, _negate(right, right_on))
+    out = asof_join(
+        l2,
+        r2,
+        left_on=negl,
+        right_on=negr,
+        by=by,
+        how="left",  # tolerance nulls are applied here, on the originals
+        strategy=strategy,
+    )
+    rcols = [c for c in right.columns if c not in by]
+    if tolerance is not None:
+        fresh = F.col(right_on) <= F.col(left_on) + F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *[c for c in left.columns],
+            F.col(negr),
+            *[
+                F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in rcols
+            ],
+        )
+        if how == "inner":
+            out = out.filter(F.col(right_on).isNotNull())
+    elif how == "inner":
+        out = out.filter(F.col(negr).isNotNull())
+    return out.select(*left.columns, *rcols)
 
 
 def _range_cond(

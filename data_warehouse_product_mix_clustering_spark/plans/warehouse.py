@@ -327,6 +327,103 @@ def asof_union_monthly_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUOTES_CTE = """
+    WITH fact AS (
+        SELECT l_partkey AS ProductID, o_orderdate AS OrderDate,
+               l_returnflag AS ReturnFlag,
+               l_extendedprice * (1 - l_discount) AS LineTotal,
+               l_quantity AS OrderQty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS qdate FROM orders
+    ),
+    quotes AS (
+        SELECT p_partkey AS ProductID, qdate,
+               p_retailprice * (1 + 0.01 * ((p_partkey
+                   + EXTRACT(year FROM qdate) * 12
+                   + EXTRACT(month FROM qdate)) % 10)) AS quote_price
+        FROM part CROSS JOIN months
+    )
+"""
+
+
+@register(
+    "asof_forward_next_quote",
+    oracle=_QUOTES_CTE
+    + """
+        SELECT f.ReturnFlag AS return_flag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {quoted} AS next_quote_value
+        FROM fact f
+        ASOF JOIN quotes q
+          ON f.ProductID = q.ProductID AND f.OrderDate <= q.qdate
+        GROUP BY f.ReturnFlag
+    """.format(quoted=sql_money_round("sum(q.quote_price * f.OrderQty)")),
+)
+def asof_forward_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    fact line matched to the EARLIEST monthly quote at/after its order
+    date — the "next scheduled price" lookup. Runs the union (large-large)
+    strategy on the negated-time axis (operators/asof_join.py::
+    _asof_forward), so the scale path is the same one-shuffle window walk
+    as the backward join; DuckDB's native forward ASOF JOIN
+    (``ON f.OrderDate <= q.qdate``) is the oracle.
+    """
+    f = fact_sales(spark, sf_dir).select(
+        "ProductID", "OrderDate", "ReturnFlag", "OrderQty"
+    )
+    months = (
+        table(spark, "orders", sf_dir)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
+        .distinct()
+    )
+    quotes = (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .crossJoin(F.broadcast(months))
+        .select(
+            F.col("p_partkey").alias("ProductID"),
+            "qdate",
+            (
+                F.col("p_retailprice")
+                * (
+                    F.lit(1)
+                    + F.lit(0.01)
+                    * (
+                        (
+                            F.col("p_partkey")
+                            + F.year("qdate") * F.lit(12)
+                            + F.month("qdate")
+                        )
+                        % 10
+                    )
+                )
+            ).alias("quote_price"),
+        )
+    )
+    joined = asof_join(
+        f,
+        quotes,
+        left_on="OrderDate",
+        right_on="qdate",
+        by=["ProductID"],
+        how="inner",
+        strategy="union",
+        direction="forward",
+    )
+    return (
+        joined.groupBy("ReturnFlag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            money_round(F.sum(F.col("quote_price") * F.col("OrderQty"))).alias(
+                "next_quote_value"
+            ),
+        )
+        .withColumnRenamed("ReturnFlag", "return_flag")
+    )
+
+
 @register(
     "interval_join_per_product",
     oracle=star_sql(f"""

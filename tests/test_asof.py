@@ -215,3 +215,95 @@ def test_asof_union_left_on_also_by_key(spark):
     # id=1's interval contains its ts; id=2's carried interval ended before
     # its ts, so the match must be discarded (stale), not resurrected
     assert got == {1: 5.0, 2: None}, got
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_forward(spark, strategy):
+    """direction='forward': earliest right at/after left_on, inclusive on
+    ties, NULL (or dropped on inner) when nothing follows."""
+    left = spark.createDataFrame(
+        [(1, D("2024-01-15")), (2, D("2024-03-02")), (3, D("2024-12-31"))],
+        ["id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(D("2024-01-15"), 10.0), (D("2024-02-01"), 20.0), (D("2024-06-01"), 30.0)],
+        ["ts2", "v"],
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy=strategy, direction="forward"
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: 30.0, 3: None}, f"{strategy}: {got}"
+
+    inner = asof_join(
+        left, right, "ts", "ts2", how="inner", strategy=strategy,
+        direction="forward",
+    )
+    assert {r.id for r in inner.collect()} == {1, 2}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_forward_by_and_tolerance(spark, strategy):
+    """Forward with by-keys and tolerance: matches newer than
+    left_on + tolerance are discarded."""
+    left = spark.createDataFrame(
+        [(1, 1, D("2024-01-01")), (2, 1, D("2024-01-01")), (3, 2, D("2024-01-01"))],
+        ["id", "k", "ts"],
+    )
+    left = left.filter(left.id != 2).union(left.filter(left.id == 2))  # stable
+    right = spark.createDataFrame(
+        [(1, D("2024-01-10"), 1.0), (2, D("2024-05-01"), 2.0)],
+        ["k", "ts2", "v"],
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", by=["k"], strategy=strategy,
+            direction="forward", tolerance="30 DAYS",
+        ).collect()
+    }
+    # k=1 rows match the Jan 10 quote (within 30d); k=2's only quote is
+    # 4 months out -> nulled by tolerance
+    assert got == {1: 1.0, 2: 1.0, 3: None}, f"{strategy}: {got}"
+
+
+def test_asof_forward_matches_pandas(spark):
+    """Property: forward as-of equals pandas merge_asof(direction='forward')
+    on a randomized fixture, both strategies."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    lrows = sorted(
+        (base + dt.timedelta(minutes=rng.randrange(0, 50_000)),)
+        for _ in range(300)
+    )
+    lpdf = pd.DataFrame({"ts": [r[0] for r in lrows]})
+    lpdf["id"] = range(len(lpdf))
+    rrows = sorted(
+        (base + dt.timedelta(minutes=rng.randrange(0, 50_000)),)
+        for _ in range(80)
+    )
+    rpdf = pd.DataFrame({"ts2": [r[0] for r in rrows]})
+    rpdf["v"] = [float(i) for i in range(len(rpdf))]
+
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts2"),
+        left_on="ts", right_on="ts2", direction="forward",
+    ).set_index("id")["v"].to_dict()
+    want = {k: (None if pd.isna(v) else v) for k, v in want.items()}
+
+    ldf = spark.createDataFrame(lpdf[["id", "ts"]])
+    rdf = spark.createDataFrame(rpdf[["ts2", "v"]])
+    for strategy in ("broadcast", "union"):
+        got = {
+            r.id: r.v
+            for r in asof_join(
+                ldf, rdf, "ts", "ts2", strategy=strategy, direction="forward"
+            ).collect()
+        }
+        assert got == want, strategy
