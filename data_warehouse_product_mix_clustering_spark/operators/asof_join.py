@@ -109,17 +109,21 @@ def asof_join(
          silently lose their open-interval matches.
     """
     by = by or []
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
-    if direction == "forward":
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    if direction != "backward":
         # Interval/bucket semantics are inherently backward (an interval
-        # CONTAINS the event time); forward is the plain nearest-after join.
+        # CONTAINS the event time); forward/nearest are plain as-of joins.
         if end_col is not None or disjoint or bucket is not None:
             raise ValueError(
-                "direction='forward' supports plain as-of only "
+                f"direction='{direction}' supports plain as-of only "
                 "(no end_col/disjoint/bucket)"
             )
-        return _asof_forward(
+        if direction == "forward":
+            return _asof_forward(
+                left, right, left_on, right_on, by, how, strategy, tolerance
+            )
+        return _asof_nearest(
             left, right, left_on, right_on, by, how, strategy, tolerance
         )
     if disjoint and end_col is None:
@@ -205,6 +209,176 @@ def _asof_forward(
     elif how == "inner":
         out = out.filter(F.col(negr).isNotNull())
     return out.select(*left.columns, *rcols)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+    how: str,
+    strategy: str,
+    tolerance: str | None,
+) -> DataFrame:
+    """Nearest as-of (pandas merge_asof ``direction='nearest'``): the right
+    row with the smallest |right_on − left_on|, ties won by the earlier
+    (backward) row.
+
+    - broadcast: by-key equi join (cross for date-only) against the
+      broadcast right, then a per-left-row window ordered by absolute gap.
+    - union: ONE shuffle + ONE Window operator holding BOTH carries — the
+      preceding-frame ``last`` (backward candidate) and the following-frame
+      ``first`` (forward candidate); the smaller gap wins per row. Same
+      scale shape as the backward union walk.
+
+    ``tolerance`` is symmetric (pandas semantics): matches farther than
+    the interval in either direction are nulled.
+    """
+    if strategy == "broadcast":
+        out = _nearest_broadcast(left, right, left_on, right_on, by)
+    elif strategy == "union":
+        out = _nearest_union(left, right, left_on, right_on, by)
+    else:
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    rcols = _right_cols(right, right_on, by) + [right_on]
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        fresh = (F.col(right_on) >= F.col(left_on) - tol) & (
+            F.col(right_on) <= F.col(left_on) + tol
+        )
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(fresh, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in rcols
+            ],
+        )
+    if how == "inner":
+        out = out.filter(F.col(right_on).isNotNull())
+    return out
+
+
+def _abs_gap(a: Column, b: Column) -> Column:
+    # cast('double') is epoch seconds (fractional) for timestamps and the
+    # identity for numerics — one gap expression covers both axis types
+    return F.abs(a.cast("double") - b.cast("double"))
+
+
+def _nearest_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+) -> DataFrame:
+    cond = F.lit(True)
+    for k in by:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    lid = "__asof_lid"
+    l = left.withColumn(lid, F.monotonically_increasing_id()).alias("l")
+    r = F.broadcast(right).alias("r")
+    joined = l.join(r, cond, "left")
+    gap = _abs_gap(F.col(f"l.{left_on}"), F.col(f"r.{right_on}"))
+    # smallest gap first; ties -> earlier right_on (the backward row)
+    w = Window.partitionBy(f"l.{lid}").orderBy(
+        gap.asc_nulls_last(), F.col(f"r.{right_on}").asc()
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in _right_cols(right, right_on, by)
+    ] + [F.col(f"r.{right_on}")]
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*out_cols)
+    )
+
+
+def _nearest_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+) -> DataFrame:
+    ts = "__asof_ts"
+    side = "__asof_side"  # right rows sort before left on ties (inclusive)
+    rstruct = "__asof_r"
+    lstruct = "__asof_l"
+    rcols = _right_cols(right, right_on, by)
+    lcols = [c for c in left.columns if c not in by and c != left_on]
+    rfields = [F.col(c) for c in rcols] or [F.lit(True).alias("__asof_m")]
+    lfields = [F.col(c) for c in lcols] or [F.lit(True).alias("__asof_m")]
+
+    rpart = right.filter(F.col(right_on).isNotNull()).select(
+        *[F.col(k) for k in by],
+        F.col(right_on).alias(ts),
+        F.lit(0).alias(side),
+        F.struct(*rfields).alias(rstruct),
+    )
+    rtype = rpart.schema[rstruct].dataType
+    lpart = left.select(
+        *[F.col(k) for k in by],
+        F.col(left_on).alias(ts),
+        F.lit(1).alias(side),
+        F.lit(None).cast(rtype).alias(rstruct),
+        F.struct(*lfields).alias(lstruct),
+    )
+    ltype = lpart.schema[lstruct].dataType
+    rpart = rpart.withColumn(lstruct, F.lit(None).cast(ltype))
+    unioned = lpart.unionByName(rpart.select(*lpart.columns))
+
+    order = [F.col(ts).asc(), F.col(side).asc()]
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_ts = F.when(F.col(side) == 0, F.col(ts))
+    # Four carries, one Window operator (same partitioning+sort, two
+    # frames). The equal-ts right row sorts BEFORE the left row, so it is
+    # captured by the backward frame with gap 0 — which wins every nearest
+    # tie anyway (pandas resolves nearest ties backward).
+    carried = (
+        unioned.select(
+            *[F.col(k) for k in by],
+            F.col(ts),
+            F.col(side),
+            F.col(lstruct),
+            F.last(rstruct, ignorenulls=True).over(wb).alias("__b"),
+            F.last(r_ts, ignorenulls=True).over(wb).alias("__bts"),
+            F.first(rstruct, ignorenulls=True).over(wf).alias("__f"),
+            F.first(r_ts, ignorenulls=True).over(wf).alias("__fts"),
+        )
+        .filter(F.col(side) == 1)
+        .drop(side)
+    )
+
+    gap_b = _abs_gap(F.col(ts), F.col("__bts"))
+    gap_f = _abs_gap(F.col(ts), F.col("__fts"))
+    pick_b = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (gap_b <= gap_f)
+    )
+    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
+    chosen_ts = F.when(pick_b, F.col("__bts")).otherwise(F.col("__fts"))
+
+    def _left_out(c: str) -> Column:
+        if c in by:
+            return F.col(c)
+        if c == left_on:
+            return F.col(ts).alias(c)
+        return F.col(f"{lstruct}.{c}").alias(c)
+
+    return carried.select(
+        *[_left_out(c) for c in left.columns],
+        *[chosen.getField(c).alias(c) for c in rcols],
+        chosen_ts.alias(right_on),
+    )
 
 
 def _range_cond(

@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_sessions_audit",
     "media_wav_metadata",
     "asof_forward_next_quote",
+    "asof_nearest_quote",
     # Code changed in round 5 — existing rows predate the change.
     "media_frame_features",  # upgraded rows-only → full hash oracle
     "sequence_arrays",  # oracle cast semantics aligned (trunc)
@@ -116,7 +117,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_dedup",
     "dedup_best_of_group",
     "contamination_check",
-    "corpus_shuffle",
 ]
 
 

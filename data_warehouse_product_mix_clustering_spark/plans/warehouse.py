@@ -425,6 +425,98 @@ def asof_forward_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_quote",
+    oracle=_QUOTES_CTE
+    + """
+        , b AS (
+            SELECT f.ProductID, f.OrderDate, f.ReturnFlag, f.OrderQty,
+                   q.qdate AS bdate, q.quote_price AS bprice
+            FROM fact f
+            ASOF LEFT JOIN quotes q
+              ON f.ProductID = q.ProductID AND f.OrderDate >= q.qdate
+        ), bf AS (
+            SELECT b.*, q2.qdate AS fdate, q2.quote_price AS fprice
+            FROM b
+            ASOF LEFT JOIN quotes q2
+              ON b.ProductID = q2.ProductID AND b.OrderDate <= q2.qdate
+        )
+        SELECT ReturnFlag AS return_flag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {quoted} AS nearest_quote_value
+        FROM (
+            SELECT ReturnFlag, OrderQty,
+                   CASE WHEN bdate IS NOT NULL AND (fdate IS NULL
+                             OR epoch_us(OrderDate) - epoch_us(bdate)
+                                <= epoch_us(fdate) - epoch_us(OrderDate))
+                        THEN bprice ELSE fprice END AS quote_price
+            FROM bf
+        )
+        GROUP BY ReturnFlag
+    """.format(quoted=sql_money_round("sum(quote_price * OrderQty)")),
+)
+def asof_nearest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    fact line priced at the closest monthly quote in either direction,
+    ties resolved backward. The union strategy computes BOTH candidates in
+    one shuffle and one Window operator (preceding-frame last + following-
+    frame first); DuckDB has no native nearest ASOF, so the oracle chains
+    a backward and a forward ASOF join and picks the smaller gap.
+    """
+    f = fact_sales(spark, sf_dir).select(
+        "ProductID", "OrderDate", "ReturnFlag", "OrderQty"
+    )
+    months = (
+        table(spark, "orders", sf_dir)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
+        .distinct()
+    )
+    quotes = (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .crossJoin(F.broadcast(months))
+        .select(
+            F.col("p_partkey").alias("ProductID"),
+            "qdate",
+            (
+                F.col("p_retailprice")
+                * (
+                    F.lit(1)
+                    + F.lit(0.01)
+                    * (
+                        (
+                            F.col("p_partkey")
+                            + F.year("qdate") * F.lit(12)
+                            + F.month("qdate")
+                        )
+                        % 10
+                    )
+                )
+            ).alias("quote_price"),
+        )
+    )
+    joined = asof_join(
+        f,
+        quotes,
+        left_on="OrderDate",
+        right_on="qdate",
+        by=["ProductID"],
+        how="inner",
+        strategy="union",
+        direction="nearest",
+    )
+    return (
+        joined.groupBy("ReturnFlag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            money_round(F.sum(F.col("quote_price") * F.col("OrderQty"))).alias(
+                "nearest_quote_value"
+            ),
+        )
+        .withColumnRenamed("ReturnFlag", "return_flag")
+    )
+
+
+@register(
     "interval_join_per_product",
     oracle=star_sql(f"""
         SELECT ProductID AS product_id,

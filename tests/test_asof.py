@@ -307,3 +307,72 @@ def test_asof_forward_matches_pandas(spark):
             ).collect()
         }
         assert got == want, strategy
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_nearest(spark, strategy):
+    """direction='nearest': smallest absolute gap wins, ties go backward,
+    symmetric tolerance nulls far matches."""
+    left = spark.createDataFrame(
+        [(1, D("2024-01-20")), (2, D("2024-01-28")), (3, D("2024-02-01")),
+         (4, D("2023-01-01"))],
+        ["id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(D("2024-01-15"), 10.0), (D("2024-02-01"), 20.0)], ["ts2", "v"]
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy=strategy, direction="nearest"
+        ).collect()
+    }
+    # id=1: 5d back vs 12d fwd -> 10; id=2: 13d back vs 4d fwd -> 20;
+    # id=3: exact tie at 0 gap -> backward (equal) row 20; id=4: only fwd
+    assert got == {1: 10.0, 2: 20.0, 3: 20.0, 4: 10.0}, f"{strategy}: {got}"
+
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy=strategy, direction="nearest",
+            tolerance="30 DAYS",
+        ).collect()
+    }
+    assert tol == {1: 10.0, 2: 20.0, 3: 20.0, 4: None}, f"{strategy}: {tol}"
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """Property: nearest as-of equals pandas merge_asof(direction='nearest')
+    on a randomized fixture with unique right keys, both strategies."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {"ts": [base + dt.timedelta(minutes=rng.randrange(0, 50_000))
+                for _ in range(300)]}
+    ).sort_values("ts", ignore_index=True)
+    lpdf["id"] = range(len(lpdf))
+    rmins = rng.sample(range(0, 50_000), 80)  # unique right timestamps
+    rpdf = pd.DataFrame(
+        {"ts2": [base + dt.timedelta(minutes=m) for m in sorted(rmins)]}
+    )
+    rpdf["v"] = [float(i) for i in range(len(rpdf))]
+
+    want = pd.merge_asof(
+        lpdf, rpdf, left_on="ts", right_on="ts2", direction="nearest"
+    ).set_index("id")["v"].to_dict()
+    want = {k: (None if pd.isna(v) else v) for k, v in want.items()}
+
+    ldf = spark.createDataFrame(lpdf[["id", "ts"]])
+    rdf = spark.createDataFrame(rpdf[["ts2", "v"]])
+    for strategy in ("broadcast", "union"):
+        got = {
+            r.id: r.v
+            for r in asof_join(
+                ldf, rdf, "ts", "ts2", strategy=strategy, direction="nearest"
+            ).collect()
+        }
+        assert got == want, strategy
