@@ -259,10 +259,22 @@ def _asof_nearest(
     return out
 
 
-def _abs_gap(a: Column, b: Column) -> Column:
-    # cast('double') is epoch seconds (fractional) for timestamps and the
-    # identity for numerics — one gap expression covers both axis types
-    return F.abs(a.cast("double") - b.cast("double"))
+def _axis_num(col: Column, dtype: str) -> Column:
+    """Event-time column → an exactly-comparable numeric axis.
+
+    Temporal types go through cast('timestamp') → unix_micros, yielding
+    LONG microseconds: DATE is not directly castable to double (Spark
+    raises DATATYPE_MISMATCH), and double epoch seconds round away
+    exact-microsecond gaps, which can flip a nearest tie against the
+    documented backward tie rule. Numerics pass through unchanged.
+    """
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return F.unix_micros(col.cast("timestamp"))
+    return col
+
+
+def _abs_gap(a: Column, b: Column, dtype_a: str, dtype_b: str) -> Column:
+    return F.abs(_axis_num(a, dtype_a) - _axis_num(b, dtype_b))
 
 
 def _nearest_broadcast(
@@ -272,14 +284,25 @@ def _nearest_broadcast(
     right_on: str,
     by: list[str],
 ) -> DataFrame:
-    cond = F.lit(True)
+    # Null-rejecting on BOTH event times, mirroring the backward range
+    # predicate's semantics: a NULL left_on row has no defined gap (pandas
+    # merge_asof refuses unsortable keys outright) so it must surface with
+    # NULL right columns, and a NULL right_on row can never be a match —
+    # without the pre-filter it would half-match (non-null payload, NULL
+    # right_on), which the union strategy can never produce.
+    cond = F.col(f"l.{left_on}").isNotNull()
     for k in by:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id()).alias("l")
-    r = F.broadcast(right).alias("r")
+    r = F.broadcast(right.filter(F.col(right_on).isNotNull())).alias("r")
     joined = l.join(r, cond, "left")
-    gap = _abs_gap(F.col(f"l.{left_on}"), F.col(f"r.{right_on}"))
+    gap = _abs_gap(
+        F.col(f"l.{left_on}"),
+        F.col(f"r.{right_on}"),
+        dict(left.dtypes)[left_on],
+        dict(right.dtypes)[right_on],
+    )
     # smallest gap first; ties -> earlier right_on (the backward row)
     w = Window.partitionBy(f"l.{lid}").orderBy(
         gap.asc_nulls_last(), F.col(f"r.{right_on}").asc()
@@ -359,13 +382,20 @@ def _nearest_union(
         .drop(side)
     )
 
-    gap_b = _abs_gap(F.col(ts), F.col("__bts"))
-    gap_f = _abs_gap(F.col(ts), F.col("__fts"))
-    pick_b = F.col("__b").isNotNull() & (
+    ts_dt = dict(carried.dtypes)[ts]  # post-union widened axis type
+    gap_b = _abs_gap(F.col(ts), F.col("__bts"), ts_dt, ts_dt)
+    gap_f = _abs_gap(F.col(ts), F.col("__fts"), ts_dt, ts_dt)
+    # A NULL left event time has no defined gap — it must NOT match (the
+    # backward/forward paths are null-rejecting; pandas merge_asof refuses
+    # unsortable keys). Without the guard the NULL ts sorts first, so the
+    # following-frame first() would fabricate a match on the earliest right
+    # row. when/when with no otherwise yields NULL on a NULL ts.
+    valid = F.col(ts).isNotNull()
+    pick_b = valid & F.col("__b").isNotNull() & (
         F.col("__f").isNull() | (gap_b <= gap_f)
     )
-    chosen = F.when(pick_b, F.col("__b")).otherwise(F.col("__f"))
-    chosen_ts = F.when(pick_b, F.col("__bts")).otherwise(F.col("__fts"))
+    chosen = F.when(pick_b, F.col("__b")).when(valid, F.col("__f"))
+    chosen_ts = F.when(pick_b, F.col("__bts")).when(valid, F.col("__fts"))
 
     def _left_out(c: str) -> Column:
         if c in by:

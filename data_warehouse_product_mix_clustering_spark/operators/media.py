@@ -169,13 +169,19 @@ def _decode_wav(raw: bytes) -> dict:
 
     if raw[:4] != _WAV_MAGIC_RIFF or raw[8:12] != _WAV_MAGIC_WAVE:
         raise ValueError("not a WAV payload")
-    pos, fmt_chunk, data_len = 12, None, None
+    pos, fmt_chunk, data_len, data_off = 12, None, None, None
     while pos + 8 <= len(raw):
         cid, length = struct.unpack("<4sI", raw[pos : pos + 8])
         pos += 8
         if cid == b"fmt ":
+            if len(raw) - pos < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt_chunk = struct.unpack("<HHIIHH", raw[pos : pos + 16])
-        elif cid == b"data":
+        elif cid == b"data" and data_off is None:
+            # Payload offset recorded HERE, from the chunk walk itself —
+            # a raw.find(b"data") can hit those 4 bytes inside a LIST/INFO
+            # chunk that precedes the data chunk and slice garbage.
+            data_off = pos
             data_len = min(length, len(raw) - pos)
         pos += length + (length & 1)  # chunks are word-aligned
     if fmt_chunk is None or data_len is None:
@@ -189,8 +195,7 @@ def _decode_wav(raw: bytes) -> dict:
     bytes_per_sample = max(1, bits // 8) * max(1, channels)
     n_samples = data_len // bytes_per_sample
     n_frames = max(1, math.ceil(n_samples / max(1, sample_rate)))
-    data_start = raw.find(b"data")
-    pcm = raw[data_start + 8 : data_start + 8 + data_len] if data_start >= 0 else b""
+    pcm = raw[data_off : data_off + data_len]
     return {
         "width": int(sample_rate),
         "height": 1,
@@ -251,9 +256,14 @@ def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
         fmt == "wav" and raw[:4] == _WAV_MAGIC_RIFF and raw[8:12] == _WAV_MAGIC_WAVE
     )
     if is_png or is_wav:
+        import struct
+
         try:
             return real_decode(raw, fmt)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError, struct.error):
+            # A payload carrying genuine magic but a truncated or chunkless
+            # body (corrupt upload) must degrade to the deterministic fake,
+            # not crash the Spark task — same contract as unknown formats.
             return None
     return None
 

@@ -376,3 +376,109 @@ def test_asof_nearest_matches_pandas(spark):
             ).collect()
         }
         assert got == want, strategy
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_nearest_null_left_ts(spark, strategy):
+    """A NULL left event time must NOT fabricate a match (ADVICE r5 high):
+    nearest is null-rejecting like backward/forward — pandas merge_asof
+    refuses unsortable keys outright, so NULL ts ⇒ NULL right columns."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, D("2024-01-20")), (2, None), (3, D("2024-02-05"))], schema
+    )
+    right = spark.createDataFrame(
+        [(D("2024-01-15"), 10.0), (D("2024-02-01"), 20.0)], ["ts2", "v"]
+    )
+    got = {
+        r.id: (r.v, r.ts2)
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy=strategy, direction="nearest"
+        ).collect()
+    }
+    assert got == {
+        1: (10.0, D("2024-01-15")),
+        2: (None, None),
+        3: (20.0, D("2024-02-01")),
+    }, f"{strategy}: {got}"
+    # inner drops the NULL-ts row entirely
+    inner = asof_join(
+        left, right, "ts", "ts2", how="inner", strategy=strategy,
+        direction="nearest",
+    )
+    assert {r.id for r in inner.collect()} == {1, 3}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_nearest_date_axis(spark, strategy):
+    """DATE-typed axes on BOTH sides must work (ADVICE r5 medium): the gap
+    goes through cast('timestamp') → unix_micros, never CAST(DATE AS
+    DOUBLE) which Spark forbids."""
+    DD = dt.date.fromisoformat
+    left = spark.createDataFrame(
+        [(1, DD("2024-01-20")), (2, DD("2024-01-29")), (3, DD("2024-02-01"))],
+        ["id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(DD("2024-01-15"), 10.0), (DD("2024-02-01"), 20.0)], ["ts2", "v"]
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy=strategy, direction="nearest"
+        ).collect()
+    }
+    # id=1: 5d back vs 12d fwd; id=2: 14d back vs 3d fwd; id=3: 0-gap tie
+    assert got == {1: 10.0, 2: 20.0, 3: 20.0}, f"{strategy}: {got}"
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_nearest_null_right_on(spark, strategy):
+    """Right rows with NULL right_on are never candidates (ADVICE r5 low):
+    a left row whose only by-key partner has NULL right_on comes back fully
+    NULL, not a half-match with payload but no timestamp."""
+    from pyspark.sql import types as T
+
+    left = spark.createDataFrame([(1, 1, D("2024-01-20"))], ["id", "k", "ts"])
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts2", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    right = spark.createDataFrame([(1, None, 99.0)], rschema)
+    rows = asof_join(
+        left, right, "ts", "ts2", by=["k"], strategy=strategy,
+        direction="nearest",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].v is None and rows[0].ts2 is None, f"{strategy}: {rows}"
+
+
+def test_asof_nearest_exact_microsecond_tie(spark):
+    """Exact-microsecond gaps must tie BACKWARD: long-microsecond gap math
+    cannot round a true tie into a forward win (the double epoch-seconds
+    bug class ADVICE r5 flagged)."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame([(1, base)], ["id", "ts"])
+    right = spark.createDataFrame(
+        [(base - us, 1.0), (base + us, 2.0)], ["ts2", "v"]
+    )
+    for strategy in ("broadcast", "union"):
+        got = {
+            r.id: r.v
+            for r in asof_join(
+                left, right, "ts", "ts2", strategy=strategy,
+                direction="nearest",
+            ).collect()
+        }
+        assert got == {1: 1.0}, f"{strategy}: {got}"

@@ -692,3 +692,42 @@ def test_quantile_segment_exact_vs_approx(spark):
 
     with _pytest.raises(ValueError):
         quantile_segment(df, "v", 1)
+
+
+def test_wav_decoder_list_chunk_before_data():
+    """A LIST/INFO chunk preceding the data chunk — whose body contains the
+    literal bytes b"data" — must not fool the PCM slicer (ADVICE r5 low:
+    the offset comes from the chunk walk, not raw.find)."""
+    import struct
+
+    from data_warehouse_product_mix_clustering_spark.operators.media import _decode_wav, make_wav
+
+    pcm = bytes((i * 7) % 256 for i in range(256))
+    wav = make_wav(pcm, 8000, 1, 1)
+    # splice a LIST chunk carrying b"data" decoys between fmt and data
+    data_at = wav.find(b"data")
+    info = b"INFOdataXXdataYY"
+    lst = b"LIST" + struct.pack("<I", len(info)) + info
+    patched = bytearray(wav[:data_at] + lst + wav[data_at:])
+    # RIFF size field covers everything after the first 8 bytes
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    d = _decode_wav(bytes(patched))
+    assert d["pixels"] == pcm, "PCM sliced from the wrong offset"
+    assert d["n_samples"] == len(pcm)
+
+
+def test_maybe_real_decode_corrupt_magic_falls_back():
+    """Payloads with genuine RIFF/WAVE (or PNG) magic but corrupt bodies
+    must degrade to the fake decoder (return None), not crash the task
+    (ADVICE r5 low: ValueError/struct.error now caught)."""
+    from data_warehouse_product_mix_clustering_spark.operators.media import _maybe_real_decode, make_wav
+
+    # chunkless body: magic only
+    assert _maybe_real_decode(b"RIFF\x00\x00\x00\x00WAVE", "wav") is None
+    # truncated fmt chunk: struct.error / ValueError territory
+    wav = make_wav(b"\x01\x02\x03\x04", 8000, 1, 1)
+    truncated = wav[: wav.find(b"fmt ") + 10]
+    assert _maybe_real_decode(truncated, "wav") is None
+    # PNG magic with garbage body
+    png_magic = b"\x89PNG\r\n\x1a\n"
+    assert _maybe_real_decode(png_magic + b"\x00\x01\x02", "png") is None
