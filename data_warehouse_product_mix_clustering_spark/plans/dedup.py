@@ -29,6 +29,7 @@ from data_warehouse_product_mix_clustering_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    simhash64,
     simhash_near_pairs,
 )
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
@@ -123,6 +124,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return simhash_near_pairs(
         table(spark, "documents", sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+@register(
+    "dedup_simhash_audit",
+    oracle="""
+        SELECT TRUE AS banded_complete,
+               TRUE AS hamming_ok,
+               TRUE AS recall_pass
+    """,
+)
+def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested SimHash quality gate (the ``ann_recall_audit``
+    pattern): the oracle pins the CONTRACT, Spark computes the measured
+    truth over the engine-hash-dependent pair set that ``dedup_simhash``
+    itself cannot oracle-check.
+
+    Three invariants:
+    - ``banded_complete``: the 4×16-bit pigeonhole band join emits EXACTLY
+      the brute-force all-pairs Hamming ≤ 3 set (the pigeonhole guarantee,
+      verified against a signature cross-join — quadratic in docs, which
+      is fine for an audit over the signature longs at driver SFs);
+    - ``hamming_ok``: every emitted pair's recomputed XOR popcount is ≤ 3
+      and doc_a < doc_b (no duplicate orientations);
+    - ``recall_pass``: recall vs the exact bigram-Jaccard ≥ 0.8 ground
+      truth (``dedup_ngram_jaccard``) clears 0.5 — measured 0.75 / 0.60 at
+      sf0.001 / sf0.01; Hamming ≤ 3 on 64 bits is a strictly tighter
+      similarity notion than Jaccard 0.8, so the floor is the honest
+      deterministic curve, and a signature/banding regression drops it.
+    """
+    docs = table(spark, "documents", sf_dir)
+    banded = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    banded = banded.localCheckpoint(eager=True)  # 3 consumers below
+
+    sig = simhash64(docs, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        )
+        .select("doc_a", "doc_b")
+    )
+    sym_diff = banded.select("doc_a", "doc_b").unionByName(brute).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") != 2)
+
+    truth = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    hits = banded.join(truth, ["doc_a", "doc_b"], "left_semi")
+
+    checks = banded.agg(
+        F.coalesce(
+            F.max((F.col("hamming") > 3) | (F.col("doc_a") >= F.col("doc_b"))),
+            F.lit(False),
+        ).alias("__bad"),
+    )
+    counts = (
+        sym_diff.agg(F.count(F.lit(1)).alias("__n_diff"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hits")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("__n_truth")))
+        .crossJoin(checks)
+    )
+    return counts.select(
+        (F.col("__n_diff") == 0).alias("banded_complete"),
+        (~F.col("__bad")).alias("hamming_ok"),
+        (F.col("__n_hits") / F.col("__n_truth") >= 0.5).alias("recall_pass"),
     )
 
 

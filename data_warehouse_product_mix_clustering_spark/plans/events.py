@@ -450,6 +450,73 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_approx_stats_audit",
+    oracle="""
+        SELECT DISTINCT event_type,
+               TRUE AS hll_within_envelope,
+               TRUE AS median_within_envelope,
+               TRUE AS p95_within_envelope
+        FROM events
+    """,
+)
+def events_approx_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested sketch-error gate for ``events_approx_stats`` (the
+    ``value_segments_audit`` pattern): the oracle pins the CONTRACT — every
+    per-type sketch lands inside its error envelope — while Spark measures
+    the actual approx-vs-exact deltas. A sketch regression (changed rsd,
+    broken HLL merge, percentile accuracy drift) flips the row red.
+
+    Envelopes (generous multiples of the configured bounds, measured ~0
+    error at sf0.001-0.01 so a breach is a real regression, not noise):
+    - HLL++ (rsd=0.02): |approx − exact| / exact ≤ 0.06 (3×rsd);
+    - percentile_approx (accuracy 10000 ⇒ rank error 1e-4): the exact
+      rank bracket [rank<, rank≤] of the approx value must straddle the
+      target quantile within ±0.01.
+    """
+    ev = table(spark, "events", sf_dir)
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("__amed"),
+        F.percentile_approx("value", 0.95, 10000).alias("__ap95"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__exact_users"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # One pass over events computes the rank brackets of both approx
+    # quantile values: broadcast the 5-row approx relation back onto the
+    # stream and count values strictly-below / at-or-below each cut.
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("__amed")).cast("long")).alias("__lt_med"),
+            F.sum((F.col("value") <= F.col("__amed")).cast("long")).alias("__le_med"),
+            F.sum((F.col("value") < F.col("__ap95")).cast("long")).alias("__lt_p95"),
+            F.sum((F.col("value") <= F.col("__ap95")).cast("long")).alias("__le_p95"),
+        )
+    )
+    eps = 0.01
+    joined = approx.join(exact, "event_type").join(ranked, "event_type")
+    return joined.select(
+        "event_type",
+        (
+            F.abs(F.col("__approx_users") - F.col("__exact_users"))
+            / F.col("__exact_users")
+            <= 0.06
+        ).alias("hll_within_envelope"),
+        (
+            (F.col("__lt_med") / F.col("__n") <= 0.5 + eps)
+            & (F.col("__le_med") / F.col("__n") >= 0.5 - eps)
+        ).alias("median_within_envelope"),
+        (
+            (F.col("__lt_p95") / F.col("__n") <= 0.95 + eps)
+            & (F.col("__le_p95") / F.col("__n") >= 0.95 - eps)
+        ).alias("p95_within_envelope"),
+    )
+
+
+@register(
     "events_session_window",
     oracle="""
         WITH flagged AS (

@@ -173,15 +173,63 @@ def media_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_roundtrip(table(spark, "documents", sf_dir), "doc_id", "text")
 
 
-@register("media_resized")
+@register(
+    "media_resized",
+    oracle="""
+        WITH meta AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                      WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4' ELSE 'png' END
+                     AS media_format,
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS len
+          FROM documents
+        ), bytes AS (
+          SELECT doc_id, media_format,
+                 greatest(len, 1) AS glen,
+                 CASE WHEN len = 0 THEN [CAST(0 AS BIGINT)]
+                      ELSE list_transform(range(0, len),
+                        i -> (strpos('0123456789ABCDEF',
+                                     substring(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16
+                           + strpos('0123456789ABCDEF',
+                                    substring(hx, CAST(2*i+2 AS INTEGER), 1)) - 1)
+                 END AS bl
+          FROM meta
+        )
+        SELECT doc_id, media_format,
+               CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+               CAST(1024 AS BIGINT) AS n_bytes,
+               array_to_string(list_transform(range(0, 1024),
+                 i -> printf('%02X',
+                        bl[CAST(least(i * glen // 1024, glen - 1) + 1
+                                AS INTEGER)])), '') AS payload_hex
+        FROM bytes
+    """,
+)
 def media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: every payload resampled to a uniform 32×32 target.
+    """Resize plumbing: every payload resampled to a uniform 32×32 target —
+    now HASH-CHECKED, not rows-only (the ``media_frame_features`` oracle
+    technique extended to the resize OUTPUT bytes).
 
-    Binary-in/binary-out ``mapInPandas`` with typed size metadata — the
-    batch-prep step of a multimodal training pipeline. Binary output ⇒
-    rows-only driver check; determinism + exact output size are pinned in
-    tests/test_operators.py.
+    The synthetic corpus takes the deterministic fake-resample path (text
+    payloads carry no codec magic), whose output byte ``i`` is exactly
+    ``src[min((i·len)//1024, len−1)]`` — ``len/1024`` is a power-of-two
+    division, so the kernel's float arithmetic is exact and the index is
+    pure integer math the oracle restates (hex()+strpos byte extraction,
+    printf('%02X') re-encoding). The query serializes the resized payload
+    as an uppercase hex string at the boundary: binary columns don't
+    hash-compare across engines, hex strings do. The REAL 2-D resample
+    path (``_real_resize`` over genuine PNG/WAV pixels) is pinned by
+    test_real_png_through_spark_kernels in tests/test_operators.py.
     """
     from data_warehouse_product_mix_clustering_spark.operators.media import resize_media
 
-    return resize_media(table(spark, "documents", sf_dir), "doc_id", "text")
+    resized = resize_media(table(spark, "documents", sf_dir), "doc_id", "text")
+    return resized.select(
+        "doc_id",
+        "media_format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+        F.hex("payload").alias("payload_hex"),
+    )

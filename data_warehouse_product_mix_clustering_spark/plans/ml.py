@@ -168,6 +168,65 @@ def clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_quality_audit",
+    oracle="""
+        SELECT CAST(4 AS BIGINT) AS n_clusters,
+               TRUE AS all_assigned,
+               TRUE AS silhouette_pass,
+               TRUE AS same_seed_identical
+    """,
+)
+def cluster_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested clustering quality gate (the ``ann_recall_audit``
+    pattern): the oracle pins the CONTRACT, Spark computes the measured
+    truth, and any regression flips the hash row red.
+
+    Four invariants of the reference's production clustering (reference
+    src/pipelines/clustering.py:125-136, k=4 seed=42):
+    - ``n_clusters``: the fit actually uses all 4 clusters (an empty
+      cluster means a degenerate init survived);
+    - ``all_assigned``: every product in the feature matrix received a
+      label in both fits, none NULL;
+    - ``silhouette_pass``: scaled-space silhouette ≥ 0.1, the same floor
+      the unit suite pins (test_product_clustering_partition_quality);
+    - ``same_seed_identical``: a second same-seed fit yields the IDENTICAL
+      partition — checked relationally: the (label_a, label_b) mapping is
+      a bijection, i.e. distinct pairs == distinct labels on each side.
+
+    This converts the rows-only clustering family's semantics
+    (``product_clusters``, ``clustering_quality``, ``cluster_profile``)
+    into a driver-checkable row.
+    """
+    feats = product_features(spark, sf_dir).localCheckpoint(eager=True)
+    n_products = feats.count()
+    a = kmeans_assign(feats, MATRIX_FEATURES, order_col="product_id")
+    b = kmeans_assign(feats, MATRIX_FEATURES, order_col="product_id")
+    s = silhouette(a, MATRIX_FEATURES)
+    pairs = a.select("product_id", F.col("cluster").alias("c1")).join(
+        b.select("product_id", F.col("cluster").alias("c2")), "product_id"
+    )
+    agg = pairs.agg(
+        F.countDistinct("c1").alias("k1"),
+        F.countDistinct("c2").alias("k2"),
+        F.countDistinct("c1", "c2").alias("kp"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("c1").isNull() | F.col("c2").isNull(), 1)).alias(
+            "n_null"
+        ),
+    )
+    return agg.select(
+        F.col("k1").cast("long").alias("n_clusters"),
+        (
+            (F.col("n_pairs") == F.lit(n_products)) & (F.col("n_null") == 0)
+        ).alias("all_assigned"),
+        F.lit(bool(s >= 0.1)).alias("silhouette_pass"),
+        ((F.col("kp") == F.col("k1")) & (F.col("kp") == F.col("k2"))).alias(
+            "same_seed_identical"
+        ),
+    )
+
+
 @register("features_pca")
 def features_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA(k=4) over the standardized feature matrix (M3).
