@@ -411,6 +411,78 @@ def _nearest_union(
     )
 
 
+def _asof_union_keys_only(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+    how: str,
+) -> DataFrame:
+    """Union as-of for a PAYLOAD-FREE right side (by-keys + event time
+    only): one shuffle, one Window, ONE carry expression.
+
+    ``end_col`` can never route here (an end column is right payload, so
+    ``rcols`` is non-empty and the struct path runs instead). The carried
+    right event time doubles as the match indicator — NULL means no right
+    row at or before the left row.
+    """
+    ts = "__asof_ts"
+    side = "__asof_side"  # 0 = right (sorts before left on ties → inclusive)
+    lstruct = "__asof_l"
+    lcols = [c for c in left.columns if c not in by and c != left_on]
+    lfields = [F.col(c) for c in lcols] or [F.lit(True).alias("__asof_m")]
+
+    rpart = right.filter(F.col(right_on).isNotNull()).select(
+        *[F.col(k) for k in by],
+        F.col(right_on).alias(ts),
+        F.lit(0).alias(side),
+    )
+    lpart = left.select(
+        *[F.col(k) for k in by],
+        F.col(left_on).alias(ts),
+        F.lit(1).alias(side),
+        F.struct(*lfields).alias(lstruct),
+    )
+    ltype = lpart.schema[lstruct].dataType
+    rpart = rpart.withColumn(lstruct, F.lit(None).cast(ltype))
+    unioned = lpart.unionByName(rpart.select(*lpart.columns))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rts = "__asof_rts"
+    carried = (
+        unioned.select(
+            *[F.col(k) for k in by],
+            F.col(ts),
+            F.col(side),
+            F.col(lstruct),
+            F.last(F.when(F.col(side) == 0, F.col(ts)), ignorenulls=True)
+            .over(w)
+            .alias(rts),
+        )
+        .filter(F.col(side) == 1)
+        .drop(side)
+    )
+
+    def _left_out(c: str) -> Column:
+        if c in by:
+            return F.col(c)
+        if c == left_on:
+            return F.col(ts).alias(c)
+        return F.col(f"{lstruct}.{c}").alias(c)
+
+    out = carried.select(
+        *[_left_out(c) for c in left.columns], F.col(rts).alias(right_on)
+    )
+    if how == "inner":
+        out = out.filter(F.col(right_on).isNotNull())
+    return out
+
+
 def _range_cond(
     left_on: str, right_on: str, by: list[str], end_col: str | None
 ) -> Column:
@@ -596,6 +668,13 @@ def _asof_union(
     rstruct = "__asof_r"
     lstruct = "__asof_l"
     rcols = _right_cols(right, right_on, by)
+    if not rcols:
+        # Payload-free right side (the caller deferred every derivable
+        # column past the join): the carried right event time IS the whole
+        # match, so the marker struct — and with it the second window
+        # aggregate buffer — is dropped entirely. One carry per row
+        # instead of two through the same sorted walk.
+        return _asof_union_keys_only(left, right, left_on, right_on, by, how)
     # The event-time columns do NOT ride inside the payload structs — ts
     # already holds left_on (side 1) / right_on (side 0), and duplicating
     # them (the obvious layout) adds 8 bytes × every shuffled row. They are
@@ -603,7 +682,7 @@ def _asof_union(
     # second carry expression over the SAME window frame (one sort pass,
     # two aggregate buffers).
     lcols = [c for c in left.columns if c not in by and c != left_on]
-    rfields = [F.col(c) for c in rcols] or [F.lit(True).alias("__asof_m")]
+    rfields = [F.col(c) for c in rcols]
     lfields = [F.col(c) for c in lcols] or [F.lit(True).alias("__asof_m")]
 
     # A NULL right_on row can never be an as-of match (the range predicate

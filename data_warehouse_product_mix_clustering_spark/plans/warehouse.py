@@ -281,29 +281,18 @@ def asof_union_monthly_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
         .distinct()
     )
+    # quote_price is a PURE FUNCTION of (ProductID, qdate, p_retailprice),
+    # so it is deferred past the as-of join: the union shuffle + window
+    # sort then carry a PAYLOAD-FREE right side (by-key + month only — the
+    # operator's single-carry fast path), and the price is reconstructed
+    # afterwards from the matched month plus one broadcast-hash probe into
+    # part for p_retailprice. At 100 TB the deferral removes |quotes| × 8
+    # bytes from the one large shuffle in exchange for a map-side probe of
+    # a dimension — always the right trade.
     quotes = (
         table(spark, "part", sf_dir)
-        .select("p_partkey", "p_retailprice")
+        .select(F.col("p_partkey").alias("ProductID"))
         .crossJoin(F.broadcast(months))
-        .select(
-            F.col("p_partkey").alias("ProductID"),
-            "qdate",
-            (
-                F.col("p_retailprice")
-                * (
-                    F.lit(1)
-                    + F.lit(0.01)
-                    * (
-                        (
-                            F.col("p_partkey")
-                            + F.year("qdate") * F.lit(12)
-                            + F.month("qdate")
-                        )
-                        % 10
-                    )
-                )
-            ).alias("quote_price"),
-        )
     )
     joined = asof_join(
         f,
@@ -314,12 +303,23 @@ def asof_union_monthly_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         strategy="union",
     )
+    retail = F.broadcast(
+        table(spark, "part", sf_dir).select(
+            F.col("p_partkey").alias("ProductID"), "p_retailprice"
+        )
+    )
+    quote_price = F.col("p_retailprice") * (
+        F.lit(1)
+        + F.lit(0.01)
+        * ((F.col("ProductID") + F.year("qdate") * F.lit(12) + F.month("qdate")) % 10)
+    )
     return (
-        joined.groupBy("ReturnFlag")
+        joined.join(retail, "ProductID")
+        .groupBy("ReturnFlag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             money_round(F.sum("LineTotal")).alias("revenue"),
-            money_round(F.sum(F.col("quote_price") * F.col("OrderQty"))).alias(
+            money_round(F.sum(quote_price * F.col("OrderQty"))).alias(
                 "quoted_value"
             ),
         )

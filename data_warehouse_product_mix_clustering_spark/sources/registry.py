@@ -42,19 +42,36 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# (applicationId, path) → resolved scan DataFrame. ``spark.read.parquet``
+# lists the path and reads footers for schema on EVERY call — driver-side
+# metadata work a real engine caches in its catalog. DataFrames are
+# immutable plans, so reusing one is safe; keying on applicationId drops
+# entries from stopped sessions naturally (a new session gets a new id).
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table. Lazy; nothing is scanned until an action.
 
     ``events`` gets its ``ts`` column normalized to a µs session-tz
     timestamp regardless of the file's encoding (see normalize_events_ts).
+    The resolved scan is cached per (session, path) — repeated plan
+    construction over the same table skips the file-listing/footer read.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # Harmless for µs files; required in case ts is TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return normalize_events_ts(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = normalize_events_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_testdata(

@@ -482,3 +482,44 @@ def test_asof_nearest_exact_microsecond_tie(spark):
             ).collect()
         }
         assert got == {1: 1.0}, f"{strategy}: {got}"
+
+
+def test_asof_union_keys_only_fast_path(spark):
+    """A payload-free right side (by-keys + event time only) takes the
+    single-carry union path: same answers as the broadcast strategy, one
+    Window, no marker struct in the plan."""
+    left = spark.createDataFrame(
+        [(1, 1, D("2024-01-20")), (2, 1, D("2024-01-01")), (3, 2, D("2024-03-01"))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, D("2024-01-10")), (1, D("2024-01-15")), (2, D("2024-02-01"))],
+        ["k", "ts2"],
+    )
+    want = {
+        r.id: r.ts2
+        for r in asof_join(
+            left, right, "ts", "ts2", by=["k"], strategy="broadcast"
+        ).collect()
+    }
+    got_df = asof_join(left, right, "ts", "ts2", by=["k"], strategy="union")
+    # plan BEFORE executing: post-execution AQE toString appends the
+    # initial plan as a second section, double-counting operators
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    got = {r.id: r.ts2 for r in got_df.collect()}
+    assert got == want == {
+        1: D("2024-01-15"),
+        2: None,
+        3: D("2024-02-01"),
+    }, got
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.lstrip("+- :").startswith("Window ")
+    )
+    assert n_windows == 1, f"expected exactly 1 Window, saw {n_windows}"
+    assert "__asof_r#" not in plan, "keys-only path must not build the marker struct"
+
+    # inner drops the unmatched row
+    inner = asof_join(
+        left, right, "ts", "ts2", by=["k"], how="inner", strategy="union"
+    )
+    assert {r.id for r in inner.collect()} == {1, 3}
