@@ -168,6 +168,37 @@ def clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partition_identity(
+    a: DataFrame, b: DataFrame, id_col: str, n_rows: int
+) -> DataFrame:
+    """1-row relation of partition-identity measurements between two
+    cluster assignments: ``n_clusters`` (of run A), ``all_assigned``
+    (every id labeled in both runs, none NULL), ``same_seed_identical``
+    (the (label_a, label_b) mapping is a bijection — distinct pairs equal
+    distinct labels on each side)."""
+    pairs = a.select(id_col, F.col("cluster").alias("__c1")).join(
+        b.select(id_col, F.col("cluster").alias("__c2")), id_col
+    )
+    agg = pairs.agg(
+        F.countDistinct("__c1").alias("__k1"),
+        F.countDistinct("__c2").alias("__k2"),
+        F.countDistinct("__c1", "__c2").alias("__kp"),
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.count(
+            F.when(F.col("__c1").isNull() | F.col("__c2").isNull(), 1)
+        ).alias("__n_null"),
+    )
+    return agg.select(
+        F.col("__k1").cast("long").alias("n_clusters"),
+        (
+            (F.col("__n_pairs") == F.lit(n_rows)) & (F.col("__n_null") == 0)
+        ).alias("all_assigned"),
+        ((F.col("__kp") == F.col("__k1")) & (F.col("__kp") == F.col("__k2"))).alias(
+            "same_seed_identical"
+        ),
+    )
+
+
 @register(
     "cluster_quality_audit",
     oracle="""
@@ -203,26 +234,142 @@ def cluster_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmeans_assign(feats, MATRIX_FEATURES, order_col="product_id")
     b = kmeans_assign(feats, MATRIX_FEATURES, order_col="product_id")
     s = silhouette(a, MATRIX_FEATURES)
-    pairs = a.select("product_id", F.col("cluster").alias("c1")).join(
-        b.select("product_id", F.col("cluster").alias("c2")), "product_id"
+    return _partition_identity(a, b, "product_id", n_products).select(
+        "n_clusters",
+        "all_assigned",
+        F.lit(bool(s >= 0.1)).alias("silhouette_pass"),
+        "same_seed_identical",
     )
-    agg = pairs.agg(
-        F.countDistinct("c1").alias("k1"),
-        F.countDistinct("c2").alias("k2"),
-        F.countDistinct("c1", "c2").alias("kp"),
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count(F.when(F.col("c1").isNull() | F.col("c2").isNull(), 1)).alias(
-            "n_null"
-        ),
+
+
+@register(
+    "embedding_cluster_audit",
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS n_clusters,
+               TRUE AS all_assigned,
+               TRUE AS silhouette_positive,
+               TRUE AS same_seed_identical
+    """,
+)
+def embedding_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the embedding-clustering family (M6 over raw
+    vectors — covers ``embedding_clusters``' rows-only semantics).
+
+    Pins: all 10 clusters used, every vector labeled in two same-seed
+    fits, the two fits are the identical partition, and the vector-space
+    silhouette is strictly positive — the honest floor on this
+    near-uniform synthetic corpus (measured ~0.03 at sf0.001-0.01, so a
+    negative value means the clustering degenerated, while any higher
+    floor would pin noise).
+    """
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, "embeddings", sf_dir).localCheckpoint(eager=True)
+    n = emb.count()
+    a = assign_vectors(emb, "embedding", k=10, order_col="vec_id")
+    b = assign_vectors(emb, "embedding", k=10, order_col="vec_id")
+    withv = a.withColumn(
+        "__v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    s = ClusteringEvaluator(
+        featuresCol="__v", predictionCol="cluster", metricName="silhouette"
+    ).evaluate(withv)
+    return _partition_identity(a, b, "vec_id", n).select(
+        "n_clusters",
+        "all_assigned",
+        F.lit(bool(s > 0.0)).alias("silhouette_positive"),
+        "same_seed_identical",
+    )
+
+
+@register(
+    "pca_variance_audit",
+    oracle="""
+        SELECT CAST(4 AS BIGINT) AS k,
+               TRUE AS variance_descending,
+               TRUE AS variance_sum_pass,
+               TRUE AS projection_complete,
+               TRUE AS deterministic
+    """,
+)
+def pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``features_pca`` (M3), whose basis-sign-dependent
+    output is inherently rows-only.
+
+    Pins the invariants that survive sign ambiguity: the 4 explained-
+    variance ratios are positive and non-increasing; together they explain
+    ≥ 0.6 of the standardized 8-feature variance (measured 0.80-0.86 at
+    sf0.001-0.01); the projection covers every product with no NULL
+    component; and a second same-data fit produces the numerically
+    IDENTICAL projection (Spark's PCA is a deterministic SVD — any
+    divergence means nondeterminism crept into the feature plan).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    feats = product_features(spark, sf_dir).localCheckpoint(eager=True)
+    n = feats.count()
+
+    def fit_project() -> tuple[list[float], DataFrame]:
+        pipe = Pipeline(
+            stages=[
+                VectorAssembler(inputCols=MATRIX_FEATURES, outputCol="__feat"),
+                StandardScaler(
+                    inputCol="__feat",
+                    outputCol="__scaled",
+                    withMean=True,
+                    withStd=True,
+                ),
+                PCA(k=4, inputCol="__scaled", outputCol="__pc"),
+            ]
+        )
+        model = pipe.fit(feats)
+        proj = model.transform(feats).select(
+            "product_id",
+            *[vector_to_array("__pc")[i].alias(f"pc{i}") for i in range(4)],
+        )
+        return list(model.stages[-1].explainedVariance), proj
+
+    ev1, p1 = fit_project()
+    ev2, p2 = fit_project()
+    descending = all(ev1[i] >= ev1[i + 1] for i in range(3)) and all(
+        v > 0 for v in ev1
+    )
+    sum_pass = sum(ev1) >= 0.6
+
+    joined = p1.join(
+        p2.select("product_id", *[F.col(f"pc{i}").alias(f"__q{i}") for i in range(4)]),
+        "product_id",
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(
+            F.when(
+                sum(
+                    [F.col(f"pc{i}").isNull().cast("int") for i in range(4)],
+                    F.lit(0),
+                )
+                > 0,
+                1,
+            )
+        ).alias("__n_null"),
+        F.max(
+            F.greatest(
+                *[F.abs(F.col(f"pc{i}") - F.col(f"__q{i}")) for i in range(4)]
+            )
+        ).alias("__max_diff"),
     )
     return agg.select(
-        F.col("k1").cast("long").alias("n_clusters"),
-        (
-            (F.col("n_pairs") == F.lit(n_products)) & (F.col("n_null") == 0)
-        ).alias("all_assigned"),
-        F.lit(bool(s >= 0.1)).alias("silhouette_pass"),
-        ((F.col("kp") == F.col("k1")) & (F.col("kp") == F.col("k2"))).alias(
-            "same_seed_identical"
+        F.lit(4).cast("long").alias("k"),
+        F.lit(bool(descending)).alias("variance_descending"),
+        F.lit(bool(sum_pass)).alias("variance_sum_pass"),
+        ((F.col("__n") == F.lit(n)) & (F.col("__n_null") == 0)).alias(
+            "projection_complete"
+        ),
+        ((F.col("__max_diff") == 0.0) & F.lit(bool(ev1 == ev2))).alias(
+            "deterministic"
         ),
     )
 

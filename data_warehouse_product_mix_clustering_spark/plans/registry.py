@@ -63,6 +63,9 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_quality_audit",
     "dedup_simhash_audit",
     "events_approx_stats_audit",
+    "pca_variance_audit",
+    "embedding_cluster_audit",
+    "lstm_quality_audit",
     # Code/oracle changed in round 6 — their r5 rows predate the change.
     "media_resized",  # rows-only → full hash oracle (hex-serialized bytes)
     "asof_union_monthly_quotes",  # deferred-quote rewrite + single-carry union
@@ -111,9 +114,6 @@ _DRIVER_PRIORITY: list[str] = [
     "anti_join_inactive_customers",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_groups",
-    "ann_cosine_topk",
-    "features_zscore",
 ]
 
 

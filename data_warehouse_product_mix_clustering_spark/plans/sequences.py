@@ -258,6 +258,109 @@ def sequence_embeddings_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lstm_quality_audit",
+    oracle="""
+        SELECT CAST(12 AS BIGINT) AS embedding_dim,
+               TRUE AS all_embedded,
+               TRUE AS beats_pooled_baseline,
+               TRUE AS same_seed_identical
+    """,
+)
+def lstm_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the learned LSTM path (M5 — covers
+    ``sequence_embeddings_lstm`` / ``sequence_clusters_lstm``'s rows-only
+    semantics with a driver-checkable hash row).
+
+    Pins:
+    - ``embedding_dim`` / ``all_embedded``: the DISTRIBUTED scorer
+      (mapInPandas, broadcast weights) emits exactly one 12-d, fully
+      non-null vector per product;
+    - ``beats_pooled_baseline``: the trained model reconstructs the scaled
+      training sample strictly better than the best possible
+      constant-per-sequence reconstruction (the per-sequence variance) —
+      the same learning gate tests/test_ml.py pins, now attested;
+    - ``same_seed_identical``: a second same-seed fit produces
+      byte-identical sample embeddings (pure-NumPy training is
+      deterministic; divergence means the sample order or seed leaked).
+
+    Training cost is bounded by the 256-sequence sample cap regardless of
+    scale factor; scoring is the distributed Arrow path.
+    """
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import (
+        SEQ_FEATURES,
+        _sequence_arrays,
+        lstm_autoencoder_embeddings,
+    )
+    from data_warehouse_product_mix_clustering_spark.ml.lstm_np import LSTMAutoencoderNP
+
+    q = quarter_rollup(spark, sf_dir).localCheckpoint(eager=True)
+    n_products = q.select("product_id").distinct().count()
+
+    emb = lstm_autoencoder_embeddings(q, epochs=60)
+    dist = emb.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.size("embedding")).alias("__dmin"),
+        F.max(F.size("embedding")).alias("__dmax"),
+        F.count(
+            F.when(F.exists("embedding", lambda v: v.isNull()), 1)
+        ).alias("__n_null"),
+    )
+
+    # Driver-side training-quality + determinism gates on the same
+    # deterministic sample the embedding query trains on.
+    sample = (
+        _sequence_arrays(q)
+        .orderBy("product_id")
+        .limit(256)
+        .select("sequence")
+        .collect()
+    )
+    stats = q.select(
+        *[F.avg(F.col(f).cast("double")).alias(f"{f}_mu") for f in SEQ_FEATURES],
+        *[
+            F.stddev_pop(F.col(f).cast("double")).alias(f"{f}_sd")
+            for f in SEQ_FEATURES
+        ],
+    ).first()
+    mu = np.array([stats[f"{f}_mu"] for f in SEQ_FEATURES])
+    sd = np.array([stats[f"{f}_sd"] or 1.0 for f in SEQ_FEATURES])
+    sd[sd == 0.0] = 1.0
+    seqs = [
+        (
+            np.array(
+                [[row[f] for f in SEQ_FEATURES] for row in r.sequence], dtype=float
+            )
+            - mu
+        )
+        / sd
+        for r in sample
+    ]
+    baseline = sum(float(((s - s.mean(0)) ** 2).sum()) for s in seqs) / sum(
+        s.size for s in seqs
+    )
+    m1 = LSTMAutoencoderNP(len(SEQ_FEATURES), 12, seed=2)
+    m1.fit(seqs, epochs=60)
+    m2 = LSTMAutoencoderNP(len(SEQ_FEATURES), 12, seed=2)
+    m2.fit(seqs, epochs=60)
+    beats = m1.reconstruction_mse(seqs) < baseline
+    identical = bool(np.array_equal(m1.encode(seqs), m2.encode(seqs)))
+
+    return dist.select(
+        F.col("__dmax").cast("long").alias("embedding_dim"),
+        (
+            (F.col("__n") == F.lit(n_products))
+            & (F.col("__dmin") == 12)
+            & (F.col("__dmax") == 12)
+            & (F.col("__n_null") == 0)
+        ).alias("all_embedded"),
+        F.lit(bool(beats)).alias("beats_pooled_baseline"),
+        F.lit(identical).alias("same_seed_identical"),
+    )
+
+
 @register("sequence_clusters_lstm")
 def sequence_clusters_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 over the LEARNED embeddings: KMeans k=4 on the LSTM vectors.
