@@ -76,3 +76,23 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path, unit):
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     got = sorted(r.ts for r in df.select("ts").collect())
     assert got == [t0, t1], f"{unit}: {got}"
+
+
+def test_table_scan_metadata_cached(spark):
+    """Repeated table() calls return the SAME resolved scan DataFrame —
+    the metadata cache that keeps plan construction from re-listing the
+    path and re-reading parquet footers per query build. Different paths
+    (and the events normalization) must not collide."""
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    a = table(spark, "orders", "/root/testdata/sf0.001")
+    b = table(spark, "orders", "/root/testdata/sf0.001")
+    assert a is b, "same (session, path) must hit the cache"
+    c = table(spark, "orders", "/root/testdata/sf0.01")
+    assert c is not a, "different sf_dir must not collide"
+    ev1 = table(spark, "events", "/root/testdata/sf0.001")
+    ev2 = table(spark, "events", "/root/testdata/sf0.001")
+    assert ev1 is ev2
+    assert dict(ev1.dtypes)["ts"].startswith("timestamp"), (
+        "cached events scan must be the NORMALIZED one"
+    )
