@@ -78,8 +78,13 @@ def _lloyd(
             for j, cid in enumerate(empties):
                 labels[far_order[j]] = cid
             counts = np.bincount(labels, minlength=k)
-        new_centers = np.zeros_like(centers)
-        np.add.at(new_centers, labels, X)
+        # Per-feature bincount beats np.add.at ~10× here: add.at is a
+        # generic scatter-add (one Python-level ufunc dispatch per element
+        # group), while bincount with float weights is a single C pass —
+        # and this line dominates the Lloyd loop at dimension-table sizes.
+        new_centers = np.empty_like(centers)
+        for j in range(X.shape[1]):
+            new_centers[:, j] = np.bincount(labels, weights=X[:, j], minlength=k)
         new_centers /= counts[:, None]
         shift = float(((new_centers - centers) ** 2).sum())
         centers = new_centers
