@@ -1,9 +1,12 @@
 """Per-query bench regression guard.
 
 The driver records ``BENCH_r{N}.json`` per round; ``bench_budgets.json``
-pins a wall-clock budget per headline query (round-4 numbers × 1.5
-headroom). A breach turns into a red test here instead of a silent
-regression only visible in the judge's round diff.
+pins a wall-clock budget per headline query, rebased each round from the
+latest OFFICIAL driver bench artifact × 1.4 headroom (floor 0.5 s for
+overhead-dominated queries) — never from an in-session bench, because
+cross-process wall times on this host swing ±50% and a guard tuned to a
+different process fires on noise. A breach turns into a red test here
+instead of a silent regression only visible in the judge's round diff.
 
 The guard reads the NEWEST bench artifact only — older rounds are
 history, not a contract. Queries missing from either side are skipped
