@@ -397,11 +397,16 @@ def _nearest_union(
     chosen = F.when(pick_b, F.col("__b")).when(valid, F.col("__f"))
     chosen_ts = F.when(pick_b, F.col("__bts")).when(valid, F.col("__fts"))
 
+    # The union coerces __asof_ts to the wider of the two event-time types;
+    # cast back so left_on keeps its input type (DATE stays DATE) and the
+    # output schema matches the broadcast/bucket strategies on same inputs.
+    left_on_type = dict(left.dtypes)[left_on]
+
     def _left_out(c: str) -> Column:
         if c in by:
             return F.col(c)
         if c == left_on:
-            return F.col(ts).alias(c)
+            return F.col(ts).cast(left_on_type).alias(c)
         return F.col(f"{lstruct}.{c}").alias(c)
 
     return carried.select(
@@ -468,11 +473,15 @@ def _asof_union_keys_only(
         .drop(side)
     )
 
+    # Same type-restore as the struct path: the union widens __asof_ts, so
+    # cast the reconstructed left_on back to the left input's type.
+    left_on_type = dict(left.dtypes)[left_on]
+
     def _left_out(c: str) -> Column:
         if c in by:
             return F.col(c)
         if c == left_on:
-            return F.col(ts).alias(c)
+            return F.col(ts).cast(left_on_type).alias(c)
         return F.col(f"{lstruct}.{c}").alias(c)
 
     out = carried.select(
@@ -749,11 +758,15 @@ def _asof_union(
             F.col(f"{rstruct}.{end_col}").isNull()
             | (F.col(ts) <= F.col(f"{rstruct}.{end_col}"))
         )
+    # The union widens __asof_ts to the common event-time type; restore
+    # left_on's input type so this strategy's schema matches broadcast's.
+    left_on_type = dict(left.dtypes)[left_on]
+
     def _left_out(c: str) -> Column:
         if c in by:
             return F.col(c)
         if c == left_on:
-            return F.col(ts).alias(c)
+            return F.col(ts).cast(left_on_type).alias(c)
         return F.col(f"{lstruct}.{c}").alias(c)
 
     out = carried.select(

@@ -18,6 +18,8 @@ real PNGs in the same column decode for real.
 
 from __future__ import annotations
 
+import logging
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -246,11 +248,25 @@ def real_decode(payload_bytes: bytes, fmt: str) -> dict:
     )
 
 
+# Per-worker-process tally of real-decoder failures that degraded to the
+# fake path, keyed by format. A regression in the real decoders on VALID
+# payloads would otherwise be invisible (the fake path still yields rows);
+# executor logs carry a warning per failure and tests can read the counter.
+_REAL_DECODE_FALLBACKS: dict[str, int] = {}
+_log = logging.getLogger(__name__)
+
+
 def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
     """Real decode when the payload actually is a decodable format, else
     None (→ caller falls back to the deterministic fake). Detection is by
     content magic, not the format tag, so synthetic text payloads tagged
-    'png' still take the fake path while genuine PNGs decode for real."""
+    'png' still take the fake path while genuine PNGs decode for real.
+
+    A payload bearing genuine magic whose real decode FAILS degrades to the
+    fake decoder for task safety, but never silently: the failure is
+    counted + logged, and ``SPARK_GRAFT_STRICT_DECODE=1`` (used by tests)
+    re-raises so a real-decoder regression on valid payloads stays
+    observable (ADVICE r6)."""
     is_png = fmt == "png" and raw[:8] == _PNG_MAGIC
     is_wav = (
         fmt == "wav" and raw[:4] == _WAV_MAGIC_RIFF and raw[8:12] == _WAV_MAGIC_WAVE
@@ -260,10 +276,19 @@ def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
 
         try:
             return real_decode(raw, fmt)
-        except (NotImplementedError, ValueError, struct.error):
+        except (NotImplementedError, ValueError, struct.error) as exc:
             # A payload carrying genuine magic but a truncated or chunkless
             # body (corrupt upload) must degrade to the deterministic fake,
             # not crash the Spark task — same contract as unknown formats.
+            if os.environ.get("SPARK_GRAFT_STRICT_DECODE"):
+                raise
+            _REAL_DECODE_FALLBACKS[fmt] = _REAL_DECODE_FALLBACKS.get(fmt, 0) + 1
+            _log.warning(
+                "real %s decode failed (%s: %s); using deterministic fake",
+                fmt,
+                type(exc).__name__,
+                exc,
+            )
             return None
     return None
 

@@ -486,8 +486,15 @@ def events_approx_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass over events computes the rank brackets of both approx
     # quantile values: broadcast the 5-row approx relation back onto the
     # stream and count values strictly-below / at-or-below each cut.
+    # Joins are null-SAFE (ADVICE r6): a NULL event_type group survives
+    # groupBy on both engines, so a null-unsafe equi-join here would drop
+    # it from the Spark side while the oracle's SELECT DISTINCT keeps it —
+    # an opaque hash mismatch instead of a red contract value.
     ranked = (
-        ev.join(F.broadcast(approx), "event_type")
+        ev.join(
+            F.broadcast(approx.withColumnRenamed("event_type", "__et")),
+            F.col("event_type").eqNullSafe(F.col("__et")),
+        )
         .groupBy("event_type")
         .agg(
             F.sum((F.col("value") < F.col("__amed")).cast("long")).alias("__lt_med"),
@@ -497,21 +504,33 @@ def events_approx_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     eps = 0.01
-    joined = approx.join(exact, "event_type").join(ranked, "event_type")
+    joined = approx.join(
+        exact.withColumnRenamed("event_type", "__et1"),
+        F.col("event_type").eqNullSafe(F.col("__et1")),
+    ).join(
+        ranked.withColumnRenamed("event_type", "__et2"),
+        F.col("event_type").eqNullSafe(F.col("__et2")),
+    )
+    # Degenerate groups (zero non-null user_ids → division by NULL/0, or
+    # all-NULL values → NULL rank ratios) must fail LOUDLY as FALSE, not
+    # propagate NULL into the contract booleans.
     return joined.select(
         "event_type",
-        (
+        F.coalesce(
             F.abs(F.col("__approx_users") - F.col("__exact_users"))
             / F.col("__exact_users")
-            <= 0.06
+            <= 0.06,
+            F.lit(False),
         ).alias("hll_within_envelope"),
-        (
+        F.coalesce(
             (F.col("__lt_med") / F.col("__n") <= 0.5 + eps)
-            & (F.col("__le_med") / F.col("__n") >= 0.5 - eps)
+            & (F.col("__le_med") / F.col("__n") >= 0.5 - eps),
+            F.lit(False),
         ).alias("median_within_envelope"),
-        (
+        F.coalesce(
             (F.col("__lt_p95") / F.col("__n") <= 0.95 + eps)
-            & (F.col("__le_p95") / F.col("__n") >= 0.95 - eps)
+            & (F.col("__le_p95") / F.col("__n") >= 0.95 - eps),
+            F.lit(False),
         ).alias("p95_within_envelope"),
     )
 

@@ -8,6 +8,7 @@ but the expected schemas live in ``schemas.py`` for validation.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,9 +46,26 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 # (applicationId, path) → resolved scan DataFrame. ``spark.read.parquet``
 # lists the path and reads footers for schema on EVERY call — driver-side
 # metadata work a real engine caches in its catalog. DataFrames are
-# immutable plans, so reusing one is safe; keying on applicationId drops
-# entries from stopped sessions naturally (a new session gets a new id).
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# immutable plans, so reusing one is safe. Bounded: entries from sessions
+# other than the inserting one are evicted on insert (a stopped session's
+# DataFrames would otherwise be pinned forever), and the dict is LRU-capped
+# so a long-lived process scanning many paths can't grow it without bound.
+_TABLE_CACHE: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
+_TABLE_CACHE_MAX = 64
+
+
+def invalidate(path: str | None = None) -> None:
+    """Drop cached scans for ``path`` (every sf_dir), or everything.
+
+    Callers that rewrite a testdata path mid-session must invalidate it:
+    the cached DataFrame pins the file listing resolved at first read, so a
+    changed directory would otherwise keep serving the stale listing.
+    """
+    if path is None:
+        _TABLE_CACHE.clear()
+        return
+    for key in [k for k in _TABLE_CACHE if k[1] == path]:
+        del _TABLE_CACHE[key]
 
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -60,9 +78,11 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, path)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
+        _TABLE_CACHE.move_to_end(key)
         return hit
     if name == "events":
         # Harmless for µs files; required in case ts is TIMESTAMP(NANOS).
@@ -70,7 +90,13 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
         df = normalize_events_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
+    # Evict other sessions' entries: their DataFrames (and the sessions
+    # they pin) are unusable here and would never age out on their own.
+    for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[stale]
     _TABLE_CACHE[key] = df
+    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.popitem(last=False)
     return df
 
 

@@ -523,3 +523,30 @@ def test_asof_union_keys_only_fast_path(spark):
         left, right, "ts", "ts2", by=["k"], how="inner", strategy="union"
     )
     assert {r.id for r in inner.collect()} == {1, 3}
+
+
+@pytest.mark.parametrize("payload", [False, True])
+def test_asof_union_date_left_keeps_date_type(spark, payload):
+    """DATE left axis + TIMESTAMP right axis (ADVICE r6 low): the union
+    strategies rebuild left_on from the widened __asof_ts column, which
+    silently changed its type to timestamp vs the broadcast strategy on the
+    same inputs. Both union paths (keys-only and struct) must restore it."""
+    DD = dt.date.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 1, DD("2024-01-20")), (2, 1, DD("2024-01-01"))], ["id", "k", "d"]
+    )
+    rrows = (
+        [(1, D("2024-01-10T06:00:00"), 9.5)] if payload
+        else [(1, D("2024-01-10T06:00:00"))]
+    )
+    right = spark.createDataFrame(
+        rrows, ["k", "ts2", "px"] if payload else ["k", "ts2"]
+    )
+    for strategy in ("broadcast", "union"):
+        out = asof_join(left, right, "d", "ts2", by=["k"], strategy=strategy)
+        assert dict(out.dtypes)["d"] == "date", (
+            f"{strategy} payload={payload}: left_on must stay DATE, "
+            f"got {dict(out.dtypes)['d']}"
+        )
+        rows = {r.id: r.d for r in out.collect()}
+        assert rows == {1: DD("2024-01-20"), 2: DD("2024-01-01")}

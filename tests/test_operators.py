@@ -3,6 +3,8 @@ LSH recall vs the exact baseline, hash determinism, edge-case inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.operators.dedup import simhash64
@@ -731,3 +733,41 @@ def test_maybe_real_decode_corrupt_magic_falls_back():
     # PNG magic with garbage body
     png_magic = b"\x89PNG\r\n\x1a\n"
     assert _maybe_real_decode(png_magic + b"\x00\x01\x02", "png") is None
+
+
+def test_maybe_real_decode_fallback_is_observable(monkeypatch):
+    """The safety fallback must not hide real-decoder regressions on valid
+    payloads (ADVICE r6 low): every degrade is counted, and strict mode
+    (SPARK_GRAFT_STRICT_DECODE=1, for tests) re-raises instead."""
+    from data_warehouse_product_mix_clustering_spark.operators import media
+    from data_warehouse_product_mix_clustering_spark.operators.media import (
+        _REAL_DECODE_FALLBACKS,
+        _maybe_real_decode,
+        make_wav,
+    )
+
+    wav = make_wav(b"\x01\x02\x03\x04", 8000, 1, 1)
+    truncated = wav[: wav.find(b"fmt ") + 10]
+
+    # Normal mode: degrade, but count it.
+    monkeypatch.delenv("SPARK_GRAFT_STRICT_DECODE", raising=False)
+    before = _REAL_DECODE_FALLBACKS.get("wav", 0)
+    assert _maybe_real_decode(truncated, "wav") is None
+    assert _REAL_DECODE_FALLBACKS.get("wav", 0) == before + 1
+
+    # Strict mode: the decoder failure surfaces instead of degrading.
+    monkeypatch.setenv("SPARK_GRAFT_STRICT_DECODE", "1")
+    with pytest.raises(Exception):  # ValueError or struct.error
+        _maybe_real_decode(truncated, "wav")
+
+    # Strict mode does not reject payloads that decode fine.
+    good = _maybe_real_decode(wav, "wav")
+    assert good is not None and good["n_samples"] == 4
+
+    # A regression injected into the real decoder is loud in strict mode.
+    def boom(raw):
+        raise ValueError("injected decoder regression")
+
+    monkeypatch.setattr(media, "_decode_wav", boom)
+    with pytest.raises(ValueError, match="injected"):
+        _maybe_real_decode(wav, "wav")
