@@ -9,10 +9,14 @@ line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a ``noop`` write — full plan execution on the
 executors, no driver-side collect — so timings measure the engine, not
 row transfer. One warm-up run of the cheapest query amortizes JVM/codegen
-start-up out of the per-query numbers; each query then runs TWICE and
-reports the faster run (best-of-2 floors out ambient scheduler noise,
-which swings single runs 2-3x on a shared host — the min is the honest
-estimate of what the plan costs).
+start-up out of the per-query numbers; each query then runs THREE times
+and reports the fastest run. Profiling (round 7) showed per-query runs
+keep dropping for several iterations — 2.8 → 1.64 → 1.26 → 1.11 s on the
+heaviest query — as the JIT warms the generated code paths, so best-of-2
+reported a still-warming run, not the plan's cost; best-of-3 lands within
+~20% of steady state while keeping total bench wall bounded. The min is
+the honest estimate of what the plan costs (ambient scheduler noise on a
+shared host swings single runs 2-3x upward, never downward).
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(q.fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -34,12 +34,52 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+# (applicationId, sf_dir, builder) → built DataFrame. Star-schema builders
+# are pure plan constructors over the (cached) table scans, but analysis of
+# the join/window subtrees still costs driver time on every call; a real
+# warehouse resolves a named view once per session. Same lifecycle rules as
+# the scan cache: DataFrames are immutable plans, entries from other
+# sessions are evicted on insert. Bounded by construction (builders ×
+# sf_dirs), so no LRU cap is needed.
+_STAR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_star_cache(sf_dir: str | None = None) -> None:
+    """Drop cached builder plans for one sf_dir (or all). Callers that
+    rewrite testdata mid-session must invalidate BOTH this cache and the
+    scan cache (sources.registry.invalidate)."""
+    if sf_dir is None:
+        _STAR_CACHE.clear()
+        return
+    for key in [k for k in _STAR_CACHE if k[1] == sf_dir]:
+        del _STAR_CACHE[key]
+
+
+def _per_session(fn):
+    """Memoize a (spark, sf_dir) → DataFrame builder per session."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, sf_dir, fn.__name__)
+        hit = _STAR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        df = fn(spark, sf_dir)
+        for stale in [k for k in _STAR_CACHE if k[0] != app_id]:
+            del _STAR_CACHE[stale]
+        _STAR_CACHE[key] = df
+        return df
+
+    return wrapper
 
 
 @dataclass
@@ -56,6 +96,7 @@ class StarSchema:
             getattr(self, name).createOrReplaceTempView(prefix + name)
 
 
+@_per_session
 def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DimProduct: part with the reference's column contract.
 
@@ -73,6 +114,7 @@ def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct categories (Type axis) with deterministic surrogate keys (F13)."""
     w = Window.orderBy("Type")
@@ -84,6 +126,7 @@ def dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def dim_subcategory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (Brand, Type) pairs keyed like the reference's subcategory dim."""
     w = Window.orderBy("Brand", "Type")
@@ -95,6 +138,7 @@ def dim_subcategory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FactProductSales: lineitem ⋈ orders on the order key (J2).
 
@@ -127,6 +171,7 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarterly validity intervals from observed order dates (DimDate).
 
@@ -148,6 +193,7 @@ def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DimProductPriceCostHistory: one (product, interval) cost/price row.
 
@@ -170,6 +216,7 @@ def price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_per_session
 def fact_priced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact rows enriched with the effective StandardCost + row-level profit.
 
