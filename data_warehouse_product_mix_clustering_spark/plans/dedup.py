@@ -289,6 +289,79 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_lsh_audit",
+    oracle="""
+        SELECT TRUE AS subset_of_exact,
+               TRUE AS pairs_valid,
+               TRUE AS recall_pass
+    """,
+)
+def dedup_embedding_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested quality gate for ``dedup_embedding_lsh`` (the
+    ``ann_recall_audit`` pattern — closes the family's rows-only gap).
+
+    Three invariants of the hyperplane-LSH near-dup path, measured in Spark
+    while the oracle pins the CONTRACT:
+
+    - ``subset_of_exact``: every LSH pair appears in the exact blocked-
+      matmul pair set at the same threshold/rounding (precision 1 by
+      construction — candidates are exact-cosine verified, so any novel
+      pair means the verify stage broke);
+    - ``pairs_valid``: every emitted pair is oriented (vec_a < vec_b) and
+      its RECOMPUTED cosine clears the 0.42 threshold (a banding bug that
+      leaks unverified candidates flips this);
+    - ``recall_pass``: |LSH ∩ exact| / |exact| ≥ 0.6 — the honest floor on
+      this continuous-tail corpus (measured 0.889 / 0.882 at sf0.001 /
+      sf0.01; threshold 0.42 sits barely above the 0.40 background, the
+      regime the operator docstring flags as LSH-hostile, so recall < 1 is
+      expected and 0.6 catches a banding/seed regression without pinning
+      noise).
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        as_double,
+        cosine,
+        lsh_cosine_pairs,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    exact = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = lsh_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.42, dim=64, n_planes=64,
+        bands=16, seed=42,
+    ).localCheckpoint(eager=True)  # consumed by 3 aggregates below
+
+    va = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("__ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("__eb"))
+    revalidated = (
+        lsh.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .select(
+            (
+                (F.col("vec_a") < F.col("vec_b"))
+                & (ratio_round(cosine(F.col("__ea"), F.col("__eb"))) >= 0.42)
+            ).alias("__ok")
+        )
+        .agg(F.coalesce(F.min("__ok"), F.lit(True)).alias("pairs_valid"))
+    )
+    counts = (
+        lsh.agg(F.count(F.lit(1)).alias("__n_lsh"))
+        .crossJoin(
+            lsh.join(exact, ["vec_a", "vec_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("__n_inter"))
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .crossJoin(revalidated)
+    )
+    return counts.select(
+        (F.col("__n_inter") == F.col("__n_lsh")).alias("subset_of_exact"),
+        F.col("pairs_valid"),
+        F.coalesce(
+            F.col("__n_inter") / F.col("__n_exact") >= 0.6, F.lit(False)
+        ).alias("recall_pass"),
+    )
+
+
+@register(
     "dedup_groups",
     oracle=f"""
         WITH RECURSIVE pairs AS ({_JACCARD_SQL}),

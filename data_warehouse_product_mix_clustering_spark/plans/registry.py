@@ -59,25 +59,36 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # New in round 6 — no driver row yet (the contract audits).
-    "cluster_quality_audit",
-    "dedup_simhash_audit",
-    "events_approx_stats_audit",
-    "pca_variance_audit",
-    "embedding_cluster_audit",
-    "lstm_quality_audit",
-    # Code/oracle changed in round 6 — their r5 rows predate the change.
-    "media_resized",  # rows-only → full hash oracle (hex-serialized bytes)
-    "asof_union_monthly_quotes",  # deferred-quote rewrite + single-carry union
-    "asof_price_intervals",  # table-scan metadata cache in its plan build
-    "asof_nearest_quote",  # NULL-ts null-rejection + long-micros gap math
-    "asof_forward_next_quote",  # shares the reworked union machinery
+    # New in round 7 — no driver row yet (the last two contract audits).
+    "dedup_embedding_lsh_audit",
+    "sequence_cluster_audit",
+    # Code changed in round 7 — r6 rows predate the change.
+    "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
+    "asof_union_monthly_quotes",  # union paths restore left_on's input type
+    "asof_nearest_quote",  # nearest-union _left_out type restore
+    "asof_forward_next_quote",  # shares the union machinery
     "asof_tolerance_quotes",
-    "media_wav_metadata",  # data-chunk offset fix in _decode_wav
-    "media_frame_features",  # broadened corrupt-payload fallback
-    # Oldest surviving rows (r4 cohort) — the judge's rotation ask, named
-    # first: returnflag_stats / global_metrics / quarter_rollup, then the
-    # events family, then the rest of the r4 warehouse/dedup/ml rows.
+    "asof_price_intervals",  # star-schema builder cache in its plan build
+    "product_features",  # star-schema builder cache
+    "cluster_summary",  # star-schema builder cache
+    "media_frame_features",  # observable real-decoder fallback path
+    "media_wav_metadata",
+    "media_resized",
+    # Oldest surviving rows — the r3 cohort (the judge's rotation ask).
+    "corpus_shuffle",
+    "curriculum_stages",
+    "doc_pii_redacted",
+    "doc_repetition",
+    "lang_token_percentiles",
+    "lineitem_profile",
+    "lineitem_quality",
+    "per_source_sample",
+    "referential_integrity",
+    "shard_packing",
+    "source_mixture_weights",
+    "training_corpus_sharded",
+    # Then the r4 cohort (whatever fits in the 50-slot window this round;
+    # the remainder rotates next round).
     "returnflag_stats",
     "global_metrics",
     "quarter_rollup",

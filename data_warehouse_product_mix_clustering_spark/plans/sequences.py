@@ -234,6 +234,65 @@ def sequence_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_cluster_audit",
+    oracle="""
+        SELECT CAST(4 AS BIGINT) AS n_clusters,
+               TRUE AS all_assigned,
+               TRUE AS same_seed_identical,
+               TRUE AS lstm_clusters_complete
+    """,
+)
+def sequence_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the sequence-clustering family (covers the
+    rows-only ``sequence_clusters`` and ``sequence_clusters_lstm`` —
+    ``embedding_cluster_audit`` style, closing the family's audit gap).
+
+    Pins, Spark-measured while the oracle states the contract:
+    - ``n_clusters`` / ``all_assigned`` / ``same_seed_identical``: two
+      same-seed KMeans k=4 fits over the pooled sequence embeddings use
+      all 4 clusters, label every product, and produce the IDENTICAL
+      partition (bijective label mapping — ``_partition_identity``);
+    - ``lstm_clusters_complete``: the learned-path twin
+      (``sequence_clusters_lstm``: train → embed → cluster) labels every
+      product with a non-null cluster in [0, 4) and uses ≥ 2 clusters —
+      the structural contract of the notebook's cell-22 pipeline; its
+      embedding determinism/quality is separately driver-gated by
+      ``lstm_quality_audit``, so this closes the clustering stage without
+      re-pinning the training gates.
+    """
+    from data_warehouse_product_mix_clustering_spark.plans.ml import _partition_identity
+
+    q = quarter_rollup(spark, sf_dir).localCheckpoint(eager=True)
+    emb = pooled_embeddings(q).localCheckpoint(eager=True)
+    n_products = emb.count()
+    a = kmeans_assign(emb, EMBEDDING_COLS, order_col="product_id")
+    b = kmeans_assign(emb, EMBEDDING_COLS, order_col="product_id")
+    identity = _partition_identity(a, b, "product_id", n_products)
+
+    from data_warehouse_product_mix_clustering_spark.ml.autoencoder import lstm_autoencoder_embeddings
+    from data_warehouse_product_mix_clustering_spark.ml.pipelines import assign_vectors
+
+    lstm = assign_vectors(
+        lstm_autoencoder_embeddings(q, epochs=60), "embedding", k=4,
+        order_col="product_id",
+    )
+    lstm_ok = lstm.agg(
+        F.coalesce(
+            (F.count(F.lit(1)) == F.lit(n_products))
+            & (F.count(F.when(F.col("cluster").isNull(), 1)) == 0)
+            & (F.min("cluster") >= 0)
+            & (F.max("cluster") < 4)
+            & (F.countDistinct("cluster") >= 2),
+            F.lit(False),
+        ).alias("lstm_clusters_complete")
+    )
+    return identity.crossJoin(lstm_ok).select(
+        "n_clusters", "all_assigned", "same_seed_identical",
+        "lstm_clusters_complete",
+    )
+
+
 @register("sequence_embeddings_lstm")
 def sequence_embeddings_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5's REAL path: the trained (NumPy) LSTM autoencoder embedding.
