@@ -112,19 +112,24 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     if direction != "backward":
-        # Interval/bucket semantics are inherently backward (an interval
-        # CONTAINS the event time); forward/nearest are plain as-of joins.
-        if end_col is not None or disjoint or bucket is not None:
+        # Interval semantics are inherently backward (an interval CONTAINS
+        # the event time); forward/nearest are plain as-of joins. Nearest
+        # additionally supports bucket= (reduced to a disjoint interval
+        # join over midpoint covers — see _nearest_bucketed).
+        if end_col is not None or disjoint:
             raise ValueError(
                 f"direction='{direction}' supports plain as-of only "
-                "(no end_col/disjoint/bucket)"
+                "(no end_col/disjoint)"
             )
         if direction == "forward":
+            if bucket is not None:
+                raise ValueError("bucket= is not supported for direction='forward'")
             return _asof_forward(
                 left, right, left_on, right_on, by, how, strategy, tolerance
             )
         return _asof_nearest(
-            left, right, left_on, right_on, by, how, strategy, tolerance
+            left, right, left_on, right_on, by, how, strategy, tolerance,
+            bucket, horizon,
         )
     if disjoint and end_col is None:
         raise ValueError("disjoint=True requires end_col (interval semantics)")
@@ -220,6 +225,8 @@ def _asof_nearest(
     how: str,
     strategy: str,
     tolerance: str | None,
+    bucket: str | None = None,
+    horizon: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest as-of (pandas merge_asof ``direction='nearest'``): the right
     row with the smallest |right_on − left_on|, ties won by the earlier
@@ -227,6 +234,10 @@ def _asof_nearest(
 
     - broadcast: by-key equi join (cross for date-only) against the
       broadcast right, then a per-left-row window ordered by absolute gap.
+    - broadcast + bucket: the hash-join variant (mirrors backward's
+      strategy matrix) — nearest reduced to a DISJOINT interval join over
+      midpoint covers, executed by the bucketed backward machinery as a
+      codegen'd BroadcastHashJoin (see _nearest_bucketed).
     - union: ONE shuffle + ONE Window operator holding BOTH carries — the
       preceding-frame ``last`` (backward candidate) and the following-frame
       ``first`` (forward candidate); the smaller gap wins per row. Same
@@ -236,8 +247,15 @@ def _asof_nearest(
     the interval in either direction are nulled.
     """
     if strategy == "broadcast":
-        out = _nearest_broadcast(left, right, left_on, right_on, by)
+        if bucket is not None:
+            out = _nearest_bucketed(
+                left, right, left_on, right_on, by, bucket, horizon
+            )
+        else:
+            out = _nearest_broadcast(left, right, left_on, right_on, by)
     elif strategy == "union":
+        if bucket is not None:
+            raise ValueError("bucket= applies to the broadcast strategy only")
         out = _nearest_union(left, right, left_on, right_on, by)
     else:
         raise ValueError(f"unknown asof strategy: {strategy}")
@@ -315,6 +333,97 @@ def _nearest_broadcast(
         .filter(F.col("__rn") == 1)
         .select(*out_cols)
     )
+
+
+def _nearest_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: list[str],
+    bucket: str,
+    horizon: DataFrame | None,
+) -> DataFrame:
+    """Nearest as-of as a DISJOINT interval join — the hash-join strategy.
+
+    Reduction: per (by-key) the right rows split the time axis at the
+    MIDPOINTS between consecutive event times; each right row's cover
+    interval is exactly the set of left times for which it is the nearest
+    candidate, with the tie-at-midpoint landing on the EARLIER row (the
+    documented backward tie rule: prev wins iff left − prev ≤ next − left,
+    i.e. left ≤ floor((prev + next) / 2) in long microseconds — the same
+    exact axis the other nearest strategies compare on). The covers are
+    disjoint and exhaustive by construction, so the whole bucketed
+    backward machinery (_asof_bucketed, disjoint fast path, codegen'd
+    BroadcastHashJoin) runs unchanged over them.
+
+    One window over the dimension-sized right derives the covers; right
+    rows sharing (by, right_on) are merged first (max payload struct —
+    deterministic, where pandas' pick is input-order-dependent).
+
+    ``horizon``: optional 1-row, 2-column DataFrame (lower, upper bounds
+    on left_on) closing the first/last covers — same contract and
+    motivation as backward's 1-column horizon; defaults to one
+    column-pruned (min, max) aggregate over the left.
+    """
+    rcols = _right_cols(right, right_on, by)
+    rtype = dict(right.dtypes)[right_on]
+    base = right.filter(F.col(right_on).isNotNull())
+    if rcols:
+        merged = (
+            base.groupBy(*by, right_on)
+            .agg(F.max(F.struct(*[F.col(c) for c in rcols])).alias("__p"))
+            .select(
+                *by, right_on, *[F.col(f"__p.{c}").alias(c) for c in rcols]
+            )
+        )
+    else:
+        merged = base.select(*by, right_on).distinct()
+
+    if horizon is not None:
+        bounds = horizon.select(
+            F.col(horizon.columns[0]).alias("__asof_lo"),
+            F.col(horizon.columns[1]).alias("__asof_hi"),
+        )
+    else:
+        bounds = left.select(
+            F.min(F.col(left_on)).alias("__asof_lo"),
+            F.max(F.col(left_on)).alias("__asof_hi"),
+        )
+    bounds = bounds.localCheckpoint(eager=False)  # 1 row, consumed twice
+
+    t = _axis_num(F.col(right_on), rtype)
+    w = Window.partitionBy(*by).orderBy(t.asc())
+    cur, prev, nxt = t, F.lag(t).over(w), F.lead(t).over(w)
+    # floor() keeps the midpoint exact: |epoch µs| sums stay < 2^53.
+    start = F.when(
+        prev.isNull(), F.col("__asof_lo").cast("timestamp")
+    ).otherwise(F.timestamp_micros((F.floor((prev + cur) / 2) + 1).cast("long")))
+    end = F.when(
+        nxt.isNull(), F.lit(None).cast("timestamp")
+    ).otherwise(F.timestamp_micros(F.floor((cur + nxt) / 2).cast("long")))
+
+    covered = merged.crossJoin(F.broadcast(bounds.select("__asof_lo"))).select(
+        *by,
+        start.alias("__cover_start"),
+        end.alias("__cover_end"),
+        F.col(right_on),
+        *rcols,
+    )
+    out = _asof_bucketed(
+        left,
+        covered,
+        left_on,
+        "__cover_start",
+        by,
+        "__cover_end",
+        "left",
+        bucket,
+        disjoint=True,
+        horizon=bounds.select("__asof_hi"),
+    )
+    # Canonical column order (matches the other nearest strategies).
+    return out.select(*left.columns, *rcols, right_on)
 
 
 def _nearest_union(

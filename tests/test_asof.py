@@ -8,6 +8,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join, interval_join
 
 D = lambda s: dt.datetime.fromisoformat(s)
@@ -482,6 +484,100 @@ def test_asof_nearest_exact_microsecond_tie(spark):
             ).collect()
         }
         assert got == {1: 1.0}, f"{strategy}: {got}"
+
+
+def test_asof_nearest_bucketed_matches_broadcast(spark):
+    """bucket= for direction='nearest' (the hash-join strategy completing
+    backward's strategy matrix): the midpoint-cover reduction must agree
+    with the plain broadcast strategy on a randomized by-keyed fixture."""
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, i % 3, base + dt.timedelta(minutes=rng.randrange(0, 40_000)))
+        for i in range(200)
+    ]
+    rrows = [
+        (m % 3, base + dt.timedelta(minutes=m), float(m))
+        for m in rng.sample(range(0, 40_000), 60)
+    ]
+    left = spark.createDataFrame(lrows, ["id", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["k", "ts2", "v"])
+
+    def run(**kw):
+        return {
+            r.id: (r.v, r.ts2)
+            for r in asof_join(
+                left, right, "ts", "ts2", by=["k"], direction="nearest",
+                strategy="broadcast", **kw,
+            ).collect()
+        }
+
+    want = run()
+    assert run(bucket="day") == want
+    assert run(bucket="month") == want
+
+    # Explicit (lower, upper) horizon — same contract shape as backward's.
+    bounds = left.select(F.min("ts"), F.max("ts"))
+    assert run(bucket="day", horizon=bounds) == want
+
+    # Plan shape: the PROBE join is a codegen'd BroadcastHashJoin. (The
+    # only nested-loop join allowed is the 1-row bounds crossJoin inside
+    # the cover build — a Cross with a single-row build side.)
+    plan = (
+        asof_join(
+            left, right, "ts", "ts2", by=["k"], direction="nearest",
+            strategy="broadcast", bucket="day",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line, f"non-cross BNLJ in plan: {line}"
+
+
+def test_asof_nearest_bucketed_semantics(spark):
+    """Bucketed nearest honors every nearest contract: backward ties
+    (including exact-microsecond), symmetric tolerance, inner, and
+    out-of-range rows matching the first/last cover."""
+    us = dt.timedelta(microseconds=1)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, D("2024-01-20")), (2, D("2024-01-28")), (3, D("2024-02-01")),
+         (4, D("2023-01-01")), (5, base)],
+        ["id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(D("2024-01-15"), 10.0), (D("2024-02-01"), 20.0),
+         (base - us, 1.0), (base + us, 2.0)],
+        ["ts2", "v"],
+    )
+    got = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy="broadcast", bucket="day",
+            direction="nearest",
+        ).collect()
+    }
+    # id=3: zero-gap tie -> the equal (backward) row; id=4: far before the
+    # first quote -> first cover; id=5: exact-µs tie -> backward row.
+    assert got == {1: 10.0, 2: 20.0, 3: 20.0, 4: 1.0, 5: 1.0}, got
+
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, "ts", "ts2", strategy="broadcast", bucket="day",
+            direction="nearest", tolerance="30 DAYS",
+        ).collect()
+    }
+    assert tol[4] is None and tol[1] == 10.0, tol
+    inner = asof_join(
+        left, right, "ts", "ts2", how="inner", strategy="broadcast",
+        bucket="day", direction="nearest", tolerance="30 DAYS",
+    )
+    assert {r.id for r in inner.collect()} == {1, 2, 3, 5}
 
 
 def test_asof_union_keys_only_fast_path(spark):
