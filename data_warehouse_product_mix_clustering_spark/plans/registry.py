@@ -59,9 +59,10 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # New in round 7 — no driver row yet (the last two contract audits).
+    # New in round 7 — no driver row yet.
     "dedup_embedding_lsh_audit",
     "sequence_cluster_audit",
+    "asof_nearest_bucketed_quote",  # attests the midpoint-cover reduction
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type

@@ -348,6 +348,41 @@ _QUOTES_CTE = """
 """
 
 
+def _monthly_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly-quote dimension shared by the forward/nearest as-of
+    queries: part × distinct order months with a deterministic quote price
+    (mirrored in _QUOTES_CTE's ``quotes``)."""
+    months = (
+        table(spark, "orders", sf_dir)
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
+        .distinct()
+    )
+    return (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .crossJoin(F.broadcast(months))
+        .select(
+            F.col("p_partkey").alias("ProductID"),
+            "qdate",
+            (
+                F.col("p_retailprice")
+                * (
+                    F.lit(1)
+                    + F.lit(0.01)
+                    * (
+                        (
+                            F.col("p_partkey")
+                            + F.year("qdate") * F.lit(12)
+                            + F.month("qdate")
+                        )
+                        % 10
+                    )
+                )
+            ).alias("quote_price"),
+        )
+    )
+
+
 @register(
     "asof_forward_next_quote",
     oracle=_QUOTES_CTE
@@ -373,35 +408,7 @@ def asof_forward_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = fact_sales(spark, sf_dir).select(
         "ProductID", "OrderDate", "ReturnFlag", "OrderQty"
     )
-    months = (
-        table(spark, "orders", sf_dir)
-        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
-        .distinct()
-    )
-    quotes = (
-        table(spark, "part", sf_dir)
-        .select("p_partkey", "p_retailprice")
-        .crossJoin(F.broadcast(months))
-        .select(
-            F.col("p_partkey").alias("ProductID"),
-            "qdate",
-            (
-                F.col("p_retailprice")
-                * (
-                    F.lit(1)
-                    + F.lit(0.01)
-                    * (
-                        (
-                            F.col("p_partkey")
-                            + F.year("qdate") * F.lit(12)
-                            + F.month("qdate")
-                        )
-                        % 10
-                    )
-                )
-            ).alias("quote_price"),
-        )
-    )
+    quotes = _monthly_quotes(spark, sf_dir)
     joined = asof_join(
         f,
         quotes,
@@ -424,9 +431,8 @@ def asof_forward_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "asof_nearest_quote",
-    oracle=_QUOTES_CTE
+_NEAREST_QUOTE_ORACLE = (
+    _QUOTES_CTE
     + """
         , b AS (
             SELECT f.ProductID, f.OrderDate, f.ReturnFlag, f.OrderQty,
@@ -452,8 +458,11 @@ def asof_forward_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bf
         )
         GROUP BY ReturnFlag
-    """.format(quoted=sql_money_round("sum(quote_price * OrderQty)")),
+    """.format(quoted=sql_money_round("sum(quote_price * OrderQty)"))
 )
+
+
+@register("asof_nearest_quote", oracle=_NEAREST_QUOTE_ORACLE)
 def asof_nearest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (pandas merge_asof direction='nearest'): each
     fact line priced at the closest monthly quote in either direction,
@@ -462,47 +471,31 @@ def asof_nearest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame first); DuckDB has no native nearest ASOF, so the oracle chains
     a backward and a forward ASOF join and picks the smaller gap.
     """
+    return _nearest_quote_rollup(spark, sf_dir, strategy="union")
+
+
+def _nearest_quote_rollup(
+    spark: SparkSession, sf_dir: str, strategy: str, bucket: str | None = None
+) -> DataFrame:
     f = fact_sales(spark, sf_dir).select(
         "ProductID", "OrderDate", "ReturnFlag", "OrderQty"
     )
-    months = (
-        table(spark, "orders", sf_dir)
-        .select(F.date_trunc("month", F.col("o_orderdate")).alias("qdate"))
-        .distinct()
-    )
-    quotes = (
-        table(spark, "part", sf_dir)
-        .select("p_partkey", "p_retailprice")
-        .crossJoin(F.broadcast(months))
-        .select(
-            F.col("p_partkey").alias("ProductID"),
-            "qdate",
-            (
-                F.col("p_retailprice")
-                * (
-                    F.lit(1)
-                    + F.lit(0.01)
-                    * (
-                        (
-                            F.col("p_partkey")
-                            + F.year("qdate") * F.lit(12)
-                            + F.month("qdate")
-                        )
-                        % 10
-                    )
-                )
-            ).alias("quote_price"),
-        )
-    )
     joined = asof_join(
         f,
-        quotes,
+        _monthly_quotes(spark, sf_dir),
         left_on="OrderDate",
         right_on="qdate",
         by=["ProductID"],
         how="inner",
-        strategy="union",
+        strategy=strategy,
         direction="nearest",
+        bucket=bucket,
+        # OrderDate IS orders' o_orderdate: the cover bounds come from a
+        # single-column scan of orders instead of re-executing the fact
+        # join (the same horizon trick asof_price_intervals uses).
+        horizon=None if bucket is None else table(spark, "orders", sf_dir).select(
+            F.min("o_orderdate"), F.max("o_orderdate")
+        ),
     )
     return (
         joined.groupBy("ReturnFlag")
@@ -513,6 +506,23 @@ def asof_nearest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumnRenamed("ReturnFlag", "return_flag")
+    )
+
+
+@register(
+    "asof_nearest_bucketed_quote",
+    oracle=_NEAREST_QUOTE_ORACLE,
+)
+def asof_nearest_bucketed_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same nearest-quote rollup through the BUCKETED HASH strategy
+    (operators/asof_join.py::_nearest_bucketed): nearest reduced to a
+    disjoint interval join over midpoint covers, executed as a codegen'd
+    BroadcastHashJoin on the month-bucket equi key. Shares
+    ``asof_nearest_quote``'s oracle — the strategies must agree exactly,
+    so this row driver-attests the reduction itself.
+    """
+    return _nearest_quote_rollup(
+        spark, sf_dir, strategy="broadcast", bucket="month"
     )
 
 
