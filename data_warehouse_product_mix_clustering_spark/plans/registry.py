@@ -63,6 +63,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_lsh_audit",
     "sequence_cluster_audit",
     "asof_nearest_bucketed_quote",  # attests the midpoint-cover reduction
+    "waiting_orders_by_supplier",  # Q21 shape — first fact self-join
+    "large_order_customers",  # Q18 shape
+    "volume_shipping_nations",  # Q7 shape — dual-role dimension
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type

@@ -1839,6 +1839,195 @@ def untapped_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "waiting_orders_by_supplier",
+    oracle="""
+        WITH f AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        q AS (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM f l1
+            WHERE l1.is_late
+              AND EXISTS (SELECT 1 FROM f l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM f l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.is_late)
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM q JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+)
+def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier orders
+    ("late" = shipped > 90 days after the order date; the testdata carries
+    no commit/receipt dates). The first fact SELF-JOIN shape in the
+    inventory.
+
+    The classic formulation is EXISTS + NOT EXISTS — two extra self-joins
+    of the fact (the oracle states it that way, so the driver row proves
+    the rewrite). Spark-first, both existentials collapse into ONE pass:
+    the fact reduces to one row per (order, supplier) with an any-late
+    flag, and the per-order supplier/late counts are WINDOW aggregates
+    over the same order-key partitioning — a supplier qualifies iff his
+    row is late, the order has > 1 supplier, and exactly 1 shipped late.
+    One shuffle on the order key (shared by the join, the pair rollup,
+    and the window — hash partitioning on a prefix of the grouping keys
+    satisfies all three); no second pass over the fact at any scale.
+    """
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    f = li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 90)
+         .cast("timestamp")).alias("is_late"),
+    )
+    pairs = f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("__any_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        pairs.select(
+            "l_orderkey",
+            "l_suppkey",
+            "__any_late",
+            F.count(F.lit(1)).over(w).alias("__n_supps"),
+            F.count(F.when(F.col("__any_late"), 1)).over(w).alias("__n_late"),
+        )
+        .filter(
+            F.col("__any_late")
+            & (F.col("__n_supps") > 1)
+            & (F.col("__n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = table(spark, "supplier", sf_dir)
+    return (
+        qualified.join(F.broadcast(sup), qualified.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               {sql_money_round("o_totalprice")} AS o_totalprice,
+               {sql_money_round("total_qty")} AS total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders (HAVING over a
+    fact rollup → join back to headers + customers).
+
+    The HAVING pre-filter reduces the fact to the ~1% biggest orders
+    BEFORE any join, so the order/customer joins probe a tiny relation;
+    at scale the only full-fact work is the one groupBy shuffle on the
+    order key.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+    )
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    return (
+        big.join(o.hint("SHUFFLE_HASH"), big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            money_round(F.col("o_totalprice")).alias("o_totalprice"),
+            money_round(F.col("__qty")).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "volume_shipping_nations",
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {sql_money_round("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume per (supplier nation,
+    customer nation, ship year) — the nation dimension joined TWICE under
+    different roles (supplier side / customer side).
+
+    Supplier and customer are broadcast onto the fact pre-shuffle (each
+    carrying its broadcast-joined nation name), so the only large exchange
+    is the lineitem ⋈ orders order-key shuffle; the 6-way join costs one
+    shuffle total.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    sup = (
+        table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, "customer", sf_dir)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "trailing_30d_revenue",
     oracle=f"""
         WITH daily AS (

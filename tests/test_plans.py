@@ -303,3 +303,51 @@ def test_brute_force_topk_partial_window_group_limit(spark):
         f"no Partial WindowGroupLimit on the map side of the top-k shuffle:\n"
         f"{plan[:1500]}"
     )
+
+
+def test_waiting_orders_single_fact_pass(spark):
+    """Q21 shape: the EXISTS + NOT EXISTS pair must collapse into ONE pass
+    over the fact — one order-key shuffle feeding the join, the pair
+    rollup, and the window counts. A second scan of lineitem (the naive
+    self-join formulation) would double the fact shuffle at any scale."""
+    plan = plan_of(spark, "waiting_orders_by_supplier")
+    n_li_scans = plan.count("Scan parquet") and sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert n_li_scans == 1, f"lineitem scanned {n_li_scans} times:\n{plan[:1200]}"
+    n_orderkey_shuffles = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning(l_orderkey" in line
+    )
+    assert n_orderkey_shuffles == 1, plan[:1200]
+
+
+def test_large_order_customers_having_before_joins(spark):
+    """Q18 shape: the HAVING rollup reduces the fact BEFORE the header/
+    customer joins — the aggregate must sit below the joins, and the
+    customer join must broadcast."""
+    plan = plan_of(spark, "large_order_customers")
+    first_join = min(
+        plan.find("ShuffledHashJoin"), plan.find("SortMergeJoin") % (1 << 30)
+        if "SortMergeJoin" in plan else 1 << 30,
+    )
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    assert agg_pos != -1 and (first_join == -1 or agg_pos > first_join), (
+        "fact rollup did not stay below the joins"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_one_fact_shuffle(spark):
+    """Q7 shape: supplier/customer (each pre-joined to nation) broadcast
+    onto the fact — the only large exchange is lineitem ⋈ orders."""
+    plan = plan_of(spark, "volume_shipping_nations")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:800]
+    big_shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("(l_orderkey" in line or "(o_orderkey" in line)
+    ]
+    assert len(big_shuffles) == 2, big_shuffles  # one per join input
+    assert "CartesianProduct" not in plan
