@@ -1,0 +1,484 @@
+"""Round-7 widening: analytic window breadth + remaining TPC-H shapes +
+document chunking (SURVEY.md §2.11 extension table).
+
+Four groups, each exercising an operator family no other registered query
+shows end-to-end:
+
+- TPC-H shapes Q6 / Q8 / Q17 / Q9: pure-predicate scan aggregate,
+  conditional market-share ratio, correlated per-group scalar threshold
+  (decorrelated into agg + broadcast join), and a multi-join profit rollup.
+  With these, every TPC-H query shape expressible over the driver's tables
+  is registered (Q2/Q11/Q16/Q20 need ``partsupp``, which the testdata does
+  not carry).
+- Analytic windows: ``lag`` month-over-month growth, ``percent_rank`` /
+  ``cume_dist`` / ``ntile`` customer deciles, ``min_by`` / ``max_by``
+  first/last-order attributes. The reference's dashboards sort and rank
+  driver-side in pandas (reference src/pages/*.py); these are the
+  distributed equivalents.
+- Cohort retention over ``events``: the classic product-analytics rollup
+  (first-seen week × week offset × distinct users).
+- ``doc_chunks``: fixed-size overlapping character windows per document —
+  the chunking step every embedding/RAG/training pipeline runs before
+  encoding. Pure JVM expressions (sequence + explode + substr + md5), no
+  Python UDFs, verified value-exactly against a DuckDB lateral
+  generate_series.
+
+Cross-engine float discipline follows functions/numeric.py: exact-decimal
+sums snap through DECIMAL before rounding; division-derived ratios get the
++1e-9 boundary nudge on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import (
+    money_round,
+    ratio_round,
+    sql_money_round,
+    sql_ratio_round,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes: Q6, Q8, Q17, Q9
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discounted_bulk_revenue",
+    oracle=f"""
+        SELECT {sql_money_round("sum(l_extendedprice * l_discount)")} AS revenue_delta,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def discounted_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure-predicate scan → scalar aggregate.
+
+    The whole query is a filter + global sum, so the plan must be a single
+    parquet scan with ALL four predicates pushed into the reader
+    (PushedFilters on shipdate/discount/quantity) and a two-column
+    ReadSchema — the canonical pushdown/pruning probe. No joins, no
+    exchange beyond the final 1-row partial-agg gather.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_round(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {sql_ratio_round(
+                   "sum(CASE WHEN n_name = 'NATION_0' "
+                   "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+                   "/ sum(l_extendedprice * (1 - l_discount))")} AS nation0_share,
+               {sql_money_round("sum(l_extendedprice * (1 - l_discount))")} AS total_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue per year.
+
+    Numerator and denominator come out of ONE aggregation (CASE inside
+    sum), so market share costs a single pass. The part filter broadcasts
+    onto the fact BEFORE the orders join, shrinking the only large shuffle
+    to the PROMO subset; supplier⋈nation broadcasts as a pre-joined
+    two-column dim. Same 100 TB shape as `volume_shipping_nations`.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    promo = table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    sup_nation = (
+        table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(table(spark, "nation", sf_dir)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nation0 = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(F.broadcast(sup_nation), li.l_suppkey == sup_nation.s_suppkey)
+        .join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            ratio_round(F.sum(nation0) / F.sum(rev)).alias("nation0_share"),
+            money_round(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle=f"""
+        WITH brand AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#11'
+        ), thresholds AS (
+            SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+            FROM brand GROUP BY 1
+        )
+        SELECT {sql_ratio_round("sum(l_extendedprice) / 7.0", 4)} AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small_lines
+        FROM brand JOIN thresholds ON l_partkey = t_partkey
+        WHERE l_quantity < qty_threshold
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    lines of one brand (correlated per-part scalar threshold).
+
+    The correlated subquery (avg quantity *for this part*) becomes a
+    per-part WINDOW average over the brand-filtered fact slice — ONE scan
+    of lineitem and ONE shuffle (hash on the part key), where the naive
+    decorrelation (agg + re-join, which is what Catalyst produces for the
+    spark.sql correlated form — `orders_above_customer_avg` pins that)
+    would scan the fact twice. The brand filter broadcasts onto the fact
+    first, so the shuffled slice is |brand lines|, not |lineitem|. The
+    oracle states the same semantics in the classic CTE agg-then-join
+    form; values agree because a partition-wide window avg IS the group
+    avg. tests/test_plans.py pins the single-scan, single-shuffle shape.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    brand_parts = table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#11")
+    brand = li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    threshold = F.lit(0.2) * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        brand.withColumn("qty_threshold", threshold)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            ratio_round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "nation_profit_by_year",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {sql_money_round(
+                   "sum(l_extendedprice * (1 - l_discount) "
+                   "- 0.5 * p_retailprice * l_quantity)")} AS profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-(supplier nation, year) profit on name-matched
+    parts. The testdata has no ``partsupp``, so supply cost is the standing
+    stand-in ``0.5 * p_retailprice`` (same convention as the star schema's
+    profit expr, etl/star_schema.py F1); the join/agg shape is Q9's.
+
+    Part (name-filtered) and supplier⋈nation broadcast onto the fact, so
+    the 5-way join costs exactly one large shuffle (lineitem ⋈ orders on
+    the order key) — at 100 TB the substring part filter also prunes the
+    fact via the broadcast join before that shuffle.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    widget = (
+        table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup_nation = (
+        table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(table(spark, "nation", sf_dir)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(widget), li.l_partkey == widget.p_partkey)
+        .join(F.broadcast(sup_nation), li.l_suppkey == sup_nation.s_suppkey)
+        .join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(money_round(F.sum(profit)).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag / percent_rank / cume_dist / ntile / min_by / max_by
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_mom_growth",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   {sql_money_round("sum(o_totalprice)")} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+               {sql_ratio_round(
+                   "(revenue - lag(revenue) OVER (ORDER BY month)) "
+                   "/ lag(revenue) OVER (ORDER BY month)")} AS mom_growth
+        FROM monthly
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lag`` window: month-over-month revenue growth.
+
+    The window runs over the PRE-AGGREGATED monthly table (≤ a few
+    hundred rows at any SF — months, not orders), so the unpartitioned
+    ORDER BY is never a fact-scale single-partition sort; the fact
+    reduces in one shuffle first. First month's prev/growth are NULL by
+    lag's definition — preserved, not coalesced, on both engines.
+    """
+    o = table(spark, "orders", sf_dir)
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(money_round(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ratio_round((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey AS cust_key,
+                   {sql_money_round("sum(o_totalprice)")} AS total_spend
+            FROM orders GROUP BY 1
+        )
+        SELECT cust_key, total_spend,
+               {sql_ratio_round(
+                   "percent_rank() OVER (ORDER BY total_spend, cust_key)")} AS pct_rank,
+               {sql_ratio_round(
+                   "cume_dist() OVER (ORDER BY total_spend, cust_key)")} AS cume,
+               CAST(ntile(10) OVER (ORDER BY total_spend, cust_key) AS BIGINT) AS decile
+        FROM spend
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window battery: ``percent_rank`` + ``cume_dist`` +
+    ``ntile(10)`` over per-customer spend.
+
+    The ORDER BY includes the unique customer key, so ties are broken
+    identically in both engines and ntile's row-order bucketing is
+    deterministic. Scale note: an unpartitioned ranking window is a
+    global sort of |customers| — exact by design here (the reference's
+    dashboard ranks exactly); at 100 TB the approx path is
+    operators/segmentation.py's quantile cut (`customer_value_quartiles`),
+    which needs no global sort.
+    """
+    o = table(spark, "orders", sf_dir)
+    spend = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        money_round(F.sum("o_totalprice")).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "cust_key")
+    return spend.select(
+        "cust_key",
+        "total_spend",
+        ratio_round(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio_round(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "customer_first_last_order",
+    oracle="""
+        SELECT o_custkey AS cust_key,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(o_orderdate) AS first_order_ts,
+               max(o_orderdate) AS last_order_ts,
+               arg_min(o_orderpriority,
+                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000 + o_orderkey)
+                   AS first_priority,
+               arg_max(o_orderpriority,
+                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000 + o_orderkey)
+                   AS last_priority
+        FROM orders GROUP BY 1
+    """,
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``min_by`` / ``max_by`` (argmin/argmax aggregates): attributes of
+    each customer's first and last order in ONE grouped pass — no window,
+    no self-join, no per-group sort.
+
+    The ordering value is ``floor(epoch_seconds) * 1e6 + o_orderkey``:
+    same-second ties break on the unique order key, so the argmin/argmax is
+    total and both engines pick the same row (min_by/arg_min on tied values
+    is otherwise engine-nondeterministic). The timestamp goes through a
+    NTZ→session-tz cast first (value-preserving: session tz is pinned UTC,
+    sources/registry.py) because Spark refuses TIMESTAMP_NTZ→BIGINT
+    directly. Safe in int64 while orderkey < 1e6 — true at every driver SF
+    and asserted nowhere else, so documented here. This is the grouped-TOP-1
+    fast path vs `latest_order_top1`'s TakeOrderedAndProject and
+    `top3_per_category`'s ranked window.
+    """
+    o = table(spark, "orders", sf_dir)
+    ordval = F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(
+        1000000
+    ) + F.col("o_orderkey")
+    return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_order_ts"),
+        F.max("o_orderdate").alias("last_order_ts"),
+        F.min_by("o_orderpriority", ordval).alias("first_priority"),
+        F.max_by("o_orderpriority", ordval).alias("last_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY 1
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week,
+                              date_trunc('week', ts)) / 7 AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY cohort_week, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted per
+    week offset — the product-analytics rollup every events warehouse
+    ships (reference has per-user aggregates only; SURVEY §2.10
+    extension).
+
+    Two shuffles on user_id (first-seen agg, then the enrich join) — at
+    100 TB both hash-partition on the same key so AQE coalesces them, and
+    the final (cohort, offset) agg is distinct-counting over an already
+    user-partitioned stream. Week arithmetic stays on Monday-truncated
+    dates (identical in Spark and DuckDB), offset = day-diff / 7 exactly.
+    """
+    ev = table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 160  # 40-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                                  {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                          {_CHUNK_SIZE})) AS chunk_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, CAST(greatest(0, ceil(
+                       (length(text) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0))
+                       AS BIGINT))) AS i
+            FROM documents
+        )
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking ({_CHUNK_SIZE}-char
+    windows, {_CHUNK_STRIDE}-char stride): the pre-encoding split step of
+    embedding / RAG / LLM-training pipelines.
+
+    Pure JVM expressions — ``sequence`` + ``explode`` generates the chunk
+    indices, ``substr``/``md5`` materialize each window — so chunking is
+    embarrassingly parallel with zero shuffle and no Python in the loop.
+    Every document yields ≥1 chunk (short docs → one partial window); the
+    last window may be shorter than the full size, captured by chunk_len.
+    The md5 column verifies the chunk TEXT value-exactly against the
+    DuckDB oracle without hauling full chunk bodies through the compare.
+    """
+    docs = table(spark, "documents", sf_dir)
+    last_idx = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - F.lit(_CHUNK_SIZE)) / F.lit(float(_CHUNK_STRIDE))),
+    ).cast("long")
+    start = F.col("i") * _CHUNK_STRIDE + 1
+    chunk = F.col("text").substr(start.cast("int"), F.lit(_CHUNK_SIZE))
+    return (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_idx"),
+            start.cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

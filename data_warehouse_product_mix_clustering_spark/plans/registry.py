@@ -66,6 +66,15 @@ _DRIVER_PRIORITY: list[str] = [
     "waiting_orders_by_supplier",  # Q21 shape — first fact self-join
     "large_order_customers",  # Q18 shape
     "volume_shipping_nations",  # Q7 shape — dual-role dimension
+    "discounted_bulk_revenue",  # Q6 shape — full-pushdown scan agg
+    "market_share_by_year",  # Q8 shape — conditional share ratio
+    "small_quantity_part_revenue",  # Q17 shape — windowed correlated threshold
+    "nation_profit_by_year",  # Q9 shape — profit rollup
+    "revenue_mom_growth",  # lag window
+    "customer_spend_deciles",  # percent_rank / cume_dist / ntile
+    "customer_first_last_order",  # min_by / max_by grouped argmin
+    "events_retention_cohorts",  # cohort retention rollup
+    "doc_chunks",  # overlapping-window document chunking
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type
@@ -149,6 +158,7 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.sql_api  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.pipeline  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.analytics  # noqa: F401
 
     prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
     prioritized.update(_REGISTRY)

@@ -351,3 +351,106 @@ def test_volume_shipping_one_fact_shuffle(spark):
     ]
     assert len(big_shuffles) == 2, big_shuffles  # one per join input
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 widening (plans/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_discounted_bulk_revenue_full_pushdown(spark):
+    """Q6 shape: all four predicates reach the parquet reader and the scan
+    reads only the columns the query touches — the canonical pushdown +
+    pruning probe. No joins, so no Exchange beyond the 1-row gather."""
+    prev = _with_confs(spark, {"spark.sql.maxMetadataStringLength": "2000"})
+    try:
+        plan = plan_of(spark, "discounted_bulk_revenue")
+    finally:
+        _restore_confs(spark, prev)
+    pushed = plan.split("PushedFilters")[-1]
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in pushed, f"{frag} not pushed:\n{pushed[:400]}"
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read and "l_partkey" not in read, (
+        "scan reads columns the query never touches"
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_small_quantity_single_scan_single_shuffle(spark):
+    """Q17 shape: the per-part threshold is a window avg over the ONE
+    brand-filtered fact pass — not an agg + re-join that scans twice."""
+    plan = plan_of(spark, "small_quantity_part_revenue")
+    li_scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert li_scans == 1, f"lineitem scanned {li_scans} times"
+    part_shuffles = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning(l_partkey" in line
+    )
+    assert part_shuffles == 1, plan[:1200]
+
+
+@pytest.mark.parametrize("name", ["market_share_by_year", "nation_profit_by_year"])
+def test_q8_q9_one_fact_shuffle(spark, name):
+    """Q8/Q9 shapes: part + supplier⋈nation broadcast onto the fact, so the
+    only large exchange pair is lineitem ⋈ orders on the order key."""
+    plan = plan_of(spark, name)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
+    big_shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("(l_orderkey" in line or "(o_orderkey" in line)
+    ]
+    assert len(big_shuffles) == 2, big_shuffles
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_first_last_single_pass(spark):
+    """min_by/max_by: first/last-order attributes come out of ONE grouped
+    aggregation — no window, no join, one custkey exchange."""
+    plan = plan_of(spark, "customer_first_last_order")
+    assert "Join" not in plan and "Window" not in plan
+    cust_shuffles = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in line
+        or "Exchange hashpartitioning(cust_key" in line
+    )
+    assert cust_shuffles == 1, plan[:1200]
+
+
+@pytest.mark.parametrize("name", ["revenue_mom_growth", "customer_spend_deciles"])
+def test_analytic_windows_run_over_preaggregates(spark, name):
+    """lag / percent_rank / cume_dist / ntile windows must sort the
+    PRE-AGGREGATED relation (months / customers), never the raw fact:
+    the aggregate sits below the window in the executed plan."""
+    plan = plan_of(spark, name)
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, (
+        "window does not run above the aggregate"
+    )  # plan prints top-down: Window appearing first = runs last
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Chunking is embarrassingly parallel: sequence+explode+substr+md5
+    with ZERO exchanges — any shuffle here is a scale bug."""
+    plan = plan_of(spark, "doc_chunks")
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Generate explode" in plan
+
+
+def test_events_retention_no_cartesian(spark):
+    """Cohort retention: first-seen agg + enrich join both hash on
+    user_id; no cartesian, no broadcast of the fact side."""
+    plan = plan_of(spark, "events_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(user_id" in plan
