@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_first_last_order",  # min_by / max_by grouped argmin
     "events_retention_cohorts",  # cohort retention rollup
     "doc_chunks",  # overlapping-window document chunking
+    "embedding_quantize_int8",  # absmax int8 vector compression
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type

@@ -207,3 +207,63 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", TOP_K
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        SELECT vec_id,
+               round(scale + 1e-9, 6) AS scale,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               md5(array_to_string(q, ',')) AS q_md5
+        FROM (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CAST(round(x / scale * 127 + 1e-9, 0)
+                                               AS BIGINT)) AS q
+            FROM (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS v,
+                       greatest(list_max(list_transform(embedding,
+                                                        x -> abs(CAST(x AS DOUBLE)))),
+                                1e-30) AS scale
+                FROM embeddings
+            )
+        )
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving compression step of a large-scale vector pipeline (4× smaller
+    than float32, 8× than float64; the PQ path in `ann_pq_topk` is the
+    more aggressive cousin).
+
+    Per-vector absmax scaling: q_i = round(x_i / max|x| * 127), all in JVM
+    higher-order array functions (transform / array_max / aggregate) — no
+    shuffle, no Python, embarrassingly parallel over the corpus. The
+    driver-compare row carries the quantized vector as an md5 over its
+    comma-joined codes plus an L1 checksum (both engines re-state the
+    identical double-precision formula, +1e-9 off the half-boundary), so
+    every code of every vector is value-pinned without hauling arrays
+    through the hash compare.
+    """
+    emb = table(spark, "embeddings", sf_dir)
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    scale = F.greatest(F.array_max(absd), F.lit(1e-30))
+    with_scale = emb.select("vec_id", F.col("embedding").alias("v"), scale.alias("scale"))
+    q = F.transform(
+        "v",
+        lambda x: F.round(x.cast("double") / F.col("scale") * 127 + F.lit(1e-9), 0).cast(
+            "long"
+        ),
+    )
+    quantized = with_scale.select("vec_id", "scale", q.alias("q"))
+    return quantized.select(
+        "vec_id",
+        ratio_round(F.col("scale")).alias("scale"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias(
+            "q_md5"
+        ),
+    )

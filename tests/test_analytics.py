@@ -1,0 +1,95 @@
+"""Semantic invariants for the round-7 analytics/pipeline queries — the
+properties the oracle hash can't state directly (coverage, overlap,
+balance, value ranges)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_warehouse_product_mix_clustering_spark.plans.registry import all_queries
+
+from conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+CHUNK_SIZE, CHUNK_STRIDE = 200, 160  # plans/analytics.py constants
+
+
+def test_doc_chunks_cover_every_document_exactly(spark):
+    """Every doc is fully covered by its chunks, consecutive chunks overlap
+    by exactly size-stride chars, and no chunk starts past the text end."""
+    chunks = QUERIES["doc_chunks"].fn(spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    lengths = dict(zip(docs.doc_id, docs.text.str.len()))
+    assert set(chunks.doc_id) == set(docs.doc_id)  # every doc chunked
+    for doc_id, g in chunks.groupby("doc_id"):
+        n = lengths[doc_id]
+        g = g.sort_values("chunk_idx", ignore_index=True)
+        assert list(g.chunk_idx) == list(range(len(g)))  # dense indices
+        assert (g.chunk_start == g.chunk_idx * CHUNK_STRIDE + 1).all()
+        # full coverage: last chunk reaches the end of the text
+        last = g.iloc[-1]
+        assert last.chunk_start + last.chunk_len - 1 == n
+        # every non-final chunk is full-size (stride < size ⇒ overlap)
+        assert (g.chunk_len.iloc[:-1] == CHUNK_SIZE).all()
+        # no degenerate chunk fully contained in the previous one
+        assert (g.chunk_len.iloc[-1:] > 0).all()
+
+
+def test_customer_spend_deciles_are_balanced_and_monotone(spark):
+    df = (
+        QUERIES["customer_spend_deciles"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["total_spend", "cust_key"], ignore_index=True)
+    )
+    assert df.decile.between(1, 10).all()
+    assert df.decile.is_monotonic_increasing  # deciles follow the sort order
+    sizes = df.decile.value_counts()
+    assert sizes.max() - sizes.min() <= 1  # ntile balance
+    assert df.pct_rank.iloc[0] == 0.0
+    assert abs(df.cume.iloc[-1] - 1.0) < 1e-9
+    assert df.pct_rank.is_monotonic_increasing
+    assert df.cume.is_monotonic_increasing
+
+
+def test_retention_week0_counts_every_user(spark):
+    """Offset-0 cells must count every user of the cohort (a user is active
+    in their own first week by definition)."""
+    df = QUERIES["events_retention_cohorts"].fn(spark, SF_SMOKE).toPandas()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    firsts = ev.groupby("user_id").ts.min().dt.to_period("W").dt.start_time
+    cohort_sizes = firsts.value_counts()
+    wk0 = df[df.week_offset == 0].set_index("cohort_week").active_users
+    for cohort, size in cohort_sizes.items():
+        assert wk0.loc[pd.Timestamp(cohort)] == size
+    assert (df.active_users > 0).all()
+    assert (df.week_offset >= 0).all()
+
+
+def test_quantized_codes_stay_in_int8_range(spark):
+    """Absmax scaling must keep every code in [-127, 127]; the L1 bound
+    follows (64 dims × 127)."""
+    df = QUERIES["embedding_quantize_int8"].fn(spark, SF_SMOKE).toPandas()
+    assert (df.q_l1 <= 127 * 64).all()
+    assert (df.q_l1 >= 127).all()  # the absmax element itself maps to ±127
+    assert (df.scale > 0).all()
+
+
+def test_first_last_order_agrees_with_windowed_truth(spark):
+    """min_by/max_by output must match an independent pandas recomputation
+    with the same (floor-epoch-seconds, orderkey) total order."""
+    df = QUERIES["customer_first_last_order"].fn(spark, SF_SMOKE).toPandas()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["ordval"] = (
+        (o.o_orderdate.astype("int64") // 10**9) * 1_000_000 + o.o_orderkey
+    )
+    got = df.set_index("cust_key")
+    for ck, g in o.groupby("o_custkey"):
+        first = g.loc[g.ordval.idxmin()]
+        last = g.loc[g.ordval.idxmax()]
+        assert got.loc[ck, "first_priority"] == first.o_orderpriority
+        assert got.loc[ck, "last_priority"] == last.o_orderpriority
+        assert got.loc[ck, "n_orders"] == len(g)
