@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_retention_cohorts",  # cohort retention rollup
     "doc_chunks",  # overlapping-window document chunking
     "embedding_quantize_int8",  # absmax int8 vector compression
+    "events_props_variant",  # Spark 4 VARIANT semi-structured path
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type
