@@ -319,6 +319,44 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_enriched",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY 1
+        ), tiers AS (
+            SELECT user_id,
+                   CASE WHEN n > (SELECT avg(n) FROM per_user)
+                        THEN 'heavy' ELSE 'light' END AS tier
+            FROM per_user
+        )
+        SELECT date_trunc('hour', ts) AS window_start, tier,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events e JOIN tiers t ON e.user_id = t.user_id
+        GROUP BY 1, 2
+    """,
+)
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream broadcast-enriched with a
+    batch-computed user-tier dimension, then windowed per tier.
+
+    availableNow replay + complete output ⇒ batch-equivalent results, so
+    the stream-static join is held to a full SQL hash oracle (the
+    remaining core streaming join family beside the stream-stream
+    attribution join). Watermarked agg state only — the static side is
+    stateless and re-broadcast per micro-batch.
+    """
+    from data_warehouse_product_mix_clustering_spark.streaming.events import stream_static_enrich
+
+    out = run_available_now(
+        spark,
+        stream_static_enrich(spark, sf_dir),
+        "events_stream_enriched_sink",
+    )
+    return out.select("window_start", "tier", "n_events", "sum_value")
+
+
 @register("events_stream_sessions")
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming sessionization (applyInPandasWithState).

@@ -191,3 +191,46 @@ def stream_events_duplicated(
         .withWatermark("ts", watermark)
         .dropDuplicates(["event_id", "ts"])
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join: the live event stream enriched with a STATIC
+    user-tier dimension computed by a batch query over the warehouse.
+
+    The static side is stateless for the join — Spark re-resolves it per
+    micro-batch and (dimension-sized) broadcasts it, so no join state
+    accumulates; only the downstream windowed agg carries watermarked
+    state. This is the standard "enrich events with a profile table"
+    deployment shape, complementing the stream-stream attribution join.
+
+    Tier = 'heavy' if the user's lifetime event count exceeds the global
+    average events-per-user, else 'light' — scale-free thresholds, so the
+    same definition holds at every SF.
+    """
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table as _table
+
+    per_user = _table(spark, "events", sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    avg_n = per_user.agg(F.avg("__n").alias("__avg_n"))
+    tiers = (
+        per_user.crossJoin(F.broadcast(avg_n))
+        .select(
+            "user_id",
+            F.when(F.col("__n") > F.col("__avg_n"), F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("tier"),
+        )
+    )
+    ev = stream_events(spark, sf_dir, watermark=watermark)
+    enriched = ev.join(F.broadcast(tiers), "user_id")
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events", "sum_value")
+    )
