@@ -482,3 +482,138 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates + token-boundary chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_revenue_trend",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS DOUBLE)
+                       AS month_no,
+                   {sql_money_round("sum(o_totalprice)")} AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_months,
+               round(regr_slope(revenue, month_no) + 1e-9, 2) AS slope,
+               round(regr_intercept(revenue, month_no) + 1e-9, 2) AS intercept,
+               {sql_ratio_round("regr_r2(revenue, month_no)")} AS r2
+        FROM monthly GROUP BY 1
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (`regr_slope` / `regr_intercept` /
+    `regr_r2`): per-nation monthly revenue trend — the "is this market
+    growing" dashboard fit, computed as a grouped aggregate instead of a
+    driver-side model fit.
+
+    Two shuffles, both key-partitioned aggs: fact → (nation, month)
+    rollup, then the regression over each nation's ≤ |months| points. The
+    regression inputs are the DETERMINISTIC rounded monthly sums, so the
+    fit is a pure function of exact decimals on both engines; outputs
+    round at 2dp (slope/intercept, dollar-scale) and 6dp (r², a ratio).
+    """
+    o = table(spark, "orders", sf_dir)
+    cust_nation = (
+        table(spark, "customer", sf_dir)
+        .join(
+            F.broadcast(table(spark, "nation", sf_dir)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    monthly = (
+        o.join(F.broadcast(cust_nation), o.o_custkey == cust_nation.c_custkey)
+        .groupBy(
+            "nation",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("double")
+            .alias("month_no"),
+        )
+        .agg(money_round(F.sum("o_totalprice")).alias("revenue"))
+    )
+    return monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (F.round(F.regr_slope("revenue", "month_no") + F.lit(1e-9), 2)).alias("slope"),
+        (F.round(F.regr_intercept("revenue", "month_no") + F.lit(1e-9), 2)).alias(
+            "intercept"
+        ),
+        ratio_round(F.regr_r2("revenue", "month_no")).alias("r2"),
+    )
+
+
+_TOK_CHUNK = 60
+_TOK_STRIDE = 50  # 10-token overlap
+
+
+@register(
+    "doc_chunks_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, CAST(i * {_TOK_STRIDE} + 1 AS BIGINT),
+                                   CAST(i * {_TOK_STRIDE} + {_TOK_CHUNK} AS BIGINT)))
+                    AS BIGINT) AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, CAST(i * {_TOK_STRIDE} + 1 AS BIGINT),
+                              CAST(i * {_TOK_STRIDE} + {_TOK_CHUNK} AS BIGINT)),
+                   ' ')) AS chunk_md5
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, CAST(greatest(0, ceil(
+                       (len(toks) - {_TOK_CHUNK}) / {_TOK_STRIDE}.0)) AS BIGINT)))
+                       AS i
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+        )
+    """,
+)
+def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary chunking ({_TOK_CHUNK}-token windows,
+    {_TOK_STRIDE}-token stride): the chunker variant real training/RAG
+    pipelines use when windows must not split words — complements the
+    character-window `doc_chunks`.
+
+    Whitespace tokens (empty-filtered on both engines, so leading/trailing
+    blanks don't shift offsets), chunk text rebuilt single-spaced — a
+    DETERMINISTIC canonical form both engines derive identically even
+    though the original inter-token whitespace varies. All JVM array
+    functions (split / filter / sequence / explode / slice / array_join),
+    zero shuffle.
+    """
+    docs = table(spark, "documents", sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    with_toks = docs.select("doc_id", toks.alias("toks"))
+    last_idx = F.greatest(
+        F.lit(0),
+        F.ceil((F.size("toks") - F.lit(_TOK_CHUNK)) / F.lit(float(_TOK_STRIDE))),
+    ).cast("long")
+    chunk = F.slice(
+        F.col("toks"), (F.col("i") * _TOK_STRIDE + 1).cast("int"), _TOK_CHUNK
+    )
+    return (
+        with_toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

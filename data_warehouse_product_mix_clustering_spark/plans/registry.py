@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_quantize_int8",  # absmax int8 vector compression
     "events_props_variant",  # Spark 4 VARIANT semi-structured path
     "events_stream_enriched",  # stream-static broadcast enrichment join
+    "nation_revenue_trend",  # regr_slope/intercept/r2 aggregates
+    "doc_chunks_tokens",  # token-boundary chunking
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type
