@@ -1,7 +1,7 @@
 """Round-7 widening: analytic window breadth + remaining TPC-H shapes +
 document chunking (SURVEY.md §2.11 extension table).
 
-Four groups, each exercising an operator family no other registered query
+Groups, each exercising an operator family no other registered query
 shows end-to-end:
 
 - TPC-H shapes Q6 / Q8 / Q17 / Q9: pure-predicate scan aggregate,
@@ -17,11 +17,13 @@ shows end-to-end:
   distributed equivalents.
 - Cohort retention over ``events``: the classic product-analytics rollup
   (first-seen week × week offset × distinct users).
-- ``doc_chunks``: fixed-size overlapping character windows per document —
-  the chunking step every embedding/RAG/training pipeline runs before
-  encoding. Pure JVM expressions (sequence + explode + substr + md5), no
-  Python UDFs, verified value-exactly against a DuckDB lateral
-  generate_series.
+- ``doc_chunks`` / ``doc_chunks_tokens``: fixed-size overlapping character
+  and token-boundary windows per document — the chunking step every
+  embedding/RAG/training pipeline runs before encoding. Pure JVM
+  expressions (sequence + explode + substr/slice + md5), no Python UDFs,
+  verified value-exactly against DuckDB lateral generate_series oracles.
+- ``nation_revenue_trend``: regr_slope/intercept/r2 grouped aggregates —
+  the dashboard trend fit as a distributed agg.
 
 Cross-engine float discipline follows functions/numeric.py: exact-decimal
 sums snap through DECIMAL before rounding; division-derived ratios get the
