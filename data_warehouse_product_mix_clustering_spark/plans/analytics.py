@@ -619,3 +619,89 @@ def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt) + fuzzy search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returnflag_metrics_unpivot",
+    oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag AS return_flag,
+                   {sql_money_round("sum(l_quantity)")} AS sum_qty,
+                   {sql_money_round("sum(l_extendedprice)")} AS sum_price,
+                   {sql_ratio_round("avg(l_discount)")} AS avg_disc
+            FROM lineitem GROUP BY 1
+        )
+        SELECT return_flag, metric, value FROM (
+            SELECT return_flag, 'sum_qty'  AS metric, sum_qty  AS value FROM wide
+            UNION ALL
+            SELECT return_flag, 'sum_price' AS metric, sum_price AS value FROM wide
+            UNION ALL
+            SELECT return_flag, 'avg_disc' AS metric, avg_disc AS value FROM wide
+        )
+    """,
+)
+def returnflag_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of the pivot family
+    (`pivot_category_priority`): a wide per-flag metric rollup reshaped to
+    long (flag, metric, value) tidy format, the shape BI and plotting
+    layers consume.
+
+    Spark's native ``unpivot`` (an Expand node — one pass, no self-union,
+    no shuffle beyond the rollup's) over the pre-aggregated wide relation;
+    the oracle states the same reshape as the portable UNION ALL. Metric
+    values align to a common double type on both engines.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    wide = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        money_round(F.sum("l_quantity")).alias("sum_qty"),
+        money_round(F.sum("l_extendedprice")).alias("sum_price"),
+        ratio_round(F.avg("l_discount")).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        "return_flag", ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    )
+
+
+@register(
+    "product_fuzzy_search",
+    oracle="""
+        SELECT p_partkey, p_name, CAST(dist AS BIGINT) AS dist,
+               CAST(rk AS BIGINT) AS rank
+        FROM (
+            SELECT p_partkey, p_name,
+                   levenshtein(p_name, 'grean widgt') AS dist,
+                   row_number() OVER (
+                       ORDER BY levenshtein(p_name, 'grean widgt'), p_partkey
+                   ) AS rk
+            FROM part
+        )
+        WHERE rk <= 10
+    """,
+)
+def product_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant product search: edit-distance top-10 for a misspelled
+    query ('grean widgt') — extends the reference's exact/substring product
+    search (reference pages/2_Product_Details.py search box) with the
+    fuzzy ranking users actually expect.
+
+    ``levenshtein`` is a JVM codegen'd expression over the dimension-sized
+    part table; the top-10 runs as TakeOrderedAndProject (map-side partial
+    top-k, no global sort materialized). Unique tie-break on p_partkey
+    keeps the cut deterministic across engines. At 100 TB-corpus scale the
+    same query composes with the n-gram LSH candidate generation in
+    operators/dedup.py to avoid scoring every row; scoring a dimension
+    directly, as here, is the right plan.
+    """
+    part = table(spark, "part", sf_dir)
+    dist = F.levenshtein(F.col("p_name"), F.lit("grean widgt"))
+    w = Window.orderBy("dist", "p_partkey")
+    return (
+        part.select("p_partkey", "p_name", dist.cast("long").alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
