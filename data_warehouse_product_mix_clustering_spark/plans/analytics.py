@@ -705,3 +705,60 @@ def product_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "monthly_revenue_gapfill",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM orders
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+            FROM bounds
+        ), monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   {sql_money_round("sum(o_totalprice)")} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT s.month,
+               coalesce(m.revenue, 0.0) AS revenue,
+               m.revenue IS NULL AS is_gap
+        FROM spine s LEFT JOIN monthly m ON s.month = m.month
+    """,
+)
+def monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: a dense month axis from the data's own
+    bounds, left-joined to the monthly rollup with zero fill — the
+    resample step every time-series chart/model needs (a month with no
+    orders must plot as 0, not vanish; `trailing_30d_revenue`'s RANGE
+    frame handles gaps implicitly, this materializes them).
+
+    The spine is ``sequence(min_month, max_month, interval 1 month)``
+    exploded from the 1-row bounds aggregate — generated, never stored,
+    |months| rows at any SF — then broadcast onto the rollup. The fact is
+    touched exactly twice (bounds + rollup), both single-shuffle aggs.
+    """
+    o = table(spark, "orders", sf_dir)
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(money_round(F.sum("o_totalprice")).alias("revenue"))
+    )
+    return (
+        spine.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+    )
