@@ -771,3 +771,19 @@ def test_maybe_real_decode_fallback_is_observable(monkeypatch):
     monkeypatch.setattr(media, "_decode_wav", boom)
     with pytest.raises(ValueError, match="injected"):
         _maybe_real_decode(wav, "wav")
+
+
+def test_minhash_verify_scopes_agree(spark):
+    """The candidate-restricted verify (the 100 TB path) must return the
+    IDENTICAL verified pair set as the corpus-scope default — the scope
+    knob trades jobs for data passes, never results."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        minhash_lsh_pairs(docs, "doc_id", "text", verify_scope="corpus").collect()
+    )
+    b = sorted(
+        minhash_lsh_pairs(docs, "doc_id", "text", verify_scope="candidates").collect()
+    )
+    assert a == b and len(a) > 0
