@@ -762,3 +762,95 @@ def monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "product_monthly_ffill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('month', min(l_shipdate)) AS lo,
+                   date_trunc('month', max(l_shipdate)) AS hi
+            FROM lineitem
+        ), months AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+            FROM bounds
+        ), prods AS (
+            SELECT p_partkey FROM part WHERE p_partkey % 50 = 0
+        ), sales AS (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+                   sum(l_quantity) AS qty
+            FROM lineitem JOIN prods ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ), spine AS (
+            SELECT p_partkey, month FROM prods, months
+        )
+        SELECT s.p_partkey AS part_key, s.month,
+               last_value(q.qty IGNORE NULLS) OVER (
+                   PARTITION BY s.p_partkey ORDER BY s.month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS qty_filled,
+               q.qty IS NULL AS is_imputed
+        FROM spine s LEFT JOIN sales q
+          ON s.p_partkey = q.l_partkey AND s.month = q.month
+    """,
+)
+def product_monthly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS forward fill: per-product monthly quantity carried
+    forward over the dense month spine — the imputation step time-series
+    models need after `monthly_revenue_gapfill`'s resample (a product with
+    no sales in March keeps February's level, flagged ``is_imputed``;
+    months before a product's first sale stay NULL by definition).
+
+    The spine is a broadcast cross of a deterministic product subset
+    (every 50th key) × the generated month axis — dimension-sized, never
+    stored. ``last(qty, ignorenulls=True)`` over the per-product ordered
+    frame is the carry; one hash shuffle on the part key covers the sales
+    rollup, the spine join, and the window (same key ⇒ AQE-coalesced).
+    """
+    li = table(spark, "lineitem", sf_dir)
+    bounds = li.agg(
+        F.date_trunc("month", F.min("l_shipdate")).alias("lo"),
+        F.date_trunc("month", F.max("l_shipdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    prods = (
+        table(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 50 == 0)
+        .select("p_partkey")
+    )
+    sales = (
+        li.join(F.broadcast(prods), li.l_partkey == prods.p_partkey)
+        .groupBy(
+            F.col("l_partkey"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    sales = sales.select(
+        F.col("l_partkey").alias("s_key"),
+        F.col("month").alias("s_month"),
+        "qty",
+    )
+    spine = prods.crossJoin(F.broadcast(months)).select(
+        F.col("p_partkey").alias("part_key"), "month"
+    )
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(
+            sales,
+            (F.col("part_key") == F.col("s_key")) & (F.col("month") == F.col("s_month")),
+            "left",
+        )
+        .select(
+            "part_key",
+            "month",
+            F.last("qty", ignorenulls=True).over(w).alias("qty_filled"),
+            F.col("qty").isNull().alias("is_imputed"),
+        )
+    )

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: list[str] = [
     "returnflag_metrics_unpivot",  # UNPIVOT/melt (inverse of pivot)
     "product_fuzzy_search",  # levenshtein top-10 typo-tolerant search
     "monthly_revenue_gapfill",  # calendar-spine resample / zero fill
+    "product_monthly_ffill",  # IGNORE NULLS forward-fill imputation
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type
