@@ -804,8 +804,10 @@ def product_monthly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spine is a broadcast cross of a deterministic product subset
     (every 50th key) × the generated month axis — dimension-sized, never
     stored. ``last(qty, ignorenulls=True)`` over the per-product ordered
-    frame is the carry; one hash shuffle on the part key covers the sales
-    rollup, the spine join, and the window (same key ⇒ AQE-coalesced).
+    frame is the carry. The FACT is shuffled exactly once (the sales
+    rollup, pre-shrunk by the broadcast product filter); the spine join
+    and the window exchange only |products| × |months| rows — at 100 TB
+    the dense grid stays dimension-scale while the fact reduces first.
     """
     li = table(spark, "lineitem", sf_dir)
     bounds = li.agg(

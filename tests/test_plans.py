@@ -485,3 +485,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         _restore_confs(spark, prev)
     assert "might_contain" in plan, "bloom filter not injected on the fact side"
     assert "bloom_filter_agg" in plan
+
+
+def test_ffill_shuffles_fact_once(spark):
+    """Forward fill: the fact is exchanged exactly once (the sales rollup,
+    pre-shrunk by the broadcast product filter); every other exchange moves
+    only the dimension-scale spine/window rows."""
+    plan = plan_of(spark, "product_monthly_ffill")
+    li_scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert li_scans == 2  # bounds agg + sales rollup — both single-pass
+    fact_shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning(l_partkey" in line
+    ]
+    assert len(fact_shuffles) == 1, fact_shuffles
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_one_expand_pass(spark):
+    """UNPIVOT: native Expand over the pre-aggregated wide rollup — one
+    shuffle total, no self-union re-reading the aggregate."""
+    plan = plan_of(spark, "returnflag_metrics_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:900]
+    assert "Union" not in plan
+
+
+def test_gapfill_spine_is_generated_not_sorted(spark):
+    """Gap fill: the month spine explodes from the 1-row bounds aggregate;
+    no fact-scale sort or cartesian anywhere."""
+    plan = plan_of(spark, "monthly_revenue_gapfill")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
