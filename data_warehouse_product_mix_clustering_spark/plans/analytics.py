@@ -856,3 +856,131 @@ def product_monthly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").isNull().alias("is_imputed"),
         )
     )
+
+
+@register(
+    "customer_trailing_order_count",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day_no
+            FROM orders
+        )
+        SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY day_no
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS orders_trailing_90d
+        FROM o
+    """,
+)
+def customer_trailing_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-window count: for EVERY order, how many orders
+    its customer placed in the preceding 90 days (inclusive) — the
+    row-level velocity feature fraud/churn models consume
+    (`trailing_30d_revenue` is the global daily twin; this one runs at
+    fact grain).
+
+    RANGE frame over integer day numbers, PARTITIONed by customer — the
+    window sorts each customer's orders locally after one hash shuffle on
+    the customer key; no global sort at any scale. Same-day orders are
+    frame peers (RANGE, not ROWS) so the count is order-independent and
+    deterministic on both engines.
+    """
+    o = table(spark, "orders", sf_dir)
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.count(F.lit(1)).over(w).cast("long").alias("orders_trailing_90d"),
+    )
+
+
+@register(
+    "returnflag_robust_stats",
+    oracle="""
+        SELECT l_returnflag AS return_flag,
+               CAST(median(l_extendedprice) AS DOUBLE) AS median_price,
+               CAST(mad(l_extendedprice) AS DOUBLE) AS mad_price,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+    """,
+)
+def returnflag_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: exact median + MAD (median absolute
+    deviation) of the line price — the outlier-resistant spread stat
+    quality pipelines prefer over stddev on heavy-tailed money columns.
+
+    Spark has no mad(): it composes as median-of-|x − group median| —
+    per-group median (one grouped agg), broadcast back onto the fact, then
+    a second grouped exact median of the absolute deviations. Two
+    single-key shuffles on the 3-value flag; medians are exact
+    (`F.median`), so the result is deterministic and matches DuckDB's
+    built-in ``mad`` value-for-value.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    med = li.groupBy(F.col("l_returnflag").alias("__rf")).agg(
+        F.median("l_extendedprice").alias("__med"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == F.col("__rf"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.first("__med").alias("median_price"),
+            F.median(F.abs(F.col("l_extendedprice") - F.col("__med"))).alias(
+                "mad_price"
+            ),
+            F.first("__n").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "events_props_map",
+    oracle="""
+        SELECT event_type, k_key AS prop_key,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(k_val) AS BIGINT) AS min_val,
+               CAST(max(k_val) AS BIGINT) AS max_val
+        FROM (
+            SELECT event_type,
+                   unnest(json_keys(props)) AS k_key,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type semi-structured access: props parsed into
+    ``map<string,long>`` (schema-free — new keys need no schema change),
+    entries exploded, stats per (event_type, key).
+
+    The third semi-structured encoding beside the per-access
+    `get_json_object` (`events_props_stats`) and binary VARIANT
+    (`events_props_variant`): ``from_json`` to MapType + ``explode`` is
+    the shape for ragged key sets where columns can't be predeclared.
+    One shuffle (the final rollup); parse and explode are narrow.
+    """
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    ev = table(spark, "events", sf_dir)
+    m = F.from_json("props", MapType(StringType(), LongType()))
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "k_val"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k_val").alias("min_val"),
+            F.max("k_val").alias("max_val"),
+        )
+    )

@@ -84,6 +84,9 @@ _DRIVER_PRIORITY: list[str] = [
     "product_fuzzy_search",  # levenshtein top-10 typo-tolerant search
     "monthly_revenue_gapfill",  # calendar-spine resample / zero fill
     "product_monthly_ffill",  # IGNORE NULLS forward-fill imputation
+    "customer_trailing_order_count",  # per-event RANGE-window velocity
+    "returnflag_robust_stats",  # exact median + MAD (robust dispersion)
+    "events_props_map",  # MAP-type semi-structured access
     # Code changed in round 7 — r6 rows predate the change.
     "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
     "asof_union_monthly_quotes",  # union paths restore left_on's input type
