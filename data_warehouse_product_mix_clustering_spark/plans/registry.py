@@ -112,8 +112,10 @@ _DRIVER_PRIORITY: list[str] = [
     "shard_packing",
     "source_mixture_weights",
     "training_corpus_sharded",
-    # Then the r4 cohort (whatever fits in the 50-slot window this round;
-    # the remainder rotates next round).
+    # Then the r4 cohort. With 27 round-7 queries ahead of it, the 50-slot
+    # window ends exactly at the r3 cohort this round — the r4 rows (many
+    # already re-attested r6) rotate in round 8; lead that round's window
+    # with them after any newly-changed queries.
     "returnflag_stats",
     "global_metrics",
     "quarter_rollup",
