@@ -49,6 +49,18 @@ from data_warehouse_product_mix_clustering_spark.sources.registry import table
 # ---------------------------------------------------------------------------
 
 
+def _supplier_nation(spark: SparkSession, sf_dir: str, alias: str = "n_name") -> DataFrame:
+    """(s_suppkey, <alias>=nation name) — the broadcast-ready supplier-side
+    nation dim shared by the Q7/Q8/Q9-shaped queries."""
+    n = table(spark, "nation", sf_dir)
+    return (
+        table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias(alias))
+    )
+
+
+
 @register(
     "discounted_bulk_revenue",
     oracle=f"""
@@ -118,14 +130,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     promo = table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
-    sup_nation = (
-        table(spark, "supplier", sf_dir)
-        .join(
-            F.broadcast(table(spark, "nation", sf_dir)),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
+    sup_nation = _supplier_nation(spark, sf_dir)
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     nation0 = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
     return (
@@ -151,7 +156,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_threshold
             FROM brand GROUP BY 1
         )
-        SELECT {sql_ratio_round("sum(l_extendedprice) / 7.0", 4)} AS avg_yearly,
+        SELECT {sql_ratio_round("CAST(CAST(sum(l_extendedprice) AS DECIMAL(38,2)) AS DOUBLE) / 7.0", 4)} AS avg_yearly,
                CAST(count(*) AS BIGINT) AS n_small_lines
         FROM brand JOIN thresholds ON l_partkey = t_partkey
         WHERE l_quantity < qty_threshold
@@ -182,7 +187,11 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand.withColumn("qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            ratio_round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
+            ratio_round(
+                F.sum("l_extendedprice").cast("decimal(38,2)").cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small_lines"),
         )
     )
@@ -223,14 +232,7 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
     )
-    sup_nation = (
-        table(spark, "supplier", sf_dir)
-        .join(
-            F.broadcast(table(spark, "nation", sf_dir)),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
+    sup_nation = _supplier_nation(spark, sf_dir, alias="nation")
     profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
         0.5
     ) * F.col("p_retailprice") * F.col("l_quantity")
@@ -246,6 +248,15 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Analytic windows: lag / percent_rank / cume_dist / ntile / min_by / max_by
 # ---------------------------------------------------------------------------
+
+
+def _monthly_order_revenue(o: DataFrame) -> DataFrame:
+    """(month, revenue) — the deterministic rounded monthly rollup shared
+    by the MoM-growth and gap-fill queries."""
+    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        money_round(F.sum("o_totalprice")).alias("revenue")
+    )
+
 
 
 @register(
@@ -274,10 +285,7 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag's definition — preserved, not coalesced, on both engines.
     """
     o = table(spark, "orders", sf_dir)
-    monthly = (
-        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
-        .agg(money_round(F.sum("o_totalprice")).alias("revenue"))
-    )
+    monthly = _monthly_order_revenue(o)
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
@@ -339,10 +347,10 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(o_orderdate) AS first_order_ts,
                max(o_orderdate) AS last_order_ts,
                arg_min(o_orderpriority,
-                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000 + o_orderkey)
+                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 10000000 + o_orderkey)
                    AS first_priority,
                arg_max(o_orderpriority,
-                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 1000000 + o_orderkey)
+                       CAST(floor(epoch(o_orderdate)) AS BIGINT) * 10000000 + o_orderkey)
                    AS last_priority
         FROM orders GROUP BY 1
     """,
@@ -352,20 +360,22 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     each customer's first and last order in ONE grouped pass — no window,
     no self-join, no per-group sort.
 
-    The ordering value is ``floor(epoch_seconds) * 1e6 + o_orderkey``:
+    The ordering value is ``floor(epoch_seconds) * 1e7 + o_orderkey``:
     same-second ties break on the unique order key, so the argmin/argmax is
     total and both engines pick the same row (min_by/arg_min on tied values
     is otherwise engine-nondeterministic). The timestamp goes through a
     NTZ→session-tz cast first (value-preserving: session tz is pinned UTC,
     sources/registry.py) because Spark refuses TIMESTAMP_NTZ→BIGINT
-    directly. Safe in int64 while orderkey < 1e6 — true at every driver SF
-    and asserted nowhere else, so documented here. This is the grouped-TOP-1
+    directly. The multiplier must EXCEED every o_orderkey or the key stops
+    being (time, key)-lexicographic and a wrong-second row can win on both
+    engines at once; 1e7 covers TPC-H sf1's ~6e6 max key with the product
+    (~1e16) still far inside int64. This is the grouped-TOP-1
     fast path vs `latest_order_top1`'s TakeOrderedAndProject and
     `top3_per_category`'s ranked window.
     """
     o = table(spark, "orders", sf_dir)
     ordval = F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(
-        1000000
+        10000000
     ) + F.col("o_orderkey")
     return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -455,9 +465,10 @@ _CHUNK_STRIDE = 160  # 40-char overlap between consecutive chunks
     """,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-window document chunking ({_CHUNK_SIZE}-char
-    windows, {_CHUNK_STRIDE}-char stride): the pre-encoding split step of
-    embedding / RAG / LLM-training pipelines.
+    """Overlapping fixed-window document chunking (200-char windows,
+    160-char stride — the ``_CHUNK_SIZE`` / ``_CHUNK_STRIDE`` constants):
+    the pre-encoding split step of embedding / RAG / LLM-training
+    pipelines.
 
     Pure JVM expressions — ``sequence`` + ``explode`` generates the chunk
     indices, ``substr``/``md5`` materialize each window — so chunking is
@@ -584,10 +595,10 @@ _TOK_STRIDE = 50  # 10-token overlap
     """,
 )
 def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-boundary chunking ({_TOK_CHUNK}-token windows,
-    {_TOK_STRIDE}-token stride): the chunker variant real training/RAG
-    pipelines use when windows must not split words — complements the
-    character-window `doc_chunks`.
+    """Token-boundary chunking (60-token windows, 50-token stride — the
+    ``_TOK_CHUNK`` / ``_TOK_STRIDE`` constants): the chunker variant real
+    training/RAG pipelines use when windows must not split words —
+    complements the character-window `doc_chunks`.
 
     Whitespace tokens (empty-filtered on both engines, so leading/trailing
     blanks don't shift offsets), chunk text rebuilt single-spaced — a
@@ -750,10 +761,7 @@ def monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("month")
     )
-    monthly = (
-        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
-        .agg(money_round(F.sum("o_totalprice")).alias("revenue"))
-    )
+    monthly = _monthly_order_revenue(o)
     return (
         spine.join(monthly, "month", "left")
         .select(
@@ -954,7 +962,8 @@ def returnflag_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT event_type,
                    unnest(json_keys(props)) AS k_key,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+                   CAST(json_extract_string(props, '$.' || k_key) AS BIGINT)
+                       AS k_val
             FROM events
         )
         GROUP BY 1, 2

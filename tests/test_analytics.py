@@ -84,7 +84,7 @@ def test_first_last_order_agrees_with_windowed_truth(spark):
     df = QUERIES["customer_first_last_order"].fn(spark, SF_SMOKE).toPandas()
     o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
     o["ordval"] = (
-        (o.o_orderdate.astype("int64") // 10**9) * 1_000_000 + o.o_orderkey
+        (o.o_orderdate.astype("int64") // 10**9) * 10_000_000 + o.o_orderkey
     )
     got = df.set_index("cust_key")
     for ck, g in o.groupby("o_custkey"):
