@@ -52,15 +52,29 @@ from data_warehouse_product_mix_clustering_spark.sources.registry import table
 _STAR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# Downstream caches derived from the star schema (e.g. the fitted-cluster
+# cache in plans/ml.py) register a clearer here so one invalidate call
+# propagates; a plain list avoids a circular import (plans → etl).
+_DOWNSTREAM_INVALIDATORS: list = []
+
+
+def register_downstream_invalidator(fn) -> None:
+    """Register a ``fn(sf_dir | None)`` called by invalidate_star_cache."""
+    _DOWNSTREAM_INVALIDATORS.append(fn)
+
+
 def invalidate_star_cache(sf_dir: str | None = None) -> None:
-    """Drop cached builder plans for one sf_dir (or all). Callers that
-    rewrite testdata mid-session must invalidate BOTH this cache and the
-    scan cache (sources.registry.invalidate)."""
+    """Drop cached builder plans for one sf_dir (or all), plus any
+    registered downstream caches built on them (fitted clusterings).
+    Callers that rewrite testdata mid-session must invalidate BOTH this
+    cache and the scan cache (sources.registry.invalidate)."""
     if sf_dir is None:
         _STAR_CACHE.clear()
-        return
-    for key in [k for k in _STAR_CACHE if k[1] == sf_dir]:
-        del _STAR_CACHE[key]
+    else:
+        for key in [k for k in _STAR_CACHE if k[1] == sf_dir]:
+            del _STAR_CACHE[key]
+    for fn in _DOWNSTREAM_INVALIDATORS:
+        fn(sf_dir)
 
 
 def _per_session(fn):

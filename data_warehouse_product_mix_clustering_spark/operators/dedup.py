@@ -203,6 +203,10 @@ def minhash_lsh_pairs(
       query cost. Deployments above ~1e6 docs should pass this.
     """
     assert num_hashes % bands == 0
+    if verify_scope not in ("corpus", "candidates"):
+        raise ValueError(
+            f"verify_scope must be 'corpus' or 'candidates', got {verify_scope!r}"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     band_structs = F.array(
@@ -233,7 +237,9 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
     if verify_scope == "candidates":
-        # Persist the tiny pair list (consumed three times below), then cut
+        # Persist the tiny pair list (consumed three times below; like the
+        # buckets persist above it lives until the session releases it —
+        # the returned plan depends on it, so it cannot unpersist here), then cut
         # the corpus to candidate docs AT THE SCAN so the shingle pipeline
         # runs over |candidate docs| twice instead of |corpus| three times.
         candidates = candidates.persist()

@@ -374,9 +374,21 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     `top3_per_category`'s ranked window.
     """
     o = table(spark, "orders", sf_dir)
+    mult = 10000000
     ordval = F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(
-        10000000
+        mult
     ) + F.col("o_orderkey")
+    # Loud guard for the lexicographic precondition: if any orderkey reaches
+    # the multiplier the encoding silently mis-orders on BOTH engines (the
+    # oracle states the same arithmetic), so fail the job instead. assert_
+    # true rides the existing scan — no extra pass.
+    o = o.withColumn(
+        "__ordval_guard",
+        F.assert_true(
+            F.col("o_orderkey") < F.lit(mult),
+            F.lit("o_orderkey >= 1e7: raise the ordval multiplier"),
+        ),
+    ).drop("__ordval_guard")
     return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderdate").alias("first_order_ts"),
@@ -916,8 +928,9 @@ def customer_trailing_order_count(spark: SparkSession, sf_dir: str) -> DataFrame
     "returnflag_robust_stats",
     oracle="""
         SELECT l_returnflag AS return_flag,
-               CAST(median(l_extendedprice) AS DOUBLE) AS median_price,
-               CAST(mad(l_extendedprice) AS DOUBLE) AS mad_price,
+               round(CAST(median(l_extendedprice) AS DOUBLE) + 1e-9, 6)
+                   AS median_price,
+               round(CAST(mad(l_extendedprice) AS DOUBLE) + 1e-9, 6) AS mad_price,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem GROUP BY 1
     """,
@@ -943,10 +956,10 @@ def returnflag_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(med), li.l_returnflag == F.col("__rf"))
         .groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(
-            F.first("__med").alias("median_price"),
-            F.median(F.abs(F.col("l_extendedprice") - F.col("__med"))).alias(
-                "mad_price"
-            ),
+            ratio_round(F.first("__med")).alias("median_price"),
+            ratio_round(
+                F.median(F.abs(F.col("l_extendedprice") - F.col("__med")))
+            ).alias("mad_price"),
             F.first("__n").alias("n_lines"),
         )
     )

@@ -93,6 +93,23 @@ _CLUSTER_CACHE: "OrderedDict[tuple[str, str], DataFrame]" = OrderedDict()
 _CLUSTER_CACHE_MAX = 8
 
 
+def invalidate_cluster_cache(sf_dir: str | None = None) -> None:
+    """Drop cached fitted clusterings for one sf_dir (or all). Registered
+    with the star-schema invalidator, so the documented rewrite protocol
+    (sources.registry.invalidate + invalidate_star_cache) also clears the
+    fit built on that data."""
+    if sf_dir is None:
+        _CLUSTER_CACHE.clear()
+        return
+    for key in [k for k in _CLUSTER_CACHE if k[1] == sf_dir]:
+        del _CLUSTER_CACHE[key]
+
+
+from data_warehouse_product_mix_clustering_spark.etl import star_schema as _star_schema  # noqa: E402
+
+_star_schema.register_downstream_invalidator(invalidate_cluster_cache)
+
+
 @register("product_clusters", headline=True)
 def product_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's production clustering: 8 features → scale → KMeans.

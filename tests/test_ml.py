@@ -223,3 +223,19 @@ def test_product_clusters_fit_cached_per_session(spark):
         "stale-session entries must be evicted on insert"
     )
     assert c is not a
+
+
+def test_star_invalidation_clears_cluster_cache(spark):
+    """invalidate_star_cache must also drop fitted clusterings built on
+    that data (the downstream-invalidator chain), so the documented
+    testdata-rewrite protocol leaves no stale fit behind."""
+    from data_warehouse_product_mix_clustering_spark.etl.star_schema import invalidate_star_cache
+    from data_warehouse_product_mix_clustering_spark.plans import ml as ml_plans
+
+    ml_plans._CLUSTER_CACHE.clear()
+    a = ml_plans.product_clusters(spark, "/root/testdata/sf0.001")
+    assert len(ml_plans._CLUSTER_CACHE) == 1
+    invalidate_star_cache("/root/testdata/sf0.001")
+    assert len(ml_plans._CLUSTER_CACHE) == 0
+    b = ml_plans.product_clusters(spark, "/root/testdata/sf0.001")
+    assert b is not a, "post-invalidate call must refit, not reuse"
