@@ -490,7 +490,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 column verifies the chunk TEXT value-exactly against the
     DuckDB oracle without hauling full chunk bodies through the compare.
     """
-    docs = table(spark, "documents", sf_dir)
+    return chunk_chars(table(spark, "documents", sf_dir))
+
+
+def chunk_chars(docs: DataFrame) -> DataFrame:
+    """The character-window chunk plan over any (doc_id, text) relation —
+    factored out of `doc_chunks` so edge-length behavior (empty docs,
+    exact-boundary lengths) is unit-testable on synthetic frames."""
     last_idx = F.greatest(
         F.lit(0),
         F.ceil((F.length("text") - F.lit(_CHUNK_SIZE)) / F.lit(float(_CHUNK_STRIDE))),
@@ -619,7 +625,12 @@ def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (split / filter / sequence / explode / slice / array_join),
     zero shuffle.
     """
-    docs = table(spark, "documents", sf_dir)
+    return chunk_tokens(table(spark, "documents", sf_dir))
+
+
+def chunk_tokens(docs: DataFrame) -> DataFrame:
+    """The token-window chunk plan over any (doc_id, text) relation —
+    factored out of `doc_chunks_tokens` for edge-case unit tests."""
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     with_toks = docs.select("doc_id", toks.alias("toks"))
     last_idx = F.greatest(

@@ -93,3 +93,64 @@ def test_first_last_order_agrees_with_windowed_truth(spark):
         assert got.loc[ck, "first_priority"] == first.o_orderpriority
         assert got.loc[ck, "last_priority"] == last.o_orderpriority
         assert got.loc[ck, "n_orders"] == len(g)
+
+
+def test_chunkers_edge_lengths_match_python_reference(spark):
+    """Boundary-length documents (empty, 1, size-1, size, size+1,
+    size+stride, size+stride+1 chars / analogous token counts) chunk
+    exactly like a pure-Python reference implementation."""
+    import hashlib
+    import math
+
+    from data_warehouse_product_mix_clustering_spark.plans.analytics import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        _TOK_CHUNK,
+        _TOK_STRIDE,
+        chunk_chars,
+        chunk_tokens,
+    )
+
+    texts = {
+        0: "",
+        1: "x",
+        2: "a" * (_CHUNK_SIZE - 1),
+        3: "b" * _CHUNK_SIZE,
+        4: "c" * (_CHUNK_SIZE + 1),
+        5: "d" * (_CHUNK_SIZE + _CHUNK_STRIDE),
+        6: "e" * (_CHUNK_SIZE + _CHUNK_STRIDE + 1),
+        7: " ".join(f"t{i}" for i in range(_TOK_CHUNK + _TOK_STRIDE + 1)),
+        8: "  leading and   trailing  ",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def ref_chars(t):
+        n = len(t)
+        last = max(0, math.ceil((n - _CHUNK_SIZE) / _CHUNK_STRIDE))
+        out = []
+        for i in range(last + 1):
+            c = t[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+            out.append((i, i * _CHUNK_STRIDE + 1, len(c), hashlib.md5(c.encode()).hexdigest()))
+        return out
+
+    got = chunk_chars(docs).toPandas()
+    for doc_id, t in texts.items():
+        g = got[got.doc_id == doc_id].sort_values("chunk_idx")
+        want = ref_chars(t)
+        assert [tuple(r) for r in g[["chunk_idx", "chunk_start", "chunk_len", "chunk_md5"]].itertuples(index=False)] == want, f"char doc {doc_id}"
+
+    def ref_tokens(t):
+        toks = [w for w in __import__("re").split(r"\s+", t) if w != ""]
+        n = len(toks)
+        last = max(0, math.ceil((n - _TOK_CHUNK) / _TOK_STRIDE))
+        out = []
+        for i in range(last + 1):
+            c = toks[i * _TOK_STRIDE : i * _TOK_STRIDE + _TOK_CHUNK]
+            out.append((i, len(c), hashlib.md5(" ".join(c).encode()).hexdigest()))
+        return out
+
+    got_t = chunk_tokens(docs).toPandas()
+    for doc_id, t in texts.items():
+        g = got_t[got_t.doc_id == doc_id].sort_values("chunk_idx")
+        want = ref_tokens(t)
+        assert [tuple(r) for r in g[["chunk_idx", "n_tokens", "chunk_md5"]].itertuples(index=False)] == want, f"token doc {doc_id}"
