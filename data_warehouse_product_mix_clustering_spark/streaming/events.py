@@ -103,7 +103,12 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow replay '{name}' still running after "
+                f"{timeout_sec}s — refusing to return a partial memory table"
+            )
     finally:
         q.stop()
     return spark.table(name)

@@ -10,11 +10,23 @@ An availableNow replay of the whole table emits every session exactly once
 (the final watermark closes all state), which lets unit tests compare the
 streaming operator's output against the batch sessionization — the same
 oracle-by-equivalence trick as events_stream_hourly.
+
+Semantics notes:
+- Gap comparisons use FLOORED EPOCH SECONDS, matching the batch twin
+  (plans/events.py casts each timestamp to long before differencing) —
+  exact-microsecond gaps would split sessions the batch plan keeps.
+- Late (within-watermark) cross-batch events merge into the open session
+  when within the gap of its bounds (extending session_start to the min);
+  an event more than the gap BEFORE the open session belongs to an
+  already-emitted past and is emitted as its own standalone session — the
+  best a single-open-session state can do without unbounded buffering.
+- Event-time arithmetic round-trips through tz-naive pandas values and is
+  only correct because the engine pins spark.sql.session.timeZone=UTC
+  (session.py); a DST session timezone would shift ambiguous local times.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -84,15 +96,24 @@ def _session_fn(
         cur = list(state.get) if state.exists else None
         ts_all = []
         for pdf in batches:
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                ts_all.append((pd.Timestamp(ts).value // 1000, float(value)))
+            if len(pdf):
+                us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                ts_all.extend(zip(us.tolist(), pdf["value"].astype(float).tolist()))
         ts_all.sort()
         for ts_us, value in ts_all:
+            ts_s = ts_us // 1_000_000
             if cur is None:
                 cur = [ts_us, ts_us, 0, 0.0]
-            elif ts_us - cur[1] > GAP_SECONDS * 1_000_000:
+            elif ts_s - cur[1] // 1_000_000 > GAP_SECONDS:
                 emit(cur)
                 cur = [ts_us, ts_us, 0, 0.0]
+            elif cur[0] // 1_000_000 - ts_s > GAP_SECONDS:
+                # Late arrival from before the open session's reach: its
+                # session was already emitted in a previous batch, so emit
+                # it standalone rather than gluing it across the gap.
+                emit((ts_us, ts_us, 1, value))
+                continue
+            cur[0] = min(cur[0], ts_us)
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += value
@@ -126,19 +147,15 @@ def run_streaming_sessions(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 300
 ) -> DataFrame:
     """availableNow replay of the events table through the sessionizer."""
-    from data_warehouse_product_mix_clustering_spark.streaming.events import stream_events
-
-    name = "events_stream_sessions_sink"
-    q = (
-        streaming_sessions(stream_events(spark, sf_dir, watermark="0 seconds"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from data_warehouse_product_mix_clustering_spark.streaming.events import (
+        run_available_now,
+        stream_events,
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-    return spark.table(name)
+
+    return run_available_now(
+        spark,
+        streaming_sessions(stream_events(spark, sf_dir, watermark="0 seconds")),
+        "events_stream_sessions_sink",
+        timeout_sec=timeout_sec,
+        output_mode="append",
+    )

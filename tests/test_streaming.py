@@ -15,23 +15,25 @@ from conftest import SF_SMOKE
 
 
 def test_streaming_sessions_match_batch(spark):
+    # Key on (user, start, n_events); sums compare with a tolerance below —
+    # keying on a rounded float would false-mismatch on half-cent values
+    # (batch is HALF_UP+nudge rounded, a raw Python round is banker's).
     batch_rows = events_sessions(spark, SF_SMOKE).collect()
-    batch = {
-        (r.user_id, r.session_start, r.n_events, round(r.sum_value, 2)): r
-        for r in batch_rows
-    }
-    stream = {
-        (r.user_id, r.session_start, r.n_events, round(r.sum_value, 2))
-        for r in run_streaming_sessions(spark, SF_SMOKE).collect()
-    }
-    extra = stream - set(batch)
+    batch = {(r.user_id, r.session_start, r.n_events): r for r in batch_rows}
+    stream_rows = run_streaming_sessions(spark, SF_SMOKE).collect()
+    stream = {(r.user_id, r.session_start, r.n_events): r for r in stream_rows}
+    extra = set(stream) - set(batch)
     assert not extra, f"streaming emitted sessions batch never saw: {list(extra)[:3]}"
+    for key in set(stream) & set(batch):
+        assert abs(stream[key].sum_value - batch[key].sum_value) < 0.005 + 1e-9, (
+            f"session value sum diverged for {key}"
+        )
 
     # Sessions still OPEN at end-of-stream legitimately never emit: the
     # watermark stops at max(ts), before their last_event + gap timeout.
     max_ts = table(spark, "events", SF_SMOKE).agg(F.max("ts")).first()[0]
     cutoff = max_ts - datetime.timedelta(seconds=GAP_SECONDS)
-    missing = set(batch) - stream
+    missing = set(batch) - set(stream)
     for key in missing:
         r = batch[key]
         last_event = r.session_start + datetime.timedelta(seconds=r.duration_sec)
