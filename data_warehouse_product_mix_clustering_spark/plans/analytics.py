@@ -7,9 +7,9 @@ shows end-to-end:
 - TPC-H shapes Q6 / Q8 / Q17 / Q9: pure-predicate scan aggregate,
   conditional market-share ratio, correlated per-group scalar threshold
   (decorrelated into agg + broadcast join), and a multi-join profit rollup.
-  With these, every TPC-H query shape expressible over the driver's tables
-  is registered (Q2/Q11/Q16/Q20 need ``partsupp``, which the testdata does
-  not carry).
+  The remaining shapes — Q2/Q10/Q11/Q12/Q13/Q16/Q19/Q20 — live in
+  ``plans/relational.py`` (the supply-pair relation derived from lineitem
+  stands in for the absent ``partsupp``), completing all 22 TPC-H shapes.
 - Analytic windows: ``lag`` month-over-month growth, ``percent_rank`` /
   ``cume_dist`` / ``ntile`` customer deciles, ``min_by`` / ``max_by``
   first/last-order attributes. The reference's dashboards sort and rank

@@ -112,10 +112,22 @@ _DRIVER_PRIORITY: list[str] = [
     "shard_packing",
     "source_mixture_weights",
     "training_corpus_sharded",
-    # Then the r4 cohort. With 27 round-7 queries ahead of it, the 50-slot
-    # window ends exactly at the r3 cohort this round — the r4 rows (many
-    # already re-attested r6) rotate in round 8; lead that round's window
-    # with them after any newly-changed queries.
+    # New in round 7, second session — the eight remaining TPC-H shapes
+    # (plans/relational.py). The 50-slot window is already exactly full
+    # above (27 new + 11 re-planned + 12 r3-rotation), so these sit at
+    # positions 51-58 and lead round 8's attestation window; until then
+    # they are covered by tests/test_oracle_parity.py at sf0.001 and the
+    # in-session sf0.01 sweep recorded in PERF_NOTES.md.
+    "min_cost_supplier",  # Q2 — struct-min decorrelated correlated MIN
+    "returned_item_customers",  # Q10 — top-20 partial top-k rollup
+    "important_supply_value",  # Q11 — scalar-subquery threshold
+    "late_shipment_priority",  # Q12 — conditional two-way counts
+    "customer_order_distribution",  # Q13 — ON-clause filter + histogram
+    "supplier_variety",  # Q16 — NOT-IN anti join + count distinct
+    "disjunctive_bracket_revenue",  # Q19 — OR-of-ANDs pushdown
+    "dominant_suppliers",  # Q20 — stacked semi-joins + share threshold
+    # Then the r4 cohort — these rotate after the relational battery in
+    # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
     "global_metrics",
     "quarter_rollup",
@@ -173,6 +185,7 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.pipeline  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.analytics  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.relational  # noqa: F401
 
     prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
     prioritized.update(_REGISTRY)

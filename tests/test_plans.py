@@ -521,3 +521,114 @@ def test_gapfill_spine_is_generated_not_sorted(spark):
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second session: the last eight TPC-H shapes (plans/relational.py)
+# ---------------------------------------------------------------------------
+
+
+def test_min_cost_supplier_no_window_no_self_join(spark):
+    """Q2 shape: the correlated MIN decorrelates into a struct-min
+    aggregation — the plan must carry NO window and NO join back to the
+    supply relation, and the top-100 must be a partial top-k."""
+    plan = plan_of(spark, "min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, "struct-min should replace the rank window"
+    n_li = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert n_li == 1, f"lineitem scanned {n_li} times (self-join crept in)"
+    # part filter prunes the supply aggregation's INPUT (broadcast below agg)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_returned_item_customers_topk_and_pushdown(spark):
+    """Q10 shape: top-20 via TakeOrderedAndProject; the returnflag and
+    order-date filters reach their parquet scans."""
+    plan = plan_of(spark, "returned_item_customers")
+    assert "TakeOrderedAndProject(limit=20" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("EqualTo(l_returnflag,R)" in s for s in pushed)
+    assert any("GreaterThanOrEqual(o_orderdate" in s for s in pushed)
+
+
+def test_important_supply_value_reuses_part_value_exchange(spark):
+    """Q11 shape: the scalar-threshold side must read the per-part
+    aggregate through a ReusedExchange, not a second lineitem scan —
+    one fact pass total in the final adaptive plan."""
+    df = QUERIES["important_supply_value"].fn(spark, SF_SMOKE)
+    df.collect()  # finalize AQE so exchange reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan", 1)[0]
+    assert "ReusedExchange" in final, final[:1200]
+    n_li = sum(
+        1 for line in final.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert n_li == 1, f"lineitem scanned {n_li} times in the final plan"
+
+
+def test_customer_order_distribution_keeps_zero_bucket(spark):
+    """Q13 shape: the priority filter must sit on the orders side of a
+    LEFT join (pushed to the orders scan), never above it — the zero-order
+    bucket must survive. Pins both the plan and the semantic."""
+    plan = plan_of(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    orders_scan = [
+        l for l in plan.splitlines()
+        if "orders.parquet" in l and "PushedFilters" in l
+    ]
+    assert orders_scan and "Not(EqualTo(o_orderpriority,5-LOW))" in orders_scan[0]
+    # The invariant the LEFT join exists for: every customer lands in
+    # exactly one bucket, so custdist sums to |customer|. (At sf0.001 every
+    # customer happens to have a qualifying order, so the c_count=0 bucket
+    # itself is empty here — a WHERE-style filter would only diverge on
+    # data with all-low/zero-order customers, which the oracle parity test
+    # covers at larger SFs.)
+    out = QUERIES["customer_order_distribution"].fn(spark, SF_SMOKE).toPandas()
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    n_cust = table(spark, "customer", SF_SMOKE).count()
+    assert int(out["custdist"].sum()) == n_cust, "customers dropped from the histogram"
+
+
+def test_supplier_variety_anti_join_broadcasts(spark):
+    """Q16 shape: the NOT-IN subquery must compile to a broadcast LEFT
+    ANTI join, and the exclusion filter must push to the supplier scan."""
+    plan = plan_of(spark, "supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan.split("LeftAnti")[0].splitlines()[-1]
+    assert "LessThan(s_acctbal,1000.0)" in plan.split("PushedFilters")[-2]
+
+
+def test_disjunctive_bracket_pushes_derived_envelopes(spark):
+    """Q19 shape: Catalyst must derive and push the per-side envelopes of
+    the OR-of-ANDs — the quantity disjunction onto the fact scan and the
+    brand/size disjunction onto the part scan."""
+    plan = plan_of(spark, "disjunctive_bracket_revenue")
+    li_scan = [l for l in plan.splitlines() if "lineitem" in l and "PushedFilters" in l]
+    assert li_scan and "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in li_scan[0], (
+        "quantity envelope not pushed to the fact scan"
+    )
+    part_scan = [l for l in plan.splitlines() if "part.parquet" in l and "PushedFilters" in l]
+    assert part_scan and "EqualTo(p_brand" in part_scan[0], (
+        "brand/size disjunction not pushed to the part scan"
+    )
+
+
+def test_dominant_suppliers_window_over_aggregate_only(spark):
+    """Q20 shape: the share window must run over the aggregated pair
+    relation — exactly one fact scan, and the window's exchange keyed on
+    the already-reduced partkey relation."""
+    plan = plan_of(spark, "dominant_suppliers")
+    n_li = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    )
+    assert n_li == 1, f"lineitem scanned {n_li} times"
+    # the Window sits above the pair HashAggregate, never directly on a scan
+    window_below = plan.split("Window ", 1)[1]
+    assert "HashAggregate" in window_below.split("Scan parquet", 1)[0]
+    assert plan.count("LeftSemi") >= 2, "stacked semi-joins collapsed"
