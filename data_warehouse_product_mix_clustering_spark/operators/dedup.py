@@ -445,3 +445,59 @@ def incremental_dedup(
     )
     existing = existing_fingerprints.select("fingerprint").distinct()
     return first_in_batch.join(existing, "fingerprint", "left_anti")
+
+
+def incremental_jaccard_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    broadcast_new_shingles: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between an incoming batch and the existing corpus —
+    the one-sided complement of ``jaccard_pairs``.
+
+    Continuous ingestion cannot afford the symmetric corpus self-join:
+    a new batch is tiny relative to the corpus, so the right plan joins
+    the batch's shingles against the corpus's, never corpus × corpus.
+    With ``broadcast_new_shingles`` (the deployment default — a batch's
+    distinct-shingle set is small) the corpus shingle relation is pruned
+    by a broadcast semi-join BEFORE the pair shuffle, so the only large
+    shuffle carries corpus shingles that actually co-occur with the
+    batch — typically a vanishing fraction at 100 TB. Corpus set sizes
+    are recomputed here in one map-side-combinable pass; a production
+    store would persist them next to the fingerprints (see
+    ``incremental_dedup``) and skip that scan.
+
+    Returns (doc_new, doc_corpus, jaccard ≥ threshold). Assumes the two
+    inputs' id spaces are disjoint (an id in both would pair with itself
+    at jaccard 1.0 — by design: re-ingesting an already-ingested doc IS a
+    duplicate).
+    """
+    sh_new = shingle_sets(new_docs, id_col, text_col, n)
+    sh_old = shingle_sets(corpus_docs, id_col, text_col, n)
+
+    sizes_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nn"))
+    sizes_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nc"))
+
+    relevant = sh_new.select("shingle").distinct()
+    if broadcast_new_shingles:
+        relevant = F.broadcast(relevant)
+    sh_old_pruned = sh_old.join(relevant, "shingle", "left_semi")
+
+    a = sh_new.select(F.col(id_col).alias("doc_new"), "shingle")
+    b = sh_old_pruned.select(F.col(id_col).alias("doc_corpus"), "shingle")
+    inter = a.join(b, "shingle").groupBy("doc_new", "doc_corpus").agg(
+        F.count(F.lit(1)).alias("__inter")
+    )
+    na = sizes_new.select(F.col(id_col).alias("doc_new"), "__nn")
+    nc = sizes_old.select(F.col(id_col).alias("doc_corpus"), "__nc")
+    jac = F.col("__inter") / (F.col("__nn") + F.col("__nc") - F.col("__inter"))
+    return (
+        inter.join(na, "doc_new")
+        .join(nc, "doc_corpus")
+        .filter(jac >= threshold)
+        .select("doc_new", "doc_corpus", ratio_round(jac).alias("jaccard"))
+    )

@@ -507,3 +507,104 @@ def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup (round-7 second session): the new-batch-vs-
+# corpus shapes. Batch = doc_id % 7 == 3 (~14% of docs, deterministic);
+# corpus = the rest. At 100 TB the corpus side is represented by its
+# persisted fingerprint / shingle-size store, not a re-scan — both plans
+# only re-derive those here because the harness has no standing store.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, {sql_fingerprint("text")} AS fingerprint
+            FROM documents
+        ),
+        batch AS (
+            SELECT doc_id, fingerprint,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY doc_id) AS rn
+            FROM fp WHERE doc_id % 7 = 3
+        )
+        SELECT doc_id, fingerprint
+        FROM batch
+        WHERE rn = 1
+          AND fingerprint NOT IN (
+              SELECT fingerprint FROM fp WHERE doc_id % 7 <> 3
+          )
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup: which rows of an incoming batch survive
+    against the already-ingested corpus (operators/dedup.py::
+    incremental_dedup).
+
+    Within-batch first-keeper (row_number over fingerprint), then a
+    LEFT ANTI join against the corpus fingerprint set. Cost is one
+    shuffle over the BATCH plus the anti join — the corpus text is never
+    re-shuffled, which is the property that makes continuous ingestion
+    affordable; the corpus fingerprints here come from a projection scan
+    standing in for the persisted fingerprint store.
+    """
+    from data_warehouse_product_mix_clustering_spark.functions.text import fingerprint
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import incremental_dedup
+
+    docs = table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus_fp = docs.filter(F.col("doc_id") % 7 != 3).select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return incremental_dedup(batch, corpus_fp, "doc_id", "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+_INCREMENTAL_JACCARD_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({sql_word_ngrams("t", 2)})) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS dn, b.doc_id AS dc, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+        GROUP BY 1, 2
+    )
+    SELECT dn AS doc_new, dc AS doc_corpus,
+           {sql_ratio_round("i / (sa.n + sb.n - i)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON dn = sa.doc_id
+    JOIN sizes sb ON dc = sb.doc_id
+    WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+@register("dedup_incremental_ngram", oracle=_INCREMENTAL_JACCARD_SQL)
+def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between the incoming batch and the corpus — exact
+    bigram Jaccard ≥ 0.8, one-sided (operators/dedup.py::
+    incremental_jaccard_pairs).
+
+    The batch's distinct-shingle set broadcast-prunes the corpus shingle
+    relation BEFORE the pair shuffle, so the only large shuffle carries
+    corpus shingles co-occurring with the batch; there is no corpus
+    self-join anywhere. The oracle computes the same one-sided pair set
+    symmetrically — same answer, quadratic plan DuckDB can afford at
+    oracle scale.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import incremental_jaccard_pairs
+
+    docs = table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    return incremental_jaccard_pairs(
+        batch, corpus, "doc_id", "text", n=2, threshold=0.8
+    )

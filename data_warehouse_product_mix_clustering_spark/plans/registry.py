@@ -126,6 +126,8 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_variety",  # Q16 — NOT-IN anti join + count distinct
     "disjunctive_bracket_revenue",  # Q19 — OR-of-ANDs pushdown
     "dominant_suppliers",  # Q20 — stacked semi-joins + share threshold
+    "dedup_incremental_exact",  # new-batch-vs-corpus exact dedup
+    "dedup_incremental_ngram",  # one-sided batch-vs-corpus Jaccard
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

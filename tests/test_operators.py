@@ -787,3 +787,40 @@ def test_minhash_verify_scopes_agree(spark):
         minhash_lsh_pairs(docs, "doc_id", "text", verify_scope="candidates").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_incremental_jaccard_is_cross_split_slice_of_symmetric(spark):
+    """One-sided batch-vs-corpus Jaccard must equal exactly the cross-split
+    subset of the symmetric all-pairs result — same pairs, same values —
+    and the broadcast-prune knob must not change the answer."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        jaccard_pairs,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    from conftest import SF_SMOKE
+
+    docs = table(spark, "documents", SF_SMOKE)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+
+    sym = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8).collect()
+    }
+    cross = {
+        k: v for k, v in sym.items() if (k[0] % 7 == 3) != (k[1] % 7 == 3)
+    }
+    want = {(min(a, b), max(a, b)): v for (a, b), v in cross.items()}
+
+    for bcast in (True, False):
+        got = {
+            (min(r.doc_new, r.doc_corpus), max(r.doc_new, r.doc_corpus)): r.jaccard
+            for r in incremental_jaccard_pairs(
+                batch, corpus, "doc_id", "text", n=2, threshold=0.8,
+                broadcast_new_shingles=bcast,
+            ).collect()
+        }
+        assert got == want, f"broadcast={bcast}: {len(got)} vs {len(want)} pairs"
+    assert want, "cross-split slice is empty — test data no longer exercises this"
