@@ -72,6 +72,38 @@ def shingle_sets(
     )
 
 
+def _jaccard_from_intersections(
+    inter: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Shared Jaccard finale: |A∩B| (``__inter``) + per-doc set sizes
+    (``__n``) → ``i / (|A| + |B| − i)``.
+
+    Both the symmetric self-join plan and the one-sided batch-vs-corpus
+    plan end here, so the denominator semantics live in exactly one place
+    (pinned equal by test_incremental_jaccard_is_cross_split_slice_of_
+    symmetric).
+    """
+    na = sizes_a.select(F.col(id_col).alias(a_col), F.col("__n").alias("__na"))
+    nb = sizes_b.select(F.col(id_col).alias(b_col), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, a_col)
+        .join(nb, b_col)
+        .select(
+            a_col,
+            b_col,
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _pair_jaccard(
     sh: DataFrame, id_col: str, restrict: DataFrame | None = None
 ) -> DataFrame:
@@ -93,20 +125,7 @@ def _pair_jaccard(
         b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
         pairs = a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("__inter"))
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("__inter")
-                / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-            ).alias("jaccard"),
-        )
-    )
+    return _jaccard_from_intersections(inter, sizes, sizes, id_col, "doc_a", "doc_b")
 
 
 def jaccard_pairs(
@@ -479,8 +498,10 @@ def incremental_jaccard_pairs(
     sh_new = shingle_sets(new_docs, id_col, text_col, n)
     sh_old = shingle_sets(corpus_docs, id_col, text_col, n)
 
-    sizes_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nn"))
-    sizes_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nc"))
+    # Corpus sizes come from the UNPRUNED relation — the Jaccard
+    # denominator needs each corpus doc's full set size.
+    sizes_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    sizes_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
 
     relevant = sh_new.select("shingle").distinct()
     if broadcast_new_shingles:
@@ -492,12 +513,9 @@ def incremental_jaccard_pairs(
     inter = a.join(b, "shingle").groupBy("doc_new", "doc_corpus").agg(
         F.count(F.lit(1)).alias("__inter")
     )
-    na = sizes_new.select(F.col(id_col).alias("doc_new"), "__nn")
-    nc = sizes_old.select(F.col(id_col).alias("doc_corpus"), "__nc")
-    jac = F.col("__inter") / (F.col("__nn") + F.col("__nc") - F.col("__inter"))
-    return (
-        inter.join(na, "doc_new")
-        .join(nc, "doc_corpus")
-        .filter(jac >= threshold)
-        .select("doc_new", "doc_corpus", ratio_round(jac).alias("jaccard"))
+    out = _jaccard_from_intersections(
+        inter, sizes_new, sizes_old, id_col, "doc_new", "doc_corpus"
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_new", "doc_corpus", ratio_round(F.col("jaccard")).alias("jaccard")
     )

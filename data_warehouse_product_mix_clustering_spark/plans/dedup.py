@@ -35,7 +35,16 @@ from data_warehouse_product_mix_clustering_spark.operators.dedup import (
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
-_JACCARD_SQL = f"""
+def _jaccard_oracle_sql(
+    pair_pred: str, a_alias: str = "doc_a", b_alias: str = "doc_b"
+) -> str:
+    """Bigram-Jaccard pair oracle, parameterized by the pair predicate.
+
+    One template serves the symmetric (``a.doc_id < b.doc_id``) and
+    one-sided (batch-vs-corpus) oracles so the shingling, denominator,
+    rounding, and threshold semantics cannot drift apart.
+    """
+    return f"""
     WITH toks AS (
         SELECT doc_id, {sql_tokens("text")} AS t FROM documents
     ), sh AS (
@@ -45,16 +54,19 @@ _JACCARD_SQL = f"""
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND ({pair_pred})
         GROUP BY a.doc_id, b.doc_id
     )
-    SELECT da AS doc_a, db AS doc_b,
+    SELECT da AS {a_alias}, db AS {b_alias},
            {sql_ratio_round("i / (sa.n + sb.n - i)")} AS jaccard
     FROM inter
     JOIN sizes sa ON da = sa.doc_id
     JOIN sizes sb ON db = sb.doc_id
     WHERE i / (sa.n + sb.n - i) >= 0.8
 """
+
+
+_JACCARD_SQL = _jaccard_oracle_sql("a.doc_id < b.doc_id")
 
 
 @register(
@@ -531,11 +543,16 @@ def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY doc_id) AS rn
             FROM fp WHERE doc_id % 7 = 3
         )
+        -- NOT EXISTS (not NOT IN): mirrors left_anti's NULL semantics —
+        -- a NULL fingerprint on either side never matches, so NULL-text
+        -- docs survive on both engines instead of NOT IN's three-valued
+        -- logic zeroing the whole result.
         SELECT doc_id, fingerprint
         FROM batch
         WHERE rn = 1
-          AND fingerprint NOT IN (
-              SELECT fingerprint FROM fp WHERE doc_id % 7 <> 3
+          AND NOT EXISTS (
+              SELECT 1 FROM fp c
+              WHERE c.doc_id % 7 <> 3 AND c.fingerprint = batch.fingerprint
           )
     """,
 )
@@ -564,27 +581,9 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCREMENTAL_JACCARD_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id, {sql_tokens("text")} AS t FROM documents
-    ), sh AS (
-        SELECT doc_id, unnest(list_distinct({sql_word_ngrams("t", 2)})) AS shingle
-        FROM toks
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-        SELECT a.doc_id AS dn, b.doc_id AS dc, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle
-        WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
-        GROUP BY 1, 2
-    )
-    SELECT dn AS doc_new, dc AS doc_corpus,
-           {sql_ratio_round("i / (sa.n + sb.n - i)")} AS jaccard
-    FROM inter
-    JOIN sizes sa ON dn = sa.doc_id
-    JOIN sizes sb ON dc = sb.doc_id
-    WHERE i / (sa.n + sb.n - i) >= 0.8
-"""
+_INCREMENTAL_JACCARD_SQL = _jaccard_oracle_sql(
+    "a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3", "doc_new", "doc_corpus"
+)
 
 
 @register("dedup_incremental_ngram", oracle=_INCREMENTAL_JACCARD_SQL)

@@ -413,12 +413,13 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     each (brand, size) combination, excluding a NOT-IN supplier set.
 
     The NOT-IN subquery compiles to a broadcast LEFT ANTI join on the
-    distinct supply pairs (s_acctbal < 1000 plays the classic
-    "complaints" comment filter's role — supplier has no such column).
-    The part predicates prune the broadcast dim BEFORE the join, and the
-    distinct-pair dedup and COUNT(DISTINCT) share the same (partkey,
-    suppkey)-keyed shuffle. Exact distinct — not approx — because the
-    oracle must match bit-for-bit.
+    fact (s_acctbal < 1000 plays the classic "complaints" comment
+    filter's role — supplier has no such column). Both the anti join and
+    the part-filter broadcast join sit BELOW the aggregation, so the only
+    shuffle carries qualifying parts' rows (~1/9th of the fact here) with
+    map-side distinct compression — no full-fact distinct anywhere.
+    Exact distinct — not approx — because the oracle must match
+    bit-for-bit.
     """
     li = table(spark, "lineitem", sf_dir)
     parts = table(spark, "part", sf_dir).filter(
@@ -429,11 +430,11 @@ def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 1000).select(
         "s_suppkey"
     )
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(
+        li.select("l_partkey", "l_suppkey")
+        .join(
             F.broadcast(excluded),
-            pairs.l_suppkey == F.col("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
