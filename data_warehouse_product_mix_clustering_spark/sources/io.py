@@ -13,6 +13,9 @@ Spark-first equivalents:
   overwrite, optional hash-partitioning for downstream co-located joins.
 - ``read_parquet_evolving`` (schema drift) and ``compact_parquet``
   (small-file compaction) cover the operational 100 TB chores.
+- ``read_csv_quarantine`` / ``read_json_quarantine``: dirty-feed
+  ingestion with a malformed-row channel — one raw-text scan, split by
+  projection (no PERMISSIVE cache workaround, no silent nulls/drops).
 """
 
 from __future__ import annotations
@@ -198,3 +201,91 @@ def read_jdbc(
                 "Add the vendor jar via spark.jars to use S1/JDBC scans."
             ) from exc
         raise
+
+
+# ---------------------------------------------------------------------------
+# Quarantine ingestion (round-7 second session): dirty-file reads with a
+# malformed-row channel instead of silent nulls or whole-job failure.
+# ---------------------------------------------------------------------------
+
+
+def _ddl_of(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion with a quarantine channel: (clean, quarantined).
+
+    ``clean`` carries ``schema``'s columns for every parseable line;
+    ``quarantined`` carries (raw_line) for every malformed one (wrong
+    arity, uncastable value). The warehouse answer to dirty feeds — the
+    alternative Spark modes either silently null bad fields (PERMISSIVE),
+    silently drop the rows (DROPMALFORMED), or kill the whole job
+    (FAILFAST); a quarantine keeps the pipeline running AND the evidence.
+
+    Built scale-correctly: the file is read as raw text and parsed with
+    ``from_csv``, so the malformed split is a plain projection over one
+    scan. Filtering the DataFrameReader's ``_corrupt_record`` column
+    instead would hit Spark's documented restriction (the raw-file scan
+    must be cached before that column is referencable) — an O(input)
+    cache this path does not need. Header lines are dropped by value
+    equality (they are identical in every shard by construction).
+    """
+    if any(f.name == "_corrupt_record" for f in schema.fields):
+        raise ValueError("schema must not already contain _corrupt_record")
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    if header:
+        header_line = sep.join(f.name for f in schema.fields)
+        raw = raw.filter(F.col("value") != header_line)
+    parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
+    options = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+        "sep": sep,
+    }
+    parsed = raw.select(
+        F.col("value"), F.from_csv(F.col("value"), parse_schema, options).alias("r")
+    )
+    clean = parsed.filter(F.col("r._corrupt_record").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return clean, quarantined
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with a quarantine channel: (clean, quarantined).
+
+    Same design as ``read_csv_quarantine`` (raw text + ``from_json`` —
+    one scan, no cache workaround). A line is quarantined when it is not
+    valid JSON; valid JSON missing declared fields yields nulls (schema
+    drift is ``read_parquet_evolving``'s concern, not corruption).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    options = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
+    parsed = raw.select(
+        F.col("value"), F.from_json(F.col("value"), parse_schema, options).alias("r")
+    )
+    bad = F.col("r").isNull() | F.col("r._corrupt_record").isNotNull()
+    clean = parsed.filter(~bad).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
+    return clean, quarantined

@@ -296,3 +296,69 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == 100
     assert part.agg(F.sum("val")).first()[0] == 9900
+
+
+def test_read_csv_quarantine_splits_clean_and_malformed(spark, tmp_path):
+    """Malformed lines (bad arity, uncastable values) land in the
+    quarantine with their raw text; clean rows parse fully typed; header
+    lines are dropped; nothing is silently nulled or lost."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_csv_quarantine
+
+    path = str(tmp_path / "feed.csv")
+    lines = [
+        "id,qty,label",
+        "1,10,alpha",
+        "2,notanumber,beta",  # uncastable qty -> quarantine
+        "3,30,gamma",
+        "4,40",               # short arity -> quarantine
+        "5,50,epsilon",
+        "6,60,zeta,extra",    # long arity -> quarantine
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    clean, quarantined = read_csv_quarantine(spark, path, schema)
+    got = {(r.id, r.qty, r.label) for r in clean.collect()}
+    assert got == {(1, 10, "alpha"), (3, 30, "gamma"), (5, 50, "epsilon")}
+    bad = {r.raw_line for r in quarantined.collect()}
+    assert bad == {"2,notanumber,beta", "4,40", "6,60,zeta,extra"}
+    # conservation: every non-header input line lands in exactly one channel
+    assert clean.count() + quarantined.count() == len(lines) - 1
+
+
+def test_read_json_quarantine_splits_invalid_json(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_json_quarantine
+
+    path = str(tmp_path / "feed.jsonl")
+    lines = [
+        '{"id": 1, "label": "alpha"}',
+        "{not json at all",  # -> quarantine
+        '{"id": 3}',         # valid, missing field -> null label (drift, not dirt)
+        "[1,2]",             # non-object -> quarantine
+        # Jackson stops at the first complete JSON value, so trailing
+        # garbage after a valid object parses CLEAN — pinned here so a
+        # parser-behavior change surfaces as a test diff, not silently.
+        '{"id": 4, "label": "delta"} trailing',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("label", T.StringType())]
+    )
+    clean, quarantined = read_json_quarantine(spark, path, schema)
+    got = {(r.id, r.label) for r in clean.collect()}
+    assert got == {(1, "alpha"), (3, None), (4, "delta")}
+    assert {r.raw_line for r in quarantined.collect()} == {
+        "{not json at all",
+        "[1,2]",
+    }
