@@ -129,6 +129,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dominant_suppliers",  # Q20 — stacked semi-joins + share threshold
     "dedup_incremental_exact",  # new-batch-vs-corpus exact dedup
     "dedup_incremental_ngram",  # one-sided batch-vs-corpus Jaccard
+    "lateral_top_suppliers",  # correlated LATERAL → window decorrelation
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

@@ -60,3 +60,35 @@ def nation_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-priority rollup, single-string SQL on both engines."""
     return _run_sql(spark, sf_dir, _ORDER_PRIORITY_SQL)
+
+
+# Round-7 second session: correlated LATERAL subquery — the "top-N per
+# outer row" SQL idiom. One portable string; Spark decorrelates it into a
+# row_number window + broadcast hash join (pinned in tests/test_plans.py),
+# DuckDB executes it natively — hash-identical results.
+_LATERAL_TOP_SUPPLIERS_SQL = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT s_name, s_acctbal FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name
+        LIMIT 2
+    ) t
+"""
+
+
+@register("lateral_top_suppliers", oracle=_LATERAL_TOP_SUPPLIERS_SQL)
+def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers by account balance per nation via a correlated
+    LATERAL subquery — the SQL-surface twin of the window-function
+    formulation (`top3_per_category`).
+
+    What this pins: Spark's decorrelation. A naive execution would run
+    the subquery once per outer row; Catalyst rewrites it into ONE
+    windowed scan of supplier (row_number ≤ 2 partitioned by nationkey)
+    joined to nation — per-group top-k at scan cost, no repeated
+    execution, no correlated loop. The ORDER BY carries s_name as the
+    tie-break so the LIMIT boundary is deterministic across engines.
+    """
+    return _run_sql(spark, sf_dir, _LATERAL_TOP_SUPPLIERS_SQL)

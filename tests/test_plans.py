@@ -632,3 +632,17 @@ def test_dominant_suppliers_window_over_aggregate_only(spark):
     window_below = plan.split("Window ", 1)[1]
     assert "HashAggregate" in window_below.split("Scan parquet", 1)[0]
     assert plan.count("LeftSemi") >= 2, "stacked semi-joins collapsed"
+
+
+def test_lateral_subquery_decorrelates_to_window(spark):
+    """The correlated LATERAL top-N must compile to one windowed supplier
+    scan + join — not a per-outer-row re-execution (no nested loop over
+    the subquery, exactly one supplier scan)."""
+    plan = plan_of(spark, "lateral_top_suppliers")
+    n_sup = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and "supplier" in line
+    )
+    assert n_sup == 1, f"supplier scanned {n_sup} times"
+    assert "row_number" in plan and "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
