@@ -213,6 +213,45 @@ def _ddl_of(schema: T.StructType) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def split_csv_quarantine(
+    raw: DataFrame,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw-text-line DataFrame (column ``value``) into
+    (clean typed rows, quarantined raw lines).
+
+    The shared core of ``read_csv_quarantine`` (batch) and
+    ``streaming/quarantine.py`` (readStream): the split is a pure
+    projection, so it works identically on batch and streaming inputs —
+    one parser, one malformedness definition for both modes.
+    """
+    if any(f.name == "_corrupt_record" for f in schema.fields):
+        raise ValueError("schema must not already contain _corrupt_record")
+    from pyspark.sql import functions as F
+
+    if header:
+        header_line = sep.join(f.name for f in schema.fields)
+        raw = raw.filter(F.col("value") != header_line)
+    parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
+    options = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+        "sep": sep,
+    }
+    parsed = raw.select(
+        F.col("value"), F.from_csv(F.col("value"), parse_schema, options).alias("r")
+    )
+    clean = parsed.filter(F.col("r._corrupt_record").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return clean, quarantined
+
+
 def read_csv_quarantine(
     spark: SparkSession,
     path: str,
@@ -237,30 +276,7 @@ def read_csv_quarantine(
     cache this path does not need. Header lines are dropped by value
     equality (they are identical in every shard by construction).
     """
-    if any(f.name == "_corrupt_record" for f in schema.fields):
-        raise ValueError("schema must not already contain _corrupt_record")
-    from pyspark.sql import functions as F
-
-    raw = spark.read.text(path)
-    if header:
-        header_line = sep.join(f.name for f in schema.fields)
-        raw = raw.filter(F.col("value") != header_line)
-    parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
-    options = {
-        "mode": "PERMISSIVE",
-        "columnNameOfCorruptRecord": "_corrupt_record",
-        "sep": sep,
-    }
-    parsed = raw.select(
-        F.col("value"), F.from_csv(F.col("value"), parse_schema, options).alias("r")
-    )
-    clean = parsed.filter(F.col("r._corrupt_record").isNull()).select(
-        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    quarantined = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
-        F.col("value").alias("raw_line")
-    )
-    return clean, quarantined
+    return split_csv_quarantine(spark.read.text(path), schema, header, sep)
 
 
 def read_json_quarantine(

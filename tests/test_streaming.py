@@ -63,3 +63,45 @@ def test_incremental_etl_is_idempotent(spark, tmp_path):
     n2 = incremental_events_etl(spark, SF_SMOKE, out, ckpt)
     count2 = read_warehouse_events(spark, out).count()
     assert count2 == count1, "re-run duplicated rows despite checkpoint"
+
+
+def test_streaming_quarantine_etl_splits_and_is_idempotent(spark, tmp_path):
+    """Dirty CSV landing dir → clean + quarantine sinks, exactly-once:
+    a rerun ingests nothing, a newly landed file is ingested alone, and
+    every non-header line ever landed sits in exactly one sink."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        read_sink,
+        streaming_csv_quarantine_etl,
+    )
+
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    (in_dir / "a.csv").write_text("id,qty\n1,10\n2,bad\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    n1 = streaming_csv_quarantine_etl(spark, str(in_dir), schema, clean_dir, quar_dir, ckpt)
+    assert n1 >= 1
+    assert {(r.id, r.qty) for r in read_sink(spark, clean_dir).collect()} == {(1, 10), (3, 30)}
+    assert [r.raw_line for r in read_sink(spark, quar_dir).collect()] == ["2,bad"]
+
+    # rerun: checkpoint says nothing new -> sinks unchanged
+    streaming_csv_quarantine_etl(spark, str(in_dir), schema, clean_dir, quar_dir, ckpt)
+    assert read_sink(spark, clean_dir).count() == 2
+    assert read_sink(spark, quar_dir).count() == 1
+
+    # a newly landed file is ingested alone
+    (in_dir / "b.csv").write_text("id,qty\n4,40\nnoise,row,extra\n")
+    streaming_csv_quarantine_etl(spark, str(in_dir), schema, clean_dir, quar_dir, ckpt)
+    assert {(r.id, r.qty) for r in read_sink(spark, clean_dir).collect()} == {
+        (1, 10), (3, 30), (4, 40)
+    }
+    assert {r.raw_line for r in read_sink(spark, quar_dir).collect()} == {
+        "2,bad", "noise,row,extra"
+    }
