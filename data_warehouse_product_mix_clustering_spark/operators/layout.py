@@ -1,0 +1,189 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional file pruning.
+
+The 100 TB problem this solves: a table physically sorted on ONE column
+prunes parquet files/row-groups well for predicates on that column and
+not at all for any other. Interleaving the bits of several columns' grid
+positions (the Morton / Z-order curve) makes files cluster in EVERY
+participating dimension at once, so a 2-D box predicate overlaps only
+O(perimeter) files instead of O(all) — the technique behind Delta Lake's
+``OPTIMIZE ZORDER BY`` and ClickHouse's ``mortonEncode``, built here from
+plain Catalyst expressions (shift/or/and — no UDF, fully codegen'd).
+
+Two grid-mapping modes:
+
+- ``quantile`` (default): per-column approxQuantile boundaries map values
+  to ranks, so skewed distributions still spread evenly over the grid —
+  the deployment mode (Delta does the same with range ids).
+- ``minmax``: linear min-max scaling; cheaper (one agg instead of a
+  quantile sketch), exact for uniform data, degrades under heavy skew.
+
+Scale notes: boundary/extent computation is one sample-based pass (driver
+holds ≤ 2^bits boundaries per column — bytes); the layout write is ONE
+``repartitionByRange`` on the z-key (a range shuffle over the data — the
+unavoidable cost of re-clustering, identical to what a 1-D sort costs)
+plus a partition-local sort. Nothing driver-bound grows with data size.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave_bits(grid_cols: list[Column], bits: int) -> Column:
+    """Morton-interleave ``bits``-wide grid coordinates into one long.
+
+    Bit j of column i lands at position ``j * n_cols + i`` — a static
+    expression tree of shifts and ORs, evaluated in whole-stage codegen.
+    """
+    n = len(grid_cols)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(grid_cols):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    mode: str = "quantile",
+) -> Column:
+    """A Morton z-key Column over ``cols`` for ``df``'s value distribution.
+
+    ``bits`` grid resolution per dimension (8 → 256 cells/dim; the key
+    needs ``bits × len(cols)`` ≤ 63 total bits). ``mode``: 'quantile'
+    (skew-resistant rank grid) or 'minmax' (linear grid).
+    """
+    if not cols or len(cols) < 2:
+        raise ValueError("zorder_key needs >= 2 columns (1-D layout is a plain sort)")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits({bits}) x cols({len(cols)}) exceeds 63 key bits")
+    n_cells = (1 << bits) - 1
+    grid_cols: list[Column] = []
+    if mode == "quantile":
+        # One sketch pass per call; boundaries are tiny driver-side lists.
+        probs = [i / (n_cells + 1) for i in range(1, n_cells + 1)]
+        for c in cols:
+            bounds = df.approxQuantile(c, probs, 0.001)
+            # strictly-increasing boundary list (dedup plateaus from skew)
+            uniq: list[float] = []
+            for b in bounds:
+                if not uniq or b > uniq[-1]:
+                    uniq.append(b)
+            # rank = #boundaries below the value, folded over a literal
+            # boundary array with a higher-order aggregate — ONE compact
+            # expression per column (a 255-term WHEN chain would blow the
+            # codegen tree), still fully JVM-side.
+            arr = F.array(*[F.lit(float(b)) for b in uniq])
+            rank = F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
+            )
+            # Rescale ranks onto the FULL grid width: a low-cardinality
+            # column (few distinct quantile boundaries) would otherwise
+            # occupy only the bottom ranks, leaving its high Morton bits
+            # constant — the curve silently degenerates to 1-D on the
+            # high-cardinality column.
+            grid = F.floor(rank * F.lit(n_cells) / F.lit(len(uniq))).cast("long")
+            grid_cols.append(grid)
+    elif mode == "minmax":
+        extents = df.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in cols],
+            *[F.max(c).alias(f"__max_{c}") for c in cols],
+        ).collect()[0]
+        for c in cols:
+            lo, hi = float(extents[f"__min_{c}"]), float(extents[f"__max_{c}"])
+            span = (hi - lo) or 1.0
+            scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
+                float(n_cells)
+            )
+            grid_cols.append(
+                F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(n_cells)).cast(
+                    "long"
+                )
+            )
+    else:
+        raise ValueError(f"unknown mode: {mode!r} (use 'quantile' or 'minmax')")
+    return _interleave_bits(grid_cols, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "quantile",
+) -> None:
+    """Write ``df`` re-clustered along the z-curve into ``n_files`` files.
+
+    ``repartitionByRange`` on the z-key gives contiguous curve segments
+    per file (so each file covers a compact multi-dim cell — that is what
+    the footer min/max stats then prune on); the partition-local sort
+    tightens row-group stats within each file.
+    """
+    key = zorder_key(df, cols, bits, mode)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def morton_interleave_py(coords: list[int], bits: int) -> int:
+    """Pure-python twin of ``_interleave_bits`` (test oracle)."""
+    out = 0
+    n = len(coords)
+    for j in range(bits):
+        for i, v in enumerate(coords):
+            out |= ((v >> j) & 1) << (j * n + i)
+    return out
+
+
+def files_overlapping_box(
+    path: str, box: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(files whose footer min/max stats intersect ``box``, total files).
+
+    The pruning proxy a test can assert on: a reader that trusts parquet
+    footer statistics must open exactly the intersecting files. Uses
+    pyarrow footers directly, no Spark scan.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for ci, name in enumerate(schema_names):
+                if name not in box:
+                    continue
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = float(st.min), float(st.max)
+                mins[name] = min(mins.get(name, lo), lo)
+                maxs[name] = max(maxs.get(name, hi), hi)
+        if all(
+            name in mins and not (maxs[name] < lo or mins[name] > hi)
+            for name, (lo, hi) in box.items()
+        ):
+            hit += 1
+    return hit, len(files)

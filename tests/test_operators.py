@@ -824,3 +824,103 @@ def test_incremental_jaccard_is_cross_split_slice_of_symmetric(spark):
         }
         assert got == want, f"broadcast={bcast}: {len(got)} vs {len(want)} pairs"
     assert want, "cross-split slice is empty — test data no longer exercises this"
+
+
+def test_morton_interleave_matches_python_oracle(spark):
+    """The Catalyst bit-interleave must equal the pure-python Morton code
+    for every grid coordinate pair in a small exhaustive sweep."""
+    from data_warehouse_product_mix_clustering_spark.operators.layout import (
+        _interleave_bits,
+        morton_interleave_py,
+    )
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, ["ga", "gb"])
+    got = df.select(
+        "ga", "gb", _interleave_bits([F.col("ga"), F.col("gb")], 4).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == morton_interleave_py([r.ga, r.gb], 4), (r.ga, r.gb, r.z)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """What z-order promises — and the honest tradeoff. A 1-D sorted
+    layout prunes its sort column perfectly and the other column not at
+    all; the z-curve layout must prune on BOTH dimensions (the second of
+    which linear cannot touch), at the documented cost of weaker pruning
+    than a dedicated sort on its own column. Measured via parquet footer
+    min/max stats — exactly what a stats-trusting reader skips on. Also
+    pins row conservation under re-layout."""
+    from data_warehouse_product_mix_clustering_spark.operators.layout import (
+        files_overlapping_box,
+        write_zordered,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    from conftest import SF_SMOKE
+
+    li = table(spark, "lineitem", SF_SMOKE).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    lin_path = str(tmp_path / "linear")
+    z_path = str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], n_files, bits=8)
+
+    # row conservation under re-layout
+    assert spark.read.parquet(z_path).count() == li.count()
+
+    pk_lo, pk_hi = li.approxQuantile("l_partkey", [0.45, 0.55], 0.001)
+    sk_lo, sk_hi = li.approxQuantile("l_suppkey", [0.45, 0.55], 0.001)
+    pk_box = {"l_partkey": (pk_lo, pk_hi)}
+    sk_box = {"l_suppkey": (sk_lo, sk_hi)}
+    box_2d = {**pk_box, **sk_box}
+
+    # The headline: the dimension linear CANNOT prune, z-order must.
+    z_sk, z_total = files_overlapping_box(z_path, sk_box)
+    lin_sk, lin_total = files_overlapping_box(lin_path, sk_box)
+    assert z_total == n_files and lin_total == n_files
+    assert lin_sk == n_files, "unexpected: linear layout prunes the unsorted dim"
+    assert z_sk < n_files, "z-order gave no pruning on the second dimension"
+
+    # Balanced: BOTH single-dim boxes prune under z-order (a degenerate
+    # curve — e.g. un-rescaled low-cardinality grids — fails one side).
+    z_pk, _ = files_overlapping_box(z_path, pk_box)
+    assert z_pk < n_files, "z-order gave no pruning on the first dimension"
+
+    # 2-D box: intersecting both dimensions' cells never widens the set.
+    z_2d, _ = files_overlapping_box(z_path, box_2d)
+    assert z_2d <= min(z_pk, z_sk)
+    # The documented tradeoff, pinned directionally: a dedicated 1-D sort
+    # beats z-order on its own column.
+    lin_pk, _ = files_overlapping_box(lin_path, pk_box)
+    assert lin_pk <= z_pk
+
+
+def test_zorder_api_contract_and_minmax_mode(spark, tmp_path):
+    from data_warehouse_product_mix_clustering_spark.operators.layout import write_zordered, zorder_key
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    from conftest import SF_SMOKE
+
+    li = table(spark, "lineitem", SF_SMOKE).select("l_partkey", "l_suppkey")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(li, ["l_partkey"])
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits=32)
+    with _pytest.raises(ValueError, match="unknown mode"):
+        zorder_key(li, ["l_partkey", "l_suppkey"], mode="hilbert")
+
+    # minmax mode: valid layout, rows conserved (keys are ~uniform in the
+    # testdata, so linear gridding is exact here)
+    p = str(tmp_path / "zmm")
+    write_zordered(li, p, ["l_partkey", "l_suppkey"], 8, bits=8, mode="minmax")
+    assert spark.read.parquet(p).count() == li.count()
