@@ -26,8 +26,6 @@ plus a partition-local sort. Nothing driver-bound grows with data size.
 
 from __future__ import annotations
 
-import bisect
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,10 +64,11 @@ def zorder_key(
     n_cells = (1 << bits) - 1
     grid_cols: list[Column] = []
     if mode == "quantile":
-        # One sketch pass per call; boundaries are tiny driver-side lists.
+        # ONE sketch pass for ALL columns (approxQuantile takes the column
+        # list); boundaries are tiny driver-side lists.
         probs = [i / (n_cells + 1) for i in range(1, n_cells + 1)]
-        for c in cols:
-            bounds = df.approxQuantile(c, probs, 0.001)
+        bounds_all = df.approxQuantile(cols, probs, 0.001)
+        for c, bounds in zip(cols, bounds_all):
             # strictly-increasing boundary list (dedup plateaus from skew)
             uniq: list[float] = []
             for b in bounds:
@@ -99,7 +98,14 @@ def zorder_key(
             *[F.max(c).alias(f"__max_{c}") for c in cols],
         ).collect()[0]
         for c in cols:
-            lo, hi = float(extents[f"__min_{c}"]), float(extents[f"__max_{c}"])
+            mn, mx = extents[f"__min_{c}"], extents[f"__max_{c}"]
+            if mn is None or mx is None:
+                raise ValueError(
+                    f"minmax z-order grid needs a non-NULL extent for {c!r}; "
+                    "the column is entirely NULL (use mode='quantile' after "
+                    "filtering, or drop it from the z-order key)"
+                )
+            lo, hi = float(mn), float(mx)
             span = (hi - lo) or 1.0
             scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
                 float(n_cells)
@@ -157,7 +163,10 @@ def files_overlapping_box(
 
     The pruning proxy a test can assert on: a reader that trusts parquet
     footer statistics must open exactly the intersecting files. Uses
-    pyarrow footers directly, no Spark scan.
+    pyarrow footers directly, no Spark scan. A file with MISSING stats
+    for a box column counts as overlapping — a reader cannot prove it
+    disjoint, so it must be opened (counting it pruned would let layout
+    regressions pass vacuously).
     """
     import glob as _glob
     import os as _os
@@ -181,9 +190,11 @@ def files_overlapping_box(
                 lo, hi = float(st.min), float(st.max)
                 mins[name] = min(mins.get(name, lo), lo)
                 maxs[name] = max(maxs.get(name, hi), hi)
-        if all(
-            name in mins and not (maxs[name] < lo or mins[name] > hi)
+        # prunable only when stats PROVE disjointness on some box column
+        provably_disjoint = any(
+            name in mins and (maxs[name] < lo or mins[name] > hi)
             for name, (lo, hi) in box.items()
-        ):
+        )
+        if not provably_disjoint:
             hit += 1
     return hit, len(files)

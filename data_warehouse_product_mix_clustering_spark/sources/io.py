@@ -210,7 +210,8 @@ def read_jdbc(
 
 
 def _ddl_of(schema: T.StructType) -> str:
-    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    # backtick-quoted: reserved words / spaces in field names stay valid DDL
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
 def split_csv_quarantine(
@@ -226,12 +227,32 @@ def split_csv_quarantine(
     ``streaming/quarantine.py`` (readStream): the split is a pure
     projection, so it works identically on batch and streaming inputs —
     one parser, one malformedness definition for both modes.
+
+    Policy decisions (pinned in tests):
+
+    - Blank / whitespace-only lines are QUARANTINED — ``from_csv`` would
+      otherwise parse them into all-null "clean" rows with no corrupt
+      marker, the exact silent-null failure this module exists to stop.
+    - ``header=True`` drops lines equal to ``sep.join(field names)`` —
+      the header this engine's own ``write_csv`` emits. A foreign header
+      variant (quoted, spaced, reordered) is NOT silently dropped; it
+      lands in the quarantine where it is visible. For an all-string
+      schema this equality rule is ambiguous (a legitimate data row could
+      equal the header and would be silently deleted), so that
+      combination is refused — pre-strip the header and pass
+      ``header=False``.
     """
     if any(f.name == "_corrupt_record" for f in schema.fields):
         raise ValueError("schema must not already contain _corrupt_record")
     from pyspark.sql import functions as F
 
     if header:
+        if all(isinstance(f.dataType, T.StringType) for f in schema.fields):
+            raise ValueError(
+                "header=True with an all-string schema is ambiguous (a data "
+                "row equal to the header line would be silently dropped); "
+                "strip the header upstream and pass header=False"
+            )
         header_line = sep.join(f.name for f in schema.fields)
         raw = raw.filter(F.col("value") != header_line)
     parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
@@ -243,12 +264,12 @@ def split_csv_quarantine(
     parsed = raw.select(
         F.col("value"), F.from_csv(F.col("value"), parse_schema, options).alias("r")
     )
-    clean = parsed.filter(F.col("r._corrupt_record").isNull()).select(
+    blank = F.trim(F.col("value")) == ""
+    bad = blank | F.col("r._corrupt_record").isNotNull()
+    clean = parsed.filter(~bad).select(
         *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
     )
-    quarantined = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
-        F.col("value").alias("raw_line")
-    )
+    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
     return clean, quarantined
 
 

@@ -30,25 +30,14 @@ def incremental_events_etl(
     checkpoint says everything was already ingested). Idempotent across
     reruns — the checkpoint tracks consumed source files.
     """
+    from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
+
     stream = stream_events(spark, sf_dir, watermark="0 seconds")
-    n_batches = 0
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-    return n_batches
+    return run_available_now(stream, sink, checkpoint_dir, timeout_sec)
 
 
 def read_warehouse_events(spark: SparkSession, out_dir: str) -> DataFrame:

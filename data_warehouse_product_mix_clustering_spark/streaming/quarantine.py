@@ -4,12 +4,15 @@ raw quarantined lines.
 
 The operational composition of two existing pieces: the quarantine split
 (sources/io.py::split_csv_quarantine — a pure projection, so the SAME
-code serves batch and streaming) and the incremental foreachBatch pattern
-(streaming/incremental.py). The checkpoint makes ingestion exactly-once
-across reruns: a rerun with no new files appends nothing to either sink,
-and a newly landed file is ingested alone. At 100 TB this is the
-always-on feed shape — malformed producers cannot stall the pipeline, and
-their evidence accumulates in the quarantine for replay after a fix.
+code serves batch and streaming) and the shared availableNow runner
+(streaming/runner.py). Effectively-exactly-once across failures:
+foreachBatch is at-least-once, so both sinks partition by ``__batch_id``
+and each batch OVERWRITES its own partition (dynamic partition
+overwrite) — a re-executed batch replaces its previous partial output
+instead of appending duplicates. A rerun with no new files touches
+nothing; a newly landed file is ingested alone. At 100 TB this is the
+always-on feed shape — malformed producers cannot stall the pipeline,
+and their evidence accumulates in the quarantine for replay after a fix.
 """
 
 from __future__ import annotations
@@ -17,9 +20,44 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_warehouse_product_mix_clustering_spark.sources.io import split_csv_quarantine
+from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
+
+BATCH_COL = "__batch_id"
+
+
+def write_quarantine_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    schema: T.StructType,
+    clean_dir: str,
+    quarantine_dir: str,
+    header: bool = True,
+    sep: str = ",",
+) -> None:
+    """Split one raw-text micro-batch and write both sinks idempotently.
+
+    Module-level (not a closure) so the idempotence contract is unit-
+    testable: running the same (batch_df, batch_id) twice leaves the
+    sinks exactly as one run does, because each write replaces only its
+    own ``__batch_id`` partition.
+    """
+    batch_df.persist()
+    try:
+        clean, quarantined = split_csv_quarantine(batch_df, schema, header, sep)
+        for df, path in ((clean, clean_dir), (quarantined, quarantine_dir)):
+            (
+                df.withColumn(BATCH_COL, F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BATCH_COL)
+                .parquet(path)
+            )
+    finally:
+        batch_df.unpersist()
 
 
 def streaming_csv_quarantine_etl(
@@ -33,42 +71,22 @@ def streaming_csv_quarantine_etl(
     sep: str = ",",
     timeout_sec: int = 300,
 ) -> int:
-    """One availableNow run: ingest unseen CSV files, split, append both
+    """One availableNow run: ingest unseen CSV files, split, write both
     sinks. Returns the number of micro-batches executed (0 when the
-    checkpoint says everything was already ingested).
-
-    The split runs once per micro-batch on a persisted raw batch (two
-    sinks consume it), so each input file is read exactly once per
-    lifetime ingestion.
+    checkpoint says everything was already ingested); raises
+    ``TimeoutError`` on an unfinished run (the uncommitted batch re-runs
+    next time and overwrites its own partition — no duplicates).
     """
     raw = spark.readStream.text(os.path.abspath(in_dir))
-    n_batches = 0
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        batch_df.persist()
-        try:
-            clean, quarantined = split_csv_quarantine(batch_df, schema, header, sep)
-            clean.write.mode("append").parquet(clean_dir)
-            quarantined.write.mode("append").parquet(quarantine_dir)
-        finally:
-            batch_df.unpersist()
+        write_quarantine_batch(
+            batch_df, batch_id, schema, clean_dir, quarantine_dir, header, sep
+        )
 
-    q = (
-        raw.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-    return n_batches
+    return run_available_now(raw, sink, checkpoint_dir, timeout_sec)
 
 
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
-    """Read a sink directory back; empty DataFrame-shaped error surfaces
-    as an AnalysisException (caller decides whether absence is ok)."""
-    return spark.read.parquet(path)
+    """Read a sink directory back, without the internal batch column."""
+    return spark.read.parquet(path).drop(BATCH_COL)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.etl.pipeline_log import latest_run, log_run, run_warehouse_build
@@ -313,6 +315,7 @@ def test_read_csv_quarantine_splits_clean_and_malformed(spark, tmp_path):
         "2,notanumber,beta",  # uncastable qty -> quarantine
         "3,30,gamma",
         "4,40",               # short arity -> quarantine
+        "",                   # blank line -> quarantine (never an all-null clean row)
         "5,50,epsilon",
         "6,60,zeta,extra",    # long arity -> quarantine
     ]
@@ -329,9 +332,29 @@ def test_read_csv_quarantine_splits_clean_and_malformed(spark, tmp_path):
     got = {(r.id, r.qty, r.label) for r in clean.collect()}
     assert got == {(1, 10, "alpha"), (3, 30, "gamma"), (5, 50, "epsilon")}
     bad = {r.raw_line for r in quarantined.collect()}
-    assert bad == {"2,notanumber,beta", "4,40", "6,60,zeta,extra"}
+    assert bad == {"2,notanumber,beta", "4,40", "", "6,60,zeta,extra"}
     # conservation: every non-header input line lands in exactly one channel
     assert clean.count() + quarantined.count() == len(lines) - 1
+
+    # all-string schema + header=True is refused (a data row equal to the
+    # header would be silently deleted — the ambiguity is an error, not a
+    # silent policy)
+    all_str = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("label", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="all-string schema"):
+        read_csv_quarantine(spark, path, all_str)
+
+    # reserved-word / spaced field names survive the DDL round trip
+    odd = T.StructType(
+        [T.StructField("from", T.LongType()), T.StructField("order count", T.LongType())]
+    )
+    odd_path = str(tmp_path / "odd.csv")
+    with open(odd_path, "w") as f:
+        f.write("from,order count\n7,70\nx,y\n")
+    oc, oq = read_csv_quarantine(spark, odd_path, odd)
+    assert [(r["from"], r["order count"]) for r in oc.collect()] == [(7, 70)]
+    assert oq.count() == 1
 
 
 def test_read_json_quarantine_splits_invalid_json(spark, tmp_path):

@@ -105,3 +105,36 @@ def test_streaming_quarantine_etl_splits_and_is_idempotent(spark, tmp_path):
     assert {r.raw_line for r in read_sink(spark, quar_dir).collect()} == {
         "2,bad", "noise,row,extra"
     }
+
+
+def test_quarantine_batch_write_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-executing the SAME micro-batch
+    must leave both sinks exactly as a single execution does (each batch
+    overwrites its own __batch_id partition, never appends twice)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        read_sink,
+        write_quarantine_batch,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    batch = spark.createDataFrame([("1,10",), ("2,bad",), ("3,30",)], ["value"])
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+
+    for _ in range(2):  # the retry: same batch_df, same batch_id
+        write_quarantine_batch(batch, 7, schema, clean_dir, quar_dir, header=False)
+    assert {(r.id, r.qty) for r in read_sink(spark, clean_dir).collect()} == {
+        (1, 10), (3, 30)
+    }
+    assert [r.raw_line for r in read_sink(spark, quar_dir).collect()] == ["2,bad"]
+
+    # a different batch id appends alongside, untouched by batch 7's retry
+    batch2 = spark.createDataFrame([("4,40",)], ["value"])
+    write_quarantine_batch(batch2, 8, schema, clean_dir, quar_dir, header=False)
+    write_quarantine_batch(batch, 7, schema, clean_dir, quar_dir, header=False)
+    assert read_sink(spark, clean_dir).count() == 3
+    assert read_sink(spark, quar_dir).count() == 1
