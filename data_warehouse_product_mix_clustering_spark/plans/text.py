@@ -643,3 +643,95 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (round-7 second session): the lexical half of a
+# hybrid search stack (the ANN family in operators/similarity.py is the
+# other). Fixed query terms, two common + one rare, so idf does real work.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "join", "dup")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+        ), tf AS (
+            SELECT doc_id, len(t) AS dl, u.term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks, unnest(t) AS u(term)
+            WHERE u.term IN {str(_BM25_TERMS)}
+            GROUP BY 1, 2, 3
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * ({_BM25_K1} + 1))
+                       / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                          + {_BM25_B} * dl / avgdl))
+                   ) + 1e-9, 6) AS bm25
+            FROM tf JOIN df USING (term) CROSS JOIN stats
+            GROUP BY 1
+        )
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75, Lucene idf).
+
+    The plan a search engine's scatter-gather maps to: the term filter
+    lands INSIDE the explode (only query-term postings survive — at scale
+    an inverted index makes this a seek, here it is a pushdown into one
+    corpus pass), per-(doc, term) tf aggregates once, the vocabulary-sized
+    df and the 1-row (N, avgdl) stats broadcast back, and the final top-20
+    is a partial top-k. Cross-engine float discipline: identical literal
+    expression shape on both engines, nudged rounding BEFORE ranking, and
+    doc_id tie-breaks — so rank boundaries cannot flip.
+    """
+    k1, b = _BM25_K1, _BM25_B
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score) + F.lit(1e-9), 6).alias("bm25"))
+    )
+    # Top-20 FIRST (TakeOrderedAndProject — partial top-k, no global
+    # sort), then rank the 20 survivors: the single-partition rank window
+    # only ever sees 20 rows, not every document containing a query term.
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "bm25", "rank"
+    )

@@ -646,3 +646,14 @@ def test_lateral_subquery_decorrelates_to_window(spark):
     assert n_sup == 1, f"supplier scanned {n_sup} times"
     assert "row_number" in plan and "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_ranks_after_topk_cut(spark):
+    """BM25: the global rank window must sit ABOVE the top-20 limit
+    (TakeOrderedAndProject), so its single partition holds 20 rows, not
+    every matching document; the term filter must prune the explode."""
+    plan = plan_of(spark, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    # window appears before (above) the TakeOrdered in the printed tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "CartesianProduct" not in plan
