@@ -8,7 +8,7 @@ centroids (oracle-checked long-format element-wise mean).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
@@ -18,6 +18,7 @@ from data_warehouse_product_mix_clustering_spark.operators.similarity import (
     pq_topk,
 )
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.plans.text import bm25_scored_cte
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -266,4 +267,116 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias(
             "q_md5"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (round-7 second session): BM25 ⊕ embedding cosine via
+# reciprocal-rank fusion — the standard RAG retrieval stack, end to end.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50  # depth of each ranked list entering the fusion
+_RRF_PROBE = 0  # vec_id whose embedding plays the semantic query
+
+
+@register(
+    "doc_hybrid_rrf",
+    oracle=f"""
+        WITH {bm25_scored_cte()},
+        lex AS (
+            SELECT doc_id, rk AS lex_rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id) AS rk
+                FROM scored
+            ) WHERE rk <= {_RRF_POOL}
+        ),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = {_RRF_PROBE}
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id, rk AS sem_rank FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY round(list_cosine_similarity(qv,
+                        CAST(embedding AS DOUBLE[])) + 1e-9, 6) DESC,
+                    vec_id) AS rk
+                FROM embeddings, probe
+                WHERE vec_id <> {_RRF_PROBE}
+            ) WHERE rk <= {_RRF_POOL}
+        ),
+        fused AS (
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0)
+                       + coalesce(1.0 / ({_RRF_K} + sem_rank), 0) + 1e-9, 6)
+                       AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT doc_id, rrf,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 ⊕ cosine top-50 fused by reciprocal
+    rank (k=60), final top-10 — the RAG retrieval stack as ONE plan.
+
+    Lexical side: the shared BM25 scorer (plans/text.py::bm25_scores —
+    same relation the pure-lexical query ranks). Semantic side: the probe
+    embedding broadcast against the corpus, exact cosine. Each list is
+    cut to its pool via TakeOrderedAndProject BEFORE its rank window (20-
+    to-50-row windows, never corpus-sized), then a FULL OUTER join merges
+    the two id sets — a doc found by only one retriever still scores its
+    one reciprocal term, which is the property that makes RRF robust.
+    All ranks are integers and the fusion arithmetic is identical on both
+    engines; rounded-before-rank + doc_id tie-breaks pin the final order.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import as_double, cosine
+    from data_warehouse_product_mix_clustering_spark.plans.text import bm25_scores
+
+    lex_scored = bm25_scores(spark, sf_dir)
+    lex_top = lex_scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_POOL)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE).select(
+        as_double("embedding").alias("qv")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != _RRF_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), as_double("embedding")) + F.lit(1e-9), 6)
+            .alias("cos"),
+        )
+    )
+    sem_top = sem_scored.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_POOL)
+    w_sem = Window.orderBy(F.col("cos").desc(), "doc_id")
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).alias("sem_rank")
+    )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "rrf", "rank"
     )

@@ -655,10 +655,11 @@ _BM25_TERMS = ("merge", "join", "dup")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "doc_bm25_search",
-    oracle=f"""
-        WITH toks AS (
+def bm25_scored_cte() -> str:
+    """The CTE chain defining ``scored(doc_id, bm25)`` — shared by the
+    ``doc_bm25_search`` oracle and the hybrid-RRF oracle
+    (plans/similarity.py) so the scoring formula exists once per engine."""
+    return f"""toks AS (
             SELECT doc_id, {sql_tokens("text")} AS t FROM documents
         ), stats AS (
             SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
@@ -679,27 +680,13 @@ _BM25_K1, _BM25_B = 1.2, 0.75
                    ) + 1e-9, 6) AS bm25
             FROM tf JOIN df USING (term) CROSS JOIN stats
             GROUP BY 1
-        )
-        SELECT doc_id, bm25,
-               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
-                   AS rank
-        FROM scored
-        ORDER BY bm25 DESC, doc_id
-        LIMIT 20
-    """,
-)
-def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75, Lucene idf).
+        )"""
 
-    The plan a search engine's scatter-gather maps to: the term filter
-    lands INSIDE the explode (only query-term postings survive — at scale
-    an inverted index makes this a seek, here it is a pushdown into one
-    corpus pass), per-(doc, term) tf aggregates once, the vocabulary-sized
-    df and the 1-row (N, avgdl) stats broadcast back, and the final top-20
-    is a partial top-k. Cross-engine float discipline: identical literal
-    expression shape on both engines, nudged rounding BEFORE ranking, and
-    doc_id tie-breaks — so rank boundaries cannot flip.
-    """
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed query — the Spark twin of
+    ``bm25_scored_cte``; ``doc_bm25_search`` and the hybrid-RRF fusion
+    both consume it."""
     k1, b = _BM25_K1, _BM25_B
     docs = table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -721,12 +708,39 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("tf") * (k1 + 1))
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score) + F.lit(1e-9), 6).alias("bm25"))
     )
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+        WITH {bm25_scored_cte()}
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75, Lucene idf).
+
+    The plan a search engine's scatter-gather maps to: the term filter
+    lands INSIDE the explode (only query-term postings survive — at scale
+    an inverted index makes this a seek, here it is a pushdown into one
+    corpus pass), per-(doc, term) tf aggregates once, the vocabulary-sized
+    df and the 1-row (N, avgdl) stats broadcast back, and the final top-20
+    is a partial top-k. Cross-engine float discipline: identical literal
+    expression shape on both engines, nudged rounding BEFORE ranking, and
+    doc_id tie-breaks — so rank boundaries cannot flip.
+    """
+    scored = bm25_scores(spark, sf_dir)
     # Top-20 FIRST (TakeOrderedAndProject — partial top-k, no global
     # sort), then rank the 20 survivors: the single-partition rank window
     # only ever sees 20 rows, not every document containing a query term.
