@@ -695,3 +695,51 @@ def events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 2)
     )
+
+
+@register(
+    "events_freq_items_audit",
+    oracle="""
+        SELECT TRUE AS candidates_complete,
+               TRUE AS candidate_bound_ok,
+               TRUE AS heavy_set_nonempty
+    """,
+)
+def events_freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested frequent-items (heavy hitters) gate — completes the
+    sketch family next to the HLL/percentile (`events_approx_stats_audit`)
+    and runtime-bloom guards.
+
+    ``df.stat.freqItems`` implements Karp-Shenker-Papadimitriou: ONE pass,
+    O(1/support) state per partition, merged associatively — the 100 TB
+    way to find hot keys without a full groupBy. Its guarantee is
+    one-sided: every item with frequency > support·n IS returned (false
+    positives allowed, bounded by ~1/support candidates). The audit pins
+    exactly that contract on ``event_type`` (5 values at ~20% share each,
+    scale-free across SFs, so the heavy set is never empty and the check
+    never goes vacuous):
+
+    - candidates_complete: the exact heavy set (count > support·n,
+      computed distributed) ⊆ the sketch's candidates;
+    - candidate_bound_ok: ≤ 1/support candidates returned;
+    - heavy_set_nonempty: the gate is actually exercising the guarantee.
+    """
+    support = 0.1
+    ev = table(spark, "events", sf_dir)
+    cands = (
+        ev.select("event_type").stat.freqItems(["event_type"], support)
+        .collect()[0][0]
+    )
+    total = ev.select(F.count(F.lit(1)).alias("__n"))
+    heavy = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__c") > support * F.col("__n"))
+    )
+    in_cands = F.coalesce(F.col("event_type").isin(list(cands)), F.lit(False))
+    return heavy.agg(
+        F.coalesce(F.min(in_cands), F.lit(False)).alias("candidates_complete"),
+        F.lit(len(cands) <= int(1 / support)).alias("candidate_bound_ok"),
+        (F.count(F.lit(1)) > 0).alias("heavy_set_nonempty"),
+    )
