@@ -743,3 +743,63 @@ def events_freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(cands) <= int(1 / support)).alias("candidate_bound_ok"),
         (F.count(F.lit(1)) > 0).alias("heavy_set_nonempty"),
     )
+
+
+@register(
+    "events_daily_anomalies",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        robust AS (
+            SELECT event_type,
+                   CAST(median(n) AS DOUBLE) AS med,
+                   CAST(mad(n) AS DOUBLE) AS mad
+            FROM daily GROUP BY 1
+        )
+        SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.n,
+               round(med + 1e-9, 6) AS med_daily,
+               round(mad + 1e-9, 6) AS mad_daily
+        FROM daily d JOIN robust USING (event_type)
+        WHERE abs(d.n - med) > 3 * mad AND mad > 0
+    """,
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: days whose event count deviates from the
+    per-type median by more than 3×MAD — the monitoring rollup that pages
+    someone, as a distributed plan.
+
+    Median/MAD (not mean/stddev) so a single spike cannot drag its own
+    baseline. The fact aggregates to (type, day) ONCE — tiny relative to
+    events — and the 5-row robust stats broadcast back onto it; both
+    medians are exact (`F.median`). The 3×MAD threshold compares exact
+    integers against a median-derived double computed identically on both
+    engines (medians of integers are .0 or .5 exactly), so the flag set
+    cannot flip; `mad > 0` guards the degenerate all-identical-days type.
+    """
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy(F.col("event_type").alias("__et")).agg(
+        F.median("n").alias("__med")
+    )
+    dev = daily.join(F.broadcast(med), daily.event_type == F.col("__et")).withColumn(
+        "__adev", F.abs(F.col("n") - F.col("__med"))
+    )
+    robust = dev.groupBy(F.col("event_type").alias("__et2")).agg(
+        F.first("__med").alias("med"), F.median("__adev").alias("mad")
+    )
+    return (
+        daily.join(F.broadcast(robust), daily.event_type == F.col("__et2"))
+        .filter((F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n",
+            F.round(F.col("med") + F.lit(1e-9), 6).alias("med_daily"),
+            F.round(F.col("mad") + F.lit(1e-9), 6).alias("mad_daily"),
+        )
+    )

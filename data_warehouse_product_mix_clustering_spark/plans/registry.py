@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bm25_search",  # BM25 lexical retrieval top-20
     "doc_hybrid_rrf",  # BM25 ⊕ cosine reciprocal-rank fusion
     "events_freq_items_audit",  # Karp heavy-hitters sketch contract
+    "events_daily_anomalies",  # 3×MAD robust outlier days
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
