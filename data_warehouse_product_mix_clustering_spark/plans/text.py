@@ -683,19 +683,23 @@ def bm25_scored_cte() -> str:
         )"""
 
 
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bm25) for the fixed query — the Spark twin of
-    ``bm25_scored_cte``; ``doc_bm25_search`` and the hybrid-RRF fusion
-    both consume it."""
-    k1, b = _BM25_K1, _BM25_B
-    docs = table(spark, "documents", sf_dir)
+def bm25_scores_df(
+    docs: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """(doc_id, bm25) over any (doc_id, text) DataFrame — the Spark twin
+    of ``bm25_scored_cte``; ``doc_bm25_search``, the hybrid-RRF fusion,
+    and the property test (random corpora vs a pure-python reference)
+    all consume it."""
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
     )
     tf = (
         toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -714,6 +718,11 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score) + F.lit(1e-9), 6).alias("bm25"))
     )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-query scorer over the ``documents`` table."""
+    return bm25_scores_df(table(spark, "documents", sf_dir))
 
 
 @register(
