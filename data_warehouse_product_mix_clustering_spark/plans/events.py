@@ -739,7 +739,10 @@ def events_freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_cands = F.coalesce(F.col("event_type").isin(list(cands)), F.lit(False))
     return heavy.agg(
-        F.coalesce(F.min(in_cands), F.lit(False)).alias("candidates_complete"),
+        # Empty heavy set ⊆ anything — vacuously TRUE, so the min over
+        # zero rows coalesces to True and only heavy_set_nonempty goes
+        # red, correctly naming the actual failure (vacuousness).
+        F.coalesce(F.min(in_cands), F.lit(True)).alias("candidates_complete"),
         F.lit(len(cands) <= int(1 / support)).alias("candidate_bound_ok"),
         (F.count(F.lit(1)) > 0).alias("heavy_set_nonempty"),
     )

@@ -18,7 +18,7 @@ from data_warehouse_product_mix_clustering_spark.operators.similarity import (
     pq_topk,
 )
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
-from data_warehouse_product_mix_clustering_spark.plans.text import bm25_scored_cte
+from data_warehouse_product_mix_clustering_spark.plans.text import bm25_scored_cte, bm25_scores
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -325,18 +325,17 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank (k=60), final top-10 — the RAG retrieval stack as ONE plan.
 
     Lexical side: the shared BM25 scorer (plans/text.py::bm25_scores —
-    same relation the pure-lexical query ranks). Semantic side: the probe
-    embedding broadcast against the corpus, exact cosine. Each list is
-    cut to its pool via TakeOrderedAndProject BEFORE its rank window (20-
-    to-50-row windows, never corpus-sized), then a FULL OUTER join merges
-    the two id sets — a doc found by only one retriever still scores its
-    one reciprocal term, which is the property that makes RRF robust.
-    All ranks are integers and the fusion arithmetic is identical on both
-    engines; rounded-before-rank + doc_id tie-breaks pin the final order.
+    same relation the pure-lexical query ranks), cut to its pool via
+    TakeOrderedAndProject BEFORE its rank window (pool-sized windows,
+    never corpus-sized). Semantic side: the SHARED ``brute_force_topk``
+    operator — same rounded-cosine discipline, vec_id tie-breaks,
+    fan_out, and partial WindowGroupLimit the ANN queries pin. A FULL
+    OUTER join merges the two id sets — a doc found by only one
+    retriever still scores its one reciprocal term, which is the
+    property that makes RRF robust. All ranks are integers and the
+    fusion arithmetic is identical on both engines; rounded-before-rank
+    + doc_id tie-breaks pin the final order.
     """
-    from data_warehouse_product_mix_clustering_spark.operators.similarity import as_double, cosine
-    from data_warehouse_product_mix_clustering_spark.plans.text import bm25_scores
-
     lex_scored = bm25_scores(spark, sf_dir)
     lex_top = lex_scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_POOL)
     w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
@@ -345,33 +344,21 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, "embeddings", sf_dir)
-    probe = emb.filter(F.col("vec_id") == _RRF_PROBE).select(
-        as_double("embedding").alias("qv")
-    )
-    sem_scored = (
-        emb.filter(F.col("vec_id") != _RRF_PROBE)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("qv"), as_double("embedding")) + F.lit(1e-9), 6)
-            .alias("cos"),
-        )
-    )
-    sem_top = sem_scored.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_POOL)
-    w_sem = Window.orderBy(F.col("cos").desc(), "doc_id")
-    sem = sem_top.select(
-        "doc_id", F.row_number().over(w_sem).alias("sem_rank")
-    )
+    sem = brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") == _RRF_PROBE),
+        "vec_id",
+        "embedding",
+        k=_RRF_POOL,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
 
     fused = (
         lex.join(sem, "doc_id", "full_outer")
         .select(
             "doc_id",
-            F.round(
+            ratio_round(
                 F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
                 + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
-                + F.lit(1e-9),
-                6,
             ).alias("rrf"),
         )
     )
