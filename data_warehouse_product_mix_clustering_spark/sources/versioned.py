@@ -1,0 +1,166 @@
+"""Versioned table sink: atomic publish, time travel, rollback, diff.
+
+The reference refreshes its warehouse with a monthly full-table replace
+(``to_sql(if_exists='replace')`` — reference src/pipelines/etl.py:102-107),
+which is neither atomic (a reader mid-replace sees a missing/partial
+table) nor undoable. The production pattern — what Delta/Iceberg provide,
+built here from parquet + a marker file, no extra dependency:
+
+- every write lands in a NEW directory ``v=N`` (never touched again);
+- a tiny ``_LATEST`` marker file names the current version, published by
+  an atomic ``os.replace`` — readers see the old table or the new one,
+  never anything in between;
+- old versions stay readable (time travel) until an explicit ``vacuum``;
+- ``rollback`` repoints the marker — an O(1) undo, no data rewrite;
+- ``version_diff`` extracts the row-level change set between two
+  versions (the CDC feed a downstream incremental consumer wants).
+
+Scale notes: the marker is bytes; writes cost exactly the parquet write
+(no copy, no rewrite of history); ``version_diff`` is two scans + one
+full-outer hash join on the key — the same cost as the naive comparison,
+but expressed once, distributed, with deleted/added/changed classified in
+a single pass.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LATEST = "_LATEST"
+_VDIR = re.compile(r"^v=(\d+)$")
+
+
+def versions(table_dir: str) -> list[int]:
+    """All committed versions, ascending. A version counts as committed
+    iff its directory carries Spark's ``_SUCCESS`` marker — an in-flight
+    or crashed write leaves an orphan directory without one, which is
+    never visible (and a later ``rollback`` does not un-commit newer
+    versions; they stay time-travelable)."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(table_dir)
+        if (m := _VDIR.match(d))
+        and os.path.exists(os.path.join(table_dir, d, "_SUCCESS"))
+    )
+
+
+def _read_marker(table_dir: str) -> int | None:
+    p = os.path.join(table_dir, _LATEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _write_marker(table_dir: str, version: int) -> None:
+    tmp = os.path.join(table_dir, f".{_LATEST}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(table_dir, _LATEST))  # atomic publish
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next version and atomically publish it.
+
+    The data write happens entirely in an unpublished ``v=N`` directory;
+    only after it completes does the marker move. A crash mid-write
+    leaves the previous version live and an invisible orphan directory
+    (re-running simply takes the next N)."""
+    os.makedirs(table_dir, exist_ok=True)
+    current = _read_marker(table_dir)
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(table_dir)
+        if (m := _VDIR.match(d))
+    ]
+    n = max([current if current is not None else -1, *existing, -1]) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={n}"))
+    _write_marker(table_dir, n)
+    return n
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest-published (default) or any committed version —
+    including ones newer than the marker after a rollback (that is what
+    makes rollback reversible)."""
+    current = _read_marker(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published version in {table_dir}")
+    v = current if version is None else version
+    if v not in versions(table_dir):
+        raise FileNotFoundError(
+            f"version {v} is not committed (vacuumed, orphaned, or never "
+            f"written); committed: {versions(table_dir)}"
+        )
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Repoint the marker to an older committed version — O(1) undo."""
+    if version not in versions(table_dir):
+        raise ValueError(f"cannot roll back to unknown version {version}")
+    _write_marker(table_dir, version)
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed versions (the
+    current marker target is always kept). Returns deleted versions."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(table_dir)
+    current = _read_marker(table_dir)
+    doomed = [v for v in vs[:-keep_last] if v != current]
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return doomed
+
+
+def version_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key: list[str],
+) -> DataFrame:
+    """Row-level change set between two versions, keyed by ``key``:
+    one row per changed key with ``change_type`` ∈ added/removed/changed.
+
+    The CDC extract for downstream incremental consumers: a full-outer
+    join on the key, change classified by side-presence and by comparing
+    the non-key columns null-safely (eqNullSafe, so NULL→value edits are
+    'changed', not missed). Unchanged keys are dropped before the output.
+    """
+    old = read_table(spark, table_dir, from_version)
+    new = read_table(spark, table_dir, to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema drift between v{from_version} and v{to_version}: "
+            f"{sorted(set(old.columns) ^ set(new.columns))} (diff needs "
+            "matching columns; evolve first, then diff)"
+        )
+    attrs = [c for c in new.columns if c not in key]
+    o = old.select(*key, F.struct(*attrs).alias("__old"))
+    n = new.select(*key, F.struct(*attrs).alias("__new"))
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key, "change_type", "__old", "__new")
+    )

@@ -385,3 +385,80 @@ def test_read_json_quarantine_splits_invalid_json(spark, tmp_path):
         "{not json at all",
         "[1,2]",
     }
+
+
+def test_versioned_table_lifecycle(spark, tmp_path):
+    """Versioned sink: atomic publish, time travel, rollback, vacuum —
+    and an orphan (uncommitted) directory is never visible."""
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        read_table,
+        rollback,
+        vacuum,
+        versions,
+        write_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    v0 = write_version(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), d)
+    v1 = write_version(spark.createDataFrame([(1, "a2"), (3, "c")], ["id", "v"]), d)
+    assert (v0, v1) == (0, 1) and versions(d) == [0, 1]
+
+    assert {tuple(r) for r in read_table(spark, d).collect()} == {(1, "a2"), (3, "c")}
+    assert {tuple(r) for r in read_table(spark, d, 0).collect()} == {(1, "a"), (2, "b")}
+
+    rollback(d, 0)
+    assert {tuple(r) for r in read_table(spark, d).collect()} == {(1, "a"), (2, "b")}
+    with _pytest_raises(ValueError):
+        rollback(d, 99)
+
+    # a crashed write = orphan v-dir with no marker move: never visible
+    import os
+
+    os.makedirs(os.path.join(d, "v=7"))
+    assert versions(d) == [0, 1]
+    # next write skips past the orphan rather than colliding with it
+    v_next = write_version(spark.createDataFrame([(9, "z")], ["id", "v"]), d)
+    assert v_next == 8
+
+    deleted = vacuum(d, keep_last=1)
+    assert 8 not in deleted and versions(d) == [8]
+
+
+def _pytest_raises(exc):
+    return pytest.raises(exc)
+
+
+def test_version_diff_classifies_changes(spark, tmp_path):
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        version_diff,
+        write_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30)], "id long, v string, x long"
+        ),
+        d,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b2", 20), (3, "now", 30), (4, "d", 40)],
+            "id long, v string, x long",
+        ),
+        d,
+    )
+    got = {
+        r.id: r.change_type
+        for r in version_diff(spark, d, 0, 1, key=["id"]).collect()
+    }
+    # id 1 unchanged -> absent; 2 changed; 3 NULL->value must be 'changed'
+    # (the eqNullSafe discipline); 4 added. Nothing removed here.
+    assert got == {2: "changed", 3: "changed", 4: "added"}
+
+    # and a removal: diff in the reverse direction sees 4 vanish
+    rev = {
+        r.id: r.change_type
+        for r in version_diff(spark, d, 1, 0, key=["id"]).collect()
+    }
+    assert rev[4] == "removed"
