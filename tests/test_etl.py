@@ -462,3 +462,53 @@ def test_version_diff_classifies_changes(spark, tmp_path):
         for r in version_diff(spark, d, 1, 0, key=["id"]).collect()
     }
     assert rev[4] == "removed"
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    """Applying the CDC diff to a materialized SUM/COUNT rollup must equal
+    a full recompute on the new version — including rows that MOVE between
+    groups, group births, group deaths, and NULL group keys."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.incremental_agg import apply_agg_delta
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        version_diff,
+        write_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    v0_rows = [
+        (1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0),
+        (4, "g3", 40.0),                      # group g3 will die
+        (5, None, 5.0),                       # NULL group key
+    ]
+    v1_rows = [
+        (1, "g1", 11.0),                      # value change, same group
+        (2, "g2", 20.0),                      # MOVES g1 -> g2
+        (3, "g2", 30.0),                      # unchanged
+        (5, None, 6.0),                       # NULL-group value change
+        (6, "g4", 60.0),                      # group g4 is born
+    ]
+    schema = "id long, grp string, amount double"
+    write_version(spark.createDataFrame(v0_rows, schema), d)
+    write_version(spark.createDataFrame(v1_rows, schema), d)
+
+    def rollup(df):
+        return df.groupBy("grp").agg(
+            F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    old_agg = rollup(spark.createDataFrame(v0_rows, schema))
+    diff = version_diff(spark, d, 0, 1, key=["id"])
+    got = {
+        r.grp: (r.total, r.n)
+        for r in apply_agg_delta(
+            old_agg, diff, ["grp"], {"total": "amount"}, count_col="n"
+        ).collect()
+    }
+    want = {
+        r.grp: (r.total, r.n)
+        for r in rollup(spark.createDataFrame(v1_rows, schema)).collect()
+    }
+    assert got == want, f"{got} != {want}"
+    assert "g3" not in got and "g4" in got and None in got
