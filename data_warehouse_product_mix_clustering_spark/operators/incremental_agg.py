@@ -44,17 +44,24 @@ def agg_delta(
     sign_new = F.when(F.col("change_type").isin("added", "changed"), 1).otherwise(0)
     sign_old = F.when(F.col("change_type").isin("removed", "changed"), -1).otherwise(0)
 
-    def image(side: str, sign) -> DataFrame:
-        return diff.filter(sign != 0).select(
-            *[F.col(f"{side}.{k}").alias(k) for k in group_keys],
-            *[
-                (sign * F.coalesce(F.col(f"{side}.{src}"), F.lit(0.0))).alias(out)
-                for out, src in measures.items()
-            ],
-            sign.alias("__dn"),
-        )
-
-    contributions = image("__new", sign_new).unionByName(image("__old", sign_old))
+    # Both images emit from ONE pass over the diff (array + explode), not a
+    # self-union — a union would evaluate the upstream diff plan (two
+    # version scans + a join) twice, breaking the |changes|-only cost claim.
+    entries = F.array(
+        F.struct(sign_new.alias("__s"), F.col("__new").alias("__img")),
+        F.struct(sign_old.alias("__s"), F.col("__old").alias("__img")),
+    )
+    e = diff.select(F.explode(entries).alias("e")).filter(F.col("e.__s") != 0)
+    contributions = e.select(
+        *[F.col(f"e.__img.{k}").alias(k) for k in group_keys],
+        *[
+            (
+                F.col("e.__s") * F.coalesce(F.col(f"e.__img.{src}"), F.lit(0.0))
+            ).alias(out)
+            for out, src in measures.items()
+        ],
+        F.col("e.__s").alias("__dn"),
+    )
     return contributions.groupBy(*group_keys).agg(
         *[F.sum(out).alias(out) for out in measures],
         F.sum("__dn").cast("long").alias("__dn"),
@@ -78,6 +85,11 @@ def apply_agg_delta(
     base table. Joins are null-safe so NULL-valued group keys maintain
     correctly.
     """
+    if not group_keys:
+        raise ValueError(
+            "group_keys must be non-empty; maintain a global total by "
+            "grouping on a constant column instead"
+        )
     missing = [c for c in [*group_keys, *measures, count_col] if c not in old_agg.columns]
     if missing:
         raise ValueError(f"old_agg lacks columns {missing}")

@@ -112,9 +112,19 @@ def rollback(table_dir: str, version: int) -> None:
     _write_marker(table_dir, version)
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    table_dir: str, keep_last: int = 2, reclaim_orphans: bool = False
+) -> list[int]:
     """Delete all but the newest ``keep_last`` committed versions (the
-    current marker target is always kept). Returns deleted versions."""
+    current marker target is always kept). Returns deleted versions.
+
+    ``reclaim_orphans`` additionally removes uncommitted ``v=N``
+    directories (no ``_SUCCESS``) left by crashed writes — these are
+    invisible to readers but hold disk forever otherwise. Only safe when
+    no write is in flight: an in-progress write looks exactly like an
+    orphan until its ``_SUCCESS`` lands (the same tradeoff as Delta's
+    retention-window VACUUM, made explicit here as an opt-in).
+    """
     import shutil
 
     if keep_last < 1:
@@ -124,6 +134,13 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     doomed = [v for v in vs[:-keep_last] if v != current]
     for v in doomed:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    if reclaim_orphans:
+        committed = set(versions(table_dir))
+        for d in os.listdir(table_dir):
+            m = _VDIR.match(d)
+            if m and int(m.group(1)) not in committed:
+                shutil.rmtree(os.path.join(table_dir, d))
+                doomed.append(int(m.group(1)))
     return doomed
 
 
@@ -133,34 +150,87 @@ def version_diff(
     from_version: int,
     to_version: int,
     key: list[str],
+    validate_keys: bool = True,
 ) -> DataFrame:
     """Row-level change set between two versions, keyed by ``key``:
     one row per changed key with ``change_type`` ∈ added/removed/changed.
 
     The CDC extract for downstream incremental consumers: a full-outer
-    join on the key, change classified by side-presence and by comparing
-    the non-key columns null-safely (eqNullSafe, so NULL→value edits are
-    'changed', not missed). Unchanged keys are dropped before the output.
+    join on the key — NULL-SAFE on every key column, so a NULL-keyed row
+    present in both versions matches itself (no phantom removed+added
+    churn) — with change classified by side-presence and a null-safe
+    comparison of the non-key columns (NULL→value edits are 'changed',
+    not missed). Unchanged keys are dropped before the output.
+
+    Precondition: ``key`` is unique within each version — duplicates
+    would turn the join into a per-key cross product and silently corrupt
+    every downstream consumer, so ``validate_keys`` (default on) fails
+    fast with the offending keys; pass ``False`` only when uniqueness is
+    already enforced upstream and the extra per-side aggregation scan
+    matters.
     """
     old = read_table(spark, table_dir, from_version)
     new = read_table(spark, table_dir, to_version)
-    if set(old.columns) != set(new.columns):
+    old_fields = sorted((f.name, f.dataType.simpleString()) for f in old.schema.fields)
+    new_fields = sorted((f.name, f.dataType.simpleString()) for f in new.schema.fields)
+    if old_fields != new_fields:
         raise ValueError(
             f"schema drift between v{from_version} and v{to_version}: "
-            f"{sorted(set(old.columns) ^ set(new.columns))} (diff needs "
-            "matching columns; evolve first, then diff)"
+            f"{sorted(set(old_fields) ^ set(new_fields))} (diff needs "
+            "matching names AND types; evolve first, then diff)"
         )
+    if validate_keys:
+        for label, df, v in (("from", old, from_version), ("to", new, to_version)):
+            dup = (
+                df.groupBy(*key)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1)
+                .limit(3)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"key {key} is not unique in v{v} ({label} side); "
+                    f"e.g. {[tuple(r)[:-1] for r in dup]} — a non-unique key "
+                    "makes the diff a cross product"
+                )
     attrs = [c for c in new.columns if c not in key]
-    o = old.select(*key, F.struct(*attrs).alias("__old"))
-    n = new.select(*key, F.struct(*attrs).alias("__new"))
-    joined = o.join(n, key, "full_outer")
+    if not attrs:
+        raise ValueError(
+            "key covers every column — a key-only table has no attributes "
+            "to diff; presence changes alone need only an anti-join"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key], F.struct(*attrs).alias("__old")
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key], F.struct(*attrs).alias("__new")
+    )
+    cond = None
+    for k in key:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    # side-presence must key off the join MISS, not attribute NULLs: a
+    # matched row whose every attr is NULL still has a present struct, but
+    # after a full-outer miss the whole side (incl. its key rename) is NULL.
+    miss_old = F.col("__old").isNull()
+    miss_new = F.col("__new").isNull()
     change = (
-        F.when(F.col("__old").isNull(), F.lit("added"))
-        .when(F.col("__new").isNull(), F.lit("removed"))
+        F.when(miss_old, F.lit("added"))
+        .when(miss_new, F.lit("removed"))
         .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
     )
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*key, "change_type", "__old", "__new")
+        .select(
+            *[
+                F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+                for k in key
+            ],
+            "change_type",
+            "__old",
+            "__new",
+        )
     )

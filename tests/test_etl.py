@@ -408,7 +408,7 @@ def test_versioned_table_lifecycle(spark, tmp_path):
 
     rollback(d, 0)
     assert {tuple(r) for r in read_table(spark, d).collect()} == {(1, "a"), (2, "b")}
-    with _pytest_raises(ValueError):
+    with pytest.raises(ValueError):
         rollback(d, 99)
 
     # a crashed write = orphan v-dir with no marker move: never visible
@@ -422,10 +422,11 @@ def test_versioned_table_lifecycle(spark, tmp_path):
 
     deleted = vacuum(d, keep_last=1)
     assert 8 not in deleted and versions(d) == [8]
-
-
-def _pytest_raises(exc):
-    return pytest.raises(exc)
+    # the orphan survives a normal vacuum and dies only on opt-in reclaim
+    assert os.path.isdir(os.path.join(d, "v=7"))
+    vacuum(d, keep_last=1, reclaim_orphans=True)
+    assert not os.path.isdir(os.path.join(d, "v=7"))
+    assert versions(d) == [8]
 
 
 def test_version_diff_classifies_changes(spark, tmp_path):
@@ -512,3 +513,54 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
     }
     assert got == want, f"{got} != {want}"
     assert "g3" not in got and "g4" in got and None in got
+
+
+def test_version_diff_null_keys_and_preconditions(spark, tmp_path):
+    """NULL-keyed rows must match themselves across versions (no phantom
+    removed+added churn); duplicate keys and type drift fail fast."""
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        version_diff,
+        write_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(None, "same", 1), (1, "x", 1)], "id long, v string, x long"
+        ),
+        d,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(None, "edited", 1), (1, "x", 1)], "id long, v string, x long"
+        ),
+        d,
+    )
+    got = {r.id: r.change_type for r in version_diff(spark, d, 0, 1, ["id"]).collect()}
+    # the NULL key matched itself -> ONE 'changed' row, nothing else
+    assert got == {None: "changed"}
+
+    # duplicate key -> fail fast, not a silent cross product
+    d2 = str(tmp_path / "dup")
+    write_version(
+        spark.createDataFrame([(1, "a", 0), (1, "b", 0)], "id long, v string, x long"), d2
+    )
+    write_version(
+        spark.createDataFrame([(1, "a", 0)], "id long, v string, x long"), d2
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        version_diff(spark, d2, 0, 1, ["id"])
+
+    # same names, different type -> clear drift error, not struct confusion
+    d3 = str(tmp_path / "drift")
+    write_version(spark.createDataFrame([(1, 10)], "id long, x long"), d3)
+    write_version(spark.createDataFrame([(1, 10.0)], "id long, x double"), d3)
+    with pytest.raises(ValueError, match="names AND types"):
+        version_diff(spark, d3, 0, 1, ["id"])
+
+    # key-only table refused
+    d4 = str(tmp_path / "keyonly")
+    write_version(spark.createDataFrame([(1,)], "id long"), d4)
+    write_version(spark.createDataFrame([(2,)], "id long"), d4)
+    with pytest.raises(ValueError, match="key covers every column"):
+        version_diff(spark, d4, 0, 1, ["id"])
