@@ -564,3 +564,60 @@ def test_version_diff_null_keys_and_preconditions(spark, tmp_path):
     write_version(spark.createDataFrame([(2,)], "id long"), d4)
     with pytest.raises(ValueError, match="key covers every column"):
         version_diff(spark, d4, 0, 1, ["id"])
+
+
+def test_refresh_pipeline_end_to_end(spark, tmp_path):
+    """The composed refresh: dirty landing feed → quarantine → versioned
+    publish → CDC diff → incrementally maintained rollup. Three runs:
+    initial build, an upsert+insert batch, and a no-new-data run."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import read_sink
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+    )
+
+    (land / "a.csv").write_text("id,grp,amount\n1,g1,10.0\n2,g1,20.0\n3,g2,30.0\nbad,row\n")
+    r1 = refresh_warehouse(**args)
+    assert r1["changes"] == -1  # initial full build
+    agg1 = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
+    assert agg1 == {"g1": (30.0, 2), "g2": (30.0, 1)}
+    assert read_sink(spark, f"{work}/quarantine").count() == 1  # 'bad,row'
+
+    # batch 2: id=2 moves g1->g2 (upsert), id=4 is new
+    (land / "b.csv").write_text("id,grp,amount\n2,g2,25.0\n4,g3,40.0\n")
+    r2 = refresh_warehouse(**args)
+    assert r2["version"] == r1["version"] + 1
+    assert r2["changes"] == 2  # one changed, one added
+    agg2 = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
+    assert agg2 == {"g1": (10.0, 1), "g2": (55.0, 2), "g3": (40.0, 1)}
+    # the maintained rollup equals a full recompute of the published table
+    full = {
+        r.grp: (r.total, r.n)
+        for r in read_table(spark, f"{work}/table")
+        .groupBy("grp")
+        .agg(F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg2 == full
+
+    # run 3: nothing landed -> a new version publishes with zero changes
+    r3 = refresh_warehouse(**args)
+    assert r3["changes"] == 0
+    agg3 = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
+    assert agg3 == agg2
