@@ -77,26 +77,37 @@ def refresh_warehouse(
     streaming_csv_quarantine_etl(
         spark, landing_dir, schema, clean_dir, quarantine_dir, ckpt, header=header
     )
-    # Latest-batch-wins upsert view of the append-only clean log. The
-    # __batch_id partition column orders re-deliveries of a key; attrs
-    # complete the order so the choice is deterministic even for an
-    # in-batch duplicate.
+    # Latest-batch-wins upsert: the prior PUBLISHED version is the
+    # baseline (tagged batch −1, so any re-delivered key outranks it) and
+    # only batches newer than the ingest watermark join it — the upsert
+    # window therefore processes |live keys| + |new rows|, never the
+    # whole append-only log, which stays vacuumable after each publish.
+    # Attrs complete the ordering so even an in-batch duplicate resolves
+    # deterministically on every run.
     from pyspark.sql import Window
 
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
 
     raw = spark.read.parquet(clean_dir)
     attrs = [f.name for f in schema.fields if f.name not in key]
+    prior = versions(table_dir)
+    wm = _read_watermark(work_dir)
+    if prior:
+        baseline = read_table(spark, table_dir, prior[-1]).withColumn(
+            BATCH_COL, F.lit(-1)
+        )
+        pool = baseline.unionByName(raw.filter(F.col(BATCH_COL) > wm))
+    else:
+        pool = raw
     w = Window.partitionBy(*key).orderBy(
         F.col(BATCH_COL).desc(), *[F.col(c).desc_nulls_last() for c in attrs]
     )
     current = (
-        raw.withColumn("__rn", F.row_number().over(w))
+        pool.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", BATCH_COL)
     )
-
-    prior = versions(table_dir)
+    new_wm = raw.agg(F.max(BATCH_COL)).collect()[0][0]
     v = write_version(current, table_dir)
 
     def full_rollup(df: DataFrame) -> DataFrame:
@@ -117,4 +128,24 @@ def refresh_warehouse(
         old_agg = read_table(spark, agg_dir)
         agg = apply_agg_delta(old_agg, diff, group_keys, measures, count_col="n")
     agg_v = write_version(agg, agg_dir)
+    if new_wm is not None:
+        _write_watermark(work_dir, int(new_wm))
     return {"version": v, "agg_version": agg_v, "changes": changes}
+
+
+_WATERMARK = "_ingest_watermark"
+
+
+def _read_watermark(work_dir: str) -> int:
+    p = os.path.join(work_dir, _WATERMARK)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _write_watermark(work_dir: str, batch_id: int) -> None:
+    tmp = os.path.join(work_dir, f".{_WATERMARK}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(work_dir, _WATERMARK))

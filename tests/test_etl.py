@@ -621,3 +621,38 @@ def test_refresh_pipeline_end_to_end(spark, tmp_path):
     assert r3["changes"] == 0
     agg3 = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
     assert agg3 == agg2
+
+
+def test_refresh_pipeline_watermark_crash_recovery(spark, tmp_path):
+    """A stale ingest watermark (crash between publish and watermark
+    write) must make the next run idempotent — re-included batches tie
+    out against the baseline and the diff is empty."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+    )
+    (land / "a.csv").write_text("id,grp,amount\n1,g1,10.0\n")
+    refresh_warehouse(**args)
+    (land / "b.csv").write_text("id,grp,amount\n1,g1,11.0\n")
+    refresh_warehouse(**args)
+
+    # simulate the crash: roll the watermark back to pre-b state
+    os.remove(os.path.join(work, "_ingest_watermark"))
+    r = refresh_warehouse(**args)
+    assert r["changes"] == 0, "stale watermark re-applied already-published rows"
