@@ -24,7 +24,7 @@ Flow per refresh run:
    the rollup from the delta alone; on the first run, compute the rollup
    once from the published version.
 
-At 100 TB step 3 is the payoff: the rollup update costs |changes|, not
+At 100 TB step 4 is the payoff: the rollup update costs |changes|, not
 |table|. The rollup itself is stored versioned too, so its history
 travels with the table's and a bad refresh rolls BOTH back in O(1).
 """
@@ -45,7 +45,6 @@ from data_warehouse_product_mix_clustering_spark.sources.versioned import (
     write_version,
 )
 from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
-    read_sink,
     streaming_csv_quarantine_etl,
 )
 
