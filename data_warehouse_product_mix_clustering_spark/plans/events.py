@@ -806,3 +806,57 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mad") + F.lit(1e-9), 6).alias("mad_daily"),
         )
     )
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        spine AS (
+            SELECT DISTINCT event_type, day FROM pairs
+        )
+        SELECT s.event_type, CAST(s.day AS TIMESTAMP) AS day,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS trailing_7d_users
+        FROM spine s
+        JOIN pairs p
+          ON p.event_type = s.event_type
+         AND p.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+        GROUP BY 1, 2
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type over a trailing 7-day window, one
+    row per (type, active day) — the rolling-DAU product metric.
+
+    DISTINCT-over-a-sliding-window has no native window function (frames
+    count rows, not distinct values), so the shape is: collapse the fact
+    to distinct (type, day, user) triples ONCE (the only fact-sized
+    shuffle), then a broadcast range join of the tiny (type, day) spine
+    back onto the triples — each triple lands in ≤ 7 windows — and an
+    exact count-distinct per window. Cost: ~7×|daily-active pairs|,
+    independent of raw event volume. At 100 TB the exact distinct of the
+    last step is the first thing to trade away: per-day HLL sketches
+    merged across the 7 window days give the same plan with mergeable
+    state (`events_approx_stats_audit` pins that sketch family's error).
+    """
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    pairs = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    # distinct aliases break the self-derived lineage ambiguity
+    spine = pairs.select(
+        F.col("event_type").alias("__stype"), F.col("day").alias("__sday")
+    ).distinct()
+    return (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("event_type") == F.col("__stype"))
+            & (F.col("day") >= F.col("__sday") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("__sday")),
+        )
+        .groupBy("event_type", F.col("__sday").cast("timestamp").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("trailing_7d_users"))
+    )

@@ -134,6 +134,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_hybrid_rrf",  # BM25 ⊕ cosine reciprocal-rank fusion
     "events_freq_items_audit",  # Karp heavy-hitters sketch contract
     "events_daily_anomalies",  # 3×MAD robust outlier days
+    "events_rolling_dau",  # trailing-7d distinct users (range join)
+    "doc_bm25_snippets",  # search-result highlighting windows
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

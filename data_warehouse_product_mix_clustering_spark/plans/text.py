@@ -758,3 +758,78 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25", "rank"
     )
+
+
+@register(
+    "doc_bm25_snippets",
+    oracle=f"""
+        WITH {bm25_scored_cte()},
+        top AS (
+            SELECT doc_id, bm25, rk AS rank FROM (
+                SELECT doc_id, bm25, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        ),
+        tok2 AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ),
+        pos AS (
+            SELECT top.doc_id, bm25, rank, t,
+                   CAST(least(
+                       coalesce(nullif(list_position(t, 'merge'), 0), 1000000000),
+                       coalesce(nullif(list_position(t, 'join'), 0), 1000000000),
+                       coalesce(nullif(list_position(t, 'dup'), 0), 1000000000)
+                   ) AS BIGINT) AS p
+            FROM top JOIN tok2 ON top.doc_id = tok2.doc_id
+        )
+        SELECT doc_id, bm25, CAST(rank AS BIGINT) AS rank,
+               array_to_string(
+                   list_slice(t, greatest(p - 5, 1), greatest(p - 5, 1) + 10),
+                   ' ') AS snippet
+        FROM pos
+    """,
+)
+def doc_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets: the BM25 top-10 with an 11-token window
+    centered on the first occurrence of any query term — result
+    highlighting as pure JVM array expressions (array_position / slice /
+    array_join), zero Python, zero extra shuffles beyond the top-k.
+
+    Every top-10 doc contains ≥ 1 query term by construction (bm25 > 0),
+    so the first-match position always exists. The window is 11 tokens
+    FROM the clamped start (greatest(p−5, 1)) — anchoring the end to the
+    clamped start, not to p, keeps the two engines' slice semantics
+    (length vs end-index) aligned; both clamp the tail at the document
+    end.
+    """
+    scored = bm25_scores(spark, sf_dir)
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+    docs = table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("__did"), tokens(F.col("text")).alias("t")
+    )
+    big = F.lit(1000000000).cast("long")
+    pos = F.least(
+        *[
+            F.coalesce(
+                F.nullif(F.array_position(F.col("t"), term), F.lit(0)), big
+            )
+            for term in _BM25_TERMS
+        ]
+    ).cast("long")
+    start = F.greatest(pos - 5, F.lit(1).cast("long"))
+    return (
+        ranked.join(docs, ranked.doc_id == F.col("__did"))
+        .withColumn("__p", pos)
+        .select(
+            "doc_id",
+            "bm25",
+            "rank",
+            F.array_join(
+                F.slice(F.col("t"), start.cast("int"), F.lit(11)), " "
+            ).alias("snippet"),
+        )
+    )
