@@ -860,3 +860,124 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("__sday").cast("timestamp").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("trailing_7d_users"))
     )
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               max(streak_len) AS longest_streak,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM streaks GROUP BY 1
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days — the classic streak analytic (login streaks, SLA runs).
+
+    The island trick: subtract the per-user day RANK from the day itself;
+    consecutive days share the constant difference, a gap shifts it — so
+    streaks fall out of two grouped aggregations with no self-join and no
+    iteration. One shuffle on user_id serves the distinct, the rank
+    window, and both rollups (the partitioning is reused end to end).
+    """
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle="""
+        WITH pairs AS (
+            SELECT v.user_id, v.event_id AS view_event,
+                   p.event_id AS purchase_event, p.value AS purchase_value
+            FROM events v
+            JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ),
+        weighted AS (
+            SELECT user_id, view_event,
+                   purchase_value / count(*) OVER (PARTITION BY purchase_event)
+                       AS credited
+            FROM pairs
+        )
+        SELECT user_id, view_event,
+               CAST(count(*) AS BIGINT) AS n_purchases_touched,
+               round(sum(credited) + 1e-9, 6) AS attributed_value
+        FROM weighted GROUP BY 1, 2
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    equally across the views that preceded it within 1 hour, then rolls
+    up per view — the marketing report behind "which impressions earn
+    credit".
+
+    Shape: the time-bounded view⋈purchase range join (the same pair
+    relation the streaming attribution query emits), a per-purchase
+    count window to compute the 1/n split — partitioned on the purchase
+    id, which the pair join's user_id shuffle does NOT provide, so this
+    is the query family's one extra exchange, over pairs not events —
+    and a final per-view rollup. The division happens BEFORE the sum on
+    both engines (identical association), and the nudged rounding +
+    integer counts keep the rollup hash-exact.
+    """
+    ev = table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event"), F.col("ts").alias("__vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__puser"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("__pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = views.join(
+        purchases,
+        (views.user_id == F.col("__puser"))
+        & (F.col("__vts") <= F.col("__pts"))
+        & (F.col("__vts") >= F.col("__pts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_event")
+    weighted = pairs.select(
+        "user_id",
+        "view_event",
+        (F.col("purchase_value") / F.count(F.lit(1)).over(w)).alias("credited"),
+    )
+    return weighted.groupBy("user_id", "view_event").agg(
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+        F.round(F.sum("credited") + F.lit(1e-9), 6).alias("attributed_value"),
+    )

@@ -136,6 +136,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_daily_anomalies",  # 3×MAD robust outlier days
     "events_rolling_dau",  # trailing-7d distinct users (range join)
     "doc_bm25_snippets",  # search-result highlighting windows
+    "events_user_streaks",  # gaps-and-islands consecutive-day runs
+    "events_multitouch_attribution",  # linear credit split per purchase
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
