@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bm25_snippets",  # search-result highlighting windows
     "events_user_streaks",  # gaps-and-islands consecutive-day runs
     "events_multitouch_attribution",  # linear credit split per purchase
+    "doc_weighted_sample",  # A-Res weighted sampling, hash-deterministic
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

@@ -92,3 +92,51 @@ def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break so the LIMIT boundary is deterministic across engines.
     """
     return _run_sql(spark, sf_dir, _LATERAL_TOP_SUPPLIERS_SQL)
+
+
+def _hex_fraction_sql(cast_expr: str, chars: int = 6) -> str:
+    """A uniform (0,1) draw from the md5 of ``cast_expr`` — evaluated from
+    the hex digits with an explicit base-16 polynomial so the SAME string
+    runs on Spark and DuckDB (neither needs a conv()/from_hex dialect
+    function). +0.5 keeps the draw strictly inside (0,1) for ln()."""
+    h = f"md5({cast_expr})"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (chars - 1 - i)}"
+        for i in range(chars)
+    )
+    return f"((({terms}) + 0.5) / {16 ** chars})"
+
+
+# A-Res (Efraimidis–Spirakis) weighted sampling without replacement:
+# each row draws u ~ U(0,1) and ranks by u^(1/w) — realized as the
+# order-equivalent ln(u)/w so no pow() is involved — and the top-k by
+# that key IS a weighted sample. The draw comes from the content hash,
+# so the "randomness" is deterministic, partition-independent, and
+# identical on both engines; nudged rounding before the ORDER BY absorbs
+# any last-ulp ln() difference between libms, with doc_id as tie-break.
+_WEIGHTED_SAMPLE_SQL = f"""
+    SELECT doc_id, n_chars,
+           round(ln({_hex_fraction_sql("CAST(doc_id AS STRING)")})
+                 / greatest(n_chars, 1) + 1e-9, 9) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+"""
+
+
+@register("doc_weighted_sample", oracle=_WEIGHTED_SAMPLE_SQL)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-Res), weight = n_chars:
+    longer documents are proportionally likelier — the importance-
+    sampling step a data-mixing pipeline runs with quality or domain
+    weights.
+
+    One scan + a partial top-k (TakeOrderedAndProject); no RNG state, no
+    second pass, stable under growth and re-partitioning because the
+    draw is a pure function of the content hash — the same determinism
+    discipline as ``doc_split`` / ``doc_stratified_sample``, extended
+    from uniform to weighted selection. Single portable SQL string runs
+    verbatim on both engines.
+    """
+    return _run_sql(spark, sf_dir, _WEIGHTED_SAMPLE_SQL)
