@@ -113,12 +113,14 @@ _DRIVER_PRIORITY: list[str] = [
     "source_mixture_weights",
     "training_corpus_sharded",
     # New in round 7, second session — the eight remaining TPC-H shapes
-    # (plans/relational.py) plus the two incremental-dedup queries
-    # (plans/dedup.py). The 50-slot window is already exactly full above
-    # (27 new + 11 re-planned + 12 r3-rotation), so this block sits at
-    # positions 51-60 and leads round 8's attestation window; until then
-    # all ten are covered by tests/test_oracle_parity.py at sf0.001 and
-    # the in-session sf0.01 sweeps recorded in PERF_NOTES.md.
+    # (plans/relational.py), incremental dedup, LATERAL, the retrieval
+    # stack (BM25/RRF/snippets), sketch/anomaly/DAU/streak/attribution
+    # analytics, and weighted sampling. The 50-slot window is already
+    # exactly full above (27 new + 11 re-planned + 12 r3-rotation), so
+    # this block occupies positions 51-70 and leads round 8's attestation
+    # window; until then all twenty are covered by
+    # tests/test_oracle_parity.py at sf0.001 and the in-session sf0.01
+    # sweeps recorded in PERF_NOTES.md (150/150 value-exact).
     "min_cost_supplier",  # Q2 — struct-min decorrelated correlated MIN
     "returned_item_customers",  # Q10 — top-20 partial top-k rollup
     "important_supply_value",  # Q11 — scalar-subquery threshold

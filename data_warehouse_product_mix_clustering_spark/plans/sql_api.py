@@ -105,7 +105,10 @@ def _hex_fraction_sql(cast_expr: str, chars: int = 6) -> str:
         f" * {16 ** (chars - 1 - i)}"
         for i in range(chars)
     )
-    return f"((({terms}) + 0.5) / {16 ** chars})"
+    # e-notation literals force DOUBLE arithmetic on BOTH engines — a
+    # plain `0.5` makes Spark evaluate the quotient in DECIMAL (quantized
+    # to 10 digits) while DuckDB uses DOUBLE, silently diverging the draw.
+    return f"((({terms}) + 0.5e0) / {float(16 ** chars)!r})"
 
 
 # A-Res (Efraimidis–Spirakis) weighted sampling without replacement:
@@ -113,12 +116,13 @@ def _hex_fraction_sql(cast_expr: str, chars: int = 6) -> str:
 # order-equivalent ln(u)/w so no pow() is involved — and the top-k by
 # that key IS a weighted sample. The draw comes from the content hash,
 # so the "randomness" is deterministic, partition-independent, and
-# identical on both engines; nudged rounding before the ORDER BY absorbs
-# any last-ulp ln() difference between libms, with doc_id as tie-break.
+# identical on both engines; the repo's standard 6-dp round with a 1e-9
+# nudge (nudge ≪ quantum) absorbs any last-ulp ln() difference between
+# libms, and quantization ties break on doc_id identically everywhere.
 _WEIGHTED_SAMPLE_SQL = f"""
     SELECT doc_id, n_chars,
            round(ln({_hex_fraction_sql("CAST(doc_id AS STRING)")})
-                 / greatest(n_chars, 1) + 1e-9, 9) AS sample_key
+                 / greatest(n_chars, 1) + 1e-9, 6) AS sample_key
     FROM documents
     ORDER BY sample_key DESC, doc_id
     LIMIT 50

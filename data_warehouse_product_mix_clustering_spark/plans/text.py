@@ -823,7 +823,6 @@ def doc_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = F.greatest(pos - 5, F.lit(1).cast("long"))
     return (
         ranked.join(docs, ranked.doc_id == F.col("__did"))
-        .withColumn("__p", pos)
         .select(
             "doc_id",
             "bm25",

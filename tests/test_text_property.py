@@ -55,3 +55,34 @@ def test_bm25_matches_python_reference(spark, corpus):
     assert set(got) == set(want), f"doc sets differ: {got} vs {want}"
     for doc_id, w in want.items():
         assert abs(got[doc_id] - w) <= 1e-6, (doc_id, got[doc_id], w)
+
+
+def test_weighted_sample_draw_is_engine_identical(spark):
+    """The hash-fraction draw and sample key must match DuckDB bit-for-bit
+    across a weight range that includes tiny weights (which amplify any
+    arithmetic-mode divergence — the DECIMAL-vs-DOUBLE trap this pins)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _WEIGHTED_SAMPLE_SQL
+
+    sql = _WEIGHTED_SAMPLE_SQL.replace("LIMIT 50", "")
+    n = 20000
+    spark.range(0, n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997 + 1).alias("n_chars")
+    ).createOrReplaceTempView("documents")
+    got = spark.sql(sql).toPandas().sort_values("doc_id", ignore_index=True)
+    spark.catalog.dropTempView("documents")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE documents AS SELECT range AS doc_id, "
+        f"range % 997 + 1 AS n_chars FROM range({n})"
+    )
+    want = con.sql(sql).df().sort_values("doc_id", ignore_index=True)
+    mism = (
+        got["sample_key"].astype(float).values
+        != want["sample_key"].astype(float).values
+    ).sum()
+    assert mism == 0, f"{mism} of {n} sample keys diverge between engines"
