@@ -29,6 +29,7 @@ from data_warehouse_product_mix_clustering_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_sets,
     simhash64,
     simhash_near_pairs,
 )
@@ -606,4 +607,43 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
     return incremental_jaccard_pairs(
         batch, corpus, "doc_id", "text", n=2, threshold=0.8
+    )
+
+
+@register(
+    "dedup_overlap_coefficient",
+    oracle=_jaccard_oracle_sql("a.doc_id < b.doc_id").replace(
+        "i / (sa.n + sb.n - i)", "i / least(sa.n, sb.n)"
+    ).replace(">= 0.8", ">= 0.9").replace("AS jaccard", "AS overlap"),
+)
+def dedup_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-dups: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    ASYMMETRIC measure that catches a short document contained inside a
+    long one, which Jaccard misses (the union denominator dilutes any
+    size-mismatched pair below threshold).
+
+    Same shingle/intersection machinery as the Jaccard family (the plan
+    differs only in the denominator), and the oracle is the SAME template
+    with the denominator swapped — one scoring definition per engine. A
+    containment pipeline runs this NEXT TO `dedup_ngram_jaccard`: equal
+    sizes → both fire; contained-subset → only this one.
+    """
+    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
+    ov = F.col("__inter") / F.least(F.col("__na"), F.col("__nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(ov >= 0.9)
+        .select("doc_a", "doc_b", ratio_round(ov).alias("overlap"))
     )

@@ -141,6 +141,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_user_streaks",  # gaps-and-islands consecutive-day runs
     "events_multitouch_attribution",  # linear credit split per purchase
     "doc_weighted_sample",  # A-Res weighted sampling, hash-deterministic
+    "product_pagination_keyset",  # seek pagination, O(page) at any depth
+    "dedup_overlap_coefficient",  # asymmetric containment near-dups
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

@@ -585,3 +585,46 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination — the scale-correct pager (vs OFFSET's scan-and-skip)
+# ---------------------------------------------------------------------------
+
+_CURSOR_PRICE, _CURSOR_KEY = 910.0, 0
+
+
+@register(
+    "product_pagination_keyset",
+    oracle=f"""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice < {_CURSOR_PRICE}
+           OR (p_retailprice = {_CURSOR_PRICE} AND p_partkey > {_CURSOR_KEY})
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 20
+    """,
+)
+def product_pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: the page strictly after the cursor
+    (price, key) in (p_retailprice DESC, p_partkey) order.
+
+    The scale contrast to ``product_pagination``'s OFFSET: OFFSET must
+    produce-and-discard every prior row (O(offset) per page, growing as
+    the user pages deeper), while the keyset predicate pushes to the
+    parquet scan (PushedFilters on p_retailprice) and the page is a
+    partial top-k — O(page) at ANY depth. The unique p_partkey tie-break
+    is what makes the cursor a total order, so pages never skip or
+    repeat rows under ties.
+    """
+    p = table(spark, "part", sf_dir)
+    after_cursor = (F.col("p_retailprice") < _CURSOR_PRICE) | (
+        (F.col("p_retailprice") == _CURSOR_PRICE)
+        & (F.col("p_partkey") > _CURSOR_KEY)
+    )
+    return (
+        p.filter(after_cursor)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(20)
+    )
