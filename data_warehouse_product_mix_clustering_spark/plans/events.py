@@ -981,3 +981,55 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_purchases_touched"),
         F.round(F.sum("credited") + F.lit(1e-9), 6).alias("attributed_value"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type) + 1e-9, 6) AS p
+        FROM counts
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current type) — the sequential-pattern
+    summary behind next-action prediction and funnel diagnosis.
+
+    One user_id shuffle serves the lead() window (ordered by (ts,
+    event_id) — the repo's deterministic total order for event ties);
+    the transition counts are a 25-cell relation at any scale, so the
+    row-normalizing share window is free. Integer counts divided by
+    integer sums make p identical on both engines before the nudge.
+    """
+    ev = table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(wo).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    share = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(share) + F.lit(1e-9), 6
+        ).alias("p"),
+    )

@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_weighted_sample",  # A-Res weighted sampling, hash-deterministic
     "product_pagination_keyset",  # seek pagination, O(page) at any depth
     "dedup_overlap_coefficient",  # asymmetric containment near-dups
+    "events_markov_transitions",  # P(next type | type) transition matrix
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
