@@ -1017,3 +1017,132 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k_val").alias("max_val"),
         )
     )
+
+
+@register(
+    "revenue_pareto_share",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue DESC, o_custkey)
+                       AS rk,
+                   sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS running,
+                   sum(revenue) OVER () AS total,
+                   count(*) OVER () AS n_cust,
+                   CAST(ceil(0.2 * count(*) OVER ()) AS BIGINT) AS top20_cut
+            FROM per_cust
+        )
+        SELECT CAST(min(CASE WHEN running >= 0.8 * total THEN rk END)
+                    AS BIGINT) AS customers_for_80pct,
+               CAST(max(n_cust) AS BIGINT) AS n_customers,
+               {sql_ratio_round(
+                   "min(CASE WHEN running >= 0.8 * total THEN rk END)"
+                   " / CAST(max(n_cust) AS DOUBLE)")} AS pareto_fraction,
+               {sql_ratio_round(
+                   "max(CASE WHEN rk <= top20_cut THEN running END)"
+                   " / max(total)")} AS top20pct_share
+        FROM ranked
+    """,
+)
+def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of customer revenue: how many customers cover
+    80% of revenue, and what share the top-20% hold — the 80/20 check a
+    revenue team runs first.
+
+    Per-customer revenue aggregates once (decimal-snapped), then a
+    SINGLE-PARTITION running-sum window over the |customers|-sized
+    aggregate finds the frontier. That global window is the documented
+    cost: fine through ~1e8 customers (the relation is two doubles per
+    row); beyond that the approx-quantile segmentation path
+    (`value_segments_audit`) bounds the frontier without a global order.
+    Running sums add IDENTICAL snapped values in the IDENTICAL
+    (revenue DESC, custkey) order on both engines, so the frontier rank
+    cannot flip.
+    """
+    o = table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").cast("decimal(38,4)").cast("double").alias("revenue")
+    )
+    wo = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("revenue").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    ).withColumn("top20_cut", F.ceil(0.2 * F.col("n_cust")).cast("long"))
+    frontier = F.min(
+        F.when(F.col("running") >= 0.8 * F.col("total"), F.col("rk"))
+    )
+    return ranked.agg(
+        frontier.cast("long").alias("customers_for_80pct"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        ratio_round(frontier / F.max("n_cust").cast("double")).alias("pareto_fraction"),
+        ratio_round(
+            F.max(F.when(F.col("rk") <= F.col("top20_cut"), F.col("running")))
+            / F.max("total")
+        ).alias("top20pct_share"),
+    )
+
+
+@register(
+    "order_amount_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS STRING), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        )
+        SELECT digit,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_ratio_round("count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)")}
+                   AS observed,
+               {sql_ratio_round("ln(1 + 1.0 / digit) / ln(10)")} AS expected
+        FROM digits
+        GROUP BY digit
+    """,
+)
+def order_amount_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order amounts — the fraud/data-
+    quality screen: organically-generated money values follow
+    P(d) = log10(1 + 1/d); fabricated or truncated feeds don't.
+
+    The first digit comes from the INTEGER part's string (floor → bigint
+    → substr), never from log10-of-the-value — floor on the identical
+    stored doubles is exact on both engines, while floor(log10(x)) flips
+    at exact powers of ten when a libm returns 2.9999…96. One scan, a
+    9-row aggregate, and a free share window over it; the expected curve
+    is computed from the integer digit so only the final ln() ulp is in
+    play, absorbed by the nudge.
+
+    (The synthetic testdata's uniform-ish prices need NOT follow Benford —
+    this query reports the profile; conformance judgment is the caller's.)
+    """
+    o = table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    share = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        ratio_round(
+            F.col("n") / F.sum("n").over(share).cast("double")
+        ).alias("observed"),
+        ratio_round(F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias(
+            "expected"
+        ),
+    )

@@ -144,6 +144,8 @@ _DRIVER_PRIORITY: list[str] = [
     "product_pagination_keyset",  # seek pagination, O(page) at any depth
     "dedup_overlap_coefficient",  # asymmetric containment near-dups
     "events_markov_transitions",  # P(next type | type) transition matrix
+    "revenue_pareto_share",  # 80/20 concentration frontier
+    "order_amount_benford",  # first-digit fraud/data-quality profile
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
