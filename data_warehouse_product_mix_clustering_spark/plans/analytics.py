@@ -1146,3 +1146,129 @@ def order_amount_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected"
         ),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+        WITH anchor AS (
+            SELECT max(o_orderdate) AS maxd FROM orders
+        ),
+        rfm AS (
+            SELECT o_custkey,
+                   CAST(date_sub('day', max(o_orderdate),
+                                 (SELECT maxd FROM anchor)) AS BIGINT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+            FROM rfm
+        )
+        SELECT o_custkey, recency_days, frequency,
+               {sql_money_round("monetary")} AS monetary,
+               CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+               CAST(m AS BIGINT) AS m,
+               concat(CAST(r AS STRING), CAST(f AS STRING), CAST(m AS STRING))
+                   AS segment
+        FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM workhorse: quartile scores for Recency
+    (days since last order, vs the dataset's max date), Frequency (order
+    count), and Monetary (decimal-snapped spend), concatenated into the
+    '111'-style segment label.
+
+    Three ntile windows over the per-customer aggregate (|customers|
+    rows, not the fact); each orders by (metric, custkey) so quartile
+    boundaries are engine-deterministic, and monetary is snapped BEFORE
+    ranking so a summation-order ulp cannot move a customer across a
+    quartile. The date anchor broadcasts as a 1-row scalar.
+    """
+    o = table(spark, "orders", sf_dir)
+    anchor = o.agg(F.max("o_orderdate").alias("__maxd"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").cast("decimal(38,4)").cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__maxd"), F.col("__last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        money_round(F.col("monetary")).alias("monetary"),
+        r.cast("long").alias("r"),
+        f.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+        ),
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, support
+        FROM pairs
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 25
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 25 part pairs most often bought in
+    the same order — pairwise frequent itemsets, the association step
+    behind "bought together" recommendations.
+
+    The within-order self-join is the canonical formulation; its blowup
+    is quadratic in ORDER SIZE, not order count — baskets here are ≤ 7
+    lines, so each order emits ≤ 21 pairs and the join stays linear in
+    the fact at any corpus size (the same bounded-group argument as the
+    LSH band join). Distinct (order, part) first so quantity split
+    across lines cannot double-count a pair; top-25 via partial top-k
+    with full tie-breaks.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("__ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("__ok") == F.col("__ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(25)
+    )

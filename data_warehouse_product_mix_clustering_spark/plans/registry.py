@@ -146,6 +146,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_markov_transitions",  # P(next type | type) transition matrix
     "revenue_pareto_share",  # 80/20 concentration frontier
     "order_amount_benford",  # first-digit fraud/data-quality profile
+    "customer_rfm_segments",  # R/F/M quartile scores + segment label
+    "basket_part_pairs",  # bought-together pairwise frequent itemsets
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
