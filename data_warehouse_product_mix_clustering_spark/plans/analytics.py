@@ -1024,31 +1024,30 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH per_cust AS (
             SELECT o_custkey,
-                   CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS DOUBLE)
-                       AS revenue
+                   CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS revenue
             FROM orders GROUP BY 1
         ),
         ranked AS (
             SELECT revenue,
                    row_number() OVER (ORDER BY revenue DESC, o_custkey)
                        AS rk,
-                   sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                   CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
                                       ROWS UNBOUNDED PRECEDING)
-                       AS running,
-                   sum(revenue) OVER () AS total,
+                        AS DECIMAL(38,4)) AS running,
+                   CAST(sum(revenue) OVER () AS DECIMAL(38,4)) AS total,
                    count(*) OVER () AS n_cust,
                    CAST(ceil(0.2 * count(*) OVER ()) AS BIGINT) AS top20_cut
             FROM per_cust
         )
-        SELECT CAST(min(CASE WHEN running >= 0.8 * total THEN rk END)
+        SELECT CAST(min(CASE WHEN 5 * running >= 4 * total THEN rk END)
                     AS BIGINT) AS customers_for_80pct,
                CAST(max(n_cust) AS BIGINT) AS n_customers,
                {sql_ratio_round(
-                   "min(CASE WHEN running >= 0.8 * total THEN rk END)"
+                   "min(CASE WHEN 5 * running >= 4 * total THEN rk END)"
                    " / CAST(max(n_cust) AS DOUBLE)")} AS pareto_fraction,
                {sql_ratio_round(
-                   "max(CASE WHEN rk <= top20_cut THEN running END)"
-                   " / max(total)")} AS top20pct_share
+                   "CAST(max(CASE WHEN rk <= top20_cut THEN running END) AS DOUBLE)"
+                   " / CAST(max(total) AS DOUBLE)")} AS top20pct_share
         FROM ranked
     """,
 )
@@ -1069,18 +1068,24 @@ def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, "orders", sf_dir)
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").cast("decimal(38,4)").cast("double").alias("revenue")
+        F.sum("o_totalprice").cast("decimal(38,4)").alias("revenue")
     )
     wo = Window.orderBy(F.col("revenue").desc(), "o_custkey")
     ranked = per_cust.select(
         "revenue",
         F.row_number().over(wo).alias("rk"),
-        F.sum("revenue").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
-        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+        F.sum("revenue")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,4)")
+        .alias("running"),
+        F.sum("revenue").over(Window.partitionBy()).cast("decimal(38,4)").alias("total"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
     ).withColumn("top20_cut", F.ceil(0.2 * F.col("n_cust")).cast("long"))
+    # 5·running ≥ 4·total: exact decimal cross-multiplication, so the
+    # frontier compare has NO double arithmetic and cannot flip on
+    # summation-order ulps (the prior 0.8·total form could).
     frontier = F.min(
-        F.when(F.col("running") >= 0.8 * F.col("total"), F.col("rk"))
+        F.when(5 * F.col("running") >= 4 * F.col("total"), F.col("rk"))
     )
     return ranked.agg(
         frontier.cast("long").alias("customers_for_80pct"),
@@ -1088,7 +1093,8 @@ def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(frontier / F.max("n_cust").cast("double")).alias("pareto_fraction"),
         ratio_round(
             F.max(F.when(F.col("rk") <= F.col("top20_cut"), F.col("running")))
-            / F.max("total")
+            .cast("double")
+            / F.max("total").cast("double")
         ).alias("top20pct_share"),
     )
 
@@ -1156,8 +1162,8 @@ def order_amount_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rfm AS (
             SELECT o_custkey,
-                   CAST(date_sub('day', max(o_orderdate),
-                                 (SELECT maxd FROM anchor)) AS BIGINT)
+                   CAST(date_diff('day', max(o_orderdate),
+                                  (SELECT maxd FROM anchor)) AS BIGINT)
                        AS recency_days,
                    CAST(count(*) AS BIGINT) AS frequency,
                    CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS DOUBLE)

@@ -1029,7 +1029,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(share) + F.lit(1e-9), 6
+        ratio_round(
+            F.col("n").cast("double") / F.sum("n").over(share)
         ).alias("p"),
     )

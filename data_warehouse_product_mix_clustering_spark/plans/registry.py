@@ -117,10 +117,12 @@ _DRIVER_PRIORITY: list[str] = [
     # stack (BM25/RRF/snippets), sketch/anomaly/DAU/streak/attribution
     # analytics, and weighted sampling. The 50-slot window is already
     # exactly full above (27 new + 11 re-planned + 12 r3-rotation), so
-    # this block occupies positions 51-70 and leads round 8's attestation
-    # window; until then all twenty are covered by
-    # tests/test_oracle_parity.py at sf0.001 and the in-session sf0.01
-    # sweeps recorded in PERF_NOTES.md (150/150 value-exact).
+    # this block occupies positions 51-77 and leads round 8's attestation
+    # window (it exceeds one 50-slot window's tail; plan round 8's window
+    # as: this block first, then the r4 cohort below). Until then every
+    # entry is covered by tests/test_oracle_parity.py at sf0.001 and the
+    # in-session sf0.01 sweeps recorded in PERF_NOTES.md (150/150
+    # value-exact mid-session; later additions verified individually).
     "min_cost_supplier",  # Q2 — struct-min decorrelated correlated MIN
     "returned_item_customers",  # Q10 — top-20 partial top-k rollup
     "important_supply_value",  # Q11 — scalar-subquery threshold
