@@ -1033,3 +1033,55 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(share)
         ).alias("p"),
     )
+
+
+@register(
+    "events_daily_paths",
+    oracle="""
+        WITH paths AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+        FROM paths
+        GROUP BY path
+        ORDER BY n_user_days DESC, path
+        LIMIT 10
+    """,
+)
+def events_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most common within-day event-type paths (e.g.
+    'view>click>purchase') across all user-days — sequence-pattern
+    mining's path rollup, the step behind journey dashboards.
+
+    Ordered string aggregation is the cross-engine trap here: Spark's
+    collect_list gives NO intra-group order, so the path builds as
+    array_sort over (ts, event_id, type) structs — the struct sort key
+    IS the repo's deterministic event total order — then a transform +
+    array_join; DuckDB's string_agg(... ORDER BY ts, event_id) states
+    the same order declaratively. One (user, day) shuffle; paths are
+    day-bounded so no group outgrows a basket-sized array.
+    """
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    paths = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), "path")
+        .limit(10)
+    )

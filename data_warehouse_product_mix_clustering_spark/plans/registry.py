@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: list[str] = [
     "order_amount_benford",  # first-digit fraud/data-quality profile
     "customer_rfm_segments",  # R/F/M quartile scores + segment label
     "basket_part_pairs",  # bought-together pairwise frequent itemsets
+    "events_daily_paths",  # ordered within-day event-type path rollup
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
