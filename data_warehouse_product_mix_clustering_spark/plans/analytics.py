@@ -1278,3 +1278,64 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "nation_supplier_hhi",
+    oracle=f"""
+        WITH by_sup AS (
+            SELECT n_name,
+                   CAST(sum(l_extendedprice * (1 - l_discount))
+                        AS DECIMAL(38,4)) AS rev
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            GROUP BY n_name, s_suppkey
+        )
+        , shares AS (
+            SELECT n_name,
+                   CAST(rev AS DOUBLE)
+                       / CAST(sum(rev) OVER (PARTITION BY n_name) AS DOUBLE)
+                       AS sh
+            FROM by_sup
+        )
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               {sql_ratio_round("sum(power(sh, 2))")} AS hhi
+        FROM shares
+        GROUP BY n_name
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per nation
+    (Σ share² — 1/n for perfect competition, 1.0 for monopoly) — the
+    market-concentration metric an antitrust or vendor-risk review runs.
+
+    One fact shuffle to (nation, supplier) revenue, then the share window
+    and the Σshare² rollup both run over that tiny aggregate. Revenue
+    snaps to DECIMAL before the share division, so every share is the
+    same exact-over-exact double on both engines; the ≤|suppliers|-term
+    sum of squares sits well inside the nudged 6-dp round.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    sup_nation = _supplier_nation(spark, sf_dir)
+    by_sup = (
+        li.join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("rev")
+        )
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("n_name")
+    ).cast("double")
+    return (
+        by_sup.withColumn("__sh", share)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            ratio_round(F.sum(F.pow(F.col("__sh"), 2))).alias("hhi"),
+        )
+    )

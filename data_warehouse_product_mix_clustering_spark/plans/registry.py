@@ -151,6 +151,8 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_rfm_segments",  # R/F/M quartile scores + segment label
     "basket_part_pairs",  # bought-together pairwise frequent itemsets
     "events_daily_paths",  # ordered within-day event-type path rollup
+    "nation_supplier_hhi",  # Herfindahl concentration per nation
+    "urgent_revenue_sql",  # FILTER-clause conditional aggregates
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",

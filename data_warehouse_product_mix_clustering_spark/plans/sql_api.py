@@ -144,3 +144,34 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim on both engines.
     """
     return _run_sql(spark, sf_dir, _WEIGHTED_SAMPLE_SQL)
+
+
+# FILTER-clause conditional aggregation: ANSI SQL:2003's cleaner form of
+# CASE-inside-SUM, supported verbatim by Spark SQL and DuckDB — one string,
+# two engines, completing the SQL-surface tour next to LATERAL. (An earlier
+# draft filtered on dayofweek(), which is NOT portable: Spark counts
+# Sunday=1..Saturday=7 while DuckDB counts Sunday=0..Saturday=6 — the
+# priority predicate below means the same thing on both engines.)
+_URGENT_REVENUE_SQL = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS urgent_orders,
+           CAST(count(*) FILTER (WHERE o_orderpriority <> '1-URGENT')
+                AS BIGINT) AS other_orders,
+           CAST(round(CAST(sum(o_totalprice)
+                FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS DECIMAL(38,4)), 0) AS DOUBLE) AS urgent_revenue
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("urgent_revenue_sql", oracle=_URGENT_REVENUE_SQL)
+def urgent_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent vs non-urgent order split per year via FILTER-clause
+    aggregates — the standard conditional-aggregation syntax, one
+    portable string on both engines. All three aggregates come out of
+    ONE pass; the filtered sum snaps through DECIMAL like every money
+    rollup.
+    """
+    return _run_sql(spark, sf_dir, _URGENT_REVENUE_SQL)
