@@ -1339,3 +1339,91 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.sum(F.pow(F.col("__sh"), 2))).alias("hhi"),
         )
     )
+
+
+@register(
+    "discount_quantity_correlation",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_ratio_round("corr(l_discount, l_quantity)")} AS corr_dq,
+               {sql_ratio_round("covar_samp(l_discount, l_quantity)")} AS covar_dq
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance between discount and
+    quantity per return flag — does discounting move volume? The
+    bivariate-statistics aggregate family (corr/covar), not shown by any
+    other registered query.
+
+    Both engines implement the same textbook estimators over the same
+    stored doubles; only summation order differs, and the ~1e-13
+    relative noise that leaves sits far inside the nudged 6-dp round.
+    One scan, partial-aggregable (Spark's corr/covar carry mergeable
+    moment state), 3-row output.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        ratio_round(F.corr("l_discount", "l_quantity")).alias("corr_dq"),
+        ratio_round(F.covar_samp("l_discount", "l_quantity")).alias("covar_dq"),
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue ASC, o_custkey) AS rk,
+                   count(*) OVER () AS n,
+                   CAST(sum(revenue) OVER () AS DECIMAL(38,4)) AS total
+            FROM per_cust
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               {sql_ratio_round(
+                   "(2.0 * sum(CAST(rk AS DOUBLE) * CAST(revenue AS DOUBLE))"
+                   " / (max(n) * CAST(max(total) AS DOUBLE)))"
+                   " - (max(n) + 1.0) / max(n)")} AS gini
+        FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (0 = equal, →1 = one
+    customer is everything) — the inequality companion to the Pareto
+    frontier, via the rank-weighted closed form
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted revenue.
+
+    Same single-partition window over the |customers|-sized aggregate as
+    `revenue_pareto_share` (and the same documented escape hatch at
+    extreme cardinality). Ranks are integers over decimal-snapped
+    revenue in a pinned total order, so the weighted sum's inputs are
+    identical on both engines; the final ratio takes the nudged round.
+    """
+    o = table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").cast("decimal(38,4)").alias("revenue")
+    )
+    wo = Window.orderBy(F.col("revenue").asc(), "o_custkey")
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("revenue").over(Window.partitionBy()).cast("decimal(38,4)").alias("total"),
+    )
+    gini = (
+        2.0
+        * F.sum(F.col("rk").cast("double") * F.col("revenue").cast("double"))
+        / (F.max("n") * F.max("total").cast("double"))
+    ) - (F.max("n") + 1.0) / F.max("n")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        ratio_round(gini).alias("gini"),
+    )

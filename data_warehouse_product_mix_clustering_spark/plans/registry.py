@@ -153,6 +153,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_daily_paths",  # ordered within-day event-type path rollup
     "nation_supplier_hhi",  # Herfindahl concentration per nation
     "urgent_revenue_sql",  # FILTER-clause conditional aggregates
+    "discount_quantity_correlation",  # corr/covar bivariate aggregates
+    "customer_revenue_gini",  # rank-weighted Gini inequality index
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
