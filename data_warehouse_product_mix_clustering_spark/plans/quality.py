@@ -8,6 +8,7 @@ DuckDB oracles — profiling and constraint math must agree exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.operators.quality import check_constraints, profile_table
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
@@ -161,3 +162,99 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "lineitem_drift_check",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(l_shipdate) AS lo, max(l_shipdate) AS hi FROM lineitem
+        ),
+        halves AS (
+            SELECT CASE WHEN l_shipdate < lo + (hi - lo) / 2
+                        THEN 'first' ELSE 'second' END AS half,
+                   l_quantity, l_discount, l_extendedprice
+            FROM lineitem, bounds
+        ),
+        stats AS (
+            SELECT half,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(l_quantity) + 1e-9, 4) AS mean_qty,
+                   round(avg(l_discount) + 1e-9, 4) AS mean_disc,
+                   round(avg(l_extendedprice) + 1e-9, 2) AS mean_price
+            FROM halves GROUP BY 1
+        )
+        SELECT a.n AS n_first, b.n AS n_second,
+               round(abs(a.mean_qty - b.mean_qty)
+                     / greatest(abs(a.mean_qty), 1e-9) + 1e-9, 4) AS qty_drift,
+               round(abs(a.mean_disc - b.mean_disc)
+                     / greatest(abs(a.mean_disc), 1e-9) + 1e-9, 4) AS disc_drift,
+               round(abs(a.mean_price - b.mean_price)
+                     / greatest(abs(a.mean_price), 1e-9) + 1e-9, 4) AS price_drift,
+               (abs(a.mean_qty - b.mean_qty)
+                    / greatest(abs(a.mean_qty), 1e-9) <= 0.10)
+               AND (abs(a.mean_disc - b.mean_disc)
+                    / greatest(abs(a.mean_disc), 1e-9) <= 0.10)
+               AND (abs(a.mean_price - b.mean_price)
+                    / greatest(abs(a.mean_price), 1e-9) <= 0.10) AS within_10pct
+        FROM stats a JOIN stats b ON a.half = 'first' AND b.half = 'second'
+    """,
+)
+def lineitem_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample drift check: the fact's time axis splits at its
+    midpoint and the halves' key measure means are compared — the
+    monitoring contract that catches a silently changed upstream feed
+    (unit change, truncation, population shift) before it poisons
+    downstream models.
+
+    One scan computes both halves' moments (the CASE half label rides
+    the partial aggregation); the 1-row bounds relation broadcasts. The
+    drift ratios compare ROUNDED means (both engines round identically
+    first), so the boolean cannot flip on summation noise; the 10%
+    threshold is the conventional screening default, surfaced as data
+    so the driver hash-checks the measured ratios, not just the flag.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    bounds = li.agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    half = F.when(
+        F.col("l_shipdate")
+        < F.col("lo") + (F.col("hi") - F.col("lo")) / 2,
+        "first",
+    ).otherwise("second")
+    stats = (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(half.alias("half"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity") + F.lit(1e-9), 4).alias("mean_qty"),
+            F.round(F.avg("l_discount") + F.lit(1e-9), 4).alias("mean_disc"),
+            F.round(F.avg("l_extendedprice") + F.lit(1e-9), 2).alias("mean_price"),
+        )
+    )
+    a = stats.filter(F.col("half") == "first").select(
+        F.col("n").alias("n_first"),
+        F.col("mean_qty").alias("__qa"),
+        F.col("mean_disc").alias("__da"),
+        F.col("mean_price").alias("__pa"),
+    )
+    b = stats.filter(F.col("half") == "second").select(
+        F.col("n").alias("n_second"),
+        F.col("mean_qty").alias("__qb"),
+        F.col("mean_disc").alias("__db"),
+        F.col("mean_price").alias("__pb"),
+    )
+
+    def drift(x, y):
+        return F.abs(x - y) / F.greatest(F.abs(x), F.lit(1e-9))
+
+    qd, dd, pd_ = drift(F.col("__qa"), F.col("__qb")), drift(
+        F.col("__da"), F.col("__db")
+    ), drift(F.col("__pa"), F.col("__pb"))
+    return a.crossJoin(b).select(
+        "n_first",
+        "n_second",
+        F.round(qd + F.lit(1e-9), 4).alias("qty_drift"),
+        F.round(dd + F.lit(1e-9), 4).alias("disc_drift"),
+        F.round(pd_ + F.lit(1e-9), 4).alias("price_drift"),
+        ((qd <= 0.10) & (dd <= 0.10) & (pd_ <= 0.10)).alias("within_10pct"),
+    )

@@ -155,6 +155,7 @@ _DRIVER_PRIORITY: list[str] = [
     "urgent_revenue_sql",  # FILTER-clause conditional aggregates
     "discount_quantity_correlation",  # corr/covar bivariate aggregates
     "customer_revenue_gini",  # rank-weighted Gini inequality index
+    "lineitem_drift_check",  # two-sample feed-drift monitoring contract
     # Then the r4 cohort — these rotate after the relational battery in
     # round 8; lead that round's window with any newly-changed queries.
     "returnflag_stats",
