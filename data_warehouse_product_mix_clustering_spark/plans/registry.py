@@ -59,70 +59,15 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # New in round 7 — no driver row yet.
-    "dedup_embedding_lsh_audit",
-    "sequence_cluster_audit",
-    "asof_nearest_bucketed_quote",  # attests the midpoint-cover reduction
-    "waiting_orders_by_supplier",  # Q21 shape — first fact self-join
-    "large_order_customers",  # Q18 shape
-    "volume_shipping_nations",  # Q7 shape — dual-role dimension
-    "discounted_bulk_revenue",  # Q6 shape — full-pushdown scan agg
-    "market_share_by_year",  # Q8 shape — conditional share ratio
-    "small_quantity_part_revenue",  # Q17 shape — windowed correlated threshold
-    "nation_profit_by_year",  # Q9 shape — profit rollup
-    "revenue_mom_growth",  # lag window
-    "customer_spend_deciles",  # percent_rank / cume_dist / ntile
-    "customer_first_last_order",  # min_by / max_by grouped argmin
-    "events_retention_cohorts",  # cohort retention rollup
-    "doc_chunks",  # overlapping-window document chunking
-    "embedding_quantize_int8",  # absmax int8 vector compression
-    "events_props_variant",  # Spark 4 VARIANT semi-structured path
-    "events_stream_enriched",  # stream-static broadcast enrichment join
-    "nation_revenue_trend",  # regr_slope/intercept/r2 aggregates
-    "doc_chunks_tokens",  # token-boundary chunking
-    "returnflag_metrics_unpivot",  # UNPIVOT/melt (inverse of pivot)
-    "product_fuzzy_search",  # levenshtein top-10 typo-tolerant search
-    "monthly_revenue_gapfill",  # calendar-spine resample / zero fill
-    "product_monthly_ffill",  # IGNORE NULLS forward-fill imputation
-    "customer_trailing_order_count",  # per-event RANGE-window velocity
-    "returnflag_robust_stats",  # exact median + MAD (robust dispersion)
-    "events_props_map",  # MAP-type semi-structured access
-    # Code changed in round 7 — r6 rows predate the change.
-    "events_approx_stats_audit",  # null-safe joins + coalesce-to-FALSE envelopes
-    "asof_union_monthly_quotes",  # union paths restore left_on's input type
-    "asof_nearest_quote",  # nearest-union _left_out type restore
-    "asof_forward_next_quote",  # shares the union machinery
-    "asof_tolerance_quotes",
-    "asof_price_intervals",  # star-schema builder cache in its plan build
-    "product_features",  # star-schema builder cache
-    "cluster_summary",  # star-schema builder cache
-    "media_frame_features",  # observable real-decoder fallback path
-    "media_wav_metadata",
-    "media_resized",
-    # Oldest surviving rows — the r3 cohort (the judge's rotation ask).
-    "corpus_shuffle",
-    "curriculum_stages",
-    "doc_pii_redacted",
-    "doc_repetition",
-    "lang_token_percentiles",
-    "lineitem_profile",
-    "lineitem_quality",
-    "per_source_sample",
-    "referential_integrity",
-    "shard_packing",
-    "source_mixture_weights",
-    "training_corpus_sharded",
-    # New in round 7, second session — the eight remaining TPC-H shapes
-    # (plans/relational.py), incremental dedup, LATERAL, the retrieval
-    # stack (BM25/RRF/snippets), sketch/anomaly/DAU/streak/attribution
-    # analytics, and weighted sampling. The 50-slot window is already
-    # exactly full above (27 new + 11 re-planned + 12 r3-rotation), so
-    # this block occupies positions 51-77 and leads round 8's attestation
-    # window (it exceeds one 50-slot window's tail; plan round 8's window
-    # as: this block first, then the r4 cohort below). Until then every
-    # entry is covered by tests/test_oracle_parity.py at sf0.001 and the
-    # in-session sf0.01 sweeps recorded in PERF_NOTES.md (150/150
-    # value-exact mid-session; later additions verified individually).
+    # ---- Round-8 window (positions 0-49) ----
+    # New in round 8 — no driver row yet.
+    "refresh_rollup_audit",  # versioned sink + CDC-maintained rollup contract
+    "stream_quarantine_audit",  # availableNow replay conservation + idempotence
+    "events_rolling_dau_approx",  # per-day HLL sketches, rows-only (gated below)
+    "events_rolling_dau_approx_audit",  # exact-vs-sketch error envelope
+    # Registered late in round 7 — r7's 50-slot window was already full, so
+    # none of these has ever received a driver CORRECTNESS row (VERDICT r7
+    # Next #1). They lead round 8's attestation window.
     "min_cost_supplier",  # Q2 — struct-min decorrelated correlated MIN
     "returned_item_customers",  # Q10 — top-20 partial top-k rollup
     "important_supply_value",  # Q11 — scalar-subquery threshold
@@ -156,44 +101,94 @@ _DRIVER_PRIORITY: list[str] = [
     "discount_quantity_correlation",  # corr/covar bivariate aggregates
     "customer_revenue_gini",  # rank-weighted Gini inequality index
     "lineitem_drift_check",  # two-sample feed-drift monitoring contract
-    # Then the r4 cohort — these rotate after the relational battery in
-    # round 8; lead that round's window with any newly-changed queries.
-    "returnflag_stats",
-    "global_metrics",
-    "quarter_rollup",
-    "events_tumbling_hourly",
-    "events_stream_hourly",
-    "events_stream_attribution",
-    "events_sliding_qtr_hour",
-    "events_sessions",
-    "events_funnel",
-    "events_props_stats",
-    "events_stream_sessions",
-    "events_approx_stats",
-    "events_session_window",
-    "events_stream_topk",
-    "pricing_summary",
-    "nation_revenue",
-    "shipping_priority",
-    "recent_activity",
-    "semi_join_large_parts",
-    "category_values",
-    "product_search",
-    "product_pagination",
-    "top3_per_category",
-    "latest_order_top1",
-    "category_pct_of_total",
-    "promo_revenue_pct",
-    "orders_above_customer_avg",
-    "revenue_grouping_sets",
-    "top_supplier_period",
-    "untapped_customer_balance",
-    "trailing_30d_revenue",
-    "customer_revenue_distribution",
-    "customer_order_setops",
+    # Oldest surviving attestations — the r4 cohort rotates in (after this
+    # round no query's latest driver row predates r5).
+    "ann_cosine_topk",
+    "dedup_groups",
+    "doc_profile",
+    "documents_dedup",
+    "embedding_centroids",
+    "features_zscore",
+    "nation_revenue_sql",
+    "order_priority_sql",
+    # Remaining window slots: the r5 cohort begins rotating (alphabetical;
+    # the rest continues below the window boundary for round 9).
+    "ann_recall_audit",
+    "category_rollup",
+    "contamination_check",
+    # ---- window boundary (the driver attests ~50 per round) ----
+    # Round-9 rotation order: the rest of the r5 cohort, then r6, then r7.
+    "cube_category_priority",
+    "customer_value_quartiles",
+    "dedup_best_of_group",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dim_date_intervals",
+    "doc_bpe_tokens",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_split",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_top_terms",
+    "events_stream_dedup",
+    "interval_join_per_product",
+    "media_metadata",
+    "order_priority_check",
+    "order_value_histogram",
+    "pivot_category_priority",
+    "quarterly_running_revenue",
+    "quarterly_sequences",
+    "returnflag_priority_split",
+    "sequence_arrays",
+    "sequence_embeddings",
+    "stream_sessions_audit",
+    "training_corpus",
+    "trajectory_stats",
+    "value_segments_audit",
+    # r6 cohort.
     "anti_join_inactive_customers",
+    "category_pct_of_total",
+    "category_values",
+    "cluster_quality_audit",
+    "customer_order_setops",
+    "customer_revenue_distribution",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_audit",
+    "embedding_cluster_audit",
+    "events_funnel",
+    "events_props_stats",
+    "events_session_window",
+    "events_sessions",
+    "events_sliding_qtr_hour",
+    "events_stream_attribution",
+    "events_stream_hourly",
+    "events_stream_topk",
+    "events_tumbling_hourly",
+    "global_metrics",
+    "latest_order_top1",
+    "lstm_quality_audit",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "pca_variance_audit",
+    "pricing_summary",
+    "product_pagination",
+    "product_search",
+    "promo_revenue_pct",
+    "quarter_rollup",
+    "recent_activity",
+    "returnflag_stats",
+    "revenue_grouping_sets",
+    "semi_join_large_parts",
+    "shipping_priority",
+    "top3_per_category",
+    "top_supplier_period",
+    "trailing_30d_revenue",
+    "untapped_customer_balance",
+    # r7 cohort and everything else follow in registration order.
 ]
 
 
