@@ -67,6 +67,18 @@ def refresh_warehouse(
     rollup). ``measures`` maps rollup sum-column → source column; the
     rollup always carries an ``n`` row count (what lets groups die).
     """
+    # The CDC diff carries only NON-key attributes in its __old/__new
+    # images (version_diff's contract), so a rollup can neither group nor
+    # sum by a key column — without this guard the first (full) build
+    # succeeds and every later incremental refresh dies with an opaque
+    # unresolved-field error (ADVICE r7).
+    overlap = sorted(set(key) & (set(group_keys) | set(measures.values())))
+    if overlap:
+        raise ValueError(
+            f"group_keys/measures must be disjoint from key; {overlap} "
+            "appear in both. Keys identify rows; only non-key attributes "
+            "travel in the change set the incremental rollup consumes."
+        )
     clean_dir = os.path.join(work_dir, "clean")
     quarantine_dir = os.path.join(work_dir, "quarantine")
     ckpt = os.path.join(work_dir, "_ckpt")
@@ -87,9 +99,21 @@ def refresh_warehouse(
 
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
 
-    raw = spark.read.parquet(clean_dir)
-    attrs = [f.name for f in schema.fields if f.name not in key]
     prior = versions(table_dir)
+    try:
+        raw = spark.read.parquet(clean_dir)
+    except Exception:
+        # First run with an empty landing directory, or one whose every
+        # line quarantined: the clean sink is absent (no committed batch)
+        # or schema-uninferable (only empty partitions). No-op instead of
+        # crashing — publish nothing, report zero changes (ADVICE r7).
+        agg_prior = versions(agg_dir)
+        return {
+            "version": prior[-1] if prior else -1,
+            "agg_version": agg_prior[-1] if agg_prior else -1,
+            "changes": 0,
+        }
+    attrs = [f.name for f in schema.fields if f.name not in key]
     wm = _read_watermark(work_dir)
     if prior:
         baseline = read_table(spark, table_dir, prior[-1]).withColumn(
@@ -110,8 +134,13 @@ def refresh_warehouse(
     v = write_version(current, table_dir)
 
     def full_rollup(df: DataFrame) -> DataFrame:
+        # Sums cast to double so the v0 rollup schema matches what
+        # apply_agg_delta maintains thereafter (its coalesce-with-0.0
+        # arithmetic is double) — otherwise an integer measure makes the
+        # rollup's own version history drift long→double and version_diff
+        # over it raises its schema-drift error (ADVICE r7).
         return df.groupBy(*group_keys).agg(
-            *[F.sum(src).alias(out) for out, src in measures.items()],
+            *[F.sum(src).cast("double").alias(out) for out, src in measures.items()],
             F.count(F.lit(1)).alias("n"),
         )
 

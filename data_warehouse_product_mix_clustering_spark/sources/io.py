@@ -224,23 +224,35 @@ def split_csv_quarantine(
     (clean typed rows, quarantined raw lines).
 
     The shared core of ``read_csv_quarantine`` (batch) and
-    ``streaming/quarantine.py`` (readStream): the split is a pure
-    projection, so it works identically on batch and streaming inputs —
-    one parser, one malformedness definition for both modes.
+    ``streaming/quarantine.py`` (whose foreachBatch hands this function a
+    plain batch DataFrame per micro-batch): one parser, one
+    malformedness definition for both modes. The parse itself is a pure
+    projection; ``header=True`` adds a tiny per-file window over the
+    header-equal lines only (see below), which is why the streaming path
+    applies this inside foreachBatch rather than to the stream directly.
 
     Policy decisions (pinned in tests):
 
     - Blank / whitespace-only lines are QUARANTINED — ``from_csv`` would
       otherwise parse them into all-null "clean" rows with no corrupt
       marker, the exact silent-null failure this module exists to stop.
-    - ``header=True`` drops lines equal to ``sep.join(field names)`` —
-      the header this engine's own ``write_csv`` emits. A foreign header
-      variant (quoted, spaced, reordered) is NOT silently dropped; it
-      lands in the quarantine where it is visible. For an all-string
-      schema this equality rule is ambiguous (a legitimate data row could
-      equal the header and would be silently deleted), so that
-      combination is refused — pre-strip the header and pass
-      ``header=False``.
+    - ``header=True`` drops AT MOST ONE line equal to
+      ``sep.join(field names)`` per input file — the header this engine's
+      own ``write_csv`` emits. Any FURTHER header-equal line (a mid-file
+      paste accident, a concatenated shard) is NOT silently deleted: it
+      flows on to the parser, where the schema's guaranteed non-string
+      field makes it unparseable, so it lands in the quarantine — the
+      "every non-header line reaches exactly one channel" conservation
+      invariant holds for the whole file, not just line 1 (ADVICE r7).
+      A foreign header variant (quoted, spaced, reordered) likewise lands
+      in the quarantine where it is visible. For an all-string schema the
+      equality rule is ambiguous (a legitimate data row could equal the
+      header and would be silently deleted), so that combination is
+      refused — pre-strip the header and pass ``header=False``.
+      Deduplicating the header costs a second pass over the text scan
+      (the window shuffles only the header-equal lines themselves, never
+      the data); feeds that pre-strip headers and pass ``header=False``
+      keep the single-scan plan, which is the recommended 100 TB shape.
     """
     if any(f.name == "_corrupt_record" for f in schema.fields):
         raise ValueError("schema must not already contain _corrupt_record")
@@ -254,7 +266,30 @@ def split_csv_quarantine(
                 "strip the header upstream and pass header=False"
             )
         header_line = sep.join(f.name for f in schema.fields)
-        raw = raw.filter(F.col("value") != header_line)
+        is_hdr = F.col("value") == F.lit(header_line)
+        # Drop one header-equal line per file; re-inject the rest so they
+        # reach the parser (and thus the quarantine — the all-string guard
+        # above guarantees at least one non-string field, so a header line
+        # can never parse clean). Header-equal lines are identical strings,
+        # so WHICH one is dropped cannot affect either channel's contents —
+        # the row_number needs no cross-retry ordering guarantee. The
+        # window's shuffle input is only the header-equal lines (O(files)),
+        # not the data scan.
+        from pyspark.sql import Window
+
+        hdr_w = Window.partitionBy("__f").orderBy("__id")
+        extra_hdrs = (
+            raw.filter(is_hdr)
+            .select(
+                "value",
+                F.input_file_name().alias("__f"),
+                F.monotonically_increasing_id().alias("__id"),
+            )
+            .withColumn("__rn", F.row_number().over(hdr_w))
+            .filter(F.col("__rn") > 1)
+            .select("value")
+        )
+        raw = raw.filter(~is_hdr).unionByName(extra_hdrs)
     parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
     options = {
         "mode": "PERMISSIVE",
@@ -295,7 +330,9 @@ def read_csv_quarantine(
     instead would hit Spark's documented restriction (the raw-file scan
     must be cached before that column is referencable) — an O(input)
     cache this path does not need. Header lines are dropped by value
-    equality (they are identical in every shard by construction).
+    equality, at most one per file (they are identical in every shard by
+    construction; extra header-equal lines quarantine — see
+    ``split_csv_quarantine``).
     """
     return split_csv_quarantine(spark.read.text(path), schema, header, sep)
 

@@ -656,3 +656,165 @@ def test_refresh_pipeline_watermark_crash_recovery(spark, tmp_path):
     os.remove(os.path.join(work, "_ingest_watermark"))
     r = refresh_warehouse(**args)
     assert r["changes"] == 0, "stale watermark re-applied already-published rows"
+
+
+def test_refresh_pipeline_rejects_key_overlap(spark, tmp_path):
+    """group_keys / measure sources overlapping the upsert key are refused
+    up front with a named constraint — not a first-refresh-works,
+    second-refresh-dies unresolved-field error (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    base = dict(
+        spark=spark, landing_dir=str(land), work_dir=str(tmp_path / "w"),
+        schema=schema,
+    )
+    with pytest.raises(ValueError, match="disjoint from key.*'id'"):
+        refresh_warehouse(
+            **base, key=["id"], group_keys=["id"], measures={"total": "amount"}
+        )
+    with pytest.raises(ValueError, match="disjoint from key.*'id'"):
+        refresh_warehouse(
+            **base, key=["id", "grp"], group_keys=["grp2"], measures={"s": "id"}
+        )
+
+
+def test_refresh_pipeline_empty_landing_noop(spark, tmp_path):
+    """A first run over an empty landing directory — or one whose every
+    line quarantines — no-ops (version -1, zero changes) instead of
+    crashing on the absent/uninferable clean sink; a later real batch
+    then builds v0 normally (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+    )
+    # empty landing: nothing to ingest, nothing published
+    r0 = refresh_warehouse(**args)
+    assert r0 == {"version": -1, "agg_version": -1, "changes": 0}
+
+    # every line quarantines: still a no-op, evidence kept
+    (land / "a.csv").write_text("id,grp,amount\nbad,row\n")
+    r1 = refresh_warehouse(**args)
+    assert r1 == {"version": -1, "agg_version": -1, "changes": 0}
+
+    # a real batch finally lands: v0 builds as usual
+    (land / "b.csv").write_text("id,grp,amount\n1,g1,10.0\n")
+    r2 = refresh_warehouse(**args)
+    assert (r2["version"], r2["changes"]) == (0, -1)
+    assert {(r.grp, r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()} == {
+        ("g1", 10.0, 1)
+    }
+
+
+def test_refresh_pipeline_integer_measure_schema_stable(spark, tmp_path):
+    """An integer (Long) measure keeps ONE rollup schema across versions:
+    the initial full build casts its sums to double, matching the
+    double arithmetic the incremental maintainer uses — so the rollup's
+    own version history never drifts long→double (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        read_table,
+        version_diff,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"qty_sum": "qty"},
+    )
+    (land / "a.csv").write_text("id,grp,qty\n1,g1,10\n2,g2,5\n")
+    refresh_warehouse(**args)
+    v0_type = dict(read_table(spark, f"{work}/agg", 0).dtypes)["qty_sum"]
+    assert v0_type == "double"
+
+    (land / "b.csv").write_text("id,grp,qty\n2,g2,7\n3,g1,1\n")
+    refresh_warehouse(**args)
+    v1_type = dict(read_table(spark, f"{work}/agg", 1).dtypes)["qty_sum"]
+    assert v1_type == "double"
+    # the rollup's own history is diffable (schema-drift guard stays quiet)
+    d = version_diff(spark, f"{work}/agg", 0, 1, key=["grp"])
+    assert d.count() == 2  # g1: new id=3 (10→11); g2: id=2 upserted (5→7)
+    got = {(r.grp, r.qty_sum) for r in read_table(spark, f"{work}/agg").collect()}
+    assert got == {("g1", 11.0), ("g2", 7.0)}
+
+
+def test_csv_quarantine_midfile_header_conserved(spark, tmp_path):
+    """A header-equal line in the MIDDLE of a file is not silently
+    deleted: exactly one header per file is dropped, the imposter lands
+    in quarantine, and clean+quarantined == lines-1 for the whole file,
+    not just line 1 (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_csv_quarantine
+
+    path = str(tmp_path / "feed.csv")
+    lines = [
+        "id,qty,label",
+        "1,10,alpha",
+        "id,qty,label",  # concatenated-shard header: quarantine, not deletion
+        "2,20,beta",
+        "id,qty,label",  # and again
+        "3,30,gamma",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    clean, quarantined = read_csv_quarantine(spark, path, schema)
+    assert {(r.id, r.qty, r.label) for r in clean.collect()} == {
+        (1, 10, "alpha"), (2, 20, "beta"), (3, 30, "gamma")
+    }
+    assert [r.raw_line for r in quarantined.collect()] == [
+        "id,qty,label", "id,qty,label"
+    ]
+    # conservation over the WHOLE file: one dropped header, all else kept
+    assert clean.count() + quarantined.count() == len(lines) - 1
+
+    # two files: each file's own header is dropped independently
+    path2 = str(tmp_path / "feed2.csv")
+    with open(path2, "w") as f:
+        f.write("id,qty,label\n4,40,delta\n")
+    clean2, quar2 = read_csv_quarantine(spark, str(tmp_path / "feed*.csv"), schema)
+    assert clean2.count() == 4
+    assert quar2.count() == 2
