@@ -862,6 +862,98 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_rolling_dau_approx")
+def events_rolling_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DAU via per-day HyperLogLog sketches — the 100 TB
+    swap `events_rolling_dau`'s docstring promises.
+
+    The exact plan re-counts distinct users per window, so each (type,
+    day, user) triple is shuffled into ≤7 windows and the count-distinct
+    state is the full user set per window. Here the fact collapses to ONE
+    DataSketches HLL sketch per (type, day) — fixed 2^lgK bytes, built
+    with map-side partial merge, never a user list — and each window then
+    merges ≤7 sketches (`hll_union_agg`, associative + re-mergeable).
+    Cost at scale: |days × types| sketch rows against |active pairs| for
+    the exact plan; the sketch relation is small enough to DRIVE the range
+    join broadcast the other way around. lgConfigK=12 ⇒ ~1.6% relative
+    standard error; sketch bytes are engine-specific ⇒ rows-only, gated by
+    `events_rolling_dau_approx_audit` (the `events_approx_stats_audit`
+    error-envelope pattern).
+    """
+    ev = table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"))
+    spine = daily.select(
+        F.col("event_type").alias("__stype"), F.col("day").alias("__sday")
+    )
+    return (
+        daily.join(
+            F.broadcast(spine),
+            F.col("event_type").eqNullSafe(F.col("__stype"))
+            & (F.col("day") >= F.col("__sday") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("__sday")),
+        )
+        .groupBy("event_type", F.col("__sday").cast("timestamp").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+            .cast("long")
+            .alias("approx_trailing_7d_users")
+        )
+    )
+
+
+@register(
+    "events_rolling_dau_approx_audit",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               TRUE AS hll_within_envelope
+        FROM pairs GROUP BY 1
+    """,
+)
+def events_rolling_dau_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested error gate for the sketch-based rolling DAU: every
+    (type, day) window's HLL estimate must land within 6% of the exact
+    count (3× the lgK=12 standard error ≈ 1.6%; measured error at
+    sf0.001-0.01 is ~0 because the sketches stay in DataSketches' exact
+    mode at these cardinalities — a breach is a regression, not noise).
+
+    The oracle independently derives the per-type WINDOW COUNT from the
+    raw events (so a dropped or duplicated window flips n_days, not just
+    the boolean) and pins the envelope contract TRUE. Joins are null-safe
+    and the booleans coalesce to FALSE so a null group or a lost join
+    fails loudly (the r6 audit conventions).
+    """
+    exact = events_rolling_dau(spark, sf_dir)
+    approx = events_rolling_dau_approx(spark, sf_dir).select(
+        F.col("event_type").alias("__at"),
+        F.col("day").alias("__ad"),
+        "approx_trailing_7d_users",
+    )
+    joined = exact.join(
+        approx,
+        F.col("event_type").eqNullSafe(F.col("__at"))
+        & F.col("day").eqNullSafe(F.col("__ad")),
+        "full_outer",
+    )
+    within = (
+        F.abs(F.col("approx_trailing_7d_users") - F.col("trailing_7d_users"))
+        / F.col("trailing_7d_users")
+        <= 0.06
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("event_type"), F.col("__at")).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min(F.coalesce(within, F.lit(False))).alias("hll_within_envelope"),
+        )
+    )
+
+
 @register(
     "events_user_streaks",
     oracle="""

@@ -657,3 +657,29 @@ def test_bm25_ranks_after_topk_cut(spark):
     # window appears before (above) the TakeOrdered in the printed tree
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_dau_approx_matches_exact_at_smoke_sf(spark):
+    """At smoke cardinalities the lgK=12 HLL sketches are in DataSketches'
+    exact mode, so the sketch-based rolling DAU must equal the exact plan
+    VALUE-FOR-VALUE — any deviation here is a merge/window bug, not
+    sketch noise. (The registered audit enforces the 6% envelope that
+    applies once cardinalities exceed exact mode.)"""
+    exact = {
+        (r.event_type, r.day): r.trailing_7d_users
+        for r in QUERIES["events_rolling_dau"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.event_type, r.day): r.approx_trailing_7d_users
+        for r in QUERIES["events_rolling_dau_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact == approx
+
+
+def test_rolling_dau_approx_no_expand_one_fact_shuffle(spark):
+    """The sketch plan's scale contract: the fact aggregates straight to
+    per-(type, day) sketches — no Expand (no count-distinct rewrite), and
+    the window merge joins the TINY sketch relation, broadcast."""
+    plan = plan_of(spark, "events_rolling_dau_approx")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
