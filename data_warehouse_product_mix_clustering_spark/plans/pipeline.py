@@ -9,6 +9,8 @@ inline per query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -391,4 +393,234 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / obs).alias(
             "uniform_weight"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operational-pipeline contract audits (round 8): the versioned-sink /
+# incremental-refresh composition and the streaming quarantine ETL, each
+# exercised end-to-end inside a registered query so the driver's hash gate
+# attests the CONTRACT (the `stream_sessions_audit` mold). The scenario
+# derives its feed from the sf_dir's own `customer` table, so the oracle can
+# independently predict every count; the handful of contract scalars is
+# materialized driver-side (the heavy work — ingest, publish, diff, rollup —
+# all runs as distributed jobs against a throwaway work_dir).
+# ---------------------------------------------------------------------------
+
+
+def _customer_feed(spark: SparkSession, sf_dir: str):
+    c = table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    b1 = c.filter(F.col("c_custkey") % 3 != 0)
+    b2 = c.filter(F.col("c_custkey") % 3 == 0).unionByName(
+        c.filter((F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 5 == 0))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+    )
+    return b1, b2
+
+
+@register(
+    "refresh_rollup_audit",
+    oracle="""
+        SELECT CAST(0 AS BIGINT) AS v0, CAST(1 AS BIGINT) AS v1,
+               TRUE AS first_build_full,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                 WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0) AS n_changes,
+               CAST(2 AS BIGINT) AS n_quarantined,
+               (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT)
+                  FROM customer) AS n_groups,
+               TRUE AS rollup_matches_recompute
+    """,
+)
+def refresh_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit of the composed warehouse refresh
+    (etl/refresh_pipeline.py): dirty CSV landing → quarantine →
+    latest-wins upsert → atomic versioned publish → CDC diff →
+    incrementally maintained rollup.
+
+    Scenario (all derived from `customer`, so the oracle predicts every
+    number from the raw table): batch 1 lands customers with
+    custkey%3≠0 plus two malformed lines; batch 2 lands the %3=0 rows as
+    inserts and re-lands the %5=0 survivors with acctbal+100 as upserts.
+    Attested contract:
+
+    - v0 then v1 publish (atomic versioning advanced exactly once per run);
+    - the first build is a full rollup (`changes == -1`);
+    - the second run's CDC change count is EXACTLY the predicted
+      |inserts ∪ upserts| — a diff that rescanned, dropped, or double-
+      counted rows flips `n_changes`;
+    - both malformed lines sit in the quarantine (nothing silently lost);
+    - the |changes|-cost maintained rollup is value-identical (≤1e-4
+      absolute, the double reassociation bound) to a full recompute of
+      the published v1 — the incremental-view-maintenance guarantee.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import read_sink
+    from pyspark.sql import types as T
+
+    root = tempfile.mkdtemp(prefix="spark_graft_refresh_audit_")
+    try:
+        land = os.path.join(root, "landing")
+        work = os.path.join(root, "work")
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_nationkey", T.LongType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        args = dict(
+            spark=spark, landing_dir=land, work_dir=work, schema=schema,
+            key=["c_custkey"], group_keys=["c_nationkey"],
+            measures={"bal_sum": "c_acctbal"}, header=False,
+        )
+        b1, b2 = _customer_feed(spark, sf_dir)
+        b1.write.mode("append").csv(land)
+        with open(os.path.join(land, "malformed.csv"), "w") as f:
+            f.write("oops,not_a_number\nalso;bad;arity;line")
+        r1 = refresh_warehouse(**args)
+        b2.write.mode("append").csv(land)
+        r2 = refresh_warehouse(**args)
+
+        maintained = read_table(spark, os.path.join(work, "agg"))
+        recomputed = (
+            read_table(spark, os.path.join(work, "table"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("c_acctbal").cast("double").alias("__rb"),
+                F.count(F.lit(1)).alias("__rn"),
+            )
+        )
+        probe = maintained.join(
+            recomputed, maintained.c_nationkey.eqNullSafe(recomputed.c_nationkey),
+            "full_outer",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min(
+                F.coalesce(
+                    (F.abs(F.col("bal_sum") - F.col("__rb")) <= 1e-4)
+                    & (F.col("n") == F.col("__rn")),
+                    F.lit(False),
+                )
+            ).alias("rollup_matches_recompute"),
+        ).first()
+        n_quar = read_sink(spark, os.path.join(work, "quarantine")).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r1["version"],
+                r2["version"],
+                r1["changes"] == -1 and r1["agg_version"] == 0,
+                r2["changes"],
+                n_quar,
+                probe["n_groups"],
+                bool(probe["rollup_matches_recompute"]),
+            )
+        ],
+        "v0 long, v1 long, first_build_full boolean, n_changes long, "
+        "n_quarantined long, n_groups long, rollup_matches_recompute boolean",
+    )
+
+
+@register(
+    "stream_quarantine_audit",
+    oracle="""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_clean,
+               CAST(3 AS BIGINT) AS n_quarantined,
+               TRUE AS conservation_holds,
+               CAST(0 AS BIGINT) AS rerun_batches,
+               TRUE AS rerun_is_noop,
+               TRUE AS retry_idempotent
+    """,
+)
+def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinism / exactly-once contract audit for the streaming
+    quarantine ETL (streaming/quarantine.py) over an availableNow replay
+    of a dirty feed derived from `customer` (+3 malformed lines):
+
+    - conservation: clean + quarantined == every input line, exactly once
+      (the oracle predicts n_clean from the raw table and pins the
+      malformed count);
+    - checkpoint idempotence: a second availableNow run with nothing new
+      executes ZERO batches and leaves both sinks byte-count identical;
+    - at-least-once retry idempotence: re-executing a batch write with the
+      SAME (batch_df, batch_id) — foreachBatch's failure-retry shape —
+      leaves the sinks exactly as one execution does, because each batch
+      overwrites only its own ``__batch_id`` partition.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        read_sink,
+        streaming_csv_quarantine_etl,
+        write_quarantine_batch,
+    )
+    from pyspark.sql import types as T
+
+    root = tempfile.mkdtemp(prefix="spark_graft_quarantine_audit_")
+    try:
+        land = os.path.join(root, "landing")
+        clean_dir = os.path.join(root, "clean")
+        quar_dir = os.path.join(root, "quarantine")
+        ckpt = os.path.join(root, "_ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_nationkey", T.LongType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        feed = table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        feed.write.mode("append").csv(land)
+        with open(os.path.join(land, "malformed.csv"), "w") as f:
+            f.write("not,a,number\nwrong,arity\n\n")  # 2 bad lines + 1 blank
+        etl = dict(
+            spark=spark, in_dir=land, schema=schema, clean_dir=clean_dir,
+            quarantine_dir=quar_dir, checkpoint_dir=ckpt, header=False,
+        )
+        streaming_csv_quarantine_etl(**etl)
+        n_input = spark.read.text(land).count()
+        n_clean = read_sink(spark, clean_dir).count()
+        n_quar = read_sink(spark, quar_dir).count()
+
+        rerun_batches = streaming_csv_quarantine_etl(**etl)
+        rerun_is_noop = (
+            read_sink(spark, clean_dir).count() == n_clean
+            and read_sink(spark, quar_dir).count() == n_quar
+        )
+
+        # at-least-once retry: same (df, id) twice into fresh sinks
+        c2, q2 = os.path.join(root, "clean2"), os.path.join(root, "quar2")
+        raw = spark.read.text(land)
+        for _ in range(2):
+            write_quarantine_batch(raw, 7, schema, c2, q2, header=False)
+        retry_idempotent = (
+            read_sink(spark, c2).count() == n_clean
+            and read_sink(spark, q2).count() == n_quar
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_clean,
+                n_quar,
+                n_clean + n_quar == n_input,
+                rerun_batches,
+                rerun_is_noop,
+                retry_idempotent,
+            )
+        ],
+        "n_clean long, n_quarantined long, conservation_holds boolean, "
+        "rerun_batches long, rerun_is_noop boolean, retry_idempotent boolean",
     )
