@@ -683,3 +683,31 @@ def test_rolling_dau_approx_no_expand_one_fact_shuffle(spark):
     plan = plan_of(spark, "events_rolling_dau_approx")
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_indexed_search_prunes_to_query_buckets(spark):
+    """The materialized-postings search must show literal partition
+    pruning: only the query terms' bucket directories appear in the scan
+    (PartitionFilters), and the term filter is ALSO pushed to parquet —
+    the seek-at-scale contract of operators/postings.py."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import term_bucket_py
+    from data_warehouse_product_mix_clustering_spark.plans.text import _BM25_TERMS
+
+    plan = plan_of(spark, "doc_bm25_indexed_search")
+    want = sorted({term_bucket_py(t) for t in _BM25_TERMS})
+    bucket_list = ",".join(str(b) for b in want)
+    assert f"PartitionFilters: [bucket#" in plan and f"IN ({bucket_list})" in plan, (
+        f"bucket pruning missing (want IN ({bucket_list})):\n"
+        + "\n".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    )
+    assert "In(term, [dup,join,merge])" in plan  # pushdown inside the bucket
+
+
+def test_bm25_indexed_matches_adhoc(spark):
+    """Indexed and ad-hoc BM25 retrieval are value-identical (same
+    scoring expression, same corpus) — rank for rank, score for score."""
+    adhoc = QUERIES["doc_bm25_search"].fn(spark, SF_SMOKE).collect()
+    indexed = QUERIES["doc_bm25_indexed_search"].fn(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.bm25, r.rank) for r in adhoc] == [
+        (r.doc_id, r.bm25, r.rank) for r in indexed
+    ]
