@@ -97,8 +97,12 @@ def build_postings_index(
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "terms"))
     )
+    # total_dl is stored alongside so the stats row is incrementally
+    # maintainable (update_postings_index adds/subtracts per-doc lengths);
+    # avgdl is derived but persisted for the read path's convenience.
     toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("__t")).cast("long").alias("total_dl"),
         F.avg(F.size("__t")).alias("avgdl"),
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
 
@@ -150,3 +154,134 @@ def search_postings_index(
         .agg(F.round(F.sum(term_score) + F.lit(1e-9), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
+
+
+def update_postings_index(
+    spark: SparkSession,
+    index_dir: str,
+    diff: DataFrame,
+    tokens_expr_of,
+    id_col: str = "doc_id",
+    text_field: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict[str, int]:
+    """Maintain the index from a CDC change set (``sources/versioned.py::
+    version_diff`` shape) instead of rebuilding it — cost O(changed docs'
+    buckets), never O(corpus).
+
+    The incremental-view-maintenance decomposition per changed document:
+    its OLD tokens' postings leave, its NEW tokens' postings arrive; an
+    index bucket is touched iff some old-or-new token hashes into it.
+    Concretely:
+
+    1. tokenize only the diff's old/new texts (|changes| docs, not the
+       corpus) and derive the affected bucket set (≤ n_buckets — bounded,
+       so collecting it is O(64), not O(data));
+    2. rewrite ONLY those bucket partitions of ``postings/`` and
+       ``terms/``: surviving rows (anti-join on the changed doc ids) plus
+       the new postings, via dynamic partition overwrite — untouched
+       buckets' files are never read or written;
+    3. maintain the 1-row stats sidecar algebraically
+       (n_docs ± adds/removes, total_dl ± per-doc lengths).
+
+    An affected bucket that ends up EMPTY still has its stale partition
+    directory cleared (dynamic overwrite only replaces partitions present
+    in the written data); on a transactional table format that is
+    ``replaceWhere``'s job — here the driver removes the orphan dirs, the
+    documented local-parquet stand-in.
+
+    ``tokens_expr_of``: column-expression factory (text column → array
+    column), the SAME one the index was built with. Returns
+    {'added': n, 'removed': n, 'changed': n, 'buckets_touched': n}.
+    """
+    import shutil
+
+    d = diff.select(
+        id_col,
+        "change_type",
+        F.col(f"__old.{text_field}").alias("__old_text"),
+        F.col(f"__new.{text_field}").alias("__new_text"),
+    ).localCheckpoint(eager=True)  # diff plans are 2 scans + a join; run once
+    counts = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_toks = d.filter(F.col("change_type").isin("added", "changed")).select(
+        id_col, tokens_expr_of(F.col("__new_text")).alias("__t")
+    )
+    old_toks = d.filter(F.col("change_type").isin("removed", "changed")).select(
+        id_col, tokens_expr_of(F.col("__old_text")).alias("__t")
+    )
+    new_postings = (
+        new_toks.select(
+            id_col, F.size("__t").alias("dl"), F.explode("__t").alias("term")
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    touched = sorted(
+        r.bucket
+        for r in new_postings.select("bucket")
+        .unionByName(
+            old_toks.select(F.explode("__t").alias("term")).select(
+                _term_bucket_col(F.col("term"), n_buckets).alias("bucket")
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    if touched:
+        changed_ids = d.select(id_col)
+        survivors = (
+            read_postings(spark, index_dir)
+            .filter(F.col("bucket").isin(touched))
+            .join(changed_ids, id_col, "left_anti")
+        )
+        updated = survivors.select("term", id_col, "dl", "tf", "bucket").unionByName(
+            new_postings.select("term", id_col, "dl", "tf", "bucket")
+        )
+        updated = updated.localCheckpoint(eager=True)  # feeds 2 writes + dir diff
+        (
+            updated.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        (
+            updated.groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "terms"))
+        )
+        nonempty = {r.bucket for r in updated.select("bucket").distinct().collect()}
+        for b in set(touched) - nonempty:
+            for rel in ("postings", "terms"):
+                shutil.rmtree(
+                    os.path.join(index_dir, rel, f"bucket={b}"), ignore_errors=True
+                )
+    # stats: old row ⊕ the per-doc length delta
+    old_stats = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    delta = (
+        new_toks.select(F.size("__t").alias("__dl"), F.lit(1).alias("__dn"))
+        .unionByName(old_toks.select((-F.size("__t")).alias("__dl"), F.lit(-1).alias("__dn")))
+        .agg(F.sum("__dl").alias("ddl"), F.sum("__dn").alias("dn"))
+        .first()
+    )
+    n_docs = old_stats["n_docs"] + counts.get("added", 0) - counts.get("removed", 0)
+    total_dl = old_stats["total_dl"] + (delta["ddl"] or 0)
+    spark.createDataFrame(
+        [(n_docs, total_dl, (total_dl / n_docs) if n_docs else None)],
+        "n_docs long, total_dl long, avgdl double",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    d.unpersist()
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "buckets_touched": len(touched),
+    }

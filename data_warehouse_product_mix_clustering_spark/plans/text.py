@@ -6,6 +6,8 @@ SQL expressions (functions/text.py), each with a mirrored DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -901,4 +903,118 @@ def doc_bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25", "rank"
+    )
+
+
+@register(
+    "postings_incremental_audit",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0) AS n_added,
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0) AS n_removed,
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE doc_id % 7 <> 0 AND doc_id % 13 <> 0
+                AND doc_id % 11 = 0) AS n_changed,
+            TRUE AS postings_match,
+            TRUE AS terms_match,
+            TRUE AS stats_match,
+            TRUE AS search_match
+    """,
+)
+def postings_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit: CDC-maintained postings index ≡ full rebuild.
+
+    Composes three engine pieces end-to-end — the versioned table sink
+    (two corpus versions), its null-safe CDC diff, and
+    ``operators/postings.py::update_postings_index`` — on a scenario the
+    oracle can predict from the raw ``documents`` table alone:
+
+    - base corpus: docs with doc_id%7≠0; next version: docs with
+      doc_id%13≠0, text amended (a query term appended) for %11=0 — so
+      the diff contains adds, removes, AND in-place changes, and the
+      changed text moves real postings (including into the searched
+      terms' buckets);
+    - the maintained index must equal a from-scratch rebuild of the new
+      corpus RELATION-FOR-RELATION: postings (exceptAll both ways empty),
+      per-term df table, the algebraically-maintained stats row (n_docs /
+      total_dl exact, avgdl to 1e-9), and the BM25 top-20 served from it.
+
+    A maintenance bug — missed bucket, stale tombstone, double-applied
+    change, drifted stats — flips a boolean or a count and hash-fails the
+    driver row.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        read_postings,
+        search_postings_index,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    nxt = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" merge merge"))
+        ).otherwise(F.col("text")),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_postings_audit_")
+    try:
+        tdir = os.path.join(root, "corpus")
+        write_version(base, tdir)
+        write_version(nxt, tdir)
+        diff = version_diff(spark, tdir, 0, 1, key=["doc_id"])
+
+        maintained = os.path.join(root, "maintained")
+        rebuilt = os.path.join(root, "rebuilt")
+        build_postings_index(base, maintained, tokens(F.col("text")))
+        stats = update_postings_index(
+            spark, maintained, diff, lambda c: tokens(c)
+        )
+        build_postings_index(nxt, rebuilt, tokens(F.col("text")))
+
+        def relation_equal(a: DataFrame, b: DataFrame) -> bool:
+            return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+        postings_match = relation_equal(
+            read_postings(spark, maintained), read_postings(spark, rebuilt)
+        )
+        terms_match = relation_equal(
+            spark.read.parquet(os.path.join(maintained, "terms")),
+            spark.read.parquet(os.path.join(rebuilt, "terms")),
+        )
+        sm = spark.read.parquet(os.path.join(maintained, "stats")).first()
+        sr = spark.read.parquet(os.path.join(rebuilt, "stats")).first()
+        stats_match = (
+            sm["n_docs"] == sr["n_docs"]
+            and sm["total_dl"] == sr["total_dl"]
+            and abs(sm["avgdl"] - sr["avgdl"]) < 1e-9
+        )
+        hits_m = search_postings_index(spark, maintained, _BM25_TERMS).collect()
+        hits_r = search_postings_index(spark, rebuilt, _BM25_TERMS).collect()
+        search_match = [(r.doc_id, r.bm25) for r in hits_m] == [
+            (r.doc_id, r.bm25) for r in hits_r
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["added"],
+                stats["removed"],
+                stats["changed"],
+                postings_match,
+                terms_match,
+                stats_match,
+                search_match,
+            )
+        ],
+        "n_added long, n_removed long, n_changed long, postings_match boolean, "
+        "terms_match boolean, stats_match boolean, search_match boolean",
     )

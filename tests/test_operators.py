@@ -924,3 +924,70 @@ def test_zorder_api_contract_and_minmax_mode(spark, tmp_path):
     p = str(tmp_path / "zmm")
     write_zordered(li, p, ["l_partkey", "l_suppkey"], 8, bits=8, mode="minmax")
     assert spark.read.parquet(p).count() == li.count()
+
+
+def test_postings_index_incremental_update(spark, tmp_path):
+    """update_postings_index applies adds/changes/removes from a CDC diff
+    and leaves the index identical to a full rebuild — including clearing
+    a bucket directory whose every posting belonged to a removed doc."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        read_postings,
+        term_bucket_py,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, "beta gamma"),
+            (3, "zzonlyhere zzonlyhere"),  # sole owner of its term's bucket
+        ],
+        "doc_id long, text string",
+    )
+    nxt = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),   # unchanged
+            (2, "beta delta"),        # changed: gamma leaves, delta arrives
+            (4, "epsilon alpha"),     # added
+        ],                            # 3 removed entirely
+        "doc_id long, text string",
+    )
+    tdir = str(tmp_path / "corpus")
+    write_version(base, tdir)
+    write_version(nxt, tdir)
+
+    maintained = str(tmp_path / "m")
+    rebuilt = str(tmp_path / "r")
+    build_postings_index(base, maintained, tokens(F.col("text")))
+    res = update_postings_index(
+        spark, maintained, version_diff(spark, tdir, 0, 1, key=["doc_id"]),
+        lambda c: tokens(c),
+    )
+    assert (res["added"], res["removed"], res["changed"]) == (1, 1, 1)
+    build_postings_index(nxt, rebuilt, tokens(F.col("text")))
+
+    m = read_postings(spark, maintained)
+    r = read_postings(spark, rebuilt)
+    assert m.exceptAll(r).isEmpty() and r.exceptAll(m).isEmpty()
+    tm = spark.read.parquet(os.path.join(maintained, "terms"))
+    tr = spark.read.parquet(os.path.join(rebuilt, "terms"))
+    assert tm.exceptAll(tr).isEmpty() and tr.exceptAll(tm).isEmpty()
+    sm = spark.read.parquet(os.path.join(maintained, "stats")).first()
+    sr = spark.read.parquet(os.path.join(rebuilt, "stats")).first()
+    assert (sm["n_docs"], sm["total_dl"]) == (sr["n_docs"], sr["total_dl"]) == (3, 7)
+    assert abs(sm["avgdl"] - sr["avgdl"]) < 1e-12
+
+    # doc 3's removal emptied zzonlyhere's bucket: its stale partition
+    # dir must be gone, not left to resurrect the deleted posting
+    dead = os.path.join(maintained, "postings", f"bucket={term_bucket_py('zzonlyhere')}")
+    # (guard: the test corpus keeps that bucket exclusive to zzonlyhere)
+    others = {term_bucket_py(t) for t in ["alpha", "beta", "gamma", "delta", "epsilon"]}
+    assert term_bucket_py("zzonlyhere") not in others
+    assert not os.path.exists(dead)
