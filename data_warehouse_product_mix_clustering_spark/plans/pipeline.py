@@ -624,3 +624,64 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clean long, n_quarantined long, conservation_holds boolean, "
         "rerun_batches long, rerun_is_noop boolean, retry_idempotent boolean",
     )
+
+
+@register(
+    "merge_upsert_audit",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_custkey % 2 = 0
+        ),
+        res AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50
+                        ELSE c_acctbal END AS bal
+            FROM t
+            WHERE NOT (c_custkey % 3 = 0 AND c_custkey % 5 = 0)
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 50 AS bal
+            FROM customer WHERE c_custkey % 2 <> 0 AND c_custkey % 3 = 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(bal) + 1e-9, 2) AS total_bal,
+               CAST(sum(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted,
+               CAST(sum(CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated
+        FROM res
+    """,
+)
+def merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause ANSI MERGE attested through the driver hash gate.
+
+    ``operators/merge.py::merge_into`` runs WHEN MATCHED DELETE (source
+    key %5=0) / WHEN MATCHED UPDATE (acctbal+50) / WHEN NOT MATCHED
+    INSERT against a customer-derived target (even keys) and source
+    (keys %3=0, amended balance) — so the oracle reconstructs the merged
+    relation declaratively and every clause's effect lands in a checked
+    aggregate: row count (delete + insert arithmetic), total balance
+    (update arithmetic), inserted-odd and surviving-updated counts. One
+    full-outer join, no driver loops; the duplicate-source-key ANSI
+    precondition is asserted in-plan (unit-pinned in test_etl.py).
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.merge import merge_into
+
+    c = table(spark, "customer", sf_dir)
+    t = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    s = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") + 50).alias("c_acctbal"),
+    )
+    merged = merge_into(
+        t, s, ["c_custkey"], delete_condition=F.col("s.c_custkey") % 5 == 0
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("c_acctbal") + F.lit(1e-9), 2).alias("total_bal"),
+        F.sum((F.col("c_custkey") % 2 != 0).cast("long")).alias("n_inserted"),
+        F.sum((F.col("c_custkey") % 6 == 0).cast("long")).alias("n_updated"),
+    )

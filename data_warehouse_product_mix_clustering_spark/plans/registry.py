@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_rolling_dau_approx_audit",  # exact-vs-sketch error envelope
     "doc_bm25_indexed_search",  # materialized postings index, bucket-pruned seek
     "postings_incremental_audit",  # CDC-maintained index ≡ full rebuild
+    "merge_upsert_audit",  # three-clause ANSI MERGE INTO operator
     # Registered late in round 7 — r7's 50-slot window was already full, so
     # none of these has ever received a driver CORRECTNESS row (VERDICT r7
     # Next #1). They lead round 8's attestation window.
@@ -115,9 +116,9 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_sql",
     # Remaining window slots: the r5 cohort begins rotating (alphabetical;
     # the rest continues below the window boundary for round 9).
-    "ann_recall_audit",
     # ---- window boundary (the driver attests ~50 per round) ----
     # Round-9 rotation order: the rest of the r5 cohort, then r6, then r7.
+    "ann_recall_audit",
     "category_rollup",
     "contamination_check",
     "cube_category_priority",

@@ -818,3 +818,77 @@ def test_csv_quarantine_midfile_header_conserved(spark, tmp_path):
     clean2, quar2 = read_csv_quarantine(spark, str(tmp_path / "feed*.csv"), schema)
     assert clean2.count() == 4
     assert quar2.count() == 2
+
+
+def test_merge_into_three_clauses(spark):
+    """MERGE semantics row by row: matched+delete-cond rows vanish,
+    matched rows update (explicit or update-all), unmatched-target rows
+    pass through untouched, unmatched-source rows insert (with NULL for
+    target-only columns), and a NULL key matches null-safely."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 5.0)],
+        "id long, tag string, amt double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 300.0), (4, "d", 40.0), (None, "N", 50.0)],
+        "id long, tag string, amt double",
+    )
+    out = merge_into(
+        target, source, ["id"],
+        delete_condition=F.col("s.tag") == "C",  # deletes id=3
+    )
+    got = {r.id: (r.tag, r.amt) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0),        # untouched
+        2: ("B", 200.0),       # updated (update-all default)
+        4: ("d", 40.0),        # inserted
+        None: ("N", 50.0),     # NULL key matched null-safely and updated
+    }
+
+    # explicit update_set referencing both sides; no inserts
+    out2 = merge_into(
+        target, source, ["id"],
+        update_set={"amt": F.col("t.amt") + F.col("s.amt")},
+        insert_unmatched=False,
+    )
+    got2 = {r.id: (r.tag, r.amt) for r in out2.collect()}
+    assert got2 == {
+        1: ("a", 10.0),
+        2: ("b", 220.0),       # tag NOT updated, amt summed
+        3: ("c", 330.0),
+        None: ("n", 55.0),
+    }
+
+    # source missing a target column -> inserted rows get NULL there
+    slim = spark.createDataFrame([(9, 90.0)], "id long, amt double")
+    got3 = {r.id: (r.tag, r.amt) for r in merge_into(target, slim, ["id"]).collect()}
+    assert got3[9] == (None, 90.0)
+
+
+def test_merge_into_rejects_bad_inputs(spark):
+    """Duplicate source keys fail IN-PLAN (the ANSI precondition), and
+    malformed column specs fail fast at build time."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from data_warehouse_product_mix_clustering_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10.0)], "id long, amt double")
+    dup_src = spark.createDataFrame([(1, 1.0), (1, 2.0)], "id long, amt double")
+    with pytest.raises(SparkRuntimeException, match="duplicate rows"):
+        merge_into(target, dup_src, ["id"]).collect()
+
+    with pytest.raises(ValueError, match="key must be non-empty"):
+        merge_into(target, target, [])
+    with pytest.raises(ValueError, match="missing from source or target"):
+        merge_into(target, target, ["nope"])
+    extra_src = spark.createDataFrame([(1, 1.0, "x")], "id long, amt double, z string")
+    with pytest.raises(ValueError, match="absent from target"):
+        merge_into(target, extra_src, ["id"])
+    with pytest.raises(ValueError, match="key/unknown"):
+        merge_into(target, target, ["id"], update_set={"id": F.lit(0)})
