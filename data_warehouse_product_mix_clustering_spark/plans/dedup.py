@@ -23,6 +23,7 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     sql_word_ngrams,
     stopword_hits,
     tokens,
+    word_ngrams,
 )
 from data_warehouse_product_mix_clustering_spark.operators.dedup import (
     connected_components,
@@ -646,4 +647,64 @@ def dedup_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .filter(ov >= 0.9)
         .select("doc_a", "doc_b", ratio_round(ov).alias("overlap"))
+    )
+
+
+@register(
+    "dedup_duplicated_ngrams",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest({sql_word_ngrams("t", 8)}) AS shingle
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT shingle, doc_id, CAST(count(*) AS BIGINT) AS occ
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT shingle,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(occ) AS BIGINT) AS n_occurrences
+        FROM per_doc
+        GROUP BY 1
+        HAVING count(*) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, shingle
+        LIMIT 25
+    """,
+)
+def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring mining: the 8-token word n-grams
+    that appear in ≥2 distinct documents, ranked by spread — the
+    diagnostic behind substring-level training-data dedup (boilerplate
+    headers, license blocks, templated spam all surface here before any
+    pair-level similarity is computed).
+
+    Plan: one corpus pass explodes each doc's 8-gram shingles, then an
+    Expand-free two-level aggregate — (shingle, doc) occurrence counts
+    first, then per-shingle document spread + total occurrences — so the
+    count-distinct never multiplies the exploded stream. Top-25 is a
+    partial top-k over the already-aggregated shingle relation. At 100 TB
+    the shuffle key should be ``xxhash64(shingle)`` with the string
+    re-derived for the survivors by a second filtered probe pass (carrying
+    8-token strings through the full shuffle is the cost here — same
+    hash-then-rehydrate trade the MinHash pipeline makes); at bench SF the
+    direct string key is the honest measured plan.
+    """
+    toks = table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    sh = toks.select("doc_id", F.explode(word_ngrams("t", 8)).alias("shingle"))
+    per_doc = sh.groupBy("shingle", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    agg = per_doc.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle")
+        .limit(25)
     )

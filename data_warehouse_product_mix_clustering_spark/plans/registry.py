@@ -117,7 +117,9 @@ _DRIVER_PRIORITY: list[str] = [
     # Remaining window slots: the r5 cohort begins rotating (alphabetical;
     # the rest continues below the window boundary for round 9).
     # ---- window boundary (the driver attests ~50 per round) ----
-    # Round-9 rotation order: the rest of the r5 cohort, then r6, then r7.
+    # Round-9 rotation order: round-8 queries that missed the window first,
+    # then the rest of the r5 cohort, then r6, then r7.
+    "dedup_duplicated_ngrams",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",
