@@ -99,10 +99,12 @@ def refresh_warehouse(
 
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
 
+    from pyspark.errors import AnalysisException
+
     prior = versions(table_dir)
     try:
         raw = spark.read.parquet(clean_dir)
-    except Exception:
+    except AnalysisException:
         # First run with an empty landing directory, or one whose every
         # line quarantined: the clean sink is absent (no committed batch)
         # or schema-uninferable (only empty partitions). No-op instead of

@@ -844,9 +844,21 @@ def doc_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # (applicationId, sf_dir) → built index dir. Same lifecycle discipline as
-# the scan/star/fit caches: other-session keys evicted on insert, bounded.
+# the scan/star/fit caches: other-session keys evicted on insert, bounded,
+# and part of the documented rewrite protocol — a caller that rewrites the
+# documents parquet mid-session calls sources.registry.invalidate(path) AND
+# invalidate_postings_cache(sf_dir), else the index serves the old corpus.
 _POSTINGS_CACHE: dict[tuple[str, str], str] = {}
 _POSTINGS_CACHE_MAX = 4
+
+
+def invalidate_postings_cache(sf_dir: str | None = None) -> None:
+    """Drop built postings indexes for one sf_dir (or all)."""
+    if sf_dir is None:
+        _POSTINGS_CACHE.clear()
+        return
+    for key in [k for k in _POSTINGS_CACHE if k[1] == sf_dir]:
+        del _POSTINGS_CACHE[key]
 
 
 def _postings_index_for(spark: SparkSession, sf_dir: str) -> str:

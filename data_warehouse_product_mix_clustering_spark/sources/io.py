@@ -209,6 +209,12 @@ def read_jdbc(
 # ---------------------------------------------------------------------------
 
 
+# Optional input column carrying each line's source file. Callers that
+# cache/persist the raw lines before splitting must stamp it first (a
+# cached scan no longer knows its files); see split_csv_quarantine.
+FILE_COL = "__src_file"
+
+
 def _ddl_of(schema: T.StructType) -> str:
     # backtick-quoted: reserved words / spaces in field names stay valid DDL
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
@@ -274,22 +280,32 @@ def split_csv_quarantine(
         # so WHICH one is dropped cannot affect either channel's contents —
         # the row_number needs no cross-retry ordering guarantee. The
         # window's shuffle input is only the header-equal lines (O(files)),
-        # not the data scan.
+        # not the data scan. File identity comes from a pre-stamped
+        # ``FILE_COL`` when the caller provides one (the streaming path
+        # MUST: it persists the batch, and input_file_name() over a cached
+        # scan is empty — write_quarantine_batch stamps before persisting);
+        # otherwise from input_file_name() on the live scan. An
+        # unidentifiable file (literal DataFrames in tests) degrades to
+        # one group per batch: at most one header dropped, the rest
+        # visible in quarantine — conserved either way.
         from pyspark.sql import Window
 
+        file_expr = (
+            F.col(FILE_COL) if FILE_COL in raw.columns else F.input_file_name()
+        )
         hdr_w = Window.partitionBy("__f").orderBy("__id")
         extra_hdrs = (
             raw.filter(is_hdr)
             .select(
                 "value",
-                F.input_file_name().alias("__f"),
+                file_expr.alias("__f"),
                 F.monotonically_increasing_id().alias("__id"),
             )
             .withColumn("__rn", F.row_number().over(hdr_w))
             .filter(F.col("__rn") > 1)
             .select("value")
         )
-        raw = raw.filter(~is_hdr).unionByName(extra_hdrs)
+        raw = raw.filter(~is_hdr).select("value").unionByName(extra_hdrs)
     parse_schema = f"{_ddl_of(schema)}, _corrupt_record string"
     options = {
         "mode": "PERMISSIVE",

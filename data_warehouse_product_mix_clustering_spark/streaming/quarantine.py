@@ -45,6 +45,12 @@ def write_quarantine_batch(
     sinks exactly as one run does, because each write replaces only its
     own ``__batch_id`` partition.
     """
+    from data_warehouse_product_mix_clustering_spark.sources.io import FILE_COL
+
+    # Stamp file identity BEFORE persisting: the header dedup is per-file,
+    # and input_file_name() over a cached scan returns '' (file info is
+    # gone once rows come from the InMemory relation).
+    batch_df = batch_df.withColumn(FILE_COL, F.input_file_name())
     batch_df.persist()
     try:
         clean, quarantined = split_csv_quarantine(batch_df, schema, header, sep)

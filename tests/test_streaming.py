@@ -138,3 +138,34 @@ def test_quarantine_batch_write_is_idempotent(spark, tmp_path):
     write_quarantine_batch(batch, 7, schema, clean_dir, quar_dir, header=False)
     assert read_sink(spark, clean_dir).count() == 3
     assert read_sink(spark, quar_dir).count() == 1
+
+
+def test_streaming_quarantine_per_file_headers(spark, tmp_path):
+    """header=True through the STREAMING path drops exactly one header
+    per landing file (file identity is stamped before the batch persist —
+    a cached scan loses input_file_name); a mid-file header-equal line
+    quarantines instead of vanishing."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        read_sink,
+        streaming_csv_quarantine_etl,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("id,qty\n1,10\nid,qty\n2,20\n")
+    (land / "b.csv").write_text("id,qty\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    streaming_csv_quarantine_etl(
+        spark, str(land), schema, str(tmp_path / "clean"),
+        str(tmp_path / "quar"), str(tmp_path / "ckpt"), header=True,
+    )
+    clean = sorted(
+        (r.id, r.qty) for r in read_sink(spark, str(tmp_path / "clean")).collect()
+    )
+    assert clean == [(1, 10), (2, 20), (3, 30)]
+    quar = [r.raw_line for r in read_sink(spark, str(tmp_path / "quar")).collect()]
+    assert quar == ["id,qty"]  # ONE imposter; both real headers dropped
