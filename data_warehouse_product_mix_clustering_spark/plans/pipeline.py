@@ -685,3 +685,150 @@ def merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c_custkey") % 2 != 0).cast("long")).alias("n_inserted"),
         F.sum((F.col("c_custkey") % 6 == 0).cast("long")).alias("n_updated"),
     )
+
+
+@register(
+    "time_travel_audit",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 3 = 0) AS n_v0,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 3 IN (0, 1)) AS n_v1,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 3 = 1) AS n_v2,
+            TRUE AS rollback_serves_v1,
+            TRUE AS history_survives_rollback,
+            TRUE AS vacuum_respects_marker
+    """,
+)
+def time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-sink lifecycle contract (sources/versioned.py) as a
+    driver hash row: three customer-derived versions published, then
+
+    - every historical version stays readable with its own row count
+      (time travel — counts predicted by the oracle from the raw table);
+    - ``rollback`` is an O(1) marker flip: the default read serves the
+      rolled-back-to version while NEWER versions stay committed and
+      readable (rollback is reversible, not destructive);
+    - ``vacuum(keep_last=1)`` keeps the newest version AND the marker's
+      current target even when they differ — only v0 is reclaimed, and
+      the rolled-back table keeps serving v1 after the vacuum.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        read_table,
+        rollback,
+        vacuum,
+        write_version,
+        versions,
+    )
+
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    root = tempfile.mkdtemp(prefix="spark_graft_timetravel_audit_")
+    try:
+        tdir = os.path.join(root, "t")
+        write_version(c.filter(F.col("c_custkey") % 3 == 0), tdir)
+        write_version(c.filter((F.col("c_custkey") % 3).isin(0, 1)), tdir)
+        write_version(c.filter(F.col("c_custkey") % 3 == 1), tdir)
+        n_v0 = read_table(spark, tdir, 0).count()
+        n_v1 = read_table(spark, tdir, 1).count()
+        n_v2 = read_table(spark, tdir, 2).count()
+        rollback(tdir, 1)
+        rollback_serves_v1 = read_table(spark, tdir).count() == n_v1
+        history_survives = (
+            versions(tdir) == [0, 1, 2]
+            and read_table(spark, tdir, 2).count() == n_v2
+        )
+        doomed = vacuum(tdir, keep_last=1)
+        vacuum_ok = (
+            read_table(spark, tdir).count() == n_v1
+            and doomed == [0]
+            and versions(tdir) == [1, 2]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_v0, n_v1, n_v2, rollback_serves_v1, history_survives, vacuum_ok)],
+        "n_v0 long, n_v1 long, n_v2 long, rollback_serves_v1 boolean, "
+        "history_survives_rollback boolean, vacuum_respects_marker boolean",
+    )
+
+
+@register(
+    "jdbc_roundtrip_audit",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 4 = 0) AS n_rows,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_custkey % 4 = 0 AND c_custkey > 500) AS n_pushdown,
+            (SELECT round(sum(c_acctbal) + 1e-9, 2) FROM customer
+              WHERE c_custkey % 4 = 0) AS total_bal,
+            TRUE AS partitioned_scan_ok
+    """,
+)
+def jdbc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (JDBC source) proven through the driver hash gate against a
+    REAL embedded RDBMS (Derby, on Spark's own classpath): a
+    customer-derived relation is written over JDBC, then read back via
+
+    - a pushed-down SQL query (the filter executes inside Derby — the
+      count is the oracle's predicate count);
+    - a 4-slice partitioned parallel scan (partitionColumn/bounds), whose
+      partition count and total-balance aggregate must both survive the
+      round trip exactly.
+
+    The balance sum is computed Spark-side from the JDBC scan and rounded
+    identically to the oracle, so a type-mangling driver (DECIMAL
+    downcast, row loss on slicing) flips the row.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.io import read_jdbc
+
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    src = c.filter(F.col("c_custkey") % 4 == 0)
+    hi = src.agg(F.max("c_custkey")).first()[0] or 0
+    root = tempfile.mkdtemp(prefix="spark_graft_jdbc_audit_")
+    try:
+        url = f"jdbc:derby:{root}/db;create=true"
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        (
+            src.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "cust")
+            .option("driver", props["driver"])
+            .mode("overwrite")
+            .save()
+        )
+        n_pushdown = read_jdbc(
+            spark,
+            url,
+            'SELECT "c_custkey" FROM cust WHERE "c_custkey" > 500',
+            properties=props,
+        ).count()
+        part = read_jdbc(
+            spark,
+            url,
+            'SELECT "c_custkey", "c_acctbal" FROM cust',
+            properties=props,
+            partition_column='"c_custkey"',
+            num_partitions=4,
+            lower_bound=0,
+            upper_bound=int(hi) + 1,
+        )
+        agg = part.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("c_acctbal") + F.lit(1e-9), 2).alias("bal"),
+        ).first()
+        partitioned_ok = part.rdd.getNumPartitions() == 4
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(agg["n"], n_pushdown, float(agg["bal"]), partitioned_ok)],
+        "n_rows long, n_pushdown long, total_bal double, partitioned_scan_ok boolean",
+    )

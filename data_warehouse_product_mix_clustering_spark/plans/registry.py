@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bm25_indexed_search",  # materialized postings index, bucket-pruned seek
     "postings_incremental_audit",  # CDC-maintained index ≡ full rebuild
     "merge_upsert_audit",  # three-clause ANSI MERGE INTO operator
+    "time_travel_audit",  # versioned-sink lifecycle (travel/rollback/vacuum)
+    "jdbc_roundtrip_audit",  # S1 through a real embedded RDBMS
     # Registered late in round 7 — r7's 50-slot window was already full, so
     # none of these has ever received a driver CORRECTNESS row (VERDICT r7
     # Next #1). They lead round 8's attestation window.
