@@ -832,3 +832,95 @@ def jdbc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(agg["n"], n_pushdown, float(agg["bal"]), partitioned_ok)],
         "n_rows long, n_pushdown long, total_bal double, partitioned_scan_ok boolean",
     )
+
+
+@register(
+    "zorder_pruning_audit",
+    oracle="""
+        WITH b AS (
+            SELECT 0.45 * max(l_partkey) AS pk_lo, 0.55 * max(l_partkey) AS pk_hi,
+                   0.45 * max(l_suppkey) AS sk_lo, 0.55 * max(l_suppkey) AS sk_hi
+            FROM lineitem
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem, b
+              WHERE l_partkey BETWEEN pk_lo AND pk_hi
+                AND l_suppkey BETWEEN sk_lo AND sk_hi) AS n_box,
+            TRUE AS zorder_prunes_first_dim,
+            TRUE AS zorder_prunes_second_dim,
+            TRUE AS linear_blind_on_second_dim,
+            TRUE AS box_never_widens
+    """,
+)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (operators/layout.py) attested through the driver
+    hash gate: lineitem re-clustered along the Morton curve into 16 files
+    vs a 1-D range-sorted twin, pruning measured on parquet FOOTER
+    min/max stats (what a stats-trusting reader actually skips on).
+
+    Contract (center-decile boxes derived from exact column maxima, so
+    the oracle states them identically):
+
+    - the z-layout prunes files on BOTH dimensions; the linear layout is
+      provably blind on its unsorted dimension (reads all 16);
+    - the 2-D box never reads more files than either 1-D box (curve cell
+      intersection only narrows);
+    - rows are conserved under re-layout and the boxed COUNT from the
+      z-ordered files equals the oracle's predicate count — pruning never
+      drops a qualifying row.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.layout import (
+        files_overlapping_box,
+        write_zordered,
+    )
+
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    pk_lo, pk_hi = 0.45 * mx[0], 0.55 * mx[0]
+    sk_lo, sk_hi = 0.45 * mx[1], 0.55 * mx[1]
+    n_files = 16
+    root = tempfile.mkdtemp(prefix="spark_graft_zorder_audit_")
+    try:
+        lin, zpath = os.path.join(root, "linear"), os.path.join(root, "z")
+        (
+            li.repartitionByRange(n_files, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.mode("overwrite")
+            .parquet(lin)
+        )
+        write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files, bits=8)
+        back = spark.read.parquet(zpath)
+        n_total = back.count()
+        n_box = back.filter(
+            F.col("l_partkey").between(pk_lo, pk_hi)
+            & F.col("l_suppkey").between(sk_lo, sk_hi)
+        ).count()
+        z_pk, zt = files_overlapping_box(zpath, {"l_partkey": (pk_lo, pk_hi)})
+        z_sk, _ = files_overlapping_box(zpath, {"l_suppkey": (sk_lo, sk_hi)})
+        z_2d, _ = files_overlapping_box(
+            zpath, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+        )
+        lin_sk, lt = files_overlapping_box(lin, {"l_suppkey": (sk_lo, sk_hi)})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                n_box,
+                bool(z_pk < zt),
+                bool(z_sk < zt),
+                bool(lin_sk == lt == n_files),
+                bool(z_2d <= min(z_pk, z_sk)),
+            )
+        ],
+        "n_total long, n_box long, zorder_prunes_first_dim boolean, "
+        "zorder_prunes_second_dim boolean, linear_blind_on_second_dim boolean, "
+        "box_never_widens boolean",
+    )

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-9 rotation order: round-8 queries that missed the window first,
     # then the rest of the r5 cohort, then r6, then r7.
     "dedup_duplicated_ngrams",
+    "zorder_pruning_audit",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",
