@@ -924,3 +924,42 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zorder_prunes_second_dim boolean, linear_blind_on_second_dim boolean, "
         "box_never_widens boolean",
     )
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table read through a FROM-SCRATCH connector built on
+    Spark 4's Python DataSource API (sources/pyds.py) — named format,
+    driver-side partition planning (one InputPartition per parquet row
+    group), executor-side pyarrow reads returning Arrow RecordBatches
+    (vectorized transfer, no per-row Python), schema-driven column
+    pruning — then aggregated per language.
+
+    The oracle reads the SAME table natively, so the hash row attests the
+    connector machinery end to end: a partition-planning bug (lost or
+    doubled row group), a batch-transfer type mangle, or a pruning slip
+    all flip the row. This is the engine's extension path for sources
+    Spark lacks; parquet is used here precisely because an exact native
+    twin exists to verify against.
+    """
+    from data_warehouse_product_mix_clustering_spark.sources.pyds import register_arrow_parquet
+
+    register_arrow_parquet(spark)
+    docs = (
+        spark.read.format("arrowparquet")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

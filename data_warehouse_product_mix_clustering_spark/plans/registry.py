@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     # then the rest of the r5 cohort, then r6, then r7.
     "dedup_duplicated_ngrams",
     "zorder_pruning_audit",
+    "python_datasource_scan",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",
