@@ -198,6 +198,41 @@ def lsh_topk(
     )
 
 
+def fit_ivf_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+):
+    """Deterministic IVF coarse codebook: seeded MLlib KMeans over a
+    deterministically-ordered corpus. Returns (model, assigned) where
+    ``assigned`` is (id, __v double-array, __cell) — localCheckpointed so
+    both the in-memory probe path (``ivf_topk``) and the persisted index
+    build (``build_ivf_index``) consume the SAME materialized assignment,
+    which is what makes indexed search exactly equal to the in-memory
+    twin (pinned by ``ann_ivf_indexed_audit``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    # Deterministic partition order so the seeded k-means‖ init is stable.
+    c = c.repartition(8, F.col(id_col)).sortWithinPartitions(id_col)
+    withv = c.withColumn("__mlv", array_to_vector(F.col("__v"))).cache()
+    try:
+        model = KMeans(
+            featuresCol="__mlv", predictionCol="__cell", k=nlist, seed=seed
+        ).fit(withv)
+        assigned = (
+            model.transform(withv)
+            .select(id_col, "__v", "__cell")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        withv.unpersist()
+    return model, assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,32 +260,28 @@ def ivf_topk(
 
     Output schema matches ``brute_force_topk``: (query_id, id, cosine, rank).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    model, assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
 
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    # Deterministic partition order so the seeded k-means‖ init is stable.
-    c = c.repartition(8, F.col(id_col)).sortWithinPartitions(id_col)
-    withv = c.withColumn("__mlv", array_to_vector(F.col("__v"))).cache()
-    try:
-        model = KMeans(
-            featuresCol="__mlv", predictionCol="__cell", k=nlist, seed=seed
-        ).fit(withv)
-        assigned = (
-            model.transform(withv)
-            .select(id_col, "__v", "__cell")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        withv.unpersist()
+    centers = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    return _ivf_probe_rerank(queries, centers, assigned, id_col, vec_col, k, nprobe)
 
+
+def ivf_query_probes(
+    queries: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, __qv, __cell): each query's ``nprobe`` nearest coarse
+    cells — the routing table both IVF paths share."""
     centers_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("cell"),
                 F.array(*[F.lit(float(x)) for x in ctr]).alias("cvec"),
             )
-            for i, ctr in enumerate(model.clusterCenters())
+            for i, ctr in centers
         ]
     )
     q = queries.select(
@@ -267,11 +298,23 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__csim").desc(), F.col("__cell")
     )
-    probes = (
+    return (
         qcells.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
         .select("query_id", "__qv", "__cell")
     )
+
+
+def _ivf_probe_rerank(
+    queries: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    probes = ivf_query_probes(queries, centers, id_col, vec_col, nprobe)
     cands = (
         F.broadcast(probes)
         .join(assigned, "__cell")
@@ -569,6 +612,86 @@ def pq_topk(
             id_col,
             ratio_round(cosine(F.col("__qv"), F.col("__cv"))).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index ``ivf_topk``'s docstring promises: the
+    assigned corpus written as parquet PARTITIONED BY coarse cell (so a
+    probe reads only its cells' files — the vector twin of the postings
+    index's bucket layout), plus the ``nlist`` centroids as a tiny
+    ``centers/`` relation. Bucket-repartitioned before the write (≈1 file
+    per cell, no small-file blowup). Same deterministic codebook fit as
+    the in-memory path, so indexed search is exactly equal to it."""
+    import os
+
+    model, assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
+    (
+        assigned.repartition("__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
+
+
+def search_ivf_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the persisted index, reading ONLY the probed cells'
+    partitions.
+
+    The query batch's distinct probe-cell set (bounded by ``nlist``, so
+    collecting it is O(16), not O(data)) becomes a literal IN-filter on
+    the partition column — Catalyst prunes every other cell directory
+    (PartitionFilters-pinned in test_plans.py). Rerank is the exact same
+    expression as ``ivf_topk`` ⇒ identical output, attested by
+    ``ann_ivf_indexed_audit``."""
+    import os
+
+    centers = sorted(
+        (r["cell"], list(r["cvec"]))
+        for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
+    )
+    probes = ivf_query_probes(queries, centers, id_col, vec_col, nprobe)
+    cells = sorted(
+        r["__cell"] for r in probes.select("__cell").distinct().collect()
+    )
+    assigned = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("__cell").isin(cells)
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "__cell")
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        ratio_round(cosine(F.col("__qv"), F.col("__v"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_duplicated_ngrams",
     "zorder_pruning_audit",
     "python_datasource_scan",
+    "ann_ivf_indexed_audit",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",

@@ -367,3 +367,71 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "rrf", "rank"
     )
+
+
+@register(
+    "ann_ivf_indexed_audit",
+    oracle=f"""
+        SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+               TRUE AS indexed_equals_memory,
+               TRUE AS probes_bounded
+    """,
+)
+def ann_ivf_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index (operators/similarity.py::build_ivf_index /
+    search_ivf_index) attested equal to the in-memory IVF path: the
+    assigned corpus is written partitioned by coarse cell, searched with
+    the probe-cell partition filter, and the result must match
+    ``ivf_topk`` with the same codebook ROW FOR ROW (same seed, same
+    deterministic fit, same rerank expression — any drift in the
+    persisted layout, cell routing, or pruned read flips the row).
+    ``probes_bounded`` pins that the batch touched at most
+    nprobe × |queries| distinct cells (the seek-cost contract).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        search_ivf_index,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivf_audit_")
+    try:
+        idx = os.path.join(root, "ivf")
+        build_ivf_index(emb, idx, "vec_id", "embedding", nlist=16, seed=42)
+        indexed = search_ivf_index(
+            spark, idx, probes, "vec_id", "embedding", k=TOP_K, nprobe=4
+        )
+        memory = ivf_topk(
+            emb, probes, "vec_id", "embedding", k=TOP_K, nlist=16, nprobe=4
+        )
+        equal = indexed.exceptAll(memory).isEmpty() and memory.exceptAll(
+            indexed
+        ).isEmpty()
+        n_queries = indexed.select("query_id").distinct().count()
+        from data_warehouse_product_mix_clustering_spark.operators.similarity import ivf_query_probes
+
+        centers = sorted(
+            (r["cell"], list(r["cvec"]))
+            for r in spark.read.parquet(os.path.join(idx, "centers")).collect()
+        )
+        n_probed = (
+            ivf_query_probes(probes, centers, "vec_id", "embedding", nprobe=4)
+            .select("__cell")
+            .distinct()
+            .count()
+        )
+        # the seek-cost contract: the batch touches at most nprobe×|queries|
+        # cell partitions (and never more than nlist)
+        probes_bounded = n_probed <= min(16, 4 * N_QUERIES) and n_queries <= N_QUERIES
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, bool(equal), bool(probes_bounded))],
+        "n_queries long, indexed_equals_memory boolean, probes_bounded boolean",
+    )

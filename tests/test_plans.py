@@ -711,3 +711,28 @@ def test_bm25_indexed_matches_adhoc(spark):
     assert [(r.doc_id, r.bm25, r.rank) for r in adhoc] == [
         (r.doc_id, r.bm25, r.rank) for r in indexed
     ]
+
+
+def test_ivf_indexed_search_prunes_to_probe_cells(spark, tmp_path):
+    """Persisted-IVF search must show literal partition pruning on the
+    cell column — the seek contract of build_ivf_index/search_ivf_index."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, nlist=16, seed=42)
+    out = search_ivf_index(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("__cell" in l and " IN (" in l for l in lines), (
+        "cell partition pruning missing:\n" + "\n".join(lines)
+    )
+    assert out.count() > 0
