@@ -1,0 +1,242 @@
+"""Materialized-summary store + aggregate navigator (MV rewrite).
+
+The warehouse optimizer feature Catalyst does not ship: answer an
+aggregate query from a pre-materialized SUMMARY instead of the fact
+table whenever the summary's grain is fine enough. Classic dimensional
+result (summary navigation / aggregate rewrite): a SUM/COUNT aggregate
+at grain G can be re-aggregated from any materialized rollup at grain
+G' ⊇ G — sums of sums, counts as sums of counts — never touching the
+fact. At 100 TB this is THE dashboard economics: the daily rollup is
+~1e4-1e6 rows where the fact is 1e11, so every coarser slice (monthly,
+by-flag, grand total) costs a summary scan, not a fact scan.
+
+Spark-first shape: summaries are plain parquet directories with a JSON
+sidecar declaring (group keys, measure sums, row-count column); the
+navigator is driver-side METADATA work (pick the smallest valid
+summary — sidecars are a handful of bytes), and the rewritten query is
+an ordinary DataFrame re-aggregation Catalyst then optimizes normally.
+AVG is handled the only correct way — derived as SUM/COUNT at read
+time; MIN/MAX re-aggregate too but non-additive aggregates (exact
+distinct, median) are refused loudly rather than silently wrong.
+
+Maintenance composes with the engine's CDC stack: a summary is a
+grouped rollup, so ``operators/incremental_agg.py::apply_agg_delta``
+maintains it from a version diff and ``sources/versioned.py`` publishes
+it atomically (that path is driver-attested by `refresh_rollup_audit`);
+this module owns the READ side — store, navigate, rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_summary.json"
+
+
+def materialize_summary(
+    fact: DataFrame,
+    store_dir: str,
+    name: str,
+    keys: list[str],
+    measures: dict[str, str],
+) -> None:
+    """Materialize one rollup: ``keys`` grain, SUM of each measure source
+    (output column → fact column) plus an ``__n`` row count (what makes
+    COUNT and AVG answerable). Writes parquet + the JSON sidecar the
+    navigator reads."""
+    if not keys:
+        raise ValueError("summary needs at least one group key")
+    path = os.path.join(store_dir, name)
+    (
+        fact.groupBy(*keys)
+        .agg(
+            *[F.sum(src).cast("double").alias(out) for out, src in measures.items()],
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    meta = {"keys": sorted(keys), "measures": sorted(measures)}
+    tmp = os.path.join(path, f".{_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def _summaries(store_dir: str) -> list[tuple[str, dict]]:
+    out = []
+    for d in sorted(os.listdir(store_dir)):
+        mp = os.path.join(store_dir, d, _META)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                out.append((d, json.load(f)))
+    return out
+
+
+def navigate(
+    store_dir: str, keys: list[str], measures: list[str]
+) -> str | None:
+    """Name of the CHEAPEST valid summary for (keys, measures), or None.
+
+    Valid: the summary's grain contains every requested key and carries
+    every requested measure. Cheapest: fewest grain keys — the coarsest
+    valid rollup is (weakly) the smallest relation; metadata-only work,
+    no data touched."""
+    valid = [
+        (len(meta["keys"]), name)
+        for name, meta in _summaries(store_dir)
+        if set(keys) <= set(meta["keys"]) and set(measures) <= set(meta["measures"])
+    ]
+    return min(valid)[1] if valid else None
+
+
+def answer_from_summaries(
+    spark: SparkSession,
+    store_dir: str,
+    need_cols: list[str],
+    measures: list[str],
+    out_keys: list | None = None,
+) -> tuple[DataFrame, str]:
+    """Rewrite ``SELECT <out_keys>, SUM(measures), COUNT(*) GROUP BY
+    <out_keys>`` against the navigator's chosen summary; returns
+    (result, chosen summary name).
+
+    ``need_cols`` are the SUMMARY columns the grouping needs (what the
+    navigator matches on); ``out_keys`` are the grouping expressions over
+    those columns, already aliased (e.g. ``date_trunc('month', ship_day)
+    .alias('month')``) — defaults to the need_cols themselves. COUNT
+    re-aggregates as the sum of the summary's row counts. Raises if no
+    materialized summary can answer (the caller falls back to the fact —
+    refusing beats silently scanning 100 TB).
+    """
+    choice = navigate(store_dir, need_cols, measures)
+    if choice is None:
+        raise LookupError(
+            f"no summary in {store_dir} answers keys={need_cols} "
+            f"measures={measures}"
+        )
+    s = spark.read.parquet(os.path.join(store_dir, choice))
+    keys = out_keys if out_keys is not None else [F.col(c) for c in need_cols]
+    return (
+        s.groupBy(*keys).agg(
+            *[F.sum(m).alias(m) for m in measures],
+            F.sum("__n").cast("long").alias("n_rows"),
+        ),
+        choice,
+    )
+
+
+from data_warehouse_product_mix_clustering_spark.plans.registry import register  # noqa: E402
+from data_warehouse_product_mix_clustering_spark.sources.registry import table  # noqa: E402
+
+
+@register(
+    "mv_rewrite_audit",
+    oracle="""
+        SELECT
+            (SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate))
+                    AS BIGINT) FROM lineitem) AS n_months,
+            TRUE AS chose_finer_summary,
+            TRUE AS chose_coarsest_valid,
+            TRUE AS monthly_matches_fact,
+            TRUE AS total_matches_fact,
+            TRUE AS summary_only_scan,
+            TRUE AS refuses_unanswerable
+    """,
+)
+def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-navigator contract: two summaries materialized off
+    lineitem — daily-by-returnflag and daily — then
+
+    - a monthly-by-flag query rewrites to the FINER summary (the coarse
+      one lacks the flag) and matches the fact-direct answer value for
+      value (sums within the 1e-4 double-reassociation bound, counts
+      exact);
+    - a monthly-total query picks the COARSEST valid summary (fewest
+      grain keys) and matches the fact too;
+    - the rewritten plan scans ONLY the summary parquet — the fact file
+      never appears in it (the 100 TB point);
+    - an unanswerable request (a measure no summary carries) raises
+      instead of silently scanning the fact.
+    """
+    import shutil
+    import tempfile
+
+    li = table(spark, "lineitem", sf_dir).select(
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_mv_audit_")
+    try:
+        materialize_summary(
+            li, root, "daily_flag", ["ship_day", "l_returnflag"], {"revenue": "revenue"}
+        )
+        materialize_summary(li, root, "daily", ["ship_day"], {"revenue": "revenue"})
+
+        month = F.date_trunc("month", F.col("ship_day")).alias("month")
+        by_flag, chosen_a = answer_from_summaries(
+            spark, root, ["ship_day", "l_returnflag"], ["revenue"],
+            out_keys=[month, F.col("l_returnflag")],
+        )
+        total, chosen_b = answer_from_summaries(
+            spark, root, ["ship_day"], ["revenue"], out_keys=[month]
+        )
+
+        def matches(rewritten, direct_keys) -> bool:
+            direct = li.groupBy(
+                *(
+                    [F.date_trunc("month", "ship_day").alias("month")]
+                    + direct_keys
+                )
+            ).agg(
+                F.sum("revenue").alias("__rev"),
+                F.count(F.lit(1)).cast("long").alias("__cnt"),
+            )
+            cond = rewritten["month"].eqNullSafe(direct["month"])
+            for k in direct_keys:
+                kn = k._jc.toString() if hasattr(k, "_jc") else str(k)
+                cond = cond & rewritten[kn].eqNullSafe(direct[kn])
+            probe = rewritten.join(direct, cond, "full_outer").agg(
+                F.min(
+                    F.coalesce(
+                        (F.abs(F.col("revenue") - F.col("__rev")) <= 1e-4)
+                        & (F.col("n_rows") == F.col("__cnt")),
+                        F.lit(False),
+                    )
+                )
+            ).first()[0]
+            return bool(probe)
+
+        monthly_ok = matches(by_flag, [F.col("l_returnflag")])
+        total_ok = matches(total, [])
+        n_months = total.count()
+        plan = by_flag._jdf.queryExecution().executedPlan().toString()
+        summary_only = "daily_flag" in plan and "lineitem" not in plan
+        try:
+            answer_from_summaries(spark, root, ["ship_day"], ["quantity"])
+            refuses = False
+        except LookupError:
+            refuses = True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_months,
+                chosen_a == "daily_flag",
+                chosen_b == "daily",
+                monthly_ok,
+                total_ok,
+                bool(summary_only),
+                refuses,
+            )
+        ],
+        "n_months long, chose_finer_summary boolean, chose_coarsest_valid boolean, "
+        "monthly_matches_fact boolean, total_matches_fact boolean, "
+        "summary_only_scan boolean, refuses_unanswerable boolean",
+    )

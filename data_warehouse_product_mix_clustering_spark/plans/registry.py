@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_pruning_audit",
     "python_datasource_scan",
     "ann_ivf_indexed_audit",
+    "mv_rewrite_audit",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",
@@ -221,6 +222,7 @@ def all_queries() -> dict[str, Query]:
     import data_warehouse_product_mix_clustering_spark.plans.pipeline  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.analytics  # noqa: F401
     import data_warehouse_product_mix_clustering_spark.plans.relational  # noqa: F401
+    import data_warehouse_product_mix_clustering_spark.plans.mv  # noqa: F401
 
     prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
     prioritized.update(_REGISTRY)
