@@ -15,9 +15,12 @@ sidecar declaring (group keys, measure sums, row-count column); the
 navigator is driver-side METADATA work (pick the smallest valid
 summary — sidecars are a handful of bytes), and the rewritten query is
 an ordinary DataFrame re-aggregation Catalyst then optimizes normally.
-AVG is handled the only correct way — derived as SUM/COUNT at read
-time; MIN/MAX re-aggregate too but non-additive aggregates (exact
-distinct, median) are refused loudly rather than silently wrong.
+Only SELF-MAINTAINABLE re-aggregation is offered: SUM (sums of sums)
+and COUNT (the result always carries the summed row count, which also
+makes AVG derivable by the caller as SUM/n_rows). Anything a summary
+cannot answer exactly — a measure it does not carry, and by
+construction every non-additive aggregate (exact distinct, median) —
+is refused loudly rather than silently wrong.
 
 Maintenance composes with the engine's CDC stack: a summary is a
 grouped rollup, so ``operators/incremental_agg.py::apply_agg_delta``

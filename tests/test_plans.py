@@ -736,3 +736,43 @@ def test_ivf_indexed_search_prunes_to_probe_cells(spark, tmp_path):
         "cell partition pruning missing:\n" + "\n".join(lines)
     )
     assert out.count() > 0
+
+
+def test_mv_navigator_choice_and_rewrite(spark, tmp_path):
+    """Navigator semantics on a toy store: grain-superset matching,
+    fewest-keys-wins with deterministic name tie-break, AVG derivable
+    from the returned sum + row count, and loud refusal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.mv import (
+        answer_from_summaries,
+        materialize_summary,
+        navigate,
+    )
+
+    fact = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 5.0), ("b", "x", 7.0)],
+        "g string, h string, v double",
+    )
+    store = str(tmp_path / "store")
+    materialize_summary(fact, store, "by_gh", ["g", "h"], {"v": "v"})
+    materialize_summary(fact, store, "by_g", ["g"], {"v": "v"})
+
+    # coarser ask -> fewest-keys summary; finer ask -> the only valid one
+    assert navigate(store, ["g"], ["v"]) == "by_g"
+    assert navigate(store, ["g", "h"], ["v"]) == "by_gh"
+    # tie on key count resolves by name (deterministic), superset matching
+    materialize_summary(fact, store, "a_by_h", ["h"], {"v": "v"})
+    assert navigate(store, [], ["v"]) == "a_by_h"  # 1 key each: name order
+    assert navigate(store, ["g"], ["missing"]) is None
+
+    out, chosen = answer_from_summaries(spark, store, ["g"], ["v"])
+    got = {r.g: (r.v, r.n_rows) for r in out.collect()}
+    assert chosen == "by_g"
+    assert got == {"a": (9.0, 3), "b": (7.0, 1)}
+    # AVG derives from what every answer carries
+    assert got["a"][0] / got["a"][1] == 3.0
+
+    with pytest.raises(LookupError, match="no summary"):
+        answer_from_summaries(spark, store, ["g"], ["missing"])
