@@ -109,7 +109,12 @@ def merge_into(
             if c in source.columns
             else F.lit(None).cast(target.schema[c].dataType)
         )
-        upd = guarded(update_set[c]) if c in update_set else tgt
+        # The matched branch is guarded even when the column keeps its
+        # target value (e.g. update_set={}): otherwise a delete-only or
+        # partial-update merge would never evaluate the duplicate-key
+        # assert and a dup-keyed source would silently FAN OUT the
+        # matched target row instead of failing (review r8).
+        upd = guarded(update_set[c]) if c in update_set else guarded(tgt)
         out_cols.append(
             F.when(matched, upd)
             .when(src_only, guarded(ins))

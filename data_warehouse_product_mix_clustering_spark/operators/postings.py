@@ -74,7 +74,16 @@ def build_postings_index(
     fold the docs). Incremental maintenance at scale composes with
     sources/versioned.py: re-index changed docs' buckets from a CDC diff.
     """
-    toks = docs.select("doc_id", tokens_expr.alias("__t"))
+    # Persisted so the postings write and the stats sidecar share ONE
+    # tokenize pass (the regex tokenizer over full text is the dominant
+    # build cost; without the persist the stats agg re-tokenized the
+    # whole corpus — review r8). MEMORY_AND_DISK: token arrays for a big
+    # corpus spill rather than OOM.
+    from pyspark import StorageLevel
+
+    toks = docs.select("doc_id", tokens_expr.alias("__t")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     postings = (
         toks.select(
             "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
@@ -105,6 +114,7 @@ def build_postings_index(
         F.sum(F.size("__t")).cast("long").alias("total_dl"),
         F.avg(F.size("__t")).alias("avgdl"),
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    toks.unpersist()
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

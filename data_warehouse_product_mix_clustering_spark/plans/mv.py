@@ -71,6 +71,11 @@ def materialize_summary(
 
 
 def _summaries(store_dir: str) -> list[tuple[str, dict]]:
+    # A store that does not exist yet simply has no summaries — the
+    # navigator must answer None / LookupError (the documented
+    # fall-back-to-fact path), never FileNotFoundError (review r8).
+    if not os.path.isdir(store_dir):
+        return []
     out = []
     for d in sorted(os.listdir(store_dir)):
         mp = os.path.join(store_dir, d, _META)

@@ -420,15 +420,20 @@ def ann_ivf_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["cell"], list(r["cvec"]))
             for r in spark.read.parquet(os.path.join(idx, "centers")).collect()
         )
+        # The seek-cost contract checked at nprobe=2, where the bound
+        # (2×5=10) sits strictly BELOW nlist=16 — a routing bug that
+        # probes every cell flips this to 16 > 10. (At the search's
+        # nprobe=4 the bound 20 exceeds nlist, so it could never fail —
+        # review r8.)
         n_probed = (
-            ivf_query_probes(probes, centers, "vec_id", "embedding", nprobe=4)
+            ivf_query_probes(probes, centers, "vec_id", "embedding", nprobe=2)
             .select("__cell")
             .distinct()
             .count()
         )
-        # the seek-cost contract: the batch touches at most nprobe×|queries|
-        # cell partitions (and never more than nlist)
-        probes_bounded = n_probed <= min(16, 4 * N_QUERIES) and n_queries <= N_QUERIES
+        probes_bounded = (
+            1 <= n_probed <= min(16, 2 * N_QUERIES) and n_queries <= N_QUERIES
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(

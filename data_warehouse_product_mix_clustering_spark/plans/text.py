@@ -852,13 +852,23 @@ _POSTINGS_CACHE: dict[tuple[str, str], str] = {}
 _POSTINGS_CACHE_MAX = 4
 
 
+def _drop_postings_entry(key) -> None:
+    # Unlike the in-memory caches this mirrors, each entry OWNS an
+    # on-disk index — eviction must reclaim the directory or every
+    # drop strands a corpus-sized index under /tmp (review r8).
+    import shutil
+
+    path = _POSTINGS_CACHE.pop(key)
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def invalidate_postings_cache(sf_dir: str | None = None) -> None:
-    """Drop built postings indexes for one sf_dir (or all)."""
-    if sf_dir is None:
-        _POSTINGS_CACHE.clear()
-        return
-    for key in [k for k in _POSTINGS_CACHE if k[1] == sf_dir]:
-        del _POSTINGS_CACHE[key]
+    """Drop built postings indexes (dict entry AND index directory) for
+    one sf_dir, or all."""
+    for key in [
+        k for k in _POSTINGS_CACHE if sf_dir is None or k[1] == sf_dir
+    ]:
+        _drop_postings_entry(key)
 
 
 def _postings_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -875,10 +885,10 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> str:
     docs = table(spark, "documents", sf_dir).select("doc_id", "text")
     build_postings_index(docs, index_dir, tokens(F.col("text")))
     for k in [k for k in _POSTINGS_CACHE if k[0] != key[0]]:
-        del _POSTINGS_CACHE[k]
+        _drop_postings_entry(k)
     _POSTINGS_CACHE[key] = index_dir
     while len(_POSTINGS_CACHE) > _POSTINGS_CACHE_MAX:
-        _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+        _drop_postings_entry(next(iter(_POSTINGS_CACHE)))
     return index_dir
 
 

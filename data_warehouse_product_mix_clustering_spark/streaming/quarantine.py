@@ -49,8 +49,12 @@ def write_quarantine_batch(
 
     # Stamp file identity BEFORE persisting: the header dedup is per-file,
     # and input_file_name() over a cached scan returns '' (file info is
-    # gone once rows come from the InMemory relation).
-    batch_df = batch_df.withColumn(FILE_COL, F.input_file_name())
+    # gone once rows come from the InMemory relation). Only when the
+    # splitter will consume it — for header=False feeds (the recommended
+    # 100 TB shape) the per-row file-URI string would just inflate the
+    # persisted batch (review r8).
+    if header:
+        batch_df = batch_df.withColumn(FILE_COL, F.input_file_name())
     batch_df.persist()
     try:
         clean, quarantined = split_csv_quarantine(batch_df, schema, header, sep)

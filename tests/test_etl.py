@@ -892,3 +892,27 @@ def test_merge_into_rejects_bad_inputs(spark):
         merge_into(target, extra_src, ["id"])
     with pytest.raises(ValueError, match="key/unknown"):
         merge_into(target, target, ["id"], update_set={"id": F.lit(0)})
+
+
+def test_merge_into_dup_guard_survives_empty_update_set(spark):
+    """The duplicate-source-key assert must fire even when NO column
+    routes through an update expression (update_set={}, delete-only
+    merges) — otherwise the full-outer join silently fans the matched
+    target row out once per duplicate (review r8)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, 10.0)], "id long, amt double")
+    dup_src = spark.createDataFrame([(1, 1.0), (1, 2.0)], "id long, amt double")
+    with pytest.raises(SparkRuntimeException, match="duplicate rows"):
+        merge_into(
+            target, dup_src, ["id"], update_set={}, insert_unmatched=False
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="duplicate rows"):
+        merge_into(
+            target, dup_src, ["id"],
+            update_set={}, delete_condition=F.col("s.amt") > 100,
+        ).collect()
