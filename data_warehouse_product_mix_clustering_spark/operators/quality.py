@@ -105,3 +105,83 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("constraint", F.col("violations").cast("long").alias("violations"))
+
+
+class ConstraintViolation(ValueError):
+    """Raised by ``write_checked(on_violation='abort')``; carries the
+    per-constraint violation counts."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(f"constraint violations: {counts}")
+
+
+def write_checked(
+    df: DataFrame,
+    table_dir: str,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    on_violation: str = "abort",
+    quarantine_dir: str | None = None,
+) -> tuple[int, dict[str, int]]:
+    """Constraint-guarded atomic publish: validate, THEN version.
+
+    The sink-side complement of ``check_constraints``: the batch is
+    validated first and published (``sources/versioned.py::
+    write_version`` — atomic marker flip, readers never see it partial)
+    only according to policy. Returns (published version, per-constraint
+    violation counts); version is -1 when nothing was published.
+
+    - ``on_violation='abort'``: any violation raises
+      ``ConstraintViolation`` with the counts — nothing is written, the
+      previously published version keeps serving (the CI-gate posture).
+    - ``on_violation='quarantine'``: clean rows publish, violating rows
+      land in ``quarantine_dir`` (parquet, appended) — the keep-the-
+      pipeline-running posture, same philosophy as the CSV quarantine.
+      A row violates if any NOT NULL column is null, any range column is
+      out of bounds, or it belongs to a duplicated uniqueness key (EVERY
+      row of a duplicated group quarantines — the engine cannot know
+      which copy is right, so it keeps neither and the evidence holds
+      both). Row conservation: published + quarantined == input.
+
+    Cost: the summary aggregate(s) of ``check_constraints`` plus, on the
+    quarantine path, one window count per uniqueness key (the same
+    shuffle the duplicate COUNT needs anyway) — no extra fact scans
+    beyond the write itself.
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_version
+
+    if on_violation not in ("abort", "quarantine"):
+        raise ValueError("on_violation must be 'abort' or 'quarantine'")
+    if on_violation == "quarantine" and not quarantine_dir:
+        raise ValueError("on_violation='quarantine' requires quarantine_dir")
+
+    counts = {
+        r["constraint"]: r["violations"]
+        for r in check_constraints(df, not_null, unique, ranges).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return write_version(df, table_dir), counts
+    if on_violation == "abort":
+        raise ConstraintViolation(counts)
+
+    viol = F.lit(False)
+    for c in not_null or []:
+        viol = viol | F.col(c).isNull()
+    for c, (lo, hi) in (ranges or {}).items():
+        viol = viol | (F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)))
+    flagged = df
+    for i, key in enumerate(unique or []):
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*key))
+        flagged = flagged.withColumn(f"__dup{i}", cnt > 1)
+        viol = viol | F.col(f"__dup{i}")
+    flagged = flagged.withColumn("__viol", viol)
+    dup_cols = [c for c in flagged.columns if c.startswith("__dup")]
+    clean = flagged.filter(~F.col("__viol")).drop("__viol", *dup_cols)
+    bad = flagged.filter(F.col("__viol")).drop("__viol", *dup_cols)
+    bad.write.mode("append").parquet(quarantine_dir)
+    return write_version(clean, table_dir), counts

@@ -258,3 +258,112 @@ def lineitem_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pd_ + F.lit(1e-9), 4).alias("price_drift"),
         ((qd <= 0.10) & (dd <= 0.10) & (pd_ <= 0.10)).alias("within_10pct"),
     )
+
+
+@register(
+    "checked_write_audit",
+    oracle="""
+        WITH marks AS (
+            SELECT c_custkey,
+                   c_custkey % 97 = 0 AS null_bal,
+                   c_custkey % 89 = 0 AS bad_nation,
+                   c_custkey % 101 = 0 AS dup
+            FROM customer
+        )
+        SELECT
+            TRUE AS abort_raises_and_publishes_nothing,
+            (SELECT CAST(count(*) AS BIGINT) FROM marks
+              WHERE null_bal) AS v_not_null,
+            (SELECT CAST(count(*) AS BIGINT) FROM marks
+              WHERE bad_nation) AS v_range,
+            (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE dup) AS v_unique,
+            (SELECT CAST(count(*) AS BIGINT) FROM marks
+              WHERE NOT (null_bal OR bad_nation OR dup)) AS n_published,
+            (SELECT CAST(count(*) FILTER (null_bal OR bad_nation OR dup)
+                         + count(*) FILTER (dup) AS BIGINT)
+               FROM marks) AS n_quarantined,
+            TRUE AS conservation_holds
+    """,
+)
+def checked_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-guarded publish (operators/quality.py::write_checked)
+    attested end to end on a customer batch with INJECTED violations
+    (nulled balances at custkey%97, out-of-range nation at %89,
+    duplicated keys at %101 — all oracle-predictable):
+
+    - abort policy: the dirty batch raises ``ConstraintViolation`` and
+      publishes NOTHING (no version appears);
+    - quarantine policy: per-constraint counts match the oracle's
+      predicate arithmetic exactly (a row can violate several
+      constraints at once — the testdata's custkey 0 hits all three —
+      counting once per constraint but quarantining once; both copies
+      of a duplicated key quarantine);
+    - the published version holds exactly the clean rows and
+      published + quarantined == input (row conservation).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.quality import (
+        ConstraintViolation,
+        write_checked,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table, versions
+
+    base = table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    dirty = (
+        base.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .withColumn(
+            "c_nationkey",
+            F.when(F.col("c_custkey") % 89 == 0, F.lit(99)).otherwise(
+                F.col("c_nationkey")
+            ),
+        )
+        .unionByName(base.filter(F.col("c_custkey") % 101 == 0))
+    )
+    n_input = dirty.count()
+    root = tempfile.mkdtemp(prefix="spark_graft_checked_write_audit_")
+    try:
+        tdir = os.path.join(root, "t")
+        qdir = os.path.join(root, "q")
+        kwargs = dict(
+            not_null=["c_acctbal"],
+            unique=[["c_custkey"]],
+            ranges={"c_nationkey": (0, 24)},
+        )
+        try:
+            write_checked(dirty, tdir, on_violation="abort", **kwargs)
+            aborted = False
+        except ConstraintViolation:
+            aborted = versions(tdir) == []
+        v, counts = write_checked(
+            dirty, tdir, on_violation="quarantine", quarantine_dir=qdir, **kwargs
+        )
+        n_published = read_table(spark, tdir, v).count()
+        n_quarantined = spark.read.parquet(qdir).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(aborted),
+                counts["not_null(c_acctbal)"],
+                counts["range(c_nationkey,[0,24])"],
+                counts["unique(c_custkey)"],
+                n_published,
+                n_quarantined,
+                n_published + n_quarantined == n_input,
+            )
+        ],
+        "abort_raises_and_publishes_nothing boolean, v_not_null long, "
+        "v_range long, v_unique long, n_published long, n_quarantined long, "
+        "conservation_holds boolean",
+    )

@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "python_datasource_scan",
     "ann_ivf_indexed_audit",
     "mv_rewrite_audit",
+    "checked_write_audit",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",
