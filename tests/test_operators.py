@@ -991,3 +991,50 @@ def test_postings_index_incremental_update(spark, tmp_path):
     others = {term_bucket_py(t) for t in ["alpha", "beta", "gamma", "delta", "epsilon"]}
     assert term_bucket_py("zzonlyhere") not in others
     assert not os.path.exists(dead)
+
+
+def test_write_checked_policies(spark, tmp_path):
+    """Guarded publish: clean batches version; abort publishes nothing on
+    a dirty batch; quarantine publishes the clean subset and conserves
+    rows; bad policy args fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.quality import (
+        ConstraintViolation,
+        write_checked,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table, versions
+
+    clean = spark.createDataFrame(
+        [(1, 5.0), (2, 6.0)], "id long, v double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(2, None), (3, 99.0)], "id long, v double")
+    )
+    tdir = str(tmp_path / "t")
+    spec = dict(not_null=["v"], unique=[["id"]], ranges={"v": (0.0, 10.0)})
+
+    v, counts = write_checked(clean, tdir, **spec)
+    assert v == 0 and set(counts.values()) == {0}
+
+    with pytest.raises(ConstraintViolation, match="not_null"):
+        write_checked(dirty, tdir, on_violation="abort", **spec)
+    assert versions(tdir) == [0], "abort must publish nothing"
+
+    qdir = str(tmp_path / "q")
+    v2, counts2 = write_checked(
+        dirty, tdir, on_violation="quarantine", quarantine_dir=qdir, **spec
+    )
+    assert counts2 == {
+        "not_null(v)": 1, "range(v,[0.0,10.0])": 1, "unique(id)": 1
+    }
+    pub = read_table(spark, tdir, v2)
+    assert {r.id for r in pub.collect()} == {1}  # both id=2 copies + id=3 out
+    nq = spark.read.parquet(qdir).count()
+    assert pub.count() + nq == dirty.count()
+
+    with pytest.raises(ValueError, match="requires quarantine_dir"):
+        write_checked(dirty, tdir, on_violation="quarantine", **spec)
+    with pytest.raises(ValueError, match="abort.*quarantine|must be"):
+        write_checked(dirty, tdir, on_violation="nope", **spec)
