@@ -1,0 +1,105 @@
+"""Iterative graph analytics on DataFrames: PageRank.
+
+Second member of the engine's iterative family (next to
+``operators/dedup.py::connected_components``): power iteration expressed
+as join + aggregate per step, no GraphX/GraphFrames dependency, no
+driver-side adjacency. Reference anchor: none (the reference has no
+graph surface; SURVEY §2.9 notes its GAT model is dead code) — this is
+beyond-reference capability for co-occurrence/importance analytics over
+warehouse-derived graphs (e.g. the basket co-purchase graph).
+
+Scale shape per iteration: one shuffle to aggregate rank contributions
+by destination (edges pre-grouped by source with out-degree attached so
+the join is 1:1 per edge), dangling-node mass folded back uniformly (a
+1-row aggregate, broadcast), and each iteration's vector materialized
+with localCheckpoint — it is consumed twice (residual + next step) and
+the cut keeps iteration k from being a k-deep plan. Convergence is
+driver-checked on the L1 residual — a tiny 1-row aggregate per check,
+not a collect of the rank vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 40,
+) -> tuple[DataFrame, int, float]:
+    """PageRank over a directed edge list → ((node, rank), iterations,
+    final L1 residual). Ranks sum to 1 (dangling mass redistributed
+    uniformly); duplicate edges count once.
+
+    Iterates until the L1 residual drops below ``tol`` or ``max_iter``
+    is hit — callers wanting a hard convergence guarantee check the
+    returned residual. Deterministic up to double reassociation across
+    partitions (≈1e-14 per sum): same edges ⇒ same ranks at any
+    comparison tolerance ≥1e-12.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list")
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # (src, dst, deg) — materialized once; every iteration reuses it
+    adj = e.join(outdeg, "__s").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    it, resid = 0, float("inf")
+    check_every = 5
+    while it < max_iter and resid > tol:
+        contrib = (
+            adj.join(ranks, adj["__s"] == ranks["node"])
+            .select("__d", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # Dangling mass: 1 − Σ(linked contributions) is exactly the rank
+        # sitting on nodes with no out-edges; spread it uniformly so the
+        # vector keeps summing to 1. Carried as an IN-PLAN broadcast
+        # scalar — no driver action per iteration.
+        dangling = F.broadcast(
+            contrib.agg(
+                ((1.0 - F.coalesce(F.sum("__in"), F.lit(0.0))) / n).alias("__dg")
+            )
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dg"))
+                ).alias("rank"),
+            )
+        )
+        it += 1
+        # Each iteration's vector is consumed by the next step (and by
+        # the periodic residual probe): materialize once, cut lineage so
+        # iteration k is not a k-deep plan.
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        if it % check_every == 0 or it == max_iter:
+            resid = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("__old")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .first()[0]
+            )
+        ranks = new_ranks
+    return ranks.select("node", "rank"), it, float(resid)

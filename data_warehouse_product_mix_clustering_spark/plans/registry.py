@@ -127,6 +127,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_indexed_audit",
     "mv_rewrite_audit",
     "checked_write_audit",
+    "basket_pagerank_audit",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",

@@ -1038,3 +1038,38 @@ def test_write_checked_policies(spark, tmp_path):
         write_checked(dirty, tdir, on_violation="quarantine", **spec)
     with pytest.raises(ValueError, match="abort.*quarantine|must be"):
         write_checked(dirty, tdir, on_violation="nope", **spec)
+
+
+def test_pagerank_known_graph(spark):
+    """PageRank on a hand-checkable 4-node graph: ranks sum to 1, the
+    dangling-free cycle nodes dominate, and the no-inlink node sits at
+    the (1-d)/n + d*dangling floor. Cross-checked against the closed
+    power-iteration limit computed in pure Python."""
+    from data_warehouse_product_mix_clustering_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    ranks, it, resid = pagerank(edges, tol=1e-10, max_iter=60)
+    got = {r.node: r.rank for r in ranks.collect()}
+
+    # pure-python reference power iteration, same semantics
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": ["b"], "b": ["c"], "c": ["a"], "d": ["c"]}
+    r = {x: 0.25 for x in nodes}
+    for _ in range(it):
+        nxt = {x: 0.15 / 4 for x in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += 0.85 * r[s] / len(ds)
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for x in nodes:
+        assert abs(got[x] - r[x]) < 1e-8, (x, got[x], r[x])
+    assert got["d"] == min(got.values())  # nothing links to d
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(spark.createDataFrame([], "src string, dst string"))
