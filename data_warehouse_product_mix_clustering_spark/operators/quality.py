@@ -181,7 +181,19 @@ def write_checked(
         viol = viol | F.col(f"__dup{i}")
     flagged = flagged.withColumn("__viol", viol)
     dup_cols = [c for c in flagged.columns if c.startswith("__dup")]
-    clean = flagged.filter(~F.col("__viol")).drop("__viol", *dup_cols)
-    bad = flagged.filter(F.col("__viol")).drop("__viol", *dup_cols)
-    bad.write.mode("append").parquet(quarantine_dir)
-    return write_version(clean, table_dir), counts
+    # Both channels consume the same flagged relation — persist so the
+    # batch is scanned (and its uniqueness windows run) once, not twice.
+    flagged = flagged.persist()
+    try:
+        clean = flagged.filter(~F.col("__viol")).drop("__viol", *dup_cols)
+        bad = flagged.filter(F.col("__viol")).drop("__viol", *dup_cols)
+        # Quarantine lands BEFORE the publish: a crash between the two
+        # re-runs the whole call, which re-appends the violators
+        # (at-least-once evidence, duplicates possible on retry) but can
+        # never publish unvalidated rows. Readers wanting exactly-once
+        # quarantine semantics should point quarantine_dir at a
+        # versioned table and publish it with write_version too.
+        bad.write.mode("append").parquet(quarantine_dir)
+        return write_version(clean, table_dir), counts
+    finally:
+        flagged.unpersist()

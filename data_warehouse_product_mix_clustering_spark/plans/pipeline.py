@@ -941,13 +941,14 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 4's Python DataSource API (sources/pyds.py) — named format,
     driver-side partition planning (one InputPartition per parquet row
     group), executor-side pyarrow reads returning Arrow RecordBatches
-    (vectorized transfer, no per-row Python), schema-driven column
-    pruning — then aggregated per language.
+    (vectorized transfer, no per-row Python) — then aggregated per
+    language. (The API hands the reader the full declared schema —
+    projection pushdown does not exist for Python sources yet; the
+    module docstring records that verified limit.)
 
     The oracle reads the SAME table natively, so the hash row attests the
     connector machinery end to end: a partition-planning bug (lost or
-    doubled row group), a batch-transfer type mangle, or a pruning slip
-    all flip the row. This is the engine's extension path for sources
+    doubled row group) or a batch-transfer type mangle flips the row. This is the engine's extension path for sources
     Spark lacks; parquet is used here precisely because an exact native
     twin exists to verify against.
     """

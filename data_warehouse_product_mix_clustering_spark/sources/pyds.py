@@ -12,11 +12,20 @@ so the CONNECTOR machinery — not the format — is what's under test: the
 registered audit reads the same table through this source and through
 Spark's native reader and the driver hash gate attests equality.
 
+Honest API limit (verified in-plan): Spark 4's Python DataSource API
+does not push the PROJECTION down — ``reader(schema)`` receives the
+full declared schema and the BatchScan lists every column; Spark prunes
+after the Arrow transfer. Filter pushdown has an API (``pushFilters``)
+but column pruning does not yet; a column-critical connector should
+expose narrow views as options (or per-projection formats) until it
+does.
+
 Scale posture: ``partitions()`` plans one InputPartition per parquet row
 group (the natural parallel unit — each executor task reads only its row
 group's byte range), and ``read()`` yields pyarrow RecordBatches, which
-the API transfers over Arrow without per-row Python cost. Column pruning
-is honored by reading only the requested schema's columns.
+the API transfers over Arrow without per-row Python cost. The reader
+reads exactly the schema Spark hands it — today that is the full
+declared schema (see the module docstring's pruning caveat).
 """
 
 from __future__ import annotations

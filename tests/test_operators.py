@@ -1096,7 +1096,8 @@ def test_python_datasource_partitions_by_row_group(spark, tmp_path):
     got = df.agg({"k": "sum", "v": "sum"}).first()
     assert got["sum(k)"] == sum(range(1000))
     assert abs(got["sum(v)"] - sum(i * 0.5 for i in range(1000))) < 1e-9
-    # column pruning reaches the reader: selecting one column still works
+    # projection does NOT push into Python readers (API limit, documented
+    # in sources/pyds.py) — a projected read must still be correct
     assert spark.read.format("arrowparquet").option("path", path).load().select(
         "v"
     ).count() == 1000
