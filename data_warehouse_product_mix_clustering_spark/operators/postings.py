@@ -84,6 +84,13 @@ def build_postings_index(
     toks = docs.select("doc_id", tokens_expr.alias("__t")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        _build_postings_relations(toks, index_dir, n_buckets)
+    finally:
+        toks.unpersist()
+
+
+def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
     postings = (
         toks.select(
             "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
@@ -97,7 +104,7 @@ def build_postings_index(
     ).parquet(os.path.join(index_dir, "postings"))
     # df folds the just-written postings (re-read beats recompute: the
     # scan is columnar and already bucket-partitioned)
-    written = read_postings(docs.sparkSession, index_dir)
+    written = read_postings(toks.sparkSession, index_dir)
     (
         written.groupBy("bucket", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -114,7 +121,6 @@ def build_postings_index(
         F.sum(F.size("__t")).cast("long").alias("total_dl"),
         F.avg(F.size("__t")).alias("avgdl"),
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
-    toks.unpersist()
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

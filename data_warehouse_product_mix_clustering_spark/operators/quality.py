@@ -46,6 +46,17 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return out
 
 
+# ONE definition of each row-level violation predicate — shared by the
+# summary counts (check_constraints) and the quarantine split
+# (write_checked), so the two can never drift (review r8 #2).
+def _null_violation(c: str) -> Column:
+    return F.col(c).isNull()
+
+
+def _range_violation(c: str, lo: float, hi: float) -> Column:
+    return F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi))
+
+
 def check_constraints(
     df: DataFrame,
     not_null: list[str] | None = None,
@@ -69,14 +80,10 @@ def check_constraints(
     names: list[str] = []
     for c in not_null or []:
         names.append(f"not_null({c})")
-        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__v{len(names)}"))
+        aggs.append(F.count_if(_null_violation(c)).alias(f"__v{len(names)}"))
     for c, (lo, hi) in (ranges or {}).items():
         names.append(f"range({c},[{lo},{hi}])")
-        aggs.append(
-            F.count_if(
-                F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi))
-            ).alias(f"__v{len(names)}")
-        )
+        aggs.append(F.count_if(_range_violation(c, lo, hi)).alias(f"__v{len(names)}"))
     if aggs:
         one = df.agg(*aggs)
         stacked = ", ".join(
@@ -131,7 +138,9 @@ def write_checked(
     validated first and published (``sources/versioned.py::
     write_version`` — atomic marker flip, readers never see it partial)
     only according to policy. Returns (published version, per-constraint
-    violation counts); version is -1 when nothing was published.
+    violation counts); version is -1 when nothing was published (the
+    quarantine policy on a batch whose EVERY row violates — the previous
+    version keeps serving rather than being replaced by an empty table).
 
     - ``on_violation='abort'``: any violation raises
       ``ConstraintViolation`` with the counts — nothing is written, the
@@ -171,9 +180,9 @@ def write_checked(
 
     viol = F.lit(False)
     for c in not_null or []:
-        viol = viol | F.col(c).isNull()
+        viol = viol | _null_violation(c)
     for c, (lo, hi) in (ranges or {}).items():
-        viol = viol | (F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)))
+        viol = viol | _range_violation(c, lo, hi)
     flagged = df
     for i, key in enumerate(unique or []):
         cnt = F.count(F.lit(1)).over(Window.partitionBy(*key))
@@ -194,6 +203,12 @@ def write_checked(
         # quarantine semantics should point quarantine_dir at a
         # versioned table and publish it with write_version too.
         bad.write.mode("append").parquet(quarantine_dir)
+        if clean.isEmpty():
+            # Every row violated: quarantine holds the whole batch, and
+            # NO version publishes — an empty publish would repoint the
+            # marker at a zero-row table and silently blank downstream
+            # readers (review r8 #1). This is the documented -1 path.
+            return -1, counts
         return write_version(clean, table_dir), counts
     finally:
         flagged.unpersist()

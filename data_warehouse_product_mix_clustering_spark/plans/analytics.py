@@ -1485,7 +1485,7 @@ def basket_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n,
-                bool(it < 40),
+                bool(it < 40 or resid <= 1e-12),
                 bool(abs(stats["s"] - 1.0) < 1e-9),
                 bool(resid < 1e-9),
                 bool(stats["mn"] >= floor),

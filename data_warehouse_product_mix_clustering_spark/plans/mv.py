@@ -16,11 +16,12 @@ navigator is driver-side METADATA work (pick the smallest valid
 summary — sidecars are a handful of bytes), and the rewritten query is
 an ordinary DataFrame re-aggregation Catalyst then optimizes normally.
 Only SELF-MAINTAINABLE re-aggregation is offered: SUM (sums of sums)
-and COUNT (the result always carries the summed row count, which also
-makes AVG derivable by the caller as SUM/n_rows). Anything a summary
-cannot answer exactly — a measure it does not carry, and by
-construction every non-additive aggregate (exact distinct, median) —
-is refused loudly rather than silently wrong.
+and COUNT (the result carries the summed row count AND a per-measure
+non-null count, so NULL-correct AVG derives as SUM/<m>_nonnull — a
+row count alone would silently deflate AVG over nullable measures).
+Anything a summary cannot answer exactly — a measure it does not
+carry, and by construction every non-additive aggregate (exact
+distinct, median) — is refused loudly rather than silently wrong.
 
 Maintenance composes with the engine's CDC stack: a summary is a
 grouped rollup, so ``operators/incremental_agg.py::apply_agg_delta``
@@ -48,9 +49,10 @@ def materialize_summary(
     measures: dict[str, str],
 ) -> None:
     """Materialize one rollup: ``keys`` grain, SUM of each measure source
-    (output column → fact column) plus an ``__n`` row count (what makes
-    COUNT and AVG answerable). Writes parquet + the JSON sidecar the
-    navigator reads."""
+    (output column → fact column), a per-measure NON-NULL count
+    (``__nn_<out>`` — what makes NULL-correct AVG answerable) and an
+    ``__n`` row count (what makes COUNT answerable). Writes parquet +
+    the JSON sidecar the navigator reads."""
     if not keys:
         raise ValueError("summary needs at least one group key")
     path = os.path.join(store_dir, name)
@@ -58,6 +60,10 @@ def materialize_summary(
         fact.groupBy(*keys)
         .agg(
             *[F.sum(src).cast("double").alias(out) for out, src in measures.items()],
+            *[
+                F.count(src).cast("long").alias(f"__nn_{out}")
+                for out, src in measures.items()
+            ],
             F.count(F.lit(1)).cast("long").alias("__n"),
         )
         .write.mode("overwrite")
@@ -117,9 +123,11 @@ def answer_from_summaries(
     navigator matches on); ``out_keys`` are the grouping expressions over
     those columns, already aliased (e.g. ``date_trunc('month', ship_day)
     .alias('month')``) — defaults to the need_cols themselves. COUNT
-    re-aggregates as the sum of the summary's row counts. Raises if no
-    materialized summary can answer (the caller falls back to the fact —
-    refusing beats silently scanning 100 TB).
+    re-aggregates as the sum of the summary's row counts; each measure
+    also returns ``<m>_nonnull`` so AVG(m) derives NULL-correctly as
+    ``m / m_nonnull``. Raises if no materialized summary can answer (the
+    caller falls back to the fact — refusing beats silently scanning
+    100 TB).
     """
     choice = navigate(store_dir, need_cols, measures)
     if choice is None:
@@ -132,6 +140,10 @@ def answer_from_summaries(
     return (
         s.groupBy(*keys).agg(
             *[F.sum(m).alias(m) for m in measures],
+            *[
+                F.sum(f"__nn_{m}").cast("long").alias(f"{m}_nonnull")
+                for m in measures
+            ],
             F.sum("__n").cast("long").alias("n_rows"),
         ),
         choice,
@@ -195,19 +207,16 @@ def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, ["ship_day"], ["revenue"], out_keys=[month]
         )
 
-        def matches(rewritten, direct_keys) -> bool:
+        def matches(rewritten, key_names) -> bool:
             direct = li.groupBy(
-                *(
-                    [F.date_trunc("month", "ship_day").alias("month")]
-                    + direct_keys
-                )
+                F.date_trunc("month", "ship_day").alias("month"),
+                *[F.col(k) for k in key_names],
             ).agg(
                 F.sum("revenue").alias("__rev"),
                 F.count(F.lit(1)).cast("long").alias("__cnt"),
             )
             cond = rewritten["month"].eqNullSafe(direct["month"])
-            for k in direct_keys:
-                kn = k._jc.toString() if hasattr(k, "_jc") else str(k)
+            for kn in key_names:
                 cond = cond & rewritten[kn].eqNullSafe(direct[kn])
             probe = rewritten.join(direct, cond, "full_outer").agg(
                 F.min(
@@ -220,7 +229,7 @@ def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()[0]
             return bool(probe)
 
-        monthly_ok = matches(by_flag, [F.col("l_returnflag")])
+        monthly_ok = matches(by_flag, ["l_returnflag"])
         total_ok = matches(total, [])
         n_months = total.count()
         plan = by_flag._jdf.queryExecution().executedPlan().toString()

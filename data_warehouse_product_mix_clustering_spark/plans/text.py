@@ -879,8 +879,12 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _POSTINGS_CACHE.get(key)
-    if hit is not None and os.path.exists(os.path.join(hit, "stats")):
-        return hit
+    if hit is not None:
+        if os.path.exists(os.path.join(hit, "stats")):
+            return hit
+        # stale entry (partial build / external cleanup): reclaim the
+        # old directory before rebuilding, or it strands under /tmp
+        _drop_postings_entry(key)
     index_dir = tempfile.mkdtemp(prefix="spark_graft_postings_")
     docs = table(spark, "documents", sf_dir).select("doc_id", "text")
     build_postings_index(docs, index_dir, tokens(F.col("text")))

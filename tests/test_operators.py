@@ -1034,6 +1034,16 @@ def test_write_checked_policies(spark, tmp_path):
     nq = spark.read.parquet(qdir).count()
     assert pub.count() + nq == dirty.count()
 
+    # a batch whose EVERY row violates publishes NOTHING (-1): an empty
+    # version must never replace the serving table (review r8)
+    allbad = spark.createDataFrame([(7, None), (8, 99.0)], "id long, v double")
+    v3, _ = write_checked(
+        allbad, tdir, on_violation="quarantine", quarantine_dir=qdir, **spec
+    )
+    assert v3 == -1
+    assert versions(tdir) == [0, 1]  # no new version
+    assert read_table(spark, tdir).count() == 1  # v1 still serves
+
     with pytest.raises(ValueError, match="requires quarantine_dir"):
         write_checked(dirty, tdir, on_violation="quarantine", **spec)
     with pytest.raises(ValueError, match="abort.*quarantine|must be"):

@@ -768,11 +768,22 @@ def test_mv_navigator_choice_and_rewrite(spark, tmp_path):
     assert navigate(store, ["g"], ["missing"]) is None
 
     out, chosen = answer_from_summaries(spark, store, ["g"], ["v"])
-    got = {r.g: (r.v, r.n_rows) for r in out.collect()}
+    got = {r.g: (r.v, r.v_nonnull, r.n_rows) for r in out.collect()}
     assert chosen == "by_g"
-    assert got == {"a": (9.0, 3), "b": (7.0, 1)}
-    # AVG derives from what every answer carries
-    assert got["a"][0] / got["a"][1] == 3.0
+    assert got == {"a": (9.0, 3, 3), "b": (7.0, 1, 1)}
+    # AVG derives NULL-correctly from the per-measure non-null count
+    nullfact = spark.createDataFrame(
+        [("a", 1.0), ("a", None)], "g string, v double"
+    )
+    nstore = str(tmp_path / "nstore")
+    materialize_summary(nullfact, nstore, "by_g", ["g"], {"v": "v"})
+    row = answer_from_summaries(spark, nstore, ["g"], ["v"])[0].first()
+    assert (row["v"], row["v_nonnull"], row["n_rows"]) == (1.0, 1, 2)
+    assert row["v"] / row["v_nonnull"] == 1.0  # true AVG, not sum/rows=0.5
 
     with pytest.raises(LookupError, match="no summary"):
         answer_from_summaries(spark, store, ["g"], ["missing"])
+    # a store that does not exist yet is simply empty — LookupError, not
+    # FileNotFoundError (the documented fall-back-to-fact path)
+    with pytest.raises(LookupError, match="no summary"):
+        answer_from_summaries(spark, str(tmp_path / "absent"), ["g"], ["v"])
