@@ -91,7 +91,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(table(spark, "documents", sf_dir), "doc_id", "text")
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, headline=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact bigram-Jaccard near-dup pairs (threshold 0.8).
 
@@ -613,6 +613,7 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_overlap_coefficient",
+    headline=True,
     oracle=_jaccard_oracle_sql("a.doc_id < b.doc_id").replace(
         "i / (sa.n + sb.n - i)", "i / least(sa.n, sb.n)"
     ).replace(">= 0.8", ">= 0.9").replace("AS jaccard", "AS overlap"),
