@@ -212,3 +212,72 @@ def write_checked(
         return write_version(clean, table_dir), counts
     finally:
         flagged.unpersist()
+
+
+def _hex_char_val(expr: str, pos: int) -> str:
+    # 1-based substring position; instr/strpos of the hex alphabet is the
+    # engine-portable hex-digit → int trick (same as corpus_shuffle's).
+    return f"(instr('0123456789abcdef', substring({expr}, {pos}, 1)) - 1)"
+
+
+def md5_prefix_int(col: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT — computed digit by digit via
+    alphabet position, so DuckDB states the identical arithmetic (neither
+    engine has a portable hex→int cast both sides agree on)."""
+    h = F.md5(col.cast("binary"))
+    # accumulate in LONG from the start — a 32-bit int overflows (ANSI
+    # error) once the Horner sum passes 2^31
+    out = F.lit(0).cast("long")
+    for i in range(1, 9):
+        out = out * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        ).cast("long")
+    return out
+
+
+def sql_md5_prefix_int(expr: str, md5_fn: str = "md5") -> str:
+    """DuckDB twin of ``md5_prefix_int`` over an already-stringified
+    expression."""
+    h = f"{md5_fn}({expr})"
+    out = "0"
+    for i in range(1, 9):
+        out = f"(({out}) * 16 + {_hex_char_val(h, i)})"
+    return f"CAST({out} AS BIGINT)"
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent, partition-independent, ENGINE-portable table
+    checksum: one row (n_rows, checksum).
+
+    The replica-verification / migration-sign-off primitive: run the same
+    checksum on both sides of a copy (or on the same table through two
+    engines) and compare two numbers instead of two tables. Each row
+    canonicalizes to ``'|'``-joined string casts of ``cols`` (NULL →
+    ``'\\N'`` so NULL ≠ empty string), hashes through md5 (stable across
+    engines, unlike murmur/xxhash), and the first-8-hex integer SUMS —
+    addition is commutative, so partitioning, shuffle order, and file
+    layout cannot move the result; a BIGINT holds ~2^31 row-hashes
+    before overflow could wrap (cast through DECIMAL beyond that).
+    Collision odds for a mismatch slipping through: each differing row
+    pair collides with p≈2^-32; a whole-table swap is detected with
+    near-certainty.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(md5_prefix_int(canon)).cast("long").alias("checksum"),
+    )
+
+
+def sql_table_checksum(table: str, cols: list[str]) -> str:
+    """The DuckDB twin of ``table_checksum`` (one SELECT string)."""
+    canon = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '\\N')" for c in cols
+    )
+    return (
+        f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum({sql_md5_prefix_int(f'({canon})')}) AS BIGINT) AS checksum "
+        f"FROM {table}"
+    )

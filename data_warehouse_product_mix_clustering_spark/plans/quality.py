@@ -367,3 +367,41 @@ def checked_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_range long, v_unique long, n_published long, n_quarantined long, "
         "conservation_holds boolean",
     )
+
+
+_CHECKSUM_COLS = ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag", "l_shipdate"]
+
+
+def _register_checksum():
+    from data_warehouse_product_mix_clustering_spark.operators.quality import (
+        sql_table_checksum,
+        table_checksum,
+    )
+
+    @register(
+        "lineitem_replica_checksum",
+        oracle=sql_table_checksum("lineitem", _CHECKSUM_COLS),
+    )
+    def lineitem_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Order-independent, engine-portable table checksum over
+        lineitem's key/flag/date columns — the replica-verification /
+        migration-sign-off primitive (operators/quality.py::
+        table_checksum): the same two numbers (row count + summed
+        md5-prefix of the canonicalized row) from ANY engine, ANY
+        partitioning, ANY file layout mean the copies agree.
+
+        This driver row is itself the proof: the oracle recomputes the
+        checksum in DuckDB from scratch — hash equality here IS the
+        cross-engine migration check this operator exists for. The
+        canonical form '|'-joins explicit string casts (NULL → '\\N');
+        columns whose string forms could embed the separator, or whose
+        float formatting differs across engines, should be cast/rounded
+        explicitly by the caller (ints/strings/dates used here).
+        """
+        return table_checksum(
+            table(spark, "lineitem", sf_dir).select(*_CHECKSUM_COLS),
+            _CHECKSUM_COLS,
+        )
+
+
+_register_checksum()

@@ -128,6 +128,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mv_rewrite_audit",
     "checked_write_audit",
     "basket_pagerank_audit",
+    "lineitem_replica_checksum",
     "ann_recall_audit",
     "category_rollup",
     "contamination_check",

@@ -1111,3 +1111,32 @@ def test_python_datasource_partitions_by_row_group(spark, tmp_path):
     assert spark.read.format("arrowparquet").option("path", path).load().select(
         "v"
     ).count() == 1000
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    """The replica checksum must be identical under any partitioning /
+    row order, change when any row changes, and distinguish NULL from
+    empty string."""
+    from data_warehouse_product_mix_clustering_spark.operators.quality import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, tag string"
+    )
+    base = table_checksum(df, ["id", "tag"]).first()
+    shuffled = table_checksum(
+        df.repartition(7).sortWithinPartitions("tag"), ["id", "tag"]
+    ).first()
+    assert (base["n_rows"], base["checksum"]) == (3, shuffled["checksum"] and shuffled["checksum"]) and base["checksum"] == shuffled["checksum"]
+
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "id long, tag string"
+    )
+    assert table_checksum(changed, ["id", "tag"]).first()["checksum"] != base["checksum"]
+
+    empty_not_null = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "")], "id long, tag string"
+    )
+    assert (
+        table_checksum(empty_not_null, ["id", "tag"]).first()["checksum"]
+        != base["checksum"]
+    )
