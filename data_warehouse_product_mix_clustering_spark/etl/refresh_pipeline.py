@@ -58,6 +58,7 @@ def refresh_warehouse(
     group_keys: list[str],
     measures: dict[str, str],
     header: bool = True,
+    tombstone_col: str | None = None,
 ) -> dict[str, int]:
     """One refresh run. Returns {'version': N, 'agg_version': N,
     'changes': |diff|} (changes == -1 on the initial full build).
@@ -66,6 +67,16 @@ def refresh_warehouse(
     (the ingest sinks), ``table/`` (versioned table), ``agg/`` (versioned
     rollup). ``measures`` maps rollup sum-column → source column; the
     rollup always carries an ``n`` row count (what lets groups die).
+
+    ``tombstone_col`` names a boolean schema column that makes DELETES
+    expressible in the append-only feed (the extension the module
+    docstring promises): a landed row with the flag true is a tombstone
+    for its key — it wins the latest-batch-wins window like any upsert
+    and is then filtered from the published state, so the CDC diff sees
+    a plain ``removed`` and the maintained rollup shrinks (groups can
+    die) through the same |changes|-cost path. Re-deleting an absent
+    key is a no-op; the flag column itself stays in the published
+    schema (false on every surviving row) so baselines union cleanly.
     """
     # The CDC diff carries only NON-key attributes in its __old/__new
     # images (version_diff's contract), so a rollup can neither group nor
@@ -79,6 +90,14 @@ def refresh_warehouse(
             "appear in both. Keys identify rows; only non-key attributes "
             "travel in the change set the incremental rollup consumes."
         )
+    if tombstone_col is not None:
+        if tombstone_col not in {f.name for f in schema.fields}:
+            raise ValueError(f"tombstone_col {tombstone_col!r} not in schema")
+        if tombstone_col in set(key) | set(group_keys) | set(measures.values()):
+            raise ValueError(
+                f"tombstone_col {tombstone_col!r} must not be a key, group "
+                "key, or measure source — it is a pure delete marker"
+            )
     clean_dir = os.path.join(work_dir, "clean")
     quarantine_dir = os.path.join(work_dir, "quarantine")
     ckpt = os.path.join(work_dir, "_ckpt")
@@ -132,6 +151,11 @@ def refresh_warehouse(
         .filter(F.col("__rn") == 1)
         .drop("__rn", BATCH_COL)
     )
+    if tombstone_col is not None:
+        # a winning tombstone deletes its key from the published state
+        current = current.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
     new_wm = raw.agg(F.max(BATCH_COL)).collect()[0][0]
     v = write_version(current, table_dir)
 

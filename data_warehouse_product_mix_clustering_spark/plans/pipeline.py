@@ -964,3 +964,152 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "refresh_tombstone_audit",
+    oracle="""
+        WITH marks AS (
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   c_custkey % 2 = 0 AS in_base,
+                   c_custkey % 2 = 0 AND c_custkey % 6 = 0 AS deleted,
+                   c_custkey % 2 = 0 AND c_custkey % 10 = 0
+                       AND c_custkey % 6 <> 0 AS updated,
+                   c_custkey % 2 <> 0 AND c_custkey % 9 = 0 AS inserted
+            FROM customer
+        )
+        SELECT CAST(0 AS BIGINT) AS v0, CAST(1 AS BIGINT) AS v1,
+               (SELECT CAST(count(*) FILTER (deleted)
+                            + count(*) FILTER (updated)
+                            + count(*) FILTER (inserted) AS BIGINT)
+                  FROM marks) AS n_changes,
+               (SELECT CAST(count(*) FILTER (in_base AND NOT deleted)
+                            + count(*) FILTER (inserted) AS BIGINT)
+                  FROM marks) AS n_final,
+               CAST(0 AS BIGINT) AS n_deleted_present,
+               TRUE AS rollup_matches_recompute
+    """,
+)
+def refresh_tombstone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE support in the composed refresh, end to end: batch 2 lands
+    tombstones (%6=0 of the even-key base), updates (%10=0, acctbal+25)
+    and odd inserts (%9=0) — all predicate-disjoint so the oracle
+    predicts every count from the raw customer table.
+
+    Attested contract:
+
+    - the CDC change count is EXACTLY |deletes| + |updates| + |inserts|
+      (a tombstone surfaces as a plain ``removed`` in the diff);
+    - the published v1 holds exactly base − deletes + inserts rows and
+      NO tombstoned key survives;
+    - the |changes|-cost maintained rollup — including groups SHRINKING
+      through the diff's removed path, which the upsert-only audit never
+      exercises — equals a full recompute of v1 (≤1e-4).
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+
+    from pyspark.sql import types as T
+
+    c = table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    b1 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "deleted", F.lit(False)
+    )
+    even = F.col("c_custkey") % 2 == 0
+    b2 = (
+        c.filter(even & (F.col("c_custkey") % 6 == 0))
+        .select(
+            "c_custkey",
+            F.lit(None).cast("long").alias("c_nationkey"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(True).alias("deleted"),
+        )
+        .unionByName(
+            c.filter(
+                even
+                & (F.col("c_custkey") % 10 == 0)
+                & (F.col("c_custkey") % 6 != 0)
+            ).select(
+                "c_custkey",
+                "c_nationkey",
+                F.round(F.col("c_acctbal") + 25, 2).alias("c_acctbal"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+        .unionByName(
+            c.filter(~even & (F.col("c_custkey") % 9 == 0)).withColumn(
+                "deleted", F.lit(False)
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_tombstone_audit_")
+    try:
+        land = os.path.join(root, "landing")
+        work = os.path.join(root, "work")
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_nationkey", T.LongType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+                T.StructField("deleted", T.BooleanType()),
+            ]
+        )
+        args = dict(
+            spark=spark, landing_dir=land, work_dir=work, schema=schema,
+            key=["c_custkey"], group_keys=["c_nationkey"],
+            measures={"bal_sum": "c_acctbal"}, header=False,
+            tombstone_col="deleted",
+        )
+        b1.write.mode("append").csv(land)
+        r1 = refresh_warehouse(**args)
+        b2.write.mode("append").csv(land)
+        r2 = refresh_warehouse(**args)
+
+        final = read_table(spark, os.path.join(work, "table"))
+        n_final = final.count()
+        n_deleted_present = final.filter(
+            (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 6 == 0)
+        ).count()
+        maintained = read_table(spark, os.path.join(work, "agg"))
+        recomputed = final.groupBy("c_nationkey").agg(
+            F.sum("c_acctbal").cast("double").alias("__rb"),
+            F.count(F.lit(1)).alias("__rn"),
+        )
+        rollup_ok = bool(
+            maintained.join(
+                recomputed,
+                maintained.c_nationkey.eqNullSafe(recomputed.c_nationkey),
+                "full_outer",
+            )
+            .agg(
+                F.min(
+                    F.coalesce(
+                        (F.abs(F.col("bal_sum") - F.col("__rb")) <= 1e-4)
+                        & (F.col("n") == F.col("__rn")),
+                        F.lit(False),
+                    )
+                )
+            )
+            .first()[0]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r1["version"],
+                r2["version"],
+                r2["changes"],
+                n_final,
+                n_deleted_present,
+                rollup_ok,
+            )
+        ],
+        "v0 long, v1 long, n_changes long, n_final long, "
+        "n_deleted_present long, rollup_matches_recompute boolean",
+    )

@@ -63,8 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     # New in round 8 — no driver row yet.
     "refresh_rollup_audit",  # versioned sink + CDC-maintained rollup contract
     "stream_quarantine_audit",  # availableNow replay conservation + idempotence
-    "events_rolling_dau_approx",  # per-day HLL sketches, rows-only (gated below)
     "events_rolling_dau_approx_audit",  # exact-vs-sketch error envelope
+    "refresh_tombstone_audit",  # soft-delete path: diff 'removed', groups die
     "doc_bm25_indexed_search",  # materialized postings index, bucket-pruned seek
     "postings_incremental_audit",  # CDC-maintained index ≡ full rebuild
     "merge_upsert_audit",  # three-clause ANSI MERGE INTO operator
@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: list[str] = [
     # ---- window boundary (the driver attests ~50 per round) ----
     # Round-9 rotation order: round-8 queries that missed the window first,
     # then the rest of the r5 cohort, then r6, then r7.
+    "events_rolling_dau_approx",  # rows-only; its audit sits in-window
     "dedup_duplicated_ngrams",
     "zorder_pruning_audit",
     "python_datasource_scan",

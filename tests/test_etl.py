@@ -916,3 +916,56 @@ def test_merge_into_dup_guard_survives_empty_update_set(spark):
             target, dup_src, ["id"],
             update_set={}, delete_condition=F.col("s.amt") > 100,
         ).collect()
+
+
+def test_refresh_pipeline_tombstone_deletes(spark, tmp_path):
+    """The soft-delete extension: a landed tombstone removes its key from
+    the published state, the diff reports it as removed, the rollup
+    group shrinks (and dies when its last row goes), re-deleting an
+    absent key is a no-op, and the flag is validated as marker-only."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("dead", T.BooleanType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+        tombstone_col="dead",
+    )
+    (land / "a.csv").write_text(
+        "id,grp,amount,dead\n1,g1,10.0,false\n2,g1,20.0,false\n3,g2,30.0,false\n"
+    )
+    refresh_warehouse(**args)
+    # delete id=2; delete the WHOLE g2 group (id=3); re-delete absent id=9
+    (land / "b.csv").write_text("id,grp,amount,dead\n2,,,true\n3,,,true\n9,,,true\n")
+    r2 = refresh_warehouse(**args)
+    assert r2["changes"] == 2  # id=9 never existed -> not a change
+    state = {(r.id, r.grp, r.amount) for r in read_table(spark, f"{work}/table").collect()}
+    assert state == {(1, "g1", 10.0)}
+    agg = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
+    assert agg == {"g1": (10.0, 1)}  # g2 died with its last row
+
+    with pytest.raises(ValueError, match="marker-only|must not be"):
+        refresh_warehouse(
+            spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+            key=["id"], group_keys=["dead"], measures={"total": "amount"},
+            tombstone_col="dead",
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        refresh_warehouse(
+            spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+            key=["id"], group_keys=["grp"], measures={"total": "amount"},
+            tombstone_col="nope",
+        )
