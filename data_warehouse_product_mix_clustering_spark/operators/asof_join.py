@@ -26,7 +26,17 @@ distributed strategies behind one API:
 
 Both honor the reference's semantics: inclusive bounds, NULL end = open
 interval, and rows matching no interval come out with NULL right columns
-(caller drops them, as reference etl.py:88 does).
+(caller drops them, as reference etl.py:88 does). With OVERLAPPING
+intervals that means "latest START, then end post-filter" — an expired
+latest interval masks an older covering one (pandas merge_asof +
+post-filter, pinned in test_asof.py). The one documented deviation: the
+BUCKETED path with end_col and disjoint=False implements "latest
+COVERING interval" instead — its bucket expansion is bounded by each
+interval's end, so expired intervals structurally cannot reach later
+buckets to act as masks; for overlapping calendars where the reference
+masking behavior matters, use the plain broadcast or union strategy
+(or disjoint=True when intervals cannot overlap, where all strategies
+coincide).
 """
 
 from __future__ import annotations
@@ -655,14 +665,17 @@ def _asof_broadcast(
     how: str,
     disjoint: bool = False,
 ) -> DataFrame:
-    cond = _range_cond(left_on, right_on, by, end_col)
     out_cols = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}") for c in _right_cols(right, right_on, by)
     ] + [F.col(f"r.{right_on}")]
 
     if disjoint:
         # ≤ 1 match per left row by construction: no row-tag, no window,
-        # no second shuffle of the joined fact.
+        # no second shuffle of the joined fact. With non-overlapping
+        # intervals "latest start then end-filter" ≡ "covering interval",
+        # so keeping end_col inside the join is both correct and the
+        # cheapest plan.
+        cond = _range_cond(left_on, right_on, by, end_col)
         l = left.alias("l")
         r = F.broadcast(right).alias("r")
         return l.join(r, cond, "left" if how == "left" else "inner").select(*out_cols)
@@ -671,8 +684,38 @@ def _asof_broadcast(
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id()).alias("l")
     r = F.broadcast(right).alias("r")
+    if end_col is None:
+        cond = _range_cond(left_on, right_on, by, None)
+        joined = l.join(r, cond, "left" if how == "left" else "inner")
+        return _dedup_latest(joined, left, right, right_on, by, end_col, f"l.{lid}")
+
+    # Reference semantics with OVERLAPPING intervals (review r8): pandas
+    # merge_asof picks the LATEST START, then the end condition post-
+    # filters — an expired latest interval masks an older covering one.
+    # The end predicate therefore must NOT sit inside the join (that
+    # yields "latest covering interval" — a different answer whenever a
+    # closed interval overlaps an older open one). Join on start only,
+    # dedup to the latest start, THEN null out expired matches. Cost:
+    # expired intervals re-enter the candidate set — fine for the
+    # dimension-sized right side this strategy targets; pass
+    # disjoint=True for non-overlapping calendars to keep the
+    # end-in-join fast path.
+    cond = _range_cond(left_on, right_on, by, None)
     joined = l.join(r, cond, "left" if how == "left" else "inner")
-    return _dedup_latest(joined, left, right, right_on, by, end_col, f"l.{lid}")
+    dedup = _dedup_latest(joined, left, right, right_on, by, end_col, f"l.{lid}")
+    expired = (
+        F.col(right_on).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(left_on) > F.col(end_col))
+    )
+    rout = _right_cols(right, right_on, by) + [right_on]
+    out = dedup.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(~expired, F.col(c)).alias(c) for c in rout],
+    )
+    if how == "inner":
+        out = out.filter(F.col(right_on).isNotNull())
+    return out
 
 
 def _asof_bucketed(

@@ -19,6 +19,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def materialized_range_partitions(
+    df: DataFrame, num_partitions: int, order_cols: list
+) -> DataFrame:
+    """Range-partition + sort + MATERIALIZE (localCheckpoint) — the safe
+    base for two-pass prefix-sum algorithms.
+
+    ``repartitionByRange`` samples its boundaries with a seed derived
+    from the per-execution RDD id, so two executions of the same plan
+    can split rows across partitions differently. Any algorithm that
+    collects per-partition statistics in one job and applies them in a
+    second MUST pin one materialized partitioning first, or the offsets
+    describe a layout the second job no longer has (duplicate/shifted
+    keys, mis-packed shards — review r8). The checkpoint's storage cost
+    is the price of that consistency; both consumers (keys, packing)
+    read it exactly twice.
+    """
+    return df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    ).localCheckpoint(eager=True)
+
+
 def with_surrogate_key(
     df: DataFrame,
     key_col: str,
@@ -35,23 +56,32 @@ def with_surrogate_key(
         # Two-pass: per-partition row_number + exclusive prefix-sum of
         # partition sizes. No single-partition funnel; keys are dense and
         # deterministic given the sort.
-        sorted_df = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, *order_by).sortWithinPartitions(*order_by)
-        spid = F.spark_partition_id()
-        with_pid = sorted_df.withColumn("__pid", spid)
+        sorted_df = materialized_range_partitions(
+            df, df.sparkSession.sparkContext.defaultParallelism, list(order_by)
+        )
+        with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
         sizes = with_pid.groupBy("__pid").count().orderBy("__pid").collect()
         offsets = {}
         acc = 0
         for row in sizes:
             offsets[row["__pid"]] = acc
             acc += row["count"]
-        offmap = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        )
+        if offsets:
+            # the checkpoint guarantees every pass-2 pid was counted in
+            # pass 1; the coalesce is a loud-zero guard, never expected
+            offmap = F.coalesce(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+                    F.col("__pid")
+                ],
+                F.lit(0),
+            )
+        else:  # empty input
+            offmap = F.lit(0)
         w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
         return (
             with_pid.withColumn(
                 key_col,
-                (F.row_number().over(w) + offmap[F.col("__pid")] + start - 1).cast("long"),
+                (F.row_number().over(w) + offmap + start - 1).cast("long"),
             )
             .drop("__pid")
         )

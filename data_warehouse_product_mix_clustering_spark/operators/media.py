@@ -273,10 +273,18 @@ def _maybe_real_decode(raw: bytes, fmt: str) -> dict | None:
     )
     if is_png or is_wav:
         import struct
+        import zlib
 
         try:
             return real_decode(raw, fmt)
-        except (NotImplementedError, ValueError, struct.error) as exc:
+        except (
+            NotImplementedError,
+            ValueError,
+            struct.error,
+            zlib.error,  # corrupt IDAT stream
+            KeyError,  # invalid color type / missing chunk field
+            IndexError,  # truncated scanline data
+        ) as exc:
             # A payload carrying genuine magic but a truncated or chunkless
             # body (corrupt upload) must degrade to the deterministic fake,
             # not crash the Spark task — same contract as unknown formats.

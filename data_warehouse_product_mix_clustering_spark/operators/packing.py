@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_product_mix_clustering_spark.operators.keys import materialized_range_partitions
+
 
 def pack_shards(
     df: DataFrame,
@@ -43,9 +45,10 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
     p = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, F.col(order_col)).sortWithinPartitions(
-        order_col
-    )
+    # materialized: both passes MUST see one partitioning (see
+    # materialized_range_partitions — re-sampled range boundaries would
+    # shift rows between the counted and the keyed layout)
+    ranged = materialized_range_partitions(df, p, [F.col(order_col)])
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     sizes = (
         with_pid.groupBy("__pid")

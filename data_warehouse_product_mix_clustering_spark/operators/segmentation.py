@@ -69,6 +69,11 @@ def quantile_segment(
     seg = F.lit(1) + F.aggregate(
         "__qseg_bounds", F.lit(0), lambda acc, b: acc + bump(b)
     )
+    # NULL values: every boundary comparison is NULL -> bump 0 -> they
+    # would land in segment 1 (the BEST tile under descending). The
+    # exact path's nulls-last ordering puts them in segment n; mirror
+    # that here so the two paths agree on NULL rows (review r8).
+    seg = F.when(v.isNull(), F.lit(n)).otherwise(seg)
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(segment_col, seg.cast("long"))

@@ -20,8 +20,8 @@ _PREFIX_LEN = 6  # 16^6 buckets: granularity 6e-8, plenty for split ratios
 def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
     """(split_name, upper-bound hex prefix) pairs, cumulative order.
 
-    The last split's bound is 'ffffff…' so every row is covered; fractions
-    must sum to 1 (±1e-9).
+    The last split's bound is the sentinel 'g' (sorts after every hex
+    string) so every row is covered; fractions must sum to 1 (±1e-9).
     """
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
@@ -31,9 +31,18 @@ def split_boundaries(fractions: dict[str, float]) -> list[tuple[str, str]]:
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        bound = format(int(acc * (16**_PREFIX_LEN)), f"0{_PREFIX_LEN}x")
+        # A cumulative fraction reaching 1.0 BEFORE the last split (e.g.
+        # a trailing zero-fraction split) would format as 7 hex chars
+        # ('1000000'), breaking the fixed-width lexicographic invariant
+        # and routing half the rows past it (review r8). 'g' sorts after
+        # every hex string, so it is the correct "covers everything"
+        # sentinel; intermediate bounds clamp there.
+        raw = int(acc * (16**_PREFIX_LEN))
+        bound = (
+            "g" if raw >= 16**_PREFIX_LEN else format(raw, f"0{_PREFIX_LEN}x")
+        )
         out.append((name, bound))
-    out.append((names[-1], "f" * _PREFIX_LEN))
+    out.append((names[-1], "g"))
     return out
 
 

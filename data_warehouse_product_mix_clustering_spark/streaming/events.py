@@ -10,6 +10,7 @@ batch plan — so the streaming operator shares the batch query's SQL oracle.
 from __future__ import annotations
 
 import os
+import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +72,8 @@ def stream_events(
     schema = _events_file_schema(spark, sf_dir)
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_stream_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+        f"spark_graft_stream_"
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
@@ -183,7 +185,7 @@ def stream_events_duplicated(
     schema = _events_file_schema(spark, sf_dir)
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_stream_dup_{abs(hash(os.path.abspath(sf_dir))) % 10**10}",
+        f"spark_graft_stream_dup_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}",
     )
     os.makedirs(stage, exist_ok=True)
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")

@@ -28,17 +28,35 @@ def incremental_events_etl(
 
     Returns the number of micro-batches executed this run (0 when the
     checkpoint says everything was already ingested). Idempotent across
-    reruns — the checkpoint tracks consumed source files.
+    reruns AND across at-least-once batch replays: foreachBatch can
+    re-execute an uncommitted batch after a crash, so a plain append
+    would duplicate its rows (the exact pattern runner.py forbids) —
+    each batch instead overwrites its own ``__batch_id`` partition, the
+    quarantine sink's idempotence discipline (review r8).
     """
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
     from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
 
     stream = stream_events(spark, sf_dir, watermark="0 seconds")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        (
+            batch_df.withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL)
+            .parquet(out_dir)
+        )
 
     return run_available_now(stream, sink, checkpoint_dir, timeout_sec)
 
 
 def read_warehouse_events(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(out_dir) if os.path.exists(out_dir) else None
+    if not os.path.exists(out_dir):
+        return None
+    df = spark.read.parquet(out_dir)
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
+
+    return df.drop(BATCH_COL)

@@ -646,3 +646,53 @@ def test_asof_union_date_left_keeps_date_type(spark, payload):
         )
         rows = {r.id: r.d for r in out.collect()}
         assert rows == {1: DD("2024-01-20"), 2: DD("2024-01-01")}
+
+
+def test_asof_expired_latest_masks_older_cover(spark):
+    """Reference semantics with OVERLAPPING intervals (review r8): the
+    LATEST-started interval wins even when expired — it masks an older
+    still-covering one, exactly like pandas merge_asof + end post-filter.
+    broadcast and union must agree; the bucketed path's documented
+    deviation (latest COVERING interval) is pinned as such."""
+    left = spark.createDataFrame([(1, D("2024-10-01"))], ["id", "ts"])
+    right = spark.createDataFrame(
+        [
+            (D("2024-01-01"), None, 1.0),              # open, older
+            (D("2024-05-01"), D("2024-06-01"), 2.0),   # latest start, expired
+        ],
+        ["start", "end", "price"],
+    )
+    import pandas as pd
+
+    want = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("start"),
+        left_on="ts",
+        right_on="start",
+    )
+    masked = want.loc[0, "end"] is not None and want.loc[0, "ts"] > want.loc[0, "end"]
+    assert masked  # pandas picks the expired latest -> post-filter nulls it
+
+    for strategy in ("broadcast", "union"):
+        got = {
+            r.id: r.price
+            for r in asof_join(
+                left, right, "ts", "start", end_col="end", strategy=strategy
+            ).collect()
+        }
+        assert got == {1: None}, strategy
+    # inner drops the masked row entirely
+    assert (
+        asof_join(
+            left, right, "ts", "start", end_col="end", how="inner"
+        ).count()
+        == 0
+    )
+    # the bucketed deviation: covering interval served (documented)
+    got_b = {
+        r.id: r.price
+        for r in asof_join(
+            left, right, "ts", "start", end_col="end", bucket="month"
+        ).collect()
+    }
+    assert got_b == {1: 1.0}
