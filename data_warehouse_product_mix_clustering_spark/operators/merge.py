@@ -9,11 +9,15 @@ cannot rewrite whole tables needs the three-clause merge instead:
     WHEN MATCHED THEN UPDATE SET <set_cols>
     WHEN NOT MATCHED THEN INSERT *
 
-Spark-first shape: ONE full-outer join on the (null-safe) key decides
-every row's fate — unmatched-target rows pass through, matched rows
-delete or update, unmatched-source rows insert. No driver loops, no
-second pass; with a dimension-sized source the join broadcasts and the
-merge costs one target scan. The result is a plain DataFrame — compose
+Spark-first shape: ONE join on the (null-safe) key decides every
+row's fate — unmatched-target rows pass through, matched rows delete
+or update, unmatched-source rows insert. No driver loops, no second
+pass. A full three-clause merge needs a FULL OUTER join, which Spark
+can only sort-merge (one shuffle of both sides on the key — the honest
+cost of insert detection); an update/delete-only merge
+(``insert_unmatched=False``) downgrades to a LEFT join, which DOES
+broadcast a dimension-sized source, so the common maintenance case
+costs one target scan. The result is a plain DataFrame — compose
 with ``sources/versioned.py::write_version`` for an atomically published,
 time-travelable merge (and ``version_diff`` then yields the merge's CDC
 set for downstream incremental consumers).
@@ -48,9 +52,10 @@ def merge_into(
     same aliases) wins over update. ``insert_unmatched=False`` drops
     WHEN NOT MATCHED (update/delete-only merge).
 
-    Output column set == target's. Cost: one shuffle (or broadcast)
-    join; the duplicate-source-key guard is a window over the SOURCE
-    only (small side by construction in upsert workloads).
+    Output column set == target's. Cost: one sort-merge shuffle for the
+    full merge, a broadcastable LEFT join when ``insert_unmatched=False``;
+    the duplicate-source-key guard is a window over the SOURCE only
+    (small side by construction in upsert workloads).
     """
     if not key:
         raise ValueError("key must be non-empty")
@@ -77,7 +82,7 @@ def merge_into(
     for k in key:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else (cond & c)
-    joined = t.join(s, cond, "full_outer")
+    joined = t.join(s, cond, "full_outer" if insert_unmatched else "left")
     matched = F.col("s.__src_n").isNotNull() & F.col("t.__tgt_present").isNotNull()
     src_only = F.col("t.__tgt_present").isNull() & F.col("s.__src_n").isNotNull()
 
@@ -128,6 +133,6 @@ def merge_into(
         out = out.filter(
             ~(matched & F.coalesce(delete_condition, F.lit(False)))
         )
-    if not insert_unmatched:
-        out = out.filter(~src_only)
+    # insert_unmatched=False uses a LEFT join, so src_only rows cannot
+    # exist — no post-filter needed.
     return out.select(*out_cols)

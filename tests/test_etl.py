@@ -969,3 +969,23 @@ def test_refresh_pipeline_tombstone_deletes(spark, tmp_path):
             key=["id"], group_keys=["grp"], measures={"total": "amount"},
             tombstone_col="nope",
         )
+
+
+def test_merge_update_only_broadcasts_source(spark):
+    """insert_unmatched=False downgrades the merge to a LEFT join so a
+    dimension-sized source broadcasts — full-outer (required for insert
+    detection) can only sort-merge, so the common maintenance case must
+    not pay that shuffle."""
+    from data_warehouse_product_mix_clustering_spark.operators.merge import merge_into
+
+    t = spark.range(1000).selectExpr("id", "cast(id as double) as amt")
+    s = spark.range(10).selectExpr("id", "cast(id*2 as double) as amt")
+    plan_upd = (
+        merge_into(t, s, ["id"], insert_unmatched=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_upd and "FullOuter" not in plan_upd
+    plan_full = (
+        merge_into(t, s, ["id"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in plan_full  # insert detection needs both sides
