@@ -49,8 +49,10 @@ def main() -> None:
     spark = get_spark(app_name="data_warehouse_product_mix_clustering_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
-    first = next(iter(queries.values()))
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads. Use the
+    # cheapest headline query — iteration order now leads with a heavy
+    # dedup query, which would add seconds of untimed-but-real wall.
+    first = queries.get("pricing_summary") or next(iter(queries.values()))
     _force(first.fn(spark, SF_DIR))
 
     timings: dict[str, float] = {}
