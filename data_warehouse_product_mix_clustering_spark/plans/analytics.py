@@ -378,17 +378,18 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordval = F.col("o_orderdate").cast("timestamp").cast("long") * F.lit(
         mult
     ) + F.col("o_orderkey")
-    # Loud guard for the lexicographic precondition: if any orderkey reaches
-    # the multiplier the encoding silently mis-orders on BOTH engines (the
-    # oracle states the same arithmetic), so fail the job instead. assert_
-    # true rides the existing scan — no extra pass.
-    o = o.withColumn(
-        "__ordval_guard",
-        F.assert_true(
-            F.col("o_orderkey") < F.lit(mult),
-            F.lit("o_orderkey >= 1e7: raise the ordval multiplier"),
-        ),
-    ).drop("__ordval_guard")
+    # Loud guard for the lexicographic precondition: if any orderkey
+    # reaches the multiplier the encoding silently mis-orders on BOTH
+    # engines (the oracle states the same arithmetic), so fail the job
+    # instead. The guard is embedded IN the consumed ordering expression
+    # — a withColumn(...).drop(...) guard gets column-pruned by Catalyst
+    # and never fires (review r8, reproduced; same hazard note as
+    # operators/merge.py's in-plan assert).
+    guard = F.assert_true(
+        F.col("o_orderkey") < F.lit(mult),
+        F.lit("o_orderkey >= 1e7: raise the ordval multiplier"),
+    )
+    ordval = F.when(guard.isNull(), ordval)
     return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderdate").alias("first_order_ts"),

@@ -185,7 +185,9 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") <= 1800, 0
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+            <= 1800 * 1_000_000,
+            0,
         )
         .otherwise(1)
         .alias("new_session"),
@@ -435,7 +437,9 @@ def stream_sessions_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(wo).cast("long") <= 1800, 0
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+            <= 1800 * 1_000_000,
+            0,
         )
         .otherwise(1)
         .alias("new_session"),

@@ -109,8 +109,6 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; orderkey→orders is the one big-big anti-join and shuffles on
     the key). One count per edge, unioned into a single tiny result.
     """
-    from pyspark.sql import functions as F
-
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     edges = [

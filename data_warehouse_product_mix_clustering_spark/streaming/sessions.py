@@ -12,9 +12,12 @@ streaming operator's output against the batch sessionization — the same
 oracle-by-equivalence trick as events_stream_hourly.
 
 Semantics notes:
-- Gap comparisons use FLOORED EPOCH SECONDS, matching the batch twin
-  (plans/events.py casts each timestamp to long before differencing) —
-  exact-microsecond gaps would split sessions the batch plan keeps.
+- Gap comparisons use EXACT MICROSECONDS, matching the batch twin AND
+  the DuckDB oracle's ``<= INTERVAL 30 MINUTE`` (plans/events.py
+  differenced unix_micros; review r8 — the earlier floored-seconds
+  convention silently disagreed with the oracle for gaps inside
+  (1800 s, 1801 s), a latent boundary divergence on both engines'
+  otherwise-identical green data).
 - Late (within-watermark) cross-batch events merge into the open session
   when within the gap of its bounds (extending session_start to the min);
   an event more than the gap BEFORE the open session belongs to an
@@ -62,6 +65,7 @@ STATE_SCHEMA = StructType(
 )
 
 GAP_SECONDS = 30 * 60
+GAP_US = GAP_SECONDS * 1_000_000
 
 
 def _session_fn(
@@ -101,13 +105,12 @@ def _session_fn(
                 ts_all.extend(zip(us.tolist(), pdf["value"].astype(float).tolist()))
         ts_all.sort()
         for ts_us, value in ts_all:
-            ts_s = ts_us // 1_000_000
             if cur is None:
                 cur = [ts_us, ts_us, 0, 0.0]
-            elif ts_s - cur[1] // 1_000_000 > GAP_SECONDS:
+            elif ts_us - cur[1] > GAP_US:
                 emit(cur)
                 cur = [ts_us, ts_us, 0, 0.0]
-            elif cur[0] // 1_000_000 - ts_s > GAP_SECONDS:
+            elif cur[0] - ts_us > GAP_US:
                 # Late arrival from before the open session's reach: its
                 # session was already emitted in a previous batch, so emit
                 # it standalone rather than gluing it across the gap.
