@@ -146,3 +146,35 @@ def sql_predicted_lang(toks_expr: str) -> str:
         f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'" for lang in LANGS
     )
     return f"(CASE {clauses} ELSE 'und' END)"
+
+
+# ---------------------------------------------------------------------------
+# Document quality score — ONE definition (round 8): the 0.5·stopword-ratio
+# + 0.5·length-saturation formula previously existed in four Spark + four
+# SQL copies (doc_quality, curriculum_stages, training_corpus +
+# _sharded, dedup_best_of_group); a drift in any copy would silently
+# desynchronize queries whose docstrings all claim "the doc_quality score".
+# ---------------------------------------------------------------------------
+
+
+def quality_score(toks: Column) -> Column:
+    """Rounded doc-quality score over a token-array column:
+    0.5·(en-stopword ratio) + 0.5·min(tokens, 50)/50. Callers must
+    exclude empty token arrays (division by zero) as doc_quality does."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    hits = stopword_hits(toks, STOPWORDS["en"]).cast("double")
+    n = F.size(toks)
+    return ratio_round(
+        F.lit(0.5) * (hits / n) + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
+    )
+
+
+def sql_quality_score(toks_expr: str = "t") -> str:
+    """DuckDB twin of ``quality_score`` over a token-list expression."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import sql_ratio_round
+
+    return sql_ratio_round(
+        f"0.5 * (CAST({sql_stopword_hits(toks_expr, STOPWORDS['en'])} AS DOUBLE)"
+        f" / len({toks_expr})) + 0.5 * (least(len({toks_expr}), 50) / 50.0)"
+    )

@@ -18,9 +18,11 @@ from data_warehouse_product_mix_clustering_spark.functions.numeric import (
 from data_warehouse_product_mix_clustering_spark.functions.text import (
     STOPWORDS,
     sql_fingerprint,
+    sql_quality_score,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
+    quality_score,
     stopword_hits,
     tokens,
     word_ngrams,
@@ -457,11 +459,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn = 1
     """.format(
         tok=sql_tokens("text"),
-        score=sql_ratio_round(
-            "0.5 * (CAST({h} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)".format(
-                h=sql_stopword_hits("t", STOPWORDS["en"])
-            )
-        ),
+        score=sql_quality_score("t"),
     ),
 )
 def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,15 +481,9 @@ def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "group_id"
     )
-    t = tokens(F.col("text"))
-    hits = stopword_hits(t, STOPWORDS["en"]).cast("double")
-    n = F.size(t)
     scored = docs.select(
         "doc_id",
-        ratio_round(
-            F.lit(0.5) * (hits / n)
-            + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
-        ).alias("quality_score"),
+        quality_score(tokens(F.col("text"))).alias("quality_score"),
     )
     labeled = (
         scored.join(comp, "doc_id", "left")

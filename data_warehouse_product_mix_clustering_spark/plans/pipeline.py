@@ -19,9 +19,11 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     STOPWORDS,
     sql_bpe_tokens,
     sql_fingerprint,
+    sql_quality_score,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
+    quality_score,
     stopword_hits,
     tokens,
 )
@@ -70,7 +72,7 @@ _QUALITY_CTE = f"""
     ),
     scored AS (
         SELECT doc_id,
-               {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+               {sql_quality_score('t')} AS quality_score
         FROM toks WHERE len(t) > 0
     )
 """.strip()
@@ -103,13 +105,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
         F.size("t") > 0
     )
-    hits = stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
     scored = t.select(
         "doc_id",
-        ratio_round(
-            F.lit(0.5) * (hits / F.size("t"))
-            + F.lit(0.5) * (F.least(F.size("t"), F.lit(50)) / F.lit(50.0))
-        ).alias("quality_score"),
+        quality_score(F.col("t")).alias("quality_score"),
     )
     w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
     return scored.withColumn("stage", F.ntile(4).over(w).cast("long"))
@@ -272,7 +270,7 @@ PUBLISH_BUDGET = 2048
         ), scored AS (
             SELECT doc_id, lang,
                    CAST(len(bt) AS BIGINT) AS n_tokens,
-                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+                   {sql_quality_score('t')} AS quality_score
             FROM tk WHERE len(t) > 0
         ), corpus AS (
             SELECT doc_id, n_tokens FROM scored
@@ -408,6 +406,38 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rollup_probe(maintained, published, group_key: str, sum_col: str, src_col: str):
+    """(n_groups, matches) for maintained-rollup ≡ full-recompute — the
+    incremental-view-maintenance equivalence check BOTH refresh audits
+    attest (one definition so the tolerance / null-handling conventions
+    cannot drift between them): full-outer join on the null-safe group
+    key, sums within the 1e-4 double-reassociation bound, counts exact,
+    any lost join coalesced to a loud FALSE."""
+    recomputed = published.groupBy(group_key).agg(
+        F.sum(src_col).cast("double").alias("__rb"),
+        F.count(F.lit(1)).alias("__rn"),
+    )
+    row = (
+        maintained.join(
+            recomputed,
+            maintained[group_key].eqNullSafe(recomputed[group_key]),
+            "full_outer",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min(
+                F.coalesce(
+                    (F.abs(F.col(sum_col) - F.col("__rb")) <= 1e-4)
+                    & (F.col("n") == F.col("__rn")),
+                    F.lit(False),
+                )
+            ).alias("matches"),
+        )
+        .first()
+    )
+    return row["n_groups"], bool(row["matches"])
+
+
 def _customer_feed(spark: SparkSession, sf_dir: str):
     c = table(spark, "customer", sf_dir).select(
         "c_custkey", "c_nationkey", "c_acctbal"
@@ -487,28 +517,11 @@ def refresh_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2.write.mode("append").csv(land)
         r2 = refresh_warehouse(**args)
 
-        maintained = read_table(spark, os.path.join(work, "agg"))
-        recomputed = (
-            read_table(spark, os.path.join(work, "table"))
-            .groupBy("c_nationkey")
-            .agg(
-                F.sum("c_acctbal").cast("double").alias("__rb"),
-                F.count(F.lit(1)).alias("__rn"),
-            )
+        n_groups, rollup_ok = _rollup_probe(
+            read_table(spark, os.path.join(work, "agg")),
+            read_table(spark, os.path.join(work, "table")),
+            "c_nationkey", "bal_sum", "c_acctbal",
         )
-        probe = maintained.join(
-            recomputed, maintained.c_nationkey.eqNullSafe(recomputed.c_nationkey),
-            "full_outer",
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.min(
-                F.coalesce(
-                    (F.abs(F.col("bal_sum") - F.col("__rb")) <= 1e-4)
-                    & (F.col("n") == F.col("__rn")),
-                    F.lit(False),
-                )
-            ).alias("rollup_matches_recompute"),
-        ).first()
         n_quar = read_sink(spark, os.path.join(work, "quarantine")).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -520,8 +533,8 @@ def refresh_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r1["changes"] == -1 and r1["agg_version"] == 0,
                 r2["changes"],
                 n_quar,
-                probe["n_groups"],
-                bool(probe["rollup_matches_recompute"]),
+                n_groups,
+                rollup_ok,
             )
         ],
         "v0 long, v1 long, first_build_full boolean, n_changes long, "
@@ -1075,27 +1088,10 @@ def refresh_tombstone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_deleted_present = final.filter(
             (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 6 == 0)
         ).count()
-        maintained = read_table(spark, os.path.join(work, "agg"))
-        recomputed = final.groupBy("c_nationkey").agg(
-            F.sum("c_acctbal").cast("double").alias("__rb"),
-            F.count(F.lit(1)).alias("__rn"),
-        )
-        rollup_ok = bool(
-            maintained.join(
-                recomputed,
-                maintained.c_nationkey.eqNullSafe(recomputed.c_nationkey),
-                "full_outer",
-            )
-            .agg(
-                F.min(
-                    F.coalesce(
-                        (F.abs(F.col("bal_sum") - F.col("__rb")) <= 1e-4)
-                        & (F.col("n") == F.col("__rn")),
-                        F.lit(False),
-                    )
-                )
-            )
-            .first()[0]
+        _, rollup_ok = _rollup_probe(
+            read_table(spark, os.path.join(work, "agg")),
+            final,
+            "c_nationkey", "bal_sum", "c_acctbal",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -19,9 +19,11 @@ from data_warehouse_product_mix_clustering_spark.functions.text import (
     bpe_tokens,
     sql_bpe_tokens,
     sql_fingerprint,
+    sql_quality_score,
     sql_stopword_hits,
     sql_tokens,
     sql_word_ngrams,
+    quality_score,
     stopword_hits,
     tokens,
 )
@@ -72,7 +74,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         , scored AS (
             SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
                    {sql_ratio_round(f"CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)")} AS stopword_ratio,
-                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+                   {sql_quality_score('t')} AS quality_score
             FROM toks
         )
         SELECT doc_id, n_tokens, stopword_ratio, quality_score,
@@ -96,9 +98,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_tokens"),
         ratio_round(hits / n).alias("stopword_ratio"),
-        ratio_round(
-            F.lit(0.5) * (hits / n) + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
-        ).alias("quality_score"),
+        quality_score(F.col("t")).alias("quality_score"),
     )
     return scored.select(
         "doc_id",
@@ -352,7 +352,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), scored AS (
             SELECT doc_id, lang,
                    CAST(len(bt) AS BIGINT) AS n_tokens,
-                   {sql_ratio_round(f"0.5 * (CAST({sql_stopword_hits('t', STOPWORDS['en'])} AS DOUBLE) / len(t)) + 0.5 * (least(len(t), 50) / 50.0)")} AS quality_score
+                   {sql_quality_score('t')} AS quality_score
             FROM toks WHERE len(t) > 0
         )
         SELECT doc_id, lang, n_tokens, quality_score
@@ -392,9 +392,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size("bt").cast("long").alias("n_tokens"),
-        ratio_round(
-            F.lit(0.5) * (hits / n) + F.lit(0.5) * (F.least(n, F.lit(50)) / F.lit(50.0))
-        ).alias("quality_score"),
+        quality_score(F.col("t")).alias("quality_score"),
     )
     return scored.filter(
         (F.col("lang") == "en")
