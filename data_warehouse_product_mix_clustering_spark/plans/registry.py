@@ -59,85 +59,44 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-8 window (positions 0-49) ----
-    # New in round 8 — no driver row yet.
-    "refresh_rollup_audit",  # versioned sink + CDC-maintained rollup contract
-    "stream_quarantine_audit",  # availableNow replay conservation + idempotence
-    "events_rolling_dau_approx_audit",  # exact-vs-sketch error envelope
-    "refresh_tombstone_audit",  # soft-delete path: diff 'removed', groups die
-    "doc_bm25_indexed_search",  # materialized postings index, bucket-pruned seek
-    "postings_incremental_audit",  # CDC-maintained index ≡ full rebuild
-    "merge_upsert_audit",  # three-clause ANSI MERGE INTO operator
-    "time_travel_audit",  # versioned-sink lifecycle (travel/rollback/vacuum)
-    "jdbc_roundtrip_audit",  # S1 through a real embedded RDBMS
-    # Registered late in round 7 — r7's 50-slot window was already full, so
-    # none of these has ever received a driver CORRECTNESS row (VERDICT r7
-    # Next #1). They lead round 8's attestation window.
-    "min_cost_supplier",  # Q2 — struct-min decorrelated correlated MIN
-    "returned_item_customers",  # Q10 — top-20 partial top-k rollup
-    "important_supply_value",  # Q11 — scalar-subquery threshold
-    "late_shipment_priority",  # Q12 — conditional two-way counts
-    "customer_order_distribution",  # Q13 — ON-clause filter + histogram
-    "supplier_variety",  # Q16 — NOT-IN anti join + count distinct
-    "disjunctive_bracket_revenue",  # Q19 — OR-of-ANDs pushdown
-    "dominant_suppliers",  # Q20 — stacked semi-joins + share threshold
-    "dedup_incremental_exact",  # new-batch-vs-corpus exact dedup
-    "dedup_incremental_ngram",  # one-sided batch-vs-corpus Jaccard
-    "lateral_top_suppliers",  # correlated LATERAL → window decorrelation
-    "doc_bm25_search",  # BM25 lexical retrieval top-20
-    "doc_hybrid_rrf",  # BM25 ⊕ cosine reciprocal-rank fusion
-    "events_freq_items_audit",  # Karp heavy-hitters sketch contract
-    "events_daily_anomalies",  # 3×MAD robust outlier days
-    "events_rolling_dau",  # trailing-7d distinct users (range join)
-    "doc_bm25_snippets",  # search-result highlighting windows
-    "events_user_streaks",  # gaps-and-islands consecutive-day runs
-    "events_multitouch_attribution",  # linear credit split per purchase
-    "doc_weighted_sample",  # A-Res weighted sampling, hash-deterministic
-    "product_pagination_keyset",  # seek pagination, O(page) at any depth
-    "dedup_overlap_coefficient",  # asymmetric containment near-dups
-    "events_markov_transitions",  # P(next type | type) transition matrix
-    "revenue_pareto_share",  # 80/20 concentration frontier
-    "order_amount_benford",  # first-digit fraud/data-quality profile
-    "customer_rfm_segments",  # R/F/M quartile scores + segment label
-    "basket_part_pairs",  # bought-together pairwise frequent itemsets
-    "events_daily_paths",  # ordered within-day event-type path rollup
-    "nation_supplier_hhi",  # Herfindahl concentration per nation
-    "urgent_revenue_sql",  # FILTER-clause conditional aggregates
-    "discount_quantity_correlation",  # corr/covar bivariate aggregates
-    "customer_revenue_gini",  # rank-weighted Gini inequality index
-    "lineitem_drift_check",  # two-sample feed-drift monitoring contract
-    # Oldest surviving attestations — the r4 cohort rotates in (after this
-    # round no query's latest driver row predates r5).
-    "ann_cosine_topk",
-    "dedup_groups",
-    "doc_profile",
-    "documents_dedup",
-    "embedding_centroids",
-    "features_zscore",
-    "nation_revenue_sql",
-    "order_priority_sql",
-    # Remaining window slots: the r5 cohort begins rotating (alphabetical;
-    # the rest continues below the window boundary for round 9).
-    # ---- window boundary (the driver attests ~50 per round) ----
-    # Round-9 rotation order: round-8 queries that missed the window first,
-    # then the rest of the r5 cohort, then r6, then r7.
-    "events_rolling_dau_approx",  # rows-only; its audit sits in-window
-    "dedup_duplicated_ngrams",
-    "zorder_pruning_audit",
-    "python_datasource_scan",
-    "ann_ivf_indexed_audit",
-    "mv_rewrite_audit",
-    "checked_write_audit",
-    "basket_pagerank_audit",
-    "lineitem_replica_checksum",
+    # ---- Round-9 window (positions 0-49) ----
+    # New in round 9 — no driver row yet. (Queries registered this round are
+    # inserted HERE, above the late-r8 block, so they attest in-window.)
+    # Registered late in round 8 — r8's 50-slot window was already full, so
+    # none of these has ever received a driver CORRECTNESS row (VERDICT r8
+    # Next #1). They lead round 9's attestation window.
+    "events_rolling_dau_approx",  # rows-only; its audit attested green r8
+    "dedup_duplicated_ngrams",  # cross-doc repeated-substring mining
+    "zorder_pruning_audit",  # interleaved-bit layout: real footer-stats pruning
+    "python_datasource_scan",  # from-scratch Spark 4 Python DataSource
+    "ann_ivf_indexed_audit",  # persisted IVF index, cell-partition pruning
+    "mv_rewrite_audit",  # MV navigator: plan choice + rewrite equivalence
+    "checked_write_audit",  # constraint-guarded publish (abort/quarantine)
+    "basket_pagerank_audit",  # distributed PageRank convergence contract
+    "lineitem_replica_checksum",  # order-independent replica checksum
+    # Stalest attestations next: the 7 rows-only r4 stragglers (their gating
+    # audits are green r6-r8; the driver re-observes the row counts here).
+    "product_clusters",
+    "ann_lsh_topk",
+    "cluster_profile",
+    "clustering_quality",
+    "dedup_embedding_lsh",
+    "embedding_clusters",
+    "sequence_embeddings_lstm",
+    # r5 cohort, alphabetical — fills the window. (Entries displaced past
+    # position 49 by new-r9 insertions simply lead round 10; see below.)
+    "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_recall_audit",
     "category_rollup",
+    "cluster_trajectories",
     "contamination_check",
     "cube_category_priority",
     "customer_value_quartiles",
     "dedup_best_of_group",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dim_date_intervals",
     "doc_bpe_tokens",
     "doc_fingerprints",
@@ -149,6 +108,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_token_stats",
     "doc_top_terms",
     "events_stream_dedup",
+    "features_pca",
     "interval_join_per_product",
     "media_metadata",
     "order_priority_check",
@@ -158,6 +118,11 @@ _DRIVER_PRIORITY: list[str] = [
     "quarterly_sequences",
     "returnflag_priority_split",
     "sequence_arrays",
+    "sequence_clusters",
+    # ---- window boundary (the driver attests ~50 per round) ----
+    # Round-10 rotation order (pre-staged per VERDICT r8 Next #4): the
+    # remainder of the r5 cohort, then the r6 cohort alphabetically.
+    "sequence_clusters_lstm",
     "sequence_embeddings",
     "stream_sessions_audit",
     "training_corpus",
@@ -174,6 +139,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash_audit",
     "embedding_cluster_audit",
+    "events_approx_stats",
     "events_funnel",
     "events_props_stats",
     "events_session_window",
@@ -181,6 +147,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_sliding_qtr_hour",
     "events_stream_attribution",
     "events_stream_hourly",
+    "events_stream_sessions",
     "events_stream_topk",
     "events_tumbling_hourly",
     "global_metrics",
