@@ -123,11 +123,17 @@ def refresh_warehouse(
     prior = versions(table_dir)
     try:
         raw = spark.read.parquet(clean_dir)
-    except AnalysisException:
+    except AnalysisException as e:
         # First run with an empty landing directory, or one whose every
         # line quarantined: the clean sink is absent (no committed batch)
-        # or schema-uninferable (only empty partitions). No-op instead of
-        # crashing — publish nothing, report zero changes (ADVICE r7).
+        # or schema-uninferable (only empty partitions). ONLY those two
+        # conditions are the empty-landing no-op; any other analysis
+        # failure (e.g. conflicting schemas across batch partitions =
+        # a corrupt clean sink) must fail the refresh, not silently
+        # report changes=0 (ADVICE r8).
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         agg_prior = versions(agg_dir)
         return {
             "version": prior[-1] if prior else -1,

@@ -130,9 +130,17 @@ def merge_into(
     if delete_condition is not None:
         # NULL delete-condition on a matched row means "don't delete"
         # (SQL WHEN MATCHED AND cond semantics), hence coalesce to FALSE.
-        out = out.filter(
-            ~(matched & F.coalesce(delete_condition, F.lit(False)))
-        )
+        # The duplicate-key assert must ALSO ride the delete predicate:
+        # deleted rows never reach the guarded projection below, so a
+        # pure-delete merge whose dup-keyed rows all satisfy the delete
+        # condition would otherwise bypass the ANSI precondition
+        # (ADVICE r8). ``guarded`` keeps the assert under the matched
+        # branch so unmatched rows (NULL __src_n) never evaluate it.
+        del_pred = F.when(
+            matched & F.coalesce(delete_condition, F.lit(False)),
+            guarded(F.lit(True)),
+        ).otherwise(F.lit(False))
+        out = out.filter(~del_pred)
     # insert_unmatched=False uses a LEFT join, so src_only rows cannot
     # exist — no post-filter needed.
     return out.select(*out_cols)

@@ -38,6 +38,31 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
 
+# Completion marker: the three index relations (postings/, terms/, stats/)
+# are mutated by several non-atomic steps; the marker is deleted before the
+# first mutation and re-created only after the last, so a crash mid-update
+# leaves a DETECTABLE torn index (ADVICE r8). On a transactional table
+# format this is the commit log's job; the marker is the local-parquet
+# stand-in, consistent with update_postings_index's replaceWhere note.
+COMMIT_MARKER = "_INDEX_COMMITTED"
+
+
+def index_is_committed(index_dir: str) -> bool:
+    """True iff the last build/update of ``index_dir`` ran to completion."""
+    return os.path.exists(os.path.join(index_dir, COMMIT_MARKER))
+
+
+def _mark_dirty(index_dir: str) -> None:
+    try:
+        os.remove(os.path.join(index_dir, COMMIT_MARKER))
+    except FileNotFoundError:
+        pass
+
+
+def _mark_committed(index_dir: str) -> None:
+    with open(os.path.join(index_dir, COMMIT_MARKER), "w", encoding="utf-8") as f:
+        f.write("committed\n")
+
 
 def term_bucket_py(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     """Driver-side twin of the Spark bucket expression (md5-based so both
@@ -81,6 +106,8 @@ def build_postings_index(
     # corpus spill rather than OOM.
     from pyspark import StorageLevel
 
+    os.makedirs(index_dir, exist_ok=True)
+    _mark_dirty(index_dir)
     toks = docs.select("doc_id", tokens_expr.alias("__t")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -88,6 +115,7 @@ def build_postings_index(
         _build_postings_relations(toks, index_dir, n_buckets)
     finally:
         toks.unpersist()
+    _mark_committed(index_dir)
 
 
 def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
@@ -147,6 +175,15 @@ def search_postings_index(
     is a partial TakeOrderedAndProject. Identical scoring expression to
     ``bm25_scores_df`` ⇒ identical values, same oracle.
     """
+    if not terms:
+        # F.col("term").isin() with zero args raises an opaque py4j error;
+        # fail with the actual contract instead (ADVICE r8).
+        raise ValueError("search_postings_index requires at least one query term")
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"postings index at {index_dir!r} has no {COMMIT_MARKER} marker "
+            "(torn build/update) — rebuild it before serving searches"
+        )
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     post = read_postings(spark, index_dir).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(*terms)
@@ -247,6 +284,10 @@ def update_postings_index(
         .distinct()
         .collect()
     )
+    # Everything above is read-only; from here the index is in-flux, so
+    # drop the commit marker first and restore it only after the stats
+    # write — a crash in between leaves a detectable torn index.
+    _mark_dirty(index_dir)
     if touched:
         changed_ids = d.select(id_col)
         survivors = (
@@ -295,6 +336,7 @@ def update_postings_index(
         "n_docs long, total_dl long, avgdl double",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
     d.unpersist()
+    _mark_committed(index_dir)
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),

@@ -873,12 +873,18 @@ def _postings_index_for(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import build_postings_index
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        index_is_committed,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _POSTINGS_CACHE.get(key)
     if hit is not None:
-        if os.path.exists(os.path.join(hit, "stats")):
+        # The commit marker (not just stats/ existing) decides freshness:
+        # a torn build/update leaves the marker absent, forcing a rebuild
+        # instead of serving mutually inconsistent relations (ADVICE r8).
+        if index_is_committed(hit):
             return hit
         # stale entry (partial build / external cleanup): reclaim the
         # old directory before rebuilding, or it strands under /tmp

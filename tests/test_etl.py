@@ -731,6 +731,44 @@ def test_refresh_pipeline_empty_landing_noop(spark, tmp_path):
     }
 
 
+def test_refresh_pipeline_corrupt_clean_sink_raises(spark, tmp_path, monkeypatch):
+    """The empty-landing no-op is scoped to PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA only: any OTHER analysis failure on the clean
+    sink (e.g. conflicting schemas = corruption) must fail the refresh,
+    not report changes=0 (ADVICE r8)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.csv").write_text("id,grp,amount\n1,g1,10.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    orig = DataFrameReader.parquet
+
+    def corrupt_clean(self, *paths, **kw):
+        if any(str(p).rstrip("/").endswith("clean") for p in paths):
+            raise AnalysisException("conflicting schemas in clean sink")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", corrupt_clean)
+    with pytest.raises(AnalysisException, match="conflicting schemas"):
+        refresh_warehouse(
+            spark=spark, landing_dir=str(land), work_dir=str(tmp_path / "work"),
+            schema=schema, key=["id"], group_keys=["grp"],
+            measures={"total": "amount"},
+        )
+
+
 def test_refresh_pipeline_integer_measure_schema_stable(spark, tmp_path):
     """An integer (Long) measure keeps ONE rollup schema across versions:
     the initial full build casts its sums to double, matching the
@@ -916,6 +954,24 @@ def test_merge_into_dup_guard_survives_empty_update_set(spark):
             target, dup_src, ["id"],
             update_set={}, delete_condition=F.col("s.amt") > 100,
         ).collect()
+    # ADVICE r8: when EVERY duplicate copy satisfies the delete condition,
+    # the deleted rows never reach the guarded projection — the assert
+    # must ride the delete predicate itself, not silently delete.
+    with pytest.raises(SparkRuntimeException, match="duplicate rows"):
+        merge_into(
+            target, dup_src, ["id"],
+            update_set={}, delete_condition=F.col("s.amt") < 100,
+        ).collect()
+    # and a legitimate single-row delete still works through the guarded
+    # predicate (no false positive, unmatched rows never evaluate it)
+    single = spark.createDataFrame([(1, 1.0)], "id long, amt double")
+    tgt2 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amt double")
+    left = merge_into(
+        tgt2, single, ["id"],
+        update_set={}, delete_condition=F.col("s.amt") < 100,
+        insert_unmatched=False,
+    ).collect()
+    assert {r.id for r in left} == {2}
 
 
 def test_refresh_pipeline_tombstone_deletes(spark, tmp_path):
@@ -985,6 +1041,19 @@ def test_merge_update_only_broadcasts_source(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan_upd and "FullOuter" not in plan_upd
+    # delete-only merges keep the broadcast too — the guarded delete
+    # predicate (ADVICE r8) must not force the join shape back to
+    # sort-merge (VERDICT r8 Next #6)
+    from pyspark.sql import functions as F
+
+    plan_del = (
+        merge_into(
+            t, s, ["id"], update_set={},
+            delete_condition=F.col("s.amt") > 1e9,
+            insert_unmatched=False,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_del and "FullOuter" not in plan_del
     plan_full = (
         merge_into(t, s, ["id"])._jdf.queryExecution().executedPlan().toString()
     )

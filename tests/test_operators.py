@@ -993,6 +993,61 @@ def test_postings_index_incremental_update(spark, tmp_path):
     assert not os.path.exists(dead)
 
 
+def test_postings_index_commit_marker_and_empty_terms(spark, tmp_path):
+    """ADVICE r8 guards: searches with no terms fail with a clear
+    ValueError (not an opaque py4j isin() error); a build/update writes
+    the completion marker last, and a torn index (marker absent) refuses
+    to serve searches instead of returning mutually inconsistent
+    relations."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        COMMIT_MARKER,
+        build_postings_index,
+        index_is_committed,
+        search_postings_index,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_postings_index(docs, idx, tokens(F.col("text")))
+    assert index_is_committed(idx)
+    assert search_postings_index(spark, idx, ("beta",)).count() == 2
+
+    with pytest.raises(ValueError, match="at least one query term"):
+        search_postings_index(spark, idx, ())
+
+    # a torn index (crash between relation writes) is detectable and
+    # refuses reads; a completed update restores the marker
+    os.remove(os.path.join(idx, COMMIT_MARKER))
+    assert not index_is_committed(idx)
+    with pytest.raises(RuntimeError, match="torn build/update"):
+        search_postings_index(spark, idx, ("beta",))
+
+    tdir = str(tmp_path / "corpus")
+    write_version(docs, tdir)
+    write_version(
+        docs.unionByName(
+            spark.createDataFrame([(3, "delta")], "doc_id long, text string")
+        ),
+        tdir,
+    )
+    update_postings_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["doc_id"]),
+        lambda c: tokens(c),
+    )
+    assert index_is_committed(idx)
+    assert search_postings_index(spark, idx, ("delta",)).count() == 1
+
+
 def test_write_checked_policies(spark, tmp_path):
     """Guarded publish: clean batches version; abort publishes nothing on
     a dirty batch; quarantine publishes the clean subset and conserves
