@@ -39,6 +39,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cold run separately so rounds compare like with like (VERDICT r7 #3).
 CACHED_FIT = {"product_clusters"}
 
+# Headline queries that start from the session-shared persisted shingle
+# relation (plans/dedup.py::shared_shingles). Its materialization is real
+# query cost, but a dedup PIPELINE pays it once per corpus, not once per
+# query — so the bench materializes it once up front, reports that wall
+# under "relations" (counted in the total), and times each consumer warm.
+# Before round 9 each of the three recomputed the tokenize→shingle pass,
+# triple-counting one cost center (VERDICT r8 What's-wrong #4).
+SHARED_SHINGLES = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_overlap_coefficient",
+}
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -54,6 +67,18 @@ def main() -> None:
     # dedup query, which would add seconds of untimed-but-real wall.
     first = queries.get("pricing_summary") or next(iter(queries.values()))
     _force(first.fn(spark, SF_DIR))
+
+    relations: dict[str, float] = {}
+    if SHARED_SHINGLES & set(queries):
+        from data_warehouse_product_mix_clustering_spark.plans.dedup import (
+            invalidate_shingle_cache,
+            shared_shingles,
+        )
+
+        invalidate_shingle_cache(SF_DIR)
+        t0 = time.perf_counter()
+        _force(shared_shingles(spark, SF_DIR))
+        relations["bigram_shingles"] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -83,9 +108,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(timings.values()) + sum(relations.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "relations": relations,
+                "shared_relation": sorted(SHARED_SHINGLES & set(timings)),
                 "cached": {n: True for n in sorted(CACHED_FIT) if n in timings},
                 "cold": cold,
                 "sf": sf_val,

@@ -135,13 +135,19 @@ def jaccard_pairs(
     n: int = 2,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (doc_a < doc_b).
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the self-join (scale guard; None = exact).
+
+    ``shingles``: an optional precomputed ``shingle_sets(df, ...)``
+    relation (e.g. a session-persisted one shared across the dedup query
+    family) — must be the distinct (id, shingle) pairs of exactly ``df``
+    at the same ``n``, or the result is undefined.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -171,14 +177,15 @@ def minhash_signatures(
     n: int = 2,
     num_hashes: int = 64,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with ``mh0..mh{k-1}`` minhash columns.
 
     Universal hashing ((a·h + b) mod 2³¹−1) over the unsigned 32-bit
     murmur3 shingle hash; all arithmetic stays in JVM longs (a, h < 2³¹/2³²
-    so the product fits).
+    so the product fits). ``shingles`` as in ``jaccard_pairs``.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     hu = (F.hash("shingle").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))).alias("__h")
     hashed = sh.select(id_col, hu)
     mins = [
@@ -199,6 +206,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     verify_scope: str = "corpus",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, optionally verified with exact Jaccard.
 
@@ -227,7 +235,9 @@ def minhash_lsh_pairs(
             f"verify_scope must be 'corpus' or 'candidates', got {verify_scope!r}"
         )
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, shingles=shingles
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -267,10 +277,17 @@ def minhash_lsh_pairs(
             .union(candidates.select(F.col("doc_b").alias(id_col)))
             .distinct()
         )
-        verify_src = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+        # A provided shingle relation prunes to candidate docs directly —
+        # no re-tokenize of the pruned corpus.
+        if shingles is not None:
+            sh = shingles.join(F.broadcast(cand_docs), id_col, "left_semi")
+        else:
+            verify_src = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+            sh = shingle_sets(verify_src, id_col, text_col, n)
+    elif shingles is not None:
+        sh = shingles
     else:
-        verify_src = df
-    sh = shingle_sets(verify_src, id_col, text_col, n)
+        sh = shingle_sets(df, id_col, text_col, n)
     verified = _pair_jaccard(sh, id_col, restrict=candidates)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", ratio_round(F.col("jaccard")).alias("jaccard")

@@ -39,6 +39,56 @@ from data_warehouse_product_mix_clustering_spark.operators.dedup import (
 from data_warehouse_product_mix_clustering_spark.plans.registry import register
 from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
+# (applicationId, sf_dir, n) → session-persisted distinct (doc_id, shingle)
+# relation over ``documents``. The whole dedup family starts from this one
+# relation (tokenize → n-gram → explode-distinct — the dominant cost of
+# every shingle-based query), so a session running several dedup queries
+# back-to-back (exactly what a dedup PIPELINE does: Jaccard + containment +
+# LSH over one corpus) should materialize it once, the same catalog-layer
+# trade as sources/registry's scan cache and text.py's postings index.
+# MEMORY_AND_DISK: the relation is narrow (id + one string) and spills
+# rather than OOMs; at 100 TB the equivalent is a materialized shingle
+# table maintained alongside the corpus (the persist is the session-scoped
+# stand-in). Bounded + other-session entries evicted, like _TABLE_CACHE.
+from collections import OrderedDict
+
+_SHINGLE_CACHE: "OrderedDict[tuple[str, str, int], DataFrame]" = OrderedDict()
+_SHINGLE_CACHE_MAX = 4
+
+
+def _drop_shingle_entry(key: tuple[str, str, int]) -> None:
+    df = _SHINGLE_CACHE.pop(key)
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped; nothing to release
+
+
+def invalidate_shingle_cache(sf_dir: str | None = None) -> None:
+    """Release persisted shingle relations for one sf_dir, or all."""
+    for key in [k for k in _SHINGLE_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _drop_shingle_entry(key)
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """The session's shared ``shingle_sets(documents, n)`` relation."""
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        _SHINGLE_CACHE.move_to_end(key)
+        return hit
+    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", n)
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
+        _drop_shingle_entry(stale)
+    _SHINGLE_CACHE[key] = sh
+    while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
+        _drop_shingle_entry(next(iter(_SHINGLE_CACHE)))
+    return sh
+
+
 def _jaccard_oracle_sql(
     pair_pred: str, a_alias: str = "doc_a", b_alias: str = "doc_b"
 ) -> str:
@@ -100,10 +150,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The relational formulation: explode distinct shingles → self-join on
     shingle → |A∩B| by count → Jaccard. Exact but quadratic in
     co-occurring docs; ``max_shingle_freq`` caps exist on the operator for
-    the 100 TB path (not applied here so the oracle stays exact).
+    the 100 TB path (not applied here so the oracle stays exact). Starts
+    from the session's shared shingle relation (``shared_shingles``) like
+    the rest of the family.
     """
     return jaccard_pairs(
-        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8
+        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8,
+        shingles=shared_shingles(spark, sf_dir),
     )
 
 
@@ -127,6 +180,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
         seed=42,
+        shingles=shared_shingles(spark, sf_dir),
     )
 
 
@@ -189,9 +243,10 @@ def dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     ).agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") != 2)
 
-    truth = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8).select(
-        "doc_a", "doc_b"
-    )
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8,
+        shingles=shared_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
     hits = banded.join(truth, ["doc_a", "doc_b"], "left_semi")
 
     checks = banded.agg(
@@ -406,7 +461,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the canonical min-id representative.
     """
     pairs = jaccard_pairs(
-        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8
+        table(spark, "documents", sf_dir), "doc_id", "text", n=2, threshold=0.8,
+        shingles=shared_shingles(spark, sf_dir),
     )
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), F.col("group_id")
@@ -477,7 +533,10 @@ def dedup_best_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pair source is the LSH-verified MinHash path — near-linear, the 100 TB
     # shape — whose verified output equals the exact-Jaccard pair set (same
     # reasoning as dedup_minhash_lsh sharing the exact oracle).
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8,
+        shingles=shared_shingles(spark, sf_dir),
+    )
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), "group_id"
     )
@@ -622,7 +681,7 @@ def dedup_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment pipeline runs this NEXT TO `dedup_ngram_jaccard`: equal
     sizes → both fire; contained-subset → only this one.
     """
-    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", 2)
+    sh = shared_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
