@@ -1442,6 +1442,8 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
               WHERE l_orderkey IN (SELECT l_orderkey FROM multi)) AS n_nodes,
             TRUE AS converged_within_max,
+            TRUE AS converged_by_iter_25,
+            TRUE AS residual_below_tol,
             TRUE AS sum_to_one,
             TRUE AS residual_small,
             TRUE AS min_rank_above_floor
@@ -1482,16 +1484,24 @@ def basket_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n = stats["n"]
     floor = 0.15 / n - 1e-12
+    # Convergence SPEED rides the hash row too (VERDICT r8 Next #7):
+    # measured ≤20 iterations to residual <1e-15 at sf0.01 (tol 1e-12),
+    # so ≤25 is generous headroom while a stalled/slowed iteration —
+    # which still satisfies the loose within-cap bound — flips the
+    # driver row red, not just a pytest assertion.
     return spark.createDataFrame(
         [
             (
                 n,
                 bool(it < 40 or resid <= 1e-12),
+                bool(it <= 25),
+                bool(resid <= 1e-12),
                 bool(abs(stats["s"] - 1.0) < 1e-9),
                 bool(resid < 1e-9),
                 bool(stats["mn"] >= floor),
             )
         ],
-        "n_nodes long, converged_within_max boolean, sum_to_one boolean, "
+        "n_nodes long, converged_within_max boolean, converged_by_iter_25 boolean, "
+        "residual_below_tol boolean, sum_to_one boolean, "
         "residual_small boolean, min_rank_above_floor boolean",
     )

@@ -150,6 +150,75 @@ def answer_from_summaries(
     )
 
 
+def maintain_summary(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    diff: DataFrame,
+    measures: dict[str, str],
+) -> None:
+    """Maintain a materialized summary IN PLACE from a CDC change set
+    (``sources/versioned.py::version_diff`` shape) — the write side the
+    module docstring promises, closing the navigator⊕maintenance loop.
+
+    Cost O(|changes| + |summary|), never the fact: the summary's SUM
+    columns and row count maintain through ``operators/incremental_agg.py
+    ::apply_agg_delta`` (group-move-correct: a changed row negates its OLD
+    image at its OLD group and adds its NEW image at its NEW group); the
+    per-measure non-null counts (``__nn_<m>``, what keeps AVG
+    NULL-correct) ride the SAME algebra as indicator measures — each
+    image's struct is enriched with ``(src IS NOT NULL)::double`` fields,
+    so Σ(indicator) IS the non-null count delta. ``measures`` must be the
+    mapping the summary was materialized with.
+
+    The maintained relation is localCheckpointed before the overwrite
+    (self-overwrite guard), and the JSON sidecar — wiped with the
+    directory — is rewritten after, so the navigator keeps seeing the
+    summary.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.incremental_agg import apply_agg_delta
+
+    path = os.path.join(store_dir, name)
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    if sorted(measures) != meta["measures"]:
+        raise ValueError(
+            f"measures {sorted(measures)} differ from the summary's "
+            f"materialized set {meta['measures']}"
+        )
+    d = diff
+    for out, src in measures.items():
+        for img in ("__old", "__new"):
+            d = d.withColumn(
+                img,
+                F.col(img).withField(
+                    f"__i_{out}", F.col(f"{img}.{src}").isNotNull().cast("double")
+                ),
+            )
+    all_measures = dict(measures)
+    all_measures.update({f"__nn_{out}": f"__i_{out}" for out in measures})
+    old = spark.read.parquet(path)
+    new = apply_agg_delta(old, d, meta["keys"], all_measures, count_col="__n")
+    # apply_agg_delta's documented NULL divergence (all-NULL group sums to
+    # 0.0 where SQL SUM yields NULL) is resolved here exactly the way its
+    # docstring prescribes: the summary carries the per-measure non-null
+    # count, so a zero-__nn group's sum is NULLed to match a recompute.
+    new = new.select(
+        *meta["keys"],
+        *[
+            F.when(F.col(f"__nn_{out}") > 0, F.col(out)).alias(out)
+            for out in measures
+        ],
+        *[F.col(f"__nn_{out}").cast("long").alias(f"__nn_{out}") for out in measures],
+        F.col("__n").cast("long").alias("__n"),
+    ).localCheckpoint(eager=True)
+    new.write.mode("overwrite").parquet(path)
+    tmp = os.path.join(path, f".{_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+
+
 from data_warehouse_product_mix_clustering_spark.plans.registry import register  # noqa: E402
 from data_warehouse_product_mix_clustering_spark.sources.registry import table  # noqa: E402
 
@@ -256,4 +325,158 @@ def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_months long, chose_finer_summary boolean, chose_coarsest_valid boolean, "
         "monthly_matches_fact boolean, total_matches_fact boolean, "
         "summary_only_scan boolean, refuses_unanswerable boolean",
+    )
+
+
+@register(
+    "mv_maintenance_audit",
+    oracle="""
+        WITH v1 AS (
+            SELECT CAST(o_orderdate AS DATE) AS ship_day,
+                   CASE WHEN o_orderkey % 7 = 5 THEN 'X' ELSE o_orderstatus
+                       END AS flag
+            FROM orders WHERE o_orderkey % 7 <> 3
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT DISTINCT ship_day, flag FROM v1)) AS n_groups,
+               TRUE AS maintained_equals_recompute,
+               TRUE AS groups_moved,
+               TRUE AS navigator_matches_fact
+    """,
+)
+def mv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigator ⊕ maintenance, composed end-to-end (VERDICT r8 Next #5):
+    a daily-by-flag revenue summary is materialized off version 0 of a
+    lineitem-derived fact, ONE CDC batch (adds + removes + group-moving
+    changes) flows through ``maintain_summary``, and the audit pins
+
+    - ``maintained_equals_recompute``: the maintained summary equals a
+      from-scratch materialization over v1 — every group key, SUM within
+      the 1e-6 double-reassociation bound, non-null counts and row counts
+      EXACT, groups born (the 'X' flag) and died included;
+    - ``groups_moved``: the change batch really exercised the
+      between-groups decomposition (flag 'X' groups exist only via moved
+      rows — a maintainer that nets changed rows at one group fails);
+    - ``navigator_matches_fact``: ``answer_from_summaries`` over the
+      MAINTAINED store answers the monthly-by-flag rollup identically to
+      a v1 fact-direct aggregation — the loop the module docstring
+      promises, driver-attested in one row.
+
+    The CDC batch: v1 adds every ``o_orderkey % 7 == 0`` row (absent from
+    v0), removes ``% 7 == 3``, and for ``% 7 == 5`` doubles the total
+    price AND moves the row to status 'X'. (The fact derives from
+    ``orders`` — its key is unique in the testdata, the diff
+    precondition; lineitem's (orderkey, linenumber) is not.)
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    li = table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("ship_day"),
+        F.col("o_orderstatus").alias("flag"),
+        F.col("o_totalprice").alias("revenue"),
+    )
+    mod = F.col("o_orderkey") % 7
+    v0 = li.filter(mod != 0)
+    v1 = li.filter(mod != 3).select(
+        "o_orderkey",
+        "ship_day",
+        F.when(mod == 5, F.lit("X")).otherwise(F.col("flag")).alias("flag"),
+        F.when(mod == 5, F.col("revenue") * 2).otherwise(F.col("revenue")).alias(
+            "revenue"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_mv_maint_")
+    try:
+        tdir = os.path.join(root, "fact")
+        write_version(v0, tdir)
+        write_version(v1, tdir)
+        store = os.path.join(root, "store")
+        measures = {"revenue": "revenue"}
+        materialize_summary(v0, store, "daily_flag", ["flag", "ship_day"], measures)
+        diff = version_diff(spark, tdir, 0, 1, key=["o_orderkey"])
+        maintain_summary(spark, store, "daily_flag", diff, measures)
+
+        maintained = spark.read.parquet(os.path.join(store, "daily_flag"))
+        ref_store = os.path.join(root, "ref_store")
+        materialize_summary(v1, ref_store, "daily_flag", ["flag", "ship_day"], measures)
+        recomputed = spark.read.parquet(os.path.join(ref_store, "daily_flag"))
+
+        m = maintained.select(
+            "ship_day", "flag", "revenue",
+            F.col("__nn_revenue").alias("__nn"), F.col("__n").alias("__cnt"),
+        )
+        r = recomputed.select(
+            F.col("ship_day").alias("__r_day"),
+            F.col("flag").alias("__r_flag"),
+            F.col("revenue").alias("__r_rev"),
+            F.col("__nn_revenue").alias("__r_nn"),
+            F.col("__n").alias("__r_cnt"),
+        )
+        cmp = m.join(
+            r,
+            F.col("ship_day").eqNullSafe(F.col("__r_day"))
+            & F.col("flag").eqNullSafe(F.col("__r_flag")),
+            "full_outer",
+        )
+        probe = cmp.agg(
+            F.coalesce(
+                F.min(
+                    F.coalesce(
+                        (F.abs(F.col("revenue") - F.col("__r_rev")) <= 1e-6)
+                        & (F.col("__nn") == F.col("__r_nn"))
+                        & (F.col("__cnt") == F.col("__r_cnt")),
+                        F.lit(False),
+                    )
+                ),
+                F.lit(False),
+            ).alias("equal"),
+            F.coalesce(
+                F.max(F.coalesce(F.col("flag"), F.col("__r_flag")) == "X"),
+                F.lit(False),
+            ).alias("moved"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+        ).first()
+
+        month = F.date_trunc("month", F.col("ship_day")).alias("month")
+        nav, _choice = answer_from_summaries(
+            spark, store, ["ship_day", "flag"], ["revenue"],
+            out_keys=[month, F.col("flag")],
+        )
+        direct = v1.groupBy(
+            F.date_trunc("month", "ship_day").alias("month"), "flag"
+        ).agg(
+            F.sum("revenue").alias("__rev"),
+            F.count(F.lit(1)).cast("long").alias("__c"),
+        )
+        nav_ok = bool(
+            nav.join(
+                direct,
+                nav["month"].eqNullSafe(direct["month"])
+                & nav["flag"].eqNullSafe(direct["flag"]),
+                "full_outer",
+            )
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.coalesce(
+                            (F.abs(F.col("revenue") - F.col("__rev")) <= 1e-4)
+                            & (F.col("n_rows") == F.col("__c")),
+                            F.lit(False),
+                        )
+                    ),
+                    F.lit(False),
+                )
+            )
+            .first()[0]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(probe["n_groups"], bool(probe["equal"]), bool(probe["moved"]), nav_ok)],
+        "n_groups long, maintained_equals_recompute boolean, "
+        "groups_moved boolean, navigator_matches_fact boolean",
     )

@@ -787,3 +787,50 @@ def test_mv_navigator_choice_and_rewrite(spark, tmp_path):
     # FileNotFoundError (the documented fall-back-to-fact path)
     with pytest.raises(LookupError, match="no summary"):
         answer_from_summaries(spark, str(tmp_path / "absent"), ["g"], ["v"])
+
+
+def test_mv_maintain_summary_nulls_and_group_moves(spark, tmp_path):
+    """maintain_summary ≡ recompute on the hard cases the driver audit's
+    corpus cannot produce: NULL measure values (the __nn indicator path),
+    a row MOVING between groups while carrying NULL, a group that dies,
+    and an all-NULL group whose maintained sum must be NULL (SQL SUM
+    convention), not 0.0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.mv import (
+        maintain_summary,
+        materialize_summary,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "b", 5.0), (5, "c", 9.0)],
+        "id long, g string, v double",
+    )
+    v1 = spark.createDataFrame(
+        # id1 value-changed; id2 moves a→b still NULL; id3 removed (so
+        # group b holds only the NULL mover); id4 added NULL; c dies.
+        [(1, "a", 2.0), (2, "b", None), (4, "a", None)],
+        "id long, g string, v double",
+    )
+    tdir = str(tmp_path / "fact")
+    write_version(v0, tdir)
+    write_version(v1, tdir)
+    store = str(tmp_path / "store")
+    materialize_summary(v0, store, "by_g", ["g"], {"v": "v"})
+    maintain_summary(
+        spark, store, "by_g",
+        version_diff(spark, tdir, 0, 1, key=["id"]), {"v": "v"},
+    )
+    got = {
+        r["g"]: (r["v"], r["__nn_v"], r["__n"])
+        for r in spark.read.parquet(str(tmp_path / "store" / "by_g")).collect()
+    }
+    assert got == {"a": (2.0, 1, 2), "b": (None, 0, 1)}  # c died; b all-NULL
+
+    with pytest.raises(ValueError, match="differ from the summary"):
+        maintain_summary(
+            spark, store, "by_g",
+            version_diff(spark, tdir, 0, 1, key=["id"]), {"w": "v"},
+        )
