@@ -1505,3 +1505,44 @@ def basket_pagerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual_below_tol boolean, sum_to_one boolean, "
         "residual_small boolean, min_rank_above_floor boolean",
     )
+
+
+@register(
+    "customer_fuzzy_matches",
+    oracle="""
+        SELECT a.c_custkey AS probe_key, b.c_custkey AS match_key,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+        FROM customer a
+        JOIN customer b
+          ON a.c_custkey % 100 = 7 AND b.c_custkey % 100 <> 7
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution similarity JOIN: every (probe, corpus) customer
+    pair within edit distance 2 — the join form of the reference's
+    driver-side fuzzy scan (`product_fuzzy_search` mirrors that one;
+    src/pages/2_Product_Details.py's search box is the semantic anchor).
+
+    Probe batch = ``c_custkey % 100 == 7`` (~1%, the incremental-ingest
+    framing shared with `dedup_incremental_*`); corpus = the rest. The
+    plan is operators/strings.py::edit_distance_join — rarest-q-gram
+    prefix postings (k·q+1 grams per name under a global
+    frequency-ascending order) joined on gram, then exact levenshtein
+    verify — so the result equals the oracle's quadratic
+    levenshtein-filtered join without ever forming the cross product.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.strings import edit_distance_join
+
+    cust = table(spark, "customer", sf_dir)
+    probe = cust.filter(F.col("c_custkey") % 100 == 7).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("probe_name")
+    )
+    corpus = cust.filter(F.col("c_custkey") % 100 != 7).select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("match_name")
+    )
+    return edit_distance_join(
+        probe, corpus, "probe_key", "match_key", "probe_name", "match_name",
+        max_dist=2, q=2,
+    ).select("probe_key", "match_key", "distance")

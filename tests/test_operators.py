@@ -1195,3 +1195,60 @@ def test_table_checksum_order_invariant_and_sensitive(spark):
         table_checksum(empty_not_null, ["id", "tag"]).first()["checksum"]
         != base["checksum"]
     )
+
+
+def test_edit_distance_join_exact_vs_brute_force(spark):
+    """The prefix-filtered ED join returns EXACTLY the brute-force pair
+    set — including short strings (vacuous count filter), gram-disjoint
+    pairs, and edits at the string head (where naive prefix blocking
+    breaks)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.strings import edit_distance_join
+
+    probe = spark.createDataFrame(
+        [
+            (1, "warehouse"),
+            (2, "warehous"),       # 1 deletion
+            (3, "Xarehouse"),      # head substitution
+            (4, "ab"),             # short
+            (5, "a"),              # shorter
+            (6, "zzzzzzzz"),       # gram-disjoint from everything
+        ],
+        "pid long, pname string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "warehouse"),
+            (11, "warehousing"),   # distance 3 from 'warehouse' -> out
+            (12, "carehouse"),
+            (13, "ba"),            # ED(ab,ba)=2, shares no bigram
+            (14, "cd"),            # ED(ab,cd)=2
+            (15, ""),              # empty: ED(a,'')=1
+            (16, "zzzzzzy"),
+        ],
+        "cid long, cname string",
+    )
+    got = {
+        (r.pid, r.cid, r.distance)
+        for r in edit_distance_join(
+            probe, corpus, "pid", "cid", "pname", "cname", max_dist=2
+        ).collect()
+    }
+    want = {
+        (r.pid, r.cid, r.d)
+        for r in probe.crossJoin(corpus)
+        .select(
+            "pid", "cid",
+            F.levenshtein("pname", "cname").cast("long").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want and len(want) >= 8
+
+    with pytest.raises(ValueError, match="must differ"):
+        edit_distance_join(probe, corpus, "pid", "cid", "pname", "pname")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join(probe, corpus, "pid", "cid", "pname", "cname", max_dist=0)
