@@ -1181,3 +1181,230 @@ def events_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_user_days").desc(), "path")
         .limit(10)
     )
+
+
+def _audience_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (day, event_type, user_id) — the one fact-sized shuffle
+    both audience-overlap plans start from."""
+    return (
+        table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "event_type", "user_id")
+        .distinct()
+    )
+
+
+@register(
+    "events_audience_overlap",
+    oracle=f"""
+        WITH tu AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        sizes AS (
+            SELECT day, event_type, count(*) AS n FROM tu GROUP BY 1, 2
+        ),
+        ov AS (
+            SELECT a.day AS day, a.event_type AS type_a,
+                   b.event_type AS type_b, count(*) AS o
+            FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.day = b.day
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(ov.day AS TIMESTAMP) AS day, type_a, type_b,
+               CAST(sa.n AS BIGINT) AS users_a, CAST(sb.n AS BIGINT) AS users_b,
+               CAST(o AS BIGINT) AS overlap,
+               {sql_ratio_round("o / (sa.n + sb.n - o)")} AS jaccard
+        FROM ov
+        JOIN sizes sa ON ov.day = sa.day AND ov.type_a = sa.event_type
+        JOIN sizes sb ON ov.day = sb.day AND ov.type_b = sb.event_type
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: per day, for every event-type pair, how many
+    users did BOTH — the segment-intersection metric behind campaign
+    reach and feature co-usage dashboards.
+
+    Exact plan, no self-join: the distinct (day, user, type) triples
+    collapse to one sorted type-set per (day, user), each set explodes
+    into its C(t, 2) pairs (bounded by the type VOCABULARY, not the data),
+    and one aggregation counts each pair's co-audience. Per-audience
+    sizes broadcast back in for the Jaccard. Cost: the triple-distinct
+    shuffle + one pair aggregation — at 100 TB the same shape holds, and
+    `events_audience_overlap_sketch_audit` pins the HLL swap for when
+    even the triple relation is too wide.
+    """
+    pairs_expr = F.expr(
+        "flatten(transform(__ts, (x, i) -> "
+        "transform(slice(__ts, i + 2, greatest(size(__ts) - i - 1, 0)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
+    per_user = (
+        _audience_triples(spark, sf_dir)
+        .groupBy("day", "user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("__ts"))
+    )
+    ov = (
+        per_user.select("day", F.explode(pairs_expr).alias("__p"))
+        .groupBy("day", F.col("__p.type_a").alias("type_a"), F.col("__p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    sizes = (
+        _audience_triples(spark, sf_dir)
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sa = sizes.select(
+        F.col("day").alias("__da"), F.col("event_type").alias("__ta"),
+        F.col("n").alias("users_a"),
+    )
+    sb = sizes.select(
+        F.col("day").alias("__db"), F.col("event_type").alias("__tb"),
+        F.col("n").alias("users_b"),
+    )
+    return (
+        ov.join(
+            F.broadcast(sa),
+            (F.col("day") == F.col("__da")) & (F.col("type_a") == F.col("__ta")),
+        )
+        .join(
+            F.broadcast(sb),
+            (F.col("day") == F.col("__db")) & (F.col("type_b") == F.col("__tb")),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "overlap",
+            ratio_round(
+                F.col("overlap")
+                / (F.col("users_a") + F.col("users_b") - F.col("overlap"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "events_audience_overlap_sketch_audit",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        active AS (
+            SELECT DISTINCT day, event_type FROM tu
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               TRUE AS audiences_within_envelope,
+               TRUE AS overlap_within_envelope
+        FROM active a
+        JOIN active b ON a.day = b.day AND a.event_type < b.event_type
+    """,
+)
+def events_audience_overlap_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested error gate for the SKETCH form of audience
+    overlap — the 100 TB path where per-audience user sets become one
+    fixed-size HLL each and the intersection derives by
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    (`hll_union` of the two sketches; no user list ever shuffles).
+
+    Inclusion-exclusion COMPOUNDS sketch error (three estimates, each
+    ~1.6% rsd at lgK=12), so the pinned envelope is additive, not
+    relative: |est − exact| ≤ 3·rsd·(est_A + est_B + est_A∪B) + 1. The
+    audit recomputes the exact overlaps in-plan, checks every (day,
+    type-pair), and the oracle independently derives the PAIR COUNT from
+    raw events so dropped pairs flip ``n_pairs``, not just a boolean.
+    At driver SFs the sketches sit in DataSketches' exact mode (measured
+    error 0) — a breach is a regression, not noise.
+    """
+    rsd = 1.04 / (2.0 ** 6)  # lgK=12: 1.04/sqrt(4096) ≈ 1.625%
+    daily = (
+        table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"))
+    )
+    a = daily.select(
+        F.col("day").alias("__da"), F.col("event_type").alias("type_a"),
+        F.col("__sk").alias("__ska"),
+    )
+    b = daily.select(
+        F.col("day").alias("__db"), F.col("event_type").alias("type_b"),
+        F.col("__sk").alias("__skb"),
+    )
+    est = (
+        a.join(
+            b,
+            (F.col("__da") == F.col("__db")) & (F.col("type_a") < F.col("type_b")),
+        )
+        .select(
+            F.col("__da").alias("day"),
+            "type_a",
+            "type_b",
+            F.hll_sketch_estimate("__ska").alias("__ea"),
+            F.hll_sketch_estimate("__skb").alias("__eb"),
+            F.hll_sketch_estimate(F.hll_union("__ska", "__skb")).alias("__eu"),
+        )
+        .withColumn("__est", F.col("__ea") + F.col("__eb") - F.col("__eu"))
+    )
+    # The audit universe is every (day, type-pair) with BOTH audiences
+    # active that day — the sketch side's join already defines it. Exact
+    # sizes attach per side; a pair with no co-audience has exact overlap
+    # 0 (LEFT join + coalesce), and its estimate must land within the
+    # envelope of zero — excluding those pairs would hide an estimator
+    # that hallucinates overlap.
+    sizes = (
+        _audience_triples(spark, sf_dir)
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    exact_ov = (
+        events_audience_overlap(spark, sf_dir)
+        .select(
+            F.col("day").cast("date").alias("__xd"),
+            F.col("type_a").alias("__xa"),
+            F.col("type_b").alias("__xb"),
+            "overlap",
+        )
+    )
+    joined = (
+        est.join(
+            sizes.select(
+                F.col("day").alias("__sa_d"), F.col("event_type").alias("__sa_t"),
+                F.col("n").alias("users_a"),
+            ),
+            (F.col("day") == F.col("__sa_d")) & (F.col("type_a") == F.col("__sa_t")),
+        )
+        .join(
+            sizes.select(
+                F.col("day").alias("__sb_d"), F.col("event_type").alias("__sb_t"),
+                F.col("n").alias("users_b"),
+            ),
+            (F.col("day") == F.col("__sb_d")) & (F.col("type_b") == F.col("__sb_t")),
+        )
+        .join(
+            exact_ov,
+            F.col("day").eqNullSafe(F.col("__xd"))
+            & F.col("type_a").eqNullSafe(F.col("__xa"))
+            & F.col("type_b").eqNullSafe(F.col("__xb")),
+            "left",
+        )
+        .withColumn("overlap", F.coalesce(F.col("overlap"), F.lit(0)))
+    )
+    tol = 3 * rsd * (F.col("__ea") + F.col("__eb") + F.col("__eu")) + 1
+    overlap_ok = F.abs(F.col("__est") - F.col("overlap")) <= tol
+    audience_ok = (
+        (F.abs(F.col("__ea") - F.col("users_a")) <= 3 * rsd * F.col("users_a") + 1)
+        & (F.abs(F.col("__eb") - F.col("users_b")) <= 3 * rsd * F.col("users_b") + 1)
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.min(F.coalesce(audience_ok, F.lit(False))), F.lit(False)).alias(
+            "audiences_within_envelope"
+        ),
+        F.coalesce(F.min(F.coalesce(overlap_ok, F.lit(False))), F.lit(False)).alias(
+            "overlap_within_envelope"
+        ),
+    )
