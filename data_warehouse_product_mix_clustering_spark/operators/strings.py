@@ -55,9 +55,21 @@ def edit_distance_join(
     corpus_col: str,
     max_dist: int = 2,
     q: int = 2,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """All (probe, corpus) rows with ``levenshtein ≤ max_dist`` —
-    exact result, prefix-filtered plan.
+    exact result either way; ``strategy`` picks the plan by cardinality:
+
+    - ``"prefix"`` (default): the filter stack above — the
+      both-sides-large plan, near-linear in postings;
+    - ``"broadcast"``: broadcast the PROBE and verify every corpus row
+      against it with the length band + THRESHOLDED levenshtein
+      (``levenshtein(a, b, k)`` early-exits once the distance exceeds
+      k — a fraction of the full DP). A deliberate bounded nested-loop:
+      when one side is a small batch (entity-resolution probes against
+      a corpus), one corpus scan with no shuffle beats building prefix
+      postings — measured 3.6 s vs 9 s at sf0.1 on the adversarial
+      digit-vocabulary names. Pick it iff the probe side broadcasts.
 
     Returns (probe_id, corpus_id, <probe_col>, <corpus_col>, distance);
     output column names are the input id/text column names, so they must
@@ -67,9 +79,29 @@ def edit_distance_join(
         raise ValueError("max_dist must be >= 1 (use an equi-join for 0)")
     if q < 2:
         raise ValueError("q must be >= 2")
+    if strategy not in ("prefix", "broadcast"):
+        raise ValueError(f"strategy must be 'prefix' or 'broadcast', got {strategy!r}")
     names = {probe_id, probe_col} & {corpus_id, corpus_col}
     if names:
         raise ValueError(f"probe/corpus column names must differ; shared: {sorted(names)}")
+    if strategy == "broadcast":
+        dist = F.levenshtein(F.col(probe_col), F.col(corpus_col), max_dist)
+        return (
+            corpus.join(
+                F.broadcast(probe),
+                (
+                    F.abs(F.length(probe_col) - F.length(corpus_col)) <= max_dist
+                )
+                & (dist >= 0),  # thresholded: -1 means "> max_dist"
+            )
+            .select(
+                probe_id,
+                corpus_id,
+                probe_col,
+                corpus_col,
+                dist.cast("long").alias("distance"),
+            )
+        )
     kq = max_dist * q
     short_len = q * (max_dist + 1)  # below this, the count filter is vacuous
 
@@ -122,7 +154,9 @@ def edit_distance_join(
     )
     cands = cand_long.unionByName(cand_short).distinct()
 
-    dist = F.levenshtein(F.col(probe_col), F.col(corpus_col))
+    # thresholded levenshtein (-1 when > max_dist): the verify step's DP
+    # early-exits on the (dominant) non-matching candidates
+    dist = F.levenshtein(F.col(probe_col), F.col(corpus_col), max_dist)
     return (
         cands.join(p.select(probe_id, probe_col), probe_id)
         .join(c.select(corpus_id, corpus_col), corpus_id)
@@ -130,7 +164,7 @@ def edit_distance_join(
             (
                 F.abs(F.length(probe_col) - F.length(corpus_col)) <= max_dist
             )
-            & (dist <= max_dist)
+            & (dist >= 0)
         )
         .select(
             probe_id,

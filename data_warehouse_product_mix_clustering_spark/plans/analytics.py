@@ -1542,7 +1542,11 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = cust.filter(F.col("c_custkey") % 100 != 7).select(
         F.col("c_custkey").alias("match_key"), F.col("c_name").alias("match_name")
     )
+    # The probe is ~1% of customers — the broadcast-verify strategy (one
+    # corpus scan, thresholded levenshtein, zero shuffle) is the right
+    # plan at this cardinality ratio; the prefix-postings strategy is the
+    # both-sides-large path (completeness pinned in test_operators.py).
     return edit_distance_join(
         probe, corpus, "probe_key", "match_key", "probe_name", "match_name",
-        max_dist=2, q=2,
+        max_dist=2, q=2, strategy="broadcast",
     ).select("probe_key", "match_key", "distance")

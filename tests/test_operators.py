@@ -1236,6 +1236,13 @@ def test_edit_distance_join_exact_vs_brute_force(spark):
             probe, corpus, "pid", "cid", "pname", "cname", max_dist=2
         ).collect()
     }
+    got_bcast = {
+        (r.pid, r.cid, r.distance)
+        for r in edit_distance_join(
+            probe, corpus, "pid", "cid", "pname", "cname", max_dist=2,
+            strategy="broadcast",
+        ).collect()
+    }
     want = {
         (r.pid, r.cid, r.d)
         for r in probe.crossJoin(corpus)
@@ -1247,6 +1254,7 @@ def test_edit_distance_join_exact_vs_brute_force(spark):
         .collect()
     }
     assert got == want and len(want) >= 8
+    assert got_bcast == want  # both strategies are the same exact join
 
     with pytest.raises(ValueError, match="must differ"):
         edit_distance_join(probe, corpus, "pid", "cid", "pname", "pname")
