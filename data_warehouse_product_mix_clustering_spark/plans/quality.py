@@ -403,3 +403,136 @@ def _register_checksum():
 
 
 _register_checksum()
+
+
+@register(
+    "snapshot_consistency_audit",
+    oracle="""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_fact_rows,
+               TRUE AS history_ok,
+               TRUE AS rollup_consistent,
+               TRUE AS torn_write_invisible,
+               TRUE AS rollback_consistent,
+               TRUE AS carry_forward_ok
+    """,
+)
+def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MULTI-TABLE publish contract (sources/snapshot.py): a fact
+    and its rollup always change together, never torn.
+
+    The scenario drives the store through its whole lifecycle:
+
+    - snapshot 0 publishes a fact slice + matching rollup, snapshot 1
+      replaces both (``history_ok`` pins ids [0, 1] and current = 1);
+    - ``rollup_consistent``: the CURRENT snapshot's rollup equals a
+      recompute over the CURRENT snapshot's fact — the invariant two
+      independent per-table publishes cannot guarantee;
+    - a TORN write lands new fact data (the table's own version marker
+      even advances) with no manifest — snapshot readers must keep
+      serving the committed pair (``torn_write_invisible``);
+    - ``rollback_consistent``: one O(1) pointer flip returns BOTH tables
+      to snapshot 0, still pairwise consistent;
+    - snapshot 2 changes only the rollup: the fact's data version CARRIES
+      FORWARD by reference in the new manifest (``carry_forward_ok``) —
+      an incremental refresh re-references, never rewrites, the
+      unchanged 100 TB fact.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.snapshot import (
+        publish_snapshot,
+        read_snapshot_table,
+        rollback_snapshot,
+        snapshot_manifest,
+        snapshots,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_version
+
+    orders = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def rollup_of(fact: DataFrame) -> DataFrame:
+        return fact.groupBy("o_orderstatus").agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    def consistent(store: str) -> bool:
+        fact = read_snapshot_table(spark, store, "fact")
+        roll = read_snapshot_table(spark, store, "rollup").select(
+            F.col("o_orderstatus").alias("__s"),
+            F.col("revenue").alias("__r"),
+            F.col("n").alias("__n"),
+        )
+        probe = (
+            rollup_of(fact)
+            .join(roll, F.col("o_orderstatus").eqNullSafe(F.col("__s")), "full_outer")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.coalesce(
+                            (F.abs(F.col("revenue") - F.col("__r")) <= 1e-6)
+                            & (F.col("n") == F.col("__n")),
+                            F.lit(False),
+                        )
+                    ),
+                    F.lit(False),
+                )
+            )
+            .first()[0]
+        )
+        return bool(probe)
+
+    root = tempfile.mkdtemp(prefix="spark_graft_snapshot_audit_")
+    try:
+        store = os.path.join(root, "store")
+        fact0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+        s0 = publish_snapshot(store, {"fact": fact0, "rollup": rollup_of(fact0)})
+        s1 = publish_snapshot(store, {"fact": orders, "rollup": rollup_of(orders)})
+        history_ok = (s0, s1) == (0, 1) and snapshots(store) == [0, 1]
+
+        n_fact_rows = read_snapshot_table(spark, store, "fact").count()
+        rollup_consistent = consistent(store)
+
+        # torn write: data lands, the TABLE's own marker advances, but no
+        # manifest was committed — the snapshot layer must not see it
+        write_version(
+            orders.limit(7), os.path.join(store, "fact")
+        )
+        torn_invisible = (
+            read_snapshot_table(spark, store, "fact").count() == n_fact_rows
+            and consistent(store)
+        )
+
+        rollback_snapshot(store, 0)
+        rollback_consistent = (
+            read_snapshot_table(spark, store, "fact").count() == fact0.count()
+            and consistent(store)
+        )
+        rollback_snapshot(store, 1)  # restore before the carry-forward leg
+
+        before = snapshot_manifest(store)["fact"]
+        publish_snapshot(store, {"rollup": rollup_of(orders)})
+        carry_forward_ok = (
+            snapshot_manifest(store)["fact"] == before and consistent(store)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_fact_rows,
+                bool(history_ok),
+                bool(rollup_consistent),
+                bool(torn_invisible),
+                bool(rollback_consistent),
+                bool(carry_forward_ok),
+            )
+        ],
+        "n_fact_rows long, history_ok boolean, rollup_consistent boolean, "
+        "torn_write_invisible boolean, rollback_consistent boolean, "
+        "carry_forward_ok boolean",
+    )

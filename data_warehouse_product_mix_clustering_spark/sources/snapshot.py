@@ -1,0 +1,131 @@
+"""Atomic MULTI-TABLE snapshots: publish a set of tables as one unit.
+
+``sources/versioned.py`` makes a single table's publish atomic, but a
+warehouse refresh touches several relations at once — the reference's
+ETL loads seven tables back-to-back (reference src/pipelines/etl.py:
+102-107), and this engine's refresh pipeline publishes a fact and its
+maintained rollup. Two independent atomic publishes are still a torn
+pair: a crash (or a concurrent reader) between them observes a new fact
+with an old rollup. The lakehouse answer is a store-level MANIFEST — the
+same two-phase shape as Iceberg's snapshot metadata, built here from
+parquet + two tiny files, no extra dependency:
+
+1. every changed table's data lands first as a new ``v=N`` directory
+   under the store (reusing the versioned sink's write path — invisible
+   until referenced);
+2. ONE manifest JSON naming every table's version for the new snapshot
+   is written to ``_snapshots/<s>.json`` and then the ``_SNAPSHOT``
+   pointer is atomically ``os.replace``d.
+
+Readers resolve every table THROUGH the manifest, so they see the old
+snapshot or the new one — never a mix; per-table ``_LATEST`` markers are
+bypassed in snapshot mode. A crash after step 1 leaves orphan data
+directories that no manifest references (vacuumable), exactly like a
+failed Iceberg commit. Unchanged tables carry forward: their previous
+version is re-referenced, so an incremental refresh pays only for what
+changed. ``rollback_snapshot`` repoints one file — O(1) undo of a whole
+multi-table publish. History stays time-travelable per snapshot id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table, write_version
+
+_POINTER = "_SNAPSHOT"
+_MANIFESTS = "_snapshots"
+_SFILE = re.compile(r"^(\d+)\.json$")
+
+
+def snapshots(store_dir: str) -> list[int]:
+    """All committed snapshot ids, ascending (committed = manifest file
+    exists; the pointer names the CURRENT one)."""
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(mdir) if (m := _SFILE.match(f))
+    )
+
+
+def current_snapshot(store_dir: str) -> int | None:
+    p = os.path.join(store_dir, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def snapshot_manifest(store_dir: str, snapshot: int | None = None) -> dict[str, int]:
+    """{table → version} for ``snapshot`` (default: the current one)."""
+    if snapshot is None:
+        snapshot = current_snapshot(store_dir)
+        if snapshot is None:
+            raise LookupError(f"no snapshot published in {store_dir}")
+    p = os.path.join(store_dir, _MANIFESTS, f"{snapshot}.json")
+    if not os.path.exists(p):
+        raise LookupError(f"snapshot {snapshot} does not exist in {store_dir}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def publish_snapshot(store_dir: str, changed: dict[str, DataFrame]) -> int:
+    """Publish one atomic snapshot: ``changed`` tables get new data,
+    everything else carries forward from the current snapshot. Returns
+    the new snapshot id.
+
+    Write order is the two-phase commit the module docstring describes:
+    all data first (invisible), one manifest + pointer flip last. A
+    crash anywhere before the final ``os.replace`` leaves the previous
+    snapshot fully intact and consistent.
+    """
+    if not changed:
+        raise ValueError("publish_snapshot needs at least one changed table")
+    cur = current_snapshot(store_dir)
+    manifest = dict(snapshot_manifest(store_dir, cur)) if cur is not None else {}
+    for name, df in changed.items():
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+            raise ValueError(f"table name {name!r} is not filesystem-safe")
+        manifest[name] = write_version(df, os.path.join(store_dir, name))
+    new_id = (cur + 1) if cur is not None else 0
+    mdir = os.path.join(store_dir, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".{new_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(mdir, f"{new_id}.json"))
+    ptmp = os.path.join(store_dir, f".{_POINTER}.tmp")
+    with open(ptmp, "w") as f:
+        f.write(str(new_id))
+    os.replace(ptmp, os.path.join(store_dir, _POINTER))
+    return new_id
+
+
+def read_snapshot_table(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Read ``name`` as of ``snapshot`` (default current) — always the
+    manifest's version, never the table's own latest marker."""
+    manifest = snapshot_manifest(store_dir, snapshot)
+    if name not in manifest:
+        raise LookupError(f"table {name!r} not in snapshot manifest {manifest}")
+    return read_table(spark, os.path.join(store_dir, name), manifest[name])
+
+
+def rollback_snapshot(store_dir: str, snapshot: int) -> None:
+    """Repoint the store to an earlier snapshot — O(1), every table at
+    once, no data rewrite. Newer snapshots stay time-travelable."""
+    if snapshot not in snapshots(store_dir):
+        raise ValueError(f"snapshot {snapshot} does not exist in {store_dir}")
+    ptmp = os.path.join(store_dir, f".{_POINTER}.tmp")
+    with open(ptmp, "w") as f:
+        f.write(str(snapshot))
+    os.replace(ptmp, os.path.join(store_dir, _POINTER))

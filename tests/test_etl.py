@@ -1058,3 +1058,42 @@ def test_merge_update_only_broadcasts_source(spark):
         merge_into(t, s, ["id"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "FullOuter" in plan_full  # insert detection needs both sides
+
+
+def test_snapshot_store_contract(spark, tmp_path):
+    """sources/snapshot.py edge contract: empty store errors, unsafe
+    table names rejected, absent-table/absent-snapshot lookups raise,
+    rollback validates, and per-table _LATEST is bypassed by readers."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.sources.snapshot import (
+        current_snapshot,
+        publish_snapshot,
+        read_snapshot_table,
+        rollback_snapshot,
+        snapshot_manifest,
+        snapshots,
+    )
+
+    store = str(tmp_path / "store")
+    assert snapshots(store) == [] and current_snapshot(store) is None
+    with pytest.raises(LookupError, match="no snapshot"):
+        snapshot_manifest(store)
+    with pytest.raises(ValueError, match="at least one"):
+        publish_snapshot(store, {})
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        publish_snapshot(store, {"../evil": spark.range(1)})
+
+    publish_snapshot(store, {"t": spark.range(3)})
+    assert read_snapshot_table(spark, store, "t").count() == 3
+    with pytest.raises(LookupError, match="not in snapshot"):
+        read_snapshot_table(spark, store, "other")
+    with pytest.raises(LookupError, match="does not exist"):
+        snapshot_manifest(store, 9)
+    with pytest.raises(ValueError, match="does not exist"):
+        rollback_snapshot(store, 9)
+
+    publish_snapshot(store, {"t": spark.range(5)})
+    assert [
+        read_snapshot_table(spark, store, "t", s).count() for s in snapshots(store)
+    ] == [3, 5]
