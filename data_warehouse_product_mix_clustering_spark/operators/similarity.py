@@ -470,6 +470,104 @@ def lsh_cosine_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def _pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    seed: int,
+    train_sample: int,
+):
+    """Per-subspace PQ codebooks from a deterministic corpus sample.
+    Returns (cb ndarray of shape (m, ksub, d/m), dsub)."""
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.kmeans_np import kmeans_fit
+
+    train_rows = (
+        corpus.orderBy(id_col)
+        .limit(train_sample)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    if not train_rows:
+        raise ValueError("PQ: empty corpus — nothing to train codebooks on")
+    X = np.array([r.v for r in train_rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    cb = np.stack(
+        [
+            kmeans_fit(
+                X[:, j * dsub : (j + 1) * dsub], k=ksub, seed=seed + j, n_init=4
+            )[1]
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+    return cb, dsub
+
+
+def _pq_encode(src: DataFrame, cb, id_col: str, id_type: str) -> DataFrame:
+    """(id, __codes array<int>): nearest sub-centroid per subspace, one
+    Arrow ``mapInPandas`` pass with the codebooks broadcast (justified
+    kernel: Spark has no native blocked argmin)."""
+    import numpy as np
+    import pandas as pd
+
+    dsub = cb.shape[2]
+    bcb = src.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        books = bcb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), books.shape[0]), dtype=np.int32)
+            for j in range(books.shape[0]):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * (sub @ books[j].T)
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col], "__codes": list(codes)})
+
+    return src.mapInPandas(encode, f"{id_col} {id_type}, __codes array<int>")
+
+
+def _pq_adc_tables(
+    spark, queries: DataFrame, cb, id_col: str, vec_col: str, id_type: str
+) -> DataFrame:
+    """Per-query (m × ksub) lookup tables of subvector·centroid products —
+    built driver-side: queries are probe-sized by the same contract that
+    lets ``brute_force_topk`` broadcast them."""
+    import numpy as np
+
+    m = cb.shape[0]
+    dsub = cb.shape[2]
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    Q = np.array([r.qv for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qdata = []
+    for r, qv in zip(qrows, Q):
+        tab = [
+            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ cb[j].T]
+            for j in range(m)
+        ]
+        qdata.append((r.query_id, tab))
+    return spark.createDataFrame(
+        qdata, f"query_id {id_type}, __tab array<array<double>>"
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -507,78 +605,15 @@ def pq_topk(
 
     Output schema matches ``brute_force_topk``: (query_id, id, cosine, rank).
     """
-    import numpy as np
-    import pandas as pd
-
-    from data_warehouse_product_mix_clustering_spark.ml.kmeans_np import kmeans_fit
-
     spark = corpus.sparkSession
-    train_rows = (
-        corpus.orderBy(id_col)
-        .limit(train_sample)
-        .select(as_double(F.col(vec_col)).alias("v"))
-        .collect()
-    )
-    if not train_rows:
-        raise ValueError("pq_topk: empty corpus — nothing to train codebooks on")
-    X = np.array([r.v for r in train_rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
-    cb = np.stack(
-        [
-            kmeans_fit(
-                X[:, j * dsub : (j + 1) * dsub], k=ksub, seed=seed + j, n_init=4
-            )[1]
-            for j in range(m)
-        ]
-    )  # (m, ksub, dsub)
-    bcb = spark.sparkContext.broadcast(cb)
+    cb, dsub = _pq_train(corpus, id_col, vec_col, m, ksub, seed, train_sample)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     src = fan_out(corpus).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
-
-    def encode(batches):
-        books = bcb.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(V), books.shape[0]), dtype=np.int32)
-            for j in range(books.shape[0]):
-                sub = V[:, j * dsub : (j + 1) * dsub]
-                d2 = (
-                    (sub**2).sum(1)[:, None]
-                    - 2.0 * (sub @ books[j].T)
-                    + (books[j] ** 2).sum(1)[None, :]
-                )
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({id_col: pdf[id_col], "__codes": list(codes)})
-
-    codes_df = src.mapInPandas(encode, f"{id_col} {id_type}, __codes array<int>")
-
-    # Per-query ADC tables, built driver-side: queries are probe-sized by
-    # the same contract that lets brute_force_topk broadcast them.
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()
-    Q = np.array([r.qv for r in qrows], dtype=np.float64)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    qdata = []
-    for r, qv in zip(qrows, Q):
-        tab = [
-            [float(x) for x in qv[j * dsub : (j + 1) * dsub] @ cb[j].T]
-            for j in range(m)
-        ]
-        qdata.append((r.query_id, tab))
-    qdf = spark.createDataFrame(
-        qdata, f"query_id {id_type}, __tab array<array<double>>"
-    )
+    codes_df = _pq_encode(src, cb, id_col, id_type)
+    qdf = _pq_adc_tables(spark, queries, cb, id_col, vec_col, id_type)
 
     adc = (
         codes_df.crossJoin(F.broadcast(qdf))
@@ -692,6 +727,155 @@ def search_ivf_index(
         "query_id",
         id_col,
         ratio_round(cosine(F.col("__qv"), F.col("__v"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> None:
+    """Persist the IVF-PQ index — the two pruning axes composed, the
+    standard billion-scale ANN recipe (FAISS's IVFPQ): coarse cells
+    bound WHICH vectors a query touches, PQ codes bound WHAT the scan
+    reads per vector.
+
+    Layout under ``index_dir``:
+
+    - ``cells/`` — (id, __codes) partitioned by coarse cell: the scan
+      relation is m bytes of codes per vector (no raw vectors), and a
+      probe reads only its cells' partitions;
+    - ``vectors/`` — (id, __v) raw vectors, touched only by the final
+      exact rerank of ``rerank_factor × k`` candidates per query;
+    - ``centers/`` + ``pq/`` — the coarse centroids and the (m × ksub ×
+      d/m) sub-codebooks, both tiny.
+
+    Codes quantize the RAW unit vector (IVF-Flat-PQ), not the cell
+    residual: the classic residual refinement mainly sharpens the ADC
+    ordering, and this engine's search re-ranks with exact cosine anyway,
+    so candidate recall is the only quality channel — documented trade,
+    same as ``pq_topk``.
+    """
+    import os
+
+    model, assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
+    cb, _dsub = _pq_train(corpus, id_col, vec_col, m, ksub, seed, train_sample)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    codes = _pq_encode(assigned.select(id_col, "__v"), cb, id_col, id_type)
+    (
+        codes.join(assigned.select(id_col, "__cell"), id_col)
+        .repartition("__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    assigned.select(id_col, "__v").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cb[j, c]])
+            for j in range(cb.shape[0])
+            for c in range(cb.shape[1])
+        ],
+        "subspace int, code int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "pq"))
+
+
+def search_ivfpq_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """IVF-PQ top-k over the persisted index: read only the probed cells'
+    CODE partitions, ADC-score them (m table lookups per candidate, zero
+    FLOPs), take ``rerank_factor × k`` per query, and re-rank just those
+    against the raw-vector relation with exact cosine.
+
+    Output schema matches ``brute_force_topk``: (query_id, id, cosine,
+    rank) — quality degrades only through candidate recall (probes ∩ ADC
+    ordering), never through quantization error in the final ordering.
+    """
+    import os
+
+    import numpy as np
+
+    centers = sorted(
+        (r["cell"], list(r["cvec"]))
+        for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
+    )
+    pq_rows = spark.read.parquet(os.path.join(index_dir, "pq")).collect()
+    m = 1 + max(r["subspace"] for r in pq_rows)
+    ksub = 1 + max(r["code"] for r in pq_rows)
+    cb = np.empty((m, ksub, len(pq_rows[0]["cvec"])), dtype=np.float64)
+    for r in pq_rows:
+        cb[r["subspace"], r["code"]] = r["cvec"]
+
+    probes = ivf_query_probes(queries, centers, id_col, vec_col, nprobe)
+    cells = sorted(
+        r["__cell"] for r in probes.select("__cell").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("__cell").isin(cells)
+    )
+    id_type = queries.schema[id_col].dataType.simpleString()
+    qtabs = _pq_adc_tables(spark, queries, cb, id_col, vec_col, id_type)
+
+    adc = (
+        F.broadcast(probes.select("query_id", "__cell"))
+        .join(codes, "__cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .join(F.broadcast(qtabs), "query_id")
+        .withColumn(
+            "__adc",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+                f" (acc, j) -> acc + __tab[j][__codes[j]])"
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), F.col(id_col))
+    cands = (
+        adc.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank_factor * k)
+        .select("query_id", id_col)
+    )
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+        )
+    )
+    scored = (
+        cands.join(vectors, id_col)
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            ratio_round(cosine(F.col("__qv"), F.col("__v"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

@@ -440,3 +440,99 @@ def ann_ivf_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_queries, bool(equal), bool(probes_bounded))],
         "n_queries long, indexed_equals_memory boolean, probes_bounded boolean",
     )
+
+
+@register(
+    "ann_ivfpq_indexed_audit",
+    oracle=f"""
+        SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+               TRUE AS ranks_dense,
+               TRUE AS cosines_exact,
+               TRUE AS recall_pass
+    """,
+)
+def ann_ivfpq_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ index (operators/similarity.py::build_ivfpq_index
+    / search_ivfpq_index) — the composed billion-scale recipe: coarse
+    cells bound WHICH vectors a query touches, PQ codes bound WHAT the
+    scan reads, exact rerank bounds WHAT quality can lose. The quality
+    gate (``ann_recall_audit`` pattern — approximate output, so the
+    oracle pins the CONTRACT and Spark measures the truth):
+
+    - ``ranks_dense``: every query's ranks are exactly 1..n (n ≤ k) —
+      a dropped/duplicated rerank row breaks the sequence;
+    - ``cosines_exact``: every reported cosine equals the value
+      recomputed from the raw embeddings table (the exact-rerank
+      promise: quantization error may cost candidates, never scores);
+    - ``recall_pass``: recall@10 vs ``brute_force_topk`` ≥ 0.5 at
+      nprobe=4 of nlist=16 with 8× rerank — the honest deterministic
+      floor on this near-uniform corpus (the regime where neighbors
+      scatter across cells; measured 0.64/0.60 at sf0.001/sf0.01,
+      tracking plain IVF's pinned curve as rerank_factor makes ADC
+      ordering loss negligible).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        build_ivfpq_index,
+        cosine,
+        search_ivfpq_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    emb = table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfpq_audit_")
+    try:
+        idx = os.path.join(root, "ivfpq")
+        build_ivfpq_index(
+            emb, idx, "vec_id", "embedding", nlist=16, m=16, ksub=16, seed=42
+        )
+        got = search_ivfpq_index(
+            spark, idx, probes, "vec_id", "embedding", k=TOP_K, nprobe=4,
+            rerank_factor=8,
+        ).localCheckpoint(eager=True)  # 3 consumers below
+
+        w = Window.partitionBy("query_id").orderBy("rank")
+        dense = got.select(
+            (F.row_number().over(w) == F.col("rank")).alias("__ok")
+        ).agg(F.coalesce(F.min("__ok"), F.lit(False)).alias("d")).first()["d"]
+
+        ev = emb.select(
+            F.col("vec_id").alias("__cid"), as_double("embedding").alias("__cv")
+        )
+        qv = emb.select(
+            F.col("vec_id").alias("__qid"), as_double("embedding").alias("__qv")
+        )
+        exact_ok = (
+            got.join(F.broadcast(ev), got["vec_id"] == F.col("__cid"))
+            .join(F.broadcast(qv), got["query_id"] == F.col("__qid"))
+            .select(
+                (
+                    F.abs(
+                        ratio_round(cosine(F.col("__qv"), F.col("__cv")))
+                        - F.col("cosine")
+                    )
+                    < 1e-9
+                ).alias("__ok")
+            )
+            .agg(F.coalesce(F.min("__ok"), F.lit(False)).alias("e"))
+            .first()["e"]
+        )
+
+        truth = brute_force_topk(emb, probes, "vec_id", "embedding", k=TOP_K)
+        n_hit = got.join(truth, ["query_id", "vec_id"], "left_semi").count()
+        n_truth = truth.count()
+        n_queries = got.select("query_id").distinct().count()
+        recall = n_hit / n_truth if n_truth else 0.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, bool(dense), bool(exact_ok), bool(recall >= 0.5))],
+        "n_queries long, ranks_dense boolean, cosines_exact boolean, "
+        "recall_pass boolean",
+    )

@@ -1260,3 +1260,33 @@ def test_edit_distance_join_exact_vs_brute_force(spark):
         edit_distance_join(probe, corpus, "pid", "cid", "pname", "pname")
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join(probe, corpus, "pid", "cid", "pname", "cname", max_dist=0)
+
+
+def test_ivfpq_index_exhaustive_equals_brute(spark, tmp_path):
+    """IVF-PQ with nprobe=nlist and a rerank pool covering the whole
+    probed set must return EXACTLY the brute-force top-k (the two
+    approximation knobs fully opened leave only the exact rerank), and
+    the cells/ relation must store codes, not raw vectors."""
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, nlist=8, m=16, ksub=16, seed=42)
+
+    n = emb.count()
+    got = search_ivfpq_index(
+        spark, idx, probes, k=10, nprobe=8, rerank_factor=(n // 10) + 1
+    )
+    truth = brute_force_topk(emb, probes, k=10)
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert set(cells.columns) == {"vec_id", "__codes", "__cell"}
+    assert cells.count() == n

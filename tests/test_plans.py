@@ -738,6 +738,39 @@ def test_ivf_indexed_search_prunes_to_probe_cells(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_ivfpq_indexed_search_prunes_and_scans_codes(spark, tmp_path):
+    """IVF-PQ search shows the same literal cell-partition pruning as
+    plain IVF, and its pruned scan reads the CODE relation (no raw
+    vector column) — the two seek contracts of the composed index."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, nlist=16, m=16, ksub=16, seed=42)
+    out = search_ivfpq_index(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("__cell" in l and " IN (" in l for l in lines), (
+        "cell partition pruning missing:\n" + "\n".join(lines)
+    )
+    # the pruned cells/ scan reads codes only — raw vectors come from the
+    # separate vectors/ relation during rerank (the projected column list
+    # leads the FileScan line; ReadSchema may be truncated off it)
+    cell_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "__cell#" in l
+    ]
+    assert cell_scans and all("__codes#" in l and "__v#" not in l for l in cell_scans)
+    assert out.count() > 0
+
+
 def test_mv_navigator_choice_and_rewrite(spark, tmp_path):
     """Navigator semantics on a toy store: grain-superset matching,
     fewest-keys-wins with deterministic name tie-break, AVG derivable
