@@ -1550,3 +1550,89 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, corpus, "probe_key", "match_key", "probe_name", "match_name",
         max_dist=2, q=2, strategy="broadcast",
     ).select("probe_key", "match_key", "distance")
+
+
+@register(
+    "revenue_forecast_backtest",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   sum(o_totalprice) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        feat AS (
+            SELECT month, revenue,
+                   lag(revenue, 1) OVER (ORDER BY month) AS naive,
+                   lag(revenue, 12) OVER (ORDER BY month) AS seasonal,
+                   lag(revenue, 1) OVER (ORDER BY month)
+                     + (lag(revenue, 1) OVER (ORDER BY month)
+                        - lag(revenue, 2) OVER (ORDER BY month)) AS drift
+            FROM monthly
+        )
+        SELECT method,
+               CAST(count(err) AS BIGINT) AS n_months,
+               CAST(round(avg(err)) AS BIGINT) AS mae,
+               CAST(round(avg(serr)) AS BIGINT) AS bias
+        FROM (
+            SELECT 'naive' AS method, abs(revenue - naive) AS err,
+                   revenue - naive AS serr FROM feat WHERE naive IS NOT NULL
+            UNION ALL
+            SELECT 'seasonal', abs(revenue - seasonal), revenue - seasonal
+            FROM feat WHERE seasonal IS NOT NULL
+            UNION ALL
+            SELECT 'drift', abs(revenue - drift), revenue - drift
+            FROM feat WHERE drift IS NOT NULL
+        )
+        GROUP BY method
+    """,
+)
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest over the monthly revenue series — the
+    sanity harness every warehouse forecast ships against: walk-forward
+    one-step errors of the three classical baselines (naive = last
+    month, seasonal naive = same month last year, drift = last month +
+    last delta), reported as per-method MAE and signed bias (rounded to
+    whole currency — cross-engine-safe coarse rounding).
+
+    Plan: one fact aggregation to the ~monthly spine (tiny), then lag
+    windows over the single ordered series — the window runs on a
+    relation of |months| rows, so the single-partition window is
+    bounded by the calendar, not the data (the same justification as
+    the Pareto/Gini aggregates); everything before it is a map-side
+    partial sum. Errors stack via one array-explode rather than a
+    3-way self-union, so the spine computes once.
+    """
+    monthly = (
+        table(spark, "orders", sf_dir)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    feat = monthly.select(
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("naive"),
+        F.lag("revenue", 12).over(w).alias("seasonal"),
+        (
+            F.lag("revenue", 1).over(w)
+            + (F.lag("revenue", 1).over(w) - F.lag("revenue", 2).over(w))
+        ).alias("drift"),
+    )
+    methods = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("method"),
+                (F.col("revenue") - F.col(m)).alias("serr"),
+            )
+            for m in ("naive", "seasonal", "drift")
+        ]
+    )
+    errs = (
+        feat.select(F.explode(methods).alias("e"))
+        .select(F.col("e.method").alias("method"), F.col("e.serr").alias("serr"))
+        .filter(F.col("serr").isNotNull())
+    )
+    return errs.groupBy("method").agg(
+        F.count("serr").cast("long").alias("n_months"),
+        F.round(F.avg(F.abs(F.col("serr")))).cast("long").alias("mae"),
+        F.round(F.avg("serr")).cast("long").alias("bias"),
+    )

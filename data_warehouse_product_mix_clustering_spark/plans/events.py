@@ -1196,6 +1196,7 @@ def _audience_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_audience_overlap",
+    headline=True,
     oracle=f"""
         WITH tu AS (
             SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, user_id
