@@ -109,3 +109,91 @@ def pagerank(
             )
         ranks = new_ranks
     return ranks.select("node", "rank"), it, float(resid)
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph, via DEGREE-ORIENTED wedge closure (compact-forward)
+    — the third iterative/graph family member next to connected
+    components and PageRank.
+
+    The naive 3-way edge self-join on ``a < b < c`` explodes on hubs (a
+    degree-d vertex contributes d² wedge rows). Orienting every edge
+    from its lower to its higher endpoint under the total order
+    (degree asc, id asc) caps each vertex's out-degree at O(√|E|), so
+    the wedge join is bounded regardless of skew — the standard
+    distributed-triangle result, and the whole plan is three hash joins
+    + aggregations (no iteration, no driver loop).
+
+    Returns ONE row: (n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering) where ``global_clustering`` = 3·T / wedges
+    (wedges = Σ_v C(deg v, 2), 0-safe) rounded to 6dp. Input edges may
+    carry duplicates or self-loops; both are dropped first.
+    """
+    e = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.least("__a", "__b").alias("__u"), F.greatest("__a", "__b").alias("__v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # degrees + orientation + closure all read it
+    )
+    deg = (
+        e.select(F.col("__u").alias("__n"))
+        .unionByName(e.select(F.col("__v").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    du = deg.select(F.col("__n").alias("__u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("__n").alias("__v"), F.col("__d").alias("__dv"))
+    # orient low → high under (degree, id); ties broken by id so the
+    # order is total and every edge gets exactly one direction
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("__u") < F.col("__v"))
+    )
+    oriented = (
+        e.join(du, "__u")
+        .join(dv, "__v")
+        .select(
+            F.when(lower_first, F.col("__u")).otherwise(F.col("__v")).alias("__s"),
+            F.when(lower_first, F.col("__v")).otherwise(F.col("__u")).alias("__t"),
+            F.when(lower_first, F.col("__dv")).otherwise(F.col("__du")).alias("__dt"),
+        )
+    )
+    o1 = oriented.select(F.col("__s"), F.col("__t").alias("__x"), F.col("__dt").alias("__dx"))
+    o2 = oriented.select(F.col("__s"), F.col("__t").alias("__y"), F.col("__dt").alias("__dy"))
+    # wedges out of the LOW vertex, ordered so each unordered pair forms
+    # once; (x, y) ordered by the same (degree, id) total order
+    wedge = o1.join(o2, "__s").filter(
+        (F.col("__dx") < F.col("__dy"))
+        | ((F.col("__dx") == F.col("__dy")) & (F.col("__x") < F.col("__y")))
+    )
+    closing = oriented.select(
+        F.col("__s").alias("__x"), F.col("__t").alias("__y")
+    )
+    tri = wedge.join(closing, ["__x", "__y"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.expr("__d * (__d - 1) / 2")).cast("long").alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("global_clustering"),
+    )

@@ -1636,3 +1636,58 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("serr")))).cast("long").alias("mae"),
         F.round(F.avg("serr")).cast("long").alias("bias"),
     )
+
+
+@register(
+    "basket_triangle_stats",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT count(*) AS t
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+               (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+               round(3.0 * (SELECT t FROM tri)
+                     / (SELECT sum(d * (d - 1) / 2) FROM deg) + 1e-9, 6)
+                   AS global_clustering
+    """,
+)
+def basket_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the basket co-purchase graph (parts joined by
+    a shared order): exact triangle count, wedge count, and the global
+    clustering coefficient — how strongly "bought together" closes into
+    cliques, the graph-cohesion twin of `basket_part_pairs`.
+
+    Plan: operators/graph.py::triangle_stats — degree-oriented wedge
+    closure (compact-forward), which caps per-vertex wedge fan-out at
+    O(√|E|) so a hub product cannot explode the join; the oracle counts
+    the same triangles with the quadratic 3-way self-join DuckDB can
+    afford at oracle scale.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.graph import triangle_stats
+
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    return triangle_stats(edges)

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: list[str] = [
     "snapshot_consistency_audit",  # atomic multi-table publish contract
     "ann_ivfpq_indexed_audit",  # composed IVF-PQ persisted index quality gate
     "revenue_forecast_backtest",  # walk-forward baseline-forecast MAE/bias
+    "basket_triangle_stats",  # degree-oriented exact triangle census
     # Registered late in round 8 — r8's 50-slot window was already full, so
     # none of these has ever received a driver CORRECTNESS row (VERDICT r8
     # Next #1). They lead round 9's attestation window.

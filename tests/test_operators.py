@@ -1290,3 +1290,26 @@ def test_ivfpq_index_exhaustive_equals_brute(spark, tmp_path):
     cells = spark.read.parquet(os.path.join(idx, "cells"))
     assert set(cells.columns) == {"vec_id", "__codes", "__cell"}
     assert cells.count() == n
+
+
+def test_triangle_stats_hand_checked(spark):
+    """Degree-oriented triangle census on hand-checkable graphs: K4 has
+    4 triangles and clustering 1.0; a path has none; duplicate edges,
+    reversed duplicates, and self-loops are normalized away."""
+    from data_warehouse_product_mix_clustering_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1)]  # reverse dup, self-loop, dup
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    r = triangle_stats(df).first()
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+    assert r.global_clustering == 1.0
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    p = triangle_stats(path).first()
+    assert (p.n_triangles, p.n_wedges, p.global_clustering) == (0, 2, 0.0)
+
+    # wheel-ish: triangle + pendant (one triangle, hub degree 3)
+    g = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
+    w = triangle_stats(g).first()
+    assert (w.n_triangles, w.n_wedges) == (1, 5)
