@@ -1109,3 +1109,66 @@ def refresh_tombstone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v0 long, v1 long, n_changes long, n_final long, "
         "n_deleted_present long, rollup_matches_recompute boolean",
     )
+
+
+@register(
+    "lineitem_nested_roundtrip_audit",
+    oracle="""
+        SELECT (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+                   AS n_orders,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lines,
+               TRUE AS rows_conserved,
+               TRUE AS checksums_match
+    """,
+)
+def lineitem_nested_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document assembly: the relational→nested transform a training-data
+    pipeline runs to ship one RECORD per logical unit (order with its
+    line array; conversation with its turn array), pinned lossless.
+
+    The fact nests to one row per order carrying a canonically-sorted
+    ``array<struct>`` of its lines, materializes through parquet (nested
+    fidelity is part of the claim), re-flattens, and must checksum
+    identically to the source projection under the engine's
+    order-independent table checksum — so the driver row proves
+    assemble→persist→explode loses and reorders nothing. One shuffle to
+    nest (groupBy order), zero to flatten.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.quality import table_checksum
+
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]
+    flat = table(spark, "lineitem", sf_dir).select(*cols)
+    nested = flat.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        ).alias("lines")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_nested_")
+    try:
+        p = os.path.join(root, "nested")
+        nested.write.parquet(p)
+        persisted = spark.read.parquet(p)
+        back = persisted.select(
+            "l_orderkey", F.explode("lines").alias("l")
+        ).select("l_orderkey", "l.l_linenumber", "l.l_partkey", "l.l_quantity")
+
+        src = table_checksum(flat, cols).first()
+        rt = table_checksum(back, cols).first()
+        n_orders = persisted.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_orders,
+                src["n_rows"],
+                bool(src["n_rows"] == rt["n_rows"]),
+                bool(src["checksum"] == rt["checksum"]),
+            )
+        ],
+        "n_orders long, n_lines long, rows_conserved boolean, checksums_match boolean",
+    )
