@@ -176,17 +176,36 @@ def refresh_warehouse(
             F.count(F.lit(1)).alias("n"),
         )
 
-    if not prior:
+    agg_versions = versions(agg_dir)
+    if not prior or not agg_versions:
         agg = full_rollup(read_table(spark, table_dir, v))
         changes = -1
     else:
-        diff = version_diff(spark, table_dir, prior[-1], v, key=key)
+        # The delta must run from the table version the CURRENT rollup
+        # reflects (the basis sidecar), not blindly from prior[-1]: a
+        # crash between the table publish and the rollup publish leaves
+        # the rollup one version behind, and the next run's
+        # prior[-1]→v diff is EMPTY (re-ingested batches are
+        # idempotent), so a prior-based delta would silently skip the
+        # crashed run's changes forever. Basis-based maintenance
+        # self-heals: the stale basis makes the next diff span the
+        # missed version too. (A missing sidecar — legacy store — falls
+        # back to prior[-1], the pre-fix semantics.)
+        basis = _read_agg_basis(work_dir, agg_versions[-1], prior[-1])
+        diff = version_diff(spark, table_dir, basis, v, key=key)
         # the diff is consumed twice (count + delta); localCheckpoint so
         # the two version scans + join run once, and the count is honest
         diff = diff.localCheckpoint(eager=True)
         changes = diff.count()
         old_agg = read_table(spark, agg_dir)
         agg = apply_agg_delta(old_agg, diff, group_keys, measures, count_col="n")
+    # The basis sidecar is keyed by the agg version it describes and
+    # written BEFORE that version commits: a crash in between leaves a
+    # sidecar for a version that does not exist (harmless), never a
+    # committed rollup without its basis (which would double-apply the
+    # delta on the next run).
+    next_agg_v = (agg_versions[-1] + 1) if agg_versions else 0
+    _write_agg_basis(work_dir, next_agg_v, v)
     agg_v = write_version(agg, agg_dir)
     if new_wm is not None:
         _write_watermark(work_dir, int(new_wm))
@@ -194,6 +213,25 @@ def refresh_warehouse(
 
 
 _WATERMARK = "_ingest_watermark"
+_AGG_BASIS = "_agg_basis_v"
+
+
+def _read_agg_basis(work_dir: str, agg_version: int, fallback: int) -> int:
+    """Table version the rollup's ``agg_version`` was maintained up to;
+    ``fallback`` (= prior[-1], the pre-sidecar semantics) for legacy
+    stores whose versions predate the sidecar."""
+    p = os.path.join(work_dir, f"{_AGG_BASIS}{agg_version}")
+    if not os.path.exists(p):
+        return fallback
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _write_agg_basis(work_dir: str, agg_version: int, table_version: int) -> None:
+    tmp = os.path.join(work_dir, f".{_AGG_BASIS}{agg_version}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(table_version))
+    os.replace(tmp, os.path.join(work_dir, f"{_AGG_BASIS}{agg_version}"))
 
 
 def _read_watermark(work_dir: str) -> int:

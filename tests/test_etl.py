@@ -1097,3 +1097,65 @@ def test_snapshot_store_contract(spark, tmp_path):
     assert [
         read_snapshot_table(spark, store, "t", s).count() for s in snapshots(store)
     ] == [3, 5]
+
+
+def test_refresh_pipeline_crash_between_table_and_rollup_heals(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the table publish but BEFORE the rollup publish must
+    not lose that run's delta: the next (successful) refresh maintains
+    the rollup from the table version the rollup actually reflects (the
+    basis sidecar), so the missed changes apply then. A prior[-1]-based
+    delta would see an empty diff (re-ingested batches are idempotent)
+    and leave the rollup stale forever."""
+    from pyspark.sql import types as T
+
+    import data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline as rp
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+    )
+    (land / "a.csv").write_text("id,grp,amount\n1,g1,10.0\n2,g2,5.0\n")
+    rp.refresh_warehouse(**args)
+
+    # batch 2 lands; the run CRASHES right after the table publish
+    (land / "b.csv").write_text("id,grp,amount\n1,g1,100.0\n3,g1,7.0\n")
+    orig = rp.write_version
+
+    def crash_on_agg(df, table_dir):
+        if table_dir.rstrip("/").endswith("agg"):
+            raise RuntimeError("simulated crash before rollup publish")
+        return orig(df, table_dir)
+
+    monkeypatch.setattr(rp, "write_version", crash_on_agg)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rp.refresh_warehouse(**args)
+    monkeypatch.setattr(rp, "write_version", orig)
+
+    # next run succeeds; the rollup must now include the crashed run's
+    # delta (id1: 10→100, id3 new) — equal to a recompute over the table
+    rp.refresh_warehouse(**args)
+    got = {
+        r.grp: (r.total, r.n)
+        for r in read_table(spark, f"{work}/agg").collect()
+    }
+    want = {
+        r.grp: (float(r.total), r.n)
+        for r in read_table(spark, f"{work}/table")
+        .groupBy("grp")
+        .agg(F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want == {"g1": (107.0, 2), "g2": (5.0, 1)}
