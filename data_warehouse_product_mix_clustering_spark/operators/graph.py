@@ -180,7 +180,9 @@ def triangle_stats(
     counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum(F.expr("__d * (__d - 1) / 2")).cast("long").alias("n_wedges"),
+            F.coalesce(F.sum(F.expr("__d * (__d - 1) / 2")), F.lit(0.0))
+            .cast("long")
+            .alias("n_wedges"),
         )
     )
     return counts.crossJoin(tri).select(

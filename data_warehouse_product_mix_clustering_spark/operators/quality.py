@@ -281,3 +281,50 @@ def sql_table_checksum(table: str, cols: list[str]) -> str:
         f"CAST(sum({sql_md5_prefix_int(f'({canon})')}) AS BIGINT) AS checksum "
         f"FROM {table}"
     )
+
+
+def equivalence_probe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    exact: list[str] | None = None,
+    approx: dict[str, float] | None = None,
+) -> tuple[int, bool]:
+    """(n_rows, all_match) for a maintained-relation ≡ recompute check —
+    THE audit equivalence primitive (one definition so tolerance and
+    null-handling conventions cannot drift between audits — review r9):
+
+    full-outer join on the null-safe ``keys`` (both sides must share
+    the key and compared column names); ``exact`` columns compare
+    null-safe-equal, ``approx`` columns within their per-column absolute
+    tolerance (double reassociation differs by aggregation depth, so
+    the tolerance is the CALLER's statement about how many rows fold
+    into each value); a row present on only one side — or any NULL
+    comparison — coalesces to a loud FALSE, never a silent skip.
+    """
+    exact = exact or []
+    approx = approx or {}
+    if not keys or not (exact or approx):
+        raise ValueError("equivalence_probe needs keys and at least one column")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    pred = None
+    for c in exact:
+        p = left[c].eqNullSafe(right[c])
+        pred = p if pred is None else pred & p
+    for c, tol in approx.items():
+        p = F.abs(left[c] - right[c]) <= tol
+        pred = p if pred is None else pred & p
+    row = (
+        left.join(right, cond, "full_outer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.min(F.coalesce(pred, F.lit(False))), F.lit(False)
+            ).alias("all_match"),
+        )
+        .first()
+    )
+    return row["n_rows"], bool(row["all_match"])

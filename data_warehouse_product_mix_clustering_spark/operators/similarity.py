@@ -554,6 +554,9 @@ def _pq_adc_tables(
     qrows = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).collect()
+    if not qrows:
+        # an empty batch would die later in an opaque numpy AxisError
+        raise ValueError("PQ search requires at least one query row")
     Q = np.array([r.qv for r in qrows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qdata = []

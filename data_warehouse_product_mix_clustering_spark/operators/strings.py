@@ -37,13 +37,22 @@ from pyspark.sql import functions as F
 
 
 def _distinct_grams(col, q: int):
-    """Distinct content q-grams of a string column (JVM lambda, no UDF)."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({col}) - {q - 1}, 0)),"
-            f" i -> substring({col}, i, {q}))"
-        )
-    )
+    """Distinct content q-grams of a string column (JVM lambda, no UDF).
+
+    Strings shorter than ``q`` yield the EMPTY set explicitly:
+    ``sequence(1, 0)`` would infer step −1 and produce positions [1, 0]
+    (phantom sub-q grams that pollute the document frequencies — review
+    r9), so the expression is gated on length ≥ q.
+    """
+    return F.when(
+        F.length(col) >= q,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({col}) - {q - 1}),"
+                f" i -> substring({col}, i, {q}))"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def edit_distance_join(

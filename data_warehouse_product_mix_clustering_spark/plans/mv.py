@@ -172,9 +172,13 @@ def maintain_summary(
     mapping the summary was materialized with.
 
     The maintained relation is localCheckpointed before the overwrite
-    (self-overwrite guard), and the JSON sidecar — wiped with the
-    directory — is rewritten after, so the navigator keeps seeing the
-    summary.
+    (self-overwrite guard). The rewrite is sidecar-as-commit-marker
+    two-phase (the postings-index pattern): the sidecar is removed
+    FIRST, the data overwritten, the sidecar rewritten LAST — so a
+    crash mid-maintenance leaves the summary ABSENT from the navigator
+    (a loud LookupError / fall-back-to-fact, the module's documented
+    degraded state) rather than a partial summary served as truth.
+    Re-running ``materialize_summary`` recovers it.
     """
     from data_warehouse_product_mix_clustering_spark.operators.incremental_agg import apply_agg_delta
 
@@ -212,6 +216,10 @@ def maintain_summary(
         *[F.col(f"__nn_{out}").cast("long").alias(f"__nn_{out}") for out in measures],
         F.col("__n").cast("long").alias("__n"),
     ).localCheckpoint(eager=True)
+    try:
+        os.remove(os.path.join(path, _META))  # phase 1: de-commit
+    except FileNotFoundError:
+        pass
     new.write.mode("overwrite").parquet(path)
     tmp = os.path.join(path, f".{_META}.tmp")
     with open(tmp, "w") as f:
@@ -405,41 +413,20 @@ def mv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_summary(v1, ref_store, "daily_flag", ["flag", "ship_day"], measures)
         recomputed = spark.read.parquet(os.path.join(ref_store, "daily_flag"))
 
-        m = maintained.select(
-            "ship_day", "flag", "revenue",
-            F.col("__nn_revenue").alias("__nn"), F.col("__n").alias("__cnt"),
+        from data_warehouse_product_mix_clustering_spark.operators.quality import equivalence_probe
+
+        # summary grain: every value folds few rows → tight 1e-6 bound
+        n_groups, equal = equivalence_probe(
+            maintained, recomputed,
+            keys=["ship_day", "flag"],
+            exact=["__nn_revenue", "__n"],
+            approx={"revenue": 1e-6},
         )
-        r = recomputed.select(
-            F.col("ship_day").alias("__r_day"),
-            F.col("flag").alias("__r_flag"),
-            F.col("revenue").alias("__r_rev"),
-            F.col("__nn_revenue").alias("__r_nn"),
-            F.col("__n").alias("__r_cnt"),
+        moved = bool(
+            maintained.agg(
+                F.coalesce(F.max(F.col("flag") == "X"), F.lit(False))
+            ).first()[0]
         )
-        cmp = m.join(
-            r,
-            F.col("ship_day").eqNullSafe(F.col("__r_day"))
-            & F.col("flag").eqNullSafe(F.col("__r_flag")),
-            "full_outer",
-        )
-        probe = cmp.agg(
-            F.coalesce(
-                F.min(
-                    F.coalesce(
-                        (F.abs(F.col("revenue") - F.col("__r_rev")) <= 1e-6)
-                        & (F.col("__nn") == F.col("__r_nn"))
-                        & (F.col("__cnt") == F.col("__r_cnt")),
-                        F.lit(False),
-                    )
-                ),
-                F.lit(False),
-            ).alias("equal"),
-            F.coalesce(
-                F.max(F.coalesce(F.col("flag"), F.col("__r_flag")) == "X"),
-                F.lit(False),
-            ).alias("moved"),
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-        ).first()
 
         month = F.date_trunc("month", F.col("ship_day")).alias("month")
         nav, _choice = answer_from_summaries(
@@ -449,34 +436,20 @@ def mv_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         direct = v1.groupBy(
             F.date_trunc("month", "ship_day").alias("month"), "flag"
         ).agg(
-            F.sum("revenue").alias("__rev"),
-            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum("revenue").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
-        nav_ok = bool(
-            nav.join(
-                direct,
-                nav["month"].eqNullSafe(direct["month"])
-                & nav["flag"].eqNullSafe(direct["flag"]),
-                "full_outer",
-            )
-            .agg(
-                F.coalesce(
-                    F.min(
-                        F.coalesce(
-                            (F.abs(F.col("revenue") - F.col("__rev")) <= 1e-4)
-                            & (F.col("n_rows") == F.col("__c")),
-                            F.lit(False),
-                        )
-                    ),
-                    F.lit(False),
-                )
-            )
-            .first()[0]
+        # monthly grain folds ~30× more rows per value → looser 1e-4
+        _n, nav_ok = equivalence_probe(
+            nav.select("month", "flag", "revenue", "n_rows"), direct,
+            keys=["month", "flag"],
+            exact=["n_rows"],
+            approx={"revenue": 1e-4},
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        [(probe["n_groups"], bool(probe["equal"]), bool(probe["moved"]), nav_ok)],
+        [(n_groups, bool(equal), moved, bool(nav_ok))],
         "n_groups long, maintained_equals_recompute boolean, "
         "groups_moved boolean, navigator_matches_fact boolean",
     )

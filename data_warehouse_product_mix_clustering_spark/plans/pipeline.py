@@ -409,33 +409,23 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rollup_probe(maintained, published, group_key: str, sum_col: str, src_col: str):
     """(n_groups, matches) for maintained-rollup ≡ full-recompute — the
     incremental-view-maintenance equivalence check BOTH refresh audits
-    attest (one definition so the tolerance / null-handling conventions
-    cannot drift between them): full-outer join on the null-safe group
-    key, sums within the 1e-4 double-reassociation bound, counts exact,
-    any lost join coalesced to a loud FALSE."""
+    attest. Delegates to operators/quality.py::equivalence_probe (ONE
+    definition of the full-outer / null-handling conventions across all
+    maintenance audits); sums within the 1e-4 double-reassociation
+    bound, counts exact."""
+    from data_warehouse_product_mix_clustering_spark.operators.quality import equivalence_probe
+
     recomputed = published.groupBy(group_key).agg(
-        F.sum(src_col).cast("double").alias("__rb"),
-        F.count(F.lit(1)).alias("__rn"),
+        F.sum(src_col).cast("double").alias(sum_col),
+        F.count(F.lit(1)).alias("n"),
     )
-    row = (
-        maintained.join(
-            recomputed,
-            maintained[group_key].eqNullSafe(recomputed[group_key]),
-            "full_outer",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.min(
-                F.coalesce(
-                    (F.abs(F.col(sum_col) - F.col("__rb")) <= 1e-4)
-                    & (F.col("n") == F.col("__rn")),
-                    F.lit(False),
-                )
-            ).alias("matches"),
-        )
-        .first()
+    return equivalence_probe(
+        maintained.select(group_key, sum_col, "n"),
+        recomputed,
+        keys=[group_key],
+        exact=["n"],
+        approx={sum_col: 1e-4},
     )
-    return row["n_groups"], bool(row["matches"])
 
 
 def _customer_feed(spark: SparkSession, sf_dir: str):

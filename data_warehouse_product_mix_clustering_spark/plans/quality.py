@@ -461,30 +461,15 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def consistent(store: str) -> bool:
+        from data_warehouse_product_mix_clustering_spark.operators.quality import equivalence_probe
+
         fact = read_snapshot_table(spark, store, "fact")
-        roll = read_snapshot_table(spark, store, "rollup").select(
-            F.col("o_orderstatus").alias("__s"),
-            F.col("revenue").alias("__r"),
-            F.col("n").alias("__n"),
+        roll = read_snapshot_table(spark, store, "rollup")
+        _n, match = equivalence_probe(
+            rollup_of(fact), roll,
+            keys=["o_orderstatus"], exact=["n"], approx={"revenue": 1e-6},
         )
-        probe = (
-            rollup_of(fact)
-            .join(roll, F.col("o_orderstatus").eqNullSafe(F.col("__s")), "full_outer")
-            .agg(
-                F.coalesce(
-                    F.min(
-                        F.coalesce(
-                            (F.abs(F.col("revenue") - F.col("__r")) <= 1e-6)
-                            & (F.col("n") == F.col("__n")),
-                            F.lit(False),
-                        )
-                    ),
-                    F.lit(False),
-                )
-            )
-            .first()[0]
-        )
-        return bool(probe)
+        return match
 
     root = tempfile.mkdtemp(prefix="spark_graft_snapshot_audit_")
     try:

@@ -92,7 +92,11 @@ def publish_snapshot(store_dir: str, changed: dict[str, DataFrame]) -> int:
         if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
             raise ValueError(f"table name {name!r} is not filesystem-safe")
         manifest[name] = write_version(df, os.path.join(store_dir, name))
-    new_id = (cur + 1) if cur is not None else 0
+    # ids allocate past the HIGHEST existing snapshot, not current+1: a
+    # publish after rollback_snapshot must branch forward, never reuse a
+    # newer id and overwrite its manifest (review r9 — reproduced:
+    # publish, publish, rollback(0), publish rewrote snapshot 1).
+    new_id = max(snapshots(store_dir), default=-1) + 1
     mdir = os.path.join(store_dir, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{new_id}.json.tmp")

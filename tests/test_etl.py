@@ -1098,6 +1098,16 @@ def test_snapshot_store_contract(spark, tmp_path):
         read_snapshot_table(spark, store, "t", s).count() for s in snapshots(store)
     ] == [3, 5]
 
+    # publish after rollback BRANCHES FORWARD: snapshot 1's manifest is
+    # never overwritten (review r9 — ids allocate past the highest
+    # existing snapshot, not current+1)
+    rollback_snapshot(store, 0)
+    s2 = publish_snapshot(store, {"t": spark.range(7)})
+    assert s2 == 2 and snapshots(store) == [0, 1, 2]
+    assert [
+        read_snapshot_table(spark, store, "t", s).count() for s in snapshots(store)
+    ] == [3, 5, 7]
+
 
 def test_refresh_pipeline_crash_between_table_and_rollup_heals(
     spark, tmp_path, monkeypatch

@@ -1313,3 +1313,27 @@ def test_triangle_stats_hand_checked(spark):
     g = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
     w = triangle_stats(g).first()
     assert (w.n_triangles, w.n_wedges) == (1, 5)
+
+    # a graph whose every edge normalizes away yields ZEROS, never NULLs
+    # (review r9: sum over zero rows is NULL without the coalesce)
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    z = triangle_stats(loops).first()
+    assert tuple(z) == (0, 0, 0, 0, 0.0)
+
+
+def test_ivfpq_empty_query_batch_raises(spark, tmp_path):
+    """An empty probe batch fails with a clear ValueError, not an opaque
+    numpy AxisError (review r9, the search_postings_index precedent)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, nlist=8, m=16, ksub=16, seed=42)
+    with pytest.raises(ValueError, match="at least one query row"):
+        search_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") < 0), k=5)
