@@ -1691,3 +1691,74 @@ def basket_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "__ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
     )
     return triangle_stats(edges)
+
+
+# Bernoulli-by-hash sample at nominal 10%: md5-prefix < this 8-hex bound.
+# The ACTUAL inclusion probability is the bound's exact value (the
+# estimator must scale by what the predicate really selects, not 0.1).
+_SAMPLE_BOUND = format(int(0.1 * 16**8), "08x")  # '19999999'
+_SAMPLE_P = int(_SAMPLE_BOUND, 16) / 16**8
+
+
+@register(
+    "revenue_sample_estimate",
+    oracle=f"""
+        WITH s AS (
+            SELECT o_totalprice AS y
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                      < '{_SAMPLE_BOUND}'
+        ),
+        est AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                   sum(y) / {_SAMPLE_P!r} AS estimate,
+                   1.96 * sqrt((1 - {_SAMPLE_P!r}) / ({_SAMPLE_P!r} * {_SAMPLE_P!r})
+                               * sum(y * y)) AS hw
+            FROM s
+        )
+        SELECT n_sampled,
+               CAST(round(estimate) AS BIGINT) AS estimate,
+               CAST(round(hw) AS BIGINT) AS ci_halfwidth,
+               abs((SELECT sum(o_totalprice) FROM orders) - estimate) <= hw
+                   AS covers_truth
+        FROM est
+    """,
+)
+def revenue_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bounded approximate total from a 10% Bernoulli-by-hash
+    sample — the online-aggregation / query-budget primitive: scan a
+    deterministic tenth of the fact, report the Horvitz-Thompson total
+    with a 95% CI, and (here, auditably) whether the CI covers the true
+    total.
+
+    The sample predicate is a pure function of md5(o_orderkey), so both
+    engines select the IDENTICAL sample and every output value matches
+    exactly — the estimator itself is oracle-checked, not just its
+    contract. The estimator scales by the predicate's EXACT inclusion
+    probability (the hex bound's value), not the nominal 0.1; variance
+    is the Bernoulli-HT form (1−p)/p² · Σ y². At 100 TB the predicate
+    pushes to the scan and the whole estimate costs a 10% read — with
+    the CI telling the user what that 90% discount bought.
+    """
+    orders = table(spark, "orders", sf_dir)
+    s = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+        < _SAMPLE_BOUND
+    ).select(F.col("o_totalprice").alias("y"))
+    p = _SAMPLE_P
+    est = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (F.sum("y") / p).alias("__est"),
+        (1.96 * F.sqrt((1 - p) / (p * p) * F.sum(F.col("y") * F.col("y")))).alias(
+            "__hw"
+        ),
+    )
+    truth = orders.agg(F.sum("o_totalprice").alias("__truth"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_sampled",
+        F.round("__est").cast("long").alias("estimate"),
+        F.round("__hw").cast("long").alias("ci_halfwidth"),
+        (F.abs(F.col("__truth") - F.col("__est")) <= F.col("__hw")).alias(
+            "covers_truth"
+        ),
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     "revenue_forecast_backtest",  # walk-forward baseline-forecast MAE/bias
     "basket_triangle_stats",  # degree-oriented exact triangle census
     "lineitem_nested_roundtrip_audit",  # relational→nested→flat lossless proof
+    "revenue_sample_estimate",  # Bernoulli-by-hash HT estimator with 95% CI
     # Registered late in round 8 — r8's 50-slot window was already full, so
     # none of these has ever received a driver CORRECTNESS row (VERDICT r8
     # Next #1). They lead round 9's attestation window.
