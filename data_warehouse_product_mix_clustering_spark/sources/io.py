@@ -143,7 +143,7 @@ def compact_parquet(
     # On-disk size via the scan's own statistics (no driver-side file walk).
     df = spark.read.parquet(path)
     size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(1, int(int(size) // target_file_bytes) + 1)
+    n_files = max(1, -(-int(size) // target_file_bytes))  # ceil division
     out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)

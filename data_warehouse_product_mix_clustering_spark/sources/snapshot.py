@@ -42,6 +42,23 @@ _MANIFESTS = "_snapshots"
 _SFILE = re.compile(r"^(\d+)\.json$")
 
 
+def _write_atomic(path: str, content: str) -> None:
+    """fsync-then-replace (versioned._write_marker's discipline): rename
+    without fsync can persist BEFORE the data on common filesystems,
+    leaving an empty pointer/manifest after a crash — fatal for a layer
+    whose whole contract is crash atomicity (review r9)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+# Store-level names a table may not collide with.
+_RESERVED = {_POINTER, _MANIFESTS}
+
+
 def snapshots(store_dir: str) -> list[int]:
     """All committed snapshot ids, ascending (committed = manifest file
     exists; the pointer names the CURRENT one)."""
@@ -89,8 +106,11 @@ def publish_snapshot(store_dir: str, changed: dict[str, DataFrame]) -> int:
     cur = current_snapshot(store_dir)
     manifest = dict(snapshot_manifest(store_dir, cur)) if cur is not None else {}
     for name, df in changed.items():
-        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
-            raise ValueError(f"table name {name!r} is not filesystem-safe")
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name) or name in _RESERVED:
+            raise ValueError(
+                f"table name {name!r} is not filesystem-safe (or collides "
+                f"with the store's reserved names {sorted(_RESERVED)})"
+            )
         manifest[name] = write_version(df, os.path.join(store_dir, name))
     # ids allocate past the HIGHEST existing snapshot, not current+1: a
     # publish after rollback_snapshot must branch forward, never reuse a
@@ -99,14 +119,10 @@ def publish_snapshot(store_dir: str, changed: dict[str, DataFrame]) -> int:
     new_id = max(snapshots(store_dir), default=-1) + 1
     mdir = os.path.join(store_dir, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{new_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, os.path.join(mdir, f"{new_id}.json"))
-    ptmp = os.path.join(store_dir, f".{_POINTER}.tmp")
-    with open(ptmp, "w") as f:
-        f.write(str(new_id))
-    os.replace(ptmp, os.path.join(store_dir, _POINTER))
+    _write_atomic(
+        os.path.join(mdir, f"{new_id}.json"), json.dumps(manifest, sort_keys=True)
+    )
+    _write_atomic(os.path.join(store_dir, _POINTER), str(new_id))
     return new_id
 
 
@@ -129,7 +145,56 @@ def rollback_snapshot(store_dir: str, snapshot: int) -> None:
     once, no data rewrite. Newer snapshots stay time-travelable."""
     if snapshot not in snapshots(store_dir):
         raise ValueError(f"snapshot {snapshot} does not exist in {store_dir}")
-    ptmp = os.path.join(store_dir, f".{_POINTER}.tmp")
-    with open(ptmp, "w") as f:
-        f.write(str(snapshot))
-    os.replace(ptmp, os.path.join(store_dir, _POINTER))
+    _write_atomic(os.path.join(store_dir, _POINTER), str(snapshot))
+
+
+def vacuum_snapshots(store_dir: str, keep_last: int = 2) -> dict[str, int]:
+    """Reclaim storage the SNAPSHOT-AWARE way: keep the last ``keep_last``
+    snapshots (plus the current one, which may be older after a
+    rollback), then delete every table version directory no kept
+    manifest references — including orphans from crashed publishes —
+    and the dropped snapshots' manifest files.
+
+    ``sources/versioned.py::vacuum`` must NOT be pointed at a table
+    inside a snapshot store: it keeps by that table's own marker and
+    recency, and would happily delete a version an older manifest — or,
+    after a rollback, the CURRENT manifest — still references (review
+    r9). This is the store-level replacement. Returns
+    {'snapshots_dropped': n, 'versions_deleted': n}.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    all_snaps = snapshots(store_dir)
+    if not all_snaps:
+        return {"snapshots_dropped": 0, "versions_deleted": 0}
+    cur = current_snapshot(store_dir)
+    keep = set(all_snaps[-keep_last:])
+    if cur is not None:
+        keep.add(cur)
+    referenced: dict[str, set[int]] = {}
+    tables: set[str] = set()
+    for sid in all_snaps:
+        manifest = snapshot_manifest(store_dir, sid)
+        tables.update(manifest)
+        if sid in keep:
+            for t, v in manifest.items():
+                referenced.setdefault(t, set()).add(v)
+    deleted = 0
+    vdir = re.compile(r"^v=(\d+)$")
+    for t in sorted(tables):
+        tdir = os.path.join(store_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            m = vdir.match(d)
+            if m and int(m.group(1)) not in referenced.get(t, set()):
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                deleted += 1
+    dropped = 0
+    for sid in all_snaps:
+        if sid not in keep:
+            os.remove(os.path.join(store_dir, _MANIFESTS, f"{sid}.json"))
+            dropped += 1
+    return {"snapshots_dropped": dropped, "versions_deleted": deleted}

@@ -77,10 +77,32 @@ def stream_events(
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    _relink(link, os.path.join(os.path.abspath(sf_dir), "events.parquet"))
     out = normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
     return out.withWatermark("ts", watermark) if watermark else out
+
+
+def _relink(link: str, target: str) -> None:
+    """(Re)point a staging symlink. ``os.path.exists`` FOLLOWS links, so
+    a dangling link from a prior run reads as absent and a bare
+    ``os.symlink`` then raises FileExistsError (review r9) — check with
+    ``lexists`` and replace unconditionally so the link always points at
+    the current target."""
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(target, link)
+
+
+def await_available_now(q, timeout_sec: int, timeout_msg: str) -> None:
+    """Shared await/raise/stop contract for every availableNow run (the
+    memory-sink variant here and the foreachBatch variant in runner.py —
+    one definition so the timeout semantics cannot drift; review r9)."""
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(timeout_msg)
+    finally:
+        q.stop()
 
 
 def run_available_now(
@@ -104,15 +126,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow replay '{name}' still running after "
-                f"{timeout_sec}s — refusing to return a partial memory table"
-            )
-    finally:
-        q.stop()
+    await_available_now(
+        q,
+        timeout_sec,
+        f"availableNow replay '{name}' still running after "
+        f"{timeout_sec}s — refusing to return a partial memory table",
+    )
     return spark.table(name)
 
 
@@ -191,8 +210,7 @@ def stream_events_duplicated(
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     for link_name in ("events_copy1.parquet", "events_copy2.parquet"):
         link = os.path.join(stage, link_name)
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        _relink(link, src)
     return (
         normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
         .withWatermark("ts", watermark)

@@ -55,7 +55,11 @@ def incremental_events_etl(
 
 def read_warehouse_events(spark: SparkSession, out_dir: str) -> DataFrame:
     if not os.path.exists(out_dir):
-        return None
+        # a clear error at the cause beats the AttributeError a silent
+        # None produces three frames later (review r9)
+        raise FileNotFoundError(
+            f"no warehouse sink at {out_dir!r} — run the incremental ETL first"
+        )
     df = spark.read.parquet(out_dir)
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
 

@@ -97,6 +97,26 @@ def streaming_csv_quarantine_etl(
     return run_available_now(raw, sink, checkpoint_dir, timeout_sec)
 
 
-def read_sink(spark: SparkSession, path: str) -> DataFrame:
-    """Read a sink directory back, without the internal batch column."""
-    return spark.read.parquet(path).drop(BATCH_COL)
+def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a sink directory back, without the internal batch column.
+
+    A run whose every batch was empty on one side (fully clean feed →
+    empty quarantine; fully dirty → empty clean sink) leaves a directory
+    with no part files, which ``spark.read.parquet`` cannot infer a
+    schema from. With ``schema`` (the sink's row schema, sans batch
+    column) the common monitoring call returns an EMPTY DataFrame
+    instead of crashing (review r9); without it the original
+    AnalysisException propagates.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).drop(BATCH_COL)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if schema is not None and cond in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            return spark.createDataFrame([], schema)
+        raise

@@ -42,13 +42,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow run exceeded {timeout_sec}s; checkpoint holds "
-                "the uncommitted batch — rerun after raising timeout_sec"
-            )
-    finally:
-        q.stop()
+    from data_warehouse_product_mix_clustering_spark.streaming.events import await_available_now
+
+    await_available_now(
+        q,
+        timeout_sec,
+        f"availableNow run exceeded {timeout_sec}s; checkpoint holds "
+        "the uncommitted batch — rerun after raising timeout_sec",
+    )
     return n_batches

@@ -19,10 +19,14 @@ Semantics notes:
   (1800 s, 1801 s), a latent boundary divergence on both engines'
   otherwise-identical green data).
 - Late (within-watermark) cross-batch events merge into the open session
-  when within the gap of its bounds (extending session_start to the min);
-  an event more than the gap BEFORE the open session belongs to an
-  already-emitted past and is emitted as its own standalone session — the
-  best a single-open-session state can do without unbounded buffering.
+  when within the gap of its bounds (extending session_start to the min).
+  Events more than the gap BEFORE the open session belong to an
+  already-emitted past: they mini-sessionize among themselves within the
+  batch (so two late events of one past session emit as ONE session), and
+  a late chain that climbs to within the gap of a live event folds into
+  the open session; only a genuinely isolated late chain emits standalone
+  — the best a single-open-session state can do without unbounded
+  buffering (a previously-emitted session is never retracted/extended).
 - Event-time arithmetic round-trips through tz-naive pandas values and is
   only correct because the engine pins spark.sql.session.timeZone=UTC
   (session.py); a DST session timezone would shift ambiguous local times.
@@ -104,25 +108,56 @@ def _session_fn(
                 us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
                 ts_all.extend(zip(us.tolist(), pdf["value"].astype(float).tolist()))
         ts_all.sort()
+        # Late arrivals (more than the gap BEFORE the open session's
+        # reach) mini-sessionize among THEMSELVES — two late events of
+        # one past session merge like the batch twin would (review r9) —
+        # and a chain that climbs to within the gap of a live event
+        # folds into the open session instead of emitting standalone.
+        late = None
         for ts_us, value in ts_all:
+            if cur is not None and cur[0] - ts_us > GAP_US:
+                if late is None:
+                    late = [ts_us, ts_us, 1, value]
+                elif ts_us - late[1] > GAP_US:
+                    emit(late)
+                    late = [ts_us, ts_us, 1, value]
+                else:
+                    late[1] = ts_us
+                    late[2] += 1
+                    late[3] += value
+                continue
+            if late is not None:
+                if ts_us - late[1] <= GAP_US:
+                    # the chain bridges to this event: one session
+                    cur[0] = min(cur[0], late[0])
+                    cur[2] += late[2]
+                    cur[3] += late[3]
+                else:
+                    emit(late)
+                late = None
             if cur is None:
                 cur = [ts_us, ts_us, 0, 0.0]
             elif ts_us - cur[1] > GAP_US:
                 emit(cur)
                 cur = [ts_us, ts_us, 0, 0.0]
-            elif cur[0] - ts_us > GAP_US:
-                # Late arrival from before the open session's reach: its
-                # session was already emitted in a previous batch, so emit
-                # it standalone rather than gluing it across the gap.
-                emit((ts_us, ts_us, 1, value))
-                continue
             cur[0] = min(cur[0], ts_us)
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += value
+        if late is not None:
+            emit(late)
         if cur is not None:
             state.update(tuple(cur))
-            state.setTimeoutTimestamp(cur[1] // 1000 + GAP_SECONDS * 1000)
+            # Clamp to just past the current watermark: a session whose
+            # last_event + gap already fell behind it must still set a
+            # VALID timeout (setTimeoutTimestamp raises on a timestamp
+            # below the watermark, killing the query — review r9); it
+            # then times out on the next batch, which is exactly "the
+            # watermark passed last_event + gap".
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1000 + GAP_SECONDS * 1000, wm + 1)
+            )
 
     if out_rows:
         yield pd.DataFrame(

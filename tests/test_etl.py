@@ -1108,6 +1108,44 @@ def test_snapshot_store_contract(spark, tmp_path):
         read_snapshot_table(spark, store, "t", s).count() for s in snapshots(store)
     ] == [3, 5, 7]
 
+    # reserved store names are rejected before any data lands
+    with pytest.raises(ValueError, match="reserved"):
+        publish_snapshot(store, {"_snapshots": spark.range(1)})
+    with pytest.raises(ValueError, match="reserved"):
+        publish_snapshot(store, {"_SNAPSHOT": spark.range(1)})
+
+
+def test_snapshot_vacuum_is_manifest_aware(spark, tmp_path):
+    '''vacuum_snapshots keeps every version a kept manifest references,
+    including the CURRENT snapshot after a rollback and carried-forward
+    versions, and drops the rest plus their manifests (review r9: the
+    per-table vacuum would delete manifest-referenced versions).'''
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.sources.snapshot import (
+        publish_snapshot,
+        read_snapshot_table,
+        rollback_snapshot,
+        snapshots,
+        vacuum_snapshots,
+    )
+
+    store = str(tmp_path / "store")
+    publish_snapshot(store, {"t": spark.range(3), "u": spark.range(2)})   # s0
+    publish_snapshot(store, {"t": spark.range(5)})                        # s1: u carries
+    publish_snapshot(store, {"t": spark.range(7)})                        # s2
+    publish_snapshot(store, {"t": spark.range(9)})                        # s3
+    rollback_snapshot(store, 1)
+
+    res = vacuum_snapshots(store, keep_last=2)
+    # kept: s2, s3 (last 2) + s1 (current). dropped: s0. t's v0 deleted.
+    assert res == {"snapshots_dropped": 1, "versions_deleted": 1}
+    assert snapshots(store) == [1, 2, 3]
+    assert read_snapshot_table(spark, store, "t").count() == 5   # current = s1
+    assert read_snapshot_table(spark, store, "u").count() == 2   # carried v0 kept
+    assert read_snapshot_table(spark, store, "t", 3).count() == 9
+    assert not os.path.isdir(os.path.join(store, "t", "v=0"))
+
 
 def test_refresh_pipeline_crash_between_table_and_rollup_heals(
     spark, tmp_path, monkeypatch

@@ -169,3 +169,81 @@ def test_streaming_quarantine_per_file_headers(spark, tmp_path):
     assert clean == [(1, 10), (2, 20), (3, 30)]
     quar = [r.raw_line for r in read_sink(spark, str(tmp_path / "quar")).collect()]
     assert quar == ["id,qty"]  # ONE imposter; both real headers dropped
+
+
+def test_stateful_sessions_survive_watermark_overrun_and_merge_late(spark, tmp_path):
+    """Multi-batch sessionizer regressions (review r9): (1) an event
+    arriving after the watermark already passed its session's timeout
+    must not kill the query — setTimeoutTimestamp below the watermark
+    raises ValueError without the clamp; (2) two late events of one past
+    session emit as ONE merged session, not two singletons."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.streaming.sessions import streaming_sessions
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def land(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        p = str(src / name)
+        df.coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    import datetime as dt
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    t0 = time.time() - 1000
+    # batch 1: u1 opens a session; batch 2: u2 far ahead (watermark jumps
+    # past u1's timeout); batch 3: u1 late event + two late events of one
+    # past u2 session; batch 4: u3 far ahead (flushes u1's new state).
+    land("b1", [(1, T("12:00:00"), 1.0), (1, T("12:05:00"), 2.0)], t0)
+    land("b2", [(2, T("20:00:00"), 1.0)], t0 + 10)
+    land(
+        "b3",
+        [(1, T("12:20:00"), 4.0), (2, T("15:00:00"), 1.0), (2, T("15:10:00"), 1.0)],
+        t0 + 20,
+    )
+    land("b4", [(3, T("23:59:00"), 1.0)], t0 + 30)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not drain"
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"), r.n_events)
+        for r in spark.table("sessions_multibatch").collect()
+    }
+    # u1's 12:20 straggler arrives AFTER the watermark (20:00) already
+    # passed the session's 12:35 timeout — but the key has data in that
+    # batch, so the state is still live and the event merges, exactly
+    # like the batch twin; resetting the timeout then REQUIRES the
+    # watermark clamp (setTimeoutTimestamp(12:50) < 20:00 raises and
+    # kills the query without it). u2's two 15:xx late events merge into
+    # ONE past session, and its open 20:00 session times out at batch 4.
+    assert (1, "12:00", "12:20", 3) in got
+    assert (2, "15:00", "15:10", 2) in got
+    assert (2, "20:00", "20:00", 1) in got
+    assert (2, "15:00", "15:00", 1) not in got  # no singleton fragments
+    assert len(got) == 3
