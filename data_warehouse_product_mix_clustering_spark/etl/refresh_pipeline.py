@@ -204,7 +204,13 @@ def refresh_warehouse(
     # sidecar for a version that does not exist (harmless), never a
     # committed rollup without its basis (which would double-apply the
     # delta on the next run).
-    next_agg_v = (agg_versions[-1] + 1) if agg_versions else 0
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import next_version
+
+    # next_version (marker + EVERY v=* dir, orphans included) — not
+    # versions()[-1]+1: a crash-orphaned rollup directory makes the two
+    # disagree, and the sidecar would then be keyed to a version the
+    # write never produces, re-opening the staleness bug (review r9).
+    next_agg_v = next_version(agg_dir)
     _write_agg_basis(work_dir, next_agg_v, v)
     agg_v = write_version(agg, agg_dir)
     if new_wm is not None:
@@ -228,10 +234,11 @@ def _read_agg_basis(work_dir: str, agg_version: int, fallback: int) -> int:
 
 
 def _write_agg_basis(work_dir: str, agg_version: int, table_version: int) -> None:
-    tmp = os.path.join(work_dir, f".{_AGG_BASIS}{agg_version}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(table_version))
-    os.replace(tmp, os.path.join(work_dir, f"{_AGG_BASIS}{agg_version}"))
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    write_small_file_atomic(
+        os.path.join(work_dir, f"{_AGG_BASIS}{agg_version}"), str(table_version)
+    )
 
 
 def _read_watermark(work_dir: str) -> int:
@@ -243,7 +250,6 @@ def _read_watermark(work_dir: str) -> int:
 
 
 def _write_watermark(work_dir: str, batch_id: int) -> None:
-    tmp = os.path.join(work_dir, f".{_WATERMARK}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, os.path.join(work_dir, _WATERMARK))
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    write_small_file_atomic(os.path.join(work_dir, _WATERMARK), str(batch_id))

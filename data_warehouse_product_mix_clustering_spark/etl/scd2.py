@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _any_attr_differs(attrs: list[str], left_prefix: str, right_prefix: str) -> Column:
@@ -54,8 +55,16 @@ def scd2_merge(
         intervals). ``"error"`` (default) raises ValueError (one extra
         dimension-sized job); ``"drop"`` discards those updates.
     Semantics: a key whose attrs differ from its open row closes that row
-    at the update timestamp and opens a new row from it; an unseen key
-    opens its first row; an identical update is ignored (idempotence).
+    JUST BEFORE the update timestamp (``ts − 1 day`` for dates, ``ts − 1
+    microsecond`` for timestamps — the star schema's non-overlapping
+    convention) and opens a new row AT it; an unseen key opens its first
+    row; an identical update is ignored (idempotence). Closing at ts
+    itself would make consecutive intervals overlap at exactly ts under
+    the engine's INCLUSIVE-end interval joins, double-matching every
+    fact dated on a change day through the trusted ``disjoint=True``
+    as-of fast path (review r9). NULL business keys are first-class: the
+    merge joins null-safe, so an 'unknown member' row updates instead of
+    silently vanishing from the output.
     """
     if on_stale not in ("error", "drop"):
         raise ValueError(f"on_stale must be 'error' or 'drop': {on_stale}")
@@ -70,7 +79,9 @@ def scd2_merge(
         _any_attr_differs(attrs, "o", "u")
         & (F.col(f"u.{ts_col}") <= F.col(f"o.{start_col}"))
     )
-    stale_join = open_rows.join(up, F.col(f"o.{key}") == F.col(f"u.{key}"), "inner")
+    stale_join = open_rows.join(
+        up, F.col(f"o.{key}").eqNullSafe(F.col(f"u.{key}")), "inner"
+    )
     if on_stale == "error":
         bad = stale_join.filter(stale_cond).select(F.col(f"u.{key}")).limit(1).collect()
         if bad:
@@ -86,14 +97,29 @@ def scd2_merge(
         )
         up = (
             up.join(
-                stale_keys, F.col(f"u.{key}") == F.col("__stale_key"), "left_anti"
+                stale_keys,
+                F.col(f"u.{key}").eqNullSafe(F.col("__stale_key")),
+                "left_anti",
             ).alias("u")
         )
 
-    j = open_rows.join(up, F.col(f"o.{key}") == F.col(f"u.{key}"), "full_outer")
+    # Null-safe key join + synthetic presence flags (merge_into's
+    # pattern): key-isNotNull presence misreads a NULL-keyed row as
+    # absent from BOTH sides, dropping it from every fate bucket.
+    open_rows = open_rows.withColumn("__op", F.lit(1)).alias("o")
+    up = up.withColumn("__up", F.lit(1)).alias("u")
+    j = open_rows.join(
+        up, F.col(f"o.{key}").eqNullSafe(F.col(f"u.{key}")), "full_outer"
+    )
     changed = _any_attr_differs(attrs, "o", "u")
-    has_open = F.col(f"o.{key}").isNotNull()
-    has_upd = F.col(f"u.{key}").isNotNull()
+    has_open = F.col("o.__op").isNotNull()
+    has_upd = F.col("u.__up").isNotNull()
+
+    # Non-overlapping close boundary, typed to the interval columns.
+    if isinstance(dim.schema[start_col].dataType, T.DateType):
+        close_at = F.date_sub(F.col(f"u.{ts_col}"), 1)
+    else:
+        close_at = F.col(f"u.{ts_col}") - F.expr("INTERVAL 1 MICROSECOND")
 
     # Open rows that survive untouched: no update, or an identical one.
     carried = j.filter(has_open & (~has_upd | ~changed)).select(
@@ -104,7 +130,7 @@ def scd2_merge(
         F.col(f"o.{key}").alias(key),
         *[F.col(f"o.{a}").alias(a) for a in attrs],
         F.col(f"o.{start_col}").alias(start_col),
-        F.col(f"u.{ts_col}").alias(end_col),
+        close_at.cast(dim.schema[end_col].dataType).alias(end_col),
     )
     # New open rows: changed keys and brand-new keys.
     opened = j.filter(has_upd & (~has_open | changed)).select(

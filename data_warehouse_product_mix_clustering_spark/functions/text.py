@@ -51,12 +51,16 @@ def word_ngrams(toks_col: str, n: int = 2) -> Column:
 
     Takes the column name (not a Column) because the index arithmetic uses a
     SQL lambda; guard against size < n (Spark's ``sequence(1, 0)`` would
-    count DOWN, not produce an empty array).
+    count DOWN, not produce an empty array). NULL token arrays propagate
+    NULL — matching ``sql_word_ngrams``'s DuckDB semantics (len(NULL) →
+    NULL), so the two twins agree on every input (review r9; the old
+    ELSE branch turned NULL into an empty array on the Spark side only).
     """
     if n == 1:
         return F.col(toks_col)
     return F.expr(
-        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"CASE WHEN {toks_col} IS NULL THEN CAST(NULL AS array<string>) "
+        f"WHEN size({toks_col}) >= {n} THEN "
         f"transform(sequence(1, size({toks_col}) - {n - 1}),"
         f" i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
         f"ELSE cast(array() AS array<string>) END"

@@ -84,7 +84,10 @@ def lstm_autoencoder_embeddings(
     sd = np.array([stats[f"{f}_sd"] or 1.0 for f in SEQ_FEATURES])
     sd[sd == 0.0] = 1.0
 
-    arrays = _sequence_arrays(quarterly)
+    # Materialized once: the train-sample collect AND the mapInPandas
+    # scoring pass both consume this shuffle aggregation — without the
+    # checkpoint the dominant shuffle runs twice (review r9).
+    arrays = _sequence_arrays(quarterly).localCheckpoint(eager=True)
 
     def to_matrix(seq) -> np.ndarray:
         return (

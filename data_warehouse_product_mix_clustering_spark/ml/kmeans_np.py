@@ -73,10 +73,19 @@ def _lloyd(
         counts = np.bincount(labels, minlength=k)
         empties = np.flatnonzero(counts == 0)
         if empties.size:
+            # Steal only from clusters with >1 member: taking a SOLE
+            # member just moves the hole, and the unchecked division
+            # below then yields NaN centers that poison every later
+            # iteration AND the best-restart comparison (review r9).
             assigned_d2 = d2[np.arange(n), labels]
-            far_order = np.argsort(-assigned_d2, kind="stable")
-            for j, cid in enumerate(empties):
-                labels[far_order[j]] = cid
+            far_order = iter(np.argsort(-assigned_d2, kind="stable"))
+            for cid in empties:
+                for idx in far_order:
+                    if counts[labels[idx]] > 1:
+                        counts[labels[idx]] -= 1
+                        labels[idx] = cid
+                        counts[cid] = 1
+                        break
             counts = np.bincount(labels, minlength=k)
         # Per-feature bincount beats np.add.at ~10× here: add.at is a
         # generic scatter-add (one Python-level ufunc dispatch per element
@@ -85,7 +94,11 @@ def _lloyd(
         new_centers = np.empty_like(centers)
         for j in range(X.shape[1]):
             new_centers[:, j] = np.bincount(labels, weights=X[:, j], minlength=k)
-        new_centers /= counts[:, None]
+        # n < k leaves genuinely unfillable clusters: keep their previous
+        # center instead of dividing by zero
+        nonzero = counts > 0
+        new_centers[nonzero] /= counts[nonzero, None]
+        new_centers[~nonzero] = centers[~nonzero]
         shift = float(((new_centers - centers) ** 2).sum())
         centers = new_centers
         if shift <= tol_abs:

@@ -239,6 +239,10 @@ class LSTMAutoencoderNP:
         weight_decay: float = 5e-4,
     ) -> list[float]:
         """Train on scaled sequences; returns the per-epoch mean loss."""
+        if not seqs:
+            # an empty corpus would reach total/nb with nb=0 deep in the
+            # epoch loop — fail at the cause instead (review r9)
+            raise ValueError("LSTM fit requires at least one training sequence")
         idx = np.arange(len(seqs))
         losses = []
         for _ in range(epochs):

@@ -44,7 +44,7 @@ def kmeans_assign(
     seed: int = DEFAULT_SEED,
     cluster_col: str = "cluster",
     order_col: str | None = None,
-    n_init: int = 4,
+    n_init: int = 10,
     probe_iter: int = 4,
 ) -> DataFrame:
     """Standardize ``feature_cols`` and append a KMeans cluster id.
@@ -94,7 +94,7 @@ def kmeans_assign(
             mu, sd = X.mean(0), X.std(0)  # ddof=0 — sklearn StandardScaler
             sd[sd == 0] = 1.0
             labels = kmeans_fit_predict(
-                (X - mu) / sd, k=k, seed=seed, n_init=max(n_init, 10)
+                (X - mu) / sd, k=k, seed=seed, n_init=n_init
             )
             return _attach_labels(df, pdf[order_col], labels, order_col, cluster_col)
     if order_col is not None:
@@ -144,12 +144,11 @@ def kmeans_assign(
         final = KMeans(
             featuresCol="__scaled", predictionCol=cluster_col, k=k, seed=seed + best_i
         ).fit(scaled)
-        best = (final.summary.trainingCost, final)
         # localCheckpoint materializes the (small) assignment output on the
         # executors and truncates lineage, so the cached input can be freed
         # without the returned plan recomputing the feature matrix.
         out = (
-            best[1]
+            final
             .transform(scaled)
             .drop("__feat", "__scaled")
             .localCheckpoint(eager=True)

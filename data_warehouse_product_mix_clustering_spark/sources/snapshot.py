@@ -42,17 +42,7 @@ _MANIFESTS = "_snapshots"
 _SFILE = re.compile(r"^(\d+)\.json$")
 
 
-def _write_atomic(path: str, content: str) -> None:
-    """fsync-then-replace (versioned._write_marker's discipline): rename
-    without fsync can persist BEFORE the data on common filesystems,
-    leaving an empty pointer/manifest after a crash — fatal for a layer
-    whose whole contract is crash atomicity (review r9)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(content)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic as _write_atomic  # noqa: E402
 
 
 # Store-level names a table may not collide with.

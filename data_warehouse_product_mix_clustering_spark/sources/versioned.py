@@ -58,13 +58,41 @@ def _read_marker(table_dir: str) -> int | None:
         return int(f.read().strip())
 
 
-def _write_marker(table_dir: str, version: int) -> None:
-    tmp = os.path.join(table_dir, f".{_LATEST}.tmp")
+def write_small_file_atomic(path: str, content: str) -> None:
+    """Durable atomic small-file publish: write + flush + fsync a temp
+    file, then ``os.replace``. The fsync matters — a rename can persist
+    BEFORE the data on common filesystems, so a crash would otherwise
+    leave an empty marker/manifest behind a durable name. The ONE
+    definition every marker/sidecar/manifest writer in the engine uses
+    (versioned marker, snapshot store, refresh watermark + basis)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        f.write(str(version))
+        f.write(content)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(table_dir, _LATEST))  # atomic publish
+    os.replace(tmp, path)
+
+
+def next_version(table_dir: str) -> int:
+    """The version the next ``write_version`` call will allocate: one past
+    the max of the published marker and EVERY ``v=*`` directory —
+    committed or crash-orphaned. Callers that pre-stage per-version
+    sidecars (the refresh pipeline's agg basis) must use this, not
+    ``versions()[-1] + 1``: the committed-only view skips orphans and
+    would key the sidecar to a version the write never produces."""
+    if not os.path.isdir(table_dir):
+        return 0
+    current = _read_marker(table_dir)
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(table_dir)
+        if (m := _VDIR.match(d))
+    ]
+    return max([current if current is not None else -1, *existing, -1]) + 1
+
+
+def _write_marker(table_dir: str, version: int) -> None:
+    write_small_file_atomic(os.path.join(table_dir, _LATEST), str(version))
 
 
 def write_version(df: DataFrame, table_dir: str) -> int:
@@ -75,13 +103,7 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     leaves the previous version live and an invisible orphan directory
     (re-running simply takes the next N)."""
     os.makedirs(table_dir, exist_ok=True)
-    current = _read_marker(table_dir)
-    existing = [
-        int(m.group(1))
-        for d in os.listdir(table_dir)
-        if (m := _VDIR.match(d))
-    ]
-    n = max([current if current is not None else -1, *existing, -1]) + 1
+    n = next_version(table_dir)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={n}"))
     _write_marker(table_dir, n)
     return n

@@ -132,8 +132,11 @@ def test_scd2_merge_golden(spark):
     )
     merged = scd2_merge(dim, updates, key="pid", attrs=["color"], ts_col="ts")
     got = {tuple(r) for r in merged.collect()}
+    # the old row closes the day BEFORE the change (non-overlapping
+    # intervals — review r9: closing AT ts double-matches boundary facts
+    # through inclusive-end joins)
     want = {
-        (1, "red", D("2024-01-01"), D("2024-06-01")),
+        (1, "red", D("2024-01-01"), D("2024-05-31")),
         (1, "crimson", D("2024-06-01"), None),
         (2, "blue", D("2024-01-01"), None),
         (3, "green", D("2023-01-01"), D("2024-01-01")),
@@ -144,20 +147,52 @@ def test_scd2_merge_golden(spark):
     # idempotence: same batch again changes nothing
     again = scd2_merge(merged, updates, key="pid", attrs=["color"], ts_col="ts")
     assert {tuple(r) for r in again.collect()} == want
-    # the output feeds the engine's as-of join directly
+    # the output feeds the engine's as-of join directly — INCLUDING a
+    # fact dated exactly on the change day, which must match only the
+    # newly-opened row even on the dedup-free disjoint fast path
     from data_warehouse_product_mix_clustering_spark.operators.asof_join import asof_join
 
     facts = spark.createDataFrame(
-        [(1, D("2024-03-01")), (1, D("2024-07-01"))], "pid int, d date"
+        [(1, D("2024-03-01")), (1, D("2024-06-01")), (1, D("2024-07-01"))],
+        "pid int, d date",
     )
     matched = asof_join(
         facts, merged, left_on="d", right_on="StartDate",
-        by=["pid"], end_col="EndDate",
+        by=["pid"], end_col="EndDate", disjoint=True,
     )
-    assert {(r.d, r.color) for r in matched.collect()} == {
+    assert sorted((r.d, r.color) for r in matched.collect()) == [
         (D("2024-03-01"), "red"),
+        (D("2024-06-01"), "crimson"),
         (D("2024-07-01"), "crimson"),
-    }
+    ]
+
+
+def test_scd2_merge_null_business_key(spark):
+    '''A NULL business key (the unknown-member row) is first-class: it
+    carries when untouched, closes+reopens on a changed NULL-key update,
+    and never silently disappears (review r9: plain-equality joins
+    dropped it from every fate bucket).'''
+    import datetime as dt
+
+    from data_warehouse_product_mix_clustering_spark.etl.scd2 import scd2_merge
+
+    D = lambda s: dt.date.fromisoformat(s)
+    dim = spark.createDataFrame(
+        [(None, "unknown", D("2024-01-01"), None), (1, "red", D("2024-01-01"), None)],
+        "pid int, color string, StartDate date, EndDate date",
+    )
+    # no update for the NULL key: it carries
+    ups = spark.createDataFrame([(1, "red", D("2024-06-01"))], "pid int, color string, ts date")
+    got = {tuple(r) for r in scd2_merge(dim, ups, key="pid", attrs=["color"], ts_col="ts").collect()}
+    assert (None, "unknown", D("2024-01-01"), None) in got and len(got) == 2
+
+    # a changed NULL-key update closes and reopens it
+    ups2 = spark.createDataFrame(
+        [(None, "redacted", D("2024-06-01"))], "pid int, color string, ts date"
+    )
+    got2 = {tuple(r) for r in scd2_merge(dim, ups2, key="pid", attrs=["color"], ts_col="ts").collect()}
+    assert (None, "unknown", D("2024-01-01"), D("2024-05-31")) in got2
+    assert (None, "redacted", D("2024-06-01"), None) in got2
 
 
 def test_warehouse_build_and_log(spark, tmp_path):
@@ -245,7 +280,7 @@ def test_scd2_merge_rejects_stale_updates(spark):
     got = {tuple(r) for r in merged.collect()}
     assert got == {
         (1, "red", D("2024-01-01"), None),           # stale update dropped
-        (2, "blue", D("2024-01-01"), D("2024-06-01")),
+        (2, "blue", D("2024-01-01"), D("2024-05-31")),  # closes day before
         (2, "navy", D("2024-06-01"), None),
     }
     # a stale-but-identical update is a no-op, not an error

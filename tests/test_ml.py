@@ -239,3 +239,39 @@ def test_star_invalidation_clears_cluster_cache(spark):
     assert len(ml_plans._CLUSTER_CACHE) == 0
     b = ml_plans.product_clusters(spark, "/root/testdata/sf0.001")
     assert b is not a, "post-invalidate call must refit, not reuse"
+
+
+def test_kmeans_np_empty_cluster_repair_no_nan():
+    """Empty-cluster repair must not steal a cluster's sole member (the
+    NaN-center cascade — review r9): duplicate-heavy data with k close
+    to the distinct-point count forces empties; every fit must return
+    finite centers and k non-empty clusters when n >= k, and n < k must
+    not divide by zero."""
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.ml.kmeans_np import kmeans_fit
+
+    # 3 distinct locations, many duplicates, k=3: k-means++ can seed two
+    # centers on one location -> empty-cluster repair engages
+    X = np.array([[0.0, 0.0]] * 5 + [[10.0, 0.0]] * 5 + [[0.0, 10.0]] * 1)
+    for seed in range(6):
+        labels, centers = kmeans_fit(X, k=3, seed=seed, n_init=1)
+        assert np.isfinite(centers).all(), f"seed={seed}: NaN centers"
+        assert len(set(labels.tolist())) == 3, f"seed={seed}: empty cluster"
+
+    # n < k: unfillable clusters keep a finite center, no crash
+    Y = np.array([[0.0, 0.0], [1.0, 1.0]])
+    labels, centers = kmeans_fit(Y, k=4, seed=0, n_init=1)
+    assert np.isfinite(centers).all()
+    assert len(set(labels.tolist())) == 2
+
+
+def test_lstm_fit_empty_corpus_raises():
+    import numpy as np
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.ml.lstm_np import LSTMAutoencoderNP
+
+    m = LSTMAutoencoderNP(input_size=4, hidden_size=8, seed=0)
+    with pytest.raises(ValueError, match="at least one training sequence"):
+        m.fit([])
