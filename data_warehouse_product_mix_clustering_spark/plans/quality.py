@@ -413,7 +413,10 @@ _register_checksum()
                TRUE AS rollup_consistent,
                TRUE AS torn_write_invisible,
                TRUE AS rollback_consistent,
-               TRUE AS carry_forward_ok
+               TRUE AS carry_forward_ok,
+               CAST(2 AS BIGINT) AS vacuum_drops,
+               CAST(4 AS BIGINT) AS vacuum_deletes,
+               TRUE AS consistent_after_vacuum
     """,
 )
 def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +438,12 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - snapshot 2 changes only the rollup: the fact's data version CARRIES
       FORWARD by reference in the new manifest (``carry_forward_ok``) —
       an incremental refresh re-references, never rewrites, the
-      unchanged 100 TB fact.
+      unchanged 100 TB fact;
+    - finally ``vacuum_snapshots(keep_last=1)`` drops snapshots 0-1 and
+      exactly the four version directories no kept manifest references —
+      INCLUDING the torn write's orphan — while the carried-forward fact
+      version survives and the store stays pairwise consistent
+      (``vacuum_drops`` / ``vacuum_deletes`` / ``consistent_after_vacuum``).
     """
     import os
     import shutil
@@ -447,6 +455,7 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollback_snapshot,
         snapshot_manifest,
         snapshots,
+        vacuum_snapshots,
     )
     from data_warehouse_product_mix_clustering_spark.sources.versioned import write_version
 
@@ -504,6 +513,12 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry_forward_ok = (
             snapshot_manifest(store)["fact"] == before and consistent(store)
         )
+
+        vres = vacuum_snapshots(store, keep_last=1)
+        consistent_after_vacuum = (
+            consistent(store)
+            and read_snapshot_table(spark, store, "fact").count() == n_fact_rows
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -515,9 +530,13 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(torn_invisible),
                 bool(rollback_consistent),
                 bool(carry_forward_ok),
+                vres["snapshots_dropped"],
+                vres["versions_deleted"],
+                bool(consistent_after_vacuum),
             )
         ],
         "n_fact_rows long, history_ok boolean, rollup_consistent boolean, "
         "torn_write_invisible boolean, rollback_consistent boolean, "
-        "carry_forward_ok boolean",
+        "carry_forward_ok boolean, vacuum_drops long, vacuum_deletes long, "
+        "consistent_after_vacuum boolean",
     )
