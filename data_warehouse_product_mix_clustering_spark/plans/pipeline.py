@@ -512,7 +512,11 @@ def refresh_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_table(spark, os.path.join(work, "table")),
             "c_nationkey", "bal_sum", "c_acctbal",
         )
-        n_quar = read_sink(spark, os.path.join(work, "quarantine")).count()
+        from data_warehouse_product_mix_clustering_spark.streaming.quarantine import QUARANTINE_SCHEMA
+
+        n_quar = read_sink(
+            spark, os.path.join(work, "quarantine"), QUARANTINE_SCHEMA
+        ).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -562,6 +566,7 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        QUARANTINE_SCHEMA,
         read_sink,
         streaming_csv_quarantine_etl,
         write_quarantine_batch,
@@ -593,13 +598,13 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         streaming_csv_quarantine_etl(**etl)
         n_input = spark.read.text(land).count()
-        n_clean = read_sink(spark, clean_dir).count()
-        n_quar = read_sink(spark, quar_dir).count()
+        n_clean = read_sink(spark, clean_dir, schema).count()
+        n_quar = read_sink(spark, quar_dir, QUARANTINE_SCHEMA).count()
 
         rerun_batches = streaming_csv_quarantine_etl(**etl)
         rerun_is_noop = (
-            read_sink(spark, clean_dir).count() == n_clean
-            and read_sink(spark, quar_dir).count() == n_quar
+            read_sink(spark, clean_dir, schema).count() == n_clean
+            and read_sink(spark, quar_dir, QUARANTINE_SCHEMA).count() == n_quar
         )
 
         # at-least-once retry: same (df, id) twice into fresh sinks
@@ -608,8 +613,8 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(2):
             write_quarantine_batch(raw, 7, schema, c2, q2, header=False)
         retry_idempotent = (
-            read_sink(spark, c2).count() == n_clean
-            and read_sink(spark, q2).count() == n_quar
+            read_sink(spark, c2, schema).count() == n_clean
+            and read_sink(spark, q2, QUARANTINE_SCHEMA).count() == n_quar
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

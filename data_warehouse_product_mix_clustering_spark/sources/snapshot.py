@@ -35,14 +35,16 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table, write_version
+from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+    _VDIR,
+    read_table,
+    write_small_file_atomic as _write_atomic,
+    write_version,
+)
 
 _POINTER = "_SNAPSHOT"
 _MANIFESTS = "_snapshots"
 _SFILE = re.compile(r"^(\d+)\.json$")
-
-
-from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic as _write_atomic  # noqa: E402
 
 
 # Store-level names a table may not collide with.
@@ -164,21 +166,23 @@ def vacuum_snapshots(store_dir: str, keep_last: int = 2) -> dict[str, int]:
     if cur is not None:
         keep.add(cur)
     referenced: dict[str, set[int]] = {}
-    tables: set[str] = set()
     for sid in all_snaps:
-        manifest = snapshot_manifest(store_dir, sid)
-        tables.update(manifest)
         if sid in keep:
-            for t, v in manifest.items():
+            for t, v in snapshot_manifest(store_dir, sid).items():
                 referenced.setdefault(t, set()).add(v)
+    # Walk the FILESYSTEM, not the manifests: a publish that crashed
+    # before its manifest landed leaves a whole table directory no
+    # manifest names, and it must still be reclaimable (review r9).
+    tables = [
+        d
+        for d in os.listdir(store_dir)
+        if d not in _RESERVED and os.path.isdir(os.path.join(store_dir, d))
+    ]
     deleted = 0
-    vdir = re.compile(r"^v=(\d+)$")
     for t in sorted(tables):
         tdir = os.path.join(store_dir, t)
-        if not os.path.isdir(tdir):
-            continue
         for d in os.listdir(tdir):
-            m = vdir.match(d)
+            m = _VDIR.match(d)
             if m and int(m.group(1)) not in referenced.get(t, set()):
                 shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
                 deleted += 1

@@ -64,8 +64,13 @@ def write_small_file_atomic(path: str, content: str) -> None:
     BEFORE the data on common filesystems, so a crash would otherwise
     leave an empty marker/manifest behind a durable name. The ONE
     definition every marker/sidecar/manifest writer in the engine uses
-    (versioned marker, snapshot store, refresh watermark + basis)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    (versioned marker, snapshot store, refresh watermark + basis).
+
+    The temp name is FIXED (not PID-suffixed): writers are single-process
+    by the store contract, and a fixed name means a crashed attempt's
+    leftover is overwritten by the next run instead of accumulating one
+    stale temp file per crashed PID forever (review r9)."""
+    tmp = f"{path}.tmp"
     with open(tmp, "w") as f:
         f.write(content)
         f.flush()

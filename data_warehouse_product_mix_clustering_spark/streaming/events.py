@@ -83,14 +83,25 @@ def stream_events(
 
 
 def _relink(link: str, target: str) -> None:
-    """(Re)point a staging symlink. ``os.path.exists`` FOLLOWS links, so
-    a dangling link from a prior run reads as absent and a bare
-    ``os.symlink`` then raises FileExistsError (review r9) — check with
-    ``lexists`` and replace unconditionally so the link always points at
-    the current target."""
-    if os.path.lexists(link):
-        os.remove(link)
-    os.symlink(target, link)
+    """(Re)point a staging symlink ATOMICALLY. ``os.path.exists`` FOLLOWS
+    links, so a dangling link from a prior run reads as absent and a bare
+    ``os.symlink`` raises FileExistsError; a remove+create pair opens a
+    window where a concurrent driver (or an active FileStreamSource
+    listing) sees no link at all (review r9). So: no-op when the link
+    already points at the target, else create under a unique temp name
+    and ``os.replace`` over — the link is always either old or new."""
+    try:
+        if os.readlink(link) == target:
+            return
+    except OSError:
+        pass  # absent, dangling name, or not a symlink — (re)create below
+    tmp = f"{link}.tmp.{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
 
 
 def await_available_now(q, timeout_sec: int, timeout_msg: str) -> None:

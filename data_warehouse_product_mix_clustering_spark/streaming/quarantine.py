@@ -29,6 +29,11 @@ from data_warehouse_product_mix_clustering_spark.streaming.runner import run_ava
 BATCH_COL = "__batch_id"
 
 
+# Every quarantine sink row is the offending raw line — the schema the
+# empty-sink read path needs (read_sink(schema=...)).
+QUARANTINE_SCHEMA = T.StructType([T.StructField("raw_line", T.StringType())])
+
+
 def write_quarantine_batch(
     batch_df: DataFrame,
     batch_id: int,

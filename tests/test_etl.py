@@ -1172,9 +1172,17 @@ def test_snapshot_vacuum_is_manifest_aware(spark, tmp_path):
     publish_snapshot(store, {"t": spark.range(9)})                        # s3
     rollback_snapshot(store, 1)
 
+    # a crashed publish of a brand-new table: data landed, no manifest
+    # ever named it — must still be reclaimable (review r9)
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_version
+
+    write_version(spark.range(4), str(tmp_path / "store" / "orphan_tbl"))
+
     res = vacuum_snapshots(store, keep_last=2)
-    # kept: s2, s3 (last 2) + s1 (current). dropped: s0. t's v0 deleted.
-    assert res == {"snapshots_dropped": 1, "versions_deleted": 1}
+    # kept: s2, s3 (last 2) + s1 (current). dropped: s0. deleted: t's v0
+    # + the orphan table's v0.
+    assert res == {"snapshots_dropped": 1, "versions_deleted": 2}
+    assert not os.path.isdir(os.path.join(store, "orphan_tbl", "v=0"))
     assert snapshots(store) == [1, 2, 3]
     assert read_snapshot_table(spark, store, "t").count() == 5   # current = s1
     assert read_snapshot_table(spark, store, "u").count() == 2   # carried v0 kept

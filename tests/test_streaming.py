@@ -247,3 +247,36 @@ def test_stateful_sessions_survive_watermark_overrun_and_merge_late(spark, tmp_p
     assert (2, "20:00", "20:00", 1) in got
     assert (2, "15:00", "15:00", 1) not in got  # no singleton fragments
     assert len(got) == 3
+
+
+def test_quarantine_sink_empty_feed_reads_as_empty(spark, tmp_path):
+    """An all-clean feed leaves the quarantine sink with no part files;
+    read_sink with the sink schema returns an EMPTY frame instead of
+    UNABLE_TO_INFER_SCHEMA (review r9 — the schema path now reaches the
+    monitoring call sites)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import (
+        QUARANTINE_SCHEMA,
+        read_sink,
+        streaming_csv_quarantine_etl,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.csv").write_text("1,10.0\n2,20.0\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    streaming_csv_quarantine_etl(
+        spark, str(land), schema, str(tmp_path / "clean"),
+        str(tmp_path / "quar"), str(tmp_path / "ckpt"), header=False,
+    )
+    assert read_sink(spark, str(tmp_path / "clean"), schema).count() == 2
+    q = read_sink(spark, str(tmp_path / "quar"), QUARANTINE_SCHEMA)
+    assert q.count() == 0 and q.columns == ["raw_line"]
+    # without a schema the original loud failure is preserved
+    with pytest.raises(AnalysisException):
+        read_sink(spark, str(tmp_path / "quar")).count()
