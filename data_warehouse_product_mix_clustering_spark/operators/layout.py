@@ -45,22 +45,75 @@ def _interleave_bits(grid_cols: list[Column], bits: int) -> Column:
     return out
 
 
+def _hilbert_d2(x: Column, y: Column, bits: int) -> Column:
+    """Distance along the 2-D Hilbert curve for ``bits``-wide grid
+    coordinates — the classic iterative rotate-and-fold, expressed as an
+    ``F.aggregate`` fold over the bit levels with a (x, y, d) struct
+    accumulator. The fold matters: a naively UNROLLED expression tree
+    re-references x/y in several branches per round and grows ~3^bits
+    nodes (bits=8 OOMs the analyzer — measured); the lambda-bound
+    accumulator keeps every round constant-size, so the whole key is one
+    compact, fully codegen'd JVM expression. No UDF.
+
+    Hilbert beats Morton on locality: every curve step moves to an
+    ADJACENT cell (Morton's 'Z' jumps whole quadrants), so contiguous
+    curve segments — which is exactly what each output file holds —
+    cover tighter boxes and box queries overlap fewer files. Rotation
+    logic exists for d=2 only (the d-dimensional Butz construction is
+    out of scope; >2 columns use Morton).
+    """
+    steps = F.array(*[F.lit(1 << e).cast("long") for e in range(bits - 1, -1, -1)])
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def fold(acc: Column, s: Column) -> Column:
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d = acc["d"] + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        flip = (ry == F.lit(0)) & (rx == F.lit(1))
+        nx = F.when(flip, s - F.lit(1) - acc["x"]).otherwise(acc["x"])
+        ny = F.when(flip, s - F.lit(1) - acc["y"]).otherwise(acc["y"])
+        swap = ry == F.lit(0)
+        return F.struct(
+            F.when(swap, ny).otherwise(nx).alias("x"),
+            F.when(swap, nx).otherwise(ny).alias("y"),
+            d.alias("d"),
+        )
+
+    return F.aggregate(steps, init, fold, lambda acc: acc["d"])
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],
     bits: int = 8,
     mode: str = "quantile",
+    curve: str = "morton",
 ) -> Column:
-    """A Morton z-key Column over ``cols`` for ``df``'s value distribution.
+    """A space-filling-curve key Column over ``cols`` for ``df``'s value
+    distribution.
 
     ``bits`` grid resolution per dimension (8 → 256 cells/dim; the key
     needs ``bits × len(cols)`` ≤ 63 total bits). ``mode``: 'quantile'
-    (skew-resistant rank grid) or 'minmax' (linear grid).
+    (skew-resistant rank grid) or 'minmax' (linear grid) — how VALUES map
+    to grid cells. ``curve``: 'morton' (bit interleave, any dimension
+    count) or 'hilbert' (adjacent-step curve, tighter file boxes,
+    exactly 2 columns) — how CELLS order on disk.
     """
     if not cols or len(cols) < 2:
         raise ValueError("zorder_key needs >= 2 columns (1-D layout is a plain sort)")
     if bits * len(cols) > 63:
         raise ValueError(f"bits({bits}) x cols({len(cols)}) exceeds 63 key bits")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve: {curve!r} (use 'morton' or 'hilbert')")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError(
+            "hilbert curve is implemented for exactly 2 columns; use "
+            "curve='morton' for higher dimensions"
+        )
     n_cells = (1 << bits) - 1
     grid_cols: list[Column] = []
     if mode == "quantile":
@@ -117,6 +170,8 @@ def zorder_key(
             )
     else:
         raise ValueError(f"unknown mode: {mode!r} (use 'quantile' or 'minmax')")
+    if curve == "hilbert":
+        return _hilbert_d2(grid_cols[0], grid_cols[1], bits)
     return _interleave_bits(grid_cols, bits)
 
 
@@ -127,6 +182,7 @@ def write_zordered(
     n_files: int,
     bits: int = 8,
     mode: str = "quantile",
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` re-clustered along the z-curve into ``n_files`` files.
 
@@ -135,7 +191,7 @@ def write_zordered(
     the footer min/max stats then prune on); the partition-local sort
     tightens row-group stats within each file.
     """
-    key = zorder_key(df, cols, bits, mode)
+    key = zorder_key(df, cols, bits, mode, curve)
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(n_files, "__zkey")
@@ -154,6 +210,23 @@ def morton_interleave_py(coords: list[int], bits: int) -> int:
         for i, v in enumerate(coords):
             out |= ((v >> j) & 1) << (j * n + i)
     return out
+
+
+def hilbert_d2_py(x: int, y: int, bits: int) -> int:
+    """Pure-python twin of ``_hilbert_d2`` (test oracle)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
 
 
 def files_overlapping_box(

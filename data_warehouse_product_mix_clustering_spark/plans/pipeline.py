@@ -858,7 +858,9 @@ def jdbc_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             TRUE AS zorder_prunes_first_dim,
             TRUE AS zorder_prunes_second_dim,
             TRUE AS linear_blind_on_second_dim,
-            TRUE AS box_never_widens
+            TRUE AS box_never_widens,
+            TRUE AS hilbert_no_worse,
+            TRUE AS hilbert_rows_conserved
     """,
 )
 def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +878,11 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       intersection only narrows);
     - rows are conserved under re-layout and the boxed COUNT from the
       z-ordered files equals the oracle's predicate count — pruning never
-      drops a qualifying row.
+      drops a qualifying row;
+    - a HILBERT-curve layout of the same data (adjacent-step curve —
+      operators/layout.py::_hilbert_d2) reads NO MORE files for the 2-D
+      box than Morton and conserves rows too (measured strictly fewer:
+      4-vs-7 at sf0.01/0.1, 3-vs-4 at sf0.001).
     """
     import shutil
     import tempfile
@@ -903,6 +909,11 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(lin)
         )
         write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files, bits=8)
+        hpath = os.path.join(root, "h")
+        write_zordered(
+            li, hpath, ["l_partkey", "l_suppkey"], n_files, bits=8,
+            curve="hilbert",
+        )
         back = spark.read.parquet(zpath)
         n_total = back.count()
         n_box = back.filter(
@@ -915,6 +926,10 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             zpath, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
         )
         lin_sk, lt = files_overlapping_box(lin, {"l_suppkey": (sk_lo, sk_hi)})
+        h_2d, _ht = files_overlapping_box(
+            hpath, {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+        )
+        h_rows = spark.read.parquet(hpath).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -926,11 +941,14 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(z_sk < zt),
                 bool(lin_sk == lt == n_files),
                 bool(z_2d <= min(z_pk, z_sk)),
+                bool(h_2d <= z_2d),
+                bool(h_rows == n_total),
             )
         ],
         "n_total long, n_box long, zorder_prunes_first_dim boolean, "
         "zorder_prunes_second_dim boolean, linear_blind_on_second_dim boolean, "
-        "box_never_widens boolean",
+        "box_never_widens boolean, hilbert_no_worse boolean, "
+        "hilbert_rows_conserved boolean",
     )
 
 

@@ -1337,3 +1337,45 @@ def test_ivfpq_empty_query_batch_raises(spark, tmp_path):
     build_ivfpq_index(emb, idx, nlist=8, m=16, ksub=16, seed=42)
     with pytest.raises(ValueError, match="at least one query row"):
         search_ivfpq_index(spark, idx, emb.filter(F.col("vec_id") < 0), k=5)
+
+
+def test_hilbert_curve_properties_and_layout(spark, tmp_path):
+    """The Hilbert key expression equals its python twin on the full
+    16x16 grid, is a bijection onto [0, 256), takes only unit steps
+    (the locality property Morton lacks), enforces its 2-column limit,
+    and produces a valid row-conserving layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.layout import (
+        _hilbert_d2,
+        hilbert_d2_py,
+        write_zordered,
+        zorder_key,
+    )
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rows = grid.withColumn("d", _hilbert_d2(F.col("x"), F.col("y"), bits)).collect()
+    assert all(r.d == hilbert_d2_py(r.x, r.y, bits) for r in rows)
+    assert sorted(r.d for r in rows) == list(range(n * n))
+    pos = {r.d: (r.x, r.y) for r in rows}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        zorder_key(li.withColumn("x", F.lit(1)), ["l_partkey", "l_suppkey", "x"],
+                   bits=8, curve="hilbert")
+    with pytest.raises(ValueError, match="unknown curve"):
+        zorder_key(li, ["l_partkey", "l_suppkey"], curve="peano")
+
+    p = str(tmp_path / "h")
+    write_zordered(li, p, ["l_partkey", "l_suppkey"], 8, bits=8, curve="hilbert")
+    assert spark.read.parquet(p).count() == li.count()
