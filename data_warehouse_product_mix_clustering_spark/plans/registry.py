@@ -119,6 +119,11 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_top_terms",
     "events_stream_dedup",
     "features_pca",
+    # ---- window boundary (the driver attests ~50 per round; the 10
+    # new-r9 queries above displaced the boundary here) ----
+    # Round-10 rotation order (pre-staged): the remainder of the r5
+    # cohort, then the r6 cohort alphabetically. At round-10 start, any
+    # NEW r10 queries insert at the very top of the list.
     "interval_join_per_product",
     "media_metadata",
     "order_priority_check",
@@ -129,9 +134,6 @@ _DRIVER_PRIORITY: list[str] = [
     "returnflag_priority_split",
     "sequence_arrays",
     "sequence_clusters",
-    # ---- window boundary (the driver attests ~50 per round) ----
-    # Round-10 rotation order (pre-staged per VERDICT r8 Next #4): the
-    # remainder of the r5 cohort, then the r6 cohort alphabetically.
     "sequence_clusters_lstm",
     "sequence_embeddings",
     "stream_sessions_audit",
