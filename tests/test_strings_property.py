@@ -92,3 +92,67 @@ def test_triangle_stats_matches_bruteforce_random(spark, seed):
     ).first()
     assert (got.n_nodes, got.n_edges) == (len(adj), len(edges))
     assert (got.n_triangles, got.n_wedges) == (want_tri, want_wedges), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_apply_agg_delta_matches_recompute_random(spark, seed):
+    """The incremental-view-maintenance algebra on random CDC batches:
+    random adds/removes/attr-changes INCLUDING group moves and NULL
+    group keys / NULL measures, maintained rollup ≡ full recompute
+    (groups die and are born correctly, NULL keys maintain null-safe)."""
+    from data_warehouse_product_mix_clustering_spark.operators.incremental_agg import apply_agg_delta
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    rng = random.Random(seed)
+    groups = ["a", "b", "c", None]
+
+    def row(i):
+        return (
+            i,
+            rng.choice(groups),
+            None if rng.random() < 0.15 else round(rng.uniform(-50, 50), 2),
+        )
+
+    v0 = [row(i) for i in range(40)]
+    v1 = []
+    for r in v0:
+        p = rng.random()
+        if p < 0.25:
+            continue  # removed
+        if p < 0.55:
+            v1.append(row(r[0]))  # changed (possibly group move / NULL flip)
+        else:
+            v1.append(r)  # untouched
+    v1 += [row(i) for i in range(100, 100 + rng.randint(0, 8))]  # added
+
+    import tempfile, shutil
+
+    root = tempfile.mkdtemp()
+    try:
+        tdir = root + "/t"
+        schema = "id long, g string, x double"
+        write_version(spark.createDataFrame(v0, schema), tdir)
+        write_version(spark.createDataFrame(v1, schema), tdir)
+
+        old_agg = (
+            spark.createDataFrame(v0, schema)
+            .groupBy("g")
+            .agg(F.sum(F.coalesce("x", F.lit(0.0))).alias("sx"), F.count(F.lit(1)).alias("n"))
+        )
+        maintained = apply_agg_delta(
+            old_agg,
+            version_diff(spark, tdir, 0, 1, key=["id"]),
+            ["g"],
+            {"sx": "x"},
+            count_col="n",
+        )
+        recomputed = (
+            spark.createDataFrame(v1, schema)
+            .groupBy("g")
+            .agg(F.sum(F.coalesce("x", F.lit(0.0))).alias("sx"), F.count(F.lit(1)).alias("n"))
+        )
+        got = {r["g"]: (round(r["sx"], 6), r["n"]) for r in maintained.collect()}
+        want = {r["g"]: (round(r["sx"], 6), r["n"]) for r in recomputed.collect()}
+        assert got == want, f"seed={seed}: {got} vs {want}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
