@@ -131,8 +131,9 @@ def refresh_warehouse(
         # failure (e.g. conflicting schemas across batch partitions =
         # a corrupt clean sink) must fail the refresh, not silently
         # report changes=0 (ADVICE r8).
-        cond = e.getCondition() if hasattr(e, "getCondition") else None
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
+
+        if analysis_condition(e) not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         agg_prior = versions(agg_dir)
         return {
@@ -213,6 +214,7 @@ def refresh_warehouse(
     next_agg_v = next_version(agg_dir)
     _write_agg_basis(work_dir, next_agg_v, v)
     agg_v = write_version(agg, agg_dir)
+    _vacuum_agg_basis(work_dir, agg_dir, agg_v)
     if new_wm is not None:
         _write_watermark(work_dir, int(new_wm))
     return {"version": v, "agg_version": agg_v, "changes": changes}
@@ -239,6 +241,30 @@ def _write_agg_basis(work_dir: str, agg_version: int, table_version: int) -> Non
     write_small_file_atomic(
         os.path.join(work_dir, f"{_AGG_BASIS}{agg_version}"), str(table_version)
     )
+
+
+def _vacuum_agg_basis(work_dir: str, agg_dir: str, latest: int) -> None:
+    """Drop basis sidecars for rollup versions the store no longer holds.
+
+    One sidecar per rollup version otherwise accumulates forever (ADVICE
+    r9). Keep sidecars for versions still present (rollback to version k
+    re-reads basis k on the next maintenance) and any keyed ABOVE the
+    just-published version (a crash-orphaned pending sidecar whose number
+    ``next_version`` will hand out again — deleting it is harmless but
+    racing a concurrent publish is not worth the risk).
+    """
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import versions as _versions
+
+    live = set(_versions(agg_dir))
+    for name in os.listdir(work_dir):
+        if not name.startswith(_AGG_BASIS):
+            continue
+        try:
+            av = int(name[len(_AGG_BASIS):])
+        except ValueError:
+            continue
+        if av <= latest and av not in live:
+            os.remove(os.path.join(work_dir, name))
 
 
 def _read_watermark(work_dir: str) -> int:

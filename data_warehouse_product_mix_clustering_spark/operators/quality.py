@@ -315,7 +315,12 @@ def equivalence_probe(
         p = left[c].eqNullSafe(right[c])
         pred = p if pred is None else pred & p
     for c, tol in approx.items():
-        p = F.abs(left[c] - right[c]) <= tol
+        # NULL-on-both-sides is a MATCH (e.g. avg over an all-NULL group —
+        # maintain_summary legitimately produces it); NULL on one side only
+        # still coalesces to FALSE below via the null AND/comparison.
+        p = (left[c].isNull() & right[c].isNull()) | (
+            F.abs(left[c] - right[c]) <= tol
+        )
         pred = p if pred is None else pred & p
     row = (
         left.join(right, cond, "full_outer")

@@ -147,18 +147,28 @@ def edit_distance_join(
         .distinct()
     )
     # short×short arm: both sides' count filters are vacuous, but both
-    # strings are < q·(k+1) chars — a bounded length-band block.
-    shorts_p = p.filter(F.length(probe_col) < short_len).select(
-        probe_id, F.length(probe_col).alias("__lp")
-    )
-    shorts_c = c.filter(F.length(corpus_col) < short_len).select(
-        corpus_id, F.length(corpus_col).alias("__lc")
+    # strings are < q·(k+1) chars. Block on DISTINCT short strings — the
+    # distinct vocabulary is bounded (≤ alphabet^short_len) even when the
+    # short ROW count is not, so the broadcast and the near cross-join
+    # stay bounded regardless of corpus skew toward short strings
+    # (ADVICE r9); matched string pairs then join back to ids.
+    shorts_p = p.filter(F.length(probe_col) < short_len).select(probe_id, probe_col)
+    shorts_c = c.filter(F.length(corpus_col) < short_len).select(corpus_id, corpus_col)
+    short_dist = F.levenshtein(F.col(probe_col), F.col(corpus_col), max_dist)
+    str_pairs = (
+        shorts_p.select(probe_col)
+        .distinct()
+        .join(
+            F.broadcast(shorts_c.select(corpus_col).distinct()),
+            F.abs(F.length(probe_col) - F.length(corpus_col)) <= max_dist,
+        )
+        # verify at distinct-string granularity so only TRUE matches
+        # expand back to id pairs (the shared verify below re-checks)
+        .filter(short_dist >= 0)
     )
     cand_short = (
-        shorts_p.join(
-            F.broadcast(shorts_c),
-            F.abs(F.col("__lp") - F.col("__lc")) <= max_dist,
-        )
+        str_pairs.join(shorts_p, probe_col)
+        .join(shorts_c, corpus_col)
         .select(probe_id, corpus_id)
     )
     cands = cand_long.unionByName(cand_short).distinct()

@@ -69,7 +69,14 @@ def materialize_summary(
         .write.mode("overwrite")
         .parquet(path)
     )
-    meta = {"keys": sorted(keys), "measures": sorted(measures)}
+    # Record the FULL out→src mapping, not just output names: maintenance
+    # called with the right names but a wrong source column must be refused,
+    # not silently corrupt the store (ADVICE r9).
+    meta = {
+        "keys": sorted(keys),
+        "measures": sorted(measures),
+        "measure_map": dict(sorted(measures.items())),
+    }
     tmp = os.path.join(path, f".{_META}.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -185,7 +192,18 @@ def maintain_summary(
     path = os.path.join(store_dir, name)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    if sorted(measures) != meta["measures"]:
+    # Compare the WHOLE out→src mapping when the store recorded it — the
+    # right output names over a wrong source column is silent corruption,
+    # not a usable delta (ADVICE r9). Stores written before measure_map
+    # existed fall back to the names-only check.
+    stored_map = meta.get("measure_map")
+    if stored_map is not None:
+        if dict(measures) != stored_map:
+            raise ValueError(
+                f"measure mapping {dict(sorted(measures.items()))} differs "
+                f"from the summary's materialized mapping {stored_map}"
+            )
+    elif sorted(measures) != meta["measures"]:
         raise ValueError(
             f"measures {sorted(measures)} differ from the summary's "
             f"materialized set {meta['measures']}"

@@ -58,6 +58,24 @@ def _read_marker(table_dir: str) -> int | None:
         return int(f.read().strip())
 
 
+def analysis_condition(e: Exception) -> str | None:
+    """Spark error-class name for an AnalysisException, portably.
+
+    ``getCondition`` arrived in PySpark 4.0; on older versions falling
+    back to ``None`` would make callers' condition whitelists never match
+    and silently regress documented no-op paths (ADVICE r9) — so absent
+    the API, match the error-class token in the message text (Spark
+    prefixes it as ``[PATH_NOT_FOUND] ...``).
+    """
+    if hasattr(e, "getCondition"):
+        return e.getCondition()
+    msg = str(e)
+    for cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if cond in msg:
+            return cond
+    return None
+
+
 def write_small_file_atomic(path: str, content: str) -> None:
     """Durable atomic small-file publish: write + flush + fsync a temp
     file, then ``os.replace``. The fsync matters — a rename can persist

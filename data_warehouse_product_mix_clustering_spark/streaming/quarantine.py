@@ -118,8 +118,9 @@ def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
     try:
         return spark.read.parquet(path).drop(BATCH_COL)
     except AnalysisException as e:
-        cond = e.getCondition() if hasattr(e, "getCondition") else None
-        if schema is not None and cond in (
+        from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
+
+        if schema is not None and analysis_condition(e) in (
             "PATH_NOT_FOUND",
             "UNABLE_TO_INFER_SCHEMA",
         ):

@@ -1379,3 +1379,33 @@ def test_hilbert_curve_properties_and_layout(spark, tmp_path):
     p = str(tmp_path / "h")
     write_zordered(li, p, ["l_partkey", "l_suppkey"], 8, bits=8, curve="hilbert")
     assert spark.read.parquet(p).count() == li.count()
+
+
+def test_equivalence_probe_null_approx_semantics(spark):
+    """The shared audit primitive must treat NULL-on-BOTH-sides as a MATCH
+    for approx columns (maintain_summary legitimately produces all-NULL
+    avg groups), while NULL-on-one-side and out-of-tolerance both stay
+    loud FALSEs (ADVICE r9: plain abs(l-r)<=tol coalesced a correct
+    NULL==NULL maintained value into a false mismatch)."""
+    from data_warehouse_product_mix_clustering_spark.operators.quality import equivalence_probe
+
+    left = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 7.0)], "k long, v double"
+    )
+    both_null = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 7.0)], "k long, v double"
+    )
+    n, ok = equivalence_probe(left, both_null, keys=["k"], approx={"v": 1e-9})
+    assert (n, ok) == (3, True), "NULL==NULL approx must match"
+
+    one_null = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 7.0)], "k long, v double"
+    )
+    n, ok = equivalence_probe(left, one_null, keys=["k"], approx={"v": 1e-9})
+    assert (n, ok) == (3, False), "NULL vs value must stay a loud mismatch"
+
+    off = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 9.0)], "k long, v double"
+    )
+    n, ok = equivalence_probe(left, off, keys=["k"], approx={"v": 0.5})
+    assert (n, ok) == (3, False), "out-of-tolerance must still fail"

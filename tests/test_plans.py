@@ -862,8 +862,15 @@ def test_mv_maintain_summary_nulls_and_group_moves(spark, tmp_path):
     }
     assert got == {"a": (2.0, 1, 2), "b": (None, 0, 1)}  # c died; b all-NULL
 
-    with pytest.raises(ValueError, match="differ from the summary"):
+    with pytest.raises(ValueError, match="differs? from the summary"):
         maintain_summary(
             spark, store, "by_g",
             version_diff(spark, tdir, 0, 1, key=["id"]), {"w": "v"},
+        )
+    # right output name, WRONG source column: the stored out→src mapping
+    # must refuse it rather than silently corrupt the store (ADVICE r9)
+    with pytest.raises(ValueError, match="differs? from the summary"):
+        maintain_summary(
+            spark, store, "by_g",
+            version_diff(spark, tdir, 0, 1, key=["id"]), {"v": "id"},
         )
