@@ -198,6 +198,53 @@ def lsh_topk(
     )
 
 
+def assign_to_centers(
+    df: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __v, __cell): each row assigned to its nearest coarse center
+    by squared Euclidean distance (ties → lowest cell id) — THE frozen
+    assignment rule. Build-time assignment and CDC maintenance
+    (``update_ivf_index`` / ``update_ivfpq_index``) both route through
+    this one expression, which is what makes "assign new vectors to the
+    FROZEN centroids" exactly reproducible without consulting the stored
+    index: an id's cell is a pure function of (vector, centers).
+
+    Centers broadcast as a literal struct array (nlist × d doubles —
+    tiny); distance/argmin are JVM expressions, zero Python per row.
+    """
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("cvec"),
+            )
+            for i, ctr in centers
+        ]
+    )
+    src = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    sqdist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("c.cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d"), F.col("__cell"))
+    return (
+        src.select(id_col, "__v", F.explode(centers_arr).alias("c"))
+        .select(
+            id_col,
+            "__v",
+            F.col("c.cell").alias("__cell"),
+            sqdist.alias("__d"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "__v", "__cell")
+    )
+
+
 def fit_ivf_codebook(
     corpus: DataFrame,
     id_col: str,
@@ -223,10 +270,17 @@ def fit_ivf_codebook(
         model = KMeans(
             featuresCol="__mlv", predictionCol="__cell", k=nlist, seed=seed
         ).fit(withv)
-        assigned = (
-            model.transform(withv)
-            .select(id_col, "__v", "__cell")
-            .localCheckpoint(eager=True)
+        # Assign via the FROZEN-centers rule (assign_to_centers), not
+        # model.transform: both compute Euclidean argmin, but routing
+        # build-time assignment through the same expression CDC
+        # maintenance uses makes maintained ≡ rebuild-with-frozen-centers
+        # hold exactly by construction (r10), not merely almost-surely.
+        centers = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+        assigned = assign_to_centers(c, centers, id_col, "__v").localCheckpoint(
+            eager=True
         )
     finally:
         withv.unpersist()
@@ -673,9 +727,18 @@ def build_ivf_index(
     index's bucket layout), plus the ``nlist`` centroids as a tiny
     ``centers/`` relation. Bucket-repartitioned before the write (≈1 file
     per cell, no small-file blowup). Same deterministic codebook fit as
-    the in-memory path, so indexed search is exactly equal to it."""
+    the in-memory path, so indexed search is exactly equal to it.
+
+    Commit-marker protected (the postings-index convention): a crash
+    mid-build/mid-update leaves a DETECTABLE torn index. ``_maint.json``
+    records the built corpus size for the maintenance drift criterion
+    (``update_ivf_index``)."""
     import os
 
+    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+
+    os.makedirs(index_dir, exist_ok=True)
+    _mark_dirty(index_dir)
     model, assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
     (
         assigned.repartition("__cell")
@@ -688,6 +751,8 @@ def build_ivf_index(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
+    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
+    _mark_committed(index_dir)
 
 
 def search_ivf_index(
@@ -773,6 +838,10 @@ def build_ivfpq_index(
     """
     import os
 
+    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+
+    os.makedirs(index_dir, exist_ok=True)
+    _mark_dirty(index_dir)
     model, assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
     cb, _dsub = _pq_train(corpus, id_col, vec_col, m, ksub, seed, train_sample)
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -784,8 +853,15 @@ def build_ivfpq_index(
         .partitionBy("__cell")
         .parquet(os.path.join(index_dir, "cells"))
     )
-    assigned.select(id_col, "__v").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "vectors")
+    # vectors/ partitioned by cell too: CDC maintenance then rewrites only
+    # the touched cells' raw-vector files, the same O(changed cells) bound
+    # as the code partitions (r10; rerank's id-equi-join is unaffected).
+    (
+        assigned.select(id_col, "__v", "__cell")
+        .repartition("__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(os.path.join(index_dir, "vectors"))
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -800,6 +876,8 @@ def build_ivfpq_index(
         ],
         "subspace int, code int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "pq"))
+    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
+    _mark_committed(index_dir)
 
 
 def search_ivfpq_index(
@@ -886,3 +964,292 @@ def search_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-incremental maintenance for the persisted vector indexes (r10).
+#
+# The postings index got O(changes) maintenance in r8
+# (operators/postings.py::update_postings_index); these close the same gap
+# for build_ivf_index / build_ivfpq_index — the last persisted-artifact
+# family that required a full rebuild on every corpus change (VERDICT r9
+# Next #3). The incremental-view-maintenance decomposition mirrors the
+# postings one exactly:
+#
+#   a cell partition is touched iff some changed vector's OLD or NEW
+#   assignment lands in it — and because assignment is a pure function of
+#   (vector, frozen centers) via assign_to_centers, BOTH sides come from
+#   the diff alone: the index is never scanned to locate a changed id.
+#
+# Re-clustering is deliberately NOT maintenance: added vectors assign to
+# the FROZEN centroids (and, for PQ, encode with the FROZEN sub-codebooks).
+# The drift criterion is returned on every update: once
+# cumulative_changes / base_n exceeds ~0.3 the frozen codebook no longer
+# represents the corpus (cells skew, recall decays) — rebuild. That number
+# rides _maint.json so the caller needs no external bookkeeping.
+# ---------------------------------------------------------------------------
+
+_MAINT_META = "_maint.json"
+REBUILD_DRIFT = 0.3
+
+
+def _write_maint_meta(index_dir: str, base_n: int, cumulative_changes: int) -> None:
+    import json
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    write_small_file_atomic(
+        os.path.join(index_dir, _MAINT_META),
+        json.dumps({"base_n": int(base_n), "cumulative_changes": int(cumulative_changes)}),
+    )
+
+
+def _read_maint_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(index_dir, _MAINT_META)
+    if not os.path.exists(p):
+        # index built before maintenance existed: drift is unknowable —
+        # report base_n=0 so drift saturates and the caller rebuilds
+        return {"base_n": 0, "cumulative_changes": 0}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _diff_vectors(diff: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project a ``version_diff`` change set down to what index
+    maintenance consumes: (id, change_type, __ov, __nv)."""
+    return diff.select(
+        id_col,
+        "change_type",
+        F.col(f"__old.{vec_col}").alias("__ov"),
+        F.col(f"__new.{vec_col}").alias("__nv"),
+    ).localCheckpoint(eager=True)  # diff plans are 2 version scans + a join
+
+
+def _maintain_cells(
+    spark,
+    index_dir: str,
+    d: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str,
+) -> tuple[DataFrame | None, list[int]]:
+    """Shared IVM core: returns (new_assigned, touched_cells) and leaves
+    the caller to rewrite relations. ``new_assigned`` is (id, __v, __cell)
+    for added/changed rows, already localCheckpointed; touched covers old
+    AND new homes of every changed id (bounded by nlist — collecting it is
+    O(nlist), not O(data))."""
+    new_assigned = assign_to_centers(
+        d.filter(F.col("change_type").isin("added", "changed")).select(
+            id_col, F.col("__nv")
+        ),
+        centers,
+        id_col,
+        "__nv",
+    ).localCheckpoint(eager=True)  # feeds touched-cells, codes, and the write
+    old_cells = assign_to_centers(
+        d.filter(F.col("change_type").isin("removed", "changed")).select(
+            id_col, F.col("__ov")
+        ),
+        centers,
+        id_col,
+        "__ov",
+    ).select("__cell")
+    touched = sorted(
+        r["__cell"]
+        for r in new_assigned.select("__cell")
+        .unionByName(old_cells)
+        .distinct()
+        .collect()
+    )
+    return new_assigned, touched
+
+
+def _overwrite_touched(
+    updated: DataFrame, path: str, touched: list[int]
+) -> None:
+    """Dynamic-partition-overwrite ``updated`` into ``path`` and clear any
+    touched cell directory the update emptied (dynamic overwrite only
+    replaces partitions PRESENT in the written data — the emptied-bucket
+    rule from update_postings_index; replaceWhere's job on a
+    transactional format)."""
+    import os
+    import shutil
+
+    (
+        updated.repartition("__cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+    nonempty = {r["__cell"] for r in updated.select("__cell").distinct().collect()}
+    for cell in set(touched) - nonempty:
+        shutil.rmtree(os.path.join(path, f"__cell={cell}"), ignore_errors=True)
+
+
+def _bump_maint_meta(index_dir: str, n_changes: int) -> float:
+    meta = _read_maint_meta(index_dir)
+    cum = meta["cumulative_changes"] + n_changes
+    _write_maint_meta(index_dir, meta["base_n"], cum)
+    return (cum / meta["base_n"]) if meta["base_n"] else float("inf")
+
+
+def update_ivf_index(
+    spark,
+    index_dir: str,
+    diff: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain a ``build_ivf_index`` store from a CDC change set
+    (``sources/versioned.py::version_diff`` shape) — cost O(touched
+    cells), never O(corpus): removed/changed ids leave their (frozen-rule
+    recomputed) old cells, added/changed vectors assign to the FROZEN
+    centroids, and ONLY the affected cell partitions rewrite via dynamic
+    partition overwrite. Commit-marker protected: a crash mid-update
+    leaves a detectable torn index, and a torn index refuses further
+    maintenance (rebuild recovers it).
+
+    Returns {'added','removed','changed','cells_touched','drift'}; when
+    ``drift`` (cumulative changed rows / built corpus size) exceeds
+    ``REBUILD_DRIFT`` the frozen codebook is stale — rebuild instead.
+    """
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        _mark_committed,
+        _mark_dirty,
+        index_is_committed,
+    )
+
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"IVF index at {index_dir} is torn (no commit marker) — "
+            "rebuild with build_ivf_index before maintaining it"
+        )
+    centers = sorted(
+        (r["cell"], list(r["cvec"]))
+        for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
+    )
+    d = _diff_vectors(diff, id_col, vec_col)
+    counts = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_assigned, touched = _maintain_cells(spark, index_dir, d, centers, id_col)
+    _mark_dirty(index_dir)
+    if touched:
+        cells_path = os.path.join(index_dir, "cells")
+        survivors = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("__cell").isin(touched))
+            .join(d.select(id_col), id_col, "left_anti")
+        )
+        updated = survivors.select(id_col, "__v", "__cell").unionByName(
+            new_assigned
+        ).localCheckpoint(eager=True)  # feeds the write + the emptied-dir diff
+        _overwrite_touched(updated, cells_path, touched)
+    drift = _bump_maint_meta(index_dir, d.count())
+    _mark_committed(index_dir)
+    d.unpersist()
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "cells_touched": len(touched),
+        "touched": touched,
+        "drift": drift,
+    }
+
+
+def update_ivfpq_index(
+    spark,
+    index_dir: str,
+    diff: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain a ``build_ivfpq_index`` store from a CDC change set — the
+    IVF maintenance contract (see ``update_ivf_index``) plus the PQ
+    relations: new vectors encode against the FROZEN sub-codebooks (same
+    ``_pq_encode`` kernel as the build), and both ``cells/`` (codes) and
+    ``vectors/`` (raw, cell-partitioned since r10) rewrite only their
+    touched cell partitions. ``centers/`` and ``pq/`` are frozen by
+    definition — re-clustering is a rebuild (see ``REBUILD_DRIFT``).
+    """
+    import os
+
+    import numpy as np
+
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        _mark_committed,
+        _mark_dirty,
+        index_is_committed,
+    )
+
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"IVF-PQ index at {index_dir} is torn (no commit marker) — "
+            "rebuild with build_ivfpq_index before maintaining it"
+        )
+    centers = sorted(
+        (r["cell"], list(r["cvec"]))
+        for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
+    )
+    pq_rows = spark.read.parquet(os.path.join(index_dir, "pq")).collect()
+    m = 1 + max(r["subspace"] for r in pq_rows)
+    ksub = 1 + max(r["code"] for r in pq_rows)
+    cb = np.empty((m, ksub, len(pq_rows[0]["cvec"])), dtype=np.float64)
+    for r in pq_rows:
+        cb[r["subspace"], r["code"]] = r["cvec"]
+
+    d = _diff_vectors(diff, id_col, vec_col)
+    counts = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_assigned, touched = _maintain_cells(spark, index_dir, d, centers, id_col)
+    _mark_dirty(index_dir)
+    if touched:
+        id_type = diff.schema[id_col].dataType.simpleString()
+        new_codes = _pq_encode(
+            new_assigned.select(id_col, "__v"), cb, id_col, id_type
+        ).join(new_assigned.select(id_col, "__cell"), id_col)
+
+        cells_path = os.path.join(index_dir, "cells")
+        code_survivors = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("__cell").isin(touched))
+            .join(d.select(id_col), id_col, "left_anti")
+        )
+        updated_codes = code_survivors.select(
+            id_col, "__codes", "__cell"
+        ).unionByName(new_codes.select(id_col, "__codes", "__cell")).localCheckpoint(
+            eager=True
+        )
+        _overwrite_touched(updated_codes, cells_path, touched)
+
+        vec_path = os.path.join(index_dir, "vectors")
+        vec_survivors = (
+            spark.read.parquet(vec_path)
+            .filter(F.col("__cell").isin(touched))
+            .join(d.select(id_col), id_col, "left_anti")
+        )
+        updated_vecs = vec_survivors.select(id_col, "__v", "__cell").unionByName(
+            new_assigned
+        ).localCheckpoint(eager=True)
+        _overwrite_touched(updated_vecs, vec_path, touched)
+    drift = _bump_maint_meta(index_dir, d.count())
+    _mark_committed(index_dir)
+    d.unpersist()
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "cells_touched": len(touched),
+        "touched": touched,
+        "drift": drift,
+    }

@@ -1409,3 +1409,67 @@ def test_equivalence_probe_null_approx_semantics(spark):
     )
     n, ok = equivalence_probe(left, off, keys=["k"], approx={"v": 0.5})
     assert (n, ok) == (3, False), "out-of-tolerance must still fail"
+
+
+def test_update_ivf_index_empties_cell_and_refuses_torn(spark, tmp_path):
+    """CDC maintenance mechanics the audit scenario can't force: a touched
+    cell whose LAST vector is removed gets its stale partition directory
+    cleared (dynamic overwrite only replaces partitions present in the
+    written data), a torn index (missing commit marker) refuses
+    maintenance, and a pre-maintenance index without _maint.json reports
+    saturated drift (rebuild signal) instead of lying."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.postings import COMMIT_MARKER
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivf_index,
+        update_ivf_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    # two well-separated clusters so nlist=2 lands one cell each
+    rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(6)] + [
+        (i, [-10.0 - 0.01 * i, 0.0]) for i in range(6, 10)
+    ]
+    v0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tdir = str(tmp_path / "t")
+    write_version(v0, tdir)
+    # v1 removes EVERY negative-cluster vector -> that cell must empty
+    v1 = v0.filter(F.col("vec_id") < 6)
+    write_version(v1, tdir)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(v0, idx, "vec_id", "embedding", nlist=2, seed=42)
+    cells_before = {
+        d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("__cell=")
+    }
+    assert len(cells_before) == 2
+
+    stats = update_ivf_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["vec_id"])
+    )
+    assert stats["removed"] == 4 and stats["added"] == 0 and stats["changed"] == 0
+    cells_after = {
+        d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("__cell=")
+    }
+    assert len(cells_after) == 1, "emptied cell directory must be cleared"
+    assert (
+        spark.read.parquet(os.path.join(idx, "cells")).count() == 6
+    ), "survivors only"
+
+    # torn index: no commit marker -> refuse
+    os.remove(os.path.join(idx, COMMIT_MARKER))
+    with pytest.raises(RuntimeError, match="torn"):
+        update_ivf_index(spark, idx, version_diff(spark, tdir, 0, 1, key=["vec_id"]))
+
+    # legacy store without the maintenance sidecar: drift saturates
+    with open(os.path.join(idx, COMMIT_MARKER), "w") as f:
+        f.write("committed\n")
+    os.remove(os.path.join(idx, "_maint.json"))
+    stats = update_ivf_index(
+        spark, idx, version_diff(spark, tdir, 1, 1, key=["vec_id"])
+    )
+    assert stats["drift"] == float("inf")

@@ -762,12 +762,18 @@ def test_ivfpq_indexed_search_prunes_and_scans_codes(spark, tmp_path):
         "cell partition pruning missing:\n" + "\n".join(lines)
     )
     # the pruned cells/ scan reads codes only — raw vectors come from the
-    # separate vectors/ relation during rerank (the projected column list
-    # leads the FileScan line; ReadSchema may be truncated off it)
+    # separate vectors/ relation during rerank (since r10 vectors/ is ALSO
+    # cell-partitioned for O(changed cells) maintenance, so it too shows a
+    # __cell# scan; the invariant is that no scan mixes codes with raw
+    # vectors — that would mean the ADC pass reads full vectors)
     cell_scans = [
         l for l in plan.splitlines() if "FileScan" in l and "__cell#" in l
     ]
-    assert cell_scans and all("__codes#" in l and "__v#" not in l for l in cell_scans)
+    code_scans = [l for l in cell_scans if "__codes#" in l]
+    assert code_scans, "no codes-relation scan found:\n" + "\n".join(cell_scans)
+    assert all("__v#" not in l for l in code_scans), (
+        "ADC scan reads raw vectors:\n" + "\n".join(code_scans)
+    )
     assert out.count() > 0
 
 
