@@ -96,6 +96,29 @@ def write_small_file_atomic(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+def write_small_file_exclusive(path: str, content: str) -> None:
+    """Like ``write_small_file_atomic`` but CREATE-EXCLUSIVE: fails with
+    ``FileExistsError`` if ``path`` already exists, atomically. The
+    optimistic-concurrency primitive for id allocation (snapshot store):
+    the content lands fully in a temp file first (fsync'd), then
+    ``os.link`` claims the name — link is atomic and refuses an existing
+    target, so two racing writers can never both own the same id, and a
+    reader never observes partial content under the final name.
+
+    Temp name is PID-suffixed here (unlike the atomic twin): two racing
+    writers sharing one fixed temp name would overwrite each other's
+    staged content BEFORE the link decided the winner."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 def next_version(table_dir: str) -> int:
     """The version the next ``write_version`` call will allocate: one past
     the max of the published marker and EVERY ``v=*`` directory —

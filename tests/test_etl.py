@@ -1250,3 +1250,49 @@ def test_refresh_pipeline_crash_between_table_and_rollup_heals(
         .collect()
     }
     assert got == want == {"g1": (107.0, 2), "g2": (5.0, 1)}
+
+
+def test_publish_snapshot_concurrent_writers(spark, tmp_path):
+    """Optimistic concurrency on the snapshot id (ADVICE r9 #6): two
+    publishers racing the same id must BOTH commit, on distinct ids —
+    never a silent manifest overwrite. Pinned two ways: a deterministic
+    simulated race (the id a publisher would pick is pre-claimed, as if
+    another writer won first — it must land on the next id with the
+    loser's manifest intact) and a real two-thread race."""
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_warehouse_product_mix_clustering_spark.sources.snapshot import (
+        current_snapshot,
+        publish_snapshot,
+        snapshot_manifest,
+        snapshots,
+    )
+
+    store = str(tmp_path / "store")
+    publish_snapshot(store, {"a": spark.range(3)})  # snapshot 0
+
+    # deterministic race: snapshot 1's manifest already claimed by a
+    # "concurrent" writer; our publish must branch to id 2, not clobber
+    rival = {"a": 0}
+    mdir = os.path.join(store, "_snapshots")
+    with open(os.path.join(mdir, "1.json"), "w") as f:
+        json.dump(rival, f)
+    got = publish_snapshot(store, {"b": spark.range(5)})
+    assert got == 2
+    with open(os.path.join(mdir, "1.json")) as f:
+        assert json.load(f) == rival, "rival manifest must survive untouched"
+    assert snapshot_manifest(store, 2) == {"a": 0, "b": 0}
+
+    # real race: two threads publish different tables concurrently
+    before = set(snapshots(store))
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(publish_snapshot, store, {"c": spark.range(2)})
+        f2 = ex.submit(publish_snapshot, store, {"d": spark.range(4)})
+        ids = {f1.result(), f2.result()}
+    assert len(ids) == 2, "racing publishers must land on distinct ids"
+    assert set(snapshots(store)) == before | ids
+    for s in ids:
+        snapshot_manifest(store, s)  # both manifests committed and readable
+    assert current_snapshot(store) in ids
