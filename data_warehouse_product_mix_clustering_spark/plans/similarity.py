@@ -464,12 +464,16 @@ def ann_ivfpq_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``cosines_exact``: every reported cosine equals the value
       recomputed from the raw embeddings table (the exact-rerank
       promise: quantization error may cost candidates, never scores);
-    - ``recall_pass``: recall@10 vs ``brute_force_topk`` ≥ 0.5 at
+    - ``recall_pass``: recall@10 vs ``brute_force_topk`` ≥ 0.55 at
       nprobe=4 of nlist=16 with 8× rerank — the honest deterministic
       floor on this near-uniform corpus (the regime where neighbors
-      scatter across cells; measured 0.64/0.60 at sf0.001/sf0.01,
-      tracking plain IVF's pinned curve as rerank_factor makes ADC
-      ordering loss negligible).
+      scatter across cells). Floor tightened 0.5 → 0.55 in r10 from a
+      steady-state measurement (PERF_NOTES r10): the audit's pinned
+      seed 42 measures 0.64/0.60 at sf0.001/sf0.01 (3-seed spread at
+      sf0.01: 0.54-0.60), so 0.55 leaves real margin for this
+      deterministic configuration while an actual quantization
+      regression flips the row; rerank_factor makes ADC ordering loss
+      negligible, tracking plain IVF's pinned curve.
     """
     import os
     import shutil
@@ -532,7 +536,7 @@ def ann_ivfpq_indexed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        [(n_queries, bool(dense), bool(exact_ok), bool(recall >= 0.5))],
+        [(n_queries, bool(dense), bool(exact_ok), bool(recall >= 0.55))],
         "n_queries long, ranks_dense boolean, cosines_exact boolean, "
         "recall_pass boolean",
     )
