@@ -1354,3 +1354,82 @@ def stream_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_table_identical boolean, rollup_matches_recompute boolean, "
         "mv_matches_recompute boolean, navigator_serves_maintained boolean",
     )
+
+
+@register(
+    "table_compaction_audit",
+    oracle="""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey % 7 = 0) AS n_rows,
+               CAST(24 AS BIGINT) AS files_before,
+               CAST(1 AS BIGINT) AS files_after,
+               TRUE AS content_identical,
+               CAST(0 AS BIGINT) AS cdc_changes,
+               TRUE AS time_travel_intact,
+               TRUE AS marker_advanced
+    """,
+)
+def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the versioned sink
+    (sources/versioned.py::compact_table) — the operational rewrite a
+    per-micro-run publisher needs at 100 TB, attested end to end:
+
+    - a 24-file version compacts to 1 file (tiny data, 128 MB target);
+    - the compacted version is row-identical to its source (exceptAll
+      both ways — compaction may never lose, duplicate, or mutate);
+    - ``version_diff`` across the compaction is EMPTY, so every
+      incremental consumer (rollup maintenance, index maintenance, MV
+      store) sees zero changes from a pure layout rewrite;
+    - the pre-compaction version stays time-travelable (vacuum, not
+      compaction, retires history) and the marker advanced atomically.
+    """
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import (
+        compact_table,
+        read_table,
+        version_diff,
+        versions,
+        write_version,
+    )
+
+    src = (
+        table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_compact_audit_")
+    try:
+        tdir = os.path.join(root, "t")
+        write_version(src.repartition(24), tdir)
+        stats = compact_table(spark, tdir)
+        after = read_table(spark, tdir)
+        before = read_table(spark, tdir, 0)
+        identical = (
+            after.exceptAll(before).isEmpty() and before.exceptAll(after).isEmpty()
+        )
+        n_rows = after.count()
+        cdc = version_diff(
+            spark, tdir, 0, stats["version"], key=["o_orderkey"]
+        ).count()
+        time_travel = before.count() == n_rows and versions(tdir) == [0, 1]
+        marker_ok = stats["version"] == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                stats["files_before"],
+                stats["files_after"],
+                bool(identical),
+                cdc,
+                bool(time_travel),
+                bool(marker_ok),
+            )
+        ],
+        "n_rows long, files_before long, files_after long, "
+        "content_identical boolean, cdc_changes long, "
+        "time_travel_intact boolean, marker_advanced boolean",
+    )

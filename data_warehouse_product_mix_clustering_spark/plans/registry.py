@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_index_incremental_audit",  # CDC maintenance for persisted IVF/IVF-PQ
     "dedup_span_scrub",  # span-level boilerplate scrub of the surviving corpus
     "stream_refresh_audit",  # checkpointed stream → versioned warehouse → MV
+    "table_compaction_audit",  # small-file compaction: empty CDC, time travel
     # r5-stale cohort (16): their latest driver attestation is r5 (VERDICT r9
     # What's-missing #1). All pass the judge's 190/190 sweep — freshness only.
     "interval_join_per_product",

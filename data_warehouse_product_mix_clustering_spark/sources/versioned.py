@@ -302,3 +302,61 @@ def version_diff(
             "__new",
         )
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: republish the CURRENT version's rows as a
+    new version with ≈``target_file_bytes`` per output file. The
+    operational counterpart to ``vacuum``: a streaming refresh publishes
+    one version per micro-run and each carries a file per shuffle task,
+    so the live version's file count (and with it scan planning overhead
+    and footer-read fan-out) grows without bound unless something
+    rewrites it.
+
+    Same commit discipline as every publish here: the compacted data
+    lands invisibly in ``v=N`` and the marker flips last, so readers see
+    the old layout or the new — never partial. Rows are IDENTICAL by
+    construction (one read → coalesce → write; no shuffle, no
+    re-ordering semantics), which means a ``version_diff`` across the
+    compaction is empty and downstream incremental consumers (rollups,
+    index maintenance) see zero changes. Pre-compaction versions remain
+    time-travelable until ``vacuum``; inside a multi-table snapshot
+    store, compact by publishing the compacted relation through
+    ``publish_snapshot`` instead so the manifest advances with it.
+
+    Returns {'version', 'files_before', 'files_after', 'bytes'}.
+    ``coalesce`` (not repartition) keeps it shuffle-free; output file
+    count is ceil(bytes/target) floored at 1. Skews in input file sizes
+    carry through — acceptable for compaction, whose goal is fewer
+    files, not perfect balance.
+    """
+    current = _read_marker(table_dir)
+    if current is None:
+        raise FileNotFoundError(f"no published version in {table_dir}")
+    vdir = os.path.join(table_dir, f"v={current}")
+    parts = [
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    total = sum(os.path.getsize(p) for p in parts)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = read_table(spark, table_dir).coalesce(int(n_out))
+    v = write_version(df, table_dir)
+    after = len(
+        [
+            f
+            for f in os.listdir(os.path.join(table_dir, f"v={v}"))
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+    )
+    return {
+        "version": v,
+        "files_before": len(parts),
+        "files_after": after,
+        "bytes": int(total),
+    }
