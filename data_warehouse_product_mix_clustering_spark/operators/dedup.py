@@ -536,3 +536,245 @@ def incremental_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select(
         "doc_new", "doc_corpus", ratio_round(F.col("jaccard")).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index with CDC maintenance (r10).
+#
+# The in-memory LSH path (minhash_lsh_pairs) re-signatures the whole corpus
+# per run, and the incremental dedup family (dedup_incremental_*) still scans
+# the corpus TEXT per batch for shingle pruning. At 100 TB the production
+# shape is a PERSISTED banded signature relation: a new batch computes only
+# its own signatures, reads only the hash-bucket partitions its bands land
+# in, and the relation maintains from a CDC change set in O(touched buckets)
+# — possible because signatures are a pure function of (text, params), so a
+# changed doc's OLD bucket rows recompute from the diff's old image without
+# ever scanning the index (the same IVM trick as the postings and vector
+# indexes).
+# ---------------------------------------------------------------------------
+
+_MINHASH_META = "_index.json"
+
+
+def _minhash_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, band, key, pbucket): one row per (doc, band) with the SAME
+    band-key expressions as ``minhash_lsh_pairs`` (hash of the band's
+    minhash columns), plus the storage partition ``pbucket =
+    pmod(xxhash64(band, key), n_buckets)``."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        .withColumn(
+            "pbucket", F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).cast("int")
+        )
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the banded MinHash signature relation, partitioned by
+    ``pbucket`` (≈1 file per bucket after the repartition — no small-file
+    blowup) with the signature params in a meta sidecar and the commit
+    marker against torn builds. ~bands rows × 3 ints per doc — a few
+    hundred bytes/doc regardless of document size."""
+    import json
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    os.makedirs(index_dir, exist_ok=True)
+    _mark_dirty(index_dir)
+    rows_df = _minhash_bucket_rows(
+        docs, id_col, text_col, n, num_hashes, bands, seed, n_buckets
+    )
+    (
+        rows_df.repartition("pbucket")
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    write_small_file_atomic(
+        os.path.join(index_dir, _MINHASH_META),
+        json.dumps(
+            {
+                "id_col": id_col,
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "seed": seed,
+                "n_buckets": n_buckets,
+            },
+            sort_keys=True,
+        ),
+    )
+    _mark_committed(index_dir)
+
+
+def _minhash_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _MINHASH_META)) as f:
+        return json.load(f)
+
+
+def update_minhash_index(
+    spark,
+    index_dir: str,
+    diff: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Maintain the persisted signature relation from a CDC change set
+    (``sources/versioned.py::version_diff`` shape) — cost O(touched
+    buckets), never O(corpus): a removed/changed doc's old bucket rows
+    recompute from the diff's OLD text (signatures are deterministic in
+    the stored params), new rows come from the NEW text, and only the
+    union of their ``pbucket`` partitions rewrites. Commit-marker
+    protected; a torn index refuses maintenance (rebuild recovers).
+
+    Returns {'added','removed','changed','buckets_touched'}.
+    """
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import overwrite_touched_partitions
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        _mark_committed,
+        _mark_dirty,
+        index_is_committed,
+    )
+
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"MinHash index at {index_dir} is torn (no commit marker) — "
+            "rebuild with build_minhash_index before maintaining it"
+        )
+    meta = _minhash_meta(index_dir)
+    params = (meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"])
+    d = diff.select(
+        id_col,
+        "change_type",
+        F.col(f"__old.{text_col}").alias("__old_text"),
+        F.col(f"__new.{text_col}").alias("__new_text"),
+    ).localCheckpoint(eager=True)  # diff plans are 2 version scans + a join
+    counts = {
+        r["change_type"]: r["n"]
+        for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_rows = _minhash_bucket_rows(
+        d.filter(F.col("change_type").isin("added", "changed")).select(
+            id_col, F.col("__new_text").alias(text_col)
+        ),
+        id_col, text_col, *params,
+    ).localCheckpoint(eager=True)  # feeds touched set + the write
+    old_buckets = _minhash_bucket_rows(
+        d.filter(F.col("change_type").isin("removed", "changed")).select(
+            id_col, F.col("__old_text").alias(text_col)
+        ),
+        id_col, text_col, *params,
+    ).select("pbucket")
+    touched = sorted(
+        r["pbucket"]
+        for r in new_rows.select("pbucket").unionByName(old_buckets).distinct().collect()
+    )
+    _mark_dirty(index_dir)
+    if touched:
+        path = os.path.join(index_dir, "buckets")
+        survivors = (
+            spark.read.parquet(path)
+            .filter(F.col("pbucket").isin(touched))
+            .join(d.select(id_col), id_col, "left_anti")
+        )
+        updated = survivors.select(id_col, "band", "key", "pbucket").unionByName(
+            new_rows.select(id_col, "band", "key", "pbucket")
+        ).localCheckpoint(eager=True)  # feeds the write + emptied-dir diff
+        overwrite_touched_partitions(updated, path, "pbucket", touched)
+    _mark_committed(index_dir)
+    d.unpersist()
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "buckets_touched": len(touched),
+        "touched": touched,
+    }
+
+
+def minhash_index_candidates(
+    spark,
+    index_dir: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_new, doc_corpus) candidate near-dup pairs between ``batch``
+    and the indexed corpus: the batch signatures (computed with the
+    STORED params) join the persisted relation on (band, key), reading
+    ONLY the batch's ``pbucket`` partitions — the bounded probe-cell set
+    becomes a literal partition filter, the postings/IVF seek pattern
+    applied to dedup. Verification (exact Jaccard of the candidates) is
+    the caller's next step, same contract as ``minhash_lsh_pairs
+    (verify=False)``. Self-pairs (a batch doc already indexed under the
+    same id) are excluded.
+    """
+    import os
+
+    meta = _minhash_meta(index_dir)
+    batch_rows = _minhash_bucket_rows(
+        batch, id_col, text_col,
+        meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"],
+    ).localCheckpoint(eager=True)  # probe set read twice (buckets + join)
+    probe_buckets = sorted(
+        r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
+    )
+    stored = spark.read.parquet(os.path.join(index_dir, "buckets")).filter(
+        F.col("pbucket").isin(probe_buckets)
+    )
+    return (
+        batch_rows.select(
+            F.col(id_col).alias("doc_new"), "band", "key"
+        )
+        .join(
+            stored.select(F.col(id_col).alias("doc_corpus"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("doc_new") != F.col("doc_corpus"))
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )

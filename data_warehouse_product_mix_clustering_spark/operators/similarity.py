@@ -1070,24 +1070,12 @@ def _maintain_cells(
 def _overwrite_touched(
     updated: DataFrame, path: str, touched: list[int]
 ) -> None:
-    """Dynamic-partition-overwrite ``updated`` into ``path`` and clear any
-    touched cell directory the update emptied (dynamic overwrite only
-    replaces partitions PRESENT in the written data — the emptied-bucket
-    rule from update_postings_index; replaceWhere's job on a
-    transactional format)."""
-    import os
-    import shutil
+    """Cell-partition rewrite with emptied-cell clearing — the shared IVM
+    primitive (operators/ivm.py), bound to this index family's __cell
+    partition column."""
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import overwrite_touched_partitions
 
-    (
-        updated.repartition("__cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__cell")
-        .parquet(path)
-    )
-    nonempty = {r["__cell"] for r in updated.select("__cell").distinct().collect()}
-    for cell in set(touched) - nonempty:
-        shutil.rmtree(os.path.join(path, f"__cell={cell}"), ignore_errors=True)
+    overwrite_touched_partitions(updated, path, "__cell", touched)
 
 
 def _bump_maint_meta(index_dir: str, n_changes: int) -> float:

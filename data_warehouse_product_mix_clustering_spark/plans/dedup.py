@@ -907,3 +907,149 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "dedup_minhash_index_audit",
+    oracle="""
+        SELECT CAST(2 AS BIGINT) AS n_added,
+               CAST(2 AS BIGINT) AS n_removed,
+               CAST(2 AS BIGINT) AS n_changed,
+               TRUE AS maintained_equals_rebuild,
+               TRUE AS untouched_files_intact,
+               TRUE AS buckets_bounded,
+               CAST(5 AS BIGINT) AS n_probes,
+               TRUE AS probes_found_originals,
+               TRUE AS torn_index_refused
+    """,
+)
+def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH signature index with CDC maintenance
+    (operators/dedup.py::build_minhash_index / update_minhash_index /
+    minhash_index_candidates) — the streaming-dedup scale path: a batch
+    probes only its hash-bucket partitions of a narrow int relation
+    instead of re-scanning corpus text. Scenario over ``documents``:
+    index doc_id<480, then one CDC batch removes [0,2), appends a token
+    to [2,4), adds [480,482). Contract:
+
+    - ``maintained_equals_rebuild``: the maintained bucket relation
+      equals a fresh build of the updated corpus EXACTLY (signatures are
+      deterministic in the stored params — any routing/overwrite bug
+      flips this);
+    - ``untouched_files_intact``: bucket partitions outside the touched
+      set kept byte-identical file listings — the O(touched buckets)
+      claim, measured; ``buckets_bounded`` pins touched ≤ bands × |changed
+      docs| (the analytical bound that makes maintenance O(changes));
+    - ``probes_found_originals``: 5 probe docs with texts copied from
+      indexed survivors each surface their original as a candidate
+      (identical text ⇒ every band agrees — the recall floor is 1.0 by
+      construction, so a missed original is a wiring bug, not noise);
+    - ``torn_index_refused``: maintenance refuses an index without its
+      commit marker.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_candidates,
+        update_minhash_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.postings import COMMIT_MARKER
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="spark_graft_mh_index_")
+    try:
+        tdir = os.path.join(root, "docs")
+        v0 = docs.filter(F.col("doc_id") < 480)
+        write_version(v0, tdir)
+        v1 = (
+            docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 480))
+            .unionByName(
+                docs.filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 4))
+                .withColumn("text", F.concat("text", F.lit(" zz_changed")))
+            )
+            .unionByName(
+                docs.filter((F.col("doc_id") >= 480) & (F.col("doc_id") < 482))
+            )
+        )
+        write_version(v1, tdir)
+        diff = version_diff(spark, tdir, 0, 1, key=["doc_id"])
+
+        idx = os.path.join(root, "mh")
+        build_minhash_index(v0, idx, n_buckets=256)
+
+        bpath = os.path.join(idx, "buckets")
+        before = {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(bpath, d, f)),
+                 os.path.getmtime(os.path.join(bpath, d, f)))
+                for f in os.listdir(os.path.join(bpath, d))
+                if not f.startswith(".")
+            )
+            for d in os.listdir(bpath)
+            if d.startswith("pbucket=")
+        }
+        stats = update_minhash_index(spark, idx, diff)
+        touched_dirs = {f"pbucket={b}" for b in stats["touched"]}
+        intact = all(
+            os.path.isdir(os.path.join(bpath, d))
+            and sorted(
+                (f, os.path.getsize(os.path.join(bpath, d, f)),
+                 os.path.getmtime(os.path.join(bpath, d, f)))
+                for f in os.listdir(os.path.join(bpath, d))
+                if not f.startswith(".")
+            )
+            == before[d]
+            for d in before
+            if d not in touched_dirs
+        )
+        n_changed_docs = 2 + 2 + 2
+        bounded = stats["buckets_touched"] <= 16 * n_changed_docs
+
+        idx2 = os.path.join(root, "mh2")
+        build_minhash_index(v1, idx2, n_buckets=256)
+        a = spark.read.parquet(bpath).select("doc_id", "band", "key", "pbucket")
+        b = spark.read.parquet(os.path.join(idx2, "buckets")).select(
+            "doc_id", "band", "key", "pbucket"
+        )
+        rebuild_eq = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+        probes = (
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+            .withColumn("doc_id", F.col("doc_id") + 20000)
+        )
+        cands = minhash_index_candidates(spark, idx, probes)
+        n_found = (
+            cands.filter(F.col("doc_new") - F.lit(20000) == F.col("doc_corpus"))
+            .select("doc_new")
+            .distinct()
+            .count()
+        )
+        n_probes = probes.count()
+
+        torn = os.path.join(root, "torn")
+        shutil.copytree(idx, torn)
+        os.remove(os.path.join(torn, COMMIT_MARKER))
+        try:
+            update_minhash_index(spark, torn, diff)
+            torn_refused = False
+        except RuntimeError:
+            torn_refused = True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["added"], stats["removed"], stats["changed"],
+                bool(rebuild_eq), bool(intact), bool(bounded),
+                n_probes, bool(n_found == n_probes), bool(torn_refused),
+            )
+        ],
+        "n_added long, n_removed long, n_changed long, "
+        "maintained_equals_rebuild boolean, untouched_files_intact boolean, "
+        "buckets_bounded boolean, n_probes long, "
+        "probes_found_originals boolean, torn_index_refused boolean",
+    )
