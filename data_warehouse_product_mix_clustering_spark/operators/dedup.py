@@ -613,7 +613,10 @@ def build_minhash_index(
     import json
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+    )
     from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
 
     if num_hashes % bands:
@@ -673,18 +676,14 @@ def update_minhash_index(
     """
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.ivm import overwrite_touched_partitions
-    from data_warehouse_product_mix_clustering_spark.operators.postings import (
-        _mark_committed,
-        _mark_dirty,
-        index_is_committed,
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+        overwrite_touched_partitions,
+        require_committed,
     )
 
-    if not index_is_committed(index_dir):
-        raise RuntimeError(
-            f"MinHash index at {index_dir} is torn (no commit marker) — "
-            "rebuild with build_minhash_index before maintaining it"
-        )
+    require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
     params = (meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"])
     d = diff.select(
@@ -725,8 +724,10 @@ def update_minhash_index(
             new_rows.select(id_col, "band", "key", "pbucket")
         ).localCheckpoint(eager=True)  # feeds the write + emptied-dir diff
         overwrite_touched_partitions(updated, path, "pbucket", touched)
+        updated.unpersist()
     _mark_committed(index_dir)
     d.unpersist()
+    new_rows.unpersist()
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),
@@ -755,11 +756,17 @@ def minhash_index_candidates(
     """
     import os
 
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import require_committed
+
+    require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
+    # The returned plan reads this checkpoint (probe-bucket collect + the
+    # join), so it cannot unpersist here — it lives until the session
+    # releases it, same lifetime note as minhash_lsh_pairs' buckets cache.
     batch_rows = _minhash_bucket_rows(
         batch, id_col, text_col,
         meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"],
-    ).localCheckpoint(eager=True)  # probe set read twice (buckets + join)
+    ).localCheckpoint(eager=True)
     probe_buckets = sorted(
         r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
     )

@@ -13,6 +13,43 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+# Completion marker shared by every persisted index family: the index's
+# relations are mutated by several non-atomic steps, so the marker is
+# deleted before the first mutation and re-created only after the last —
+# a crash mid-build/mid-update leaves a DETECTABLE torn index. On a
+# transactional table format this is the commit log's job; the marker is
+# the local-parquet stand-in. (Hoisted from operators/postings.py in r10
+# once three index families shared it via private imports — review r10.)
+COMMIT_MARKER = "_INDEX_COMMITTED"
+
+
+def index_is_committed(index_dir: str) -> bool:
+    """True iff the last build/update of ``index_dir`` ran to completion."""
+    return os.path.exists(os.path.join(index_dir, COMMIT_MARKER))
+
+
+def mark_dirty(index_dir: str) -> None:
+    try:
+        os.remove(os.path.join(index_dir, COMMIT_MARKER))
+    except FileNotFoundError:
+        pass
+
+
+def mark_committed(index_dir: str) -> None:
+    with open(os.path.join(index_dir, COMMIT_MARKER), "w", encoding="utf-8") as f:
+        f.write("committed\n")
+
+
+def require_committed(index_dir: str, kind: str) -> None:
+    """Serving-path guard: a torn index must REFUSE reads, not silently
+    serve a mix of old and new rows (the postings read path's convention,
+    extended to every family's search/maintenance entry points)."""
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"{kind} index at {index_dir} is torn (no commit marker — a "
+            "build or update crashed mid-write); rebuild it before use"
+        )
+
 
 def overwrite_touched_partitions(
     updated: DataFrame, path: str, part_col: str, touched: list

@@ -38,30 +38,16 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
 
-# Completion marker: the three index relations (postings/, terms/, stats/)
-# are mutated by several non-atomic steps; the marker is deleted before the
-# first mutation and re-created only after the last, so a crash mid-update
-# leaves a DETECTABLE torn index (ADVICE r8). On a transactional table
-# format this is the commit log's job; the marker is the local-parquet
-# stand-in, consistent with update_postings_index's replaceWhere note.
-COMMIT_MARKER = "_INDEX_COMMITTED"
-
-
-def index_is_committed(index_dir: str) -> bool:
-    """True iff the last build/update of ``index_dir`` ran to completion."""
-    return os.path.exists(os.path.join(index_dir, COMMIT_MARKER))
-
-
-def _mark_dirty(index_dir: str) -> None:
-    try:
-        os.remove(os.path.join(index_dir, COMMIT_MARKER))
-    except FileNotFoundError:
-        pass
-
-
-def _mark_committed(index_dir: str) -> None:
-    with open(os.path.join(index_dir, COMMIT_MARKER), "w", encoding="utf-8") as f:
-        f.write("committed\n")
+# Completion-marker discipline (ADVICE r8): shared with every persisted
+# index family since r10 — the canonical definitions live in
+# operators/ivm.py; these aliases keep this module's historical internal
+# names and public re-exports working.
+from data_warehouse_product_mix_clustering_spark.operators.ivm import (  # noqa: F401
+    COMMIT_MARKER,
+    index_is_committed,
+    mark_committed as _mark_committed,
+    mark_dirty as _mark_dirty,
+)
 
 
 def term_bucket_py(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:

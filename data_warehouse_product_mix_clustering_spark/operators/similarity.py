@@ -735,7 +735,10 @@ def build_ivf_index(
     (``update_ivf_index``)."""
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+    )
 
     os.makedirs(index_dir, exist_ok=True)
     _mark_dirty(index_dir)
@@ -772,9 +775,13 @@ def search_ivf_index(
     the partition column — Catalyst prunes every other cell directory
     (PartitionFilters-pinned in test_plans.py). Rerank is the exact same
     expression as ``ivf_topk`` ⇒ identical output, attested by
-    ``ann_ivf_indexed_audit``."""
+    ``ann_ivf_indexed_audit``. Refuses a torn index (review r10 — the
+    maintenance path checked the marker but serving did not)."""
     import os
 
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import require_committed
+
+    require_committed(index_dir, "IVF")
     centers = sorted(
         (r["cell"], list(r["cvec"]))
         for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
@@ -838,7 +845,10 @@ def build_ivfpq_index(
     """
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import _mark_committed, _mark_dirty
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+    )
 
     os.makedirs(index_dir, exist_ok=True)
     _mark_dirty(index_dir)
@@ -898,11 +908,15 @@ def search_ivfpq_index(
     Output schema matches ``brute_force_topk``: (query_id, id, cosine,
     rank) — quality degrades only through candidate recall (probes ∩ ADC
     ordering), never through quantization error in the final ordering.
+    Refuses a torn index (review r10).
     """
     import os
 
     import numpy as np
 
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import require_committed
+
+    require_committed(index_dir, "IVF-PQ")
     centers = sorted(
         (r["cell"], list(r["cvec"]))
         for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
@@ -1030,8 +1044,6 @@ def _diff_vectors(diff: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _maintain_cells(
-    spark,
-    index_dir: str,
     d: DataFrame,
     centers: list[tuple[int, list[float]]],
     id_col: str,
@@ -1107,17 +1119,13 @@ def update_ivf_index(
     """
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import (
-        _mark_committed,
-        _mark_dirty,
-        index_is_committed,
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+        require_committed,
     )
 
-    if not index_is_committed(index_dir):
-        raise RuntimeError(
-            f"IVF index at {index_dir} is torn (no commit marker) — "
-            "rebuild with build_ivf_index before maintaining it"
-        )
+    require_committed(index_dir, "IVF")
     centers = sorted(
         (r["cell"], list(r["cvec"]))
         for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
@@ -1127,7 +1135,7 @@ def update_ivf_index(
         r["change_type"]: r["n"]
         for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    new_assigned, touched = _maintain_cells(spark, index_dir, d, centers, id_col)
+    new_assigned, touched = _maintain_cells(d, centers, id_col)
     _mark_dirty(index_dir)
     if touched:
         cells_path = os.path.join(index_dir, "cells")
@@ -1140,9 +1148,11 @@ def update_ivf_index(
             new_assigned
         ).localCheckpoint(eager=True)  # feeds the write + the emptied-dir diff
         _overwrite_touched(updated, cells_path, touched)
+        updated.unpersist()
     drift = _bump_maint_meta(index_dir, d.count())
     _mark_committed(index_dir)
     d.unpersist()
+    new_assigned.unpersist()
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),
@@ -1172,17 +1182,13 @@ def update_ivfpq_index(
 
     import numpy as np
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import (
-        _mark_committed,
-        _mark_dirty,
-        index_is_committed,
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import (
+        mark_committed as _mark_committed,
+        mark_dirty as _mark_dirty,
+        require_committed,
     )
 
-    if not index_is_committed(index_dir):
-        raise RuntimeError(
-            f"IVF-PQ index at {index_dir} is torn (no commit marker) — "
-            "rebuild with build_ivfpq_index before maintaining it"
-        )
+    require_committed(index_dir, "IVF-PQ")
     centers = sorted(
         (r["cell"], list(r["cvec"]))
         for r in spark.read.parquet(os.path.join(index_dir, "centers")).collect()
@@ -1199,7 +1205,7 @@ def update_ivfpq_index(
         r["change_type"]: r["n"]
         for r in d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    new_assigned, touched = _maintain_cells(spark, index_dir, d, centers, id_col)
+    new_assigned, touched = _maintain_cells(d, centers, id_col)
     _mark_dirty(index_dir)
     if touched:
         id_type = diff.schema[id_col].dataType.simpleString()
@@ -1230,9 +1236,12 @@ def update_ivfpq_index(
             new_assigned
         ).localCheckpoint(eager=True)
         _overwrite_touched(updated_vecs, vec_path, touched)
+        updated_codes.unpersist()
+        updated_vecs.unpersist()
     drift = _bump_maint_meta(index_dir, d.count())
     _mark_committed(index_dir)
     d.unpersist()
+    new_assigned.unpersist()
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),

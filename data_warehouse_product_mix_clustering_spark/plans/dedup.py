@@ -938,8 +938,11 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       flips this);
     - ``untouched_files_intact``: bucket partitions outside the touched
       set kept byte-identical file listings — the O(touched buckets)
-      claim, measured; ``buckets_bounded`` pins touched ≤ bands × |changed
-      docs| (the analytical bound that makes maintenance O(changes));
+      claim, measured; ``buckets_bounded`` pins touched ≤ bands ×
+      |changed doc IMAGES| (removed + added + 2 × changed — a changed doc
+      occupies an old AND a new bucket home; review r10 caught the first
+      cut using |docs|, which only held because the appended token leaves
+      most band keys intact);
     - ``probes_found_originals``: 5 probe docs with texts copied from
       indexed survivors each surface their original as a candidate
       (identical text ⇒ every band agrees — the recall floor is 1.0 by
@@ -956,7 +959,7 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_candidates,
         update_minhash_index,
     )
-    from data_warehouse_product_mix_clustering_spark.operators.postings import COMMIT_MARKER
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import COMMIT_MARKER
     from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
 
     docs = table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -1006,8 +1009,9 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in before
             if d not in touched_dirs
         )
-        n_changed_docs = 2 + 2 + 2
-        bounded = stats["buckets_touched"] <= 16 * n_changed_docs
+        # images: 2 removed-old + 2 added-new + 2×2 changed (old AND new)
+        n_doc_images = 2 + 2 + 2 * 2
+        bounded = stats["buckets_touched"] <= 16 * n_doc_images
 
         idx2 = os.path.join(root, "mh2")
         build_minhash_index(v1, idx2, n_buckets=256)

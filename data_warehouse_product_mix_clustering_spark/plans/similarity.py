@@ -590,7 +590,7 @@ def ann_index_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from data_warehouse_product_mix_clustering_spark.operators.postings import COMMIT_MARKER
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import COMMIT_MARKER
     from data_warehouse_product_mix_clustering_spark.operators.similarity import (
         _ivf_probe_rerank,
         _pq_encode,

@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 _LATEST = "_LATEST"
 _VDIR = re.compile(r"^v=(\d+)$")
 
+# Per-call sequence for write_small_file_exclusive's temp names: pid +
+# thread id alone still collide when one thread retries (same identifiers)
+# while a crashed attempt's file lingers; the counter makes every call
+# unique within the process.
+import itertools as _itertools
+
+_EXCL_SEQ = _itertools.count()
+
 
 def versions(table_dir: str) -> list[int]:
     """All committed versions, ascending. A version counts as committed
@@ -105,10 +113,19 @@ def write_small_file_exclusive(path: str, content: str) -> None:
     target, so two racing writers can never both own the same id, and a
     reader never observes partial content under the final name.
 
-    Temp name is PID-suffixed here (unlike the atomic twin): two racing
-    writers sharing one fixed temp name would overwrite each other's
-    staged content BEFORE the link decided the winner."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    Temp name is unique PER CALL (pid + thread id + counter), not merely
+    per process: two racing writers sharing one temp name would overwrite
+    each other's staged content BEFORE the link decided the winner — and
+    racing THREADS share a pid, so a pid-only suffix re-opens exactly the
+    same-process race the snapshot test exercises (review r10: the
+    truncation could commit an empty manifest, and the winner's unlink
+    made the loser's cleanup raise FileNotFoundError instead of
+    retrying)."""
+    import threading
+
+    tmp = (
+        f"{path}.tmp.{os.getpid()}.{threading.get_ident()}.{next(_EXCL_SEQ)}"
+    )
     with open(tmp, "w") as f:
         f.write(content)
         f.flush()

@@ -1296,3 +1296,46 @@ def test_publish_snapshot_concurrent_writers(spark, tmp_path):
     for s in ids:
         snapshot_manifest(store, s)  # both manifests committed and readable
     assert current_snapshot(store) in ids
+
+
+def test_write_small_file_exclusive_same_process_race():
+    """The exclusive-create primitive must isolate SAME-PROCESS racers:
+    threads share a pid, so a pid-only temp suffix let one thread
+    truncate the other's staged bytes before os.link decided the winner
+    (review r10) — the committed file could be empty/partial and the
+    loser crashed on FileNotFoundError instead of seeing FileExistsError.
+    Here two threads race the same target with distinct payloads, many
+    rounds: exactly one wins, the loser always gets FileExistsError, and
+    the committed content is always one COMPLETE payload."""
+    import os
+    import threading
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_exclusive
+
+    payload_a = "A" * 4096
+    payload_b = "B" * 4096
+    with tempfile.TemporaryDirectory() as root:
+        for i in range(25):
+            target = os.path.join(root, f"m{i}")
+            barrier = threading.Barrier(2)
+            results = {}
+
+            def attempt(name, payload):
+                barrier.wait()
+                try:
+                    write_small_file_exclusive(target, payload)
+                    results[name] = "won"
+                except FileExistsError:
+                    results[name] = "lost"
+
+            t1 = threading.Thread(target=attempt, args=("a", payload_a))
+            t2 = threading.Thread(target=attempt, args=("b", payload_b))
+            t1.start(); t2.start(); t1.join(); t2.join()
+            assert sorted(results.values()) == ["lost", "won"], results
+            with open(target) as f:
+                content = f.read()
+            winner = payload_a if results["a"] == "won" else payload_b
+            assert content == winner, "committed content must be complete"
+            leftovers = [f for f in os.listdir(root) if ".tmp." in f]
+            assert not leftovers, f"temp files must not accumulate: {leftovers}"

@@ -1460,10 +1460,16 @@ def test_update_ivf_index_empties_cell_and_refuses_torn(spark, tmp_path):
         spark.read.parquet(os.path.join(idx, "cells")).count() == 6
     ), "survivors only"
 
-    # torn index: no commit marker -> refuse
+    # torn index: no commit marker -> BOTH maintenance and serving refuse
+    # (review r10: the first cut guarded only maintenance, so a crash
+    # mid-update would be silently served)
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import search_ivf_index
+
     os.remove(os.path.join(idx, COMMIT_MARKER))
     with pytest.raises(RuntimeError, match="torn"):
         update_ivf_index(spark, idx, version_diff(spark, tdir, 0, 1, key=["vec_id"]))
+    with pytest.raises(RuntimeError, match="torn"):
+        search_ivf_index(spark, idx, v1.limit(1), k=2, nprobe=1)
 
     # legacy store without the maintenance sidecar: drift saturates
     with open(os.path.join(idx, COMMIT_MARKER), "w") as f:
