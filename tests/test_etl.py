@@ -1339,3 +1339,46 @@ def test_write_small_file_exclusive_same_process_race():
             assert content == winner, "committed content must be complete"
             leftovers = [f for f in os.listdir(root) if ".tmp." in f]
             assert not leftovers, f"temp files must not accumulate: {leftovers}"
+
+
+def test_refresh_with_interleaved_compaction(spark, tmp_path):
+    """compact_table between refresh runs must be invisible to the
+    incremental pipeline: the compacted version is row-identical, so the
+    next refresh's basis-spanning CDC diff counts ONLY the genuinely new
+    batch, and the maintained rollup still equals a full recompute."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import compact_table, read_table
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["id"], group_keys=["grp"], measures={"total": "amount"},
+    )
+    (land / "a.csv").write_text("id,grp,amount\n1,g1,10.0\n2,g1,20.0\n3,g2,30.0\n")
+    r1 = refresh_warehouse(**args)
+
+    stats = compact_table(spark, f"{work}/table")
+    assert stats["version"] == r1["version"] + 1
+    assert stats["files_after"] <= stats["files_before"]
+
+    (land / "b.csv").write_text("id,grp,amount\n2,g2,25.0\n4,g3,40.0\n")
+    r2 = refresh_warehouse(**args)
+    assert r2["version"] == stats["version"] + 1
+    assert r2["changes"] == 2, (
+        "the compacted (row-identical) version must contribute ZERO rows "
+        "to the CDC diff — only batch b's upsert+insert count"
+    )
+    agg = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
+    assert agg == {"g1": (10.0, 1), "g2": (55.0, 2), "g3": (40.0, 1)}
