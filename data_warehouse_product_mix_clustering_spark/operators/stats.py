@@ -1,0 +1,120 @@
+"""Table statistics (ANALYZE) and stats-informed join planning.
+
+The warehouse-engine layer the reference delegates to its RDBMS: an
+``ANALYZE``-style one-pass column profile (row count, null count, NDV,
+min/max) and a broadcast advisor that picks the join build side from
+measured relation sizes instead of hoping AQE's estimates see through an
+opaque plan.
+
+Scale posture: ``analyze_table`` is ONE aggregate job over one scan —
+per-column expressions run map-side in the same partial aggregation, so
+profiling a 100 TB table costs a single pass regardless of column count.
+NDV ships as ``approx_count_distinct`` (HyperLogLog++, default rsd 5%,
+fixed-size sketch, map-side combinable); the exact variant exists for
+audits only, because exact multi-column COUNT DISTINCT expands the scan
+once per column.
+
+Relationship to ``operators/quality.py::profile_table``: profile_table is
+the AUDIT profiler — exact distincts via independent per-column subplans
+(no Expand blow-up, at the cost of |cols| passes). analyze_table is the
+PLANNER-STATS profiler — one pass, sketched NDV, typed min/max — the
+thing a scheduler runs after every load to keep the advisor below honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def analyze_table(
+    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
+) -> DataFrame:
+    """Long-format column profile: one row per column with
+    ``(column, n_rows, n_nulls, ndv, min_num, max_num, min_str,
+    max_str)`` — numeric min/max for numeric columns (NULL otherwise),
+    lexicographic min/max for string columns. ``ndv`` is the HLL++
+    approximation unless ``exact_ndv`` (audit mode; expands the scan per
+    column).
+
+    One aggregate over one scan; the wide single-row result explodes to
+    long format driver-free (array-of-structs → explode).
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        typ = df.schema[c].dataType
+        ndv = (
+            F.countDistinct(F.col(c)) if exact_ndv
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}")
+        )
+        aggs.append(ndv.cast("long").alias(f"__ndv_{c}"))
+        if isinstance(typ, _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+        elif isinstance(typ, T.StringType):
+            aggs.append(F.min(c).alias(f"__smin_{c}"))
+            aggs.append(F.max(c).alias(f"__smax_{c}"))
+    wide = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        typ = df.schema[c].dataType
+        is_num = isinstance(typ, _NUMERIC)
+        is_str = isinstance(typ, T.StringType)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__ndv_{c}").alias("ndv"),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"__smin_{c}") if is_str else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"__smax_{c}") if is_str else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for ``df`` (optimizer statistics —
+    file sizes after pruning for scans, propagated through operators).
+    The number AQE/broadcast decisions are made from; surfacing it makes
+    the advisor's choice inspectable instead of implicit."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def advise_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    threshold_bytes: int = 10 * 1024 * 1024,
+) -> tuple[DataFrame, str]:
+    """Join with the build side chosen from MEASURED plan sizes: the
+    smaller input gets an explicit ``broadcast()`` hint iff its Catalyst
+    size estimate is under ``threshold_bytes``; otherwise the join is
+    left unhinted (shuffle join, AQE free to re-plan). Returns
+    (joined, choice) with choice ∈ {'broadcast_left', 'broadcast_right',
+    'shuffle'} so callers/tests can pin the decision.
+
+    This is deliberately a THIN layer over Catalyst — the value is the
+    explicit, stats-derived, inspectable decision for joins whose small
+    side Catalyst cannot size (e.g. a post-aggregation relation whose
+    estimate collapses to the default), mirroring what a warehouse's
+    ANALYZE-driven planner does."""
+    lb, rb = plan_size_bytes(left), plan_size_bytes(right)
+    if min(lb, rb) <= threshold_bytes:
+        if lb <= rb:
+            return F.broadcast(left).join(right, on, how), "broadcast_left"
+        return left.join(F.broadcast(right), on, how), "broadcast_right"
+    return left.join(right, on, how), "shuffle"

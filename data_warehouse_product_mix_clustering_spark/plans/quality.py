@@ -540,3 +540,64 @@ def snapshot_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carry_forward_ok boolean, vacuum_drops long, vacuum_deletes long, "
         "consistent_after_vacuum boolean",
     )
+
+
+_ANALYZE_COLS = ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+
+
+def _analyze_oracle_col(c: str, numeric: bool) -> str:
+    min_num = f"round(CAST(min({c}) AS DOUBLE) + 1e-9, 4)" if numeric else "CAST(NULL AS DOUBLE)"
+    max_num = f"round(CAST(max({c}) AS DOUBLE) + 1e-9, 4)" if numeric else "CAST(NULL AS DOUBLE)"
+    min_str = f"CAST(min({c}) AS VARCHAR)" if not numeric else "CAST(NULL AS VARCHAR)"
+    max_str = f"CAST(max({c}) AS VARCHAR)" if not numeric else "CAST(NULL AS VARCHAR)"
+    return f"""SELECT '{c}' AS column,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+               {min_num} AS min_num, {max_num} AS max_num,
+               {min_str} AS min_str, {max_str} AS max_str,
+               TRUE AS sketch_ok
+        FROM orders"""
+
+
+@register(
+    "table_stats_audit",
+    oracle=" UNION ALL ".join(
+        _analyze_oracle_col(c, c in ("o_custkey", "o_totalprice"))
+        for c in _ANALYZE_COLS
+    ),
+)
+def table_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style planner statistics (operators/stats.py::
+    analyze_table) attested two ways in one relation: the EXACT column
+    profile (rows, nulls, exact NDV, typed min/max over 4 ``orders``
+    columns) hash-matches DuckDB, and per column ``sketch_ok`` pins the
+    one-pass HLL++ NDV within its 3σ envelope (rsd 5% → |approx−exact| ≤
+    0.15·exact) of the exact count — the sketch the 100 TB path actually
+    ships, gated against the audit-grade truth. Numeric min/max round to
+    4dp (they are raw data values, so this is cosmetic cross-engine
+    hygiene, not tolerance)."""
+    from data_warehouse_product_mix_clustering_spark.operators.stats import analyze_table
+
+    o = table(spark, "orders", sf_dir)
+    exact = analyze_table(o, _ANALYZE_COLS, exact_ndv=True)
+    approx = analyze_table(o, _ANALYZE_COLS, exact_ndv=False).select(
+        "column", F.col("ndv").alias("ndv_approx")
+    )
+    return (
+        exact.join(approx, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            F.round(F.col("min_num") + 1e-9, 4).alias("min_num"),
+            F.round(F.col("max_num") + 1e-9, 4).alias("max_num"),
+            "min_str",
+            "max_str",
+            (
+                F.abs(F.col("ndv_approx") - F.col("ndv"))
+                <= 0.15 * F.col("ndv")
+            ).alias("sketch_ok"),
+        )
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_refresh_audit",  # checkpointed stream → versioned warehouse → MV
     "table_compaction_audit",  # small-file compaction: empty CDC, time travel
     "dedup_minhash_index_audit",  # persisted LSH signature index + CDC maint
+    "table_stats_audit",  # ANALYZE: one-pass stats + HLL NDV in 3σ envelope
     # r5-stale cohort (16): their latest driver attestation is r5 (VERDICT r9
     # What's-missing #1). All pass the judge's 190/190 sweep — freshness only.
     "interval_join_per_product",

@@ -880,3 +880,36 @@ def test_mv_maintain_summary_nulls_and_group_moves(spark, tmp_path):
             spark, store, "by_g",
             version_diff(spark, tdir, 0, 1, key=["id"]), {"v": "id"},
         )
+
+
+def test_stats_advisor_broadcast_choice(spark):
+    """The stats-informed join advisor (operators/stats.py) must choose
+    from MEASURED Catalyst sizes: a tiny dim broadcasts (and the physical
+    plan shows BroadcastHashJoin), two fact-sized inputs stay unhinted
+    (shuffle join), and plan_size_bytes orders relations sensibly."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.stats import (
+        advise_broadcast_join,
+        plan_size_bytes,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    li = table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_suppkey", "l_extendedprice")
+    nat = table(spark, "nation", SF_SMOKE)
+    sup = table(spark, "supplier", SF_SMOKE).select("s_suppkey", "s_nationkey")
+
+    assert plan_size_bytes(nat) < plan_size_bytes(li)
+
+    joined, choice = advise_broadcast_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, ["s_suppkey"]
+    )
+    assert choice == "broadcast_right"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # both sides over threshold -> unhinted shuffle join
+    big_l = li
+    big_r = li.select(F.col("l_orderkey"), F.col("l_extendedprice").alias("p2"))
+    _, choice = advise_broadcast_join(big_l, big_r, ["l_orderkey"], threshold_bytes=1)
+    assert choice == "shuffle"
