@@ -1382,3 +1382,72 @@ def test_refresh_with_interleaved_compaction(spark, tmp_path):
     )
     agg = {r.grp: (r.total, r.n) for r in read_table(spark, f"{work}/agg").collect()}
     assert agg == {"g1": (10.0, 1), "g2": (55.0, 2), "g3": (40.0, 1)}
+
+
+def test_refresh_feeds_minhash_index_maintenance(spark, tmp_path):
+    """The ingest→dedup composition: the refresh pipeline's versioned
+    publishes drive update_minhash_index through version_diff, and the
+    maintained signature index equals a fresh build of the published
+    state — so a streaming corpus keeps its dedup index current at
+    O(touched buckets) per refresh, never a rebuild."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_warehouse_product_mix_clustering_spark.etl.refresh_pipeline import refresh_warehouse
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_candidates,
+        update_minhash_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    work = str(tmp_path / "work")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    args = dict(
+        spark=spark, landing_dir=str(land), work_dir=work, schema=schema,
+        key=["doc_id"], group_keys=["grp"], measures={}, header=False,
+    )
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    (land / "a.csv").write_text(
+        f"1,g,{body} alpha\n2,g,{body} beta\n3,g,completely different text here\n"
+    )
+    refresh_warehouse(**args)
+    idx = str(tmp_path / "mh")
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import read_table
+
+    build_minhash_index(read_table(spark, f"{work}/table"), idx, n_buckets=32)
+
+    # batch 2: doc 2's text changes, doc 4 lands as a near-copy of doc 1
+    (land / "b.csv").write_text(
+        f"2,g,totally new content for doc two\n4,g,{body} alpha\n"
+    )
+    r2 = refresh_warehouse(**args)
+    diff = version_diff(spark, f"{work}/table", 0, r2["version"], key=["doc_id"])
+    stats = update_minhash_index(spark, idx, diff)
+    assert stats == {
+        "added": 1, "removed": 0, "changed": 1,
+        "buckets_touched": stats["buckets_touched"],
+        "touched": stats["touched"],
+    }
+
+    idx2 = str(tmp_path / "mh2")
+    build_minhash_index(read_table(spark, f"{work}/table"), idx2, n_buckets=32)
+    a = spark.read.parquet(f"{idx}/buckets").select("doc_id", "band", "key", "pbucket")
+    b = spark.read.parquet(f"{idx2}/buckets").select("doc_id", "band", "key", "pbucket")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # doc 4 (identical text to doc 1) must surface doc 1 as a candidate
+    probe = spark.createDataFrame([(4, f"{body} alpha")], "doc_id long, text string")
+    cands = {
+        (r.doc_new, r.doc_corpus)
+        for r in minhash_index_candidates(spark, idx, probe).collect()
+    }
+    assert (4, 1) in cands
