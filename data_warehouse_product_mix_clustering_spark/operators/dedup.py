@@ -637,6 +637,7 @@ def build_minhash_index(
         json.dumps(
             {
                 "id_col": id_col,
+                "id_type": docs.schema[id_col].dataType.simpleString(),
                 "n": n,
                 "num_hashes": num_hashes,
                 "bands": bands,
@@ -655,6 +656,28 @@ def _minhash_meta(index_dir: str) -> dict:
 
     with open(os.path.join(index_dir, _MINHASH_META)) as f:
         return json.load(f)
+
+
+def read_minhash_buckets(spark, index_dir: str) -> DataFrame:
+    """The persisted bucket relation — typed-EMPTY when the index holds
+    zero signature rows (an all-empty-text corpus, or a maintenance run
+    that removed every doc, writes only _SUCCESS into a partitioned
+    directory, which ``spark.read.parquet`` cannot infer a schema from;
+    found by the hypothesis maintenance≡rebuild property, r10)."""
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
+
+    meta = _minhash_meta(index_dir)
+    try:
+        return spark.read.parquet(os.path.join(index_dir, "buckets"))
+    except Exception as e:
+        if analysis_condition(e) not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return spark.createDataFrame(
+            [],
+            f"{meta['id_col']} {meta['id_type']}, band int, key int, pbucket int",
+        )
 
 
 def update_minhash_index(
@@ -716,7 +739,7 @@ def update_minhash_index(
     if touched:
         path = os.path.join(index_dir, "buckets")
         survivors = (
-            spark.read.parquet(path)
+            read_minhash_buckets(spark, index_dir)
             .filter(F.col("pbucket").isin(touched))
             .join(d.select(id_col), id_col, "left_anti")
         )
@@ -770,7 +793,7 @@ def minhash_index_candidates(
     probe_buckets = sorted(
         r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
     )
-    stored = spark.read.parquet(os.path.join(index_dir, "buckets")).filter(
+    stored = read_minhash_buckets(spark, index_dir).filter(
         F.col("pbucket").isin(probe_buckets)
     )
     return (
@@ -785,3 +808,89 @@ def minhash_index_candidates(
         .select("doc_new", "doc_corpus")
         .distinct()
     )
+
+
+def scrub_spans(
+    toks: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Remove every token covered by ANY occurrence of a span-list n-gram
+    — the span-merge rule of `dedup_span_scrub`, factored so the rule has
+    ONE definition and a property-testable surface. ``toks`` is
+    (id, ``t`` array<string>); ``spans`` carries a ``shingle`` column of
+    space-joined n-grams (bounded — it broadcasts). Returns (id,
+    n_removed_tokens, n_removed_chars, scrubbed_text) with scrubbed_text
+    the kept tokens in original order, single-space joined. Docs whose
+    token array is empty or NULL are ABSENT from the output (inner
+    posexplode — the same drop semantics as the oracle's ``unnest``).
+
+    Coverage = union of hit intervals, resolved with a per-doc
+    ``max(hit) OVER (rows n-1 preceding)`` window over the dense token
+    positions — overlapping/adjacent hits coalesce by construction, no
+    sequential state. One fact shuffle (the window's doc partitioning,
+    reused by the final group-by).
+    """
+    sh = toks.select(
+        id_col, F.posexplode(word_ngrams("t", n)).alias("gpos", "shingle")
+    )
+    hits = (
+        sh.join(F.broadcast(spans.select("shingle")), "shingle")
+        .select(id_col, F.col("gpos").alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tok = toks.select(id_col, F.posexplode("t").alias("pos", "token"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    marked = tok.join(hits, [id_col, "pos"], "left").withColumn(
+        "rm", F.max(F.coalesce(F.col("hit"), F.lit(0))).over(w)
+    )
+    return marked.groupBy(id_col).agg(
+        F.sum(F.when(F.col("rm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("rm") == 1, F.length("token"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_removed_chars"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rm") == 0, F.struct("pos", "token"))
+                    )
+                ),
+                lambda x: x["token"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+
+
+def scrub_spans_py(
+    tokens_list: list[str], spans: set[str], n: int = 8
+) -> tuple[int, int, str]:
+    """Driver-side twin of ``scrub_spans`` for property tests: returns
+    (n_removed_tokens, n_removed_chars, scrubbed_text)."""
+    L = len(tokens_list)
+    hit_starts = [
+        i
+        for i in range(L - n + 1)
+        if " ".join(tokens_list[i : i + n]) in spans
+    ]
+    removed = [False] * L
+    for i in hit_starts:
+        for j in range(i, i + n):
+            removed[j] = True
+    kept = [t for t, r in zip(tokens_list, removed) if not r]
+    n_rm = sum(removed)
+    chars_rm = sum(len(t) for t, r in zip(tokens_list, removed) if r)
+    return n_rm, chars_rm, " ".join(kept)

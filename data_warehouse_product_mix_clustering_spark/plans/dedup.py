@@ -866,46 +866,13 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("shingle")
     )
-    hits = (
-        sh.join(F.broadcast(scrub), "shingle")
-        .select("doc_id", F.col("gpos").alias("pos"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    tok = toks.select("doc_id", F.posexplode("t").alias("pos", "token"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-7, Window.currentRow)
-    )
-    marked = tok.join(hits, ["doc_id", "pos"], "left").withColumn(
-        "rm", F.max(F.coalesce(F.col("hit"), F.lit(0))).over(w)
-    )
-    return marked.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("rm") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_tokens"),
-        F.coalesce(
-            F.sum(F.when(F.col("rm") == 1, F.length("token"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_removed_chars"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rm") == 0,
-                                F.struct("pos", "token"),
-                            )
-                        )
-                    ),
-                    lambda x: x["token"],
-                ),
-            )
-        ).alias("scrubbed_md5"),
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans
+
+    return scrub_spans(toks, scrub, "doc_id", 8).select(
+        "doc_id",
+        "n_removed_tokens",
+        "n_removed_chars",
+        F.md5("scrubbed_text").alias("scrubbed_md5"),
     )
 
 

@@ -86,3 +86,140 @@ def test_weighted_sample_draw_is_engine_identical(spark):
         != want["sample_key"].astype(float).values
     ).sum()
     assert mism == 0, f"{mism} of {n} sample keys diverge between engines"
+
+
+# --- span scrub: distributed coverage-window rule vs python reference ---
+
+_SCRUB_VOCAB = ["a", "b", "c", "d"]
+_scrub_doc = st.lists(st.sampled_from(_SCRUB_VOCAB), min_size=0, max_size=20)
+_scrub_corpus = st.lists(_scrub_doc, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_scrub_corpus, data=st.data())
+def test_scrub_spans_matches_python_reference(spark, corpus, data):
+    """operators/dedup.py::scrub_spans ≡ scrub_spans_py on arbitrary
+    token streams with n=3 spans drawn FROM the corpus (so hits overlap
+    and abut adversarially — the 4-symbol vocabulary makes repeated and
+    chained n-grams common). Pins the union-of-intervals coalescing
+    rule, boundary behavior (spans at position 0 / end-of-doc), and
+    short docs (< n tokens ⇒ no hits possible)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans, scrub_spans_py
+
+    n = 3
+    grams = sorted(
+        {
+            " ".join(d[i : i + n])
+            for d in corpus
+            for i in range(len(d) - n + 1)
+        }
+    )
+    spans = set(
+        data.draw(
+            st.lists(st.sampled_from(grams), max_size=3, unique=True)
+            if grams
+            else st.just([])
+        )
+    )
+    toks = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id long, t array<string>"
+    )
+    spans_df = spark.createDataFrame(
+        [(s,) for s in sorted(spans)], "shingle string"
+    )
+    got = {
+        r.doc_id: (r.n_removed_tokens, r.n_removed_chars, r.scrubbed_text)
+        for r in scrub_spans(toks, spans_df, "doc_id", n).collect()
+    }
+    for i, d in enumerate(corpus):
+        if not d:
+            # zero-token docs are ABSENT from the output (inner
+            # posexplode — same drop semantics as the oracle's unnest)
+            assert i not in got
+        else:
+            assert got[i] == scrub_spans_py(d, spans, n), (i, d, spans, got[i])
+
+
+# --- persisted MinHash index: maintained ≡ rebuild over random CDC ---
+
+_MH_VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+_mh_text = st.lists(st.sampled_from(_MH_VOCAB), min_size=0, max_size=10).map(
+    " ".join
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_mh_text, min_size=1, max_size=8),
+    adds=st.lists(_mh_text, max_size=4),
+    data=st.data(),
+)
+def test_update_minhash_index_equals_rebuild(spark, tmp_path_factory, base, adds, data):
+    """update_minhash_index ≡ build_minhash_index on the updated corpus
+    for RANDOM CDC batches — random removals, random text edits
+    (including edits to/from the empty string, which has NO signature
+    rows), random adds, duplicate texts across ids. The single-scenario
+    audit pins one path; this pins the algebra."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        build_minhash_index,
+        update_minhash_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    ids = list(range(len(base)))
+    removed = set(data.draw(st.lists(st.sampled_from(ids), max_size=3, unique=True)))
+    survivors = [i for i in ids if i not in removed]
+    changed = set(
+        data.draw(st.lists(st.sampled_from(survivors), max_size=3, unique=True))
+        if survivors
+        else []
+    )
+    new_rows = [(i, t) for i, t in enumerate(base) if i not in removed]
+    new_rows = [
+        (i, (t + " changedtok").strip() if i in changed else t) for i, t in new_rows
+    ]
+    new_rows += [(100 + j, t) for j, t in enumerate(adds)]
+
+    root = str(tmp_path_factory.mktemp("mhprop"))
+    tdir = os.path.join(root, "t")
+    write_version(
+        spark.createDataFrame(list(enumerate(base)), "doc_id long, text string"), tdir
+    )
+    write_version(
+        spark.createDataFrame(new_rows, "doc_id long, text string"), tdir
+    )
+    idx = os.path.join(root, "idx")
+    build_minhash_index(
+        spark.createDataFrame(list(enumerate(base)), "doc_id long, text string"),
+        idx, num_hashes=8, bands=4, n_buckets=16,
+    )
+    update_minhash_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["doc_id"])
+    )
+    idx2 = os.path.join(root, "idx2")
+    build_minhash_index(
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+        idx2, num_hashes=8, bands=4, n_buckets=16,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import read_minhash_buckets
+
+    a = read_minhash_buckets(spark, idx).select("doc_id", "band", "key", "pbucket")
+    b = read_minhash_buckets(spark, idx2).select("doc_id", "band", "key", "pbucket")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), (
+        base, removed, changed, adds,
+        sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect())),
+    )
