@@ -666,18 +666,14 @@ def read_minhash_buckets(spark, index_dir: str) -> DataFrame:
     found by the hypothesis maintenance≡rebuild property, r10)."""
     import os
 
-    from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
 
     meta = _minhash_meta(index_dir)
-    try:
-        return spark.read.parquet(os.path.join(index_dir, "buckets"))
-    except Exception as e:
-        if analysis_condition(e) not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
-        return spark.createDataFrame(
-            [],
-            f"{meta['id_col']} {meta['id_type']}, band int, key int, pbucket int",
-        )
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, "buckets"),
+        f"{meta['id_col']} {meta['id_type']}, band int, key int, pbucket int",
+    )
 
 
 def update_minhash_index(

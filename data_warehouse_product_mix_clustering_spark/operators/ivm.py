@@ -70,3 +70,22 @@ def overwrite_touched_partitions(
     nonempty = {r[part_col] for r in updated.select(part_col).distinct().collect()}
     for b in set(touched) - nonempty:
         shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
+
+
+def read_index_relation(spark, path: str, empty_schema: str) -> DataFrame:
+    """Read a partition-bucketed index relation, returning a typed EMPTY
+    DataFrame when it holds zero rows: a maintenance run that cleared
+    every partition (remove-everything CDC batch) — or a build over an
+    all-empty input — leaves a directory with only ``_SUCCESS``, which
+    ``spark.read.parquet`` cannot infer a schema from (found by the
+    MinHash maintenance≡rebuild hypothesis property, r10; the same state
+    is reachable in every family). ``empty_schema`` is the relation's DDL
+    string, recorded by the builder in the index meta."""
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
+
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        if analysis_condition(e) not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return spark.createDataFrame([], empty_schema)

@@ -94,6 +94,17 @@ def build_postings_index(
 
     os.makedirs(index_dir, exist_ok=True)
     _mark_dirty(index_dir)
+    # schema sidecar: the doc_id type, so a relation whose every bucket
+    # was cleared by maintenance reads back typed-EMPTY instead of
+    # failing schema inference (ivm.read_index_relation — review r10)
+    import json
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    write_small_file_atomic(
+        os.path.join(index_dir, "_schema.json"),
+        json.dumps({"doc_id_type": docs.schema["doc_id"].dataType.simpleString()}),
+    )
     toks = docs.select("doc_id", tokens_expr.alias("__t")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -137,8 +148,34 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
 
 
+def _doc_id_type(index_dir: str) -> str:
+    import json
+
+    p = os.path.join(index_dir, "_schema.json")
+    if not os.path.exists(p):
+        return "bigint"  # pre-r10 index without the sidecar
+    with open(p) as f:
+        return json.load(f)["doc_id_type"]
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "postings"))
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, "postings"),
+        f"term string, doc_id {_doc_id_type(index_dir)}, dl int, tf long, bucket int",
+    )
+
+
+def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, "terms"),
+        "bucket int, term string, df long",
+    )
 
 
 def search_postings_index(
@@ -175,7 +212,7 @@ def search_postings_index(
         F.col("bucket").isin(buckets) & F.col("term").isin(*terms)
     )
     tdf = (
-        spark.read.parquet(os.path.join(index_dir, "terms"))
+        read_terms(spark, index_dir)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*terms))
         .select("term", "df")
     )

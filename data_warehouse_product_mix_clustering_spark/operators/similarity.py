@@ -754,7 +754,10 @@ def build_ivf_index(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
-    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
+    _write_maint_meta(
+        index_dir, base_n=assigned.count(), cumulative_changes=0,
+        id_col=id_col, id_type=corpus.schema[id_col].dataType.simpleString(),
+    )
     _mark_committed(index_dir)
 
 
@@ -790,7 +793,7 @@ def search_ivf_index(
     cells = sorted(
         r["__cell"] for r in probes.select("__cell").distinct().collect()
     )
-    assigned = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+    assigned = _read_cells(spark, index_dir, "cells", "__v array<double>").filter(
         F.col("__cell").isin(cells)
     )
     cands = (
@@ -886,7 +889,10 @@ def build_ivfpq_index(
         ],
         "subspace int, code int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "pq"))
-    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
+    _write_maint_meta(
+        index_dir, base_n=assigned.count(), cumulative_changes=0,
+        id_col=id_col, id_type=id_type,
+    )
     _mark_committed(index_dir)
 
 
@@ -932,7 +938,7 @@ def search_ivfpq_index(
     cells = sorted(
         r["__cell"] for r in probes.select("__cell").distinct().collect()
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+    codes = _read_cells(spark, index_dir, "cells", "__codes array<int>").filter(
         F.col("__cell").isin(cells)
     )
     id_type = queries.schema[id_col].dataType.simpleString()
@@ -957,7 +963,7 @@ def search_ivfpq_index(
         .filter(F.col("__r") <= rerank_factor * k)
         .select("query_id", id_col)
     )
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = _read_cells(spark, index_dir, "vectors", "__v array<double>")
     qvec = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
@@ -1007,16 +1013,20 @@ _MAINT_META = "_maint.json"
 REBUILD_DRIFT = 0.3
 
 
-def _write_maint_meta(index_dir: str, base_n: int, cumulative_changes: int) -> None:
+def _write_maint_meta(
+    index_dir: str, base_n: int, cumulative_changes: int, **extra
+) -> None:
+    """``extra`` carries schema facts the read path needs to type an
+    EMPTY relation (id_col/id_type — review r10); ``_bump_maint_meta``
+    preserves them across maintenance runs."""
     import json
     import os
 
     from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
 
-    write_small_file_atomic(
-        os.path.join(index_dir, _MAINT_META),
-        json.dumps({"base_n": int(base_n), "cumulative_changes": int(cumulative_changes)}),
-    )
+    doc = {"base_n": int(base_n), "cumulative_changes": int(cumulative_changes)}
+    doc.update(extra)
+    write_small_file_atomic(os.path.join(index_dir, _MAINT_META), json.dumps(doc))
 
 
 def _read_maint_meta(index_dir: str) -> dict:
@@ -1093,8 +1103,28 @@ def _overwrite_touched(
 def _bump_maint_meta(index_dir: str, n_changes: int) -> float:
     meta = _read_maint_meta(index_dir)
     cum = meta["cumulative_changes"] + n_changes
-    _write_maint_meta(index_dir, meta["base_n"], cum)
+    extra = {k: v for k, v in meta.items() if k not in ("base_n", "cumulative_changes")}
+    _write_maint_meta(index_dir, meta["base_n"], cum, **extra)
     return (cum / meta["base_n"]) if meta["base_n"] else float("inf")
+
+
+def _read_cells(spark, index_dir: str, relation: str, value_cols: str) -> DataFrame:
+    """Guarded read of a cell-partitioned index relation: typed-EMPTY
+    when maintenance cleared every partition (ivm.read_index_relation;
+    the remove-everything CDC batch — review r10). Falls back to the
+    default id typing for pre-r10 indexes without the schema fields."""
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+
+    meta = _read_maint_meta(index_dir)
+    id_col = meta.get("id_col", "vec_id")
+    id_type = meta.get("id_type", "bigint")
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, relation),
+        f"{id_col} {id_type}, {value_cols}, __cell int",
+    )
 
 
 def update_ivf_index(
@@ -1140,7 +1170,7 @@ def update_ivf_index(
     if touched:
         cells_path = os.path.join(index_dir, "cells")
         survivors = (
-            spark.read.parquet(cells_path)
+            _read_cells(spark, index_dir, "cells", "__v array<double>")
             .filter(F.col("__cell").isin(touched))
             .join(d.select(id_col), id_col, "left_anti")
         )
@@ -1215,7 +1245,7 @@ def update_ivfpq_index(
 
         cells_path = os.path.join(index_dir, "cells")
         code_survivors = (
-            spark.read.parquet(cells_path)
+            _read_cells(spark, index_dir, "cells", "__codes array<int>")
             .filter(F.col("__cell").isin(touched))
             .join(d.select(id_col), id_col, "left_anti")
         )
@@ -1228,7 +1258,7 @@ def update_ivfpq_index(
 
         vec_path = os.path.join(index_dir, "vectors")
         vec_survivors = (
-            spark.read.parquet(vec_path)
+            _read_cells(spark, index_dir, "vectors", "__v array<double>")
             .filter(F.col("__cell").isin(touched))
             .join(d.select(id_col), id_col, "left_anti")
         )

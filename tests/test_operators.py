@@ -1479,3 +1479,44 @@ def test_update_ivf_index_empties_cell_and_refuses_torn(spark, tmp_path):
         spark, idx, version_diff(spark, tdir, 1, 1, key=["vec_id"])
     )
     assert stats["drift"] == float("inf")
+
+
+def test_update_ivf_index_remove_everything_stays_readable(spark, tmp_path):
+    """A CDC batch that removes EVERY vector clears all cell partitions;
+    the emptied index must stay readable (typed-empty relations) for
+    both further maintenance and serving — the MinHash hypothesis
+    property found this state unreadable, and the same state is
+    reachable here (review r10)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    v0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tdir = str(tmp_path / "t")
+    write_version(v0, tdir)
+    write_version(v0.filter(F.lit(False)), tdir)  # v1: empty table
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(v0, idx, "vec_id", "embedding", nlist=2, seed=42)
+    stats = update_ivf_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["vec_id"])
+    )
+    assert stats["removed"] == 8 and stats["added"] == 0
+
+    # serving an EMPTY committed index returns zero rows, not a crash
+    probes = v0.limit(2)
+    assert search_ivf_index(spark, idx, probes, k=3, nprobe=2).count() == 0
+
+    # and a follow-up maintenance (re-adding rows) works on the empty store
+    write_version(v0.filter(F.col("vec_id") < 3), tdir)
+    stats2 = update_ivf_index(
+        spark, idx, version_diff(spark, tdir, 1, 2, key=["vec_id"])
+    )
+    assert stats2["added"] == 3
+    assert search_ivf_index(spark, idx, probes, k=2, nprobe=2).count() > 0
