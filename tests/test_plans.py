@@ -913,3 +913,52 @@ def test_stats_advisor_broadcast_choice(spark):
     big_r = li.select(F.col("l_orderkey"), F.col("l_extendedprice").alias("p2"))
     _, choice = advise_broadcast_join(big_l, big_r, ["l_orderkey"], threshold_bytes=1)
     assert choice == "shuffle"
+
+
+def test_minhash_index_candidates_prunes_buckets(spark, tmp_path):
+    """The persisted MinHash index's seek contract: a probe batch's scan
+    of the stored relation must show a literal pbucket partition filter
+    (the postings/IVF pattern) — and the hit join must not read buckets
+    outside the probe set."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_candidates,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    docs = table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs.filter(F.col("doc_id") < 200), idx, n_buckets=64)
+    probe = docs.filter(F.col("doc_id") < 2).withColumn(
+        "doc_id", F.col("doc_id") + 9000
+    )
+    out = minhash_index_candidates(spark, idx, probe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "pbucket" in l and (" IN (" in l or " INSET " in l) for l in lines
+    ), "pbucket partition pruning missing:\n" + "\n".join(lines)
+    assert out.count() >= 2  # identical-text probes find their originals
+
+
+def test_span_scrub_single_fact_shuffle_for_coverage(spark):
+    """dedup_span_scrub's coverage window and final group-by must share
+    ONE doc_id exchange (the window's partitioning is reused), and the
+    scrub-list join must broadcast — the plan the docstring claims."""
+    plan = plan_of(spark, "dedup_span_scrub")
+    assert "BroadcastHashJoin" in plan  # bounded scrub list
+    # count hashpartitioning exchanges ON doc_id alone: the token stream
+    # shuffles once for the window; the group-by must reuse it
+    import re
+
+    tok_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in l
+    ]
+    assert len(tok_exchanges) <= 2, (
+        "coverage window + group-by should reuse one doc_id exchange "
+        f"(mining agg may add one):\n" + "\n".join(tok_exchanges)
+    )
