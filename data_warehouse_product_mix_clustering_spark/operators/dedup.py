@@ -616,6 +616,7 @@ def build_minhash_index(
     from data_warehouse_product_mix_clustering_spark.operators.ivm import (
         mark_committed as _mark_committed,
         mark_dirty as _mark_dirty,
+        write_id_schema,
     )
     from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
 
@@ -623,6 +624,7 @@ def build_minhash_index(
         raise ValueError("num_hashes must be divisible by bands")
     os.makedirs(index_dir, exist_ok=True)
     _mark_dirty(index_dir)
+    write_id_schema(index_dir, id_col, docs.schema[id_col].dataType.simpleString())
     rows_df = _minhash_bucket_rows(
         docs, id_col, text_col, n, num_hashes, bands, seed, n_buckets
     )
@@ -637,7 +639,6 @@ def build_minhash_index(
         json.dumps(
             {
                 "id_col": id_col,
-                "id_type": docs.schema[id_col].dataType.simpleString(),
                 "n": n,
                 "num_hashes": num_hashes,
                 "bands": bands,
@@ -666,13 +667,14 @@ def read_minhash_buckets(spark, index_dir: str) -> DataFrame:
     found by the hypothesis maintenance≡rebuild property, r10)."""
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_id_schema, read_index_relation
 
     meta = _minhash_meta(index_dir)
+    id_col, id_type = read_id_schema(index_dir, meta.get("id_col", "doc_id"), "bigint")
     return read_index_relation(
         spark,
         os.path.join(index_dir, "buckets"),
-        f"{meta['id_col']} {meta['id_type']}, band int, key int, pbucket int",
+        f"{id_col} {id_type}, band int, key int, pbucket int",
     )
 
 
@@ -811,11 +813,12 @@ def scrub_spans(
     spans: DataFrame,
     id_col: str = "doc_id",
     n: int = 8,
+    tok_col: str = "t",
 ) -> DataFrame:
     """Remove every token covered by ANY occurrence of a span-list n-gram
     — the span-merge rule of `dedup_span_scrub`, factored so the rule has
     ONE definition and a property-testable surface. ``toks`` is
-    (id, ``t`` array<string>); ``spans`` carries a ``shingle`` column of
+    (id, ``tok_col`` array<string>); ``spans`` carries a ``shingle`` column of
     space-joined n-grams (bounded — it broadcasts). Returns (id,
     n_removed_tokens, n_removed_chars, scrubbed_text) with scrubbed_text
     the kept tokens in original order, single-space joined. Docs whose
@@ -829,7 +832,7 @@ def scrub_spans(
     reused by the final group-by).
     """
     sh = toks.select(
-        id_col, F.posexplode(word_ngrams("t", n)).alias("gpos", "shingle")
+        id_col, F.posexplode(word_ngrams(tok_col, n)).alias("gpos", "shingle")
     )
     hits = (
         sh.join(F.broadcast(spans.select("shingle")), "shingle")
@@ -837,7 +840,7 @@ def scrub_spans(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    tok = toks.select(id_col, F.posexplode("t").alias("pos", "token"))
+    tok = toks.select(id_col, F.posexplode(tok_col).alias("pos", "token"))
     from pyspark.sql import Window
 
     w = (

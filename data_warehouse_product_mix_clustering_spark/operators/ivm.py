@@ -80,12 +80,56 @@ def read_index_relation(spark, path: str, empty_schema: str) -> DataFrame:
     ``spark.read.parquet`` cannot infer a schema from (found by the
     MinHash maintenance≡rebuild hypothesis property, r10; the same state
     is reachable in every family). ``empty_schema`` is the relation's DDL
-    string, recorded by the builder in the index meta."""
+    string, recorded by the builder in the index's schema sidecar.
+
+    ONLY schema-inference failure is treated as empty: every legitimate
+    emptied state still leaves the directory (with ``_SUCCESS``), so a
+    PATH_NOT_FOUND means the relation was never built or was deleted
+    out-of-band — with the commit marker still present that is a torn
+    store, and masking it as empty would contradict ``require_committed``
+    (review r10)."""
     from data_warehouse_product_mix_clustering_spark.sources.versioned import analysis_condition
 
     try:
         return spark.read.parquet(path)
     except Exception as e:
-        if analysis_condition(e) not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if analysis_condition(e) != "UNABLE_TO_INFER_SCHEMA":
             raise
         return spark.createDataFrame([], empty_schema)
+
+
+SCHEMA_SIDECAR = "_schema.json"
+
+
+def write_id_schema(index_dir: str, id_col: str, id_type: str) -> None:
+    """ONE convention for recording the id column's name/type next to the
+    commit marker — what ``read_index_relation``'s typed-empty schema
+    needs. Three families grew three divergent mechanisms in the first
+    cut (one of which crashed on pre-existing indexes — review r10);
+    every family now writes and reads this sidecar."""
+    import json
+
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    write_small_file_atomic(
+        os.path.join(index_dir, SCHEMA_SIDECAR),
+        json.dumps({"id_col": id_col, "id_type": id_type}),
+    )
+
+
+def read_id_schema(
+    index_dir: str, default_col: str, default_type: str
+) -> tuple[str, str]:
+    """(id_col, id_type), falling back to the family's defaults for
+    indexes persisted before the sidecar existed (also accepts the
+    short-lived ``doc_id_type`` key shape)."""
+    import json
+
+    p = os.path.join(index_dir, SCHEMA_SIDECAR)
+    if not os.path.exists(p):
+        return default_col, default_type
+    with open(p) as f:
+        doc = json.load(f)
+    if "doc_id_type" in doc:
+        return default_col, doc["doc_id_type"]
+    return doc.get("id_col", default_col), doc.get("id_type", default_type)

@@ -97,13 +97,10 @@ def build_postings_index(
     # schema sidecar: the doc_id type, so a relation whose every bucket
     # was cleared by maintenance reads back typed-EMPTY instead of
     # failing schema inference (ivm.read_index_relation — review r10)
-    import json
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import write_id_schema
 
-    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
-
-    write_small_file_atomic(
-        os.path.join(index_dir, "_schema.json"),
-        json.dumps({"doc_id_type": docs.schema["doc_id"].dataType.simpleString()}),
+    write_id_schema(
+        index_dir, "doc_id", docs.schema["doc_id"].dataType.simpleString()
     )
     toks = docs.select("doc_id", tokens_expr.alias("__t")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -149,13 +146,9 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
 
 
 def _doc_id_type(index_dir: str) -> str:
-    import json
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_id_schema
 
-    p = os.path.join(index_dir, "_schema.json")
-    if not os.path.exists(p):
-        return "bigint"  # pre-r10 index without the sidecar
-    with open(p) as f:
-        return json.load(f)["doc_id_type"]
+    return read_id_schema(index_dir, "doc_id", "bigint")[1]
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

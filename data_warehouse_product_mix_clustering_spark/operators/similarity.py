@@ -754,10 +754,10 @@ def build_ivf_index(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "cell int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
-    _write_maint_meta(
-        index_dir, base_n=assigned.count(), cumulative_changes=0,
-        id_col=id_col, id_type=corpus.schema[id_col].dataType.simpleString(),
-    )
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import write_id_schema
+
+    write_id_schema(index_dir, id_col, corpus.schema[id_col].dataType.simpleString())
+    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
     _mark_committed(index_dir)
 
 
@@ -889,10 +889,10 @@ def build_ivfpq_index(
         ],
         "subspace int, code int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "pq"))
-    _write_maint_meta(
-        index_dir, base_n=assigned.count(), cumulative_changes=0,
-        id_col=id_col, id_type=id_type,
-    )
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import write_id_schema
+
+    write_id_schema(index_dir, id_col, id_type)
+    _write_maint_meta(index_dir, base_n=assigned.count(), cumulative_changes=0)
     _mark_committed(index_dir)
 
 
@@ -1115,11 +1115,9 @@ def _read_cells(spark, index_dir: str, relation: str, value_cols: str) -> DataFr
     default id typing for pre-r10 indexes without the schema fields."""
     import os
 
-    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_id_schema, read_index_relation
 
-    meta = _read_maint_meta(index_dir)
-    id_col = meta.get("id_col", "vec_id")
-    id_type = meta.get("id_type", "bigint")
+    id_col, id_type = read_id_schema(index_dir, "vec_id", "bigint")
     return read_index_relation(
         spark,
         os.path.join(index_dir, relation),

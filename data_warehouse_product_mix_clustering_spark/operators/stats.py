@@ -55,7 +55,12 @@ def analyze_table(
             else F.approx_count_distinct(F.col(c))
         )
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}")
+            # coalesce: F.sum over ZERO rows is NULL, but the documented
+            # count(*)-count(c) semantics give 0 on an empty table
+            # (review r10)
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__nulls_{c}")
         )
         aggs.append(ndv.cast("long").alias(f"__ndv_{c}"))
         if isinstance(typ, _NUMERIC):
@@ -111,10 +116,29 @@ def advise_broadcast_join(
     explicit, stats-derived, inspectable decision for joins whose small
     side Catalyst cannot size (e.g. a post-aggregation relation whose
     estimate collapses to the default), mirroring what a warehouse's
-    ANALYZE-driven planner does."""
+    ANALYZE-driven planner does.
+
+    Join-type eligibility (review r10 — Spark silently DROPS a broadcast
+    hint on a side it cannot build, so returning that choice string
+    would misreport the executed plan): outer/semi/anti joins preserve
+    unmatched rows of one side, and only the OTHER side can be the
+    broadcast build side — left-ish joins may broadcast only the right
+    input, right joins only the left, full outer neither."""
+    h = how.lower().replace("_", "")
+    if h in ("inner", "cross"):
+        eligible = {"left", "right"}
+    elif h in ("left", "leftouter", "semi", "leftsemi", "anti", "leftanti"):
+        eligible = {"right"}
+    elif h in ("right", "rightouter"):
+        eligible = {"left"}
+    else:  # full / fullouter / outer
+        eligible = set()
     lb, rb = plan_size_bytes(left), plan_size_bytes(right)
-    if min(lb, rb) <= threshold_bytes:
-        if lb <= rb:
+    candidates = sorted(
+        [(sz, side) for sz, side in ((lb, "left"), (rb, "right")) if side in eligible]
+    )
+    if candidates and candidates[0][0] <= threshold_bytes:
+        if candidates[0][1] == "left":
             return F.broadcast(left).join(right, on, how), "broadcast_left"
         return left.join(F.broadcast(right), on, how), "broadcast_right"
     return left.join(right, on, how), "shuffle"

@@ -914,6 +914,18 @@ def test_stats_advisor_broadcast_choice(spark):
     _, choice = advise_broadcast_join(big_l, big_r, ["l_orderkey"], threshold_bytes=1)
     assert choice == "shuffle"
 
+    # join-type eligibility (review r10): a LEFT join cannot build its
+    # left side, so a tiny LEFT input must NOT be reported broadcast —
+    # Spark would silently drop the hint and the choice string would lie
+    nat2 = nat.withColumnRenamed("n_nationkey", "s_nationkey")
+    _, choice = advise_broadcast_join(nat2, sup, ["s_nationkey"], how="left")
+    assert choice in ("broadcast_right", "shuffle") and choice != "broadcast_left"
+    joined, choice = advise_broadcast_join(sup, nat2, ["s_nationkey"], how="left")
+    assert choice == "broadcast_right"
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    _, choice = advise_broadcast_join(nat2, sup, ["s_nationkey"], how="full")
+    assert choice == "shuffle", "full outer can broadcast neither side"
+
 
 def test_minhash_index_candidates_prunes_buckets(spark, tmp_path):
     """The persisted MinHash index's seek contract: a probe batch's scan
