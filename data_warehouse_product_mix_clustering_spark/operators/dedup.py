@@ -814,6 +814,7 @@ def scrub_spans(
     id_col: str = "doc_id",
     n: int = 8,
     tok_col: str = "t",
+    pos_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every token covered by ANY occurrence of a span-list n-gram
     — the span-merge rule of `dedup_span_scrub`, factored so the rule has
@@ -822,54 +823,67 @@ def scrub_spans(
     space-joined n-grams (bounded — it broadcasts). Returns (id,
     n_removed_tokens, n_removed_chars, scrubbed_text) with scrubbed_text
     the kept tokens in original order, single-space joined. Docs whose
-    token array is empty or NULL are ABSENT from the output (inner
-    posexplode — the same drop semantics as the oracle's ``unnest``).
+    token array is empty or NULL are ABSENT from the output (the same
+    drop semantics as the oracle's ``unnest``). ``pos_shingles``, if
+    given, is a pre-built (id, gpos, shingle) positional relation to hit
+    against (the session's shared one — saves re-deriving it from toks).
 
-    Coverage = union of hit intervals, resolved with a per-doc
-    ``max(hit) OVER (rows n-1 preceding)`` window over the dense token
-    positions — overlapping/adjacent hits coalesce by construction, no
-    sequential state. One fact shuffle (the window's doc partitioning,
-    reused by the final group-by).
+    Coverage = union of hit intervals: per doc, the matched start
+    positions collect into one array (a shuffle of only the HIT rows —
+    each (id, gpos) names exactly ONE n-gram, so the equality join
+    against the DISTINCTed bounded span list yields at most one hit per
+    position and needs no dedup), then every per-token decision is a JVM
+    array lambda on the un-exploded row: token p is removed iff
+    ``exists(hit_starts, s -> s <= p <= s+n-1)`` — overlapping/adjacent
+    hits coalesce by construction. ONE fact shuffle end-to-end (the
+    id-key join of toks against the per-doc hit arrays); no token
+    explode, no window sort, no collect_list rebuild. Per-token cost is
+    O(|hit starts in the doc|) — for a pathological wall-to-wall
+    boilerplate doc that degrades to O(len²) within the one row; the
+    windowed O(1)/token variant (git history) trades two extra exchanges
+    for that bound if such corpora appear.
     """
-    sh = toks.select(
-        id_col, F.posexplode(word_ngrams(tok_col, n)).alias("gpos", "shingle")
-    )
-    hits = (
-        sh.join(F.broadcast(spans.select("shingle")), "shingle")
-        .select(id_col, F.col("gpos").alias("pos"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    tok = toks.select(id_col, F.posexplode(tok_col).alias("pos", "token"))
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(n - 1), Window.currentRow)
-    )
-    marked = tok.join(hits, [id_col, "pos"], "left").withColumn(
-        "rm", F.max(F.coalesce(F.col("hit"), F.lit(0))).over(w)
-    )
-    return marked.groupBy(id_col).agg(
-        F.sum(F.when(F.col("rm") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_tokens"),
-        F.coalesce(
-            F.sum(F.when(F.col("rm") == 1, F.length("token"))), F.lit(0)
+    sh = (
+        pos_shingles
+        if pos_shingles is not None
+        else toks.select(
+            id_col, F.posexplode(word_ngrams(tok_col, n)).alias("gpos", "shingle")
         )
-        .cast("long")
-        .alias("n_removed_chars"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("rm") == 0, F.struct("pos", "token"))
-                    )
-                ),
-                lambda x: x["token"],
+    )
+    hit_arr = (
+        sh.join(F.broadcast(spans.select("shingle").distinct()), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("gpos").alias("__hits"))
+    )
+    joined = toks.join(hit_arr, id_col, "left").filter(
+        F.col(tok_col).isNotNull() & (F.size(tok_col) > 0)
+    )
+    hits = F.coalesce(F.col("__hits"), F.array().cast("array<integer>"))
+    last = F.lit(n - 1)
+    masked = joined.select(
+        id_col,
+        tok_col,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - 1),
+            lambda p: F.exists(hits, lambda s: (p >= s) & (p <= s + last)),
+        ).alias("__rm"),
+    )
+    return masked.select(
+        id_col,
+        F.size(F.filter("__rm", lambda m: m)).cast("long").alias("n_removed_tokens"),
+        F.aggregate(
+            F.zip_with(
+                tok_col,
+                "__rm",
+                lambda t, m: F.when(m, F.length(t)).otherwise(F.lit(0)),
             ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("n_removed_chars"),
+        # concat_ws skips NULL elements, so masking removed tokens to NULL
+        # keeps the kept tokens in original order with single spaces.
+        F.concat_ws(
+            " ", F.zip_with(tok_col, "__rm", lambda t, m: F.when(~m, t))
         ).alias("scrubbed_text"),
     )
 

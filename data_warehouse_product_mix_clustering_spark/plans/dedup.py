@@ -70,23 +70,59 @@ def invalidate_shingle_cache(sf_dir: str | None = None) -> None:
         _drop_shingle_entry(key)
 
 
-def shared_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
-    """The session's shared ``shingle_sets(documents, n)`` relation."""
-    key = (spark.sparkContext.applicationId, sf_dir, n)
+def _shared_relation(spark: SparkSession, sf_dir: str, variant, build) -> DataFrame:
+    """LRU-cached session persist of one derived-from-``documents`` relation."""
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         _SHINGLE_CACHE.move_to_end(key)
         return hit
-    sh = shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", n)
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = build().persist(StorageLevel.MEMORY_AND_DISK)
     for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
         _drop_shingle_entry(stale)
     _SHINGLE_CACHE[key] = sh
     while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
         _drop_shingle_entry(next(iter(_SHINGLE_CACHE)))
     return sh
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """The session's shared ``shingle_sets(documents, n)`` relation."""
+    return _shared_relation(
+        spark,
+        sf_dir,
+        n,
+        lambda: shingle_sets(table(spark, "documents", sf_dir), "doc_id", "text", n),
+    )
+
+
+def shared_pos_shingles(spark: SparkSession, sf_dir: str, n: int = 8) -> DataFrame:
+    """The session's shared POSITIONAL n-gram relation over ``documents``:
+    (doc_id, gpos, shingle) with one row per occurrence (multiplicity and
+    token offset preserved, unlike the distinct-set ``shared_shingles``).
+    The substring-dedup family starts here — span mining aggregates it,
+    span scrubbing joins the scrub list back against it — so the
+    tokenize→posexplode pass (its dominant cost) materializes once per
+    (session, corpus), the same catalog trade as ``shared_shingles``. At
+    100 TB the equivalent is a materialized positional-shingle table
+    maintained alongside the corpus; the persist is the session-scoped
+    stand-in and is disk-backed (MEMORY_AND_DISK) with LRU eviction."""
+
+    def build() -> DataFrame:
+        from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
+
+        return (
+            fan_out(table(spark, "documents", sf_dir))
+            .select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .select(
+                "doc_id",
+                F.posexplode(word_ngrams("__toks", n)).alias("gpos", "shingle"),
+            )
+        )
+
+    return _shared_relation(spark, sf_dir, f"pos{n}", build)
 
 
 def _jaccard_oracle_sql(
@@ -733,7 +769,9 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers, license blocks, templated spam all surface here before any
     pair-level similarity is computed).
 
-    Plan: one corpus pass explodes each doc's 8-gram shingles, then an
+    Plan: the session's shared positional 8-gram relation
+    (``shared_pos_shingles`` — tokenize→posexplode materialized once per
+    corpus, also consumed by the scrub step downstream), then an
     Expand-free two-level aggregate — (shingle, doc) occurrence counts
     first, then per-shingle document spread + total occurrences — so the
     count-distinct never multiplies the exploded stream. Top-25 is a
@@ -744,10 +782,7 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-then-rehydrate trade the MinHash pipeline makes); at bench SF the
     direct string key is the honest measured plan.
     """
-    toks = table(spark, "documents", sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("t")
-    )
-    sh = toks.select("doc_id", F.explode(word_ngrams("t", 8)).alias("shingle"))
+    sh = shared_pos_shingles(spark, sf_dir, 8)
     per_doc = sh.groupBy("shingle", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
@@ -819,6 +854,7 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM marked
         GROUP BY doc_id
     """,
+    headline=True,
 )
 def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level boilerplate scrub — the removal step downstream of
@@ -837,21 +873,19 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     original order, single-space joined) so the oracle hashes the full
     reconstruction, not just the counts.
 
-    Plan shape: the mining aggregate shuffles (shingle, doc) once (same
-    Expand-free two-level shape as the mining query); the bounded scrub
-    list broadcasts into the hit join; coverage is a per-doc window over
-    the dense token positions (``max(hit) OVER rows 7 preceding``) and
-    the final group-by reuses the window's doc_id partitioning — ONE
-    fact shuffle end-to-end beyond the mining agg. At 100 TB the scrub
-    list stays driver-free (never collected) and every per-token
+    Plan shape: both the mining aggregate AND the hit join start from the
+    session's shared positional 8-gram relation (``shared_pos_shingles``
+    — the tokenize→posexplode pass, the family's dominant cost,
+    materialized once per corpus); the bounded scrub list broadcasts into
+    the hit join; matched start positions collect into ONE array per doc
+    (a shuffle of hit rows only) and every per-token decision is a JVM
+    array lambda on the un-exploded document row — ONE fact shuffle
+    end-to-end beyond the mining agg (the id-key join of toks against
+    the hit arrays), no token explode, no window sort. At 100 TB the
+    scrub list stays driver-free (never collected) and every per-token
     operation is a JVM expression.
     """
-    toks = table(spark, "documents", sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("t")
-    )
-    sh = toks.select(
-        "doc_id", F.posexplode(word_ngrams("t", 8)).alias("gpos", "shingle")
-    )
+    sh = shared_pos_shingles(spark, sf_dir, 8)
     per_doc = sh.groupBy("shingle", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
@@ -868,7 +902,10 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans
 
-    return scrub_spans(toks, scrub, "doc_id", 8).select(
+    toks = table(spark, "documents", sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    return scrub_spans(toks, scrub, "doc_id", 8, pos_shingles=sh).select(
         "doc_id",
         "n_removed_tokens",
         "n_removed_chars",

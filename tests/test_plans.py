@@ -956,21 +956,26 @@ def test_minhash_index_candidates_prunes_buckets(spark, tmp_path):
 
 
 def test_span_scrub_single_fact_shuffle_for_coverage(spark):
-    """dedup_span_scrub's coverage window and final group-by must share
-    ONE doc_id exchange (the window's partitioning is reused), and the
-    scrub-list join must broadcast — the plan the docstring claims."""
+    """dedup_span_scrub's coverage stage must be array-lambda over the
+    un-exploded doc rows: the scrub-list join broadcasts, the only
+    doc_id exchange is the per-doc hit-array aggregate (hit rows only —
+    never the token stream), there is NO window (the old formulation
+    exploded tokens and sorted them), and both the mining aggregate and
+    the hit join read the session's persisted positional shingle
+    relation."""
     plan = plan_of(spark, "dedup_span_scrub")
     assert "BroadcastHashJoin" in plan  # bounded scrub list
-    # count hashpartitioning exchanges ON doc_id alone: the token stream
-    # shuffles once for the window; the group-by must reuse it
-    import re
-
+    assert "Window" not in plan, "coverage must be array lambdas, not a window"
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "mining agg and hit join should both read the shared positional "
+        "shingle relation"
+    )
     tok_exchanges = [
         l
         for l in plan.splitlines()
         if "Exchange hashpartitioning(doc_id" in l
     ]
-    assert len(tok_exchanges) <= 2, (
-        "coverage window + group-by should reuse one doc_id exchange "
-        f"(mining agg may add one):\n" + "\n".join(tok_exchanges)
+    assert len(tok_exchanges) <= 1, (
+        "only the hit-array collect_set agg may shuffle on doc_id:\n"
+        + "\n".join(tok_exchanges)
     )
