@@ -815,18 +815,27 @@ def scrub_spans(
     n: int = 8,
     tok_col: str = "t",
     pos_shingles: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Remove every token covered by ANY occurrence of a span-list n-gram
     — the span-merge rule of `dedup_span_scrub`, factored so the rule has
     ONE definition and a property-testable surface. ``toks`` is
     (id, ``tok_col`` array<string>); ``spans`` carries a ``shingle`` column of
-    space-joined n-grams (bounded — it broadcasts). Returns (id,
-    n_removed_tokens, n_removed_chars, scrubbed_text) with scrubbed_text
-    the kept tokens in original order, single-space joined. Docs whose
-    token array is empty or NULL are ABSENT from the output (the same
-    drop semantics as the oracle's ``unnest``). ``pos_shingles``, if
-    given, is a pre-built (id, gpos, shingle) positional relation to hit
-    against (the session's shared one — saves re-deriving it from toks).
+    space-joined n-grams (``broadcast_spans`` forces the broadcast when
+    the caller knows the list is bounded, e.g. a top-k; pass False for an
+    unbounded list and let AQE pick the join side). If ``spans`` also
+    carries a ``keeper`` column (an id), occurrences inside that keeper
+    doc are NOT scrubbed — the C4-style keep-first-occurrence policy that
+    preserves each duplicated span's content exactly once. Returns (id,
+    *carry, n_removed_tokens, n_removed_chars, scrubbed_text) with
+    scrubbed_text the kept tokens in original order, single-space joined
+    (``carry`` names extra ``toks`` columns to pass through untouched).
+    Docs whose token array is empty or NULL are ABSENT from the output
+    (the same drop semantics as the oracle's ``unnest``).
+    ``pos_shingles``, if given, is a pre-built (id, gpos, shingle)
+    positional relation to hit against (the session's shared one — saves
+    re-deriving it from toks).
 
     Coverage = union of hit intervals: per doc, the matched start
     positions collect into one array (a shuffle of only the HIT rows —
@@ -850,10 +859,16 @@ def scrub_spans(
             id_col, F.posexplode(word_ngrams(tok_col, n)).alias("gpos", "shingle")
         )
     )
-    hit_arr = (
-        sh.join(F.broadcast(spans.select("shingle").distinct()), "shingle")
-        .groupBy(id_col)
-        .agg(F.collect_set("gpos").alias("__hits"))
+    keep_first = "keeper" in spans.columns
+    span_cols = ["shingle", "keeper"] if keep_first else ["shingle"]
+    sp = spans.select(*span_cols).distinct()
+    if broadcast_spans:
+        sp = F.broadcast(sp)
+    hit_rows = sh.join(sp, "shingle")
+    if keep_first:
+        hit_rows = hit_rows.filter(F.col(id_col) != F.col("keeper"))
+    hit_arr = hit_rows.groupBy(id_col).agg(
+        F.collect_set("gpos").alias("__hits")
     )
     joined = toks.join(hit_arr, id_col, "left").filter(
         F.col(tok_col).isNotNull() & (F.size(tok_col) > 0)
@@ -862,6 +877,7 @@ def scrub_spans(
     last = F.lit(n - 1)
     masked = joined.select(
         id_col,
+        *carry,
         tok_col,
         F.transform(
             F.sequence(F.lit(0), F.size(tok_col) - 1),
@@ -870,6 +886,7 @@ def scrub_spans(
     )
     return masked.select(
         id_col,
+        *carry,
         F.size(F.filter("__rm", lambda m: m)).cast("long").alias("n_removed_tokens"),
         F.aggregate(
             F.zip_with(

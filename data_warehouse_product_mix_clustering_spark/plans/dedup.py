@@ -17,6 +17,7 @@ from data_warehouse_product_mix_clustering_spark.functions.numeric import (
 )
 from data_warehouse_product_mix_clustering_spark.functions.text import (
     STOPWORDS,
+    sql_bpe_tokens,
     sql_fingerprint,
     sql_quality_score,
     sql_stopword_hits,
@@ -797,11 +798,18 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_scrub",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+# One SQL definition of the span-scrub pipeline's shared CTE chain
+# (tokenize → positional 8-grams → scrub list → hit positions → per-token
+# coverage via the 7-PRECEDING window), parameterized by the scrub-list
+# CTE and the keep-first policy, reused by the scrub query's oracle and
+# the scrubbed-corpus composition below so the span-merge semantics
+# cannot drift between them — the same one-template-many-oracles
+# discipline as ``_jaccard_oracle_sql``.
+def _span_scrub_ctes(scrub_cte: str, keep_first: bool = False) -> str:
+    keeper_pred = " WHERE sh.doc_id <> scrub.keeper" if keep_first else ""
+    return f"""
+        toks AS (
+            SELECT doc_id, lang, {sql_tokens("text")} AS t FROM documents
         ),
         sh AS (
             SELECT doc_id,
@@ -809,24 +817,10 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_subscripts({sql_word_ngrams("t", 8)}, 1) - 1 AS gpos
             FROM toks
         ),
-        scrub AS (
-            SELECT shingle FROM (
-                SELECT shingle,
-                       count(*) AS n_docs,
-                       sum(occ) AS n_occurrences
-                FROM (
-                    SELECT shingle, doc_id, count(*) AS occ
-                    FROM sh GROUP BY 1, 2
-                )
-                GROUP BY 1
-                HAVING count(*) >= 2
-                ORDER BY n_docs DESC, n_occurrences DESC, shingle
-                LIMIT 25
-            )
-        ),
+        scrub AS ({scrub_cte}),
         hits AS (
-            SELECT DISTINCT doc_id, gpos
-            FROM sh JOIN scrub USING (shingle)
+            SELECT DISTINCT sh.doc_id, sh.gpos
+            FROM sh JOIN scrub USING (shingle){keeper_pred}
         ),
         tok AS (
             SELECT doc_id,
@@ -843,6 +837,72 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tok t
             LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.pos = h.gpos
         )
+"""
+
+
+_TOP25_SCRUB_CTE = """
+            SELECT shingle FROM (
+                SELECT shingle,
+                       count(*) AS n_docs,
+                       sum(occ) AS n_occurrences
+                FROM (
+                    SELECT shingle, doc_id, count(*) AS occ
+                    FROM sh GROUP BY 1, 2
+                )
+                GROUP BY 1
+                HAVING count(*) >= 2
+                ORDER BY n_docs DESC, n_occurrences DESC, shingle
+                LIMIT 25
+            )
+"""
+
+_FULL_KEEPER_SCRUB_CTE = """
+            SELECT shingle, keeper FROM (
+                SELECT shingle,
+                       count(*) AS n_docs,
+                       min(doc_id) AS keeper
+                FROM (
+                    SELECT shingle, doc_id, count(*) AS occ
+                    FROM sh GROUP BY 1, 2
+                )
+                GROUP BY 1
+                HAVING count(*) >= 2
+            )
+"""
+
+
+def _top_spans(
+    sh: DataFrame,
+    min_docs: int = 2,
+    k: int | None = 25,
+    keep_first: bool = False,
+) -> DataFrame:
+    """The scrub list from a positional shingle relation: n-gram spans in
+    ≥ ``min_docs`` docs, ranked by document spread and cut to the top
+    ``k`` (``k=None`` keeps the full list). ``keep_first`` adds a
+    ``keeper`` column (the lowest doc id holding the span — the one
+    occurrence `scrub_spans` preserves). Factored so the mining query,
+    `dedup_span_scrub`, and the scrubbed-corpus composition share one
+    definition."""
+    per_doc = sh.groupBy("shingle", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    agg = per_doc.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+        F.min("doc_id").alias("keeper"),
+    ).filter(F.col("n_docs") >= min_docs)
+    if k is not None:
+        agg = agg.orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle"
+        ).limit(k)
+    return agg.select("shingle", "keeper") if keep_first else agg.select("shingle")
+
+
+@register(
+    "dedup_span_scrub",
+    oracle=f"""
+        WITH {_span_scrub_ctes(_TOP25_SCRUB_CTE)}
         SELECT doc_id,
                CAST(sum(CASE WHEN rm = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_removed_tokens,
@@ -885,31 +945,123 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub list stays driver-free (never collected) and every per-token
     operation is a JVM expression.
     """
-    sh = shared_pos_shingles(spark, sf_dir, 8)
-    per_doc = sh.groupBy("shingle", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("occ")
-    )
-    scrub = (
-        per_doc.groupBy("shingle")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("occ").cast("long").alias("n_occurrences"),
-        )
-        .filter(F.col("n_docs") >= 2)
-        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle")
-        .limit(25)
-        .select("shingle")
-    )
     from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans
 
+    sh = shared_pos_shingles(spark, sf_dir, 8)
     toks = table(spark, "documents", sf_dir).select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
-    return scrub_spans(toks, scrub, "doc_id", 8, pos_shingles=sh).select(
+    return scrub_spans(toks, _top_spans(sh), "doc_id", 8, pos_shingles=sh).select(
         "doc_id",
         "n_removed_tokens",
         "n_removed_chars",
         F.md5("scrubbed_text").alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "training_corpus_scrubbed",
+    oracle=f"""
+        WITH {_span_scrub_ctes(_FULL_KEEPER_SCRUB_CTE, keep_first=True)},
+        scrubbed AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN rm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed_tokens,
+                   coalesce(string_agg(CASE WHEN rm = 0 THEN token END, ' '
+                                       ORDER BY pos), '') AS stext
+            FROM marked
+            GROUP BY doc_id
+        ),
+        keep AS (
+            SELECT s.doc_id, d.lang, s.stext, s.n_removed_tokens,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("s.stext")}
+                                      ORDER BY s.doc_id) AS rn
+            FROM scrubbed s JOIN documents d USING (doc_id)
+        ),
+        toks2 AS (
+            SELECT doc_id, lang, n_removed_tokens,
+                   {sql_tokens("stext")} AS t,
+                   {sql_bpe_tokens("stext")} AS bt
+            FROM keep WHERE rn = 1
+        ),
+        scored AS (
+            SELECT doc_id, lang, n_removed_tokens,
+                   CAST(len(bt) AS BIGINT) AS n_tokens,
+                   {sql_quality_score('t')} AS quality_score
+            FROM toks2 WHERE len(t) > 0
+        )
+        SELECT doc_id, lang, n_removed_tokens, n_tokens, quality_score
+        FROM scored
+        WHERE lang = 'en' AND quality_score >= 0.45
+          AND n_tokens BETWEEN 10 AND 5000
+    """,
+)
+def training_corpus_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full C4/RefinedWeb-style corpus build, boilerplate scrub
+    included — the composition VERDICT r9 framed span scrubbing as the
+    missing middle of: cross-doc repeated-span mining (the FULL ≥2-doc
+    span list, not the diagnostic top-25) → span-level scrub with the
+    keep-first-occurrence policy (`scrub_spans` keeper column: every
+    duplicated span survives in exactly its lowest-doc_id holder, so no
+    content is lost corpus-wide — C4's remove-all-but-one rule rather
+    than ExactSubstr's remove-everywhere) → exact dedup on the SCRUBBED
+    text (near-dups whose difference WAS the boilerplate now collapse to
+    one survivor — the reason scrub must run before the fingerprint) →
+    language filter → quality gate → token budget, with the gates of
+    `training_corpus` (plans/text.py) so the two corpus flavours differ
+    only by the scrub stage.
+
+    Plan: mining and hit detection both read the session's shared
+    positional 8-gram relation; the span list is NOT force-broadcast
+    (unbounded at corpus scale — AQE picks the join side; at 100 TB it
+    shuffle-joins against the positional relation on the shingle key);
+    coverage is per-row array lambdas (zero token-stream shuffles — see
+    ``scrub_spans``); the fingerprint window adds the one new exchange
+    (md5 of scrubbed text); every downstream gate is a JVM expression on
+    the already-materialized row. Reference: the ETL pipeline's
+    clean→transform→publish staging (src/pipelines/etl_pipeline.py) —
+    this is the text-corpus analogue.
+    """
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens, fingerprint
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans
+
+    sh = shared_pos_shingles(spark, sf_dir, 8)
+    toks = table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    )
+    scrubbed = scrub_spans(
+        toks,
+        _top_spans(sh, k=None, keep_first=True),
+        "doc_id",
+        8,
+        pos_shingles=sh,
+        carry=("lang",),
+        broadcast_spans=False,
+    )
+    w = Window.partitionBy(fingerprint(F.col("scrubbed_text"))).orderBy("doc_id")
+    kept = (
+        scrubbed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_removed_tokens", "scrubbed_text")
+    )
+    t2 = kept.select(
+        "doc_id",
+        "lang",
+        "n_removed_tokens",
+        tokens(F.col("scrubbed_text")).alias("t"),
+        bpe_tokens(F.col("scrubbed_text")).alias("bt"),
+    ).filter(F.size("t") > 0)
+    scored = t2.select(
+        "doc_id",
+        "lang",
+        "n_removed_tokens",
+        F.size("bt").cast("long").alias("n_tokens"),
+        quality_score(F.col("t")).alias("quality_score"),
+    )
+    return scored.filter(
+        (F.col("lang") == "en")
+        & (F.col("quality_score") >= 0.45)
+        & F.col("n_tokens").between(10, 5000)
     )
 
 

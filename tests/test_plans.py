@@ -979,3 +979,20 @@ def test_span_scrub_single_fact_shuffle_for_coverage(spark):
         "only the hit-array collect_set agg may shuffle on doc_id:\n"
         + "\n".join(tok_exchanges)
     )
+
+
+def test_training_corpus_scrubbed_reuses_pos_shingles(spark):
+    """The composed scrubbed-corpus build must read the session's shared
+    positional shingle relation in BOTH branches (mining + hit join),
+    keep the token stream un-exploded (≤1 doc_id exchange: the hit-array
+    agg — the fingerprint window partitions on md5, not doc_id), and
+    never fact-fact sort-merge join."""
+    plan = plan_of(spark, "training_corpus_scrubbed")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "SortMergeJoin" not in plan
+    tok_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in l
+    ]
+    assert len(tok_exchanges) <= 1, "\n".join(tok_exchanges)

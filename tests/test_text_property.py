@@ -146,6 +146,52 @@ def test_scrub_spans_matches_python_reference(spark, corpus, data):
             assert got[i] == scrub_spans_py(d, spans, n), (i, d, spans, got[i])
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_scrub_corpus, data=st.data())
+def test_scrub_spans_keep_first_matches_python_reference(spark, corpus, data):
+    """The keeper path (C4 keep-first-occurrence, used by
+    training_corpus_scrubbed): a span is NOT scrubbed from its keeper
+    doc. Equivalent per doc i to plain scrubbing with the span set
+    restricted to spans whose keeper is not i — which reduces the keeper
+    path to the already-pinned scrub_spans_py rule."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans, scrub_spans_py
+
+    n = 3
+    first_holder: dict[str, int] = {}
+    for i, d in enumerate(corpus):
+        for j in range(len(d) - n + 1):
+            first_holder.setdefault(" ".join(d[j : j + n]), i)
+    grams = sorted(first_holder)
+    spans = set(
+        data.draw(
+            st.lists(st.sampled_from(grams), max_size=3, unique=True)
+            if grams
+            else st.just([])
+        )
+    )
+    toks = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(corpus)], "doc_id long, t array<string>"
+    )
+    spans_df = spark.createDataFrame(
+        [(s, first_holder[s]) for s in sorted(spans)],
+        "shingle string, keeper long",
+    )
+    got = {
+        r.doc_id: (r.n_removed_tokens, r.n_removed_chars, r.scrubbed_text)
+        for r in scrub_spans(toks, spans_df, "doc_id", n).collect()
+    }
+    for i, d in enumerate(corpus):
+        if not d:
+            assert i not in got
+        else:
+            eff = {s for s in spans if first_holder[s] != i}
+            assert got[i] == scrub_spans_py(d, eff, n), (i, d, spans, got[i])
+
+
 # --- persisted MinHash index: maintained ≡ rebuild over random CDC ---
 
 _MH_VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
