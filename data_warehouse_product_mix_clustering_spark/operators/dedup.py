@@ -824,7 +824,8 @@ def scrub_spans(
     (id, ``tok_col`` array<string>); ``spans`` carries a ``shingle`` column of
     space-joined n-grams (``broadcast_spans`` forces the broadcast when
     the caller knows the list is bounded, e.g. a top-k; pass False for an
-    unbounded list and let AQE pick the join side). If ``spans`` also
+    unbounded list and let AQE pick the join side). Duplicate span rows
+    are harmless (collect_set absorbs the duplicate hits). If ``spans`` also
     carries a ``keeper`` column (an id), occurrences inside that keeper
     doc are NOT scrubbed — the C4-style keep-first-occurrence policy that
     preserves each duplicated span's content exactly once. Returns (id,
@@ -859,9 +860,13 @@ def scrub_spans(
             id_col, F.posexplode(word_ngrams(tok_col, n)).alias("gpos", "shingle")
         )
     )
+    # No distinct on the span list: duplicate span rows only duplicate hit
+    # rows, which collect_set absorbs. A shingle with CONFLICTING keeper
+    # values is a caller error (the keeper must be a function of shingle,
+    # as _top_spans produces).
     keep_first = "keeper" in spans.columns
     span_cols = ["shingle", "keeper"] if keep_first else ["shingle"]
-    sp = spans.select(*span_cols).distinct()
+    sp = spans.select(*span_cols)
     if broadcast_spans:
         sp = F.broadcast(sp)
     hit_rows = sh.join(sp, "shingle")

@@ -53,11 +53,15 @@ from data_warehouse_product_mix_clustering_spark.sources.registry import table
 # stand-in). Bounded + other-session entries evicted, like _TABLE_CACHE.
 from collections import OrderedDict
 
-_SHINGLE_CACHE: "OrderedDict[tuple[str, str, int], DataFrame]" = OrderedDict()
-_SHINGLE_CACHE_MAX = 4
+# Key: (applicationId, sf_dir, variant) where variant is the shingle
+# width n (distinct-set relation) or "pos{n}" (positional relation). The
+# cap is 8 entries = 4 corpora × the 2 relation flavours a full dedup
+# pipeline touches.
+_SHINGLE_CACHE: "OrderedDict[tuple[str, str, int | str], DataFrame]" = OrderedDict()
+_SHINGLE_CACHE_MAX = 8
 
 
-def _drop_shingle_entry(key: tuple[str, str, int]) -> None:
+def _drop_shingle_entry(key: tuple[str, str, int | str]) -> None:
     df = _SHINGLE_CACHE.pop(key)
     try:
         df.unpersist()
@@ -783,19 +787,7 @@ def dedup_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-then-rehydrate trade the MinHash pipeline makes); at bench SF the
     direct string key is the honest measured plan.
     """
-    sh = shared_pos_shingles(spark, sf_dir, 8)
-    per_doc = sh.groupBy("shingle", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("occ")
-    )
-    agg = per_doc.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("occ").cast("long").alias("n_occurrences"),
-    )
-    return (
-        agg.filter(F.col("n_docs") >= 2)
-        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle")
-        .limit(25)
-    )
+    return _top_spans(shared_pos_shingles(spark, sf_dir, 8), with_counts=True)
 
 
 # One SQL definition of the span-scrub pipeline's shared CTE chain
@@ -876,14 +868,17 @@ def _top_spans(
     min_docs: int = 2,
     k: int | None = 25,
     keep_first: bool = False,
+    with_counts: bool = False,
 ) -> DataFrame:
     """The scrub list from a positional shingle relation: n-gram spans in
     ≥ ``min_docs`` docs, ranked by document spread and cut to the top
     ``k`` (``k=None`` keeps the full list). ``keep_first`` adds a
     ``keeper`` column (the lowest doc id holding the span — the one
-    occurrence `scrub_spans` preserves). Factored so the mining query,
-    `dedup_span_scrub`, and the scrubbed-corpus composition share one
-    definition."""
+    occurrence `scrub_spans` preserves); ``with_counts`` keeps the
+    n_docs/n_occurrences ranking columns (the mining query's output).
+    Factored so the mining query, `dedup_span_scrub`, and the
+    scrubbed-corpus composition share one definition of the aggregate,
+    threshold, and tie-break."""
     per_doc = sh.groupBy("shingle", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
@@ -896,7 +891,12 @@ def _top_spans(
         agg = agg.orderBy(
             F.col("n_docs").desc(), F.col("n_occurrences").desc(), "shingle"
         ).limit(k)
-    return agg.select("shingle", "keeper") if keep_first else agg.select("shingle")
+    cols = ["shingle"]
+    if keep_first:
+        cols.append("keeper")
+    if with_counts:
+        cols += ["n_docs", "n_occurrences"]
+    return agg.select(*cols)
 
 
 @register(
