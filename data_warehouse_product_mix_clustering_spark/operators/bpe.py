@@ -1,0 +1,163 @@
+"""Distributed BPE tokenizer training — the merge-table induction step a
+training-data pipeline runs before token counting/packing (the repo's
+``bpe_tokens`` pre-tokenizer is the standard GPT-2-style first stage; this
+operator learns the merges that follow it).
+
+Shape (the reason BPE trains fast even on huge corpora): ONE corpus pass
+builds the distinct word-frequency relation, and every merge iteration
+runs over that vocabulary relation — |distinct words| rows, never the
+corpus. Pair counting is a weighted aggregate; the winning pair is a
+1-row driver collect per iteration (the same contract-bounded scalar the
+PageRank residual check uses); the merge rewrite is a per-word JVM
+aggregate fold (greedy left-to-right non-overlapping, standard BPE);
+``localCheckpoint`` per iteration keeps the plan size constant exactly as
+``operators/graph.py::pagerank`` documents. At 100 TB the corpus pass
+shuffles once on the word; the vocabulary relation (10-100M rows for web
+text) stays distributed throughout.
+
+Reference: the reference repo has no tokenizer training (its text surface
+stops at SQL feature engineering) — this extends the LLM-data-pipeline
+family (SURVEY §2.11). Algorithm: Sennrich et al. 2016 (ACL), the public
+BPE formulation; greedy left-to-right application matches the published
+reference implementation's word-level merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the BPE pre-tokenization of ``text_col`` — the
+    one corpus-sized pass of BPE training."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens
+
+    return (
+        docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right replacement of adjacent (a, b) with a||b in a
+    symbol array — one pass, non-overlapping (after a merge the cursor
+    skips the consumed right symbol, so 'aaa' under (a,a) → [aa, a])."""
+    merged = a + b
+    # try_element_at: past-the-end lookahead yields NULL (→ condition
+    # false) instead of the ANSI element_at out-of-bounds error.
+    el = lambda i: F.try_element_at(syms, i)  # noqa: E731 - 1-based
+    zero = F.struct(
+        F.array().cast("array<string>").alias("r"), F.lit(False).alias("s")
+    )
+    step = lambda acc, i: (  # noqa: E731
+        F.when(acc["s"], F.struct(acc["r"].alias("r"), F.lit(False).alias("s")))
+        .when(
+            (el(i) == a) & (el(i + 1) == b),
+            F.struct(
+                F.concat(acc["r"], F.array(F.lit(merged))).alias("r"),
+                F.lit(True).alias("s"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["r"], F.array(el(i))).alias("r"),
+                F.lit(False).alias("s"),
+            )
+        )
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(syms)), zero, step, lambda acc: acc["r"]
+    )
+
+
+def train_bpe(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "count",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, count) relation.
+    Returns [(left, right, pair_count), ...] in merge order — the merge
+    table is O(n_merges) and lives on the driver by construction (it IS
+    the model); all counting stays distributed. Deterministic: ties on
+    pair count break lexicographically on (left, right). Stops early if
+    no adjacent pair remains (every word fully merged)."""
+    syms = F.expr(
+        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1))"
+    )
+    cur = vocab.select(
+        F.col(count_col).cast("long").alias("__c"), syms.alias("__syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            cur.filter(F.size("__syms") >= 2)
+            .select(
+                "__c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "j -> struct(element_at(__syms, j) AS a, "
+                        "element_at(__syms, j + 1) AS b))"
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__c").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        cur = cur.select(
+            "__c", _merge_fold(F.col("__syms"), a, b).alias("__syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def train_bpe_py(
+    counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side reference twin of ``train_bpe`` for tests/audits."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in counts.items()
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new_vocab = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+def merges_to_df(
+    spark: SparkSession, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The merge table as a relation: (rank, left, right, merged, pair_count)."""
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, c)
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank long, left string, right string, merged string, pair_count long",
+    )

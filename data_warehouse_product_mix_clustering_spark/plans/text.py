@@ -1048,3 +1048,69 @@ def postings_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_added long, n_removed long, n_changed long, postings_match boolean, "
         "terms_match boolean, stats_match boolean, search_match boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 20
+_BPE_AUDIT_VOCAB_CAP = 2000
+
+
+@register("bpe_merge_table")
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over the FULL corpus vocabulary —
+    tokenizer training as a warehouse job (operators/bpe.py): one corpus
+    pass builds the distinct word-frequency relation, then each of the
+    20 merges is a weighted pair aggregate over that relation plus a
+    1-row argmax collect (the model itself is O(n_merges) driver state
+    by construction). Rows-only: the iterative argmax is not
+    SQL-expressible; the training rule is pinned cross-implementation by
+    ``bpe_train_audit`` (Spark ≡ reference twin on a capped vocab) and
+    property-tested on random corpora vs the same twin."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        merges_to_df,
+        train_bpe,
+        word_counts,
+    )
+
+    wc = word_counts(table(spark, "documents", sf_dir))
+    return merges_to_df(spark, train_bpe(wc, _BPE_N_MERGES))
+
+
+@register(
+    "bpe_train_audit",
+    oracle=f"""
+        SELECT CAST({_BPE_N_MERGES} AS BIGINT) AS n_merges,
+               TRUE AS merges_match_reference,
+               TRUE AS counts_positive
+    """,
+)
+def bpe_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``train_bpe``: on the top-{cap} vocabulary of
+    ``documents`` (count-desc, word-asc tie-break — capped so the
+    reference twin's input is a bounded, documented collect, the same
+    ≤cap discipline as the NumPy KMeans path), the distributed trainer's
+    merge table must equal ``train_bpe_py``'s EXACTLY — sequence, pair
+    spellings, and weighted counts — across all 20 merges. UTF-8 binary
+    ordering (Spark's string sort) and code-point ordering (the twin's
+    tuple min) agree for all of Unicode, so the tie-break is
+    engine-portable. Plus: every winning pair count positive."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_py,
+        word_counts,
+    )
+
+    wc = word_counts(table(spark, "documents", sf_dir))
+    capped = wc.orderBy(F.col("count").desc(), "word").limit(_BPE_AUDIT_VOCAB_CAP)
+    rows = capped.collect()  # ≤ cap rows — bounded by construction
+    got = train_bpe(
+        spark.createDataFrame(rows, "word string, count long"), _BPE_N_MERGES
+    )
+    want = train_bpe_py({r["word"]: r["count"] for r in rows}, _BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(len(got), got == want, all(c > 0 for _, _, c in got))],
+        "n_merges long, merges_match_reference boolean, counts_positive boolean",
+    )

@@ -269,3 +269,31 @@ def test_update_minhash_index_equals_rebuild(spark, tmp_path_factory, base, adds
         base, removed, changed, adds,
         sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect())),
     )
+
+
+# --- BPE training: distributed merge induction vs python reference ---
+
+_bpe_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.dictionaries(_bpe_word, st.integers(1, 9), min_size=1, max_size=12),
+    n_merges=st.integers(1, 5),
+)
+def test_train_bpe_matches_python_reference(spark, words, n_merges):
+    """operators/bpe.py::train_bpe ≡ train_bpe_py on arbitrary word-count
+    relations: same merge sequence, same pair spellings, same weighted
+    counts — pins the greedy left-to-right non-overlapping merge rule,
+    the (count desc, pair asc) tie-break, and early stop when every word
+    is fully merged (single chars exhaust pairs)."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import train_bpe, train_bpe_py
+
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in sorted(words.items())], "word string, count long"
+    )
+    assert train_bpe(vocab, n_merges) == train_bpe_py(words, n_merges)
