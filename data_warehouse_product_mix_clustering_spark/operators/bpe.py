@@ -84,12 +84,21 @@ def train_bpe(
     the model); all counting stays distributed. Deterministic: ties on
     pair count break lexicographically on (left, right). Stops early if
     no adjacent pair remains (every word fully merged)."""
+    # Empty-string guard: sequence(1, 0) counts DOWN in Spark (the hazard
+    # functions/text.py::word_ngrams documents), which would mint phantom
+    # ('','') pairs — an empty word contributes an empty symbol array
+    # instead, exactly like the twin's list(''). NULL words are dropped
+    # (the twin's dict cannot hold one).
     syms = F.expr(
-        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1))"
+        f"CASE WHEN length({word_col}) >= 1 THEN "
+        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1)) "
+        f"ELSE cast(array() AS array<string>) END"
     )
-    cur = vocab.select(
-        F.col(count_col).cast("long").alias("__c"), syms.alias("__syms")
-    ).localCheckpoint(eager=True)
+    cur = (
+        vocab.filter(F.col(word_col).isNotNull())
+        .select(F.col(count_col).cast("long").alias("__c"), syms.alias("__syms"))
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = (
@@ -112,9 +121,14 @@ def train_bpe(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
-        cur = cur.select(
-            "__c", _merge_fold(F.col("__syms"), a, b).alias("__syms")
-        ).localCheckpoint(eager=True)
+        # Fully-merged (single-symbol) words can never pair again — drop
+        # them so the relation shrinks monotonically instead of paying
+        # the fold + checkpoint for dead rows every remaining iteration.
+        cur = (
+            cur.filter(F.size("__syms") >= 2)
+            .select("__c", _merge_fold(F.col("__syms"), a, b).alias("__syms"))
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 
