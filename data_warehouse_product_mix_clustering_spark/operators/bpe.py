@@ -175,3 +175,48 @@ def merges_to_df(
         ],
         "rank long, left string, right string, merged string, pair_count long",
     )
+
+
+def encode_words(
+    vocab: DataFrame,
+    merges: list[tuple[str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Segment each distinct word with a learned merge table — the apply
+    half of the tokenizer (training's consumer). Adds a ``bpe_syms``
+    array<string> column. Rule, stated once and mirrored by
+    ``encode_py``: merges apply SEQUENTIALLY in training-rank order, each
+    greedy left-to-right over the word (the same rewrite training itself
+    performs, so encoding the training corpus reproduces training's
+    final symbol state). Cost: one fold per merge over the distinct-word
+    relation — never the corpus; token counts join back to documents on
+    the word key. localCheckpoint every few merges keeps the k-fold
+    lineage from exploding the analyzer (the PageRank discipline; folds
+    are cheap enough to batch)."""
+    syms = F.expr(
+        f"CASE WHEN length({word_col}) >= 1 THEN "
+        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1)) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+    cur = vocab.filter(F.col(word_col).isNotNull()).withColumn("bpe_syms", syms)
+    for j, (a, b, _) in enumerate(merges, 1):
+        cur = cur.withColumn("bpe_syms", _merge_fold(F.col("bpe_syms"), a, b))
+        if j % 4 == 0 or j == len(merges):
+            cur = cur.localCheckpoint(eager=True)
+    return cur
+
+
+def encode_py(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Driver-side reference twin of ``encode_words`` for one word."""
+    syms = list(word)
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

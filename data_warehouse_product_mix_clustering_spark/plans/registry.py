@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     "training_corpus_scrubbed",  # span scrub composed into the corpus build
     "bpe_train_audit",  # distributed BPE trainer ≡ reference twin, capped vocab
     "bpe_merge_table",  # the learned merge table itself (rows-only)
+    "bpe_encode_audit",  # apply half: twin-equal, lossless, compresses
     # r5-stale cohort (16): their latest driver attestation is r5 (VERDICT r9
     # What's-missing #1). All pass the judge's 190/190 sweep — freshness only.
     "interval_join_per_product",
@@ -114,13 +115,13 @@ _DRIVER_PRIORITY: list[str] = [
     "global_metrics",
     "latest_order_top1",
     "lstm_quality_audit",
-    "nation_revenue",
-    # ---- window boundary (driver attests ~50/round; the 9 new-r10
+    # ---- window boundary (driver attests ~50/round; the 10 new-r10
     # queries above pushed it here — judge-checkable at position 50) ----
-    # Round-11 rotation order (pre-staged): the 16 remaining r6-cohort
+    # Round-11 rotation order (pre-staged): the 17 remaining r6-cohort
     # entries below lead round 11; at round-11 start, any NEW r11
     # queries insert at the very top of this list (keep ≤ ~10 so the
     # whole r6 tail clears and the freshness floor rises to r7).
+    "nation_revenue",
     "orders_above_customer_avg",
     "pca_variance_audit",
     "pricing_summary",

@@ -1114,3 +1114,56 @@ def bpe_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(got), got == want, all(c > 0 for _, _, c in got))],
         "n_merges long, merges_match_reference boolean, counts_positive boolean",
     )
+
+
+@register(
+    "bpe_encode_audit",
+    oracle=f"""
+        SELECT CAST({_BPE_N_MERGES} AS BIGINT) AS n_merges,
+               TRUE AS encodings_match_reference,
+               TRUE AS lossless_all,
+               TRUE AS any_compressed
+    """,
+)
+def bpe_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the tokenizer's apply half
+    (operators/bpe.py::encode_words): train 20 merges on the capped
+    ``documents`` vocabulary, encode that same vocabulary distributed,
+    and pin (a) every word's segmentation equals ``encode_py``'s —
+    sequential rank-order greedy, the rule stated once on the operator;
+    (b) losslessness, the invariant that survives any merge table:
+    concat(bpe_syms) == word for EVERY row (checked distributed, no
+    collect of the encodings... the reference comparison collects the
+    ≤cap relation once, same bound as bpe_train_audit); (c) at least one
+    word actually compressed — merge #1 was mined from this exact vocab,
+    so its pair must occur here (a zero-compression table means apply
+    and train disagree about adjacency)."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        encode_py,
+        encode_words,
+        train_bpe,
+        word_counts,
+    )
+
+    wc = word_counts(table(spark, "documents", sf_dir))
+    capped = wc.orderBy(F.col("count").desc(), "word").limit(_BPE_AUDIT_VOCAB_CAP)
+    words = spark.createDataFrame(
+        capped.collect(), "word string, count long"
+    ).localCheckpoint(eager=True)
+    merges = train_bpe(words, _BPE_N_MERGES)
+    enc = encode_words(words, merges)
+    lossless_all = (
+        enc.filter(F.concat_ws("", F.col("bpe_syms")) != F.col("word")).count() == 0
+    )
+    any_compressed = (
+        enc.filter(F.size("bpe_syms") < F.length("word")).count() > 0
+    )
+    got = {r["word"]: list(r["bpe_syms"]) for r in enc.collect()}
+    match = all(
+        got[w] == encode_py(w, merges) for w in got
+    ) and len(got) == words.count()
+    return spark.createDataFrame(
+        [(len(merges), match, lossless_all, any_compressed)],
+        "n_merges long, encodings_match_reference boolean, "
+        "lossless_all boolean, any_compressed boolean",
+    )
