@@ -72,6 +72,28 @@ def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _char_syms(word_col: str) -> F.Column:
+    """Character symbol array of a word column. Empty-string guard:
+    sequence(1, 0) counts DOWN in Spark (the hazard
+    functions/text.py::word_ngrams documents), which would mint phantom
+    ('','') pairs — an empty word contributes an empty symbol array
+    instead, exactly like the twins' list(''). The fold has the same
+    hazard, so every _merge_fold call site must gate on size ≥ 2
+    (`_guarded_fold`)."""
+    return F.expr(
+        f"CASE WHEN length({word_col}) >= 1 THEN "
+        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1)) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+
+
+def _guarded_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """_merge_fold with the short-array gate: arrays that cannot contain a
+    pair pass through unchanged (the fold's sequence(1, size) would count
+    down through 0 on an empty array and throw under ANSI)."""
+    return F.when(F.size(syms) >= 2, _merge_fold(syms, a, b)).otherwise(syms)
+
+
 def train_bpe(
     vocab: DataFrame,
     n_merges: int,
@@ -83,20 +105,14 @@ def train_bpe(
     table is O(n_merges) and lives on the driver by construction (it IS
     the model); all counting stays distributed. Deterministic: ties on
     pair count break lexicographically on (left, right). Stops early if
-    no adjacent pair remains (every word fully merged)."""
-    # Empty-string guard: sequence(1, 0) counts DOWN in Spark (the hazard
-    # functions/text.py::word_ngrams documents), which would mint phantom
-    # ('','') pairs — an empty word contributes an empty symbol array
-    # instead, exactly like the twin's list(''). NULL words are dropped
-    # (the twin's dict cannot hold one).
-    syms = F.expr(
-        f"CASE WHEN length({word_col}) >= 1 THEN "
-        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1)) "
-        f"ELSE cast(array() AS array<string>) END"
-    )
+    no adjacent pair remains (every word fully merged). NULL words are
+    dropped (the twin's dict cannot hold one)."""
     cur = (
         vocab.filter(F.col(word_col).isNotNull())
-        .select(F.col(count_col).cast("long").alias("__c"), syms.alias("__syms"))
+        .select(
+            F.col(count_col).cast("long").alias("__c"),
+            _char_syms(word_col).alias("__syms"),
+        )
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
@@ -132,6 +148,21 @@ def train_bpe(
     return merges
 
 
+def _merge_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of ``_merge_fold`` — the ONE definition of the greedy
+    left-to-right non-overlapping rewrite shared by the training and
+    encoding reference twins."""
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def train_bpe_py(
     counts: dict[str, int], n_merges: int
 ) -> list[tuple[str, str, int]]:
@@ -149,18 +180,7 @@ def train_bpe_py(
             break
         (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((a, b, cnt))
-        new_vocab = []
-        for syms, c in vocab:
-            out, i = [], 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_vocab.append((out, c))
-        vocab = new_vocab
+        vocab = [(_merge_py(syms, a, b), c) for syms, c in vocab]
     return merges
 
 
@@ -192,15 +212,14 @@ def encode_words(
     relation — never the corpus; token counts join back to documents on
     the word key. localCheckpoint every few merges keeps the k-fold
     lineage from exploding the analyzer (the PageRank discipline; folds
-    are cheap enough to batch)."""
-    syms = F.expr(
-        f"CASE WHEN length({word_col}) >= 1 THEN "
-        f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1)) "
-        f"ELSE cast(array() AS array<string>) END"
+    are cheap enough to batch). Unlike training, the relation cannot
+    drop fully-merged rows (every word needs its encoding), so each fold
+    is size-gated (`_guarded_fold`) instead."""
+    cur = vocab.filter(F.col(word_col).isNotNull()).withColumn(
+        "bpe_syms", _char_syms(word_col)
     )
-    cur = vocab.filter(F.col(word_col).isNotNull()).withColumn("bpe_syms", syms)
     for j, (a, b, _) in enumerate(merges, 1):
-        cur = cur.withColumn("bpe_syms", _merge_fold(F.col("bpe_syms"), a, b))
+        cur = cur.withColumn("bpe_syms", _guarded_fold(F.col("bpe_syms"), a, b))
         if j % 4 == 0 or j == len(merges):
             cur = cur.localCheckpoint(eager=True)
     return cur
@@ -210,13 +229,5 @@ def encode_py(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     """Driver-side reference twin of ``encode_words`` for one word."""
     syms = list(word)
     for a, b, _ in merges:
-        out, i = [], 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _merge_py(syms, a, b)
     return syms

@@ -297,3 +297,41 @@ def test_train_bpe_matches_python_reference(spark, words, n_merges):
         [(w, c) for w, c in sorted(words.items())], "word string, count long"
     )
     assert train_bpe(vocab, n_merges) == train_bpe_py(words, n_merges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=0, max_size=6),  # INCLUDES ''
+        st.integers(1, 9),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 4),
+)
+def test_encode_words_matches_python_reference(spark, words, n_merges):
+    """operators/bpe.py::encode_words ≡ encode_py per word for a merge
+    table trained on the same vocabulary — including EMPTY words (the
+    sequence(1,0)-counts-down path the review caught crashing the
+    un-gated fold) and fully-merged single-char words."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        encode_py,
+        encode_words,
+        train_bpe_py,
+    )
+
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in sorted(words.items())], "word string, count long"
+    )
+    merges = train_bpe_py(words, n_merges)
+    got = {
+        r["word"]: list(r["bpe_syms"])
+        for r in encode_words(vocab, merges).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == encode_py(w, merges), (w, merges, got[w])
