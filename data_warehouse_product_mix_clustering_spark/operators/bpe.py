@@ -20,6 +20,16 @@ stops at SQL feature engineering) — this extends the LLM-data-pipeline
 family (SURVEY §2.11). Algorithm: Sennrich et al. 2016 (ACL), the public
 BPE formulation; greedy left-to-right application matches the published
 reference implementation's word-level merge.
+
+Known scale limit, stated honestly: each merge is one Spark job (pair
+aggregate + 1-row argmax), so a production 32k-merge vocabulary means
+32k sequential rounds — job latency, not data volume, dominates. The
+published mitigations (select the top-K pairwise-disjoint pairs per
+round, or train on a frequency-capped word sample) trade exactness
+against the sequential-argmax reference semantics this module pins, so
+they belong behind an explicit opt-in variant rather than silently
+replacing the exact trainer; at the 20-merge scale the audits exercise,
+exact is the right default.
 """
 
 from __future__ import annotations
