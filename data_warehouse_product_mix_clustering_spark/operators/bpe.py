@@ -241,3 +241,169 @@ def encode_py(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     for a, b, _ in merges:
         syms = _merge_py(syms, a, b)
     return syms
+
+
+# ---------------------------------------------------------------------------
+# Batched training — the opt-in scale variant the module docstring names
+# ---------------------------------------------------------------------------
+
+
+def _select_disjoint(
+    ranked: list[tuple[str, str, int]], k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of a ranked pair list such that selected pairs are
+    mutually non-interacting within one round: no shared symbol (an
+    overlap at a position would need one), and no symbol of a candidate
+    equals an accepted pair's MERGED string (applying that pair mints
+    new such symbols, which would change the candidate's count
+    mid-round), nor vice versa. Under this rule every selected pair's
+    pre-round count is its exact round count and application order
+    cannot matter."""
+    out: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    minted: set[str] = set()
+    for a, b, c in ranked:
+        if len(out) >= k:
+            break
+        m = a + b
+        if {a, b} & (used | minted) or m in used or m in minted:
+            continue
+        out.append((a, b, c))
+        used |= {a, b}
+        minted.add(m)
+    return out
+
+
+def _merge_fold_multi(syms: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
+    """One greedy left-to-right pass applying a DISJOINT pair batch —
+    the K-pair generalization of ``_merge_fold`` (disjointness makes the
+    single pass order-independent)."""
+    el = lambda i: F.try_element_at(syms, i)  # noqa: E731
+    zero = F.struct(
+        F.array().cast("array<string>").alias("r"), F.lit(False).alias("s")
+    )
+
+    def matched(i: F.Column) -> F.Column:
+        m: F.Column = F.lit(None).cast("string")
+        for a, b in reversed(pairs):
+            m = F.when((el(i) == a) & (el(i + 1) == b), F.lit(a + b)).otherwise(m)
+        return m
+
+    step = lambda acc, i: (  # noqa: E731
+        F.when(acc["s"], F.struct(acc["r"].alias("r"), F.lit(False).alias("s")))
+        .when(
+            matched(i).isNotNull(),
+            F.struct(
+                F.concat(acc["r"], F.array(matched(i))).alias("r"),
+                F.lit(True).alias("s"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["r"], F.array(el(i))).alias("r"),
+                F.lit(False).alias("s"),
+            )
+        )
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(syms)), zero, step, lambda acc: acc["r"]
+    )
+
+
+def train_bpe_batched(
+    vocab: DataFrame,
+    n_merges: int,
+    batch: int = 8,
+    word_col: str = "word",
+    count_col: str = "count",
+) -> list[tuple[str, str, int]]:
+    """The scale variant of ``train_bpe``: per round, select up to
+    ``batch`` mutually-disjoint pairs (``_select_disjoint`` over the
+    round's ranked pair counts) and apply them in ONE fold pass —
+    ~``batch``× fewer Spark rounds for a large merge budget, the
+    published batching trick. NOT equivalent to the sequential exact
+    trainer in general (round N+1 of the exact trainer may pick a pair
+    minted in round N; the batch defers it one round), which is why this
+    is an opt-in variant with its own reference twin
+    (``train_bpe_batched_py``) rather than a silent replacement.
+    ``batch=1`` degenerates to the exact trainer's selection rule.
+    Recorded counts are exact for the round they were selected in
+    (disjointness — see ``_select_disjoint``)."""
+    cur = (
+        vocab.filter(F.col(word_col).isNotNull())
+        .select(
+            F.col(count_col).cast("long").alias("__c"),
+            _char_syms(word_col).alias("__syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        want = n_merges - len(merges)
+        k = min(batch, want)
+        pairs = (
+            cur.filter(F.size("__syms") >= 2)
+            .select(
+                "__c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "j -> struct(element_at(__syms, j) AS a, "
+                        "element_at(__syms, j + 1) AS b))"
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__c").alias("cnt"))
+        )
+        # 8k candidates bound the collect while leaving room for the
+        # disjointness filter to skip conflicting high-rank pairs.
+        ranked = [
+            (r["a"], r["b"], int(r["cnt"]))
+            for r in pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(8 * k)
+            .collect()
+        ]
+        picked = _select_disjoint(ranked, k)
+        if not picked:
+            break
+        merges.extend(picked)
+        cur = (
+            cur.filter(F.size("__syms") >= 2)
+            .select(
+                "__c",
+                _merge_fold_multi(
+                    F.col("__syms"), [(a, b) for a, b, _ in picked]
+                ).alias("__syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def train_bpe_batched_py(
+    counts: dict[str, int], n_merges: int, batch: int = 8
+) -> list[tuple[str, str, int]]:
+    """Driver-side reference twin of ``train_bpe_batched``."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in counts.items()
+    ]
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        k = min(batch, n_merges - len(merges))
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for j in range(len(syms) - 1):
+                pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + c
+        ranked = [
+            (a, b, c)
+            for (a, b), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][: 8 * k]
+        picked = _select_disjoint(ranked, k)
+        if not picked:
+            break
+        merges.extend(picked)
+        for a, b, _ in picked:
+            # disjoint ⇒ sequential per-pair application ≡ one multi-pass
+            vocab = [(_merge_py(syms, a, b), c) for syms, c in vocab]
+    return merges

@@ -335,3 +335,43 @@ def test_encode_words_matches_python_reference(spark, words, n_merges):
     assert set(got) == set(words)
     for w in words:
         assert got[w] == encode_py(w, merges), (w, merges, got[w])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 6),
+    batch=st.integers(1, 3),
+)
+def test_train_bpe_batched_matches_python_reference(spark, words, n_merges, batch):
+    """The opt-in batched trainer ≡ its reference twin: per-round
+    disjoint top-K selection, one-pass multi-pair application (proven
+    order-independent by the disjointness rule — the twin applies the
+    batch sequentially, so any one-pass/sequential divergence fails
+    here), and batch=1 must degenerate to the exact trainer."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_batched,
+        train_bpe_batched_py,
+    )
+
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in sorted(words.items())], "word string, count long"
+    )
+    got = train_bpe_batched(vocab, n_merges, batch=batch)
+    assert got == train_bpe_batched_py(words, n_merges, batch=batch)
+    # (NB: globally-unique merged strings is NOT an invariant — two
+    # different pairs can mint the same string via different
+    # decompositions, e.g. ("ab","c") and ("a","bc") — so only the
+    # twin equality and the batch=1 degeneration are asserted.)
+    if batch == 1:
+        assert got == train_bpe(vocab, n_merges)
