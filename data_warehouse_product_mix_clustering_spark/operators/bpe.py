@@ -50,36 +50,58 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
-    """Greedy left-to-right replacement of adjacent (a, b) with a||b in a
-    symbol array — one pass, non-overlapping (after a merge the cursor
-    skips the consumed right symbol, so 'aaa' under (a,a) → [aa, a])."""
-    merged = a + b
-    # try_element_at: past-the-end lookahead yields NULL (→ condition
-    # false) instead of the ANSI element_at out-of-bounds error.
+def _merge_fold_multi(syms: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
+    """Greedy left-to-right one-pass replacement of each adjacent pair in
+    ``pairs`` with its concatenation — non-overlapping (after a merge the
+    cursor skips the consumed right symbol, so 'aaa' under (a,a) →
+    [aa, a]). Multi-pair batches must be mutually DISJOINT
+    (``_select_disjoint``), which makes the single pass order-independent.
+
+    Shape: the K-way match chain runs ONCE per element in a pre-zipped
+    (symbol, match) array built OUTSIDE the aggregate — embedding it in
+    the fold step would re-evaluate the chain per element per reference
+    (no CSE in interpreted higher-order functions). try_element_at: the
+    past-the-end lookahead yields NULL (→ no match) instead of the ANSI
+    element_at out-of-bounds error."""
     el = lambda i: F.try_element_at(syms, i)  # noqa: E731 - 1-based
+
+    def matched(i: F.Column) -> F.Column:
+        m: F.Column = F.lit(None).cast("string")
+        for a, b in reversed(pairs):
+            m = F.when((el(i) == a) & (el(i + 1) == b), F.lit(a + b)).otherwise(m)
+        return m
+
+    zipped = F.zip_with(
+        syms,
+        F.transform(F.sequence(F.lit(1), F.size(syms)), matched),
+        lambda s, m: F.struct(s.alias("sym"), m.alias("m")),
+    )
     zero = F.struct(
         F.array().cast("array<string>").alias("r"), F.lit(False).alias("s")
     )
-    step = lambda acc, i: (  # noqa: E731
+    step = lambda acc, x: (  # noqa: E731
         F.when(acc["s"], F.struct(acc["r"].alias("r"), F.lit(False).alias("s")))
         .when(
-            (el(i) == a) & (el(i + 1) == b),
+            x["m"].isNotNull(),
             F.struct(
-                F.concat(acc["r"], F.array(F.lit(merged))).alias("r"),
+                F.concat(acc["r"], F.array(x["m"])).alias("r"),
                 F.lit(True).alias("s"),
             ),
         )
         .otherwise(
             F.struct(
-                F.concat(acc["r"], F.array(el(i))).alias("r"),
+                F.concat(acc["r"], F.array(x["sym"])).alias("r"),
                 F.lit(False).alias("s"),
             )
         )
     )
-    return F.aggregate(
-        F.sequence(F.lit(1), F.size(syms)), zero, step, lambda acc: acc["r"]
-    )
+    return F.aggregate(zipped, zero, step, lambda acc: acc["r"])
+
+
+def _merge_fold(syms: F.Column, a: str, b: str) -> F.Column:
+    """Single-pair greedy rewrite — the K=1 case of ``_merge_fold_multi``
+    (one definition of the cursor/skip logic)."""
+    return _merge_fold_multi(syms, [(a, b)])
 
 
 def _char_syms(word_col: str) -> F.Column:
@@ -102,6 +124,38 @@ def _guarded_fold(syms: F.Column, a: str, b: str) -> F.Column:
     pair pass through unchanged (the fold's sequence(1, size) would count
     down through 0 on an empty array and throw under ANSI)."""
     return F.when(F.size(syms) >= 2, _merge_fold(syms, a, b)).otherwise(syms)
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts (a, b, cnt) over the working
+    (__c, __syms) relation — THE pair-count definition both trainers
+    rank (drift here is drift in the audited contract)."""
+    return (
+        cur.filter(F.size("__syms") >= 2)
+        .select(
+            "__c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__syms) - 1), "
+                    "j -> struct(element_at(__syms, j) AS a, "
+                    "element_at(__syms, j + 1) AS b))"
+                )
+            ).alias("__p"),
+        )
+        .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.sum("__c").alias("cnt"))
+    )
+
+
+def _pair_counts_py(
+    vocab: list[tuple[list[str], int]],
+) -> dict[tuple[str, str], int]:
+    """Python twin of ``_pair_counts``."""
+    pc: dict[tuple[str, str], int] = {}
+    for syms, c in vocab:
+        for j in range(len(syms) - 1):
+            pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + c
+    return pc
 
 
 def train_bpe(
@@ -127,22 +181,12 @@ def train_bpe(
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = (
-            cur.filter(F.size("__syms") >= 2)
-            .select(
-                "__c",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(__syms) - 1), "
-                        "j -> struct(element_at(__syms, j) AS a, "
-                        "element_at(__syms, j + 1) AS b))"
-                    )
-                ).alias("__p"),
-            )
-            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
-            .agg(F.sum("__c").alias("cnt"))
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
         )
-        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
         if not best:
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
@@ -182,10 +226,7 @@ def train_bpe_py(
     ]
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pc: dict[tuple[str, str], int] = {}
-        for syms, c in vocab:
-            for j in range(len(syms) - 1):
-                pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + c
+        pc = _pair_counts_py(vocab)
         if not pc:
             break
         (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -274,42 +315,6 @@ def _select_disjoint(
     return out
 
 
-def _merge_fold_multi(syms: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
-    """One greedy left-to-right pass applying a DISJOINT pair batch —
-    the K-pair generalization of ``_merge_fold`` (disjointness makes the
-    single pass order-independent)."""
-    el = lambda i: F.try_element_at(syms, i)  # noqa: E731
-    zero = F.struct(
-        F.array().cast("array<string>").alias("r"), F.lit(False).alias("s")
-    )
-
-    def matched(i: F.Column) -> F.Column:
-        m: F.Column = F.lit(None).cast("string")
-        for a, b in reversed(pairs):
-            m = F.when((el(i) == a) & (el(i + 1) == b), F.lit(a + b)).otherwise(m)
-        return m
-
-    step = lambda acc, i: (  # noqa: E731
-        F.when(acc["s"], F.struct(acc["r"].alias("r"), F.lit(False).alias("s")))
-        .when(
-            matched(i).isNotNull(),
-            F.struct(
-                F.concat(acc["r"], F.array(matched(i))).alias("r"),
-                F.lit(True).alias("s"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc["r"], F.array(el(i))).alias("r"),
-                F.lit(False).alias("s"),
-            )
-        )
-    )
-    return F.aggregate(
-        F.sequence(F.lit(1), F.size(syms)), zero, step, lambda acc: acc["r"]
-    )
-
-
 def train_bpe_batched(
     vocab: DataFrame,
     n_merges: int,
@@ -329,6 +334,8 @@ def train_bpe_batched(
     ``batch=1`` degenerates to the exact trainer's selection rule.
     Recorded counts are exact for the round they were selected in
     (disjointness — see ``_select_disjoint``)."""
+    if batch < 1:
+        raise ValueError(f"train_bpe_batched: batch must be >= 1, got {batch}")
     cur = (
         vocab.filter(F.col(word_col).isNotNull())
         .select(
@@ -339,28 +346,13 @@ def train_bpe_batched(
     )
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
-        want = n_merges - len(merges)
-        k = min(batch, want)
-        pairs = (
-            cur.filter(F.size("__syms") >= 2)
-            .select(
-                "__c",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(__syms) - 1), "
-                        "j -> struct(element_at(__syms, j) AS a, "
-                        "element_at(__syms, j + 1) AS b))"
-                    )
-                ).alias("__p"),
-            )
-            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
-            .agg(F.sum("__c").alias("cnt"))
-        )
+        k = min(batch, n_merges - len(merges))
         # 8k candidates bound the collect while leaving room for the
         # disjointness filter to skip conflicting high-rank pairs.
         ranked = [
             (r["a"], r["b"], int(r["cnt"]))
-            for r in pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            for r in _pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(8 * k)
             .collect()
         ]
@@ -385,16 +377,15 @@ def train_bpe_batched_py(
     counts: dict[str, int], n_merges: int, batch: int = 8
 ) -> list[tuple[str, str, int]]:
     """Driver-side reference twin of ``train_bpe_batched``."""
+    if batch < 1:
+        raise ValueError(f"train_bpe_batched_py: batch must be >= 1, got {batch}")
     vocab: list[tuple[list[str], int]] = [
         (list(w), c) for w, c in counts.items()
     ]
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         k = min(batch, n_merges - len(merges))
-        pc: dict[tuple[str, str], int] = {}
-        for syms, c in vocab:
-            for j in range(len(syms) - 1):
-                pc[(syms[j], syms[j + 1])] = pc.get((syms[j], syms[j + 1]), 0) + c
+        pc = _pair_counts_py(vocab)
         ranked = [
             (a, b, c)
             for (a, b), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -344,7 +344,7 @@ def test_encode_words_matches_python_reference(spark, words, n_merges):
 )
 @given(
     words=st.dictionaries(
-        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.text(alphabet="abcd", min_size=0, max_size=6),  # INCLUDES ''
         st.integers(1, 9),
         min_size=1,
         max_size=12,
