@@ -398,3 +398,36 @@ def train_bpe_batched_py(
             # disjoint ⇒ sequential per-pair application ≡ one multi-pass
             vocab = [(_merge_py(syms, a, b), c) for syms, c in vocab]
     return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token counts under a TRAINED tokenizer — the
+    docstring's 'join back on the word key' claim as code: pre-tokenize
+    the corpus (one pass), encode only the DISTINCT words
+    (``encode_words`` — |vocab| fold work, not |corpus|), then broadcast-
+    or shuffle-join the per-word subword count back to the exploded
+    stream and sum per doc. Returns (id, n_words, n_bpe_tokens). Docs
+    whose pre-tokenization is empty still appear (zero counts) — they
+    cost zero tokens, which a packing budget needs to know, unlike the
+    scrub family's absent-empty-doc semantics."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens
+
+    words = docs.select(
+        F.col(id_col), F.explode_outer(bpe_tokens(F.col(text_col))).alias("word")
+    )
+    per_word = encode_words(
+        words.filter(F.col("word").isNotNull()).select("word").distinct(), merges
+    ).select("word", F.size("bpe_syms").cast("long").alias("__n"))
+    return (
+        words.join(per_word, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("long").alias("n_words"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -375,3 +375,49 @@ def test_train_bpe_batched_matches_python_reference(spark, words, n_merges, batc
     # twin equality and the batch=1 degeneration are asserted.)
     if batch == 1:
         assert got == train_bpe(vocab, n_merges)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4), max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(0, 4),
+)
+def test_bpe_token_counts_matches_python_reference(spark, corpus, n_merges):
+    """bpe_token_counts ≡ per-doc sum of encode_py lengths over the
+    pre-tokenization — incl. empty docs (present with zero counts) and
+    an empty merge table (counts degenerate to characters)."""
+    import re
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import BPE_PATTERN
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_py,
+        train_bpe_py,
+    )
+
+    pretok = [re.findall(BPE_PATTERN, t.lower()) for t in corpus]
+    counts: dict[str, int] = {}
+    for ws in pretok:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    merges = train_bpe_py(counts, n_merges) if counts else []
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    for i, ws in enumerate(pretok):
+        want = (len(ws), sum(len(encode_py(w, merges)) for w in ws))
+        assert got[i] == want, (i, corpus[i], merges, got[i], want)
