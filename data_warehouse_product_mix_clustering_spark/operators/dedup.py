@@ -781,13 +781,19 @@ def minhash_index_candidates(
 
     require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
-    # The returned plan reads this checkpoint (probe-bucket collect + the
-    # join), so it cannot unpersist here — it lives until the session
-    # releases it, same lifetime note as minhash_lsh_pairs' buckets cache.
+    # Deliberately NOT checkpointed: the returned plan is lazy, so a
+    # materialization here could never be released and a probe-per-batch
+    # service would leak one checkpointed relation per call (review r10).
+    # The batch is a micro-batch — recomputing its signatures once for
+    # the bucket collect and once in the join is cheaper than unbounded
+    # executor storage. Requirement that replaces the checkpoint's
+    # snapshot role: ``batch`` must be deterministic (same rows on
+    # re-evaluation), else the collected partition filter could miss
+    # buckets the join-side recompute lands in.
     batch_rows = _minhash_bucket_rows(
         batch, id_col, text_col,
         meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"],
-    ).localCheckpoint(eager=True)
+    )
     probe_buckets = sorted(
         r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
     )
@@ -825,7 +831,9 @@ def scrub_spans(
     space-joined n-grams (``broadcast_spans`` forces the broadcast when
     the caller knows the list is bounded, e.g. a top-k; pass False for an
     unbounded list and let AQE pick the join side). Duplicate span rows
-    are harmless (collect_set absorbs the duplicate hits). If ``spans`` also
+    are harmless (collect_set absorbs the duplicate hits). If ``spans``
+    carries a ``keeper`` column, a NULL keeper means scrub-everywhere
+    for that span (no exempted doc). If ``spans`` also
     carries a ``keeper`` column (an id), occurrences inside that keeper
     doc are NOT scrubbed — the C4-style keep-first-occurrence policy that
     preserves each duplicated span's content exactly once. Returns (id,
@@ -871,7 +879,13 @@ def scrub_spans(
         sp = F.broadcast(sp)
     hit_rows = sh.join(sp, "shingle")
     if keep_first:
-        hit_rows = hit_rows.filter(F.col(id_col) != F.col("keeper"))
+        # NULL keeper = no keeper = scrub everywhere (a bare != would
+        # yield NULL and silently exempt the span from scrubbing
+        # entirely — review r10); mixed lists (some spans with a keeper,
+        # some without) are therefore legal.
+        hit_rows = hit_rows.filter(
+            F.col("keeper").isNull() | (F.col(id_col) != F.col("keeper"))
+        )
     hit_arr = hit_rows.groupBy(id_col).agg(
         F.collect_set("gpos").alias("__hits")
     )

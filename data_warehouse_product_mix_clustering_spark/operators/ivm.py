@@ -43,11 +43,16 @@ def mark_committed(index_dir: str) -> None:
 def require_committed(index_dir: str, kind: str) -> None:
     """Serving-path guard: a torn index must REFUSE reads, not silently
     serve a mix of old and new rows (the postings read path's convention,
-    extended to every family's search/maintenance entry points)."""
+    extended to every family's search/maintenance entry points). A store
+    written before the marker existed is indistinguishable from a torn
+    one (that ambiguity is WHY the marker exists), so it is refused too —
+    the deliberate upgrade contract is rebuild-once, stated in the
+    message rather than guessed around."""
     if not index_is_committed(index_dir):
         raise RuntimeError(
-            f"{kind} index at {index_dir} is torn (no commit marker — a "
-            "build or update crashed mid-write); rebuild it before use"
+            f"{kind} index at {index_dir} has no commit marker — either a "
+            "build or update crashed mid-write (torn), or the index was "
+            "built by a version without markers; rebuild it before use"
         )
 
 
@@ -133,3 +138,28 @@ def read_id_schema(
     if "doc_id_type" in doc:
         return default_col, doc["doc_id_type"]
     return doc.get("id_col", default_col), doc.get("id_type", default_type)
+
+
+def partition_file_listing(
+    base: str, part_col: str, skip_dirs: frozenset | set = frozenset()
+) -> dict:
+    """{partition_dir_name: sorted [(file, size, mtime)]} for every
+    ``part_col=<v>`` directory under ``base`` — the measured
+    untouched-partitions-kept-byte-intact primitive the maintenance
+    audits share (one definition across the vector and MinHash index
+    families; a fix here — e.g. metadata-file exclusion or mtime
+    granularity — reaches every audit)."""
+    out: dict = {}
+    if not os.path.isdir(base):
+        return out
+    for d in os.listdir(base):
+        if not d.startswith(f"{part_col}=") or d in skip_dirs:
+            continue
+        p = os.path.join(base, d)
+        out[d] = sorted(
+            (f, os.path.getsize(os.path.join(p, f)),
+             os.path.getmtime(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if not f.startswith(".")
+        )
+    return out

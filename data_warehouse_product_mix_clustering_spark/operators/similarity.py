@@ -213,7 +213,13 @@ def assign_to_centers(
     index: an id's cell is a pure function of (vector, centers).
 
     Centers broadcast as a literal struct array (nlist × d doubles —
-    tiny); distance/argmin are JVM expressions, zero Python per row.
+    tiny); distance/argmin are JVM expressions, zero Python per row. The
+    argmin is ``array_min`` over (distance, cell) structs — struct
+    ordering IS the (nearest, lowest-cell-tie) rule — evaluated per row
+    with NO explode, NO window, NO shuffle; in particular duplicate ids
+    in ``df`` each keep their own assignment (the earlier explode+window
+    formulation partitioned by id and silently collapsed them — review
+    r10).
     """
     centers_arr = F.array(
         *[
@@ -225,23 +231,21 @@ def assign_to_centers(
         ]
     )
     src = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    sqdist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("c.cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scored = F.transform(
+        centers_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"), c["cvec"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d"), F.col("__cell"))
-    return (
-        src.select(id_col, "__v", F.explode(centers_arr).alias("c"))
-        .select(
-            id_col,
-            "__v",
-            F.col("c.cell").alias("__cell"),
-            sqdist.alias("__d"),
-        )
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "__v", "__cell")
+    return src.select(
+        id_col, "__v", F.array_min(scored)["cell"].alias("__cell")
     )
 
 
@@ -1014,18 +1018,16 @@ REBUILD_DRIFT = 0.3
 
 
 def _write_maint_meta(
-    index_dir: str, base_n: int, cumulative_changes: int, **extra
+    index_dir: str, base_n: int, cumulative_changes: int
 ) -> None:
-    """``extra`` carries schema facts the read path needs to type an
-    EMPTY relation (id_col/id_type — review r10); ``_bump_maint_meta``
-    preserves them across maintenance runs."""
+    """Drift accounting only — schema facts live in ivm's _schema.json
+    sidecar (write_id_schema), not here."""
     import json
     import os
 
     from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
 
     doc = {"base_n": int(base_n), "cumulative_changes": int(cumulative_changes)}
-    doc.update(extra)
     write_small_file_atomic(os.path.join(index_dir, _MAINT_META), json.dumps(doc))
 
 
@@ -1035,8 +1037,10 @@ def _read_maint_meta(index_dir: str) -> dict:
 
     p = os.path.join(index_dir, _MAINT_META)
     if not os.path.exists(p):
-        # index built before maintenance existed: drift is unknowable —
-        # report base_n=0 so drift saturates and the caller rebuilds
+        # Missing meta on a committed store (hand-restored / partially
+        # migrated): drift is unknowable — report base_n=0 so drift
+        # saturates and the caller rebuilds. (A store without a commit
+        # marker never gets this far — require_committed refuses it.)
         return {"base_n": 0, "cumulative_changes": 0}
     with open(p) as f:
         return json.load(f)
@@ -1103,8 +1107,7 @@ def _overwrite_touched(
 def _bump_maint_meta(index_dir: str, n_changes: int) -> float:
     meta = _read_maint_meta(index_dir)
     cum = meta["cumulative_changes"] + n_changes
-    extra = {k: v for k, v in meta.items() if k not in ("base_n", "cumulative_changes")}
-    _write_maint_meta(index_dir, meta["base_n"], cum, **extra)
+    _write_maint_meta(index_dir, meta["base_n"], cum)
     return (cum / meta["base_n"]) if meta["base_n"] else float("inf")
 
 
@@ -1112,7 +1115,9 @@ def _read_cells(spark, index_dir: str, relation: str, value_cols: str) -> DataFr
     """Guarded read of a cell-partitioned index relation: typed-EMPTY
     when maintenance cleared every partition (ivm.read_index_relation;
     the remove-everything CDC batch — review r10). Falls back to the
-    default id typing for pre-r10 indexes without the schema fields."""
+    family default id typing if a committed store lacks the schema
+    sidecar (hand-restored / partially migrated — uncommitted stores are
+    refused upstream by require_committed)."""
     import os
 
     from data_warehouse_product_mix_clustering_spark.operators.ivm import read_id_schema, read_index_relation

@@ -1140,30 +1140,15 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = os.path.join(root, "mh")
         build_minhash_index(v0, idx, n_buckets=256)
 
+        from data_warehouse_product_mix_clustering_spark.operators.ivm import partition_file_listing
+
         bpath = os.path.join(idx, "buckets")
-        before = {
-            d: sorted(
-                (f, os.path.getsize(os.path.join(bpath, d, f)),
-                 os.path.getmtime(os.path.join(bpath, d, f)))
-                for f in os.listdir(os.path.join(bpath, d))
-                if not f.startswith(".")
-            )
-            for d in os.listdir(bpath)
-            if d.startswith("pbucket=")
-        }
+        before = partition_file_listing(bpath, "pbucket")
         stats = update_minhash_index(spark, idx, diff)
         touched_dirs = {f"pbucket={b}" for b in stats["touched"]}
+        after = partition_file_listing(bpath, "pbucket", touched_dirs)
         intact = all(
-            os.path.isdir(os.path.join(bpath, d))
-            and sorted(
-                (f, os.path.getsize(os.path.join(bpath, d, f)),
-                 os.path.getmtime(os.path.join(bpath, d, f)))
-                for f in os.listdir(os.path.join(bpath, d))
-                if not f.startswith(".")
-            )
-            == before[d]
-            for d in before
-            if d not in touched_dirs
+            after.get(d) == before[d] for d in before if d not in touched_dirs
         )
         # images: 2 removed-old + 2 added-new + 2×2 changed (old AND new)
         n_doc_images = 2 + 2 + 2 * 2

@@ -603,26 +603,17 @@ def ann_index_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
 
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import partition_file_listing
+
     def file_listing(root_dir: str, skip_cells: set[int]) -> dict:
-        out = {}
-        for rel in ("cells", "vectors"):
-            base = os.path.join(root_dir, rel)
-            if not os.path.isdir(base):
-                continue
-            for d in os.listdir(base):
-                if not d.startswith("__cell="):
-                    continue
-                cell = int(d.split("=", 1)[1])
-                if cell in skip_cells:
-                    continue
-                p = os.path.join(base, d)
-                out[(rel, cell)] = sorted(
-                    (f, os.path.getsize(os.path.join(p, f)),
-                     os.path.getmtime(os.path.join(p, f)))
-                    for f in os.listdir(p)
-                    if not f.startswith(".")
-                )
-        return out
+        skip = {f"__cell={c}" for c in skip_cells}
+        return {
+            (rel, d): listing
+            for rel in ("cells", "vectors")
+            for d, listing in partition_file_listing(
+                os.path.join(root_dir, rel), "__cell", skip
+            ).items()
+        }
 
     def df_equal(a: DataFrame, b: DataFrame) -> bool:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
@@ -663,7 +654,8 @@ def ann_index_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched = set(stats["touched"])
 
         def drop_touched(listing: dict, cells: set) -> dict:
-            return {k: v for k, v in listing.items() if k[1] not in cells}
+            dirs = {f"__cell={c}" for c in cells}
+            return {k: v for k, v in listing.items() if k[1] not in dirs}
 
         intact = (
             set(stats_pq["touched"]) == touched  # same centers/seed

@@ -173,11 +173,16 @@ def test_scrub_spans_keep_first_matches_python_reference(spark, corpus, data):
             else st.just([])
         )
     )
+    # some spans get a NULL keeper = scrub-everywhere (no exempted doc)
+    null_keeper = {
+        s for s in spans if data.draw(st.booleans(), label=f"null_keeper:{s}")
+    }
+    keeper = {s: (None if s in null_keeper else first_holder[s]) for s in spans}
     toks = spark.createDataFrame(
         [(i, d) for i, d in enumerate(corpus)], "doc_id long, t array<string>"
     )
     spans_df = spark.createDataFrame(
-        [(s, first_holder[s]) for s in sorted(spans)],
+        [(s, keeper[s]) for s in sorted(spans)],
         "shingle string, keeper long",
     )
     got = {
@@ -188,7 +193,7 @@ def test_scrub_spans_keep_first_matches_python_reference(spark, corpus, data):
         if not d:
             assert i not in got
         else:
-            eff = {s for s in spans if first_holder[s] != i}
+            eff = {s for s in spans if keeper[s] is None or keeper[s] != i}
             assert got[i] == scrub_spans_py(d, eff, n), (i, d, spans, got[i])
 
 
