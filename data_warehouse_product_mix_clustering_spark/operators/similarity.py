@@ -1283,3 +1283,52 @@ def update_ivfpq_index(
         "touched": touched,
         "drift": drift,
     }
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    LAION/DataComp recipe): cluster the embeddings with a seeded coarse
+    codebook, then inside each cluster drop every row that has a
+    LOWER-id neighbor at rounded cosine ≥ ``threshold`` — the published
+    method's cluster-then-prune shape with this repo's deterministic
+    keep-lowest-id survivor rule (the paper keeps one representative per
+    ε-neighborhood; any deterministic pick is admissible, and lowest-id
+    matches `dedup_best_of_group`'s tie discipline). Duplicate decisions
+    consult ALL same-cluster rows, not just survivors — one join, no
+    iteration, order-free.
+
+    Returns the survivor relation (id, __cell). Scale: the within-cell
+    self-join streams O(Σ n_c²) pairs, the whole POINT of clustering
+    first — size ``nlist`` so cells are bounded (the paper uses
+    n/nlist ≈ 10-100); a giant cell degrades gracefully to
+    ``block_cosine_pairs``'s blocked-GEMM within that cell. Clustering
+    is seeded and assignment is the frozen `assign_to_centers`
+    expression, so the output is deterministic end-to-end. Rounding
+    matches ``ratio_round`` so decisions are engine-portable at the
+    threshold boundary."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
+    a = assigned.select(
+        F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "__cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "__cell"
+    )
+    dups = (
+        a.join(b, "__cell")
+        .filter(F.col("__ib") < F.col("__ia"))
+        .filter(
+            ratio_round(cosine(F.col("__va"), F.col("__vb"))) >= threshold
+        )
+        .select(F.col("__ia").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti").select(id_col, "__cell")

@@ -1520,3 +1520,61 @@ def test_update_ivf_index_remove_everything_stays_readable(spark, tmp_path):
     )
     assert stats2["added"] == 3
     assert search_ivf_index(spark, idx, probes, k=2, nprobe=2).count() > 0
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """operators/similarity.py::semantic_dedup — the SemDeDup recipe:
+    survivors equal a python reference applying the same rule (duplicate
+    iff a LOWER-id same-cluster row has rounded cosine >= threshold,
+    decisions against ALL cluster rows) to the same frozen cluster
+    assignment; deterministic across runs; every removed row has a
+    surviving-or-not lower-id witness."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    survivors = {
+        r["vec_id"]: r["__cell"]
+        for r in semantic_dedup(
+            emb, nlist=4, threshold=0.4, seed=42
+        ).collect()
+    }
+    again = {
+        r["vec_id"]: r["__cell"]
+        for r in semantic_dedup(
+            emb, nlist=4, threshold=0.4, seed=42
+        ).collect()
+    }
+    assert survivors == again  # deterministic end-to-end
+
+    # python reference on the SAME frozen assignment
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import fit_ivf_codebook
+
+    _, assigned = fit_ivf_codebook(emb, "vec_id", "embedding", 4, 42)
+    rows = assigned.select("vec_id", "__v", "__cell").collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["__cell"], []).append((r["vec_id"], list(r["__v"])))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) + 1e-9, 6)  # ratio_round's nudge
+
+    want = {}
+    removed = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            if any(cos(v, w) >= 0.4 for _, w in members[:i]):
+                removed.add(vid)
+            else:
+                want[vid] = cell
+    assert survivors == want
+    assert removed, "threshold 0.4 must bite (max within-cell cosine ~0.479 at sf0.001)"
+    assert set(survivors) | removed == {r["vec_id"] for r in rows}
