@@ -121,6 +121,13 @@ _DRIVER_PRIORITY: list[str] = [
     # entries below lead round 11; at round-11 start, any NEW r11
     # queries insert at the very top of this list (keep ≤ ~10 so the
     # whole r6 tail clears and the freshness floor rises to r7).
+    # Registration-ready r11 candidates (operators + twins + tests
+    # already landed in r10, only the @register is deferred to respect
+    # the 10-new-query budget): `doc_unigram_logprob` (operators/lm.py —
+    # its verbatim DuckDB twin SQL_UNIGRAM_SELF_SCORE sits next to the
+    # operator) and a `semantic_dedup_audit` contract row
+    # (operators/similarity.py::semantic_dedup, pytest-pinned vs its
+    # python reference this round).
     "nation_revenue",
     "orders_above_customer_avg",
     "pca_variance_audit",

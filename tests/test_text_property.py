@@ -426,3 +426,68 @@ def test_bpe_token_counts_matches_python_reference(spark, corpus, n_merges):
     for i, ws in enumerate(pretok):
         want = (len(ws), sum(len(encode_py(w, merges)) for w in ws))
         assert got[i] == want, (i, corpus[i], merges, got[i], want)
+
+
+# --- unigram LM perplexity proxy vs python reference ---
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_logprob_matches_python_reference(spark, corpus):
+    """operators/lm.py self-scored path ≡ the python twin on arbitrary
+    corpora — pins the smoothing formula, the log base, the rounded
+    mean, and the empty-doc drop rule."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import (
+        unigram_logprob_py,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    want = unigram_logprob_py({i: d for i, d in enumerate(corpus)})
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
+
+
+def test_unigram_logprob_cross_corpus_oov_floor(spark):
+    """External-LM path: unseen words take the LM's minimum logp floor;
+    a doc of only OOV words scores exactly -floor."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import (
+        unigram_lm,
+        unigram_logprob_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "aa aa bb")], "doc_id long, text string"
+    )
+    lm = unigram_lm(ref)
+    floor = min(r["logp"] for r in lm.collect())
+    target = spark.createDataFrame(
+        [(1, "zz zz"), (2, "aa zz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in unigram_logprob_scores(target, lm=lm).collect()
+    }
+    assert abs(got[1] - round(-floor + 1e-9, 6)) <= 1e-6
+    assert got[2] < got[1]  # one in-vocab word must lower the bits
