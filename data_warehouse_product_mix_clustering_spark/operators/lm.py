@@ -69,8 +69,8 @@ def unigram_logprob_scores(
     LM fit on ``docs`` itself — self-scoring, the within-corpus outlier
     filter; pass a reference-corpus LM for CCNet-style cross-corpus
     filtering). Out-of-vocabulary words (possible only with an external
-    ``lm``) take the LM's minimum logp as the floor, cross-joined onto
-    the scored stream as a 1-row broadcast. Empty docs are ABSENT (no tokens
+    ``lm``) take the LM's minimum logp as the floor (a 1-row scalar
+    collect; an empty external LM raises). Empty docs are ABSENT (no tokens
     to score — the same drop rule as the quality score's len(t) > 0
     gate). Rounded to ``round_out`` dp with the repo's ratio_round nudge
     so both engines hash identically."""
@@ -81,20 +81,26 @@ def unigram_logprob_scores(
     if lm is None:
         lm = unigram_lm(docs, text_col, smoothing)  # self: OOV impossible
     else:
-        # smallest logp is the best available floor for unseen words; it
-        # must ride the SCORED stream as a 1-row cross join — carried on
-        # the LM rows it would be NULL exactly on the OOV misses that
-        # need it (review: first cut did that).
-        floor = F.broadcast(lm.agg(F.min("logp").alias("__oov")))
+        # Smallest logp is the best available floor for unseen words. A
+        # 1-row scalar collect (contract-bounded, the PageRank-residual
+        # class): carried on the LM rows it would be NULL exactly on the
+        # OOV misses that need it, and an EMPTY external LM must fail
+        # fast here, not silently NULL every score (review r10).
+        floor = lm.agg(F.min("logp")).first()[0]
+        if floor is None:
+            raise ValueError(
+                "unigram_logprob_scores: external lm has no rows — "
+                "cannot derive an OOV floor"
+            )
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     joined = tok.join(lm.select("word", "logp"), "word", "left")
-    if floor is not None:
-        joined = joined.crossJoin(floor)
-        lp = F.coalesce(F.col("logp"), F.col("__oov"))
-    else:
-        lp = F.col("logp")
+    lp = (
+        F.coalesce(F.col("logp"), F.lit(float(floor)))
+        if floor is not None
+        else F.col("logp")
+    )
     scored = joined.select(id_col, lp.alias("__lp"))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -1292,27 +1292,35 @@ def semantic_dedup(
     nlist: int = 8,
     threshold: float = 0.95,
     seed: int = 42,
+    round_out: int = 6,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
-    LAION/DataComp recipe): cluster the embeddings with a seeded coarse
-    codebook, then inside each cluster drop every row that has a
-    LOWER-id neighbor at rounded cosine ≥ ``threshold`` — the published
-    method's cluster-then-prune shape with this repo's deterministic
-    keep-lowest-id survivor rule (the paper keeps one representative per
-    ε-neighborhood; any deterministic pick is admissible, and lowest-id
-    matches `dedup_best_of_group`'s tie discipline). Duplicate decisions
-    consult ALL same-cluster rows, not just survivors — one join, no
-    iteration, order-free.
+    LAION/DataComp recipe's cluster-then-prune shape): cluster the
+    embeddings with a seeded coarse codebook, then inside each cluster
+    drop every row that has a LOWER-id neighbor at rounded cosine ≥
+    ``threshold``. The rule, stated exactly: duplicate decisions consult
+    ALL same-cluster rows (not just survivors) — one join, no iteration,
+    order-free, deterministic. Known property of this ubiquitous greedy
+    variant: removals can CHAIN (ids 1-2 close, 2-3 close, 1-3 far ⇒ 2
+    and 3 both removed though 3's only witness was itself removed), so
+    it prunes at least as much as one-representative-per-ε-neighborhood;
+    callers needing group semantics (each removed row shares a GROUP
+    with its survivor) should feed the threshold pairs through
+    ``operators/dedup.py::connected_components`` + keep-min-id instead.
+    Zero-norm vectors have undefined cosine (NULL) and are therefore
+    never anyone's duplicate — they always survive.
 
     Returns the survivor relation (id, __cell). Scale: the within-cell
-    self-join streams O(Σ n_c²) pairs, the whole POINT of clustering
-    first — size ``nlist`` so cells are bounded (the paper uses
-    n/nlist ≈ 10-100); a giant cell degrades gracefully to
-    ``block_cosine_pairs``'s blocked-GEMM within that cell. Clustering
-    is seeded and assignment is the frozen `assign_to_centers`
-    expression, so the output is deterministic end-to-end. Rounding
-    matches ``ratio_round`` so decisions are engine-portable at the
-    threshold boundary."""
+    self-join streams O(Σ n_c²) pair rows through per-pair JVM cosine —
+    acceptable ONLY because clustering bounds n_c; size ``nlist`` so
+    cells stay small (the paper uses n/nlist ≈ 10-100). A skew-hot giant
+    cell is NOT rerouted automatically: its pairs would need
+    ``block_cosine_pairs``'s blocked-GEMM kernel scoped to the cell,
+    which this operator does not do — the self-join is the honest
+    measured plan at test SF. Clustering is seeded and assignment is the
+    frozen `assign_to_centers` expression, so the output is
+    deterministic end-to-end; rounding matches ``ratio_round`` so
+    threshold decisions are engine-portable."""
     from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 
     _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
@@ -1326,7 +1334,8 @@ def semantic_dedup(
         a.join(b, "__cell")
         .filter(F.col("__ib") < F.col("__ia"))
         .filter(
-            ratio_round(cosine(F.col("__va"), F.col("__vb"))) >= threshold
+            ratio_round(cosine(F.col("__va"), F.col("__vb")), round_out)
+            >= threshold
         )
         .select(F.col("__ia").alias(id_col))
         .distinct()

@@ -1531,8 +1531,6 @@ def test_semantic_dedup_matches_python_reference(spark):
     surviving-or-not lower-id witness."""
     import math
 
-    import pyspark.sql.functions as F
-
     from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup
     from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
@@ -1564,6 +1562,8 @@ def test_semantic_dedup_matches_python_reference(spark):
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return float("-inf")  # NULL cosine on the Spark side: never a dup
         return round(d / (na * nb) + 1e-9, 6)  # ratio_round's nudge
 
     want = {}
