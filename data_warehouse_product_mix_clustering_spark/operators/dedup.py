@@ -555,6 +555,21 @@ def incremental_jaccard_pairs(
 
 _MINHASH_META = "_index.json"
 
+# Bounded retention of probe-batch signature checkpoints (see
+# minhash_index_candidates): a probe service issues many calls; each
+# call's candidate plan stays valid until 4 newer probes evict it.
+_PROBE_BATCH_RETAIN: list[DataFrame] = []
+_PROBE_BATCH_RETAIN_MAX = 4
+
+
+def _retain_probe_batch(df: DataFrame) -> None:
+    _PROBE_BATCH_RETAIN.append(df)
+    while len(_PROBE_BATCH_RETAIN) > _PROBE_BATCH_RETAIN_MAX:
+        try:
+            _PROBE_BATCH_RETAIN.pop(0).unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
 
 def _minhash_bucket_rows(
     df: DataFrame,
@@ -639,6 +654,7 @@ def build_minhash_index(
         json.dumps(
             {
                 "id_col": id_col,
+                "text_col": text_col,
                 "n": n,
                 "num_hashes": num_hashes,
                 "bands": bands,
@@ -682,8 +698,6 @@ def update_minhash_index(
     spark,
     index_dir: str,
     diff: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> dict:
     """Maintain the persisted signature relation from a CDC change set
     (``sources/versioned.py::version_diff`` shape) — cost O(touched
@@ -692,6 +706,11 @@ def update_minhash_index(
     the stored params), new rows come from the NEW text, and only the
     union of their ``pbucket`` partitions rewrites. Commit-marker
     protected; a torn index refuses maintenance (rebuild recovers).
+
+    The id/text column names come from the index's own meta sidecar —
+    never from the caller — so an index built with custom columns cannot
+    be maintained against the wrong ones (review r10: the old parameter
+    defaults could silently key on a coincidental ``doc_id`` column).
 
     Returns {'added','removed','changed','buckets_touched'}.
     """
@@ -706,6 +725,8 @@ def update_minhash_index(
 
     require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
+    id_col = meta.get("id_col", "doc_id")
+    text_col = meta.get("text_col", "text")  # legacy metas predate text_col
     params = (meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"])
     d = diff.select(
         id_col,
@@ -762,8 +783,6 @@ def minhash_index_candidates(
     spark,
     index_dir: str,
     batch: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> DataFrame:
     """(doc_new, doc_corpus) candidate near-dup pairs between ``batch``
     and the indexed corpus: the batch signatures (computed with the
@@ -773,7 +792,8 @@ def minhash_index_candidates(
     applied to dedup. Verification (exact Jaccard of the candidates) is
     the caller's next step, same contract as ``minhash_lsh_pairs
     (verify=False)``. Self-pairs (a batch doc already indexed under the
-    same id) are excluded.
+    same id) are excluded. The id/text column names come from the
+    index's own meta sidecar, never from the caller (review r10).
     """
     import os
 
@@ -781,19 +801,22 @@ def minhash_index_candidates(
 
     require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
-    # Deliberately NOT checkpointed: the returned plan is lazy, so a
-    # materialization here could never be released and a probe-per-batch
-    # service would leak one checkpointed relation per call (review r10).
-    # The batch is a micro-batch — recomputing its signatures once for
-    # the bucket collect and once in the join is cheaper than unbounded
-    # executor storage. Requirement that replaces the checkpoint's
-    # snapshot role: ``batch`` must be deterministic (same rows on
-    # re-evaluation), else the collected partition filter could miss
-    # buckets the join-side recompute lands in.
+    # The collected pbucket partition filter and the join side MUST see
+    # the same signature rows, so the batch signatures materialize ONCE
+    # (eager localCheckpoint — lineage truncation makes re-evaluation
+    # impossible, which is the correctness point: a nondeterministic
+    # batch source cannot silently shrink the filter out from under the
+    # join). The checkpoint lives in a bounded LRU (cap 4) instead of
+    # leaking one relation per call in a probe-per-batch service (review
+    # r10); an evicted probe's unconsumed plan fails LOUDLY on missing
+    # checkpoint blocks rather than returning incomplete candidates.
+    id_col = meta.get("id_col", "doc_id")
+    text_col = meta.get("text_col", "text")  # legacy metas predate text_col
     batch_rows = _minhash_bucket_rows(
         batch, id_col, text_col,
         meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"],
-    )
+    ).localCheckpoint(eager=True)
+    _retain_probe_batch(batch_rows)
     probe_buckets = sorted(
         r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
     )

@@ -44,7 +44,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not a crash) when either vector has zero
+    norm — this repo runs Spark 4 with ANSI enabled, where a bare
+    ``0.0/0.0`` raises DIVIDE_BY_ZERO, so the division must be
+    ``try_divide`` (review r11: ``semantic_dedup`` documented the
+    NULL-survives rule but a zero-norm embedding crashed the operator).
+    Non-zero norms are bit-identical to the plain division."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -1285,6 +1291,83 @@ def update_ivfpq_index(
     }
 
 
+def _giant_cell_dups(
+    giant: DataFrame,
+    id_col: str,
+    id_type: str,
+    threshold: float,
+    round_out: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Duplicate ids among skew-hot SemDeDup cells via the blocked-GEMM
+    kernel of ``block_cosine_pairs`` scoped PER CELL: rows replicate to
+    the (cell, block-pair) grid (shuffle volume n_c·B per cell, never
+    n_c²), each group computes its cosine sub-matrix with one BLAS
+    matmul, and only the HIGHER id of each above-threshold pair is
+    emitted — exactly the lower-id-witness rule. Rounding matches
+    ``ratio_round`` (+1e-9 nudge) so routing never changes the answer.
+    Zero-norm rows normalize to NaN; NaN comparisons are False, so they
+    are never emitted — the same never-a-duplicate rule as the
+    JVM path's NULL cosine."""
+    import numpy as np
+    import pandas as pd
+
+    v = giant.select(
+        F.col(id_col).alias("vid"),
+        F.col("__v").alias("vec"),
+        "__cell",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("b1"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("b2"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    rep = v.select("vid", "vec", "__cell", "blk", F.explode(targets).alias("t")).select(
+        "vid", "vec", "__cell", "blk", F.col("t.b1").alias("b1"), F.col("t.b2").alias("b2")
+    )
+
+    eps = 1e-9  # RATIO_EPS: keep in sync with functions.numeric
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        b1 = int(pdf["b1"].iloc[0])
+        b2 = int(pdf["b2"].iloc[0])
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        X = np.vstack(pdf["vec"].to_numpy()[order])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)  # zero norm → NaN row
+        if b1 == b2:
+            cos2d = X @ X.T
+            np.add(cos2d, eps, out=cos2d)
+            np.round(cos2d, round_out, out=cos2d)
+            with np.errstate(invalid="ignore"):
+                ii, jj = np.nonzero(np.triu(cos2d >= threshold, k=1))
+            dup = ids[jj]  # ids sorted: jj > ii ⇒ higher id
+        else:
+            blk = pdf["blk"].to_numpy()[order]
+            ma, mb = blk == b1, blk == b2
+            if not ma.any() or not mb.any():
+                return pd.DataFrame({"vid": ids[:0]})
+            cos2d = X[ma] @ X[mb].T
+            np.add(cos2d, eps, out=cos2d)
+            np.round(cos2d, round_out, out=cos2d)
+            with np.errstate(invalid="ignore"):
+                ii, jj = np.nonzero(cos2d >= threshold)
+            dup = np.maximum(ids[ma][ii], ids[mb][jj])
+        return pd.DataFrame({"vid": np.unique(dup)})
+
+    return (
+        rep.groupBy("__cell", "b1", "b2")
+        .applyInPandas(kernel, f"vid {id_type}")
+        .select(F.col("vid").alias(id_col))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1293,6 +1376,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     round_out: int = 6,
+    giant_cell_rows: int = 8192,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
     LAION/DataComp recipe's cluster-then-prune shape): cluster the
@@ -1307,30 +1392,36 @@ def semantic_dedup(
     callers needing group semantics (each removed row shares a GROUP
     with its survivor) should feed the threshold pairs through
     ``operators/dedup.py::connected_components`` + keep-min-id instead.
-    Zero-norm vectors have undefined cosine (NULL) and are therefore
-    never anyone's duplicate — they always survive.
+    Zero-norm vectors have undefined cosine (NULL via ``try_divide``
+    under ANSI) and are therefore never anyone's duplicate — they always
+    survive (pinned with a zero-norm test row, review r11).
 
-    Returns the survivor relation (id, __cell). Scale: the within-cell
-    self-join streams O(Σ n_c²) pair rows through per-pair JVM cosine —
-    acceptable ONLY because clustering bounds n_c; size ``nlist`` so
-    cells stay small (the paper uses n/nlist ≈ 10-100). A skew-hot giant
-    cell is NOT rerouted automatically: its pairs would need
-    ``block_cosine_pairs``'s blocked-GEMM kernel scoped to the cell,
-    which this operator does not do — the self-join is the honest
-    measured plan at test SF. Clustering is seeded and assignment is the
-    frozen `assign_to_centers` expression, so the output is
-    deterministic end-to-end; rounding matches ``ratio_round`` so
-    threshold decisions are engine-portable."""
+    Returns the survivor relation (id, __cell). Scale: cells at or under
+    ``giant_cell_rows`` stream their O(n_c²) pairs through per-pair JVM
+    cosine — fine because clustering bounds n_c (the paper uses
+    n/nlist ≈ 10-100). Cells ABOVE the gate — the skew-hot case SemDeDup
+    actually meets on all-near-duplicate corpora, where one cell can
+    hold a large corpus fraction and n_c² pair rows would be the
+    scale-killer — reroute through ``_giant_cell_dups``'s blocked-GEMM
+    kernel (shuffle volume n_c·n_blocks, BLAS matmul per block pair,
+    identical rounded-threshold rule), so routing is a pure plan choice:
+    both paths emit the same duplicate set, pinned by a both-paths-agree
+    test with a deliberately giant cell. Clustering is seeded and
+    assignment is the frozen `assign_to_centers` expression, so the
+    output is deterministic end-to-end; rounding matches ``ratio_round``
+    so threshold decisions are engine-portable."""
     from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 
+    id_type = df.schema[id_col].dataType.simpleString()
     _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
-    a = assigned.select(
-        F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "__cell"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "__cell"
-    )
-    dups = (
+    sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n_c"))
+    routed = assigned.join(F.broadcast(sizes), "__cell")
+    small = routed.filter(F.col("__n_c") <= giant_cell_rows)
+    giant = routed.filter(F.col("__n_c") > giant_cell_rows)
+
+    a = small.select(F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "__cell")
+    b = small.select(F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "__cell")
+    dups_small = (
         a.join(b, "__cell")
         .filter(F.col("__ib") < F.col("__ia"))
         .filter(
@@ -1338,6 +1429,11 @@ def semantic_dedup(
             >= threshold
         )
         .select(F.col("__ia").alias(id_col))
+    )
+    dups = (
+        dups_small.unionByName(
+            _giant_cell_dups(giant, id_col, id_type, threshold, round_out, n_blocks)
+        )
         .distinct()
     )
     return assigned.join(dups, id_col, "left_anti").select(id_col, "__cell")

@@ -1528,13 +1528,28 @@ def test_semantic_dedup_matches_python_reference(spark):
     iff a LOWER-id same-cluster row has rounded cosine >= threshold,
     decisions against ALL cluster rows) to the same frozen cluster
     assignment; deterministic across runs; every removed row has a
-    surviving-or-not lower-id witness."""
+    surviving-or-not lower-id witness. A zero-norm row rides along to
+    pin the survive rule: its cosine is NULL under ANSI's try_divide (a
+    bare division raises DIVIDE_BY_ZERO — review r11), so it is never
+    anyone's duplicate and always survives."""
     import math
+
+    from pyspark.sql import functions as F  # noqa: F811
 
     from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup
     from data_warehouse_product_mix_clustering_spark.sources.registry import table
 
-    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    emb = (
+        table(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(
+                [(100000, [0.0] * 64)], "vec_id long, embedding array<double>"
+            ).select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            )
+        )
+    )
     survivors = {
         r["vec_id"]: r["__cell"]
         for r in semantic_dedup(
@@ -1578,3 +1593,48 @@ def test_semantic_dedup_matches_python_reference(spark):
     assert survivors == want
     assert removed, "threshold 0.4 must bite (max within-cell cosine ~0.479 at sf0.001)"
     assert set(survivors) | removed == {r["vec_id"] for r in rows}
+    assert 100000 in survivors, "zero-norm row: NULL cosine, never a dup"
+
+
+def test_semantic_dedup_giant_cell_routing_agrees(spark):
+    """operators/similarity.py::semantic_dedup — the skew-cell gate
+    (VERDICT r10 #3): cells above ``giant_cell_rows`` reroute through
+    the blocked-GEMM kernel instead of the O(n_c²) per-pair self-join.
+    Routing is a pure plan choice, so survivors must be IDENTICAL with
+    the gate forcing every cell through GEMM (giant_cell_rows=0), none
+    (huge gate), and a mixed split — on a corpus that includes a
+    zero-norm row (NaN in the kernel ≡ NULL in the JVM path: never a
+    duplicate) and real removals at threshold 0.4."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = (
+        table(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(
+                [(100000, [0.0] * 64)], "vec_id long, embedding array<double>"
+            ).select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            )
+        )
+    )
+
+    def run(gate):
+        return {
+            (r["vec_id"], r["__cell"])
+            for r in semantic_dedup(
+                emb, nlist=4, threshold=0.4, seed=42, giant_cell_rows=gate
+            ).collect()
+        }
+
+    all_gemm = run(0)
+    all_join = run(10**9)
+    # cells at sf0.001 hold ~100-160 rows each (501 rows / 4 cells):
+    # a 120-row gate genuinely splits the corpus between the two kernels
+    mixed = run(120)
+    assert all_gemm == all_join == mixed
+    assert len(all_gemm) < 501, "threshold 0.4 must remove at least one row"
+    assert 100000 in {v for v, _ in all_gemm}, "zero-norm survives the GEMM path"
