@@ -1076,6 +1076,7 @@ def training_corpus_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRUE AS buckets_bounded,
                CAST(5 AS BIGINT) AS n_probes,
                TRUE AS probes_found_originals,
+               TRUE AS near_recall_pass,
                TRUE AS torn_index_refused
     """,
 )
@@ -1103,6 +1104,16 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       indexed survivors each surface their original as a candidate
       (identical text ⇒ every band agrees — the recall floor is 1.0 by
       construction, so a missed original is a wiring bug, not noise);
+    - ``near_recall_pass``: 10 NEAR-duplicate probes (one appended token
+      — bigram Jaccard B/(B+1) vs their originals) score recall ≥ 0.7
+      against the EXACT cross-relation bigram-Jaccard ≥ 0.8 ground truth
+      between probes and the maintained corpus, and the truth set is
+      non-empty. The banding math puts per-pair P(candidate | j=0.8) at
+      1−(1−0.8⁴)¹⁶ ≈ 0.9998 (the same curve ``dedup_minhash_lsh``
+      attests in-memory; measured 1.0 at sf0.001 and sf0.01 — see
+      PERF_NOTES r11), so 0.7 is headroom against corpus drift while an
+      index-side banding/params regression — the hard case the
+      identical-text probe can't see — still craters it;
     - ``torn_index_refused``: maintenance refuses an index without its
       commit marker.
     """
@@ -1175,6 +1186,44 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_probes = probes.count()
 
+        # near-duplicate probe recall vs EXACT cross-relation Jaccard truth
+        near_probes = (
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210))
+            .withColumn("doc_id", F.col("doc_id") + 30000)
+            .withColumn("text", F.concat("text", F.lit(" qq_nearprobe")))
+        )
+        psh = shingle_sets(near_probes, "doc_id", "text", 2).select(
+            F.col("doc_id").alias("doc_new"), "shingle"
+        )
+        csh = shingle_sets(v1, "doc_id", "text", 2).select(
+            F.col("doc_id").alias("doc_corpus"), "shingle"
+        )
+        p_sz = psh.groupBy("doc_new").agg(F.count(F.lit(1)).alias("__pn"))
+        c_sz = csh.groupBy("doc_corpus").agg(F.count(F.lit(1)).alias("__cn"))
+        inter = (
+            F.broadcast(psh)
+            .join(csh, "shingle")
+            .groupBy("doc_new", "doc_corpus")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+        truth = (
+            inter.join(F.broadcast(p_sz), "doc_new")
+            .join(c_sz, "doc_corpus")
+            .filter(
+                F.col("__i")
+                / (F.col("__pn") + F.col("__cn") - F.col("__i"))
+                >= 0.8
+            )
+            .select("doc_new", "doc_corpus")
+            .localCheckpoint(eager=True)  # feeds count + the hits semi-join
+        )
+        near_cands = minhash_index_candidates(spark, idx, near_probes)
+        n_truth = truth.count()
+        n_near_hits = near_cands.join(
+            truth, ["doc_new", "doc_corpus"], "left_semi"
+        ).count()
+        near_recall_pass = n_truth > 0 and n_near_hits / n_truth >= 0.7
+
         torn = os.path.join(root, "torn")
         shutil.copytree(idx, torn)
         os.remove(os.path.join(torn, COMMIT_MARKER))
@@ -1190,11 +1239,13 @@ def dedup_minhash_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 stats["added"], stats["removed"], stats["changed"],
                 bool(rebuild_eq), bool(intact), bool(bounded),
-                n_probes, bool(n_found == n_probes), bool(torn_refused),
+                n_probes, bool(n_found == n_probes),
+                bool(near_recall_pass), bool(torn_refused),
             )
         ],
         "n_added long, n_removed long, n_changed long, "
         "maintained_equals_rebuild boolean, untouched_files_intact boolean, "
         "buckets_bounded boolean, n_probes long, "
-        "probes_found_originals boolean, torn_index_refused boolean",
+        "probes_found_originals boolean, near_recall_pass boolean, "
+        "torn_index_refused boolean",
     )

@@ -751,3 +751,77 @@ def ann_index_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed_absent boolean, untouched_files_intact boolean, "
         "torn_index_refused boolean, drift_exact boolean",
     )
+
+
+@register(
+    "semantic_dedup_audit",
+    oracle="""
+        SELECT TRUE AS paths_agree,
+               TRUE AS removed_have_witness,
+               TRUE AS prune_bites
+    """,
+)
+def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``operators/similarity.py::semantic_dedup``
+    (SemDeDup, registered r11 per the pre-staged rotation). The learned
+    codebook makes survivor ids engine-specific, so — like the other
+    approximate-family audits — the oracle pins the CONTRACT and Spark
+    computes the measured truth:
+
+    - ``paths_agree``: the skew-cell routing is a pure plan choice —
+      survivors with EVERY cell forced through the blocked-GEMM kernel
+      (``giant_cell_rows=0``) equal survivors with every cell on the
+      per-pair self-join (huge gate), exercising both kernels end-to-end
+      on the driver corpus (VERDICT r10 #3);
+    - ``removed_have_witness``: every pruned row has a LOWER-id
+      same-cell row at rounded cosine ≥ threshold — the SemDeDup rule
+      recomputed independently from the frozen assignment;
+    - ``prune_bites``: at least one row was pruned, so the threshold is
+      exercising the rule rather than vacuously passing.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        cosine,
+        fit_ivf_codebook,
+        semantic_dedup,
+    )
+
+    thr, nlist, seed = 0.4, 8, 42
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    via_join = semantic_dedup(
+        emb, nlist=nlist, threshold=thr, seed=seed, giant_cell_rows=10**9
+    ).localCheckpoint(eager=True)  # feeds the agree check + witness base
+    via_gemm = semantic_dedup(
+        emb, nlist=nlist, threshold=thr, seed=seed, giant_cell_rows=0
+    )
+    sym_diff = (
+        via_join.unionByName(via_gemm)
+        .groupBy("vec_id", "__cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") != 2)
+    )
+
+    # Witness check from the SAME frozen assignment semantic_dedup uses.
+    _, assigned = fit_ivf_codebook(emb, "vec_id", "embedding", nlist, seed)
+    removed = assigned.join(via_join.select("vec_id"), "vec_id", "left_anti")
+    witnesses = assigned.select(
+        F.col("vec_id").alias("__wid"), F.col("__v").alias("__wv"), "__cell"
+    )
+    witnessed = (
+        removed.join(witnesses, "__cell")
+        .filter(F.col("__wid") < F.col("vec_id"))
+        .filter(ratio_round(cosine(F.col("__v"), F.col("__wv"))) >= thr)
+        .select("vec_id")
+        .distinct()
+    )
+    orphans = removed.select("vec_id").exceptAll(witnessed)
+
+    counts = (
+        sym_diff.agg(F.count(F.lit(1)).alias("__n_diff"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("__n_orphans")))
+        .crossJoin(removed.agg(F.count(F.lit(1)).alias("__n_removed")))
+    )
+    return counts.select(
+        (F.col("__n_diff") == 0).alias("paths_agree"),
+        (F.col("__n_orphans") == 0).alias("removed_have_witness"),
+        (F.col("__n_removed") > 0).alias("prune_bites"),
+    )

@@ -1167,3 +1167,35 @@ def bpe_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merges long, encodings_match_reference boolean, "
         "lossless_all boolean, any_compressed boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy (operators/lm.py) — registered r11 per the
+# pre-staged rotation; the oracle is the operator-adjacent twin so the two
+# cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.lm import SQL_UNIGRAM_SELF_SCORE
+
+    return SQL_UNIGRAM_SELF_SCORE.format(
+        tokens=sql_tokens("text"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+    )
+
+
+@register("doc_unigram_logprob", oracle=_unigram_oracle())
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy under a self-fit unigram LM
+    (operators/lm.py::unigram_logprob_scores): bits_per_token =
+    -(1/n)·Σ log2 p(wᵢ), the CCNet-style quality filter with the KenLM
+    5-gram honestly downgraded to the unigram this image can express.
+    ONE corpus pass builds the smoothed (word, logp) relation ((N, V)
+    scalars ride a broadcast 1-row cross join, never collected); scoring
+    is an explode + word-key join + per-doc average — two shuffles on
+    the word key and one on doc_id at any corpus size, zero Python."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
+
+    return unigram_logprob_scores(table(spark, "documents", sf_dir))

@@ -1333,8 +1333,26 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     side), dims broadcast, and the final (nation, region) agg sees one
     narrow row per order — the distinct-order count becomes a plain count.
     At 100 TB, bucketing lineitem+orders by orderkey removes even the one
-    shuffle.
+    shuffle. The CUSTOMER join takes its strategy FROM the stats
+    advisor's measured decision (hint applied iff advised) rather than a
+    hard-coded hint — see ``nation_revenue_parts``.
     """
+    return nation_revenue_parts(spark, sf_dir)[0]
+
+
+def nation_revenue_parts(spark: SparkSession, sf_dir: str):
+    """(result, advisor_choice) — the ANALYZE→plan loop closed (VERDICT
+    r10 #6): the customer-dim join is planned by
+    ``operators/stats.py::advise_broadcast_join`` from measured Catalyst
+    plan sizes, so the executed strategy follows the stats instead of a
+    hope-it-fits hint. At test/bench SFs customer sits well under the
+    10 MB default and is advised broadcast; at a 100 TB customer dim the
+    SAME query honestly degrades to an AQE-planned shuffle join. The
+    choice string is returned so the plan-shape test can pin advice ≡
+    executed plan (a stats regression flips both together, and the test
+    catches a divergence)."""
+    from data_warehouse_product_mix_clustering_spark.operators.stats import advise_broadcast_join
+
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
     c = table(spark, "customer", sf_dir)
@@ -1343,10 +1361,12 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
     )
-    return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    fact = per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+    enriched, choice = advise_broadcast_join(
+        fact, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]
+    )
+    out = (
+        enriched.join(F.broadcast(n), enriched.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
@@ -1354,6 +1374,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+    return out, choice
 
 
 @register(

@@ -927,6 +927,29 @@ def test_stats_advisor_broadcast_choice(spark):
     assert choice == "shuffle", "full outer can broadcast neither side"
 
 
+def test_nation_revenue_join_strategy_follows_advisor(spark):
+    """The ANALYZE→plan loop, closed (VERDICT r10 #6): nation_revenue's
+    customer join is planned by advise_broadcast_join from measured
+    Catalyst sizes, so the ADVISED strategy must appear in the EXECUTED
+    plan — a stats regression that flips the advice flips the physical
+    plan with it, and a divergence (advice says broadcast, plan
+    shuffles, or vice versa) fails here."""
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import nation_revenue_parts
+
+    out, choice = nation_revenue_parts(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if choice in ("broadcast_left", "broadcast_right"):
+        # every join in this plan is then broadcast: no shuffle join ever
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+    else:
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # at test SF the customer dim is tiny and MUST be advised broadcast —
+    # a collapsed size estimate (the advisor's whole reason to exist)
+    # would silently degrade the headline plan
+    assert choice == "broadcast_right"
+
+
 def test_minhash_index_candidates_prunes_buckets(spark, tmp_path):
     """The persisted MinHash index's seek contract: a probe batch's scan
     of the stored relation must show a literal pbucket partition filter
