@@ -342,8 +342,10 @@ def compact_table(
     compaction is empty and downstream incremental consumers (rollups,
     index maintenance) see zero changes. Pre-compaction versions remain
     time-travelable until ``vacuum``; inside a multi-table snapshot
-    store, compact by publishing the compacted relation through
-    ``publish_snapshot`` instead so the manifest advances with it.
+    store, use ``sources/snapshot.py::compact_snapshot_table`` instead —
+    it publishes the compacted relation through ``publish_snapshot`` so
+    the manifest advances with it (this function would flip only the
+    per-table marker, which snapshot readers bypass).
 
     Returns {'version', 'files_before', 'files_after', 'bytes'}.
     ``coalesce`` (not repartition) keeps it shuffle-free; output file
