@@ -343,6 +343,39 @@ def test_encode_words_matches_python_reference(spark, words, n_merges):
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=0, max_size=6),  # INCLUDES ''
+        st.integers(1, 9),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(1, 5),
+)
+def test_train_bpe_incremental_equals_exact(spark, words, n_merges):
+    """operators/bpe.py::train_bpe_incremental ≡ train_bpe on arbitrary
+    word-count relations: the maintained pair-count relation (subtract
+    affected words' old pairs, add their rewritten pairs, fold the
+    delta) must reproduce the recount trainer's merge table EXACTLY —
+    sequence, spellings, weighted counts, early stop. Any drift in the
+    delta rule, the affected-word predicate, or the count>0 drop-out
+    diverges here."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_incremental,
+    )
+
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in sorted(words.items())], "word string, count long"
+    )
+    assert train_bpe_incremental(vocab, n_merges) == train_bpe(vocab, n_merges)
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
