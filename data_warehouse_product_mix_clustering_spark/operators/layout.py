@@ -175,6 +175,31 @@ def zorder_key(
     return _interleave_bits(grid_cols, bits)
 
 
+def _identity_partition_remap(spark, n: int) -> list[int]:
+    """For each target partition p in [0, n): an int x with
+    ``pmod(hash(x), n) == p``, so ``repartition(n, remapped)`` places
+    file id p EXACTLY in shuffle partition p (Spark's HashPartitioning
+    is pmod(murmur3(col), n); the DataFrame API exposes no identity
+    partitioner, so we pre-solve one preimage per partition with one
+    tiny deterministic job over a literal range — never the data).
+    Returned as a list indexed by p."""
+    remap: dict[int, int] = {}
+    base = 0
+    while len(remap) < n:
+        got = (
+            spark.range(base, base + 4096)
+            .select(
+                F.col("id").cast("int").alias("x"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+            )
+            .collect()
+        )
+        for r in got:
+            remap.setdefault(r["p"], r["x"])
+        base += 4096
+    return [remap[p] for p in range(n)]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -183,20 +208,67 @@ def write_zordered(
     bits: int = 8,
     mode: str = "quantile",
     curve: str = "morton",
+    max_exact_cells: int = 1 << 16,
 ) -> None:
-    """Write ``df`` re-clustered along the z-curve into ``n_files`` files.
+    """Write ``df`` re-clustered along the z-curve into ``n_files`` files
+    of contiguous curve segments (each file covers a compact multi-dim
+    cell — that is what footer min/max stats then prune on); a
+    partition-local sort tightens row-group stats within each file.
 
-    ``repartitionByRange`` on the z-key gives contiguous curve segments
-    per file (so each file covers a compact multi-dim cell — that is what
-    the footer min/max stats then prune on); the partition-local sort
-    tightens row-group stats within each file.
+    DETERMINISM (review r11 — a real flake): ``repartitionByRange``
+    draws its boundary sample with an RDD-id-dependent seed, so two runs
+    of the same layout job cut files at slightly different curve
+    positions and any file-count comparison downstream (the
+    zorder-pruning audit's hilbert-vs-morton row) flickers. The z-key
+    has BOUNDED cardinality by construction (≤ 2^(bits·dims) grid
+    cells, and ≤ |distinct rows| occupied), so when the OCCUPIED cell
+    count fits ``max_exact_cells`` (default 2^16 — the full grid for
+    the default 2-D bits=8 key) the writer instead computes the exact
+    per-cell histogram (one small shuffle), derives exactly
+    mass-balanced boundaries on the driver (bounded collect, the
+    centroid-sidecar class), and assigns files with a literal-boundary
+    fold — deterministic end-to-end AND better balanced than a sampled
+    split. Corpora whose occupied-cell count exceeds the cap fall back
+    to ``repartitionByRange`` (documented nondeterministic file cuts;
+    correctness is unaffected either way — only which file a row lands
+    in).
     """
     key = zorder_key(df, cols, bits, mode, curve)
+    keyed = df.withColumn("__zkey", key)
+    hist = (
+        keyed.groupBy("__zkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy("__zkey")
+        .limit(max_exact_cells + 1)
+        .collect()
+    )
+    if len(hist) <= max_exact_cells:
+        total = sum(r["__c"] for r in hist)
+        bounds: list[int] = []  # bounds[i] = last zkey of file i
+        cum = 0
+        target = 1
+        for r in hist:
+            cum += r["__c"]
+            while target < n_files and cum >= target * total / n_files:
+                bounds.append(int(r["__zkey"]))
+                target += 1
+        if bounds:
+            arr = F.array(*[F.lit(b) for b in bounds])
+            fid = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("__zkey") > b, 1).otherwise(0),
+            )
+        else:
+            fid = F.lit(0)
+        remap = _identity_partition_remap(keyed.sparkSession, n_files)
+        pt = F.element_at(F.array(*[F.lit(x) for x in remap]), fid + 1)
+        out = keyed.withColumn("__pt", pt).repartition(n_files, F.col("__pt"))
+    else:
+        out = keyed.repartitionByRange(n_files, "__zkey")
     (
-        df.withColumn("__zkey", key)
-        .repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
+        out.sortWithinPartitions("__zkey")
+        .drop("__zkey", "__pt")
         .write.mode("overwrite")
         .parquet(path)
     )
