@@ -492,8 +492,12 @@ def train_bpe_incremental(
             .coalesce(n_part)
             .localCheckpoint(eager=True)
         )
-        affected.unpersist()
-        rewritten.unpersist()  # pc/cur re-checkpointed above: no consumers
+        # No explicit unpersist: Dataset.unpersist does NOT release
+        # localCheckpoint blocks (verified on this PySpark — review r11).
+        # Rebinding affected/rewritten/pc/cur each round drops the last
+        # references; ContextCleaner reclaims the superseded rounds'
+        # blocks, the same GC-based lifecycle every per-iteration
+        # checkpoint in this repo (train_bpe, pagerank) relies on.
     return merges
 
 

@@ -555,21 +555,6 @@ def incremental_jaccard_pairs(
 
 _MINHASH_META = "_index.json"
 
-# Bounded retention of probe-batch signature checkpoints (see
-# minhash_index_candidates): a probe service issues many calls; each
-# call's candidate plan stays valid until 4 newer probes evict it.
-_PROBE_BATCH_RETAIN: list[DataFrame] = []
-_PROBE_BATCH_RETAIN_MAX = 4
-
-
-def _retain_probe_batch(df: DataFrame) -> None:
-    _PROBE_BATCH_RETAIN.append(df)
-    while len(_PROBE_BATCH_RETAIN) > _PROBE_BATCH_RETAIN_MAX:
-        try:
-            _PROBE_BATCH_RETAIN.pop(0).unpersist()
-        except Exception:
-            pass  # session already stopped; nothing to release
-
 
 def _minhash_bucket_rows(
     df: DataFrame,
@@ -675,6 +660,26 @@ def _minhash_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _minhash_cols(meta: dict, text_col: str | None) -> tuple[str, str]:
+    """Resolve (id_col, text_col) from the index's OWN meta — never from
+    caller defaults (ADVICE r10: defaults could silently key on a
+    coincidental column). ``id_col`` has been in the meta since the
+    format existed. ``text_col`` was added r11, so a LEGACY index may
+    lack it; for those the caller-supplied override is the only correct
+    source (else the historical 'text' default). When the meta DOES
+    carry text_col, a conflicting override is an error, not a silent
+    pick (review r11: the first cut dropped the parameter entirely,
+    which left legacy custom-column indexes with no correct
+    maintenance path at all)."""
+    stored = meta.get("text_col")
+    if stored is not None and text_col is not None and stored != text_col:
+        raise ValueError(
+            f"minhash index was built with text_col={stored!r}; caller "
+            f"passed {text_col!r} — refusing to sign the wrong column"
+        )
+    return meta.get("id_col", "doc_id"), stored or text_col or "text"
+
+
 def read_minhash_buckets(spark, index_dir: str) -> DataFrame:
     """The persisted bucket relation — typed-EMPTY when the index holds
     zero signature rows (an all-empty-text corpus, or a maintenance run
@@ -698,6 +703,7 @@ def update_minhash_index(
     spark,
     index_dir: str,
     diff: DataFrame,
+    text_col: str | None = None,
 ) -> dict:
     """Maintain the persisted signature relation from a CDC change set
     (``sources/versioned.py::version_diff`` shape) — cost O(touched
@@ -707,10 +713,10 @@ def update_minhash_index(
     union of their ``pbucket`` partitions rewrites. Commit-marker
     protected; a torn index refuses maintenance (rebuild recovers).
 
-    The id/text column names come from the index's own meta sidecar —
-    never from the caller — so an index built with custom columns cannot
-    be maintained against the wrong ones (review r10: the old parameter
-    defaults could silently key on a coincidental ``doc_id`` column).
+    The id/text column names come from the index's own meta sidecar
+    (``_minhash_cols`` — ADVICE r10); ``text_col`` is accepted only for
+    LEGACY indexes whose meta predates the field, and must match the
+    meta when both exist.
 
     Returns {'added','removed','changed','buckets_touched'}.
     """
@@ -725,8 +731,7 @@ def update_minhash_index(
 
     require_committed(index_dir, "MinHash")
     meta = _minhash_meta(index_dir)
-    id_col = meta.get("id_col", "doc_id")
-    text_col = meta.get("text_col", "text")  # legacy metas predate text_col
+    id_col, text_col = _minhash_cols(meta, text_col)
     params = (meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"])
     d = diff.select(
         id_col,
@@ -783,6 +788,7 @@ def minhash_index_candidates(
     spark,
     index_dir: str,
     batch: DataFrame,
+    text_col: str | None = None,
 ) -> DataFrame:
     """(doc_new, doc_corpus) candidate near-dup pairs between ``batch``
     and the indexed corpus: the batch signatures (computed with the
@@ -793,7 +799,8 @@ def minhash_index_candidates(
     the caller's next step, same contract as ``minhash_lsh_pairs
     (verify=False)``. Self-pairs (a batch doc already indexed under the
     same id) are excluded. The id/text column names come from the
-    index's own meta sidecar, never from the caller (review r10).
+    index's own meta sidecar (``_minhash_cols``); ``text_col`` is
+    accepted only for legacy metas that predate the field.
     """
     import os
 
@@ -806,17 +813,17 @@ def minhash_index_candidates(
     # (eager localCheckpoint — lineage truncation makes re-evaluation
     # impossible, which is the correctness point: a nondeterministic
     # batch source cannot silently shrink the filter out from under the
-    # join). The checkpoint lives in a bounded LRU (cap 4) instead of
-    # leaking one relation per call in a probe-per-batch service (review
-    # r10); an evicted probe's unconsumed plan fails LOUDLY on missing
-    # checkpoint blocks rather than returning incomplete candidates.
-    id_col = meta.get("id_col", "doc_id")
-    text_col = meta.get("text_col", "text")  # legacy metas predate text_col
+    # join). Storage honesty (review r11, verified on this PySpark:
+    # Dataset.unpersist does NOT release localCheckpoint blocks): the
+    # blocks live until Spark's ContextCleaner reclaims the checkpointed
+    # RDD after its LAST reference — the returned candidate plan — is
+    # dropped, so a probe-per-batch service holds at most its LIVE
+    # probes' signatures, never an unbounded backlog.
+    id_col, text_col = _minhash_cols(meta, text_col)
     batch_rows = _minhash_bucket_rows(
         batch, id_col, text_col,
         meta["n"], meta["num_hashes"], meta["bands"], meta["seed"], meta["n_buckets"],
     ).localCheckpoint(eager=True)
-    _retain_probe_batch(batch_rows)
     probe_buckets = sorted(
         r["pbucket"] for r in batch_rows.select("pbucket").distinct().collect()
     )

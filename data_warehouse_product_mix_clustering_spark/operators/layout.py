@@ -223,8 +223,10 @@ def write_zordered(
     has BOUNDED cardinality by construction (≤ 2^(bits·dims) grid
     cells, and ≤ |distinct rows| occupied), so when the OCCUPIED cell
     count fits ``max_exact_cells`` (default 2^16 — the full grid for
-    the default 2-D bits=8 key) the writer instead computes the exact
-    per-cell histogram (one small shuffle), derives exactly
+    the default 2-D bits=8 key; gated by a shuffle-free
+    approx_count_distinct sketch so the fallback regime never pays the
+    histogram shuffle it would discard) the writer instead computes the
+    exact per-cell histogram (one small shuffle), derives exactly
     mass-balanced boundaries on the driver (bounded collect, the
     centroid-sidecar class), and assigns files with a literal-boundary
     fold — deterministic end-to-end AND better balanced than a sampled
@@ -235,14 +237,25 @@ def write_zordered(
     """
     key = zorder_key(df, cols, bits, mode, curve)
     keyed = df.withColumn("__zkey", key)
+    # Cheap sketch gate BEFORE the exact histogram (review r11): on a
+    # corpus that will fall back anyway, paying the full groupBy shuffle
+    # just to discover "too many cells" wastes a pass exactly where
+    # passes are most expensive. approx_count_distinct is one scan with
+    # no shuffle; its ~5% error only moves borderline corpora between
+    # two CORRECT paths (a slightly-over-cap exact collect is harmless,
+    # a slightly-early fallback just keeps the sampled cuts).
+    approx_cells = keyed.agg(
+        F.approx_count_distinct("__zkey").alias("c")
+    ).first()["c"]
     hist = (
         keyed.groupBy("__zkey")
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy("__zkey")
-        .limit(max_exact_cells + 1)
         .collect()
+        if approx_cells <= max_exact_cells
+        else []
     )
-    if len(hist) <= max_exact_cells:
+    if hist and len(hist) <= 2 * max_exact_cells:
         total = sum(r["__c"] for r in hist)
         bounds: list[int] = []  # bounds[i] = last zkey of file i
         cum = 0

@@ -1404,9 +1404,16 @@ def semantic_dedup(
     hold a large corpus fraction and n_c² pair rows would be the
     scale-killer — reroute through ``_giant_cell_dups``'s blocked-GEMM
     kernel (shuffle volume n_c·n_blocks, BLAS matmul per block pair,
-    identical rounded-threshold rule), so routing is a pure plan choice:
-    both paths emit the same duplicate set, pinned by a both-paths-agree
-    test with a deliberately giant cell. Clustering is seeded and
+    identical rounded-threshold rule), so routing is a plan choice: both
+    paths emit the same duplicate set, pinned by a both-paths-agree test
+    with a deliberately giant cell. One honest caveat (review r11 — the
+    same residual ``block_cosine_pairs`` carries vs its crossJoin twin):
+    the kernel accumulates in BLAS order while the JVM path folds
+    sequentially, so a pair whose cosine sits within ~1e-13 of a
+    0.5e-6 rounding boundary could round apart across paths; the +1e-9
+    nudge clears every RATIONAL boundary case, leaving only that
+    measure-zero FP band (never observed on the attested corpora).
+    Clustering is seeded and
     assignment is the frozen `assign_to_centers` expression, so the
     output is deterministic end-to-end; rounding matches ``ratio_round``
     so threshold decisions are engine-portable."""

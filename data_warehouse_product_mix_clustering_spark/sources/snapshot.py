@@ -219,6 +219,7 @@ def compact_snapshot_table(
     store_dir: str,
     name: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    expected_snapshot: int | None = None,
 ) -> dict:
     """Small-file compaction INSIDE a snapshot store: republish ``name``'s
     current rows at ≈``target_file_bytes`` per file THROUGH
@@ -238,10 +239,28 @@ def compact_snapshot_table(
     intact); pre-compaction snapshots stay time-travelable until
     ``vacuum_snapshots``.
 
+    Concurrency (review r11): compaction reads rows from a BASIS version
+    and republishes them — so a writer that commits fresh rows for the
+    same table inside the read→publish window would be silently reverted
+    by a compaction that wins the pointer. The basis snapshot is
+    therefore pinned (``expected_snapshot``, default the current one at
+    entry) and VALIDATED after commit: if any snapshot between basis and
+    the compaction republished ``name``, the compaction repoints the
+    store to the newest conflicting commit (iff it still holds the
+    pointer) and raises — stale rows never stay current silently. The
+    residual window (a rival committing after the check) is the store's
+    documented optimistic-commit contract: both snapshots stay in
+    history, nothing is lost.
+
     Returns {'snapshot', 'version', 'files_before', 'files_after',
     'bytes'}.
     """
-    manifest = snapshot_manifest(store_dir)
+    basis = expected_snapshot if expected_snapshot is not None else current_snapshot(
+        store_dir
+    )
+    if basis is None:
+        raise LookupError(f"no snapshot published in {store_dir}")
+    manifest = snapshot_manifest(store_dir, basis)
     if name not in manifest:
         raise LookupError(f"table {name!r} not in snapshot manifest {manifest}")
     v_cur = manifest[name]
@@ -255,6 +274,20 @@ def compact_snapshot_table(
     n_out = max(1, -(-total // target_file_bytes))
     df = read_table(spark, tdir, v_cur).coalesce(int(n_out))
     sid = publish_snapshot(store_dir, {name: df})
+    conflicts = [
+        s
+        for s in snapshots(store_dir)
+        if basis < s < sid and snapshot_manifest(store_dir, s).get(name, v_cur) != v_cur
+    ]
+    if conflicts:
+        if current_snapshot(store_dir) == sid:
+            rollback_snapshot(store_dir, max(conflicts))
+        raise RuntimeError(
+            f"compact_snapshot_table: {name!r} was republished by "
+            f"snapshot(s) {conflicts} between basis {basis} and the "
+            f"compaction commit {sid}; the compacted snapshot is based on "
+            f"stale v{v_cur} rows — pointer restored, re-run compaction"
+        )
     v_new = snapshot_manifest(store_dir, sid)[name]
     after = len(
         [

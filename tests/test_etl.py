@@ -1357,6 +1357,44 @@ def test_compact_snapshot_table(spark, tmp_path):
         compact_snapshot_table(spark, store, "nope")
 
 
+def test_compact_snapshot_table_detects_concurrent_republish(spark, tmp_path):
+    """Compaction republishes rows read from a BASIS version; a rival
+    commit of the SAME table inside the read→publish window must not be
+    silently reverted by the compaction winning the pointer (review
+    r11). Pinned via expected_snapshot: compacting from a stale basis
+    must publish, detect the rival, restore the pointer to the rival's
+    commit, and raise — the rival's rows stay current."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.snapshot import (
+        compact_snapshot_table,
+        current_snapshot,
+        publish_snapshot,
+        read_snapshot_table,
+        snapshots,
+    )
+
+    store = str(tmp_path / "store")
+    fact0 = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    sid0 = publish_snapshot(store, {"fact": fact0.repartition(4)})
+
+    # rival commits fresh rows while the compaction (below) is "reading"
+    fact1 = spark.range(60).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    sid1 = publish_snapshot(store, {"fact": fact1})
+
+    with pytest.raises(RuntimeError, match="republished"):
+        compact_snapshot_table(spark, store, "fact", expected_snapshot=sid0)
+
+    # the rival's commit holds the pointer; its rows are current
+    assert current_snapshot(store) == sid1
+    got = sorted((r["id"], r["v"]) for r in read_snapshot_table(spark, store, "fact").collect())
+    assert got == [(i, i * 3) for i in range(60)]
+    # the stale compaction stays in HISTORY (optimistic siblings), never current
+    assert len(snapshots(store)) == 3
+
+
 def test_write_small_file_exclusive_same_process_race():
     """The exclusive-create primitive must isolate SAME-PROCESS racers:
     threads share a pid, so a pid-only temp suffix let one thread
@@ -1510,3 +1548,24 @@ def test_refresh_feeds_minhash_index_maintenance(spark, tmp_path):
         for r in minhash_index_candidates(spark, idx, probe).collect()
     }
     assert (4, 1) in cands
+
+
+def test_minhash_cols_resolution_rules():
+    """Column resolution for the persisted MinHash index (ADVICE r10 +
+    review r11): meta wins; a caller override is legal only for legacy
+    metas that predate text_col (then it is the ONLY correct source);
+    a conflicting override on a modern meta refuses rather than signing
+    the wrong column."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import _minhash_cols
+
+    modern = {"id_col": "k", "text_col": "body"}
+    assert _minhash_cols(modern, None) == ("k", "body")
+    assert _minhash_cols(modern, "body") == ("k", "body")
+    with pytest.raises(ValueError, match="refusing"):
+        _minhash_cols(modern, "text")
+
+    legacy = {"id_col": "k"}  # pre-r11 meta: no text_col recorded
+    assert _minhash_cols(legacy, None) == ("k", "text")  # historical default
+    assert _minhash_cols(legacy, "body") == ("k", "body")  # caller knows best
