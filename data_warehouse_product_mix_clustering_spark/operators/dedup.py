@@ -771,10 +771,10 @@ def update_minhash_index(
             new_rows.select(id_col, "band", "key", "pbucket")
         ).localCheckpoint(eager=True)  # feeds the write + emptied-dir diff
         overwrite_touched_partitions(updated, path, "pbucket", touched)
-        updated.unpersist()
     _mark_committed(index_dir)
-    d.unpersist()
-    new_rows.unpersist()
+    # No explicit unpersist: Dataset.unpersist does NOT release
+    # localCheckpoint blocks (review r11); the per-call relations become
+    # unreferenced on return and ContextCleaner reclaims them.
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),

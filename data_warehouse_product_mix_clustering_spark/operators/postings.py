@@ -351,7 +351,9 @@ def update_postings_index(
         [(n_docs, total_dl, (total_dl / n_docs) if n_docs else None)],
         "n_docs long, total_dl long, avgdl double",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
-    d.unpersist()
+    # No explicit unpersist: Dataset.unpersist does NOT release
+    # localCheckpoint blocks (review r11); d releases via ContextCleaner
+    # once unreferenced.
     _mark_committed(index_dir)
     return {
         "added": counts.get("added", 0),

@@ -1187,11 +1187,12 @@ def update_ivf_index(
             new_assigned
         ).localCheckpoint(eager=True)  # feeds the write + the emptied-dir diff
         _overwrite_touched(updated, cells_path, touched)
-        updated.unpersist()
     drift = _bump_maint_meta(index_dir, d.count())
     _mark_committed(index_dir)
-    d.unpersist()
-    new_assigned.unpersist()
+    # No explicit unpersist: Dataset.unpersist does NOT release
+    # localCheckpoint blocks (review r11, verified on this PySpark);
+    # the per-call relations become unreferenced on return and
+    # ContextCleaner reclaims their blocks.
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),
@@ -1275,12 +1276,10 @@ def update_ivfpq_index(
             new_assigned
         ).localCheckpoint(eager=True)
         _overwrite_touched(updated_vecs, vec_path, touched)
-        updated_codes.unpersist()
-        updated_vecs.unpersist()
     drift = _bump_maint_meta(index_dir, d.count())
     _mark_committed(index_dir)
-    d.unpersist()
-    new_assigned.unpersist()
+    # No explicit unpersist: see update_ivf_index — localCheckpoint
+    # blocks release via ContextCleaner once unreferenced.
     return {
         "added": counts.get("added", 0),
         "removed": counts.get("removed", 0),
