@@ -133,6 +133,164 @@ SQL_UNIGRAM_SELF_SCORE = """
 """
 
 
+def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair, document order
+    preserved by construction (the pair list is built per row with a
+    JVM transform, zero joins/windows). Docs with < 2 tokens contribute
+    no rows — the same absent-empty-doc rule as the unigram scorer,
+    extended to single-token docs which have no transition to score.
+    The size ≥ 2 gate also keeps sequence() ascending (the
+    counts-down-through-zero ANSI hazard word_ngrams documents)."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 1).alias("w1"),
+            F.element_at("__t", i).alias("w2"),
+        ),
+    )
+    return toks.select(id_col, F.explode(pairs).alias("__p")).select(
+        id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(w1, w2, logp) — add-α-smoothed conditional bigram
+    log2-probabilities over the whitespace tokenization:
+    p(w2|w1) = (c(w1,w2) + a) / (c(w1·) + a·V), with c(w1·) = transitions
+    starting at w1 and V = |unigram vocabulary| (ALL tokens, so the
+    smoothing mass covers continuations never seen after w1). One more
+    rung of the CCNet ladder above ``unigram_lm`` — still exactly
+    SQL-mirrorable (``SQL_BIGRAM_SELF_SCORE``), still one shuffle on the
+    pair key plus two broadcast scalars. Pre-staged for r12 registration
+    (r11's new-query budget is spent), same discipline as the unigram's
+    r10→r11 path."""
+    tr = _transitions(docs, "doc_id", text_col).select("w1", "w2")
+    pair_counts = tr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    w1_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+
+    vocab = F.broadcast(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("__v"))
+    )
+    a = float(smoothing)
+    return (
+        pair_counts.join(w1_counts, "w1")
+        .crossJoin(vocab)
+        .select(
+            "w1",
+            "w2",
+            F.log2(
+                (F.col("c12") + F.lit(a))
+                / (F.col("c1") + F.lit(a) * F.col("__v"))
+            ).alias("logp"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-document bigram perplexity proxy, self-scored:
+    (id, n_transitions, bits_per_token) with bits_per_token =
+    -(1/(n-1))·Σ log2 p(wᵢ|wᵢ₋₁) over the doc's n-1 transitions. Docs
+    with < 2 tokens are ABSENT (nothing to score). Self-scoring makes
+    OOV impossible (every transition is in the LM by construction), so
+    unlike the unigram scorer there is no floor path; cross-corpus
+    scoring should fit the LM on the reference corpus and coalesce
+    misses to a floor exactly like ``unigram_logprob_scores`` — kept out
+    until a consumer needs it rather than shipped untested."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    lm = bigram_lm(docs, text_col, smoothing)
+    tr = _transitions(docs, id_col, text_col)
+    return (
+        tr.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            ratio_round(-F.avg("logp"), round_out).alias("bits_per_token"),
+        )
+    )
+
+
+# DuckDB twin of the self-scored bigram rule, adjacent so the r12
+# registration cannot drift. {tokens} = sql_tokens('text').
+SQL_BIGRAM_SELF_SCORE = """
+    WITH toks AS (
+        SELECT doc_id, {tokens} AS t FROM documents
+    ), tr AS (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+            FROM toks WHERE len(t) >= 2
+        )
+    ), pc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2
+    ), w1c AS (
+        SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1
+    ), v AS (
+        SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        FROM (SELECT unnest(t) AS w FROM toks)
+    ), lm AS (
+        SELECT w1, w2, log2((c12 + {a}) / (c1 + {a} * v)) AS logp
+        FROM pc JOIN w1c USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           {round_avg} AS bits_per_token
+    FROM tr JOIN lm USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+
+def bigram_logprob_py(
+    corpus: dict[int, list[str]], smoothing: float = 0.5
+) -> dict[int, tuple[int, float]]:
+    """Driver-side reference twin of the self-scored bigram path."""
+    import math
+
+    pc: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for toks in corpus.values():
+        vocab.update(toks)
+        for i in range(1, len(toks)):
+            pc[(toks[i - 1], toks[i])] = pc.get((toks[i - 1], toks[i]), 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), c in pc.items():
+        c1[w1] = c1.get(w1, 0) + c
+    v = float(len(vocab))
+    a = smoothing
+    logp = {
+        (w1, w2): math.log2((c + a) / (c1[w1] + a * v))
+        for (w1, w2), c in pc.items()
+    }
+    out = {}
+    for i, toks in corpus.items():
+        if len(toks) < 2:
+            continue
+        trs = [(toks[j - 1], toks[j]) for j in range(1, len(toks))]
+        mean = sum(logp[t] for t in trs) / len(trs)
+        out[i] = (len(trs), round(-mean + 1e-9, 6))
+    return out
+
+
 def unigram_logprob_py(
     corpus: dict[int, list[str]], smoothing: float = 0.5
 ) -> dict[int, tuple[int, float]]:

@@ -524,3 +524,43 @@ def test_unigram_logprob_cross_corpus_oov_floor(spark):
     }
     assert abs(got[1] - round(-floor + 1e-9, 6)) <= 1e-6
     assert got[2] < got[1]  # one in-vocab word must lower the bits
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_logprob_matches_python_reference(spark, corpus):
+    """operators/lm.py bigram self-scored path ≡ the python twin on
+    arbitrary corpora — pins the conditional-probability smoothing
+    (c(w1,w2)+a over c(w1·)+a·V with V the FULL unigram vocabulary),
+    the transition extraction (adjacent pairs, document order, repeats
+    kept), the rounded mean, and the <2-token drop rule."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import (
+        bigram_logprob_py,
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["bits_per_token"])
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    want = bigram_logprob_py({i: d for i, d in enumerate(corpus)})
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
