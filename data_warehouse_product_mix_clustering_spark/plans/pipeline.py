@@ -939,7 +939,13 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_box,
                 bool(z_pk < zt),
                 bool(z_sk < zt),
-                bool(lin_sk == lt == n_files),
+                # blindness = the linear layout reads ALL its files on
+                # its unsorted dimension; not pinned to exactly n_files
+                # because repartitionByRange's sampled boundaries can
+                # leave a partition empty (the review-r11 flake class —
+                # the linear twin deliberately KEEPS the sampled range
+                # writer, it is the thing being contrasted)
+                bool(lin_sk == lt and lt >= n_files // 2),
                 bool(z_2d <= min(z_pk, z_sk)),
                 bool(h_2d <= z_2d),
                 bool(h_rows == n_total),
