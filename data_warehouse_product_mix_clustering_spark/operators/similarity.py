@@ -1290,24 +1290,29 @@ def update_ivfpq_index(
     }
 
 
-def _giant_cell_dups(
+def _giant_cell_pairs(
     giant: DataFrame,
     id_col: str,
     id_type: str,
     threshold: float,
     round_out: int,
     n_blocks: int,
+    emit_pairs: bool,
 ) -> DataFrame:
-    """Duplicate ids among skew-hot SemDeDup cells via the blocked-GEMM
-    kernel of ``block_cosine_pairs`` scoped PER CELL: rows replicate to
-    the (cell, block-pair) grid (shuffle volume n_c·B per cell, never
-    n_c²), each group computes its cosine sub-matrix with one BLAS
-    matmul, and only the HIGHER id of each above-threshold pair is
-    emitted — exactly the lower-id-witness rule. Rounding matches
-    ``ratio_round`` (+1e-9 nudge) so routing never changes the answer.
-    Zero-norm rows normalize to NaN; NaN comparisons are False, so they
-    are never emitted — the same never-a-duplicate rule as the
-    JVM path's NULL cosine."""
+    """Above-threshold cosine relations among skew-hot SemDeDup cells via
+    the blocked-GEMM kernel of ``block_cosine_pairs`` scoped PER CELL:
+    rows replicate to the (cell, block-pair) grid (shuffle volume n_c·B
+    per cell, never n_c²) and each group computes its cosine sub-matrix
+    with one BLAS matmul. ``emit_pairs=True`` returns the pair relation
+    (vec_a < vec_b — the group-semantics consumer's input);
+    ``emit_pairs=False`` returns only the distinct HIGHER id of each
+    passing pair (the lower-id-witness duplicate rule — strictly less
+    kernel output on dup-heavy cells, where threshold pairs approach
+    n_c² but unique dups are ≤ n_c). Rounding matches ``ratio_round``
+    (+1e-9 nudge) so routing never changes the answer. Zero-norm rows
+    normalize to NaN; NaN comparisons are False, so they are never
+    emitted — the same never-a-duplicate rule as the JVM path's NULL
+    cosine."""
     import numpy as np
     import pandas as pd
 
@@ -1346,24 +1351,45 @@ def _giant_cell_dups(
             np.round(cos2d, round_out, out=cos2d)
             with np.errstate(invalid="ignore"):
                 ii, jj = np.nonzero(np.triu(cos2d >= threshold, k=1))
-            dup = ids[jj]  # ids sorted: jj > ii ⇒ higher id
+            lo, hi = ids[ii], ids[jj]  # ids sorted: jj > ii ⇒ higher id
         else:
             blk = pdf["blk"].to_numpy()[order]
             ma, mb = blk == b1, blk == b2
             if not ma.any() or not mb.any():
+                if emit_pairs:
+                    return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0]})
                 return pd.DataFrame({"vid": ids[:0]})
             cos2d = X[ma] @ X[mb].T
             np.add(cos2d, eps, out=cos2d)
             np.round(cos2d, round_out, out=cos2d)
             with np.errstate(invalid="ignore"):
                 ii, jj = np.nonzero(cos2d >= threshold)
-            dup = np.maximum(ids[ma][ii], ids[mb][jj])
-        return pd.DataFrame({"vid": np.unique(dup)})
+            ia, ib = ids[ma][ii], ids[mb][jj]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        if emit_pairs:
+            return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+        return pd.DataFrame({"vid": np.unique(hi)})
 
-    return (
-        rep.groupBy("__cell", "b1", "b2")
-        .applyInPandas(kernel, f"vid {id_type}")
-        .select(F.col("vid").alias(id_col))
+    grouped = rep.groupBy("__cell", "b1", "b2")
+    if emit_pairs:
+        return grouped.applyInPandas(kernel, f"vec_a {id_type}, vec_b {id_type}")
+    return grouped.applyInPandas(kernel, f"vid {id_type}").select(
+        F.col("vid").alias(id_col)
+    )
+
+
+def _giant_cell_dups(
+    giant: DataFrame,
+    id_col: str,
+    id_type: str,
+    threshold: float,
+    round_out: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Distinct higher-id-of-pair relation (the duplicate set) — the
+    ``emit_pairs=False`` projection of ``_giant_cell_pairs``."""
+    return _giant_cell_pairs(
+        giant, id_col, id_type, threshold, round_out, n_blocks, emit_pairs=False
     )
 
 
@@ -1386,11 +1412,13 @@ def semantic_dedup(
     ALL same-cluster rows (not just survivors) — one join, no iteration,
     order-free, deterministic. Known property of this ubiquitous greedy
     variant: removals can CHAIN (ids 1-2 close, 2-3 close, 1-3 far ⇒ 2
-    and 3 both removed though 3's only witness was itself removed), so
-    it prunes at least as much as one-representative-per-ε-neighborhood;
-    callers needing group semantics (each removed row shares a GROUP
-    with its survivor) should feed the threshold pairs through
-    ``operators/dedup.py::connected_components`` + keep-min-id instead.
+    and 3 both removed though 3's only witness was itself removed), and
+    a removed row cannot name which survivor displaced it; callers
+    needing that audit trail (each removed row shares a GROUP with its
+    surviving representative) should use ``semantic_dedup_groups``
+    (r11), which keeps exactly one minimum-id representative per
+    threshold-pair connected component — a SUBSET of this rule's
+    survivors (test-pinned containment, see its docstring).
     Zero-norm vectors have undefined cosine (NULL via ``try_divide``
     under ANSI) and are therefore never anyone's duplicate — they always
     survive (pinned with a zero-norm test row, review r11).
@@ -1416,25 +1444,11 @@ def semantic_dedup(
     assignment is the frozen `assign_to_centers` expression, so the
     output is deterministic end-to-end; rounding matches ``ratio_round``
     so threshold decisions are engine-portable."""
-    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
-
     id_type = df.schema[id_col].dataType.simpleString()
     _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
-    sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n_c"))
-    routed = assigned.join(F.broadcast(sizes), "__cell")
-    small = routed.filter(F.col("__n_c") <= giant_cell_rows)
-    giant = routed.filter(F.col("__n_c") > giant_cell_rows)
-
-    a = small.select(F.col(id_col).alias("__ia"), F.col("__v").alias("__va"), "__cell")
-    b = small.select(F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"), "__cell")
-    dups_small = (
-        a.join(b, "__cell")
-        .filter(F.col("__ib") < F.col("__ia"))
-        .filter(
-            ratio_round(cosine(F.col("__va"), F.col("__vb")), round_out)
-            >= threshold
-        )
-        .select(F.col("__ia").alias(id_col))
+    small, giant = _route_cells(assigned, giant_cell_rows)
+    dups_small = _small_cell_pairs(small, id_col, threshold, round_out).select(
+        F.col("vec_b").alias(id_col)
     )
     dups = (
         dups_small.unionByName(
@@ -1443,3 +1457,120 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dups, id_col, "left_anti").select(id_col, "__cell")
+
+
+def _route_cells(
+    assigned: DataFrame, giant_cell_rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """(small, giant) split of the frozen assignment by per-cell row
+    count — the SemDeDup skew gate; cell sizes broadcast."""
+    sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n_c"))
+    routed = assigned.join(F.broadcast(sizes), "__cell")
+    return (
+        routed.filter(F.col("__n_c") <= giant_cell_rows),
+        routed.filter(F.col("__n_c") > giant_cell_rows),
+    )
+
+
+def _small_cell_pairs(
+    small: DataFrame, id_col: str, threshold: float, round_out: int
+) -> DataFrame:
+    """(vec_a, vec_b) within-cell pairs at rounded cosine ≥ threshold,
+    vec_a < vec_b — the per-pair JVM formulation for gate-sized cells.
+    NULL cosine (zero norm, via try_divide) never passes the filter."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    a = small.select(F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__cell")
+    b = small.select(F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__cell")
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            ratio_round(cosine(F.col("__va"), F.col("__vb")), round_out)
+            >= threshold
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_out: int = 6,
+    giant_cell_rows: int = 8192,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(vec_a, vec_b) — every within-cell pair at rounded cosine ≥
+    ``threshold``, vec_a < vec_b, under the same frozen clustering and
+    skew routing as ``semantic_dedup`` (small cells per-pair JVM, giant
+    cells blocked GEMM with ``emit_pairs=True``). This is the EDGE
+    relation the group-semantics consumer needs; plain dedup should call
+    ``semantic_dedup`` instead, whose giant-cell kernel emits only
+    unique duplicate ids (≤ n_c rows where the pair relation can
+    approach n_c² on dup-heavy cells)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
+    small, giant = _route_cells(assigned, giant_cell_rows)
+    return _small_cell_pairs(small, id_col, threshold, round_out).unionByName(
+        _giant_cell_pairs(
+            giant, id_col, id_type, threshold, round_out, n_blocks, emit_pairs=True
+        )
+    )
+
+
+def semantic_dedup_groups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_out: int = 6,
+    giant_cell_rows: int = 8192,
+    n_blocks: int = 8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """GROUP-semantics SemDeDup — the alternative ``semantic_dedup``'s
+    docstring names for callers who need every removed row to share a
+    group with its survivor: the within-cell threshold pairs
+    (``semantic_dedup_pairs``) feed ``connected_components`` label
+    propagation, and each row gets its component's minimum member id as
+    ``group_id`` (unpaired rows are their own group). Returns
+    (id, __cell, group_id) for EVERY input row; keep-one-per-group =
+    filter id == group_id. Relation to the greedy rule, stated exactly
+    (test-pinned): component minima always survive greedy too (their
+    neighbors are inside their component, so none has a lower id), so
+    representatives ⊆ greedy survivors — keep-one-per-component prunes
+    AT LEAST as much, because greedy additionally keeps rows whose only
+    threshold witnesses are HIGHER ids. What groups buy is the
+    audit-trail semantics: every removed row names a surviving
+    representative via group_id, which the greedy chain rule cannot
+    promise. Scale: pairs as in semantic_dedup_pairs; label propagation is
+    O(component diameter) small shuffles over the pairs-sized edge
+    relation (components are duplicate clusters — shallow)."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import connected_components
+
+    _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
+    small, giant = _route_cells(assigned, giant_cell_rows)
+    id_type = df.schema[id_col].dataType.simpleString()
+    pairs = _small_cell_pairs(small, id_col, threshold, round_out).unionByName(
+        _giant_cell_pairs(
+            giant, id_col, id_type, threshold, round_out, n_blocks, emit_pairs=True
+        )
+    )
+    comps = connected_components(
+        pairs, "vec_a", "vec_b", max_iterations=max_iterations
+    ).withColumnRenamed("id", id_col)
+    return (
+        assigned.select(id_col, "__cell")
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            "__cell",
+            F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+        )
+    )

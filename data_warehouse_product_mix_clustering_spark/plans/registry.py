@@ -123,12 +123,16 @@ _DRIVER_PRIORITY: list[str] = [
     # entries below lead round 12; at round-12 start, any NEW r12 queries
     # insert at the very top of this list (keep <= ~10 so the r7 tail clears
     # and the r8 cohort rotates in after these).
-    # Registration-ready r12 candidate (operator + twins + tests landed
+    # Registration-ready r12 candidates (operators + twins + tests landed
     # r11, only the @register deferred): `doc_bigram_logprob`
     # (operators/lm.py::bigram_logprob_scores — its verbatim DuckDB twin
     # SQL_BIGRAM_SELF_SCORE sits next to the operator, builder-verified
     # value-exact at sf0.001 AND sf0.01; the registration is a paste,
-    # mirroring doc_unigram_logprob's r10->r11 path).
+    # mirroring doc_unigram_logprob's r10->r11 path) and a
+    # `semantic_dedup_groups_audit` contract row
+    # (operators/similarity.py::semantic_dedup_groups, pinned r11 vs a
+    # python union-find twin; audit shape = semantic_dedup_audit's:
+    # routing-agreement + reps⊆greedy containment + groups bite).
     "media_wav_metadata",
     "monthly_revenue_gapfill",
     "nation_profit_by_year",

@@ -1638,3 +1638,92 @@ def test_semantic_dedup_giant_cell_routing_agrees(spark):
     assert all_gemm == all_join == mixed
     assert len(all_gemm) < 501, "threshold 0.4 must remove at least one row"
     assert 100000 in {v for v, _ in all_gemm}, "zero-norm survives the GEMM path"
+
+
+def test_semantic_dedup_groups_matches_union_find(spark):
+    """operators/similarity.py::semantic_dedup_groups — the
+    group-semantics variant: every row labeled with its threshold-pair
+    connected component's minimum id, computed against a python
+    union-find over the brute-force within-cell pair set on the SAME
+    frozen assignment; identical across routing gates; unpaired rows
+    (incl. a zero-norm row — NULL/NaN cosine) are their own group; and
+    keep-one-per-group removes NO MORE than the greedy semantic_dedup
+    (the chain property, asserted as a set relation)."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        fit_ivf_codebook,
+        semantic_dedup,
+        semantic_dedup_groups,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = (
+        table(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .unionByName(
+            spark.createDataFrame(
+                [(100000, [0.0] * 64)], "vec_id long, embedding array<double>"
+            ).select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            )
+        )
+    )
+
+    def run(gate):
+        return {
+            r["vec_id"]: r["group_id"]
+            for r in semantic_dedup_groups(
+                emb, nlist=4, threshold=0.4, seed=42, giant_cell_rows=gate
+            ).collect()
+        }
+
+    got = run(10**9)
+    assert got == run(0) == run(120)  # routing is a pure plan choice
+
+    # python union-find twin on the same frozen assignment
+    _, assigned = fit_ivf_codebook(emb, "vec_id", "embedding", 4, 42)
+    rows = assigned.select("vec_id", "__v", "__cell").collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["__cell"], []).append((r["vec_id"], list(r["__v"])))
+    parent = {r["vec_id"]: r["vec_id"] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return float("-inf")
+        return round(d / (na * nb) + 1e-9, 6)
+
+    for members in by_cell.values():
+        for i, (vi, v) in enumerate(members):
+            for vj, w in members[:i]:
+                if cos(v, w) >= 0.4:
+                    ra, rb = find(vi), find(vj)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+    assert got[100000] == 100000  # zero-norm: own group
+    assert any(g != v for v, g in got.items()), "threshold 0.4 must group"
+
+    # containment: every component MINIMUM has no lower-id neighbor at
+    # threshold (its neighbors are in its component), so it must survive
+    # the greedy rule too — reps ⊆ greedy. The reverse is false: greedy
+    # keeps rows whose only witnesses are HIGHER ids, so keep-one-per-
+    # component prunes at least as much as greedy.
+    greedy = {r["vec_id"] for r in semantic_dedup(
+        emb, nlist=4, threshold=0.4, seed=42
+    ).collect()}
+    reps = {v for v, g in got.items() if v == g}
+    assert reps <= greedy
