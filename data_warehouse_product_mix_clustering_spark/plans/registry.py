@@ -132,7 +132,11 @@ _DRIVER_PRIORITY: list[str] = [
     # `semantic_dedup_groups_audit` contract row
     # (operators/similarity.py::semantic_dedup_groups, pinned r11 vs a
     # python union-find twin; audit shape = semantic_dedup_audit's:
-    # routing-agreement + reps⊆greedy containment + groups bite).
+    # routing-agreement + reps⊆greedy containment + groups bite) and
+    # `training_corpus_lm_filtered` (plans/text.py — the CCNet
+    # perplexity-gated corpus; its composed oracle is
+    # training_corpus_lm_oracle(), builder-verified value-exact at
+    # sf0.001 AND sf0.01 with a suite test as the registration dry run).
     "media_wav_metadata",
     "monthly_revenue_gapfill",
     "nation_profit_by_year",

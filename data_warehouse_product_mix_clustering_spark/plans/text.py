@@ -1199,3 +1199,103 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
 
     return unigram_logprob_scores(table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-filtered corpus (pre-staged r12; registration is a paste).
+# The oracle string lives adjacent so the two cannot drift — the same
+# discipline as operators/lm.py's twins.
+# ---------------------------------------------------------------------------
+
+TRAINING_CORPUS_LM_ORACLE_TEMPLATE = """
+    WITH keep AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY {fingerprint}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), toks0 AS (
+        SELECT doc_id, lang, {tokens} AS t, {bpe} AS bt
+        FROM keep WHERE rn = 1
+    ), corpus AS (
+        SELECT doc_id, lang,
+               CAST(len(bt) AS BIGINT) AS n_tokens,
+               {quality} AS quality_score
+        FROM toks0 WHERE len(t) > 0
+    ), surviving AS (
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM corpus
+        WHERE lang = 'en' AND quality_score >= 0.45
+          AND n_tokens BETWEEN 10 AND 5000
+    ), alltoks AS (
+        SELECT doc_id, {tokens} AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS word FROM alltoks
+    ), counts AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        FROM counts
+    ), lm AS (
+        SELECT word, log2((c + {a}) / (n + {a} * v)) AS logp
+        FROM counts, totals
+    ), scores AS (
+        SELECT doc_id, {round_avg} AS bits_per_token
+        FROM tok JOIN lm USING (word)
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT s.doc_id, s.lang, s.n_tokens, s.quality_score,
+               sc.bits_per_token,
+               percent_rank() OVER (ORDER BY sc.bits_per_token) AS pr
+        FROM surviving s JOIN scores sc USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, quality_score, bits_per_token
+    FROM ranked WHERE pr <= {keep_frac}
+"""
+
+_LM_KEEP_FRAC = 0.7  # CCNet keeps head+middle; tail (highest bits) drops
+
+
+def training_corpus_lm_oracle() -> str:
+    """The composed DuckDB oracle for ``training_corpus_lm_filtered``."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import sql_fingerprint
+
+    return TRAINING_CORPUS_LM_ORACLE_TEMPLATE.format(
+        fingerprint=sql_fingerprint("text"),
+        tokens=sql_tokens("text"),
+        bpe=sql_bpe_tokens("text"),
+        quality=sql_quality_score("t"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+        keep_frac=_LM_KEEP_FRAC,
+    )
+
+
+def training_corpus_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``training_corpus`` with the CCNet perplexity step composed on
+    top: every surviving doc is scored by the corpus-self-fit unigram LM
+    (``operators/lm.py`` — the LM fits on the FULL corpus, the CCNet
+    reference-LM shape) and only the head+middle of the
+    bits-per-token distribution survives (percent_rank ≤ 0.7 ascending —
+    the highest-perplexity tail drops). percent_rank is rank-arithmetic
+    (exact rationals, tie-stable), so the gate is cross-engine
+    deterministic without interpolated-percentile FP hazards. Scale
+    note: the global rank is one single-partition window over the
+    SURVIVORS' narrow (doc_id, bits) relation — the Pareto/Gini bounded
+    class; at 100 TB swap the exact rank for an approx-percentile
+    threshold (one sketch agg) at the cost of the exact oracle.
+    Pre-staged for r12 registration with ``training_corpus_lm_oracle``.
+    """
+    from pyspark.sql import Window
+
+    from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
+
+    surviving = training_corpus(spark, sf_dir)
+    scores = unigram_logprob_scores(table(spark, "documents", sf_dir)).select(
+        "doc_id", "bits_per_token"
+    )
+    ranked = surviving.join(scores, "doc_id").withColumn(
+        "__pr", F.percent_rank().over(Window.orderBy("bits_per_token"))
+    )
+    return ranked.filter(F.col("__pr") <= _LM_KEEP_FRAC).select(
+        "doc_id", "lang", "n_tokens", "quality_score", "bits_per_token"
+    )

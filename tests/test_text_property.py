@@ -564,3 +564,36 @@ def test_bigram_logprob_matches_python_reference(spark, corpus):
     for i in want:
         assert got[i][0] == want[i][0], (i, got[i], want[i])
         assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
+
+
+def test_training_corpus_lm_filtered_matches_duckdb_twin(spark):
+    """plans/text.py::training_corpus_lm_filtered (pre-staged r12) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the CCNet composition: corpus
+    gates (dedup→lang→quality→token budget) + self-fit unigram LM
+    scoring + percent_rank ≤ 0.7 head+middle keep. The r12 registration
+    pastes exactly these two sides, so this test IS the registration's
+    dry run."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        training_corpus_lm_filtered,
+        training_corpus_lm_oracle,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = training_corpus_lm_filtered(spark, SF_SMOKE).toPandas()
+    want = con.sql(training_corpus_lm_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.values == w.values).all()
+    # the LM gate must actually drop the high-perplexity tail
+    from data_warehouse_product_mix_clustering_spark.plans.text import training_corpus
+
+    assert len(g) < training_corpus(spark, SF_SMOKE).count()
