@@ -1019,3 +1019,39 @@ def test_training_corpus_scrubbed_reuses_pos_shingles(spark):
         if "Exchange hashpartitioning(doc_id" in l
     ]
     assert len(tok_exchanges) <= 1, "\n".join(tok_exchanges)
+
+
+def test_unigram_logprob_plan_shape(spark):
+    """doc_unigram_logprob's 100 TB shape, pinned: the (N, V) LM scalars
+    ride ONE 1-row broadcast cross join (never a collect), scoring joins
+    the LM relation on the word key (broadcast at test vocab; AQE's call
+    at scale), aggregation shuffles on word/doc keys only, and the whole
+    plan is JVM-side — zero Python evaluation nodes."""
+    from data_warehouse_product_mix_clustering_spark.plans.registry import all_queries
+
+    q = all_queries()["doc_unigram_logprob"]
+    plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row scalar ride
+    assert "PythonUDF" not in plan and "EvalPython" not in plan
+    assert "Exchange hashpartitioning" in plan  # word/doc key shuffles
+
+
+def test_semantic_dedup_routing_plan_shape(spark):
+    """The SemDeDup skew gate routes DATA, not plans — the union always
+    carries both branches (the gate predicate is data-dependent, so
+    Catalyst cannot prune either statically). What the plan CAN promise,
+    pinned here: the giant branch is exactly ONE Arrow stage
+    (FlatMapGroupsInPandas — one blocked-GEMM kernel, never per-pair
+    Python), the small branch's pair join is a hash join on the cell key
+    (no cartesian product anywhere), and the cell-size routing join is
+    broadcast."""
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    plan = semantic_dedup(
+        emb, nlist=4, threshold=0.4, seed=42, giant_cell_rows=120
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cell sizes broadcast onto rows
