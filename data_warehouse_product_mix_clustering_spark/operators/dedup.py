@@ -703,6 +703,11 @@ def update_minhash_index(
     spark,
     index_dir: str,
     diff: DataFrame,
+    *,
+    # keyword-only (ADVICE r11): the r11 signature change removed the
+    # positional id_col; a stale positional caller's id argument would
+    # otherwise bind to text_col and, on a pre-r11 meta with no stored
+    # text_col, be TRUSTED — silently signing the id column. Fail loudly.
     text_col: str | None = None,
 ) -> dict:
     """Maintain the persisted signature relation from a CDC change set
@@ -788,6 +793,9 @@ def minhash_index_candidates(
     spark,
     index_dir: str,
     batch: DataFrame,
+    *,
+    # keyword-only for the same stale-positional-caller hazard as
+    # update_minhash_index (ADVICE r11).
     text_col: str | None = None,
 ) -> DataFrame:
     """(doc_new, doc_corpus) candidate near-dup pairs between ``batch``

@@ -241,9 +241,13 @@ def write_zordered(
     # corpus that will fall back anyway, paying the full groupBy shuffle
     # just to discover "too many cells" wastes a pass exactly where
     # passes are most expensive. approx_count_distinct is one scan with
-    # no shuffle; its ~5% error only moves borderline corpora between
-    # two CORRECT paths (a slightly-over-cap exact collect is harmless,
-    # a slightly-early fallback just keeps the sampled cuts).
+    # no shuffle. The sketch is compared with 2× MARGIN (ADVICE r11): a
+    # corpus at or just under the cap must not be spuriously routed to
+    # the nondeterministic fallback by ±5% sketch error — the exact
+    # ``len(hist) <= 2 * max_exact_cells`` check below is the hard
+    # bound on the driver collect, so admitting a borderline corpus
+    # here costs at most one bounded histogram pass, while rejecting
+    # one reintroduces the determinism flake this path exists to fix.
     approx_cells = keyed.agg(
         F.approx_count_distinct("__zkey").alias("c")
     ).first()["c"]
@@ -252,7 +256,7 @@ def write_zordered(
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy("__zkey")
         .collect()
-        if approx_cells <= max_exact_cells
+        if approx_cells <= 2 * max_exact_cells
         else []
     )
     if hist and len(hist) <= 2 * max_exact_cells:

@@ -133,18 +133,25 @@ SQL_UNIGRAM_SELF_SCORE = """
 """
 
 
-def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per adjacent token pair, document order
+def _transitions(
+    docs: DataFrame, id_col: str | None, text_col: str
+) -> DataFrame:
+    """(id?, w1, w2) — one row per adjacent token pair, document order
     preserved by construction (the pair list is built per row with a
-    JVM transform, zero joins/windows). Docs with < 2 tokens contribute
-    no rows — the same absent-empty-doc rule as the unigram scorer,
-    extended to single-token docs which have no transition to score.
-    The size ≥ 2 gate also keeps sequence() ascending (the
-    counts-down-through-zero ANSI hazard word_ngrams documents)."""
+    JVM transform, zero joins/windows). ``id_col=None`` yields the
+    id-free (w1, w2) relation so LM *fitting* works on any frame with a
+    text column regardless of its id shape (ADVICE r11: bigram_lm
+    hard-coded "doc_id" and broke on frames without one). Docs with
+    < 2 tokens contribute no rows — the same absent-empty-doc rule as
+    the unigram scorer, extended to single-token docs which have no
+    transition to score. The size ≥ 2 gate also keeps sequence()
+    ascending (the counts-down-through-zero ANSI hazard word_ngrams
+    documents)."""
     from data_warehouse_product_mix_clustering_spark.functions.text import tokens
 
+    keep = [F.col(id_col)] if id_col is not None else []
     toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        *keep, tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(2), F.size("__t")),
@@ -153,8 +160,9 @@ def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.element_at("__t", i).alias("w2"),
         ),
     )
-    return toks.select(id_col, F.explode(pairs).alias("__p")).select(
-        id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    out_keep = [id_col] if id_col is not None else []
+    return toks.select(*out_keep, F.explode(pairs).alias("__p")).select(
+        *out_keep, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
     )
 
 
@@ -173,7 +181,7 @@ def bigram_lm(
     pair key plus two broadcast scalars. Pre-staged for r12 registration
     (r11's new-query budget is spent), same discipline as the unigram's
     r10→r11 path."""
-    tr = _transitions(docs, "doc_id", text_col).select("w1", "w2")
+    tr = _transitions(docs, None, text_col)
     pair_counts = tr.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )

@@ -1363,7 +1363,14 @@ def nation_revenue_parts(spark: SparkSession, sf_dir: str):
     )
     fact = per_order.join(o, per_order.l_orderkey == o.o_orderkey)
     enriched, choice = advise_broadcast_join(
-        fact, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]
+        fact,
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        # Session-memoized (VERDICT r11 #1): the two plan_size_bytes
+        # optimizer passes run once per (session, sf_dir); every later
+        # serving call applies the remembered choice for free. The scan
+        # cache's invalidate() drops the entry if the data is rewritten.
+        cache_key=("nation_revenue.customer", sf_dir),
     )
     out = (
         enriched.join(F.broadcast(n), enriched.c_nationkey == n.n_nationkey)

@@ -61,6 +61,11 @@ def invalidate(path: str | None = None) -> None:
     the cached DataFrame pins the file listing resolved at first read, so a
     changed directory would otherwise keep serving the stale listing.
     """
+    # Advisor decisions are derived from these scans' stats — a rewrite
+    # invalidates the memoized broadcast choice too (stats.py r12).
+    from data_warehouse_product_mix_clustering_spark.operators.stats import invalidate_advice
+
+    invalidate_advice(path)
     if path is None:
         _TABLE_CACHE.clear()
         return

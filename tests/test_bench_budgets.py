@@ -62,3 +62,34 @@ def test_headline_queries_within_budget():
         "either fix the plan regression or consciously raise "
         "bench_budgets.json with a justification"
     )
+
+
+def test_cold_paths_within_budget():
+    """Cached-path queries report their COLD cost in the bench's ``cold``
+    block (e.g. the product_clusters KMeans fit behind the 0.1 s cached
+    serving read). VERDICT r11 #6: the cold fit drifted 3.6→4.6 s across
+    two official artifacts while riding an annotation no test read —
+    give it its own budget line so a fit regression trips here."""
+    budgets_doc = json.loads((REPO / "bench_budgets.json").read_text())
+    cold_budgets = budgets_doc.get("cold_budgets", {})
+    if not cold_budgets:
+        pytest.skip("no cold budgets pinned")
+
+    latest = _latest_bench(int(budgets_doc.get("since_round", 0)))
+    if latest is None:
+        pytest.skip("no successful BENCH_r*.json artifact to check")
+    name, parsed = latest
+    if parsed.get("sf") != budgets_doc["sf"]:
+        pytest.skip(f"{name} ran at sf={parsed.get('sf')}, budgets pin sf0.1")
+
+    cold = parsed.get("cold", {})
+    breaches = {
+        q: (sec, cold_budgets[q])
+        for q, sec in cold.items()
+        if q in cold_budgets and sec > cold_budgets[q]
+    }
+    assert not breaches, (
+        f"{name}: cold paths over budget (sec vs budget): {breaches} — "
+        "either fix the fit regression or consciously raise "
+        "bench_budgets.json cold_budgets with a justification"
+    )

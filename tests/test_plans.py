@@ -927,6 +927,45 @@ def test_stats_advisor_broadcast_choice(spark):
     assert choice == "shuffle", "full outer can broadcast neither side"
 
 
+def test_advisor_decision_memoized_per_session(spark, monkeypatch):
+    """VERDICT r11 #1: plan_size_bytes runs an optimizer pass on the
+    driver (~0.1-0.2 s), and nation_revenue paid TWO per serving call —
+    tripping its bench budget. The decision must be measured once per
+    (session, cache_key) and applied for free afterwards; invalidation
+    (scan-cache invalidate / invalidate_advice) forces a re-measure."""
+    from data_warehouse_product_mix_clustering_spark.operators import stats
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    stats.invalidate_advice()
+    calls = {"n": 0}
+    real = stats.plan_size_bytes
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(stats, "plan_size_bytes", counting)
+    nat = table(spark, "nation", SF_SMOKE)
+    sup = table(spark, "supplier", SF_SMOKE)
+    key = ("test_advisor_memo", SF_SMOKE)
+    _, c1 = stats.advise_broadcast_join(sup, nat.withColumnRenamed(
+        "n_nationkey", "s_nationkey"), ["s_nationkey"], cache_key=key)
+    assert calls["n"] == 2  # first call measures both sides
+    _, c2 = stats.advise_broadcast_join(sup, nat.withColumnRenamed(
+        "n_nationkey", "s_nationkey"), ["s_nationkey"], cache_key=key)
+    assert calls["n"] == 2  # second call: zero optimizer passes
+    assert c1 == c2
+    # uncached calls still measure every time
+    stats.advise_broadcast_join(sup, nat.withColumnRenamed(
+        "n_nationkey", "s_nationkey"), ["s_nationkey"])
+    assert calls["n"] == 4
+    # invalidation by sf_dir drops the entry → next call re-measures
+    stats.invalidate_advice(SF_SMOKE)
+    stats.advise_broadcast_join(sup, nat.withColumnRenamed(
+        "n_nationkey", "s_nationkey"), ["s_nationkey"], cache_key=key)
+    assert calls["n"] == 6
+
+
 def test_nation_revenue_join_strategy_follows_advisor(spark):
     """The ANALYZE→plan loop, closed (VERDICT r10 #6): nation_revenue's
     customer join is planned by advise_broadcast_join from measured

@@ -566,6 +566,56 @@ def test_bigram_logprob_matches_python_reference(spark, corpus):
         assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
 
 
+def test_bigram_scores_respect_custom_id_col(spark):
+    """ADVICE r11: bigram_lm hard-coded "doc_id" in its transition
+    extraction, so bigram_logprob_scores(docs, id_col=...) raised an
+    AnalysisException on any frame without a doc_id column despite
+    exposing id_col. LM *fitting* is now id-free; scoring threads the
+    caller's id through — custom-id frames must score identically to
+    the same corpus under the default id name."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import bigram_logprob_scores
+
+    rows = [(7, "aa bb aa bb"), (8, "cc dd"), (9, "ee")]
+    default = spark.createDataFrame(rows, "doc_id long, text string")
+    custom = spark.createDataFrame(rows, "my_id long, text string")
+    got_default = {
+        r["doc_id"]: (r["n_transitions"], r["bits_per_token"])
+        for r in bigram_logprob_scores(default).collect()
+    }
+    got_custom = {
+        r["my_id"]: (r["n_transitions"], r["bits_per_token"])
+        for r in bigram_logprob_scores(custom, id_col="my_id").collect()
+    }
+    assert got_custom == got_default and len(got_default) == 2
+
+
+def test_minhash_maintenance_text_col_keyword_only(spark, tmp_path):
+    """ADVICE r11: the r11 signature change removed update_minhash_index
+    / minhash_index_candidates' positional id_col; a stale positional
+    caller's id argument would bind to text_col and — on a legacy meta
+    with no stored text_col — be trusted, silently signing the id
+    column. Positional text_col must now fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_candidates,
+        update_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    idx = os.path.join(str(tmp_path), "idx")
+    build_minhash_index(docs, idx, num_hashes=8, bands=4, n_buckets=16)
+    with _pytest.raises(TypeError):
+        minhash_index_candidates(spark, idx, docs, "doc_id")
+    with _pytest.raises(TypeError):
+        update_minhash_index(spark, idx, docs, "doc_id")
+
+
 def test_training_corpus_lm_filtered_matches_duckdb_twin(spark):
     """plans/text.py::training_corpus_lm_filtered (pre-staged r12) ≡ its
     adjacent DuckDB oracle at sf0.001 — the CCNet composition: corpus
