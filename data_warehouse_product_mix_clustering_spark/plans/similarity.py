@@ -825,3 +825,84 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__n_orphans") == 0).alias("removed_have_witness"),
         (F.col("__n_removed") > 0).alias("prune_bites"),
     )
+
+
+@register(
+    "semantic_dedup_groups_audit",
+    oracle="""
+        SELECT TRUE AS paths_agree,
+               TRUE AS reps_subset_of_greedy,
+               TRUE AS removed_have_reps,
+               TRUE AS groups_bite
+    """,
+)
+def semantic_dedup_groups_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for
+    ``operators/similarity.py::semantic_dedup_groups`` (group-semantics
+    SemDeDup, registered r12 per the pre-staged rotation). Same shape as
+    ``semantic_dedup_audit``: the learned codebook makes group ids
+    engine-specific, so the oracle pins the CONTRACT and Spark computes
+    the measured truth:
+
+    - ``paths_agree``: skew-cell routing is a pure plan choice — the
+      full (id, cell, group_id) assignment with every cell forced
+      through the blocked-GEMM pair kernel (``giant_cell_rows=0``)
+      equals the per-pair-join assignment (huge gate), exercising both
+      kernels end-to-end through the connected-components consumer;
+    - ``reps_subset_of_greedy``: component-minimum representatives must
+      all survive the greedy rule too (their neighbors sit inside their
+      own component, so none has a lower id) — the containment
+      semantic_dedup_groups' docstring states, checked on the driver
+      corpus rather than trusted;
+    - ``removed_have_reps``: every non-representative row's group_id
+      names a row that IS its group's representative (the audit-trail
+      promise group semantics exist for);
+    - ``groups_bite``: at least one row was grouped under a different
+      representative, so the threshold exercises the rule rather than
+      vacuously passing.
+    """
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_groups,
+    )
+
+    thr, nlist, seed = 0.4, 8, 42
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    via_join = semantic_dedup_groups(
+        emb, nlist=nlist, threshold=thr, seed=seed, giant_cell_rows=10**9
+    ).localCheckpoint(eager=True)  # feeds three checks below
+    via_gemm = semantic_dedup_groups(
+        emb, nlist=nlist, threshold=thr, seed=seed, giant_cell_rows=0
+    )
+    sym_diff = (
+        via_join.unionByName(via_gemm)
+        .groupBy("vec_id", "__cell", "group_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") != 2)
+    )
+
+    greedy = semantic_dedup(
+        emb, nlist=nlist, threshold=thr, seed=seed, giant_cell_rows=10**9
+    )
+    reps = via_join.filter(F.col("vec_id") == F.col("group_id"))
+    # representatives not surviving greedy would break the containment
+    rep_orphans = reps.select("vec_id").join(
+        greedy.select("vec_id"), "vec_id", "left_anti"
+    )
+    # every removed row's group_id must name an in-output representative
+    removed = via_join.filter(F.col("vec_id") != F.col("group_id"))
+    rep_ids = reps.select(F.col("vec_id").alias("group_id"))
+    unrepped = removed.select("group_id").join(rep_ids, "group_id", "left_anti")
+
+    counts = (
+        sym_diff.agg(F.count(F.lit(1)).alias("__n_diff"))
+        .crossJoin(rep_orphans.agg(F.count(F.lit(1)).alias("__n_orph")))
+        .crossJoin(unrepped.agg(F.count(F.lit(1)).alias("__n_unrep")))
+        .crossJoin(removed.agg(F.count(F.lit(1)).alias("__n_removed")))
+    )
+    return counts.select(
+        (F.col("__n_diff") == 0).alias("paths_agree"),
+        (F.col("__n_orph") == 0).alias("reps_subset_of_greedy"),
+        (F.col("__n_unrep") == 0).alias("removed_have_reps"),
+        (F.col("__n_removed") > 0).alias("groups_bite"),
+    )

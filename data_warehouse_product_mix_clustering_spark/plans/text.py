@@ -1201,8 +1201,34 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(table(spark, "documents", sf_dir))
 
 
+def _bigram_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.lm import SQL_BIGRAM_SELF_SCORE
+
+    return SQL_BIGRAM_SELF_SCORE.format(
+        tokens=sql_tokens("text"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+    )
+
+
+@register("doc_bigram_logprob", oracle=_bigram_oracle())
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy under a self-fit CONDITIONAL bigram
+    LM (operators/lm.py::bigram_logprob_scores, registered r12 per the
+    pre-staged rotation): bits_per_token = -(1/(n-1))·Σ log2 p(wᵢ|wᵢ₋₁),
+    one rung up the CCNet ladder from ``doc_unigram_logprob`` — context
+    sensitivity separates shuffled-word gibberish the unigram scores as
+    fluent. Transitions are built per row with a JVM transform (zero
+    joins in extraction); the LM is one shuffle on the pair key plus two
+    broadcast scalars; scoring joins the pair relation back and averages
+    per doc. Docs with < 2 tokens are absent (nothing to score)."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import bigram_logprob_scores
+
+    return bigram_logprob_scores(table(spark, "documents", sf_dir))
+
+
 # ---------------------------------------------------------------------------
-# CCNet-style LM-filtered corpus (pre-staged r12; registration is a paste).
+# CCNet-style LM-filtered corpus (pre-staged r11, registered r12).
 # The oracle string lives adjacent so the two cannot drift — the same
 # discipline as operators/lm.py's twins.
 # ---------------------------------------------------------------------------
@@ -1270,6 +1296,7 @@ def training_corpus_lm_oracle() -> str:
     )
 
 
+@register("training_corpus_lm_filtered", oracle=training_corpus_lm_oracle())
 def training_corpus_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``training_corpus`` with the CCNet perplexity step composed on
     top: every surviving doc is scored by the corpus-self-fit unigram LM
@@ -1281,9 +1308,9 @@ def training_corpus_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic without interpolated-percentile FP hazards. Scale
     note: the global rank is one single-partition window over the
     SURVIVORS' narrow (doc_id, bits) relation — the Pareto/Gini bounded
-    class; at 100 TB swap the exact rank for an approx-percentile
-    threshold (one sketch agg) at the cost of the exact oracle.
-    Pre-staged for r12 registration with ``training_corpus_lm_oracle``.
+    class; ``training_corpus_lm_filtered_approx`` is the 100 TB variant
+    (approx-percentile threshold, one sketch agg + broadcast scalar).
+    Registered r12 with ``training_corpus_lm_oracle``.
     """
     from pyspark.sql import Window
 
