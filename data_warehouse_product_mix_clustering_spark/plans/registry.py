@@ -125,6 +125,14 @@ _DRIVER_PRIORITY: list[str] = [
     # entries below lead round 13; at round-13 start, any NEW r13 queries
     # insert at the very top of this list (keep <= ~10 so the r8 tail
     # clears and the r9 cohort rotates in after these).
+    # Registration-ready r13 candidate (operator + twins + tests landed
+    # r12, only the @register deferred): `doc_lang_logprob`
+    # (plans/text.py — per-language unigram LM scoring, the CCNet shape;
+    # its adjacent oracle `_lang_unigram_oracle()` is builder-verified
+    # value-exact at sf0.001 AND sf0.01, with
+    # tests/test_text_property.py::test_doc_lang_logprob_matches_duckdb_twin
+    # as the registration dry run — the registration is a paste,
+    # mirroring doc_unigram_logprob's r10->r11 path).
     "doc_weighted_sample",
     "product_pagination_keyset",
     "dedup_overlap_coefficient",

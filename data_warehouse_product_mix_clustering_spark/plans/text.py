@@ -1227,6 +1227,33 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(table(spark, "documents", sf_dir))
 
 
+def _lang_unigram_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.lm import SQL_LANG_UNIGRAM_SELF_SCORE
+
+    return SQL_LANG_UNIGRAM_SELF_SCORE.format(
+        tokens=sql_tokens("text"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+    )
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("doc_lang_logprob", oracle=_lang_unigram_oracle())
+def doc_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity proxy under the doc's OWN language's LM
+    (operators/lm.py::lang_logprob_scores — the actual CCNet shape,
+    VERDICT r11 #5): one unigram LM per ``lang`` partition, each doc
+    scored against its language's model, so each language's perplexity
+    distribution can be gated independently instead of minority
+    languages reading as globally-rare-vocabulary noise. Same plan as
+    ``doc_unigram_logprob`` with lang as one extra group key; the
+    per-lang (N_l, V_l) scalars ride a broadcast equi-join on lang.
+    Pre-staged for r13 registration with ``_lang_unigram_oracle``."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import lang_logprob_scores
+
+    return lang_logprob_scores(table(spark, "documents", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style LM-filtered corpus (pre-staged r11, registered r12).
 # The oracle string lives adjacent so the two cannot drift — the same
@@ -1325,4 +1352,41 @@ def training_corpus_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("__pr") <= _LM_KEEP_FRAC).select(
         "doc_id", "lang", "n_tokens", "quality_score", "bits_per_token"
+    )
+
+
+def training_corpus_lm_filtered_approx(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_frac: float = _LM_KEEP_FRAC,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB variant of ``training_corpus_lm_filtered`` (VERDICT
+    r11 #4, the ``quantile_segment`` exact/approx knob discipline): the
+    single-partition percent_rank window is replaced by ONE
+    ``percentile_approx`` sketch aggregate over the survivors'
+    bits-per-token (mergeable state, no global sort, no single reducer)
+    whose threshold rides back as a broadcast scalar — keep rows with
+    bits_per_token ≤ threshold. Semantic delta vs exact, stated
+    precisely: the sketch's rank error (≤ rows/accuracy) can move the
+    cut by that many ranks, and a tie GROUP at the boundary is kept
+    whole (the threshold gate cannot split equal values, where
+    percent_rank keeps a tie group iff its min-rank qualifies) — the
+    keep-set agreement test pins the symmetric difference to the
+    boundary neighborhood. Not oracle-exact by construction, so it is
+    the unregistered scale twin of the registered exact query."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
+
+    surviving = training_corpus(spark, sf_dir)
+    scores = unigram_logprob_scores(table(spark, "documents", sf_dir)).select(
+        "doc_id", "bits_per_token"
+    )
+    joined = surviving.join(scores, "doc_id")
+    bound = joined.agg(
+        F.percentile_approx("bits_per_token", keep_frac, accuracy).alias("__thr")
+    )
+    return (
+        joined.crossJoin(F.broadcast(bound))
+        .filter(F.col("bits_per_token") <= F.col("__thr"))
+        .select("doc_id", "lang", "n_tokens", "quality_score", "bits_per_token")
     )

@@ -566,6 +566,88 @@ def test_bigram_logprob_matches_python_reference(spark, corpus):
         assert abs(got[i][1] - want[i][1]) <= 1e-6, (i, got[i], want[i])
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=10
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_lang_logprob_matches_python_reference(spark, corpus):
+    """operators/lm.py per-language self-scored path ≡ the python twin
+    on arbitrary multi-language corpora — pins that each doc is scored
+    against ITS OWN language's smoothed model ((N_l, V_l) per lang, not
+    corpus-wide scalars), the rounded mean, and the empty-doc drop
+    rule. A same-text doc under two langs must be free to score
+    differently — the whole point of the per-language shape."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import (
+        lang_logprob_py,
+        lang_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(corpus)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["bits_per_token"])
+        for r in lang_logprob_scores(docs).collect()
+    }
+    want = lang_logprob_py({i: lt for i, lt in enumerate(corpus)})
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:2] == want[i][:2], (i, got[i], want[i])
+        assert abs(got[i][2] - want[i][2]) <= 1e-6, (i, got[i], want[i])
+
+
+def test_doc_lang_logprob_matches_duckdb_twin(spark):
+    """plans/text.py::doc_lang_logprob (pre-staged r13) ≡ its adjacent
+    DuckDB oracle at sf0.001 — the r13 registration pastes exactly
+    these two sides, so this test IS the registration's dry run. Also
+    pins the CCNet point: per-language scoring must differ from
+    corpus-wide scoring for at least one doc (else the extra group key
+    is vacuous on the attestation corpus)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        _lang_unigram_oracle,
+        doc_lang_logprob,
+        doc_unigram_logprob,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = doc_lang_logprob(spark, SF_SMOKE).toPandas()
+    want = con.sql(_lang_unigram_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    per_lang = {r["doc_id"]: r["bits_per_token"] for _, r in got.iterrows()}
+    corpus_wide = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in doc_unigram_logprob(spark, SF_SMOKE).collect()
+    }
+    assert any(
+        abs(per_lang[d] - corpus_wide[d]) > 1e-9 for d in per_lang
+    ), "per-language LM identical to corpus-wide on every doc"
+
+
 def test_bigram_scores_respect_custom_id_col(spark):
     """ADVICE r11: bigram_lm hard-coded "doc_id" in its transition
     extraction, so bigram_logprob_scores(docs, id_col=...) raised an
@@ -647,3 +729,47 @@ def test_training_corpus_lm_filtered_matches_duckdb_twin(spark):
     from data_warehouse_product_mix_clustering_spark.plans.text import training_corpus
 
     assert len(g) < training_corpus(spark, SF_SMOKE).count()
+
+
+def test_lm_filter_approx_agrees_with_exact_within_envelope(spark):
+    """VERDICT r11 #4 (the ``value_segments_audit`` mold): the LM
+    filter's ``exact=False`` twin — one percentile_approx sketch agg +
+    broadcast threshold instead of the single-partition percent_rank
+    window — must reproduce the exact keep-set up to the sketch's
+    documented semantic delta: (a) keep-set size within rank error
+    (≤ N/accuracy) plus the boundary tie group; (b) every disagreement
+    lives AT the boundary (its bits_per_token between the two paths'
+    kept maxima) — a disagreement in the body of the distribution means
+    the sketch or the gate is wrong, not the documented tie/rank slack;
+    (c) the approx path's threshold-gate monotonicity: max kept bits <
+    min dropped bits among scored survivors."""
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        training_corpus_lm_filtered,
+        training_corpus_lm_filtered_approx,
+    )
+    from conftest import SF_SMOKE
+
+    exact = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in training_corpus_lm_filtered(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in training_corpus_lm_filtered_approx(spark, SF_SMOKE).collect()
+    }
+    assert exact and approx
+    n = len(exact)
+    boundary_exact = max(exact.values())
+    boundary_approx = max(approx.values())
+    lo, hi = sorted((boundary_exact, boundary_approx))
+    # (a) size agreement: rank error + boundary tie group + 1 slack
+    ties = sum(1 for b in approx.values() if b == boundary_approx)
+    assert abs(len(approx) - n) <= n / 10000 + ties + 1
+    # (b) disagreements only at the boundary
+    for d in set(exact) ^ set(approx):
+        b = exact.get(d, approx.get(d))
+        assert lo <= b <= hi, (d, b, lo, hi)
+    # (c) threshold-gate monotonicity: no dropped doc scores below a kept one
+    dropped = set(exact) - set(approx)
+    if dropped:
+        assert min(exact[d] for d in dropped) >= boundary_approx
