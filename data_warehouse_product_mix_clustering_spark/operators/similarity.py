@@ -1298,6 +1298,7 @@ def _giant_cell_pairs(
     round_out: int,
     n_blocks: int,
     emit_pairs: bool,
+    emit_score: bool = False,
 ) -> DataFrame:
     """Above-threshold cosine relations among skew-hot SemDeDup cells via
     the blocked-GEMM kernel of ``block_cosine_pairs`` scoped PER CELL:
@@ -1308,7 +1309,10 @@ def _giant_cell_pairs(
     ``emit_pairs=False`` returns only the distinct HIGHER id of each
     passing pair (the lower-id-witness duplicate rule — strictly less
     kernel output on dup-heavy cells, where threshold pairs approach
-    n_c² but unique dups are ≤ n_c). Rounding matches ``ratio_round``
+    n_c² but unique dups are ≤ n_c). ``emit_score=True`` (pairs mode
+    only — the ε-sweep consumer) appends the ROUNDED cosine so one pair
+    relation at the loosest threshold can serve every tighter filter.
+    Rounding matches ``ratio_round``
     (+1e-9 nudge) so routing never changes the answer. Zero-norm rows
     normalize to NaN; NaN comparisons are False, so they are never
     emitted — the same never-a-duplicate rule as the JVM path's NULL
@@ -1352,10 +1356,15 @@ def _giant_cell_pairs(
             with np.errstate(invalid="ignore"):
                 ii, jj = np.nonzero(np.triu(cos2d >= threshold, k=1))
             lo, hi = ids[ii], ids[jj]  # ids sorted: jj > ii ⇒ higher id
+            sc = cos2d[ii, jj]
         else:
             blk = pdf["blk"].to_numpy()[order]
             ma, mb = blk == b1, blk == b2
             if not ma.any() or not mb.any():
+                if emit_score:
+                    return pd.DataFrame(
+                        {"vec_a": ids[:0], "vec_b": ids[:0], "score": ids[:0].astype(float)}
+                    )
                 if emit_pairs:
                     return pd.DataFrame({"vec_a": ids[:0], "vec_b": ids[:0]})
                 return pd.DataFrame({"vid": ids[:0]})
@@ -1366,11 +1375,20 @@ def _giant_cell_pairs(
                 ii, jj = np.nonzero(cos2d >= threshold)
             ia, ib = ids[ma][ii], ids[mb][jj]
             lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            sc = cos2d[ii, jj]
+        if emit_score:
+            return pd.DataFrame({"vec_a": lo, "vec_b": hi, "score": sc})
         if emit_pairs:
             return pd.DataFrame({"vec_a": lo, "vec_b": hi})
         return pd.DataFrame({"vid": np.unique(hi)})
 
     grouped = rep.groupBy("__cell", "b1", "b2")
+    if emit_score:
+        if not emit_pairs:
+            raise ValueError("emit_score requires emit_pairs")
+        return grouped.applyInPandas(
+            kernel, f"vec_a {id_type}, vec_b {id_type}, score double"
+        )
     if emit_pairs:
         return grouped.applyInPandas(kernel, f"vec_a {id_type}, vec_b {id_type}")
     return grouped.applyInPandas(kernel, f"vid {id_type}").select(
@@ -1473,24 +1491,32 @@ def _route_cells(
 
 
 def _small_cell_pairs(
-    small: DataFrame, id_col: str, threshold: float, round_out: int
+    small: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_out: int,
+    emit_score: bool = False,
 ) -> DataFrame:
-    """(vec_a, vec_b) within-cell pairs at rounded cosine ≥ threshold,
-    vec_a < vec_b — the per-pair JVM formulation for gate-sized cells.
-    NULL cosine (zero norm, via try_divide) never passes the filter."""
+    """(vec_a, vec_b[, score]) within-cell pairs at rounded cosine ≥
+    threshold, vec_a < vec_b — the per-pair JVM formulation for
+    gate-sized cells. ``emit_score`` appends the rounded cosine (the
+    ε-sweep consumer). NULL cosine (zero norm, via try_divide) never
+    passes the filter."""
     from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 
     a = small.select(F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"), "__cell")
     b = small.select(F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"), "__cell")
-    return (
+    scored = (
         a.join(b, "__cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            ratio_round(cosine(F.col("__va"), F.col("__vb")), round_out)
-            >= threshold
+        .withColumn(
+            "score", ratio_round(cosine(F.col("__va"), F.col("__vb")), round_out)
         )
-        .select("vec_a", "vec_b")
+        .filter(F.col("score") >= threshold)
     )
+    if emit_score:
+        return scored.select("vec_a", "vec_b", "score")
+    return scored.select("vec_a", "vec_b")
 
 
 def semantic_dedup_pairs(
@@ -1572,5 +1598,76 @@ def semantic_dedup_groups(
             id_col,
             "__cell",
             F.coalesce(F.col("group_id"), F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
+def semantic_dedup_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.9, 0.95, 0.99),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    seed: int = 42,
+    round_out: int = 6,
+    giant_cell_rows: int = 8192,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """ε-sweep over SemDeDup thresholds in ONE pass (the published
+    recipe tunes ε per dedup-rate target, so a caller runs a small sweep
+    before committing; Abbas et al. 2023 §3): the within-cell pair
+    relation is computed ONCE at the LOOSEST threshold — scored pairs,
+    same frozen clustering and skew routing as ``semantic_dedup`` — and
+    every tighter threshold is a FILTER over that shared relation (a
+    pair at cosine ≥ ε is by construction present in the ≥ min(ε) set).
+    Returns one row per threshold:
+    (threshold, n_total, n_removed, n_survivors), with n_removed =
+    distinct higher-ids of passing pairs — exactly the single-threshold
+    operator's rule, so sweep counts ≡ |semantic_dedup(ε)| per ε
+    (audit-pinned). Monotone by construction: tighter ε ⇒ fewer pairs ⇒
+    fewer removed ⇒ more survivors.
+
+    Scale: one clustering, one pair materialization, one scan — the
+    explode multiplies the PASSING-pair relation by |thresholds| (a few
+    small literals), then a two-level distinct-count groupBy; n
+    independent ``semantic_dedup`` calls would pay n clusterings and n
+    pair materializations instead. Threshold rows that remove nothing
+    still appear (left join against the literal threshold relation)."""
+    thrs = sorted({float(t) for t in thresholds})
+    tmin = thrs[0]
+    id_type = df.schema[id_col].dataType.simpleString()
+    _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)
+    small, giant = _route_cells(assigned, giant_cell_rows)
+    pairs = _small_cell_pairs(
+        small, id_col, tmin, round_out, emit_score=True
+    ).unionByName(
+        _giant_cell_pairs(
+            giant, id_col, id_type, tmin, round_out, n_blocks,
+            emit_pairs=True, emit_score=True,
+        )
+    )
+    thr_lits = F.array(*[F.lit(t) for t in thrs])
+    removed = (
+        pairs.select("vec_b", "score", F.explode(thr_lits).alias("threshold"))
+        .filter(F.col("score") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("vec_b").cast("long").alias("n_removed"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(t,) for t in thrs], "threshold double"
+    )
+    totals = F.broadcast(
+        assigned.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    return (
+        base.join(removed, "threshold", "left")
+        .crossJoin(totals)
+        .select(
+            "threshold",
+            "n_total",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_total") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long")
+            .alias("n_survivors"),
         )
     )

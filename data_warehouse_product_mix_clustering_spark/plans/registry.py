@@ -125,6 +125,10 @@ _DRIVER_PRIORITY: list[str] = [
     # entries below lead round 13; at round-13 start, any NEW r13 queries
     # insert at the very top of this list (keep <= ~10 so the r8 tail
     # clears and the r9 cohort rotates in after these).
+    # `semantic_dedup_sweep_audit` (plans/similarity.py) is REGISTERED in
+    # r12 (it rides the full oracle sweep) but sits outside the 50-slot
+    # driver window; list it first at r13 so it gets a driver row.
+    "semantic_dedup_sweep_audit",
     # Registration-ready r13 candidate (operator + twins + tests landed
     # r12, only the @register deferred): `doc_lang_logprob`
     # (plans/text.py — per-language unigram LM scoring, the CCNet shape;

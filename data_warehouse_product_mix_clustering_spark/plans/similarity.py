@@ -906,3 +906,67 @@ def semantic_dedup_groups_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__n_unrep") == 0).alias("removed_have_reps"),
         (F.col("__n_removed") > 0).alias("groups_bite"),
     )
+
+
+@register(
+    "semantic_dedup_sweep_audit",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(0.30 AS DOUBLE), TRUE, TRUE, TRUE),
+            (CAST(0.40 AS DOUBLE), TRUE, TRUE, TRUE),
+            (CAST(0.45 AS DOUBLE), TRUE, TRUE, TRUE)
+        ) AS t(threshold, matches_single, monotone_ok, sweep_bites)
+    """,
+)
+def semantic_dedup_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for
+    ``operators/similarity.py::semantic_dedup_sweep`` (VERDICT r11 #7 —
+    the published SemDeDup recipe tunes ε per dedup-rate target, so the
+    sweep is the operator a user actually runs first). Survivor counts
+    are codebook-specific, so the oracle pins the CONTRACT as one row
+    PER THRESHOLD (0.30 / 0.40 / 0.45 — chosen to bite on the driver
+    corpus, whose max within-cell cosine ≈ 0.48):
+
+    - ``matches_single``: the sweep's n_survivors at ε equals an
+      independent ``semantic_dedup(threshold=ε)`` run — the shared
+      scored-pair relation plus per-threshold filter reproduces the
+      single-threshold rule exactly, for every ε;
+    - ``monotone_ok``: survivors are non-decreasing in ε (tighter
+      threshold ⇒ fewer removals) — the property a rate-targeting
+      caller binary-searches against;
+    - ``sweep_bites``: every attested threshold removes at least one
+      row, so no row passes vacuously.
+
+    One clustering, ONE pair materialization, one scan (plan-pinned:
+    a single Arrow kernel stage regardless of |thresholds|)."""
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_sweep,
+    )
+
+    thrs = (0.30, 0.40, 0.45)
+    nlist, seed = 8, 42
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    sweep = semantic_dedup_sweep(
+        emb, thrs, nlist=nlist, seed=seed
+    ).localCheckpoint(eager=True)  # consumed by two branches below
+    singles = None
+    for t in thrs:
+        one = (
+            semantic_dedup(emb, nlist=nlist, threshold=t, seed=seed)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_single"))
+            .select(F.lit(float(t)).alias("threshold"), "n_single")
+        )
+        singles = one if singles is None else singles.unionByName(one)
+    w = Window.orderBy("threshold")
+    return (
+        sweep.join(singles, "threshold")
+        .select(
+            "threshold",
+            (F.col("n_survivors") == F.col("n_single")).alias("matches_single"),
+            F.coalesce(
+                F.col("n_survivors") >= F.lag("n_survivors").over(w), F.lit(True)
+            ).alias("monotone_ok"),
+            (F.col("n_removed") > 0).alias("sweep_bites"),
+        )
+    )
