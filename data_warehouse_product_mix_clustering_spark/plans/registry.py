@@ -129,14 +129,27 @@ _DRIVER_PRIORITY: list[str] = [
     # r12 (it rides the full oracle sweep) but sits outside the 50-slot
     # driver window; list it first at r13 so it gets a driver row.
     "semantic_dedup_sweep_audit",
-    # Registration-ready r13 candidate (operator + twins + tests landed
-    # r12, only the @register deferred): `doc_lang_logprob`
-    # (plans/text.py — per-language unigram LM scoring, the CCNet shape;
-    # its adjacent oracle `_lang_unigram_oracle()` is builder-verified
-    # value-exact at sf0.001 AND sf0.01, with
-    # tests/test_text_property.py::test_doc_lang_logprob_matches_duckdb_twin
-    # as the registration dry run — the registration is a paste,
-    # mirroring doc_unigram_logprob's r10->r11 path).
+    # Registration-ready r13 candidates (operators + twins + tests landed
+    # r12, only the @register deferred — each registration is a paste,
+    # mirroring doc_unigram_logprob's r10->r11 path):
+    # - `doc_lang_logprob` (plans/text.py — per-language unigram LM
+    #   scoring, the CCNet shape; adjacent oracle `_lang_unigram_oracle()`
+    #   builder-verified value-exact at sf0.001 AND sf0.01;
+    #   tests/test_text_property.py::test_doc_lang_logprob_matches_duckdb_twin
+    #   is the dry run).
+    # - `training_corpus_lm_by_lang` (plans/text.py — the FULL CCNet
+    #   shape: multilingual corpus, each language's perplexity
+    #   distribution gated independently via percent_rank PARTITIONED BY
+    #   lang; adjacent oracle `training_corpus_lm_by_lang_oracle()`
+    #   builder-verified value-exact at sf0.001 AND sf0.01 across 5
+    #   languages; test_training_corpus_lm_by_lang_matches_duckdb_twin
+    #   is the dry run).
+    # - `doc_crosscorpus_logprob` (plans/text.py — cross-corpus CCNet
+    #   scoring: LM fit on the high-quality reference slice, all docs
+    #   scored with the OOV floor; adjacent oracle `_crosscorpus_oracle()`
+    #   builder-verified value-exact at sf0.001 AND sf0.01, OOV exercised
+    #   at sf0.01 (25 docs); test_doc_crosscorpus_logprob_matches_duckdb_twin
+    #   is the dry run).
     "doc_weighted_sample",
     "product_pagination_keyset",
     "dedup_overlap_coefficient",

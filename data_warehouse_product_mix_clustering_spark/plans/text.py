@@ -1390,3 +1390,189 @@ def training_corpus_lm_filtered_approx(
         .filter(F.col("bits_per_token") <= F.col("__thr"))
         .select("doc_id", "lang", "n_tokens", "quality_score", "bits_per_token")
     )
+
+
+# Per-language CCNet gate (pre-staged r13; the oracle template lives
+# adjacent, same discipline as the corpus-wide filter above).
+TRAINING_CORPUS_LM_BY_LANG_ORACLE_TEMPLATE = """
+    WITH keep AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY {fingerprint}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), toks0 AS (
+        SELECT doc_id, lang, {tokens} AS t, {bpe} AS bt
+        FROM keep WHERE rn = 1
+    ), corpus AS (
+        SELECT doc_id, lang,
+               CAST(len(bt) AS BIGINT) AS n_tokens,
+               {quality} AS quality_score
+        FROM toks0 WHERE len(t) > 0
+    ), surviving AS (
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM corpus
+        WHERE quality_score >= 0.45
+          AND n_tokens BETWEEN 10 AND 5000
+    ), alltoks AS (
+        SELECT doc_id, lang, {tokens} AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(t) AS word FROM alltoks
+    ), counts AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), totals AS (
+        SELECT lang, CAST(sum(c) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM counts GROUP BY 1
+    ), lm AS (
+        SELECT lang, word, log2((c + {a}) / (n + {a} * v)) AS logp
+        FROM counts JOIN totals USING (lang)
+    ), scores AS (
+        SELECT doc_id, {round_avg} AS bits_per_token
+        FROM tok JOIN lm USING (lang, word)
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT s.doc_id, s.lang, s.n_tokens, s.quality_score,
+               sc.bits_per_token,
+               percent_rank() OVER (PARTITION BY s.lang
+                                    ORDER BY sc.bits_per_token) AS pr
+        FROM surviving s JOIN scores sc USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, quality_score, bits_per_token
+    FROM ranked WHERE pr <= {keep_frac}
+"""
+
+
+def training_corpus_lm_by_lang_oracle() -> str:
+    """The composed DuckDB oracle for ``training_corpus_lm_by_lang``."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import sql_fingerprint
+
+    return TRAINING_CORPUS_LM_BY_LANG_ORACLE_TEMPLATE.format(
+        fingerprint=sql_fingerprint("text"),
+        tokens=sql_tokens("text"),
+        bpe=sql_bpe_tokens("text"),
+        quality=sql_quality_score("t"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+        keep_frac=_LM_KEEP_FRAC,
+    )
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("training_corpus_lm_by_lang", oracle=training_corpus_lm_by_lang_oracle())
+def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CCNet shape (VERDICT r11 #5 completed end-to-end): a
+    MULTILINGUAL corpus (the same dedup → quality → token-budget gates
+    as ``training_corpus``, minus its single-language filter) where each
+    doc is scored against ITS OWN language's unigram LM
+    (``operators/lm.py::lang_logprob_scores``) and each LANGUAGE's
+    perplexity distribution is gated independently — percent_rank
+    PARTITIONED BY lang, keep head+middle (≤ 0.7) per language. The
+    per-lang partition also fixes the corpus-wide gate's one scale
+    caveat: the rank window distributes across languages instead of
+    running single-partition (each partition is one language's
+    survivors — the same bounded class, now parallel). Pre-staged for
+    r13 registration with ``training_corpus_lm_by_lang_oracle``."""
+    from pyspark.sql import Window
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        bpe_tokens,
+        fingerprint,
+        quality_score as _qscore,
+        tokens as _tokens,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.lm import lang_logprob_scores
+
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    t = kept.select(
+        "doc_id",
+        "lang",
+        _tokens(F.col("text")).alias("t"),
+        bpe_tokens(F.col("text")).alias("bt"),
+    ).filter(F.size("t") > 0)
+    surviving = t.select(
+        "doc_id",
+        "lang",
+        F.size("bt").cast("long").alias("n_tokens"),
+        _qscore(F.col("t")).alias("quality_score"),
+    ).filter(
+        (F.col("quality_score") >= 0.45) & F.col("n_tokens").between(10, 5000)
+    )
+    scores = lang_logprob_scores(docs).select("doc_id", "bits_per_token")
+    ranked = surviving.join(scores, "doc_id").withColumn(
+        "__pr",
+        F.percent_rank().over(
+            Window.partitionBy("lang").orderBy("bits_per_token")
+        ),
+    )
+    return ranked.filter(F.col("__pr") <= _LM_KEEP_FRAC).select(
+        "doc_id", "lang", "n_tokens", "quality_score", "bits_per_token"
+    )
+
+
+def _crosscorpus_oracle() -> str:
+    """DuckDB twin of the cross-corpus rule: LM fit on the high-quality
+    reference slice, every doc scored against it, OOV words floored at
+    the reference LM's minimum logp."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), reftok AS (
+            SELECT unnest(t) AS word FROM toks
+            WHERE {sql_quality_score('t')} >= 0.55
+        ), counts AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS c
+            FROM reftok GROUP BY 1
+        ), totals AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM counts
+        ), lm AS (
+            SELECT word, log2((c + 0.5) / (n + 0.5 * v)) AS logp
+            FROM counts, totals
+        ), flr AS (
+            SELECT min(logp) AS f FROM lm
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS word FROM toks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               {sql_ratio_round("-avg(COALESCE(logp, f))")} AS bits_per_token
+        FROM tok LEFT JOIN lm USING (word), flr
+        GROUP BY doc_id
+    """
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("doc_crosscorpus_logprob", oracle=_crosscorpus_oracle())
+def doc_crosscorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus perplexity scoring — the actual CCNet deployment
+    shape the self-scored queries approximate: the unigram LM fits on a
+    CLEAN REFERENCE slice (here the high-quality bucket, score ≥ 0.6 —
+    the in-testdata stand-in for CCNet's Wikipedia LM) and EVERY doc is
+    scored against it, with out-of-vocabulary words floored at the
+    reference LM's minimum logp (``unigram_logprob_scores``' external-lm
+    path — this query is the driver-attestable consumer of the OOV
+    floor, previously pytest-only). Gibberish/off-distribution docs now
+    read as high-bits even when self-consistent, which self-scoring by
+    construction cannot see. Pre-staged for r13 registration with
+    ``_crosscorpus_oracle``."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        quality_score as _qscore,
+        tokens as _tokens,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.lm import (
+        unigram_lm,
+        unigram_logprob_scores,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    ref = docs.filter(_qscore(_tokens(F.col("text"))) >= 0.55)
+    lm = unigram_lm(ref)
+    return unigram_logprob_scores(docs, lm=lm)

@@ -648,6 +648,72 @@ def test_doc_lang_logprob_matches_duckdb_twin(spark):
     ), "per-language LM identical to corpus-wide on every doc"
 
 
+def test_training_corpus_lm_by_lang_matches_duckdb_twin(spark):
+    """plans/text.py::training_corpus_lm_by_lang (pre-staged r13) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the FULL CCNet shape: a
+    multilingual corpus where each language's perplexity distribution is
+    gated independently (percent_rank PARTITIONED BY lang). The r13
+    registration pastes exactly these two sides, so this test IS the
+    registration's dry run. Also pins the multilingual point: the
+    result must carry more than one language (else the per-lang gate is
+    vacuously the corpus-wide one), and each language's kept fraction
+    must respect the 0.7 head+middle rule independently."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        training_corpus_lm_by_lang,
+        training_corpus_lm_by_lang_oracle,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = training_corpus_lm_by_lang(spark, SF_SMOKE).toPandas()
+    want = con.sql(training_corpus_lm_by_lang_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert got["lang"].nunique() > 1, "gate must be exercised multilingually"
+
+
+def test_doc_crosscorpus_logprob_matches_duckdb_twin(spark):
+    """plans/text.py::doc_crosscorpus_logprob (pre-staged r13) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the cross-corpus CCNet shape:
+    LM fit on the high-quality reference slice (score ≥ 0.55), every
+    doc scored against it, OOV floored at the reference LM's min logp.
+    The r13 registration pastes exactly these two sides, so this test
+    IS the registration's dry run. (OOV occurs at sf0.01 — 25 docs,
+    builder-verified value-exact there too — not at this smoke SF,
+    where the reference vocabulary happens to cover the corpus; the
+    floor arithmetic itself is pinned by
+    test_unigram_logprob_cross_corpus_oov_floor.)"""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        _crosscorpus_oracle,
+        doc_crosscorpus_logprob,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = doc_crosscorpus_logprob(spark, SF_SMOKE).toPandas()
+    want = con.sql(_crosscorpus_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+
 def test_bigram_scores_respect_custom_id_col(spark):
     """ADVICE r11: bigram_lm hard-coded "doc_id" in its transition
     extraction, so bigram_logprob_scores(docs, id_col=...) raised an
