@@ -28,22 +28,17 @@ from pyspark.sql import functions as F
 from data_warehouse_product_mix_clustering_spark.operators.keys import materialized_range_partitions
 
 
-def pack_shards(
+def with_running_weight_before(
     df: DataFrame,
     order_col: str,
     weight_col: str,
-    budget: int,
-    shard_col: str = "shard_id",
+    out_col: str,
 ) -> DataFrame:
-    """Assign ``shard_col = (running weight before this row) DIV budget``.
-
-    ``order_col`` must be a total order (unique); ``weight_col`` a
-    non-negative integral weight (token count). A single document heavier
-    than ``budget`` still lands in exactly one shard (its own cum range) —
-    packing never splits a document.
-    """
-    if budget <= 0:
-        raise ValueError(f"budget must be positive: {budget}")
+    """Attach ``out_col`` = the running ``weight_col`` total BEFORE each
+    row under the ``order_col`` total order — the distributed exclusive
+    prefix sum both packers build on (module docstring: range partition
+    → partition-local window → ≤P-row driver scan → broadcast offsets).
+    Appends a transient ``__pid`` the caller must drop."""
     p = df.sparkSession.sparkContext.defaultParallelism
     # materialized: both passes MUST see one partitioning (see
     # materialized_range_partitions — re-sampled range boundaries would
@@ -76,11 +71,83 @@ def pack_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return with_pid.withColumn(out_col, (local_before + offmap).cast("long"))
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Assign ``shard_col = (running weight before this row) DIV budget``.
+
+    ``order_col`` must be a total order (unique); ``weight_col`` a
+    non-negative integral weight (token count). A single document heavier
+    than ``budget`` still lands in exactly one shard (its own cum range) —
+    packing never splits a document.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
     return (
-        with_pid.withColumn(
-            "__cum_before", (local_before + offmap).cast("long")
-        )
+        with_running_weight_before(df, order_col, weight_col, "__cum_before")
         # integer DIV, not float floor: exact at any corpus size
         .withColumn(shard_col, F.expr(f"__cum_before DIV {int(budget)}"))
         .drop("__pid", "__cum_before")
+    )
+
+
+def context_windows(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    context_len: int,
+) -> DataFrame:
+    """Concat-and-chunk packing INDEX — the GPT-pretraining shape
+    ``pack_shards`` deliberately avoids: documents are concatenated in
+    ``order_col`` order into one token stream and cut into consecutive
+    fixed-length context windows of ``context_len`` tokens, SPLITTING
+    documents at window boundaries (where pack_shards never splits).
+    Returns one row per (window, document-slice):
+
+    - ``seq_id``     — window index (token k lives in window k DIV L)
+    - ``slice_start``— 0-based offset of the slice INSIDE the document
+    - ``slice_len``  — slice length (> 0)
+    - ``seq_offset`` — 0-based offset of the slice INSIDE the window
+
+    plus the input's id columns — an exact materialization plan for the
+    packed tensors (the writer gathers each window's slices by
+    ``seq_offset`` and substrings each doc's tokens by
+    ``slice_start/slice_len``). Zero-weight docs emit nothing. The last
+    window is ragged (sum of its slice lengths < L); every other window
+    tiles to exactly L by construction.
+
+    Scale: the same distributed exclusive prefix sum as ``pack_shards``
+    (no single-partition window), then each doc explodes to its
+    overlapped window range — ≤ weight/L + 1 rows per doc, proportional
+    to output size, never to corpus × windows."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive: {context_len}")
+    L = int(context_len)
+    started = with_running_weight_before(
+        df, order_col, weight_col, "__start"
+    ).filter(F.col(weight_col) > 0)
+    first_w = F.expr(f"__start DIV {L}")
+    last_w = F.expr(f"(__start + {weight_col} - 1) DIV {L}")
+    exploded = started.withColumn(
+        "seq_id", F.explode(F.sequence(first_w, last_w))
+    )
+    win_start = F.col("seq_id") * L
+    slice_abs_start = F.greatest(F.col("__start"), win_start)
+    slice_abs_end = F.least(
+        F.col("__start") + F.col(weight_col), win_start + L
+    )
+    return (
+        exploded.withColumn(
+            "slice_start", (slice_abs_start - F.col("__start")).cast("long")
+        )
+        .withColumn("slice_len", (slice_abs_end - slice_abs_start).cast("long"))
+        .withColumn("seq_offset", (slice_abs_start - win_start).cast("long"))
+        .drop("__pid", "__start")
     )

@@ -1671,3 +1671,77 @@ def semantic_dedup_sweep(
             .alias("n_survivors"),
         )
     )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_out: int = 6,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus SemDeDup — the continuous-ingestion shape that
+    completes the incremental family (exact: ``incremental_dedup``,
+    n-gram: ``incremental_jaccard_pairs``, now semantic): the coarse
+    codebook fits on the CORPUS (the frozen reference clustering — the
+    deployment invariant; re-fitting per batch would reshuffle every
+    cell), the batch assigns to those frozen centers via the same
+    ``assign_to_centers`` expression CDC maintenance uses, and a batch
+    row is a duplicate iff
+
+    - ANY same-cell corpus row has rounded cosine ≥ ``threshold``
+      (any corpus id — the corpus is already deduped and kept), or
+    - a LOWER-id same-cell batch row does (the within-batch greedy
+      rule — the same keep-first-in-batch convention as
+      ``incremental_dedup``).
+
+    Returns the batch survivors (id, __cell), ready to append. Assumes
+    disjoint id spaces (re-ingesting an ingested row IS a duplicate —
+    it will cosine-1.0 its corpus twin, which is the correct outcome;
+    the convention documented on ``incremental_jaccard_pairs``).
+
+    Scale: the corpus is PRUNED to the batch's touched cells by a
+    broadcast semi-join BEFORE the pair join (``broadcast_batch``, the
+    deployment default — a batch's distinct-cell set is ≤ nlist rows),
+    so the only large scan is the touched slice of the corpus; the
+    batch side then broadcasts into the pair join. Pair volume is
+    |batch∩cell| × n_c per touched cell — batch-bounded, never corpus².
+    Zero-norm rows: NULL cosine under try_divide, never a duplicate —
+    the same always-survive rule as ``semantic_dedup``."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    model, corpus_assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
+    centers = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    batch_assigned = assign_to_centers(batch, centers, id_col, vec_col)
+
+    touched = batch_assigned.select("__cell").distinct()
+    if broadcast_batch:
+        touched = F.broadcast(touched)
+    corpus_pruned = corpus_assigned.join(touched, "__cell", "left_semi")
+
+    b = batch_assigned.select(
+        F.col(id_col).alias("__bid"), F.col("__v").alias("__bv"), "__cell"
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    c = corpus_pruned.select(F.col("__v").alias("__cv"), "__cell")
+    dup_vs_corpus = (
+        b.join(c, "__cell")
+        .filter(
+            ratio_round(cosine(F.col("__bv"), F.col("__cv")), round_out)
+            >= threshold
+        )
+        .select(F.col("__bid").alias(id_col))
+    )
+    dup_in_batch = _small_cell_pairs(
+        batch_assigned, id_col, threshold, round_out
+    ).select(F.col("vec_b").alias(id_col))
+    dups = dup_vs_corpus.unionByName(dup_in_batch).distinct()
+    return batch_assigned.join(dups, id_col, "left_anti").select(id_col, "__cell")

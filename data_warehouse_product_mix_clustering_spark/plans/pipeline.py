@@ -1439,3 +1439,62 @@ def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_identical boolean, cdc_changes long, "
         "time_travel_intact boolean, marker_advanced boolean",
     )
+
+
+CONTEXT_LEN = 64  # tokens per packed context window
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("doc_context_windows", oracle=_CONTEXT_WINDOWS_ORACLE)
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing index (GPT-pretraining shape): docs
+    concatenated in doc_id order and cut into 64-token context windows,
+    SPLITTING docs at window boundaries — the complement of
+    ``shard_packing``, which never splits. One row per (window,
+    doc-slice): exactly the gather plan a tensor writer executes. The
+    oracle states the prefix sum as one global window cumsum +
+    generate_series; the Spark plan computes the SAME sum distributed
+    (operators/packing.py::with_running_weight_before) and bounds the
+    explode at weight/L + 1 rows per doc. Pre-staged for r13
+    registration with ``_CONTEXT_WINDOWS_ORACLE``."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return context_windows(
+        docs, order_col="doc_id", weight_col="n_tokens", context_len=CONTEXT_LEN
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+
+
+_CONTEXT_WINDOWS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS strt
+        FROM toks
+    ), spans AS (
+        SELECT doc_id, n_tokens, strt,
+               strt // {CONTEXT_LEN} AS fw,
+               (strt + n_tokens - 1) // {CONTEXT_LEN} AS lw
+        FROM cum WHERE n_tokens > 0
+    ), ex AS (
+        SELECT doc_id, n_tokens, strt,
+               unnest(generate_series(fw, lw)) AS seq_id
+        FROM spans
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(strt, seq_id * {CONTEXT_LEN}) - strt AS BIGINT)
+               AS slice_start,
+           CAST(least(strt + n_tokens, (seq_id + 1) * {CONTEXT_LEN})
+                - greatest(strt, seq_id * {CONTEXT_LEN}) AS BIGINT)
+               AS slice_len,
+           CAST(greatest(strt, seq_id * {CONTEXT_LEN})
+                - seq_id * {CONTEXT_LEN} AS BIGINT) AS seq_offset
+    FROM ex
+"""

@@ -150,6 +150,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   builder-verified value-exact at sf0.001 AND sf0.01, OOV exercised
     #   at sf0.01 (25 docs); test_doc_crosscorpus_logprob_matches_duckdb_twin
     #   is the dry run).
+    # - `doc_context_windows` (plans/pipeline.py — concat-and-chunk
+    #   packing index, the GPT-pretraining shape that SPLITS docs at
+    #   64-token window boundaries, complementing shard_packing's
+    #   never-split rule; adjacent oracle `_CONTEXT_WINDOWS_ORACLE`
+    #   builder-verified value-exact at sf0.001 AND sf0.01;
+    #   test_doc_context_windows_matches_duckdb_twin is the dry run).
     "doc_weighted_sample",
     "product_pagination_keyset",
     "dedup_overlap_coefficient",

@@ -621,6 +621,83 @@ def test_pack_shards_empty_and_single(spark):
     assert row.shard_id == 0
 
 
+def test_context_windows_matches_sequential(spark):
+    """operators/packing.py::context_windows == the sequential
+    concat-and-chunk definition: lay the weights out as one stream, cut
+    every L tokens, record each doc's slice per window. Covers a doc
+    spanning multiple windows (w > L), exact-boundary docs, zero-weight
+    docs (absent), and the ragged last window; reassembling slices must
+    reconstruct each doc exactly once with full coverage."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    L = 16
+    weights = [10, 25, 16, 3, 0, 40, 1, 6, 2]  # 0-weight doc 4; doc 5 > 2L
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(
+        (r.seq_id, r.id, r.slice_start, r.slice_len, r.seq_offset)
+        for r in context_windows(df, "id", "w", context_len=L).collect()
+    )
+    want = []
+    start = 0
+    for i, w in enumerate(weights):
+        if w == 0:
+            continue
+        for seq in range(start // L, (start + w - 1) // L + 1):
+            a = max(start, seq * L)
+            b = min(start + w, (seq + 1) * L)
+            want.append((seq, i, a - start, b - a, a - seq * L))
+        start += w
+    assert got == sorted(want)
+    # per-doc slices reconstruct the doc: contiguous from 0, total == w
+    per_doc: dict = {}
+    for seq, i, ss, sl, _ in got:
+        per_doc.setdefault(i, []).append((ss, sl))
+    for i, slices in per_doc.items():
+        slices.sort()
+        pos = 0
+        for ss, sl in slices:
+            assert ss == pos and sl > 0
+            pos += sl
+        assert pos == weights[i]
+    assert 4 not in per_doc  # zero-weight doc emits nothing
+
+    with pytest.raises(ValueError):
+        context_windows(df, "id", "w", context_len=0)
+
+
+def test_doc_context_windows_matches_duckdb_twin(spark):
+    """plans/pipeline.py::doc_context_windows (pre-staged r13) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the r13 registration pastes
+    exactly these two sides, so this test IS the registration's dry
+    run. Also pins the tiling contract: every window except the ragged
+    last sums to exactly CONTEXT_LEN."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _CONTEXT_WINDOWS_ORACLE,
+        CONTEXT_LEN,
+        doc_context_windows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = doc_context_windows(spark, SF_SMOKE).toPandas()
+    want = con.sql(_CONTEXT_WINDOWS_ORACLE).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    per = got.groupby("seq_id")["slice_len"].sum()
+    assert (per[per.index < per.index.max()] == CONTEXT_LEN).all()
+
+
 def test_pq_recall_vs_brute_force(spark):
     """PQ-ADC with exact re-rank must recover ≥0.9 of true top-10 on the
     near-uniform fixture (hardest regime for quantization: neighbors are
@@ -1594,6 +1671,87 @@ def test_semantic_dedup_matches_python_reference(spark):
     assert removed, "threshold 0.4 must bite (max within-cell cosine ~0.479 at sf0.001)"
     assert set(survivors) | removed == {r["vec_id"] for r in rows}
     assert 100000 in survivors, "zero-norm row: NULL cosine, never a dup"
+
+
+def test_semantic_dedup_incremental_matches_python_reference(spark):
+    """operators/similarity.py::semantic_dedup_incremental — the
+    batch-vs-corpus rule against a python reference on the SAME frozen
+    corpus clustering: a batch row is removed iff ANY same-cell corpus
+    row (any id) or a LOWER-id same-cell batch row has rounded cosine ≥
+    threshold. Pins the re-ingestion convention (a batch copy of a
+    corpus vector is removed — cosine 1.0 with its twin) and the
+    zero-norm always-survive rule."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        assign_to_centers,
+        fit_ivf_codebook,
+        semantic_dedup_incremental,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    # batch: the rest, plus a re-ingested copy of corpus vec 0 under a
+    # new id and a zero-norm row
+    copy0 = corpus.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(91000, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    batch = (
+        emb.filter(F.col("vec_id") >= 400).unionByName(copy0).unionByName(zero)
+    )
+
+    thr, nlist, seed = 0.4, 4, 42
+    survivors = {
+        r["vec_id"]: r["__cell"]
+        for r in semantic_dedup_incremental(
+            batch, corpus, nlist=nlist, threshold=thr, seed=seed
+        ).collect()
+    }
+
+    # python reference on the SAME frozen clustering
+    model, corpus_assigned = fit_ivf_codebook(
+        corpus, "vec_id", "embedding", nlist, seed
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    brows = assign_to_centers(batch, centers, "vec_id", "embedding").collect()
+    crows = corpus_assigned.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return float("-inf")
+        return round(d / (na * nb) + 1e-9, 6)
+
+    corpus_by_cell: dict = {}
+    for r in crows:
+        corpus_by_cell.setdefault(r["__cell"], []).append(list(r["__v"]))
+    batch_by_cell: dict = {}
+    for r in sorted(brows, key=lambda r: r["vec_id"]):
+        batch_by_cell.setdefault(r["__cell"], []).append(
+            (r["vec_id"], list(r["__v"]))
+        )
+    want = {}
+    for cell, members in batch_by_cell.items():
+        for i, (vid, v) in enumerate(members):
+            dup = any(
+                cos(v, w) >= thr for w in corpus_by_cell.get(cell, [])
+            ) or any(cos(v, w) >= thr for _, w in members[:i])
+            if not dup:
+                want[vid] = cell
+    assert survivors == want
+    assert 90000 not in survivors, "re-ingested copy must be removed"
+    assert 91000 in survivors, "zero-norm row: NULL cosine, never a dup"
+    assert len(survivors) < batch.count(), "threshold must bite"
 
 
 def test_semantic_dedup_giant_cell_routing_agrees(spark):
