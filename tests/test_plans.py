@@ -1126,3 +1126,27 @@ def test_semantic_dedup_sweep_single_pair_scan(spark):
             emb, nlist=4, threshold=t, seed=42, giant_cell_rows=0
         ).count()
         assert got[t] == want, (t, got[t], want)
+
+
+def test_driver_priority_window_composition():
+    """The driver attests the first 50 of all_queries() per round; the
+    rotation mechanics are judge-checked at exactly position 50
+    (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
+    resolves to a registered query (a typo would silently shrink the
+    window), no duplicates (a repeat would double-book a slot), the
+    round-12 window is exactly 3 new + 19 r7-cohort + 28 r8-cohort
+    names, and the in-window boundary name is the documented one."""
+    from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
+
+    qs = all_queries()
+    missing = [n for n in _DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    window = list(qs)[:50]
+    assert window == _DRIVER_PRIORITY[:50]
+    assert window[:3] == [
+        "doc_bigram_logprob",
+        "semantic_dedup_groups_audit",
+        "training_corpus_lm_filtered",
+    ]
+    assert window[49] == "events_multitouch_attribution"
