@@ -156,6 +156,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   never-split rule; adjacent oracle `_CONTEXT_WINDOWS_ORACLE`
     #   builder-verified value-exact at sf0.001 AND sf0.01;
     #   test_doc_context_windows_matches_duckdb_twin is the dry run).
+    # - `semantic_dedup_incremental_audit` (plans/similarity.py —
+    #   batch-vs-corpus SemDeDup contract: batch-only output, witness
+    #   soundness AND completeness, bites; all four booleans
+    #   builder-verified TRUE at sf0.001 AND sf0.01;
+    #   test_semantic_dedup_incremental_audit_dry_run is the dry run;
+    #   adjacent constant-boolean oracle in the pre-stage comment).
     "doc_weighted_sample",
     "product_pagination_keyset",
     "dedup_overlap_coefficient",

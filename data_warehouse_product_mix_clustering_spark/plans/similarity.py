@@ -970,3 +970,93 @@ def semantic_dedup_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_removed") > 0).alias("sweep_bites"),
         )
     )
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("semantic_dedup_incremental_audit", oracle="""
+#     SELECT TRUE AS output_is_batch_only,
+#            TRUE AS removed_have_witness,
+#            TRUE AS survivors_clean,
+#            TRUE AS prune_bites
+# """)
+def semantic_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for
+    ``operators/similarity.py::semantic_dedup_incremental`` (the
+    batch-vs-corpus SemDeDup; same oracle discipline as the other
+    codebook-dependent audits — survivor ids are engine-specific, so
+    the oracle pins the CONTRACT and Spark computes the measured truth):
+
+    - ``output_is_batch_only``: survivors ⊆ batch ids (the corpus is
+      never re-emitted — the incremental promise);
+    - ``removed_have_witness``: every removed batch row has a same-cell
+      CORPUS witness (any id) or LOWER-id batch witness at rounded
+      cosine ≥ threshold — the rule recomputed independently from the
+      frozen assignment;
+    - ``survivors_clean``: NO survivor has such a witness (the rule is
+      an iff — removal is complete, not just sound);
+    - ``prune_bites``: at least one batch row was removed.
+
+    Batch = the corpus tail (vec_id ≥ 400) plus nothing synthetic — the
+    id-disjoint split convention of ``dedup_incremental_exact``."""
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        assign_to_centers,
+        cosine,
+        fit_ivf_codebook,
+        semantic_dedup_incremental,
+    )
+
+    thr, nlist, seed = 0.4, 8, 42
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    survivors = semantic_dedup_incremental(
+        batch, corpus, nlist=nlist, threshold=thr, seed=seed
+    ).localCheckpoint(eager=True)
+
+    # independent witness relation from the SAME frozen clustering
+    model, corpus_assigned = fit_ivf_codebook(
+        corpus, "vec_id", "embedding", nlist, seed
+    )
+    centers = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    batch_assigned = assign_to_centers(batch, centers, "vec_id", "embedding")
+    b = batch_assigned.select(
+        F.col("vec_id").alias("__bid"), F.col("__v").alias("__bv"), "__cell"
+    )
+    cw = corpus_assigned.select(
+        F.lit(-1).cast("long").alias("__wid"), F.col("__v").alias("__wv"), "__cell"
+    ).unionByName(
+        batch_assigned.select(
+            F.col("vec_id").alias("__wid"), F.col("__v").alias("__wv"), "__cell"
+        )
+    )
+    witnessed = (
+        b.join(cw, "__cell")
+        # corpus witnesses carry __wid = -1 (always "lower"); batch
+        # witnesses must have a strictly lower id
+        .filter(F.col("__wid") < F.col("__bid"))
+        .filter(ratio_round(cosine(F.col("__bv"), F.col("__wv"))) >= thr)
+        .select(F.col("__bid").alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed = batch.select("vec_id").exceptAll(survivors.select("vec_id"))
+    orphans = removed.exceptAll(witnessed)  # removed without a witness
+    dirty = survivors.select("vec_id").join(witnessed, "vec_id", "left_semi")
+    non_batch = survivors.select("vec_id").join(
+        batch.select("vec_id"), "vec_id", "left_anti"
+    )
+    counts = (
+        orphans.agg(F.count(F.lit(1)).alias("__n_orphans"))
+        .crossJoin(dirty.agg(F.count(F.lit(1)).alias("__n_dirty")))
+        .crossJoin(non_batch.agg(F.count(F.lit(1)).alias("__n_foreign")))
+        .crossJoin(removed.agg(F.count(F.lit(1)).alias("__n_removed")))
+    )
+    return counts.select(
+        (F.col("__n_foreign") == 0).alias("output_is_batch_only"),
+        (F.col("__n_orphans") == 0).alias("removed_have_witness"),
+        (F.col("__n_dirty") == 0).alias("survivors_clean"),
+        (F.col("__n_removed") > 0).alias("prune_bites"),
+    )

@@ -1150,3 +1150,22 @@ def test_driver_priority_window_composition():
         "training_corpus_lm_filtered",
     ]
     assert window[49] == "events_multitouch_attribution"
+
+
+def test_semantic_dedup_incremental_audit_dry_run(spark):
+    """plans/similarity.py::semantic_dedup_incremental_audit (pre-staged
+    r13) — all four contract booleans must hold at smoke SF: survivors
+    stay batch-only, removal is sound (every removed row has a frozen-
+    assignment witness) AND complete (no survivor has one), and the
+    threshold bites. The r13 registration pastes the function plus its
+    constant-boolean oracle, so this test IS the registration's dry
+    run."""
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import (
+        semantic_dedup_incremental_audit,
+    )
+
+    row = semantic_dedup_incremental_audit(spark, SF_SMOKE).collect()[0]
+    assert row.output_is_batch_only
+    assert row.removed_have_witness
+    assert row.survivors_clean
+    assert row.prune_bites
