@@ -1683,6 +1683,7 @@ def semantic_dedup_incremental(
     seed: int = 42,
     round_out: int = 6,
     broadcast_batch: bool = True,
+    centers: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus SemDeDup — the continuous-ingestion shape that
     completes the incremental family (exact: ``incremental_dedup``,
@@ -1711,14 +1712,26 @@ def semantic_dedup_incremental(
     batch side then broadcasts into the pair join. Pair volume is
     |batch∩cell| × n_c per touched cell — batch-bounded, never corpus².
     Zero-norm rows: NULL cosine under try_divide, never a duplicate —
-    the same always-survive rule as ``semantic_dedup``."""
+    the same always-survive rule as ``semantic_dedup``.
+
+    ``centers``: pass a FROZEN codebook (the ``(cell, vector)`` list
+    ``fit_ivf_codebook`` derives) to skip the per-call corpus k-means —
+    the continuous-ingestion loop (``streaming/ingest.py``) fits once on
+    the seed corpus and reuses the centers for every micro-batch, since
+    refitting per batch would both cost a full corpus pass and reshuffle
+    cell identities under the already-ingested rows."""
     from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 
-    model, corpus_assigned = fit_ivf_codebook(corpus, id_col, vec_col, nlist, seed)
-    centers = [
-        (i, [float(x) for x in ctr])
-        for i, ctr in enumerate(model.clusterCenters())
-    ]
+    if centers is None:
+        model, corpus_assigned = fit_ivf_codebook(
+            corpus, id_col, vec_col, nlist, seed
+        )
+        centers = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    else:
+        corpus_assigned = assign_to_centers(corpus, centers, id_col, vec_col)
     batch_assigned = assign_to_centers(batch, centers, id_col, vec_col)
 
     touched = batch_assigned.select("__cell").distinct()

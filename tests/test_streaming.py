@@ -280,3 +280,111 @@ def test_quarantine_sink_empty_feed_reads_as_empty(spark, tmp_path):
     # without a schema the original loud failure is preserved
     with pytest.raises(AnalysisException):
         read_sink(spark, str(tmp_path / "quar")).count()
+
+
+def test_streaming_semantic_ingest_dedups_sequentially(spark, tmp_path):
+    """streaming/ingest.py — the continuous semantic-ingest loop: each
+    landing file dedups against the corpus-so-far under the FROZEN seed
+    codebook, survivors append, and the whole run matches a sequential
+    python reference applying the incremental rule file by file. A
+    rerun with no new files executes zero batches and leaves the corpus
+    byte-identical; a batch re-ingesting an already-ingested vector
+    drops it."""
+    import math
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        assign_to_centers,
+        fit_ivf_codebook,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from data_warehouse_product_mix_clustering_spark.streaming.ingest import (
+        read_corpus,
+        seed_corpus,
+        streaming_semantic_ingest,
+    )
+    from conftest import SF_SMOKE
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    seed_df = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    # batch 2 includes a re-ingest of a batch-1 vector under a new id —
+    # it must be dropped against batch 1's ALREADY-INGESTED survivors
+    reingest = b1.limit(1).select(
+        (F.col("vec_id") + 80000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.filter(F.col("vec_id") >= 400).unionByName(reingest)
+
+    corpus_dir = str(tmp_path / "corpus")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    seed_corpus(spark, corpus_dir, seed_df)
+    thr, nlist, sd = 0.4, 4, 42
+
+    # one file per batch, mtimes ordered so the file source takes them
+    # in sequence (maxFilesPerTrigger=1)
+    b1.toPandas().to_parquet(str(landing / "b1.parquet"), index=False)
+    time.sleep(1.1)
+    b2.toPandas().to_parquet(str(landing / "b2.parquet"), index=False)
+
+    n = streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, str(tmp_path / "ckpt"),
+        nlist=nlist, threshold=thr, seed=sd,
+    )
+    assert n == 2
+    got = {
+        r["vec_id"]
+        for r in read_corpus(spark, corpus_dir).collect()
+    }
+
+    # python reference: frozen seed codebook, sequential batch rule
+    model, _ = fit_ivf_codebook(seed_df, "vec_id", "embedding", nlist, sd)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+    def assigned_rows(df):
+        return assign_to_centers(df, centers, "vec_id", "embedding").collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return float("-inf")
+        return round(d / (na * nb) + 1e-9, 6)
+
+    corpus_cells: dict = {}
+    for r in assigned_rows(seed_df):
+        corpus_cells.setdefault(r["__cell"], []).append(list(r["__v"]))
+    want = {r["vec_id"] for r in seed_df.collect()}
+    for batch_df in (b1, b2):
+        rows = sorted(assigned_rows(batch_df), key=lambda r: r["vec_id"])
+        accepted = []
+        for r in rows:
+            v, cell = list(r["__v"]), r["__cell"]
+            dup = any(
+                cos(v, w) >= thr for w in corpus_cells.get(cell, [])
+            ) or any(
+                cos(v, w) >= thr for c2, w in accepted if c2 == cell
+            )
+            if not dup:
+                accepted.append((cell, v))
+                want.add(r["vec_id"])
+        for cell, v in accepted:
+            corpus_cells.setdefault(cell, []).append(v)
+    assert got == want
+    assert 80000 not in got, "re-ingested vector must be dropped"
+    assert len(got) < seed_df.count() + b1.count() + b2.count()
+
+    # idempotence: rerun drains nothing, corpus unchanged
+    n2 = streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, str(tmp_path / "ckpt"),
+        nlist=nlist, threshold=thr, seed=sd,
+    )
+    assert n2 == 0
+    again = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
+    assert again == got
