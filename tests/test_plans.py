@@ -1169,3 +1169,34 @@ def test_semantic_dedup_incremental_audit_dry_run(spark):
     assert row.removed_have_witness
     assert row.survivors_clean
     assert row.prune_bites
+
+
+def test_semantic_dedup_incremental_prunes_corpus_by_touched_cells(spark):
+    """The incremental SemDeDup's scale promise, plan-pinned: the corpus
+    is reduced to the batch's touched cells by a BROADCAST left-semi
+    join BEFORE any pair comparison (the batch's distinct-cell set is
+    ≤ nlist rows), and no join anywhere degenerates to a cartesian
+    product — pair volume stays batch-bounded."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    out = semantic_dedup_incremental(
+        emb.filter(F.col("vec_id") >= 400),
+        emb.filter(F.col("vec_id") < 400),
+        nlist=4,
+        threshold=0.4,
+        seed=42,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    semi_broadcasts = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "LeftSemi" in line
+    ]
+    assert semi_broadcasts, f"corpus not broadcast-semi pruned:\n{plan[:1200]}"
+    assert "CartesianProduct" not in plan
