@@ -151,3 +151,75 @@ def context_windows(
         .withColumn("seq_offset", (slice_abs_start - win_start).cast("long"))
         .drop("__pid", "__start")
     )
+
+
+def with_rank_and_running(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    rank_col: str = "rk",
+    running_col: str = "running",
+) -> DataFrame:
+    """Attach the global ``rank_col`` (1-based dense row_number) and the
+    INCLUSIVE running ``weight_col`` total under the ``order_cols``
+    total order — the pair every frontier/concentration statistic
+    (Pareto running share, rank-weighted Gini) needs — computed
+    DISTRIBUTED: one materialized range partitioning, per-partition
+    windows, one ≤P-row collect of (count, weight) partition totals,
+    two broadcast offset maps. The exact same values as a global-window
+    formulation (prefix sums and ranks are associative), with no
+    single-partition funnel — the coded escape hatch the Pareto/Gini
+    queries' docstrings point to.
+
+    ``order_cols`` may carry sort directions (``F.col(...).desc()``);
+    they must define a TOTAL order or ranks are nondeterministic. The
+    running sum preserves ``weight_col``'s type (decimal stays exact).
+    Appends a transient ``__pid`` the caller must drop."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = materialized_range_partitions(df, p, order_cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    stats = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(weight_col).alias("__w"))
+        .orderBy("__pid")
+        .collect()
+    )
+    cnt_off: dict[int, int] = {}
+    w_off: dict[int, object] = {}
+    c_acc = 0
+    w_acc = None
+    for row in stats:
+        cnt_off[row["__pid"]] = c_acc
+        w_off[row["__pid"]] = w_acc
+        c_acc += int(row["__c"])
+        w_acc = row["__w"] if w_acc is None else w_acc + row["__w"]
+    if cnt_off:
+        cnt_map = F.coalesce(
+            F.create_map(*[F.lit(x) for kv in cnt_off.items() for x in kv])[
+                F.col("__pid")
+            ],
+            F.lit(0),
+        )
+        # weight offsets: first partition's offset is None (no literal
+        # decimal-zero guessing — coalesce to the column's own zero via
+        # weight*0 keeps the exact input type)
+        w_map = F.coalesce(
+            F.create_map(
+                *[
+                    x
+                    for pid, off in w_off.items()
+                    for x in (F.lit(pid), F.lit(off))
+                ]
+            )[F.col("__pid")],
+            F.col(weight_col) * 0,
+        )
+    else:  # empty input
+        cnt_map = F.lit(0)
+        w_map = F.col(weight_col) * 0
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    running_local = F.sum(weight_col).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return with_pid.withColumn(
+        rank_col, (F.row_number().over(w) + cnt_map).cast("long")
+    ).withColumn(running_col, running_local + w_map)

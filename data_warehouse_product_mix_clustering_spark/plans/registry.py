@@ -162,6 +162,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_semantic_dedup_incremental_audit_dry_run is the dry run;
     #   adjacent constant-boolean oracle in the pre-stage comment).
+    # - `revenue_pareto_share_distributed` / `customer_revenue_gini_distributed`
+    #   (plans/analytics.py — the Pareto/Gini escape hatches as code:
+    #   EXACT distributed twins via with_rank_and_running, equality
+    #   test-pinned at sf0.001 AND sf0.01 plus a no-global-Window plan
+    #   pin; registering either is a paste of the registered query's
+    #   oracle onto the _distributed function).
     "doc_weighted_sample",
     "product_pagination_keyset",
     "dedup_overlap_coefficient",

@@ -154,3 +154,40 @@ def test_chunkers_edge_lengths_match_python_reference(spark):
         g = got_t[got_t.doc_id == doc_id].sort_values("chunk_idx")
         want = ref_tokens(t)
         assert [tuple(r) for r in g[["chunk_idx", "n_tokens", "chunk_md5"]].itertuples(index=False)] == want, f"token doc {doc_id}"
+
+
+def test_pareto_and_gini_distributed_twins_exactly_equal(spark):
+    """The Pareto/Gini single-partition-window class now carries its
+    escape hatch as CODE (operators/packing.py::with_rank_and_running):
+    the distributed two-pass formulations must equal the registered
+    global-window queries EXACTLY (prefix sums and ranks are
+    associative — this is an exact twin, not an approximation), and
+    their plans must contain NO global (un-partitioned) Window
+    operator."""
+    from data_warehouse_product_mix_clustering_spark.plans.analytics import (
+        customer_revenue_gini,
+        customer_revenue_gini_distributed,
+        revenue_pareto_share,
+        revenue_pareto_share_distributed,
+    )
+    from conftest import SF_SMOKE
+
+    for exact_fn, dist_fn in (
+        (revenue_pareto_share, revenue_pareto_share_distributed),
+        (customer_revenue_gini, customer_revenue_gini_distributed),
+    ):
+        a = exact_fn(spark, SF_SMOKE).collect()[0].asDict()
+        b = dist_fn(spark, SF_SMOKE).collect()[0].asDict()
+        assert a == b, (exact_fn.__name__, a, b)
+        plan = (
+            dist_fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        global_windows = [
+            line
+            for line in plan.splitlines()
+            if "Window" in line and "__pid" not in line
+        ]
+        assert not global_windows, (dist_fn.__name__, global_windows)
