@@ -1634,6 +1634,8 @@ def semantic_dedup_sweep(
     pair materializations instead. Threshold rows that remove nothing
     still appear (left join against the literal threshold relation)."""
     thrs = sorted({float(t) for t in thresholds})
+    if not thrs:
+        raise ValueError("thresholds must be non-empty")
     tmin = thrs[0]
     id_type = df.schema[id_col].dataType.simpleString()
     _, assigned = fit_ivf_codebook(df, id_col, vec_col, nlist, seed)

@@ -112,16 +112,27 @@ def plan_size_bytes(df: DataFrame) -> int:
 _ADVICE_CACHE: dict[tuple, str] = {}
 
 
-def invalidate_advice(sf_dir: str | None = None) -> None:
-    """Drop memoized advisor decisions whose cache key mentions
-    ``sf_dir`` (or all, when None). Cache keys are caller-chosen tuples;
-    the sf_dir match is a containment scan over the (bounded: one entry
-    per advised join site per session) cache."""
-    if sf_dir is None:
+def invalidate_advice(path: str | None = None) -> None:
+    """Drop memoized advisor decisions related to ``path`` (or all,
+    when None). The scan cache's ``invalidate`` calls this with table
+    FILE paths (``{sf_dir}/customer.parquet``) while advisor cache keys
+    carry the bare sf_dir, so the match is SUBSTRING containment in
+    either direction — a key whose string element is a prefix of the
+    path (the sf_dir of the rewritten file) or contains it is dropped
+    (review r12: the first cut compared tuple elements by equality, so
+    no real path-scoped invalidate ever dropped a memo and a rewritten
+    table could keep serving its stale broadcast hint). Over-dropping
+    is safe — the next call re-measures; the cache is bounded (one
+    entry per advised join site per session)."""
+    if path is None:
         _ADVICE_CACHE.clear()
-    else:
-        for k in [k for k in _ADVICE_CACHE if sf_dir in k]:
-            del _ADVICE_CACHE[k]
+        return
+    for k in [
+        k
+        for k in _ADVICE_CACHE
+        if any(isinstance(e, str) and (e in path or path in e) for e in k)
+    ]:
+        del _ADVICE_CACHE[k]
 
 
 def _apply_choice(

@@ -1381,7 +1381,14 @@ def training_corpus_lm_filtered_approx(
     scores = unigram_logprob_scores(table(spark, "documents", sf_dir)).select(
         "doc_id", "bits_per_token"
     )
-    joined = surviving.join(scores, "doc_id")
+    # Materialize the narrow survivors-with-scores relation ONCE
+    # (review r12: without this, the threshold agg and the gated scan
+    # each re-executed the full dedup+quality+LM pipeline — one extra
+    # full-corpus pass, the very cost this variant exists to remove).
+    # The checkpoint holds survivor-count rows of five scalars — the
+    # same bounded-narrow-relation class as fit_ivf_codebook's
+    # assignment checkpoint.
+    joined = surviving.join(scores, "doc_id").localCheckpoint(eager=True)
     bound = joined.agg(
         F.percentile_approx("bits_per_token", keep_frac, accuracy).alias("__thr")
     )
@@ -1554,7 +1561,8 @@ def _crosscorpus_oracle() -> str:
 def doc_crosscorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-corpus perplexity scoring — the actual CCNet deployment
     shape the self-scored queries approximate: the unigram LM fits on a
-    CLEAN REFERENCE slice (here the high-quality bucket, score ≥ 0.6 —
+    CLEAN REFERENCE slice (here the top of the quality distribution,
+    score ≥ 0.55 — the corpus maxes at ~0.57, so this is its 'high' tail —
     the in-testdata stand-in for CCNet's Wikipedia LM) and EVERY doc is
     scored against it, with out-of-vocabulary words floored at the
     reference LM's minimum logp (``unigram_logprob_scores``' external-lm

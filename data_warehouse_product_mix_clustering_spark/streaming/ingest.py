@@ -13,11 +13,14 @@ maintenance holds).
 
 Idempotence discipline (the quarantine sink's, review r8): foreachBatch
 is at-least-once, so survivors land partitioned by ``__batch_id`` with
-dynamic partition overwrite — an uncommitted batch's replay sees the
-same corpus-so-far prefix (later batches cannot have committed before
-it under availableNow's sequential batches) and overwrites its own
-partition with the same rows. The checkpoint makes committed batches
-never replay, so a rerun with no new files appends nothing.
+dynamic partition overwrite, and the sink reads the corpus restricted
+to STRICTLY EARLIER batch partitions — an uncommitted batch's replay
+therefore sees exactly the corpus prefix its first attempt saw (its own
+possibly-torn partition is excluded; later batches cannot have
+committed before it under availableNow's sequential batches), recomputes
+the same survivors, and overwrites its own partition with the same
+rows. The checkpoint makes committed batches never replay, so a rerun
+with no new files appends nothing.
 
 Scale: each micro-batch pays one batch-assign (broadcast centers), one
 broadcast semi-join pruning the corpus to touched cells, and one
@@ -42,19 +45,71 @@ def seed_corpus(spark: SparkSession, corpus_dir: str, seed_df: DataFrame) -> Non
     )
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """Corpus-so-far: the seed plus every ingested batch's survivors."""
-    parts = [os.path.join(corpus_dir, "seed")]
-    survivors = os.path.join(corpus_dir, "survivors")
-    if os.path.exists(survivors):
-        parts.append(survivors)
-    out = None
-    for p in parts:
-        df = spark.read.schema(EMBEDDING_SCHEMA).parquet(p).select(
-            "vec_id", "embedding"
-        )
-        out = df if out is None else out.unionByName(df)
-    return out
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """Corpus-so-far: the seed plus ingested batches' survivors.
+
+    ``before_batch``: the ingest sink MUST pass its own batch_id so it
+    sees only STRICTLY EARLIER batches (review r12: reading everything
+    meant an at-least-once replay of batch N read batch N's own
+    previously-written partition back as "corpus", deduped every
+    replayed row against its own prior copy, and — after a torn write
+    that left a partial partition — permanently dropped the missing
+    survivors). availableNow batches commit sequentially, so partitions
+    ≥ the replaying batch's id can only be its own torn output, never a
+    later batch's. Readers outside the sink omit it (None = all)."""
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
+
+    seed = spark.read.schema(EMBEDDING_SCHEMA).parquet(
+        os.path.join(corpus_dir, "seed")
+    ).select("vec_id", "embedding")
+    survivors_dir = os.path.join(corpus_dir, "survivors")
+    if not os.path.exists(survivors_dir):
+        return seed
+    survivors = spark.read.parquet(survivors_dir)
+    if before_batch is not None:
+        survivors = survivors.filter(F.col(BATCH_COL) < before_batch)
+    return seed.unionByName(survivors.select("vec_id", "embedding"))
+
+
+def _load_or_fit_centers(
+    spark: SparkSession, corpus_dir: str, nlist: int, seed: int
+) -> list[tuple[int, list[float]]]:
+    """The FROZEN codebook, persisted: fit once on the seed corpus and
+    written as a JSON sidecar keyed by (nlist, seed); every later run
+    loads it (review r12: the first cut refit the seed k-means on EVERY
+    invocation — a multi-second cost even for a no-new-files rerun —
+    and froze the centers only by the accident of seeded-KMeans
+    determinism over identical seed data, not by actually persisting
+    them). Python float repr round-trips exactly through JSON, so the
+    loaded centers reproduce assignments bit-for-bit."""
+    import json
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import fit_ivf_codebook
+
+    sidecar = os.path.join(corpus_dir, f"centers_nlist{nlist}_seed{seed}.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return [(int(i), [float(x) for x in v]) for i, v in json.load(f)]
+    model, _ = fit_ivf_codebook(
+        spark.read.schema(EMBEDDING_SCHEMA).parquet(
+            os.path.join(corpus_dir, "seed")
+        ),
+        "vec_id",
+        "embedding",
+        nlist,
+        seed,
+    )
+    centers = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centers, f)
+    os.replace(tmp, sidecar)  # atomic: readers never see a torn sidecar
+    return centers
 
 
 def streaming_semantic_ingest(
@@ -76,26 +131,11 @@ def streaming_semantic_ingest(
     batches and the grown corpus both assign through the same frozen
     ``assign_to_centers`` expression, so a row's cell never changes
     after ingestion."""
-    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
-        fit_ivf_codebook,
-        semantic_dedup_incremental,
-    )
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup_incremental
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
     from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
 
-    model, _ = fit_ivf_codebook(
-        spark.read.schema(EMBEDDING_SCHEMA).parquet(
-            os.path.join(corpus_dir, "seed")
-        ),
-        "vec_id",
-        "embedding",
-        nlist,
-        seed,
-    )
-    centers = [
-        (i, [float(x) for x in ctr])
-        for i, ctr in enumerate(model.clusterCenters())
-    ]
+    centers = _load_or_fit_centers(spark, corpus_dir, nlist, seed)
     survivors_dir = os.path.join(corpus_dir, "survivors")
 
     stream = (
@@ -108,7 +148,9 @@ def streaming_semantic_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        corpus = read_corpus(spark, corpus_dir)
+        # strictly-earlier batches only: a replay must not dedup its
+        # rows against its own torn partition (read_corpus docstring)
+        corpus = read_corpus(spark, corpus_dir, before_batch=batch_id)
         survivors = semantic_dedup_incremental(
             batch_df,
             corpus,

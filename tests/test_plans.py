@@ -966,6 +966,50 @@ def test_advisor_decision_memoized_per_session(spark, monkeypatch):
     assert calls["n"] == 6
 
 
+def test_advisor_memo_dropped_by_table_path_invalidate(spark, monkeypatch):
+    """Review r12: the scan cache's invalidate() is called with table
+    FILE paths ('{sf_dir}/customer.parquet') while advisor cache keys
+    carry the bare sf_dir — the first cut compared tuple elements by
+    equality, so no real path-scoped invalidation ever dropped a memo
+    and a rewritten table could keep serving its stale broadcast hint.
+    The wired integration must force a re-measure."""
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators import stats
+    from data_warehouse_product_mix_clustering_spark.sources import registry
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    stats.invalidate_advice()
+    calls = {"n": 0}
+    real = stats.plan_size_bytes
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(stats, "plan_size_bytes", counting)
+    nat = table(spark, "nation", SF_SMOKE)
+    sup = table(spark, "supplier", SF_SMOKE)
+    key = ("test_advisor_path_inval", SF_SMOKE)
+
+    def advise():
+        return stats.advise_broadcast_join(
+            sup,
+            nat.withColumnRenamed("n_nationkey", "s_nationkey"),
+            ["s_nationkey"],
+            cache_key=key,
+        )
+
+    advise()
+    assert calls["n"] == 2
+    advise()
+    assert calls["n"] == 2  # memoized
+    # the documented rewrite protocol: invalidate the table FILE path
+    registry.invalidate(os.path.join(SF_SMOKE, "nation.parquet"))
+    advise()
+    assert calls["n"] == 4, "path-scoped invalidate must drop the memo"
+
+
 def test_nation_revenue_join_strategy_follows_advisor(spark):
     """The ANALYZE→plan loop, closed (VERDICT r10 #6): nation_revenue's
     customer join is planned by advise_broadcast_join from measured

@@ -388,3 +388,61 @@ def test_streaming_semantic_ingest_dedups_sequentially(spark, tmp_path):
     assert n2 == 0
     again = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
     assert again == got
+
+
+def test_ingest_corpus_view_excludes_own_and_later_batches(spark, tmp_path):
+    """Review r12: an at-least-once replay of batch N must NOT read
+    batch N's own previously-written survivors partition back as
+    'corpus' — it would dedup every replayed row against its own prior
+    copy, and after a torn write permanently drop the missing
+    survivors. read_corpus(before_batch=N) must see the seed plus
+    strictly earlier partitions only; the frozen-centers sidecar must
+    make the second run skip the k-means refit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from data_warehouse_product_mix_clustering_spark.streaming.ingest import (
+        _load_or_fit_centers,
+        read_corpus,
+        seed_corpus,
+    )
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
+    from conftest import SF_SMOKE
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    corpus_dir = str(tmp_path / "corpus")
+    seed_corpus(spark, corpus_dir, emb.filter(F.col("vec_id") < 100))
+    # hand-write two survivor partitions as past ingest output
+    for bid, lo, hi in ((0, 100, 150), (1, 150, 200)):
+        (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .withColumn(BATCH_COL, F.lit(bid))
+            .write.mode("append")
+            .partitionBy(BATCH_COL)
+            .parquet(os.path.join(corpus_dir, "survivors"))
+        )
+    all_ids = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
+    assert all_ids == set(range(200))
+    # replaying batch 1 must see seed + batch 0 only — not itself
+    replay_view = {
+        r["vec_id"]
+        for r in read_corpus(spark, corpus_dir, before_batch=1).collect()
+    }
+    assert replay_view == set(range(150))
+    # replaying batch 0 must see the seed only
+    first_view = {
+        r["vec_id"]
+        for r in read_corpus(spark, corpus_dir, before_batch=0).collect()
+    }
+    assert first_view == set(range(100))
+
+    # frozen-centers sidecar: second load must not refit
+    c1 = _load_or_fit_centers(spark, corpus_dir, nlist=4, seed=42)
+    sidecar = os.path.join(corpus_dir, "centers_nlist4_seed42.json")
+    assert os.path.exists(sidecar)
+    mtime = os.path.getmtime(sidecar)
+    c2 = _load_or_fit_centers(spark, corpus_dir, nlist=4, seed=42)
+    assert c2 == c1  # bit-exact round trip
+    assert os.path.getmtime(sidecar) == mtime  # loaded, not refit
