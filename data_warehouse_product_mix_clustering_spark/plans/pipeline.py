@@ -1498,3 +1498,77 @@ _CONTEXT_WINDOWS_ORACLE = f"""
                 - seq_id * {CONTEXT_LEN} AS BIGINT) AS seq_offset
     FROM ex
 """
+
+
+_SOURCE_KL_ORACLE = f"""
+    WITH tok AS (
+        SELECT source, unnest({sql_tokens("text")}) AS word
+        FROM documents
+    ), src_counts AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), src_totals AS (
+        SELECT source, CAST(sum(c) AS DOUBLE) AS n_src
+        FROM src_counts GROUP BY 1
+    ), corpus_counts AS (
+        SELECT word, CAST(sum(c) AS DOUBLE) AS cw
+        FROM src_counts GROUP BY 1
+    ), corpus_total AS (
+        SELECT CAST(sum(cw) AS DOUBLE) AS n FROM corpus_counts
+    )
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_tokens,
+           {sql_ratio_round(
+               "sum((c / n_src) * log2((c / n_src) / (cw / n)))"
+           )} AS kl_bits
+    FROM src_counts
+    JOIN src_totals USING (source)
+    JOIN corpus_counts USING (word)
+    CROSS JOIN corpus_total
+    GROUP BY source
+"""
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("source_token_kl", oracle=_SOURCE_KL_ORACLE)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) in bits
+    over the unigram token distributions — the corpus-monitoring check
+    a mixture owner runs to spot a source whose content shifted (crawl
+    drift, a broken extractor, an injected spam burst). Exact, no
+    smoothing needed: each source's support is a subset of the corpus
+    support by construction, so both p_s(w) and p(w) are positive on
+    every summed term. One shuffle on (source, word); the corpus-wide
+    relation reuses the per-source counts (sum over sources), so the
+    corpus is scanned ONCE; per-source scalars ride a broadcast join on
+    the |sources|-row totals relation. Pre-staged for r13 registration
+    with ``_SOURCE_KL_ORACLE``."""
+    docs = table(spark, "documents", sf_dir)
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+    src_counts = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    src_totals = F.broadcast(
+        src_counts.groupBy("source").agg(
+            F.sum("c").cast("double").alias("n_src")
+        )
+    )
+    corpus_counts = src_counts.groupBy("word").agg(
+        F.sum("c").cast("double").alias("cw")
+    )
+    corpus_total = F.broadcast(
+        corpus_counts.agg(F.sum("cw").cast("double").alias("n"))
+    )
+    term = (F.col("c") / F.col("n_src")) * F.log2(
+        (F.col("c") / F.col("n_src")) / (F.col("cw") / F.col("n"))
+    )
+    return (
+        src_counts.join(src_totals, "source")
+        .join(corpus_counts, "word")
+        .crossJoin(corpus_total)
+        .groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_tokens"),
+            ratio_round(F.sum(term)).alias("kl_bits"),
+        )
+    )

@@ -162,6 +162,11 @@ _DRIVER_PRIORITY: list[str] = [
     #   builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_semantic_dedup_incremental_audit_dry_run is the dry run;
     #   adjacent constant-boolean oracle in the pre-stage comment).
+    # - `source_token_kl` (plans/pipeline.py — per-source unigram-
+    #   distribution drift, KL(P_source ‖ P_corpus) in bits, exact (no
+    #   smoothing: source support ⊆ corpus support); adjacent oracle
+    #   `_SOURCE_KL_ORACLE` builder-verified value-exact at sf0.001 AND
+    #   sf0.01; test_source_token_kl_matches_duckdb_twin is the dry run).
     # - `revenue_pareto_share_distributed` / `customer_revenue_gini_distributed`
     #   (plans/analytics.py — the Pareto/Gini escape hatches as code:
     #   EXACT distributed twins via with_rank_and_running, equality

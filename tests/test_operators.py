@@ -1885,3 +1885,65 @@ def test_semantic_dedup_groups_matches_union_find(spark):
     ).collect()}
     reps = {v for v, g in got.items() if v == g}
     assert reps <= greedy
+
+
+def test_source_token_kl_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_token_kl (pre-staged r13) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the r13 registration pastes
+    exactly these two sides, so this test IS the registration's dry
+    run. Also pins Gibbs' inequality (KL ≥ 0 for every source — a
+    negative value means the distributions or normalizations are wrong)
+    and that drift is non-degenerate on the driver corpus (some source
+    actually differs from the corpus mix)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _SOURCE_KL_ORACLE,
+        source_token_kl,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = source_token_kl(spark, SF_SMOKE).toPandas()
+    want = con.sql(_SOURCE_KL_ORACLE).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert (got["kl_bits"] >= 0).all(), "Gibbs: KL can never be negative"
+    assert (got["kl_bits"] > 0).any(), "drift must be non-degenerate"
+
+
+def test_with_rank_and_running_matches_sequential(spark):
+    """operators/packing.py::with_rank_and_running == the sequential
+    definition (sort by the order, number rows, running-sum the weight)
+    on a weight profile engineered to cross partition boundaries
+    unevenly — ties on the weight broken by id (a total order), desc
+    direction, and an empty frame."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    weights = [7, 7, 0, 100, 3, 3, 41, 1, 1, 60, 12, 7]
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {
+        r["id"]: (r["rk"], r["running"])
+        for r in with_rank_and_running(
+            df, [F.col("w").desc(), F.col("id")], "w"
+        ).collect()
+    }
+    seq = sorted(range(len(weights)), key=lambda i: (-weights[i], i))
+    run = 0
+    for rk0, i in enumerate(seq):
+        run += weights[i]
+        assert out[i] == (rk0 + 1, run), (i, out[i], (rk0 + 1, run))
+
+    empty = spark.createDataFrame([], "id long, w long")
+    assert (
+        with_rank_and_running(empty, [F.col("id")], "w").count() == 0
+    )
