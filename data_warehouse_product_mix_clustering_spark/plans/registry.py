@@ -162,6 +162,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_semantic_dedup_incremental_audit_dry_run is the dry run;
     #   adjacent constant-boolean oracle in the pre-stage comment).
+    # - `corpus_filter_waterfall` (plans/text.py — per-gate attrition
+    #   accounting for the training pipeline, 7 sequential-gate rows
+    #   reconciling exactly with training_corpus_lm_filtered; adjacent
+    #   oracle `training_waterfall_oracle()` builder-verified value-exact
+    #   at sf0.001 AND sf0.01;
+    #   test_corpus_filter_waterfall_matches_duckdb_twin is the dry run).
     # - `source_token_kl` (plans/pipeline.py — per-source unigram-
     #   distribution drift, KL(P_source ‖ P_corpus) in bits, exact (no
     #   smoothing: source support ⊆ corpus support); adjacent oracle

@@ -1584,3 +1584,191 @@ def doc_crosscorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(_qscore(_tokens(F.col("text"))) >= 0.55)
     lm = unigram_lm(ref)
     return unigram_logprob_scores(docs, lm=lm)
+
+
+_WATERFALL_STAGES = [
+    "0_total",
+    "1_dedup",
+    "2_nonempty",
+    "3_lang_en",
+    "4_quality",
+    "5_token_budget",
+    "6_lm_keep",
+]
+
+TRAINING_WATERFALL_ORACLE_TEMPLATE = """
+    WITH flagged AS (
+        SELECT doc_id, lang, {tokens} AS t, {bpe} AS bt,
+               row_number() OVER (PARTITION BY {fingerprint}
+                                  ORDER BY doc_id) = 1 AS f_dedup
+        FROM documents
+    ), gates AS (
+        SELECT doc_id,
+               f_dedup AS s1,
+               f_dedup AND len(t) > 0 AS s2,
+               f_dedup AND len(t) > 0 AND lang = 'en' AS s3,
+               f_dedup AND len(t) > 0 AND lang = 'en'
+                   AND {quality} >= 0.45 AS s4,
+               f_dedup AND len(t) > 0 AND lang = 'en'
+                   AND {quality} >= 0.45
+                   AND len(bt) BETWEEN 10 AND 5000 AS s5
+        FROM flagged
+    ), alltoks AS (
+        SELECT doc_id, {tokens} AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS word FROM alltoks
+    ), counts AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        FROM counts
+    ), lm AS (
+        SELECT word, log2((c + {a}) / (n + {a} * v)) AS logp
+        FROM counts, totals
+    ), scores AS (
+        SELECT doc_id, {round_avg} AS bits_per_token
+        FROM tok JOIN lm USING (word)
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT g.doc_id, g.s1, g.s2, g.s3, g.s4, g.s5,
+               g.s5 AND percent_rank() OVER (
+                   PARTITION BY g.s5 ORDER BY sc.bits_per_token
+               ) <= {keep_frac} AS s6
+        FROM gates g LEFT JOIN scores sc USING (doc_id)
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+               CAST(sum(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS n6
+        FROM ranked
+    )
+    SELECT u.stage, u.n_docs,
+           CAST(u.prev - u.n_docs AS BIGINT) AS dropped_here,
+           {retention} AS retention
+    FROM (
+        SELECT '0_total' AS stage, n0 AS n_docs, n0 AS prev, n0 AS total FROM agg
+        UNION ALL SELECT '1_dedup', n1, n0, n0 FROM agg
+        UNION ALL SELECT '2_nonempty', n2, n1, n0 FROM agg
+        UNION ALL SELECT '3_lang_en', n3, n2, n0 FROM agg
+        UNION ALL SELECT '4_quality', n4, n3, n0 FROM agg
+        UNION ALL SELECT '5_token_budget', n5, n4, n0 FROM agg
+        UNION ALL SELECT '6_lm_keep', n6, n5, n0 FROM agg
+    ) u
+"""
+
+
+def training_waterfall_oracle() -> str:
+    """The composed DuckDB oracle for ``corpus_filter_waterfall``."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import sql_fingerprint
+
+    return TRAINING_WATERFALL_ORACLE_TEMPLATE.format(
+        fingerprint=sql_fingerprint("text"),
+        tokens=sql_tokens("text"),
+        bpe=sql_bpe_tokens("text"),
+        quality=sql_quality_score("t"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+        keep_frac=_LM_KEEP_FRAC,
+        retention=sql_ratio_round(
+            "CAST(u.n_docs AS DOUBLE) / CAST(u.total AS DOUBLE)"
+        ),
+    )
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("corpus_filter_waterfall", oracle=training_waterfall_oracle())
+def corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate attrition accounting for the full training-corpus
+    pipeline — the observability table a mixture owner reads before
+    trusting a corpus build: one row per SEQUENTIAL gate (dedup →
+    nonempty → lang → quality → token budget → LM perplexity keep) with
+    the surviving count, the docs dropped AT that gate, and retention
+    vs the raw corpus. Each stage-k count is the conjunction of gates
+    1..k, so the rows reconcile exactly (dropped_here sums to
+    total − final survivors) and the last row's count equals
+    ``training_corpus_lm_filtered``'s cardinality by construction.
+
+    ONE pass computes every gate flag per doc (the fingerprint window +
+    token expressions), the LM score joins once, the LM percent_rank
+    runs over the stage-5 survivors partition (the same bounded class
+    as the filter itself), and a single 7-scalar aggregate explodes to
+    the stage rows driver-free. Pre-staged for r13 registration with
+    ``training_waterfall_oracle``."""
+    from pyspark.sql import Window
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        bpe_tokens,
+        fingerprint,
+        quality_score as _qscore,
+        tokens as _tokens,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
+
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        _tokens(F.col("text")).alias("t"),
+        bpe_tokens(F.col("text")).alias("bt"),
+        (F.row_number().over(w) == 1).alias("f_dedup"),
+    )
+    nonempty = F.size("t") > 0
+    # quality only evaluable on nonempty token lists (division by zero)
+    quality_ok = F.when(nonempty, _qscore(F.col("t")) >= 0.45).otherwise(F.lit(False))
+    gates = flagged.select(
+        "doc_id",
+        F.col("f_dedup").alias("s1"),
+        (F.col("f_dedup") & nonempty).alias("s2"),
+        (F.col("f_dedup") & nonempty & (F.col("lang") == "en")).alias("s3"),
+        (F.col("f_dedup") & nonempty & (F.col("lang") == "en") & quality_ok).alias("s4"),
+        (
+            F.col("f_dedup")
+            & nonempty
+            & (F.col("lang") == "en")
+            & quality_ok
+            & F.size("bt").cast("long").between(10, 5000)
+        ).alias("s5"),
+    )
+    scores = unigram_logprob_scores(docs).select("doc_id", "bits_per_token")
+    ranked = gates.join(scores, "doc_id", "left").withColumn(
+        "s6",
+        F.col("s5")
+        & (
+            F.percent_rank().over(
+                Window.partitionBy("s5").orderBy("bits_per_token")
+            )
+            <= _LM_KEEP_FRAC
+        ),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        *[
+            F.sum(F.col(f"s{k}").cast("long")).cast("long").alias(f"n{k}")
+            for k in range(1, 7)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(f"n{k}").alias("n_docs"),
+                F.col(f"n{max(k - 1, 0)}").alias("prev"),
+            )
+            for k, name in enumerate(_WATERFALL_STAGES)
+        ]
+    )
+    return (
+        agg.select(F.col("n0").alias("__total"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            (F.col("s.prev") - F.col("s.n_docs")).cast("long").alias("dropped_here"),
+            ratio_round(
+                F.col("s.n_docs").cast("double") / F.col("__total").cast("double")
+            ).alias("retention"),
+        )
+    )

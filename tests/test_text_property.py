@@ -839,3 +839,39 @@ def test_lm_filter_approx_agrees_with_exact_within_envelope(spark):
     dropped = set(exact) - set(approx)
     if dropped:
         assert min(exact[d] for d in dropped) >= boundary_approx
+
+
+def test_corpus_filter_waterfall_matches_duckdb_twin(spark):
+    """plans/text.py::corpus_filter_waterfall (pre-staged r13) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the per-gate attrition table.
+    The r13 registration pastes exactly these two sides, so this test
+    IS the registration's dry run. Also pins the reconciliation
+    contract: counts are monotone non-increasing down the stages,
+    dropped_here telescopes, and the final stage equals
+    training_corpus_lm_filtered's cardinality exactly."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        corpus_filter_waterfall,
+        training_corpus_lm_filtered,
+        training_waterfall_oracle,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = corpus_filter_waterfall(spark, SF_SMOKE).toPandas()
+    want = con.sql(training_waterfall_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape == (7, 4)
+    assert (g.astype(str).values == w.astype(str).values).all()
+    ordered = got.sort_values("stage").reset_index(drop=True)
+    counts = list(ordered["n_docs"])
+    assert counts == sorted(counts, reverse=True), "stages must be monotone"
+    assert ordered["dropped_here"].sum() == counts[0] - counts[-1]
+    assert counts[-1] == training_corpus_lm_filtered(spark, SF_SMOKE).count()
