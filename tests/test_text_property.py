@@ -875,3 +875,88 @@ def test_corpus_filter_waterfall_matches_duckdb_twin(spark):
     assert counts == sorted(counts, reverse=True), "stages must be monotone"
     assert ordered["dropped_here"].sum() == counts[0] - counts[-1]
     assert counts[-1] == training_corpus_lm_filtered(spark, SF_SMOKE).count()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=14),
+    context_len=st.integers(min_value=1, max_value=24),
+)
+def test_context_windows_property(spark, weights, context_len):
+    """operators/packing.py::context_windows ≡ the sequential
+    concat-and-chunk definition on ARBITRARY weight profiles and window
+    lengths (hypothesis) — generalizes the deterministic unit test to
+    random boundary alignments, L=1 (every token its own window),
+    all-zero corpora, and docs spanning many windows."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    got = sorted(
+        (r.seq_id, r.id, r.slice_start, r.slice_len, r.seq_offset)
+        for r in context_windows(df, "id", "w", context_len=context_len).collect()
+    )
+    want = []
+    start = 0
+    for i, w in enumerate(weights):
+        if w == 0:
+            continue
+        for seq in range(start // context_len, (start + w - 1) // context_len + 1):
+            a = max(start, seq * context_len)
+            b = min(start + w, (seq + 1) * context_len)
+            want.append((seq, i, a - start, b - a, a - seq * context_len))
+        start += w
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    thresholds=st.lists(
+        st.sampled_from([0.25, 0.3, 0.35, 0.4, 0.45, 0.5]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    )
+)
+def test_semantic_dedup_sweep_property(spark, thresholds):
+    """semantic_dedup_sweep ≡ per-threshold semantic_dedup counts for
+    ARBITRARY threshold sets (hypothesis) — generalizes the fixed
+    3-threshold plan test: the shared loosest-threshold pair relation
+    plus per-threshold filters must reproduce every single-threshold
+    run, including duplicate-free normalization and thresholds that
+    remove nothing."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_sweep,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from conftest import SF_SMOKE
+
+    emb = (
+        table(spark, "embeddings", SF_SMOKE)
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)  # keep each example fast
+    )
+    got = {
+        r["threshold"]: (r["n_removed"], r["n_survivors"])
+        for r in semantic_dedup_sweep(
+            emb, tuple(thresholds), nlist=4, seed=42
+        ).collect()
+    }
+    assert set(got) == {float(t) for t in thresholds}
+    for t in thresholds:
+        n_surv = semantic_dedup(
+            emb, nlist=4, threshold=t, seed=42
+        ).count()
+        assert got[float(t)][1] == n_surv, (t, got[float(t)], n_surv)
