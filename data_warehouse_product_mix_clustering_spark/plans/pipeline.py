@@ -1572,3 +1572,72 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round(F.sum(term)).alias("kl_bits"),
         )
     )
+
+
+MIXTURE_ALPHA = 0.5  # temperature: 1 = proportional, 0 = uniform
+
+
+_SOURCE_MIXTURE_TEMPERATURE_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY source
+    ), obs_cte AS (
+        SELECT source, n_docs, total_tokens,
+               CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
+                   AS obs
+        FROM per_src
+    ), shared AS (
+        SELECT source, n_docs, total_tokens, obs,
+               pow(obs, {MIXTURE_ALPHA})
+                   / sum(pow(obs, {MIXTURE_ALPHA})) OVER () AS tgt
+        FROM obs_cte
+    )
+    SELECT source, n_docs, total_tokens,
+           {sql_ratio_round("obs")} AS observed_share,
+           {sql_ratio_round("tgt")} AS target_share,
+           {sql_ratio_round("tgt / obs")} AS sampling_weight
+    FROM shared
+"""
+
+
+# Pre-staged r13 registration (r12's window is exactly full):
+# @register("source_mixture_temperature", oracle=_SOURCE_MIXTURE_TEMPERATURE_ORACLE)
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/domain
+    alpha-sampling recipe (target share ∝ observed_shareᵅ, α = 0.5):
+    the knob between proportional sampling (α=1, big sources dominate)
+    and uniform (α→0, tiny sources over-repeated to parity) that
+    multilingual pretraining uses to up-weight low-resource slices
+    without flattening the mixture. Generalizes
+    ``source_mixture_weights``' uniform target (its α→0 limit); the
+    emitted ``sampling_weight`` = target/observed is the multiplicative
+    resampling factor. Same shape: one scan + one tiny groupBy, the
+    share windows run over |sources| rows — dimension-sized by
+    definition. Pre-staged for r13 registration with
+    ``_SOURCE_MIXTURE_TEMPERATURE_ORACLE``."""
+    docs = table(spark, "documents", sf_dir)
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(
+        F.pow(obs, F.lit(MIXTURE_ALPHA))
+    ).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        ratio_round(obs).alias("observed_share"),
+        ratio_round(tgt).alias("target_share"),
+        ratio_round(tgt / obs).alias("sampling_weight"),
+    )

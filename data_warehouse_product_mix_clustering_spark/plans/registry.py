@@ -162,6 +162,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_semantic_dedup_incremental_audit_dry_run is the dry run;
     #   adjacent constant-boolean oracle in the pre-stage comment).
+    # - `source_mixture_temperature` (plans/pipeline.py — alpha-sampling
+    #   mixture targets, target ∝ observed^0.5, the multilingual
+    #   up-weighting knob generalizing source_mixture_weights' uniform
+    #   limit; adjacent oracle builder-verified value-exact at sf0.001
+    #   AND sf0.01; test_source_mixture_temperature_matches_duckdb_twin
+    #   is the dry run).
     # - `corpus_filter_waterfall` (plans/text.py — per-gate attrition
     #   accounting for the training pipeline, 7 sequential-gate rows
     #   reconciling exactly with training_corpus_lm_filtered; adjacent

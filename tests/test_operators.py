@@ -1947,3 +1947,39 @@ def test_with_rank_and_running_matches_sequential(spark):
     assert (
         with_rank_and_running(empty, [F.col("id")], "w").count() == 0
     )
+
+
+def test_source_mixture_temperature_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_mixture_temperature (pre-staged r13) ≡
+    its adjacent DuckDB oracle at sf0.001 — alpha-sampling mixture
+    targets (target ∝ observedᵅ). The r13 registration pastes exactly
+    these two sides, so this test IS the registration's dry run. Also
+    pins the recipe's invariants: target shares are a distribution
+    (sum 1 within rounding), and α=0.5 compresses toward uniform — every
+    below-average source is up-weighted (weight > 1) and every
+    above-average source down-weighted (weight < 1)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _SOURCE_MIXTURE_TEMPERATURE_ORACLE,
+        source_mixture_temperature,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = source_mixture_temperature(spark, SF_SMOKE).toPandas()
+    want = con.sql(_SOURCE_MIXTURE_TEMPERATURE_ORACLE).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert abs(got["target_share"].sum() - 1.0) < 1e-4
+    mean_share = 1.0 / len(got)
+    below = got[got["observed_share"] < mean_share * 0.99]
+    above = got[got["observed_share"] > mean_share * 1.01]
+    assert (below["sampling_weight"] > 1).all()
+    assert (above["sampling_weight"] < 1).all()
