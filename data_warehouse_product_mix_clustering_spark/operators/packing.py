@@ -123,6 +123,10 @@ def context_windows(
     window is ragged (sum of its slice lengths < L); every other window
     tiles to exactly L by construction.
 
+    ``weight_col`` must be non-negative integral (token counts — the
+    same contract as ``pack_shards``): a negative weight would corrupt
+    the running offsets of every LATER row, not just its own.
+
     Scale: the same distributed exclusive prefix sum as ``pack_shards``
     (no single-partition window), then each doc explodes to its
     overlapped window range — ≤ weight/L + 1 rows per doc, proportional

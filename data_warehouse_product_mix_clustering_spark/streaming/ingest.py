@@ -39,10 +39,19 @@ EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>"
 
 def seed_corpus(spark: SparkSession, corpus_dir: str, seed_df: DataFrame) -> None:
     """Write the initial corpus relation (vec_id, embedding) the ingest
-    loop grows. Overwrite: seeding is a one-time bootstrap."""
+    loop grows. Overwrite: seeding is a one-time bootstrap. RE-seeding
+    also drops any persisted codebook sidecars — they were fit on the
+    OLD seed, and a stale frozen codebook would silently cluster the new
+    corpus with the old centers (the invalidation twin of the advisor
+    memo's rule: a derived decision never outlives the data it was
+    measured from)."""
+    import glob
+
     seed_df.select("vec_id", "embedding").write.mode("overwrite").parquet(
         os.path.join(corpus_dir, "seed")
     )
+    for sidecar in glob.glob(os.path.join(corpus_dir, "centers_*.json")):
+        os.remove(sidecar)
 
 
 def read_corpus(

@@ -446,3 +446,7 @@ def test_ingest_corpus_view_excludes_own_and_later_batches(spark, tmp_path):
     c2 = _load_or_fit_centers(spark, corpus_dir, nlist=4, seed=42)
     assert c2 == c1  # bit-exact round trip
     assert os.path.getmtime(sidecar) == mtime  # loaded, not refit
+    # RE-seeding must drop the sidecar — stale frozen centers would
+    # silently cluster the new corpus with the old codebook
+    seed_corpus(spark, corpus_dir, emb.filter(F.col("vec_id") < 50))
+    assert not os.path.exists(sidecar)
