@@ -341,17 +341,39 @@ def training_corpus_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "shard_id")
 
 
+# Per-source token accounting shared by BOTH mixture queries — one
+# Spark helper + one SQL CTE (review r12 #5: the block had been
+# copy-pasted, so a change to the token accounting could silently
+# desynchronize the two mixtures' observed_share).
+_PER_SRC_CTE = f"""
+    WITH toks AS (
+        SELECT source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY source
+    )
+""".strip()
+
+
+def _per_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_tokens) — the mixture queries' shared base."""
+    docs = table(spark, "documents", sf_dir)
+    return (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 @register(
     "source_mixture_weights",
     oracle=f"""
-        WITH toks AS (
-            SELECT source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
-            FROM documents
-        ), per_src AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-            FROM toks GROUP BY source
-        )
+        {_PER_SRC_CTE}
         SELECT source, n_docs, total_tokens,
                {sql_ratio_round("CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()")}
                    AS observed_share,
@@ -372,15 +394,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny groupBy; the share/weight window runs over |sources| rows on a
     single partition — dimension-sized by definition, not a scale concern.
     """
-    docs = table(spark, "documents", sf_dir)
-    per_src = (
-        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("total_tokens"),
-        )
-    )
+    per_src = _per_source_tokens(spark, sf_dir)
     w = Window.partitionBy()
     obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
     return per_src.select(
@@ -1578,14 +1592,8 @@ MIXTURE_ALPHA = 0.5  # temperature: 1 = proportional, 0 = uniform
 
 
 _SOURCE_MIXTURE_TEMPERATURE_ORACLE = f"""
-    WITH toks AS (
-        SELECT source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
-        FROM documents
-    ), per_src AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        FROM toks GROUP BY source
-    ), obs_cte AS (
+    {_PER_SRC_CTE}
+    , obs_cte AS (
         SELECT source, n_docs, total_tokens,
                CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
                    AS obs
@@ -1619,15 +1627,7 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     share windows run over |sources| rows — dimension-sized by
     definition. Pre-staged for r13 registration with
     ``_SOURCE_MIXTURE_TEMPERATURE_ORACLE``."""
-    docs = table(spark, "documents", sf_dir)
-    per_src = (
-        docs.select("source", F.size(tokens(F.col("text"))).alias("__nt"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("total_tokens"),
-        )
-    )
+    per_src = _per_source_tokens(spark, sf_dir)
     w = Window.partitionBy()
     obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
     tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(

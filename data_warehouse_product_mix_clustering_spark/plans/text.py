@@ -337,6 +337,16 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The corpus-gate contract shared by training_corpus, the LM-filtered
+# variants, and the waterfall — ONE definition (review r12 #4: the
+# literals had grown to four Spark + four SQL copies, the exact drift
+# class the round-8 quality-score consolidation removed; a change here
+# reaches every gate and every oracle template together).
+CORPUS_LANG = "en"
+QUALITY_MIN = 0.45
+TOKEN_BUDGET = (10, 5000)
+
+
 @register(
     "training_corpus",
     oracle=f"""
@@ -357,8 +367,8 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, lang, n_tokens, quality_score
         FROM scored
-        WHERE lang = 'en' AND quality_score >= 0.45
-          AND n_tokens BETWEEN 10 AND 5000
+        WHERE lang = '{CORPUS_LANG}' AND quality_score >= {QUALITY_MIN}
+          AND n_tokens BETWEEN {TOKEN_BUDGET[0]} AND {TOKEN_BUDGET[1]}
     """,
 )
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,9 +405,9 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("t")).alias("quality_score"),
     )
     return scored.filter(
-        (F.col("lang") == "en")
-        & (F.col("quality_score") >= 0.45)
-        & F.col("n_tokens").between(10, 5000)
+        (F.col("lang") == CORPUS_LANG)
+        & (F.col("quality_score") >= QUALITY_MIN)
+        & F.col("n_tokens").between(*TOKEN_BUDGET)
     )
 
 
@@ -1277,8 +1287,8 @@ TRAINING_CORPUS_LM_ORACLE_TEMPLATE = """
     ), surviving AS (
         SELECT doc_id, lang, n_tokens, quality_score
         FROM corpus
-        WHERE lang = 'en' AND quality_score >= 0.45
-          AND n_tokens BETWEEN 10 AND 5000
+        WHERE lang = '{lang}' AND quality_score >= {quality_min}
+          AND n_tokens BETWEEN {tok_lo} AND {tok_hi}
     ), alltoks AS (
         SELECT doc_id, {tokens} AS t FROM documents
     ), tok AS (
@@ -1320,6 +1330,10 @@ def training_corpus_lm_oracle() -> str:
         a=0.5,
         round_avg=sql_ratio_round("-avg(logp)"),
         keep_frac=_LM_KEEP_FRAC,
+        lang=CORPUS_LANG,
+        quality_min=QUALITY_MIN,
+        tok_lo=TOKEN_BUDGET[0],
+        tok_hi=TOKEN_BUDGET[1],
     )
 
 
@@ -1418,8 +1432,8 @@ TRAINING_CORPUS_LM_BY_LANG_ORACLE_TEMPLATE = """
     ), surviving AS (
         SELECT doc_id, lang, n_tokens, quality_score
         FROM corpus
-        WHERE quality_score >= 0.45
-          AND n_tokens BETWEEN 10 AND 5000
+        WHERE quality_score >= {quality_min}
+          AND n_tokens BETWEEN {tok_lo} AND {tok_hi}
     ), alltoks AS (
         SELECT doc_id, lang, {tokens} AS t FROM documents
     ), tok AS (
@@ -1462,6 +1476,9 @@ def training_corpus_lm_by_lang_oracle() -> str:
         a=0.5,
         round_avg=sql_ratio_round("-avg(logp)"),
         keep_frac=_LM_KEEP_FRAC,
+        quality_min=QUALITY_MIN,
+        tok_lo=TOKEN_BUDGET[0],
+        tok_hi=TOKEN_BUDGET[1],
     )
 
 
@@ -1509,7 +1526,8 @@ def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bt").cast("long").alias("n_tokens"),
         _qscore(F.col("t")).alias("quality_score"),
     ).filter(
-        (F.col("quality_score") >= 0.45) & F.col("n_tokens").between(10, 5000)
+        (F.col("quality_score") >= QUALITY_MIN)
+        & F.col("n_tokens").between(*TOKEN_BUDGET)
     )
     scores = lang_logprob_scores(docs).select("doc_id", "bits_per_token")
     ranked = surviving.join(scores, "doc_id").withColumn(
@@ -1606,12 +1624,12 @@ TRAINING_WATERFALL_ORACLE_TEMPLATE = """
         SELECT doc_id,
                f_dedup AS s1,
                f_dedup AND len(t) > 0 AS s2,
-               f_dedup AND len(t) > 0 AND lang = 'en' AS s3,
-               f_dedup AND len(t) > 0 AND lang = 'en'
-                   AND {quality} >= 0.45 AS s4,
-               f_dedup AND len(t) > 0 AND lang = 'en'
-                   AND {quality} >= 0.45
-                   AND len(bt) BETWEEN 10 AND 5000 AS s5
+               f_dedup AND len(t) > 0 AND lang = '{lang}' AS s3,
+               f_dedup AND len(t) > 0 AND lang = '{lang}'
+                   AND {quality} >= {quality_min} AS s4,
+               f_dedup AND len(t) > 0 AND lang = '{lang}'
+                   AND {quality} >= {quality_min}
+                   AND len(bt) BETWEEN {tok_lo} AND {tok_hi} AS s5
         FROM flagged
     ), alltoks AS (
         SELECT doc_id, {tokens} AS t FROM documents
@@ -1672,6 +1690,10 @@ def training_waterfall_oracle() -> str:
         a=0.5,
         round_avg=sql_ratio_round("-avg(logp)"),
         keep_frac=_LM_KEEP_FRAC,
+        lang=CORPUS_LANG,
+        quality_min=QUALITY_MIN,
+        tok_lo=TOKEN_BUDGET[0],
+        tok_hi=TOKEN_BUDGET[1],
         retention=sql_ratio_round(
             "CAST(u.n_docs AS DOUBLE) / CAST(u.total AS DOUBLE)"
         ),
@@ -1718,19 +1740,22 @@ def corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nonempty = F.size("t") > 0
     # quality only evaluable on nonempty token lists (division by zero)
-    quality_ok = F.when(nonempty, _qscore(F.col("t")) >= 0.45).otherwise(F.lit(False))
+    quality_ok = F.when(
+        nonempty, _qscore(F.col("t")) >= QUALITY_MIN
+    ).otherwise(F.lit(False))
+    lang_ok = F.col("lang") == CORPUS_LANG
     gates = flagged.select(
         "doc_id",
         F.col("f_dedup").alias("s1"),
         (F.col("f_dedup") & nonempty).alias("s2"),
-        (F.col("f_dedup") & nonempty & (F.col("lang") == "en")).alias("s3"),
-        (F.col("f_dedup") & nonempty & (F.col("lang") == "en") & quality_ok).alias("s4"),
+        (F.col("f_dedup") & nonempty & lang_ok).alias("s3"),
+        (F.col("f_dedup") & nonempty & lang_ok & quality_ok).alias("s4"),
         (
             F.col("f_dedup")
             & nonempty
-            & (F.col("lang") == "en")
+            & lang_ok
             & quality_ok
-            & F.size("bt").cast("long").between(10, 5000)
+            & F.size("bt").cast("long").between(*TOKEN_BUDGET)
         ).alias("s5"),
     )
     scores = unigram_logprob_scores(docs).select("doc_id", "bits_per_token")

@@ -40,18 +40,26 @@ EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>"
 def seed_corpus(spark: SparkSession, corpus_dir: str, seed_df: DataFrame) -> None:
     """Write the initial corpus relation (vec_id, embedding) the ingest
     loop grows. Overwrite: seeding is a one-time bootstrap. RE-seeding
-    also drops any persisted codebook sidecars — they were fit on the
-    OLD seed, and a stale frozen codebook would silently cluster the new
-    corpus with the old centers (the invalidation twin of the advisor
-    memo's rule: a derived decision never outlives the data it was
-    measured from)."""
+    first drops EVERYTHING derived from the old seed — the persisted
+    codebook sidecars AND the survivors partitions — because both are
+    exactly as stale as the codebook (survivors were admitted under the
+    old seed's dedup decisions; the advisor-memo rule again: a derived
+    decision never outlives the data it was measured from). The
+    derived-state removal runs BEFORE the seed write (the mv.py
+    two-phase discipline): a crash between the two steps leaves a loud
+    refit/empty-corpus state, never a new seed silently paired with the
+    old codebook or old survivors. The ingest CHECKPOINT is caller-owned
+    and must also be fresh after a re-seed — a reused checkpoint would
+    skip landing files that were ingested under the old regime."""
     import glob
+    import shutil
 
+    for sidecar in glob.glob(os.path.join(corpus_dir, "centers_*.json")):
+        os.remove(sidecar)
+    shutil.rmtree(os.path.join(corpus_dir, "survivors"), ignore_errors=True)
     seed_df.select("vec_id", "embedding").write.mode("overwrite").parquet(
         os.path.join(corpus_dir, "seed")
     )
-    for sidecar in glob.glob(os.path.join(corpus_dir, "centers_*.json")):
-        os.remove(sidecar)
 
 
 def read_corpus(

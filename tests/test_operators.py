@@ -1978,8 +1978,14 @@ def test_source_mixture_temperature_matches_duckdb_twin(spark):
     assert g.shape == w.shape and len(g) > 0
     assert (g.astype(str).values == w.astype(str).values).all()
     assert abs(got["target_share"].sum() - 1.0) < 1e-4
-    mean_share = 1.0 / len(got)
-    below = got[got["observed_share"] < mean_share * 0.99]
-    above = got[got["observed_share"] > mean_share * 1.01]
+    # the true α=0.5 up/down-weight crossover is obs = 1/Z² with
+    # Z = Σ√obs — NOT the arithmetic mean share (review r12 #3: by
+    # Cauchy-Schwarz 1/Z² ≥ 1/n, strictly so under skew, so an
+    # above-mean source can legitimately be up-weighted)
+    z = (got["observed_share"] ** 0.5).sum()
+    crossover = 1.0 / (z * z)
+    below = got[got["observed_share"] < crossover * 0.99]
+    above = got[got["observed_share"] > crossover * 1.01]
     assert (below["sampling_weight"] > 1).all()
     assert (above["sampling_weight"] < 1).all()
+    assert len(below) + len(above) > 0, "crossover check must bite"

@@ -446,7 +446,13 @@ def test_ingest_corpus_view_excludes_own_and_later_batches(spark, tmp_path):
     c2 = _load_or_fit_centers(spark, corpus_dir, nlist=4, seed=42)
     assert c2 == c1  # bit-exact round trip
     assert os.path.getmtime(sidecar) == mtime  # loaded, not refit
-    # RE-seeding must drop the sidecar — stale frozen centers would
-    # silently cluster the new corpus with the old codebook
+    # RE-seeding must drop EVERYTHING derived from the old seed: the
+    # codebook sidecar (stale centers would silently cluster the new
+    # corpus with the old codebook) AND the survivors partitions
+    # (admitted under the old seed's dedup decisions — review r12 #2)
     seed_corpus(spark, corpus_dir, emb.filter(F.col("vec_id") < 50))
     assert not os.path.exists(sidecar)
+    assert not os.path.exists(os.path.join(corpus_dir, "survivors"))
+    assert {
+        r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
+    } == set(range(50))
