@@ -462,7 +462,11 @@ def block_cosine_pairs(
         b2 = int(pdf["b2"].iloc[0])
         order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
         ids = pdf["vid"].to_numpy()[order]
-        X = np.vstack(pdf["vec"].to_numpy()[order])
+        # float64 pinned (advice r12): `vec` is as_double JVM-side, so
+        # this is a no-op copy guard — but were a float32 array ever to
+        # reach the kernel, the +1e-9 nudge would vanish and boundary
+        # cosines could round apart from the JVM double path.
+        X = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64, copy=False)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
         # Round in place, threshold the 2-D matrix, THEN materialize index
         # arrays — only surviving pairs allocate int64 indices (the dense
@@ -1346,7 +1350,12 @@ def _giant_cell_pairs(
         b2 = int(pdf["b2"].iloc[0])
         order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
         ids = pdf["vid"].to_numpy()[order]
-        X = np.vstack(pdf["vec"].to_numpy()[order])
+        # float64 pinned (advice r12): `__v` is as_double JVM-side
+        # (assign_to_centers), so this is a no-op guard — it keeps the
+        # +1e-9 nudge, the rounding, and the emitted score on the same
+        # double semantics as the JVM path even if an upstream caller
+        # ever fed float32 vectors.
+        X = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64, copy=False)
         with np.errstate(invalid="ignore", divide="ignore"):
             X = X / np.linalg.norm(X, axis=1, keepdims=True)  # zero norm → NaN row
         if b1 == b2:

@@ -36,6 +36,35 @@ from pyspark.sql import functions as F
 
 EMBEDDING_SCHEMA = "vec_id bigint, embedding array<float>"
 
+# Seed-regime marker (review r13, VERDICT r12 #7): every (re-)seed bumps
+# this counter; an ingest checkpoint records the epoch it was created
+# under and REFUSES to run against a different one — a reused checkpoint
+# after a re-seed would silently skip landing files ingested under the
+# old regime (its offsets say "seen") while the corpus they fed is gone.
+SEED_EPOCH_FILE = "seed_epoch.json"
+_CKPT_EPOCH_FILE = "ingest_seed_epoch.json"
+
+
+def seed_epoch(corpus_dir: str) -> int:
+    """Current seed regime of ``corpus_dir`` (0 = never seeded / legacy
+    corpus seeded before epochs existed)."""
+    import json
+
+    path = os.path.join(corpus_dir, SEED_EPOCH_FILE)
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return int(json.load(f))
+
+
+def _write_json_atomic(path: str, value) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(value, f)
+    os.replace(tmp, path)  # atomic: readers never see a torn marker
+
 
 def seed_corpus(spark: SparkSession, corpus_dir: str, seed_df: DataFrame) -> None:
     """Write the initial corpus relation (vec_id, embedding) the ingest
@@ -48,12 +77,20 @@ def seed_corpus(spark: SparkSession, corpus_dir: str, seed_df: DataFrame) -> Non
     derived-state removal runs BEFORE the seed write (the mv.py
     two-phase discipline): a crash between the two steps leaves a loud
     refit/empty-corpus state, never a new seed silently paired with the
-    old codebook or old survivors. The ingest CHECKPOINT is caller-owned
-    and must also be fresh after a re-seed — a reused checkpoint would
-    skip landing files that were ingested under the old regime."""
+    old codebook or old survivors. The ingest CHECKPOINT is caller-owned;
+    a reused checkpoint would skip landing files that were ingested
+    under the old regime, so the SEED EPOCH bumps FIRST (before any
+    removal — a crash anywhere after the bump leaves every stale
+    checkpoint refusing loudly, never a new seed silently paired with
+    old stream offsets) and ``streaming_semantic_ingest`` validates its
+    checkpoint's recorded epoch against it."""
     import glob
     import shutil
 
+    os.makedirs(corpus_dir, exist_ok=True)
+    _write_json_atomic(
+        os.path.join(corpus_dir, SEED_EPOCH_FILE), seed_epoch(corpus_dir) + 1
+    )
     for sidecar in glob.glob(os.path.join(corpus_dir, "centers_*.json")):
         os.remove(sidecar)
     shutil.rmtree(os.path.join(corpus_dir, "survivors"), ignore_errors=True)
@@ -84,7 +121,15 @@ def read_corpus(
     survivors_dir = os.path.join(corpus_dir, "survivors")
     if not os.path.exists(survivors_dir):
         return seed
-    survivors = spark.read.parquet(survivors_dir)
+    # Explicit schema (advice r12): a micro-batch whose rows were ALL
+    # duplicates writes zero files, leaving survivors/ with only a
+    # _SUCCESS marker; schema inference would fail on that file-less
+    # directory and wedge every later batch and replay. With the schema
+    # stated, Spark returns an empty relation instead (the partition
+    # column rides the directory names when partitions do exist).
+    survivors = spark.read.schema(
+        f"{EMBEDDING_SCHEMA}, {BATCH_COL} bigint"
+    ).parquet(survivors_dir)
     if before_batch is not None:
         survivors = survivors.filter(F.col(BATCH_COL) < before_batch)
     return seed.unionByName(survivors.select("vec_id", "embedding"))
@@ -148,9 +193,34 @@ def streaming_semantic_ingest(
     batches and the grown corpus both assign through the same frozen
     ``assign_to_centers`` expression, so a row's cell never changes
     after ingestion."""
+    import json
+
     from data_warehouse_product_mix_clustering_spark.operators.similarity import semantic_dedup_incremental
     from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
     from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
+
+    # Seed-regime gate (review r13): a checkpoint carries the epoch it
+    # was created under; running it against a re-seeded corpus would
+    # silently under-ingest (offsets mark old-regime files as seen), so
+    # mismatch refuses loudly — the torn-state discipline the versioned
+    # sink and MV refresh follow. Pre-epoch checkpoints (marker absent
+    # but offsets present) are grandfathered onto the current epoch.
+    epoch = seed_epoch(corpus_dir)
+    marker = os.path.join(checkpoint_dir, _CKPT_EPOCH_FILE)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = int(json.load(f))
+        if recorded != epoch:
+            raise RuntimeError(
+                f"ingest checkpoint {checkpoint_dir!r} was created under "
+                f"seed epoch {recorded} but {corpus_dir!r} is at epoch "
+                f"{epoch}: the corpus was re-seeded. Use a FRESH "
+                "checkpoint directory — replaying this one would skip "
+                "landing files ingested under the old regime."
+            )
+    else:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        _write_json_atomic(marker, epoch)
 
     centers = _load_or_fit_centers(spark, corpus_dir, nlist, seed)
     survivors_dir = os.path.join(corpus_dir, "survivors")

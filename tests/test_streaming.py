@@ -456,3 +456,110 @@ def test_ingest_corpus_view_excludes_own_and_later_batches(spark, tmp_path):
     assert {
         r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
     } == set(range(50))
+
+
+def test_ingest_zero_survivor_batch_does_not_wedge_corpus(spark, tmp_path):
+    """Advice r12: a micro-batch whose rows are ALL duplicates (realistic
+    under at-least-once redelivery of an already-ingested file) writes a
+    survivors/ directory containing only a _SUCCESS marker; read_corpus
+    must treat that file-less directory as an empty relation (explicit
+    schema, never inference) so the corpus stays readable and the NEXT
+    batch still ingests."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from data_warehouse_product_mix_clustering_spark.streaming.ingest import (
+        read_corpus,
+        seed_corpus,
+        streaming_semantic_ingest,
+    )
+    from conftest import SF_SMOKE
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    seed_df = emb.filter(F.col("vec_id") < 100)
+    corpus_dir = str(tmp_path / "corpus")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    seed_corpus(spark, corpus_dir, seed_df)
+
+    # batch 1: every row is a seed vector under a new id — cosine 1.0
+    # against its original, so ZERO survivors at any threshold
+    dup_batch = seed_df.limit(5).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    dup_batch.toPandas().to_parquet(str(landing / "b1.parquet"), index=False)
+    n = streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, str(tmp_path / "ckpt"),
+        nlist=4, threshold=0.4, seed=42,
+    )
+    assert n == 1
+    seed_ids = {r["vec_id"] for r in seed_df.collect()}
+    # the wedge: this read failed schema inference before the fix
+    assert {
+        r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
+    } == seed_ids
+
+    # batch 2 (fresh vectors) must still ingest through the empty dir
+    time.sleep(1.1)
+    b2 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    b2.toPandas().to_parquet(str(landing / "b2.parquet"), index=False)
+    n2 = streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, str(tmp_path / "ckpt"),
+        nlist=4, threshold=0.4, seed=42,
+    )
+    assert n2 == 1
+    got = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
+    assert seed_ids <= got and got - seed_ids  # some b2 rows survived
+    assert not any(v >= 90000 for v in got)  # dup batch stayed empty
+
+
+def test_ingest_reseed_with_stale_checkpoint_refuses_loudly(spark, tmp_path):
+    """Review r13 (VERDICT r12 #7): seed_corpus documents that a reused
+    checkpoint after a re-seed skips files ingested under the old regime
+    — now it's ENFORCED: the checkpoint records its seed epoch and a
+    mismatch raises instead of silently under-ingesting; a fresh
+    checkpoint directory proceeds."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from data_warehouse_product_mix_clustering_spark.streaming.ingest import (
+        read_corpus,
+        seed_corpus,
+        seed_epoch,
+        streaming_semantic_ingest,
+    )
+    from conftest import SF_SMOKE
+
+    emb = table(spark, "embeddings", SF_SMOKE).select("vec_id", "embedding")
+    corpus_dir = str(tmp_path / "corpus")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    seed_corpus(spark, corpus_dir, emb.filter(F.col("vec_id") < 100))
+    assert seed_epoch(corpus_dir) == 1
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).toPandas(
+    ).to_parquet(str(landing / "b1.parquet"), index=False)
+    ckpt = str(tmp_path / "ckpt")
+    assert streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, ckpt,
+        nlist=4, threshold=0.4, seed=42,
+    ) == 1
+
+    # re-seed bumps the epoch; the old checkpoint must refuse
+    seed_corpus(spark, corpus_dir, emb.filter(F.col("vec_id") < 50))
+    assert seed_epoch(corpus_dir) == 2
+    with _pytest.raises(RuntimeError, match="re-seeded"):
+        streaming_semantic_ingest(
+            spark, str(landing), corpus_dir, ckpt,
+            nlist=4, threshold=0.4, seed=42,
+        )
+    # corpus untouched by the refused run; a fresh checkpoint ingests
+    assert {
+        r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
+    } == set(range(50))
+    assert streaming_semantic_ingest(
+        spark, str(landing), corpus_dir, str(tmp_path / "ckpt2"),
+        nlist=4, threshold=0.4, seed=42,
+    ) == 1
