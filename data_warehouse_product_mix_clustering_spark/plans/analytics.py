@@ -1020,9 +1020,9 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "revenue_pareto_share",
-    oracle=f"""
+# Shared by the registered single-window query and its exact distributed
+# twin below: identical statistics by construction, so one oracle.
+_PARETO_ORACLE = f"""
         WITH per_cust AS (
             SELECT o_custkey,
                    CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS revenue
@@ -1050,8 +1050,10 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "CAST(max(CASE WHEN rk <= top20_cut THEN running END) AS DOUBLE)"
                    " / CAST(max(total) AS DOUBLE)")} AS top20pct_share
         FROM ranked
-    """,
-)
+    """
+
+
+@register("revenue_pareto_share", oracle=_PARETO_ORACLE)
 def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of customer revenue: how many customers cover
     80% of revenue, and what share the top-20% hold — the 80/20 check a
@@ -1765,6 +1767,7 @@ def revenue_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("revenue_pareto_share_distributed", oracle=_PARETO_ORACLE)
 def revenue_pareto_share_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coded escape hatch ``revenue_pareto_share``'s docstring
     points to (VERDICT r11: the single-partition-window class should
@@ -1778,8 +1781,7 @@ def revenue_pareto_share_distributed(spark: SparkSession, sf_dir: str) -> DataFr
     scale twin rather than an approximation — at attested SFs the
     single window over the tiny per-customer aggregate is cheaper, so
     the registered query keeps it; past ~1e8 customers this is the
-    plan. Pre-staged r13: registering it is a paste of
-    ``revenue_pareto_share``'s oracle onto this function."""
+    plan. Registered r13 with the shared ``_PARETO_ORACLE``."""
     from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
 
     o = table(spark, "orders", sf_dir)
@@ -1824,7 +1826,8 @@ def customer_revenue_gini_distributed(spark: SparkSession, sf_dir: str) -> DataF
     """Distributed exact twin of ``customer_revenue_gini`` — global
     ranks from the same two-pass prefix-sum machinery, no global
     window; exactly equal by associativity (equality test-pinned).
-    Pre-staged r13: registering it is a paste of the registered
+    Pre-staged r14 (``revenue_pareto_share_distributed`` took the
+    family's r13 slot): registering it is a paste of the registered
     query's oracle onto this function."""
     from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
 

@@ -1458,29 +1458,6 @@ def table_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTEXT_LEN = 64  # tokens per packed context window
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("doc_context_windows", oracle=_CONTEXT_WINDOWS_ORACLE)
-def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing index (GPT-pretraining shape): docs
-    concatenated in doc_id order and cut into 64-token context windows,
-    SPLITTING docs at window boundaries — the complement of
-    ``shard_packing``, which never splits. One row per (window,
-    doc-slice): exactly the gather plan a tensor writer executes. The
-    oracle states the prefix sum as one global window cumsum +
-    generate_series; the Spark plan computes the SAME sum distributed
-    (operators/packing.py::with_running_weight_before) and bounds the
-    explode at weight/L + 1 rows per doc. Pre-staged for r13
-    registration with ``_CONTEXT_WINDOWS_ORACLE``."""
-    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
-
-    docs = table(spark, "documents", sf_dir).select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    return context_windows(
-        docs, order_col="doc_id", weight_col="n_tokens", context_len=CONTEXT_LEN
-    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
-
-
 _CONTEXT_WINDOWS_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
@@ -1514,6 +1491,30 @@ _CONTEXT_WINDOWS_ORACLE = f"""
 """
 
 
+
+@register("doc_context_windows", oracle=_CONTEXT_WINDOWS_ORACLE)
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing index (GPT-pretraining shape): docs
+    concatenated in doc_id order and cut into 64-token context windows,
+    SPLITTING docs at window boundaries — the complement of
+    ``shard_packing``, which never splits. One row per (window,
+    doc-slice): exactly the gather plan a tensor writer executes. The
+    oracle states the prefix sum as one global window cumsum +
+    generate_series; the Spark plan computes the SAME sum distributed
+    (operators/packing.py::with_running_weight_before) and bounds the
+    explode at weight/L + 1 rows per doc. Registered r13 with ``_CONTEXT_WINDOWS_ORACLE``."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return context_windows(
+        docs, order_col="doc_id", weight_col="n_tokens", context_len=CONTEXT_LEN
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+
+
+
+
 _SOURCE_KL_ORACLE = f"""
     WITH tok AS (
         SELECT source, unnest({sql_tokens("text")}) AS word
@@ -1543,8 +1544,7 @@ _SOURCE_KL_ORACLE = f"""
 """
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("source_token_kl", oracle=_SOURCE_KL_ORACLE)
+@register("source_token_kl", oracle=_SOURCE_KL_ORACLE)
 def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift: KL(P_source ‖ P_corpus) in bits
     over the unigram token distributions — the corpus-monitoring check
@@ -1555,8 +1555,7 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     every summed term. One shuffle on (source, word); the corpus-wide
     relation reuses the per-source counts (sum over sources), so the
     corpus is scanned ONCE; per-source scalars ride a broadcast join on
-    the |sources|-row totals relation. Pre-staged for r13 registration
-    with ``_SOURCE_KL_ORACLE``."""
+    the |sources|-row totals relation. Registered r13 with ``_SOURCE_KL_ORACLE``."""
     docs = table(spark, "documents", sf_dir)
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
     src_counts = tok.groupBy("source", "word").agg(
@@ -1612,8 +1611,7 @@ _SOURCE_MIXTURE_TEMPERATURE_ORACLE = f"""
 """
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("source_mixture_temperature", oracle=_SOURCE_MIXTURE_TEMPERATURE_ORACLE)
+@register("source_mixture_temperature", oracle=_SOURCE_MIXTURE_TEMPERATURE_ORACLE)
 def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture weights — the multilingual/domain
     alpha-sampling recipe (target share ∝ observed_shareᵅ, α = 0.5):
@@ -1625,7 +1623,7 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted ``sampling_weight`` = target/observed is the multiplicative
     resampling factor. Same shape: one scan + one tiny groupBy, the
     share windows run over |sources| rows — dimension-sized by
-    definition. Pre-staged for r13 registration with
+    definition. Registered r13 with
     ``_SOURCE_MIXTURE_TEMPERATURE_ORACLE``."""
     per_src = _per_source_tokens(spark, sf_dir)
     w = Window.partitionBy()
@@ -1640,4 +1638,367 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round(obs).alias("observed_share"),
         ratio_round(tgt).alias("target_share"),
         ratio_round(tgt / obs).alias("sampling_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Applying the temperature weights: the resampled corpus (VERDICT r12 #6).
+# `source_mixture_temperature` PRODUCES target weights; this query APPLIES
+# them — the weights → corpus closure, the same move the LM gate made for
+# scores → corpus.
+# ---------------------------------------------------------------------------
+
+
+def _resampled_oracle() -> str:
+    # The hex-fraction draw is the engine-portable uniform the weighted
+    # sampler established (plans/sql_api.py::_hex_fraction_sql — an
+    # explicit base-16 polynomial, no conv()/from_hex dialect split).
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    frac = _hex_fraction_sql("CAST(doc_id AS STRING)")
+    return f"""
+        {_PER_SRC_CTE}
+        , obs_cte AS (
+            SELECT source,
+                   CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
+                       AS obs
+            FROM per_src
+        ), wts AS (
+            SELECT source,
+                   (pow(obs, {MIXTURE_ALPHA})
+                        / sum(pow(obs, {MIXTURE_ALPHA})) OVER ()) / obs AS w
+            FROM obs_cte
+        ), rates AS (
+            SELECT source, {sql_ratio_round("w / max(w) OVER ()")} AS keep_rate
+            FROM wts
+        )
+        SELECT d.doc_id, d.source, r.keep_rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {frac} < r.keep_rate
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("training_corpus_resampled", oracle=_resampled_oracle())
+def training_corpus_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature-scaled mixture APPLIED: a deterministic per-source
+    downsampled corpus realizing ``source_mixture_temperature``'s target
+    shares (α = 0.5). Each source's keep rate is its sampling weight
+    normalized by the maximum weight — the downsample-only realization:
+    the rarest source keeps 100% and every other source is thinned
+    toward the temperature target (expected kept-token share ∝ targetᵅ
+    recipe exactly). Doc selection is the content-hash rule the split /
+    stratified-sample family uses — keep iff the md5(doc_id) fraction
+    falls below the source's rate — so the sample is RNG-free, stable
+    under growth and re-partitioning, and identical in the oracle. The
+    rate is snapped to 6 dp (ratio_round) on BOTH engines before the
+    comparison so a last-ulp pow() divergence cannot flip a boundary doc.
+
+    Scale: one scan for the |sources|-row weights relation (the
+    ``_per_source_tokens`` base), broadcast-joined back onto documents;
+    the filter is a pure per-row expression — zero extra shuffles beyond
+    the dimension-sized groupBy. Pre-staged for r14 registration with
+    ``_resampled_oracle()``."""
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    per_src = _per_source_tokens(spark, sf_dir)
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(
+        F.pow(obs, F.lit(MIXTURE_ALPHA))
+    ).over(w)
+    wts = per_src.select("source", (tgt / obs).alias("__w"))
+    rates = wts.select(
+        "source",
+        ratio_round(F.col("__w") / F.max("__w").over(Window.partitionBy())).alias(
+            "keep_rate"
+        ),
+    )
+    docs = table(spark, "documents", sf_dir).select("doc_id", "source")
+    frac = F.expr(_hex_fraction_sql("CAST(doc_id AS STRING)"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-true context windows (VERDICT r12 #5): the packing index under
+# the TRAINED tokenizer's token counts, not the whitespace proxy.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_window_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) under the trained 20-merge BPE tokenizer — the
+    weight relation ``doc_context_windows_bpe`` packs. Shared with the
+    audit so both sides see one training run per invocation."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_counts,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import _BPE_N_MERGES
+
+    docs = table(spark, "documents", sf_dir)
+    merges = train_bpe(word_counts(docs), _BPE_N_MERGES)
+    return bpe_token_counts(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+
+
+# Pre-staged r14 registration (rows-only — the trained tokenizer's counts
+# are the iterative-merge family the SQL oracle cannot express; the
+# adjacent AUDIT below carries the hash-attestable contract):
+# @register("doc_context_windows_bpe")
+def doc_context_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_context_windows`` under TRAINED-tokenizer token counts — the
+    shape a tensor writer actually executes (training budgets are
+    measured in tokenizer tokens, not whitespace words): train the
+    20-merge BPE table on the corpus vocabulary (operators/bpe.py), count
+    each doc's subword tokens via the distinct-word encode + join-back
+    plan (``bpe_token_counts``), and cut the concatenated stream into
+    64-token windows with the SAME distributed prefix-sum machinery —
+    the window math is weight-agnostic, so everything
+    ``_CONTEXT_WINDOWS_ORACLE`` proved about the plan carries over
+    unchanged; only the weight column moves. Property-tested end-to-end
+    against the python twin (encode_py per word → sequential
+    concat-and-chunk) on random corpora, plus the registered audit's
+    five-invariant contract. Pre-staged for r14."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    return context_windows(
+        _bpe_window_weights(spark, sf_dir),
+        order_col="doc_id",
+        weight_col="n_tokens",
+        context_len=CONTEXT_LEN,
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+
+
+_BPE_WINDOWS_AUDIT_CAP = 2000  # ground-truth twin runs on doc_id < cap
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("doc_context_windows_bpe_audit", oracle="""
+#     SELECT TRUE AS counts_match_reference, TRUE AS windows_match_twin,
+#            TRUE AS coverage_exact, TRUE AS tiling_exact, TRUE AS any_split
+# """)
+def doc_context_windows_bpe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``doc_context_windows_bpe`` — the trained
+    tokenizer makes the weights non-SQL-expressible (iterative merges),
+    so the driver-attestable truth is this five-invariant contract (the
+    ``bpe_encode_audit`` mold: python-twin equality on a bounded slice,
+    structural invariants distributed over the FULL relation):
+
+    - ``counts_match_reference``: every capped doc's ``n_tokens`` equals
+      the python twin's per-word ``encode_py`` sum under the same merge
+      table (the ``bpe_token_counts`` property test's check, re-pinned
+      here on warehouse data);
+    - ``windows_match_twin``: the Spark window index over the capped
+      slice equals the sequential concat-and-chunk twin exactly;
+    - ``coverage_exact`` (FULL corpus, distributed): every doc with
+      n_tokens > 0 is covered by slices summing to exactly n_tokens;
+    - ``tiling_exact`` (FULL corpus, distributed): every window except
+      the ragged last sums to exactly CONTEXT_LEN;
+    - ``any_split``: at least one document spans ≥ 2 windows (the
+      splitting semantics actually bite under trained-BPE weights).
+
+    Bounds: the twin comparisons collect only the doc_id < cap slice
+    (≤ _BPE_WINDOWS_AUDIT_CAP docs' counts + their distinct words — the
+    capped-collect discipline of ``bpe_train_audit``); both full-corpus
+    invariants are joins/aggregates, nothing driver-side. One BPE
+    training run serves production weights, capped weights, and the twin
+    (same merges). Pre-staged for r14."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_py,
+        train_bpe,
+        word_counts,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens
+    from data_warehouse_product_mix_clustering_spark.plans.text import _BPE_N_MERGES
+
+    L = CONTEXT_LEN
+    docs = table(spark, "documents", sf_dir)
+    merges = train_bpe(word_counts(docs), _BPE_N_MERGES)
+    weights = (
+        bpe_token_counts(docs, merges)
+        .select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+        .localCheckpoint(eager=True)  # one training+count pass, many readers
+    )
+    windows = context_windows(
+        weights, order_col="doc_id", weight_col="n_tokens", context_len=L
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+    windows = windows.localCheckpoint(eager=True)
+
+    # -- full-corpus invariants (distributed joins/aggregates) --
+    per_doc = windows.groupBy("doc_id").agg(F.sum("slice_len").alias("__cov"))
+    coverage_exact = (
+        weights.filter(F.col("n_tokens") > 0)
+        .join(per_doc, "doc_id", "left")
+        .filter(F.coalesce(F.col("__cov"), F.lit(-1)) != F.col("n_tokens"))
+        .count()
+        == 0
+    )
+    per_win = windows.groupBy("seq_id").agg(F.sum("slice_len").alias("__s"))
+    max_win = per_win.agg(F.max("seq_id").alias("m")).first()["m"]
+    tiling_exact = (
+        max_win is not None
+        and per_win.filter(
+            (F.col("seq_id") < F.lit(max_win)) & (F.col("__s") != L)
+        ).count()
+        == 0
+    )
+    any_split = (
+        windows.groupBy("doc_id").count().filter(F.col("count") >= 2).count() > 0
+    )
+
+    # -- capped python-twin comparisons (bounded collects) --
+    cap = _BPE_WINDOWS_AUDIT_CAP
+    capped_docs = docs.filter(F.col("doc_id") < cap)
+    got_counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in weights.filter(F.col("doc_id") < cap).collect()
+    }
+    words_by_doc = {
+        r["doc_id"]: list(r["__ws"] or [])
+        for r in capped_docs.select(
+            "doc_id", bpe_tokens(F.col("text")).alias("__ws")
+        ).collect()
+    }
+    want_counts = {
+        d: sum(len(encode_py(w, merges)) for w in ws)
+        for d, ws in words_by_doc.items()
+    }
+    counts_match_reference = got_counts == want_counts
+
+    capped_windows = context_windows(
+        weights.filter(F.col("doc_id") < cap),
+        order_col="doc_id",
+        weight_col="n_tokens",
+        context_len=L,
+    )
+    got_win = sorted(
+        (r["seq_id"], r["doc_id"], r["slice_start"], r["slice_len"], r["seq_offset"])
+        for r in capped_windows.collect()
+    )
+    want_win = []
+    start = 0
+    for d in sorted(want_counts):
+        w = want_counts[d]
+        if w == 0:
+            continue
+        for seq in range(start // L, (start + w - 1) // L + 1):
+            a, b = max(start, seq * L), min(start + w, (seq + 1) * L)
+            want_win.append((seq, d, a - start, b - a, a - seq * L))
+        start += w
+    windows_match_twin = got_win == sorted(want_win)
+
+    return spark.createDataFrame(
+        [
+            (
+                counts_match_reference,
+                windows_match_twin,
+                coverage_exact,
+                tiling_exact,
+                any_split,
+            )
+        ],
+        "counts_match_reference boolean, windows_match_twin boolean, "
+        "coverage_exact boolean, tiling_exact boolean, any_split boolean",
+    )
+
+
+def _resampled_repeats_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    frac = _hex_fraction_sql("CAST(doc_id AS STRING)")
+    return f"""
+        {_PER_SRC_CTE}
+        , obs_cte AS (
+            SELECT source,
+                   CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
+                       AS obs
+            FROM per_src
+        ), wts AS (
+            SELECT source,
+                   (pow(obs, {MIXTURE_ALPHA})
+                        / sum(pow(obs, {MIXTURE_ALPHA})) OVER ()) / obs AS w
+            FROM obs_cte
+        ), rates AS (
+            SELECT source, CAST(floor(w) AS BIGINT) AS base,
+                   {sql_ratio_round("w - floor(w)")} AS frac_rate
+            FROM wts
+        ), per_doc AS (
+            SELECT d.doc_id, d.source,
+                   r.base + CASE WHEN {frac} < r.frac_rate
+                                 THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN rates r ON d.source = r.source
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+        FROM per_doc
+        WHERE n_copies >= 1
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("training_corpus_resampled_repeats", oracle=_resampled_repeats_oracle())
+def training_corpus_resampled_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture realized WITH UPSAMPLING — the
+    multiple-epochs shape multilingual pretraining actually ships
+    (rare sources repeat; ``training_corpus_resampled`` can only thin):
+    each doc appears ``floor(w) + Bernoulli(frac(w))`` times, where
+    ``w = target_share / observed_share`` is the raw temperature weight —
+    so every source's EXPECTED emitted-token mass is exactly ``w × its
+    corpus mass ∝ target share`` at unchanged total corpus scale. The
+    Bernoulli draw is the same md5(doc_id) hex fraction as the
+    downsampling variant (RNG-free, growth-stable, oracle-identical);
+    the fractional rate is 6-dp-snapped on both engines so a last-ulp
+    ``pow``/``floor`` divergence cannot flip a copy (and CANNOT flip the
+    floor itself either: a weight straddling an integer boundary k∓ε
+    yields base=k-1/frac≈1 on one engine and base=k/frac≈0 on the
+    other — the same n_copies). One row per (doc, copy_id 1..n).
+
+    Scale: the |sources|-row rates relation broadcasts; the explode is
+    bounded by the OUTPUT size (Σ n_copies ≈ corpus size — temperature
+    preserves total mass), never corpus × max-weight. The n_copies >= 1
+    filter is load-bearing on the Spark side: ``sequence(1, 0)`` walks
+    BACKWARD ([1, 0]) rather than returning empty, so zero-copy docs
+    must be dropped before the explode (the oracle keeps the same
+    predicate for row-set identity). Pre-staged for r14 registration
+    with ``_resampled_repeats_oracle()``."""
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    per_src = _per_source_tokens(spark, sf_dir)
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(
+        F.pow(obs, F.lit(MIXTURE_ALPHA))
+    ).over(w)
+    wts = per_src.select("source", (tgt / obs).alias("__w"))
+    rates = wts.select(
+        "source",
+        F.floor("__w").cast("long").alias("__base"),
+        ratio_round(F.col("__w") - F.floor("__w")).alias("__frac_rate"),
+    )
+    docs = table(spark, "documents", sf_dir).select("doc_id", "source")
+    frac = F.expr(_hex_fraction_sql("CAST(doc_id AS STRING)"))
+    per_doc = docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.col("__base")
+            + F.when(frac < F.col("__frac_rate"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_copies"),
+    )
+    return (
+        per_doc.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+        )
+        .select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
     )

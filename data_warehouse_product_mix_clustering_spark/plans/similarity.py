@@ -972,13 +972,15 @@ def semantic_dedup_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("semantic_dedup_incremental_audit", oracle="""
-#     SELECT TRUE AS output_is_batch_only,
-#            TRUE AS removed_have_witness,
-#            TRUE AS survivors_clean,
-#            TRUE AS prune_bites
-# """)
+@register(
+    "semantic_dedup_incremental_audit",
+    oracle="""
+        SELECT TRUE AS output_is_batch_only,
+               TRUE AS removed_have_witness,
+               TRUE AS survivors_clean,
+               TRUE AS prune_bites
+    """,
+)
 def semantic_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for
     ``operators/similarity.py::semantic_dedup_incremental`` (the
@@ -1059,4 +1061,175 @@ def semantic_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("__n_orphans") == 0).alias("removed_have_witness"),
         (F.col("__n_dirty") == 0).alias("survivors_clean"),
         (F.col("__n_removed") > 0).alias("prune_bites"),
+    )
+
+
+@register(
+    "stream_semantic_ingest_audit",
+    oracle="""
+        SELECT TRUE AS matches_sequential,
+               TRUE AS rerun_is_noop,
+               TRUE AS replay_idempotent,
+               TRUE AS dedup_bites,
+               TRUE AS reseed_gate_refuses
+    """,
+)
+def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit for the streaming semantic-dedup
+    ingestion loop (streaming/ingest.py), the `stream_quarantine_audit`
+    mold: survivor ids are codebook-dependent engine truth, so the
+    oracle pins the CONTRACT booleans and Spark measures them. An
+    embeddings-derived landing feed (two files: the 300-400 id slice,
+    then the >=400 tail plus a re-ingest of a batch-1 vector under a
+    new id) runs through one availableNow ingest against a seed corpus
+    (ids < 300), and the audit attests:
+
+    - ``matches_sequential``: the streamed corpus equals a sequential
+      reference applying ``semantic_dedup_incremental`` file by file
+      under the SAME frozen seed codebook (loaded from the persisted
+      sidecar — never refit);
+    - ``rerun_is_noop``: a second availableNow run with an intact
+      checkpoint executes ZERO batches and leaves the corpus identical
+      (exactly-once over the landing feed);
+    - ``replay_idempotent``: re-executing batch 1's sink write with the
+      SAME (batch_df, batch_id) — foreachBatch's at-least-once retry
+      shape — leaves the corpus identical, because the sink reads only
+      STRICTLY EARLIER partitions and overwrites only its own;
+    - ``dedup_bites``: at least one landing row was dropped (the
+      re-ingested vector guarantees a cosine-1.0 duplicate);
+    - ``reseed_gate_refuses``: after a re-seed bumps the seed epoch,
+      running against the STALE checkpoint raises instead of silently
+      under-ingesting (the seed-epoch gate, review r13).
+
+    Ground truth is collected driver-side as id sets (<=600 rows —
+    the bounded-audit convention of `semantic_dedup_incremental_audit`).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+    from data_warehouse_product_mix_clustering_spark.streaming.ingest import (
+        _load_or_fit_centers,
+        read_corpus,
+        seed_corpus,
+        streaming_semantic_ingest,
+    )
+    from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
+
+    thr, nlist, sd = 0.4, 4, 42
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    seed_df = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    # re-ingest one batch-1 vector under a new id: must drop against
+    # batch 1's already-ingested survivors (cosine exactly 1.0)
+    reingest = b1.limit(1).select(
+        (F.col("vec_id") + 80000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.filter(F.col("vec_id") >= 400).unionByName(reingest)
+
+    root = tempfile.mkdtemp(prefix="spark_graft_ingest_audit_")
+    try:
+        corpus_dir = os.path.join(root, "corpus")
+        landing = os.path.join(root, "landing")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        seed_corpus(spark, corpus_dir, seed_df)
+        f1 = os.path.join(landing, "b1.parquet")
+        f2 = os.path.join(landing, "b2.parquet")
+
+        # Spark-write each landing file so the parquet element type stays
+        # FLOAT — pandas.to_parquet would widen to DOUBLE whenever Arrow
+        # conversion is off in the hosting session, and the file-source
+        # schema (EMBEDDING_SCHEMA, array<float>) refuses a DOUBLE column.
+        def _write_landing(df: DataFrame, path: str) -> None:
+            import glob as _glob
+
+            stage = path + "__stage"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
+            shutil.rmtree(stage, ignore_errors=True)
+
+        _write_landing(b1, f1)
+        _write_landing(b2, f2)
+        # the file source takes files in mtime order (one per batch);
+        # explicit utimes beat sleeping for the ordering
+        now = os.path.getmtime(f2)
+        os.utime(f1, (now - 10, now - 10))
+        n = streaming_semantic_ingest(
+            spark, landing, corpus_dir, ckpt,
+            nlist=nlist, threshold=thr, seed=sd,
+        )
+        got = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
+
+        # sequential reference: SAME frozen codebook (persisted sidecar),
+        # incremental rule applied file by file
+        centers = _load_or_fit_centers(spark, corpus_dir, nlist, sd)
+        ref = seed_df
+        for bdf in (b1, b2):
+            surv = semantic_dedup_incremental(
+                bdf, ref, nlist=nlist, threshold=thr, seed=sd, centers=centers
+            )
+            ref = ref.unionByName(
+                bdf.join(surv.select("vec_id"), "vec_id", "left_semi")
+            ).localCheckpoint(eager=True)
+        want = {r["vec_id"] for r in ref.collect()}
+        n_landing = b1.count() + b2.count()
+        matches_sequential = n == 2 and got == want
+        dedup_bites = len(got - {r["vec_id"] for r in seed_df.collect()}) < n_landing
+
+        # checkpoint idempotence: nothing new -> zero batches, corpus fixed
+        n2 = streaming_semantic_ingest(
+            spark, landing, corpus_dir, ckpt,
+            nlist=nlist, threshold=thr, seed=sd,
+        )
+        rerun_is_noop = n2 == 0 and {
+            r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
+        } == got
+
+        # at-least-once retry: re-execute batch 1's sink write verbatim
+        replay_corpus = read_corpus(spark, corpus_dir, before_batch=1)
+        replay_surv = semantic_dedup_incremental(
+            b2, replay_corpus, nlist=nlist, threshold=thr, seed=sd,
+            centers=centers,
+        )
+        (
+            b2.join(replay_surv.select("vec_id"), "vec_id", "left_semi")
+            .withColumn(BATCH_COL, F.lit(1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL)
+            .parquet(os.path.join(corpus_dir, "survivors"))
+        )
+        replay_idempotent = {
+            r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()
+        } == got
+
+        # seed-epoch gate: re-seed, then the stale checkpoint must refuse
+        seed_corpus(spark, corpus_dir, seed_df.limit(50))
+        try:
+            streaming_semantic_ingest(
+                spark, landing, corpus_dir, ckpt,
+                nlist=nlist, threshold=thr, seed=sd,
+            )
+            reseed_gate_refuses = False
+        except RuntimeError:
+            reseed_gate_refuses = True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                matches_sequential,
+                rerun_is_noop,
+                replay_idempotent,
+                dedup_bites,
+                reseed_gate_refuses,
+            )
+        ],
+        "matches_sequential boolean, rerun_is_noop boolean, "
+        "replay_idempotent boolean, dedup_bites boolean, "
+        "reseed_gate_refuses boolean",
     )

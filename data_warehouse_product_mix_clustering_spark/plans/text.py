@@ -1247,8 +1247,7 @@ def _lang_unigram_oracle() -> str:
     )
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("doc_lang_logprob", oracle=_lang_unigram_oracle())
+@register("doc_lang_logprob", oracle=_lang_unigram_oracle())
 def doc_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity proxy under the doc's OWN language's LM
     (operators/lm.py::lang_logprob_scores — the actual CCNet shape,
@@ -1258,7 +1257,7 @@ def doc_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages reading as globally-rare-vocabulary noise. Same plan as
     ``doc_unigram_logprob`` with lang as one extra group key; the
     per-lang (N_l, V_l) scalars ride a broadcast equi-join on lang.
-    Pre-staged for r13 registration with ``_lang_unigram_oracle``."""
+    Registered r13 with ``_lang_unigram_oracle``."""
     from data_warehouse_product_mix_clustering_spark.operators.lm import lang_logprob_scores
 
     return lang_logprob_scores(table(spark, "documents", sf_dir))
@@ -1482,8 +1481,7 @@ def training_corpus_lm_by_lang_oracle() -> str:
     )
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("training_corpus_lm_by_lang", oracle=training_corpus_lm_by_lang_oracle())
+@register("training_corpus_lm_by_lang", oracle=training_corpus_lm_by_lang_oracle())
 def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL CCNet shape (VERDICT r11 #5 completed end-to-end): a
     MULTILINGUAL corpus (the same dedup → quality → token-budget gates
@@ -1574,8 +1572,7 @@ def _crosscorpus_oracle() -> str:
     """
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("doc_crosscorpus_logprob", oracle=_crosscorpus_oracle())
+@register("doc_crosscorpus_logprob", oracle=_crosscorpus_oracle())
 def doc_crosscorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-corpus perplexity scoring — the actual CCNet deployment
     shape the self-scored queries approximate: the unigram LM fits on a
@@ -1587,7 +1584,7 @@ def doc_crosscorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — this query is the driver-attestable consumer of the OOV
     floor, previously pytest-only). Gibberish/off-distribution docs now
     read as high-bits even when self-consistent, which self-scoring by
-    construction cannot see. Pre-staged for r13 registration with
+    construction cannot see. Registered r13 with
     ``_crosscorpus_oracle``."""
     from data_warehouse_product_mix_clustering_spark.functions.text import (
         quality_score as _qscore,
@@ -1700,8 +1697,7 @@ def training_waterfall_oracle() -> str:
     )
 
 
-# Pre-staged r13 registration (r12's window is exactly full):
-# @register("corpus_filter_waterfall", oracle=training_waterfall_oracle())
+@register("corpus_filter_waterfall", oracle=training_waterfall_oracle())
 def corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-gate attrition accounting for the full training-corpus
     pipeline — the observability table a mixture owner reads before
@@ -1717,7 +1713,7 @@ def corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     token expressions), the LM score joins once, the LM percent_rank
     runs over the stage-5 survivors partition (the same bounded class
     as the filter itself), and a single 7-scalar aggregate explodes to
-    the stage rows driver-free. Pre-staged for r13 registration with
+    the stage rows driver-free. Registered r13 with
     ``training_waterfall_oracle``."""
     from pyspark.sql import Window
 

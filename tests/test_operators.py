@@ -1989,3 +1989,91 @@ def test_source_mixture_temperature_matches_duckdb_twin(spark):
     assert (below["sampling_weight"] > 1).all()
     assert (above["sampling_weight"] < 1).all()
     assert len(below) + len(above) > 0, "crossover check must bite"
+
+
+def test_training_corpus_resampled_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_resampled (pre-staged r14) ≡
+    its adjacent DuckDB oracle at sf0.001 — the r14 registration pastes
+    exactly these two sides, so this test IS the registration's dry run.
+    Also pins the downsample-only realization: every keep_rate ≤ 1.0 and
+    the max-weight source's rate is exactly 1.0 (the rarest source is
+    never thinned)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _resampled_oracle,
+        training_corpus_resampled,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = training_corpus_resampled(spark, SF_SMOKE).toPandas()
+    want = con.sql(_resampled_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    rates = got.groupby("source")["keep_rate"].first()
+    assert (rates <= 1.0).all()
+    assert rates.max() == 1.0
+    # thinning actually bites: fewer docs out than in
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs
+
+
+def test_doc_context_windows_bpe_audit_contract(spark):
+    """plans/pipeline.py::doc_context_windows_bpe_audit (pre-staged r14)
+    returns all-TRUE at sf0.001 — the five-invariant contract (python-
+    twin counts + windows on the capped slice, distributed coverage and
+    tiling over the full relation, splitting bites) that the r14
+    registration's constant-boolean oracle pins. This test IS the
+    registration's dry run."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        doc_context_windows_bpe_audit,
+    )
+
+    row = doc_context_windows_bpe_audit(spark, SF_SMOKE).collect()[0]
+    assert row["counts_match_reference"]
+    assert row["windows_match_twin"]
+    assert row["coverage_exact"]
+    assert row["tiling_exact"]
+    assert row["any_split"]
+
+
+def test_training_corpus_resampled_repeats_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_resampled_repeats (pre-staged
+    r14) ≡ its adjacent DuckDB oracle at sf0.001 — the registration's
+    dry run. Also pins the upsampling semantics the downsample-only
+    variant cannot express: at least one doc repeats (copy_id ≥ 2),
+    every doc's copies are contiguous 1..n, and total output mass stays
+    ≈ corpus size (temperature preserves total mass: Σ n_copies has
+    expectation exactly |docs|)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _resampled_repeats_oracle,
+        training_corpus_resampled_repeats,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = training_corpus_resampled_repeats(spark, SF_SMOKE).toPandas()
+    want = con.sql(_resampled_repeats_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    per_doc = got.groupby("doc_id")["copy_id"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["count"] == per_doc["max"]).all()  # contiguous 1..n
+    assert (per_doc["max"] >= 2).any()  # upsampling actually bites
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert abs(len(got) - n_docs) <= 0.2 * n_docs  # mass conserved ±20%

@@ -1178,8 +1178,9 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-12 window is exactly 3 new + 19 r7-cohort + 28 r8-cohort
-    names, and the in-window boundary name is the documented one."""
+    round-13 window is exactly 1 carried + 10 new + 22 r8-cohort +
+    17 r9-cohort names, and the in-window boundary name is the
+    documented one."""
     from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
 
     qs = all_queries()
@@ -1189,11 +1190,12 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "doc_bigram_logprob",
-        "semantic_dedup_groups_audit",
-        "training_corpus_lm_filtered",
+        "semantic_dedup_sweep_audit",
+        "doc_lang_logprob",
+        "training_corpus_lm_by_lang",
     ]
-    assert window[49] == "events_multitouch_attribution"
+    assert window[10] == "stream_semantic_ingest_audit"
+    assert window[49] == "checked_write_audit"
 
 
 def test_semantic_dedup_incremental_audit_dry_run(spark):

@@ -960,3 +960,72 @@ def test_semantic_dedup_sweep_property(spark, thresholds):
             emb, nlist=4, threshold=t, seed=42
         ).count()
         assert got[float(t)][1] == n_surv, (t, got[float(t)], n_surv)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4), max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(0, 4),
+    context_len=st.integers(min_value=1, max_value=16),
+)
+def test_doc_context_windows_bpe_matches_python_twin(
+    spark, corpus, n_merges, context_len
+):
+    """The tokenizer-true packing composition (pre-staged r14:
+    train_bpe → bpe_token_counts → context_windows) ≡ the python twin
+    (train_bpe_py → encode_py sums → sequential concat-and-chunk) on
+    ARBITRARY corpora, merge depths, and window lengths — incl. empty
+    docs (zero tokens, emit nothing), L=1, and docs spanning many
+    windows. This is the end-to-end pin beneath
+    ``doc_context_windows_bpe_audit``'s warehouse-data contract."""
+    import re
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import BPE_PATTERN
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_py,
+        train_bpe_py,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+    from pyspark.sql import functions as F
+
+    pretok = [re.findall(BPE_PATTERN, t.lower()) for t in corpus]
+    wc: dict[str, int] = {}
+    for ws in pretok:
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    merges = train_bpe_py(wc, n_merges) if wc else []
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    weights = bpe_token_counts(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    got = sorted(
+        (r.seq_id, r.doc_id, r.slice_start, r.slice_len, r.seq_offset)
+        for r in context_windows(
+            weights, "doc_id", "n_tokens", context_len=context_len
+        ).collect()
+    )
+    want = []
+    start = 0
+    for i, ws in enumerate(pretok):
+        w = sum(len(encode_py(word, merges)) for word in ws)
+        if w == 0:
+            continue
+        for seq in range(start // context_len, (start + w - 1) // context_len + 1):
+            a = max(start, seq * context_len)
+            b = min(start + w, (seq + 1) * context_len)
+            want.append((seq, i, a - start, b - a, a - seq * context_len))
+        start += w
+    assert got == sorted(want)
