@@ -1124,9 +1124,15 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_df = emb.filter(F.col("vec_id") < 300)
     b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
     # re-ingest one batch-1 vector under a new id: must drop against
-    # batch 1's already-ingested survivors (cosine exactly 1.0)
-    reingest = b1.limit(1).select(
-        (F.col("vec_id") + 80000).alias("vec_id"), "embedding"
+    # batch 1's already-ingested survivors (cosine exactly 1.0). The
+    # pick is order-pinned (review r13): a bare limit(1) re-evaluates
+    # nondeterministically, and the reference below re-reads these
+    # DataFrames — a different pick there than in the written landing
+    # file would break matches_sequential flakily.
+    reingest = (
+        b1.orderBy("vec_id")
+        .limit(1)
+        .select((F.col("vec_id") + 80000).alias("vec_id"), "embedding")
     )
     b2 = emb.filter(F.col("vec_id") >= 400).unionByName(reingest)
 
@@ -1165,10 +1171,16 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {r["vec_id"] for r in read_corpus(spark, corpus_dir).collect()}
 
         # sequential reference: SAME frozen codebook (persisted sidecar),
-        # incremental rule applied file by file
+        # incremental rule applied file by file — reading the WRITTEN
+        # landing bytes back (review r13: re-evaluating the lazy b1/b2
+        # here could diverge from what the stream actually consumed)
+        from data_warehouse_product_mix_clustering_spark.streaming.ingest import EMBEDDING_SCHEMA
+
+        b1_w = spark.read.schema(EMBEDDING_SCHEMA).parquet(f1)
+        b2_w = spark.read.schema(EMBEDDING_SCHEMA).parquet(f2)
         centers = _load_or_fit_centers(spark, corpus_dir, nlist, sd)
         ref = seed_df
-        for bdf in (b1, b2):
+        for bdf in (b1_w, b2_w):
             surv = semantic_dedup_incremental(
                 bdf, ref, nlist=nlist, threshold=thr, seed=sd, centers=centers
             )
@@ -1176,7 +1188,7 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bdf.join(surv.select("vec_id"), "vec_id", "left_semi")
             ).localCheckpoint(eager=True)
         want = {r["vec_id"] for r in ref.collect()}
-        n_landing = b1.count() + b2.count()
+        n_landing = b1_w.count() + b2_w.count()
         matches_sequential = n == 2 and got == want
         dedup_bites = len(got - {r["vec_id"] for r in seed_df.collect()}) < n_landing
 
@@ -1190,13 +1202,14 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         } == got
 
         # at-least-once retry: re-execute batch 1's sink write verbatim
+        # (same written bytes the stream's batch 1 consumed)
         replay_corpus = read_corpus(spark, corpus_dir, before_batch=1)
         replay_surv = semantic_dedup_incremental(
-            b2, replay_corpus, nlist=nlist, threshold=thr, seed=sd,
+            b2_w, replay_corpus, nlist=nlist, threshold=thr, seed=sd,
             centers=centers,
         )
         (
-            b2.join(replay_surv.select("vec_id"), "vec_id", "left_semi")
+            b2_w.join(replay_surv.select("vec_id"), "vec_id", "left_semi")
             .withColumn(BATCH_COL, F.lit(1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
