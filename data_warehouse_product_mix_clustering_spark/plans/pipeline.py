@@ -2002,3 +2002,116 @@ def training_corpus_resampled_repeats(spark: SparkSession, sf_dir: str) -> DataF
         )
         .select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
     )
+
+
+def _interleaved_oracle() -> str:
+    return f"""
+        {_PER_SRC_CTE}
+        , obs_cte AS (
+            SELECT source, n_docs,
+                   CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
+                       AS obs
+            FROM per_src
+        ), tgts AS (
+            SELECT source,
+                   pow(obs, {MIXTURE_ALPHA})
+                       / sum(pow(obs, {MIXTURE_ALPHA})) OVER () AS tgt
+            FROM obs_cte
+        ), ranked AS (
+            SELECT d.doc_id, d.source,
+                   CAST(row_number() OVER (
+                        PARTITION BY d.source
+                        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS BIGINT) AS rk,
+                   t.tgt
+            FROM documents d JOIN tgts t ON d.source = t.source
+        ), keyed AS (
+            SELECT doc_id, source,
+                   {sql_ratio_round("(rk - 0.5e0) / tgt")} AS v_key
+            FROM ranked
+        )
+        SELECT CAST(row_number() OVER (ORDER BY v_key, doc_id) AS BIGINT)
+                   AS position,
+               doc_id, source
+        FROM keyed
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("training_corpus_interleaved", oracle=_interleaved_oracle())
+def training_corpus_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture realized as a training ORDER — stride
+    scheduling: training consumes ONE stream, and what makes a mixture
+    real is that every PREFIX of that stream holds the target
+    proportions (a corpus that is 30% code "on average" but front-loads
+    it trains on a different curriculum than the recipe claims). Each
+    source's docs get a deterministic within-source shuffle rank rk
+    (md5 hash order), a virtual time v = (rk − ½) / target_share — the
+    classic stride-scheduler rule: source s's k-th doc arrives when s
+    has "earned" k slots — and the stream is the ascending-v order.
+    Any prefix of length n then carries ≈ target_share × n docs of each
+    source to within ±1 slot (stride's fairness bound), which the
+    contract test pins empirically.
+
+    Scale (and the reason this looks different from per_source_sample's
+    window): BOTH ranks avoid a window funnel entirely. A
+    ``partitionBy(source)`` window would sort ~1/|sources| of a 100 TB
+    corpus on one partition per source; instead the within-source rank
+    is the GLOBAL distributed rank over (source, hash, doc_id) — one
+    ``with_rank_and_running`` pass — minus each source's broadcast
+    doc-count offset (rows of one source are contiguous under
+    source-major order, so global_rank − offset IS the per-source
+    rank). The final position is a second distributed-rank pass over
+    (v_key, doc_id). Two range-partitioned passes, two ≤P-row collects,
+    zero global or per-source Window operators (plan-pinned). v is
+    6-dp-snapped on both engines before ordering (ties broken by
+    doc_id) so a last-ulp pow() divergence cannot swap neighbors.
+    Pre-staged for r14 registration with ``_interleaved_oracle()``."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    per_src = _per_source_tokens(spark, sf_dir)
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(
+        F.pow(obs, F.lit(MIXTURE_ALPHA))
+    ).over(w)
+    # (source, tgt, docs-before-this-source offset): |sources| rows; the
+    # offset window runs over the dimension relation only
+    dim = per_src.select("source", "n_docs", tgt.alias("__tgt"))
+    off_w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    dim = dim.select(
+        "source",
+        "__tgt",
+        F.coalesce(F.sum("n_docs").over(off_w), F.lit(0)).alias("__off"),
+    )
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = with_rank_and_running(
+        docs,
+        [F.col("source"), F.col("__h"), F.col("doc_id")],
+        "__one",
+        rank_col="__grk",
+    ).drop("__pid", "running", "__one", "__h")
+    keyed = (
+        ranked.join(F.broadcast(dim), "source")
+        .select(
+            "doc_id",
+            "source",
+            ratio_round(
+                (F.col("__grk") - F.col("__off") - F.lit(0.5))
+                / F.col("__tgt")
+            ).alias("v_key"),
+        )
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    return (
+        with_rank_and_running(
+            keyed,
+            [F.col("v_key"), F.col("doc_id")],
+            "__one",
+            rank_col="position",
+        )
+        .select("position", "doc_id", "source")
+    )

@@ -151,6 +151,14 @@ _DRIVER_PRIORITY: list[str] = [
     #   sf0.001 AND sf0.01 with upsampling biting at both;
     #   test_training_corpus_resampled_repeats_matches_duckdb_twin is
     #   the dry run).
+    # - `training_corpus_interleaved` (plans/pipeline.py - the mixture
+    #   realized as a training ORDER: stride scheduling v = (rk-1/2)/tgt
+    #   with BOTH ranks on the distributed prefix-sum machinery (no
+    #   global or per-source window - plan-pinned); adjacent oracle
+    #   `_interleaved_oracle()` builder-verified value-exact at sf0.001
+    #   AND sf0.01, prefix fairness within ±1 slot measured at both;
+    #   test_training_corpus_interleaved_matches_duckdb_twin is the dry
+    #   run).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

@@ -2077,3 +2077,69 @@ def test_training_corpus_resampled_repeats_matches_duckdb_twin(spark):
     assert (per_doc["max"] >= 2).any()  # upsampling actually bites
     n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
     assert abs(len(got) - n_docs) <= 0.2 * n_docs  # mass conserved ±20%
+
+
+def test_training_corpus_interleaved_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_interleaved (pre-staged r14)
+    ≡ its adjacent DuckDB oracle at sf0.001 — the registration's dry
+    run — plus the two contracts that make it an interleave: (a) stride
+    fairness — every prefix of the stream holds each source's target
+    share to within ±1.5 slots; (b) the scale shape — the FINAL plan's
+    Window operators are all __pid-partitioned (both ranks ride the
+    distributed prefix-sum machinery, not a global or per-source
+    window; the only un-partitioned windows in the whole query run over
+    the |sources|-row dimension relation upstream of its
+    materialization)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _interleaved_oracle,
+        training_corpus_interleaved,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = training_corpus_interleaved(spark, SF_SMOKE).toPandas()
+    want = con.sql(_interleaved_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    # positions are a 1..n permutation
+    pos = sorted(got["position"])
+    assert pos == list(range(1, len(got) + 1))
+    # stride fairness: each source's prefix count ≈ target_share × n,
+    # with the targets taken from the registered temperature query (the
+    # same tgt the stride divides by — non-circular: that query is
+    # itself oracle-checked against DuckDB).
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        source_mixture_temperature,
+    )
+
+    tgt = {
+        r["source"]: r["target_share"]
+        for r in source_mixture_temperature(spark, SF_SMOKE).collect()
+    }
+    srt = got.sort_values("position")
+    for n in (100, 250):
+        pre = srt.head(n)["source"].value_counts()
+        for s, share in tgt.items():
+            assert abs(pre.get(s, 0) - share * n) <= 1.5, (
+                n, s, pre.get(s, 0), share * n
+            )
+    plan = (
+        training_corpus_interleaved(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    global_windows = [
+        line
+        for line in plan.splitlines()
+        if "Window" in line and "__pid" not in line
+    ]
+    assert not global_windows, global_windows
