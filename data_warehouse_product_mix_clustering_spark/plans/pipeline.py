@@ -2075,33 +2075,22 @@ def training_corpus_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = F.pow(obs, F.lit(MIXTURE_ALPHA)) / F.sum(
         F.pow(obs, F.lit(MIXTURE_ALPHA))
     ).over(w)
-    # (source, tgt, docs-before-this-source offset): |sources| rows; the
-    # offset window runs over the dimension relation only
-    dim = per_src.select("source", "n_docs", tgt.alias("__tgt"))
-    off_w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
-    dim = dim.select(
-        "source",
-        "__tgt",
-        F.coalesce(F.sum("n_docs").over(off_w), F.lit(0)).alias("__off"),
-    )
+    # (source, tgt): |sources| rows, broadcast below
+    dim = per_src.select("source", tgt.alias("__tgt"))
 
     docs = table(spark, "documents", sf_dir).select(
         "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__h")
-    ).withColumn("__one", F.lit(1).cast("long"))
-    ranked = with_rank_and_running(
-        docs,
-        [F.col("source"), F.col("__h"), F.col("doc_id")],
-        "__one",
-        rank_col="__grk",
-    ).drop("__pid", "running", "__one", "__h")
+    )
+    ranked = _interleave_rank(
+        docs, "source", [F.col("__h"), F.col("doc_id")], "__rk"
+    ).drop("__h")
     keyed = (
         ranked.join(F.broadcast(dim), "source")
         .select(
             "doc_id",
             "source",
             ratio_round(
-                (F.col("__grk") - F.col("__off") - F.lit(0.5))
-                / F.col("__tgt")
+                (F.col("__rk") - F.lit(0.5)) / F.col("__tgt")
             ).alias("v_key"),
         )
         .withColumn("__one", F.lit(1).cast("long"))
@@ -2114,4 +2103,117 @@ def training_corpus_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_col="position",
         )
         .select("position", "doc_id", "source")
+    )
+
+
+# Power-of-two padding buckets for batch planning. An explicit CASE (not
+# pow(2, ceil(log2 n))) so both engines bucket IDENTICALLY — a libm log2
+# at an exact power-of-two boundary is the kind of last-ulp coin flip the
+# repo's determinism rules exist to avoid. Token budget caps doc length
+# well under the top bucket.
+_PAD_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+_BATCH_SIZE = 32  # docs per padded batch
+
+
+def _bucket_case_sql(n_expr: str) -> str:
+    whens = "\n".join(
+        f"WHEN {n_expr} <= {b} THEN {b}" for b in _PAD_BUCKETS[:-1]
+    )
+    return f"CASE {whens} ELSE {_PAD_BUCKETS[-1]} END"
+
+
+def _interleave_rank(
+    df: DataFrame, group_col: str, order_cols: list, rank_col: str
+) -> DataFrame:
+    """Per-group rank WITHOUT a per-group window funnel: the global
+    distributed rank over (group, *order) minus each group's broadcast
+    count offset (rows of one group are contiguous under group-major
+    order). The `training_corpus_interleaved` trick, factored out —
+    groups are dimension-sized (sources, length buckets), rows are not.
+    Drops the machinery's transient columns."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        group_col,
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    ranked = with_rank_and_running(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        [F.col(group_col)] + order_cols,
+        "__one",
+        rank_col="__grk",
+    ).drop("__pid", "running", "__one")
+    return (
+        ranked.join(F.broadcast(offsets), group_col)
+        .withColumn(rank_col, (F.col("__grk") - F.col("__off")).cast("long"))
+        .drop("__grk", "__off")
+    )
+
+
+def _length_batches_oracle() -> str:
+    n = f"CAST(len({sql_tokens('text')}) AS BIGINT)"
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, {n} AS n_tokens,
+                   CAST({_bucket_case_sql(n)} AS BIGINT) AS bucket_len
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, n_tokens, bucket_len,
+                   row_number() OVER (
+                        PARTITION BY bucket_len
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM sized
+        )
+        SELECT doc_id, n_tokens, bucket_len,
+               CAST((rk - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id
+        FROM ranked
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("doc_length_bucket_batches", oracle=_length_batches_oracle())
+def doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the dynamic-batching step a
+    padded-tensor training job runs: bucket each doc to the next
+    power-of-two padded length, hash-shuffle within the bucket
+    (deterministic md5 order — RNG-free and growth-stable like every
+    sampler in this repo), and cut each bucket into fixed-size batches
+    of _BATCH_SIZE docs. One row per doc: (doc_id, n_tokens, bucket_len,
+    batch_id) — the gather plan for a writer emitting (batch,
+    bucket_len)-shaped tensors; padding waste per batch is
+    bucket_len − n_tokens summed over the batch, vs the unbucketed
+    alternative of padding everything to the global max.
+
+    Scale: the bucket CASE is a pure per-row expression; the
+    within-bucket rank rides `_interleave_rank` — the global
+    distributed rank over (bucket, hash, doc_id) minus a broadcast
+    ≤|buckets|-row offset map — so no per-bucket window sorts ~1/10th
+    of a 100 TB corpus on one partition (the documented funnel the
+    interleave query also avoids). batch_id is integer arithmetic on
+    the rank. Pre-staged for r14 registration with
+    ``_length_batches_oracle()``."""
+    docs = table(spark, "documents", sf_dir)
+    n = F.size(tokens(F.col("text"))).cast("long")
+    bucket = F.lit(_PAD_BUCKETS[-1])
+    for b in reversed(_PAD_BUCKETS[:-1]):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    sized = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        bucket.cast("long").alias("bucket_len"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    ranked = _interleave_rank(
+        sized, "bucket_len", [F.col("__h"), F.col("doc_id")], "__rk"
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "bucket_len",
+        # integer DIV, not float floor: exact at any corpus size (the
+        # pack_shards convention)
+        F.expr(f"(__rk - 1) DIV {_BATCH_SIZE}").cast("long").alias("batch_id"),
     )

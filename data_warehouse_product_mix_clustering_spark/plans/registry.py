@@ -159,6 +159,14 @@ _DRIVER_PRIORITY: list[str] = [
     #   AND sf0.01, prefix fairness within ±1 slot measured at both;
     #   test_training_corpus_interleaved_matches_duckdb_twin is the dry
     #   run).
+    # - `doc_length_bucket_batches` (plans/pipeline.py - length-bucketed
+    #   dynamic batching: power-of-two padding buckets via an explicit
+    #   CASE, within-bucket hash rank via the shared `_interleave_rank`
+    #   distributed machinery, batch_id = (rk-1) DIV 32; adjacent oracle
+    #   `_length_batches_oracle()` builder-verified value-exact at
+    #   sf0.001 AND sf0.01;
+    #   test_doc_length_bucket_batches_matches_duckdb_twin is the dry
+    #   run).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

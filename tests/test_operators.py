@@ -2143,3 +2143,46 @@ def test_training_corpus_interleaved_matches_duckdb_twin(spark):
         if "Window" in line and "__pid" not in line
     ]
     assert not global_windows, global_windows
+
+
+def test_doc_length_bucket_batches_matches_duckdb_twin(spark):
+    """plans/pipeline.py::doc_length_bucket_batches (pre-staged r14) ≡
+    its adjacent DuckDB oracle at sf0.001 — the registration's dry run —
+    plus the batching contract: bucket_len is the smallest power-of-two
+    bound ≥ n_tokens (from the shared bucket table), every batch holds
+    ≤ _BATCH_SIZE docs, batch ids are dense 0..k per bucket, and only
+    the LAST batch of a bucket may be ragged."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _BATCH_SIZE,
+        _PAD_BUCKETS,
+        _length_batches_oracle,
+        doc_length_bucket_batches,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = doc_length_bucket_batches(spark, SF_SMOKE).toPandas()
+    want = con.sql(_length_batches_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    # bucket assignment is the tightest bound in the table
+    for _, r in got.iterrows():
+        assert r.n_tokens <= r.bucket_len
+        smaller = [b for b in _PAD_BUCKETS if b < r.bucket_len]
+        if smaller:
+            assert r.n_tokens > smaller[-1], (r.doc_id, r.n_tokens, r.bucket_len)
+    per = got.groupby(["bucket_len", "batch_id"]).size()
+    assert (per <= _BATCH_SIZE).all()
+    for b, grp in got.groupby("bucket_len"):
+        ids = sorted(grp["batch_id"].unique())
+        assert ids == list(range(len(ids)))  # dense 0..k
+        sizes = grp.groupby("batch_id").size()
+        assert (sizes[sizes.index < sizes.index.max()] == _BATCH_SIZE).all()
