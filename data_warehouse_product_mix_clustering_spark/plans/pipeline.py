@@ -2179,9 +2179,14 @@ def doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch planning — the dynamic-batching step a
     padded-tensor training job runs: bucket each doc to the next
     power-of-two padded length, hash-shuffle within the bucket
-    (deterministic md5 order — RNG-free and growth-stable like every
-    sampler in this repo), and cut each bucket into fixed-size batches
-    of _BATCH_SIZE docs. One row per doc: (doc_id, n_tokens, bucket_len,
+    (deterministic md5 order — RNG-free, same plan on every engine and
+    run), and cut each bucket into fixed-size batches of _BATCH_SIZE
+    docs. Unlike the repo's THRESHOLD-based samplers (doc_split,
+    stratified/resampled), rank-based assignment is deliberately NOT
+    growth-stable: adding a doc shifts every later rank in its bucket —
+    correct here, because a batch plan is rebuilt per corpus snapshot
+    (it indexes a specific tensor materialization), not maintained
+    incrementally. One row per doc: (doc_id, n_tokens, bucket_len,
     batch_id) — the gather plan for a writer emitting (batch,
     bucket_len)-shaped tensors; padding waste per batch is
     bucket_len − n_tokens summed over the batch, vs the unbucketed
