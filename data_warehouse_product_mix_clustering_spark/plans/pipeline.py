@@ -1731,17 +1731,15 @@ def training_corpus_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_window_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens) under the trained 20-merge BPE tokenizer — the
-    weight relation ``doc_context_windows_bpe`` packs. Shared with the
-    audit so both sides see one training run per invocation."""
-    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
-        bpe_token_counts,
-        train_bpe,
-        word_counts,
-    )
-    from data_warehouse_product_mix_clustering_spark.plans.text import _BPE_N_MERGES
+    weight relation ``doc_context_windows_bpe`` packs. The merge table
+    rides the session memo (plans/text.py::corpus_bpe_merges — trained
+    once per (session, corpus), shared with bpe_merge_table and the
+    audit; training is the ~32 s stage at sf0.1, the window pass ~2 s)."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import bpe_token_counts
+    from data_warehouse_product_mix_clustering_spark.plans.text import corpus_bpe_merges
 
     docs = table(spark, "documents", sf_dir)
-    merges = train_bpe(word_counts(docs), _BPE_N_MERGES)
+    merges = corpus_bpe_merges(spark, sf_dir)
     return bpe_token_counts(docs, merges).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
@@ -1806,22 +1804,23 @@ def doc_context_windows_bpe_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     Bounds: the twin comparisons collect only the doc_id < cap slice
     (≤ _BPE_WINDOWS_AUDIT_CAP docs' counts + their distinct words — the
     capped-collect discipline of ``bpe_train_audit``); both full-corpus
-    invariants are joins/aggregates, nothing driver-side. One BPE
-    training run serves production weights, capped weights, and the twin
-    (same merges). Pre-staged for r14."""
+    invariants are joins/aggregates, nothing driver-side. One merge
+    table serves production weights, capped weights, and the twin —
+    via the session memo (plans/text.py::corpus_bpe_merges), which is
+    safe for THIS audit because its contract is counts/windows under a
+    given table, not the training rule (``bpe_train_audit`` pins that,
+    bypassing the cache). Pre-staged for r14."""
     from data_warehouse_product_mix_clustering_spark.operators.bpe import (
         bpe_token_counts,
         encode_py,
-        train_bpe,
-        word_counts,
     )
     from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
     from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens
-    from data_warehouse_product_mix_clustering_spark.plans.text import _BPE_N_MERGES
+    from data_warehouse_product_mix_clustering_spark.plans.text import corpus_bpe_merges
 
     L = CONTEXT_LEN
     docs = table(spark, "documents", sf_dir)
-    merges = train_bpe(word_counts(docs), _BPE_N_MERGES)
+    merges = corpus_bpe_merges(spark, sf_dir)
     weights = (
         bpe_token_counts(docs, merges)
         .select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))

@@ -1067,6 +1067,61 @@ def postings_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES = 20
 _BPE_AUDIT_VOCAB_CAP = 2000
 
+# (applicationId, sf_dir, n_merges) → trained merge table. The
+# product_clusters fit-cache lifecycle exactly (plans/ml.py): training is
+# the expensive iterative stage (20 merge rounds ≈ 32 s at sf0.1), the
+# result is O(n_merges) driver state, and every consumer — the merge
+# table query, tokenizer-true context windows, their audit — needs the
+# SAME table, so a pipeline trains once per (session, corpus). Safe
+# because train_bpe is deterministic on fixed input; `bpe_train_audit`
+# and the property tests call train_bpe DIRECTLY (never this cache), so
+# the training-rule contracts stay real training runs. Chained into the
+# star-schema invalidation protocol: a documented corpus rewrite drops
+# the memo with the data it was mined from (the advisor-memo rule).
+from collections import OrderedDict as _OrderedDict
+
+_MERGES_CACHE: "_OrderedDict[tuple[str, str, int], list]" = _OrderedDict()
+_MERGES_CACHE_MAX = 8
+
+
+def invalidate_bpe_merges_cache(sf_dir: str | None = None) -> None:
+    """Drop cached merge tables for one sf_dir (or all). Registered with
+    the star-schema invalidator so the documented rewrite protocol
+    (sources.registry.invalidate + invalidate_star_cache) also clears
+    tokenizers trained on that data."""
+    if sf_dir is None:
+        _MERGES_CACHE.clear()
+        return
+    for key in [k for k in _MERGES_CACHE if k[1] == sf_dir]:
+        del _MERGES_CACHE[key]
+
+
+from data_warehouse_product_mix_clustering_spark.etl import star_schema as _star_schema  # noqa: E402
+
+_star_schema.register_downstream_invalidator(invalidate_bpe_merges_cache)
+
+
+def corpus_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_N_MERGES
+) -> list:
+    """The trained merge table for ``sf_dir``'s documents, session-memoized
+    (see ``_MERGES_CACHE``'s comment for the lifecycle and why audits
+    bypass it)."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import train_bpe, word_counts
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    hit = _MERGES_CACHE.get(key)
+    if hit is not None:
+        _MERGES_CACHE.move_to_end(key)
+        return hit
+    merges = train_bpe(word_counts(table(spark, "documents", sf_dir)), n_merges)
+    for k in [k for k in _MERGES_CACHE if k[0] != key[0]]:
+        del _MERGES_CACHE[k]  # stopped sessions' state must not linger
+    _MERGES_CACHE[key] = merges
+    while len(_MERGES_CACHE) > _MERGES_CACHE_MAX:
+        _MERGES_CACHE.popitem(last=False)
+    return merges
+
 
 @register("bpe_merge_table")
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,18 +1130,16 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass builds the distinct word-frequency relation, then each of the
     20 merges is a weighted pair aggregate over that relation plus a
     1-row argmax collect (the model itself is O(n_merges) driver state
-    by construction). Rows-only: the iterative argmax is not
+    by construction). Session-memoized via ``corpus_bpe_merges`` (the
+    product_clusters fit-cache parity — every tokenizer consumer reads
+    the same trained table). Rows-only: the iterative argmax is not
     SQL-expressible; the training rule is pinned cross-implementation by
-    ``bpe_train_audit`` (Spark ≡ reference twin on a capped vocab) and
-    property-tested on random corpora vs the same twin."""
-    from data_warehouse_product_mix_clustering_spark.operators.bpe import (
-        merges_to_df,
-        train_bpe,
-        word_counts,
-    )
+    ``bpe_train_audit`` (Spark ≡ reference twin on a capped vocab,
+    bypassing the cache) and property-tested on random corpora vs the
+    same twin."""
+    from data_warehouse_product_mix_clustering_spark.operators.bpe import merges_to_df
 
-    wc = word_counts(table(spark, "documents", sf_dir))
-    return merges_to_df(spark, train_bpe(wc, _BPE_N_MERGES))
+    return merges_to_df(spark, corpus_bpe_merges(spark, sf_dir))
 
 
 @register(

@@ -1029,3 +1029,35 @@ def test_doc_context_windows_bpe_matches_python_twin(
             want.append((seq, i, a - start, b - a, a - seq * context_len))
         start += w
     assert got == sorted(want)
+
+
+def test_corpus_bpe_merges_cached_and_invalidated(spark):
+    """plans/text.py::corpus_bpe_merges serves the SAME trained merge
+    table on repeat calls (the product_clusters fit-cache lifecycle for
+    the tokenizer: training is the expensive iterative stage, every
+    consumer — merge table query, tokenizer-true windows, their audit —
+    reads one table per (session, corpus)); dead-session keys evict on
+    insert, and invalidate_star_cache drops tokenizers trained on the
+    rewritten data (the downstream-invalidator chain)."""
+    from data_warehouse_product_mix_clustering_spark.etl.star_schema import invalidate_star_cache
+    from data_warehouse_product_mix_clustering_spark.plans import text as text_plans
+
+    sf = "/root/testdata/sf0.001"
+    text_plans._MERGES_CACHE.clear()
+    a = text_plans.corpus_bpe_merges(spark, sf)
+    b = text_plans.corpus_bpe_merges(spark, sf)
+    assert a is b, "same (session, sf_dir, n_merges) must reuse the table"
+    assert len(a) == text_plans._BPE_N_MERGES
+    text_plans._MERGES_CACHE[("dead-app-id", "/x", 20)] = a
+    text_plans._MERGES_CACHE.pop(
+        (spark.sparkContext.applicationId, sf, text_plans._BPE_N_MERGES)
+    )
+    c = text_plans.corpus_bpe_merges(spark, sf)
+    assert ("dead-app-id", "/x", 20) not in text_plans._MERGES_CACHE, (
+        "stale-session entries must be evicted on insert"
+    )
+    assert c is not a and c == a, "retrain reproduces the same table"
+    invalidate_star_cache(sf)
+    assert not [k for k in text_plans._MERGES_CACHE if k[1] == sf], (
+        "invalidation must drop tokenizers trained on the rewritten data"
+    )
