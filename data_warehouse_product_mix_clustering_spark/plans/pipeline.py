@@ -1685,12 +1685,15 @@ def training_corpus_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampled corpus realizing ``source_mixture_temperature``'s target
     shares (α = 0.5). Each source's keep rate is its sampling weight
     normalized by the maximum weight — the downsample-only realization:
-    the rarest source keeps 100% and every other source is thinned
-    toward the temperature target (expected kept-token share ∝ targetᵅ
-    recipe exactly). Doc selection is the content-hash rule the split /
-    stratified-sample family uses — keep iff the md5(doc_id) fraction
-    falls below the source's rate — so the sample is RNG-free, stable
-    under growth and re-partitioning, and identical in the oracle. The
+    the rarest source keeps 100% and every other source is thinned so
+    the expected kept-token share is ∝ target_share (∝ observedᵅ, the
+    temperature recipe) at the largest corpus the rule allows. Doc
+    selection is the content-hash rule the split / stratified-sample
+    family uses — keep iff the md5(doc_id) fraction falls below the
+    source's rate — RNG-free, partition-independent, identical in the
+    oracle; the per-DOC draw never changes, though the RATES are
+    data-derived, so corpus growth shifts thresholds by design (the
+    mixture tracks the corpus, unlike doc_split's frozen fractions). The
     rate is snapped to 6 dp (ratio_round) on BOTH engines before the
     comparison so a last-ulp pow() divergence cannot flip a boundary doc.
 
