@@ -2224,3 +2224,106 @@ def doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pack_shards convention)
         F.expr(f"(__rk - 1) DIV {_BATCH_SIZE}").cast("long").alias("batch_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data recipe manifest: the reproducibility receipt a corpus job
+# publishes next to its tensors — which knobs produced WHICH corpus, with a
+# fingerprint a rebuild can be held to.
+# ---------------------------------------------------------------------------
+
+
+def corpus_fingerprint(df: DataFrame) -> tuple[int, int, int]:
+    """Order-independent exact fingerprint of a gated corpus relation:
+    (n_docs, Σ int(md5(doc_id)[:12], 16), Σ n_tokens). Pure BIGINT sums —
+    commutative, so partitioning/ordering cannot move it, and exact, so
+    equality means equality (no float tolerance). The same shape as
+    ``lineitem_replica_checksum``'s content hash, reduced to the id+size
+    surface a recipe manifest needs. Collision scope: a 48-bit hash sum
+    over documents — adversarial collisions are out of scope (this is a
+    reproducibility receipt, not an integrity MAC)."""
+    row = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+        ).alias("h"),
+        F.sum("n_tokens").cast("long").alias("t"),
+    ).first()
+    return (int(row["n"]), int(row["h"] or 0), int(row["t"] or 0))
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("training_recipe_manifest_audit", oracle="""
+#     SELECT TRUE AS manifest_roundtrip, TRUE AS rebuild_matches,
+#            TRUE AS tamper_detected, TRUE AS fingerprint_order_free
+# """)
+def training_recipe_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible-recipe contract: the gated training corpus
+    (plans/text.py::gated_corpus — the SAME parameterized pipeline the
+    registered ``training_corpus`` binds) is built, its recipe knobs
+    (lang, quality_min, token budget) and exact corpus fingerprint are
+    persisted as a manifest JSON, and the audit attests:
+
+    - ``manifest_roundtrip``: the persisted knobs read back exactly
+      (atomic write, the seed-epoch marker discipline);
+    - ``rebuild_matches``: rebuilding the corpus FROM the manifest's
+      knobs reproduces the fingerprint bit-for-bit — the claim a
+      training run replays on (data + recipe ⇒ corpus);
+    - ``tamper_detected``: a manifest with a drifted knob
+      (quality_min + 0.1 — measured to bite: 116→9 docs at sf0.001,
+      135→10 at sf0.01) rebuilds to a DIFFERENT fingerprint — the
+      receipt actually discriminates recipes;
+    - ``fingerprint_order_free``: the fingerprint is invariant under
+      repartitioning (commutative exact sums — recomputed on a
+      shuffled layout).
+
+    Bounds: fingerprints are 3-scalar aggregates (nothing driver-side
+    beyond them); the manifest is O(knobs) JSON. Pre-staged for r14."""
+    import json
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        CORPUS_LANG,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+        gated_corpus,
+    )
+
+    recipe = {
+        "lang": CORPUS_LANG,
+        "quality_min": QUALITY_MIN,
+        "tok_lo": TOKEN_BUDGET[0],
+        "tok_hi": TOKEN_BUDGET[1],
+    }
+    built = gated_corpus(spark, sf_dir, **recipe)
+    fp = corpus_fingerprint(built)
+
+    root = tempfile.mkdtemp(prefix="spark_graft_recipe_manifest_")
+    try:
+        path = os.path.join(root, "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"recipe": recipe, "fingerprint": list(fp)}, f)
+        os.replace(tmp, path)  # atomic: readers never see a torn manifest
+        with open(path) as f:
+            loaded = json.load(f)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    manifest_roundtrip = (
+        loaded["recipe"] == recipe and tuple(loaded["fingerprint"]) == fp
+    )
+    rebuilt = gated_corpus(spark, sf_dir, **loaded["recipe"])
+    rebuild_matches = corpus_fingerprint(rebuilt) == fp
+    tampered = dict(loaded["recipe"], quality_min=loaded["recipe"]["quality_min"] + 0.1)
+    tamper_detected = corpus_fingerprint(gated_corpus(spark, sf_dir, **tampered)) != fp
+    fingerprint_order_free = (
+        corpus_fingerprint(built.repartition(7, "n_tokens")) == fp
+    )
+    return spark.createDataFrame(
+        [(manifest_roundtrip, rebuild_matches, tamper_detected, fingerprint_order_free)],
+        "manifest_roundtrip boolean, rebuild_matches boolean, "
+        "tamper_detected boolean, fingerprint_order_free boolean",
+    )

@@ -167,6 +167,15 @@ _DRIVER_PRIORITY: list[str] = [
     #   sf0.001 AND sf0.01;
     #   test_doc_length_bucket_batches_matches_duckdb_twin is the dry
     #   run).
+    # - `training_recipe_manifest_audit` (plans/pipeline.py -
+    #   reproducible-recipe receipt: gate knobs + exact corpus
+    #   fingerprint persisted as a manifest; rebuild-from-manifest
+    #   reproduces the fingerprint, a tampered knob is detected,
+    #   fingerprint repartition-invariant; constant-boolean oracle in
+    #   the pre-stage comment, all TRUE builder-verified at sf0.001 AND
+    #   sf0.01; test_training_recipe_manifest_audit_contract is the dry
+    #   run. Shares plans/text.py::gated_corpus with the registered
+    #   training_corpus - one gate-pipeline definition).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

@@ -378,8 +378,27 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One fingerprint shuffle + one scan's worth of token expressions;
     every stage is an operator proven individually above, composed here
-    and held to a single end-to-end oracle.
+    (via the parameterized ``gated_corpus`` — ONE definition of the gate
+    pipeline, shared with the recipe-manifest audit) and held to a
+    single end-to-end oracle.
     """
+    return gated_corpus(spark, sf_dir)
+
+
+def gated_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str = CORPUS_LANG,
+    quality_min: float = QUALITY_MIN,
+    tok_lo: int = TOKEN_BUDGET[0],
+    tok_hi: int = TOKEN_BUDGET[1],
+) -> DataFrame:
+    """``training_corpus``'s gate pipeline with the recipe knobs as
+    parameters — the registered query binds the module constants; the
+    recipe-manifest audit (plans/pipeline.py) re-binds them from a
+    persisted manifest to prove the recipe reproduces. One definition
+    (the r12 gate-constant consolidation rule: a drifted copy of the
+    gates is exactly the bug class this prevents)."""
     from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens, fingerprint
     from pyspark.sql import Window
 
@@ -396,8 +415,6 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("t"),
         bpe_tokens(F.col("text")).alias("bt"),
     ).filter(F.size("t") > 0)
-    hits = stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
-    n = F.size("t")
     scored = t.select(
         "doc_id",
         "lang",
@@ -405,9 +422,9 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("t")).alias("quality_score"),
     )
     return scored.filter(
-        (F.col("lang") == CORPUS_LANG)
-        & (F.col("quality_score") >= QUALITY_MIN)
-        & F.col("n_tokens").between(*TOKEN_BUDGET)
+        (F.col("lang") == lang)
+        & (F.col("quality_score") >= quality_min)
+        & F.col("n_tokens").between(tok_lo, tok_hi)
     )
 
 

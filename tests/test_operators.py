@@ -2186,3 +2186,45 @@ def test_doc_length_bucket_batches_matches_duckdb_twin(spark):
         assert ids == list(range(len(ids)))  # dense 0..k
         sizes = grp.groupby("batch_id").size()
         assert (sizes[sizes.index < sizes.index.max()] == _BATCH_SIZE).all()
+
+
+def test_resampled_corpus_plans_broadcast_the_rates(spark):
+    """Both temperature-application plans (downsample + repeats) join the
+    |sources|-row rates relation onto documents via BroadcastHashJoin —
+    never a shuffle join: the corpus side must not shuffle for a
+    dimension-sized right side (the 100 TB shape the docstrings claim,
+    pinned)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        training_corpus_resampled,
+        training_corpus_resampled_repeats,
+    )
+
+    for fn in (training_corpus_resampled, training_corpus_resampled_repeats):
+        plan = (
+            fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "ShuffledHashJoin" not in plan, fn.__name__
+
+
+def test_training_recipe_manifest_audit_contract(spark):
+    """plans/pipeline.py::training_recipe_manifest_audit (pre-staged r14)
+    returns all-TRUE at sf0.001 — manifest knobs round-trip, a rebuild
+    from the manifest reproduces the exact corpus fingerprint, a
+    tampered knob is detected, and the fingerprint is repartition-
+    invariant. This test IS the registration's dry run; the shared
+    parameterized gate pipeline (plans/text.py::gated_corpus) keeps the
+    registered training_corpus and this audit on ONE definition."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        training_recipe_manifest_audit,
+    )
+
+    row = training_recipe_manifest_audit(spark, SF_SMOKE).collect()[0]
+    assert row["manifest_roundtrip"]
+    assert row["rebuild_matches"]
+    assert row["tamper_detected"]
+    assert row["fingerprint_order_free"]
