@@ -2327,3 +2327,185 @@ def training_recipe_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "manifest_roundtrip boolean, rebuild_matches boolean, "
         "tamper_detected boolean, fingerprint_order_free boolean",
     )
+
+
+# Pre-staged r14/r15 registration (r13's window is exactly full):
+# @register("stream_gated_corpus_audit", oracle="""
+#     SELECT TRUE AS matches_batch, TRUE AS waterfall_consistent,
+#            TRUE AS rerun_is_noop, TRUE AS replay_idempotent,
+#            TRUE AS dedup_bites
+# """)
+def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit for the streaming gated-corpus
+    ingestion (streaming/corpus_ingest.py) — the `stream_quarantine_audit`
+    mold. A documents-derived landing feed (two doc_id-ordered slices;
+    the second re-ingests a slice-1 text under a new id, guaranteeing an
+    exact cross-batch duplicate) runs through one availableNow ingest,
+    and the audit attests:
+
+    - ``matches_batch``: the streamed survivor relation equals the batch
+      ``gated_corpus`` over the documents table EXACTLY — (doc_id, lang,
+      n_tokens, quality_score) tuples; the injected duplicate must NOT
+      surface (its fingerprint was seen in batch 1 — the seen-store's
+      reason to exist);
+    - ``waterfall_consistent``: the incrementally-summed gate log equals
+      the batch stage counts computed over the union input in one pass
+      here — per-gate attrition survives batching;
+    - ``rerun_is_noop``: a second availableNow run executes ZERO batches
+      and leaves survivors AND waterfall identical;
+    - ``replay_idempotent``: re-invoking batch 1's sink verbatim (the
+      at-least-once shape) changes nothing — strictly-earlier reads +
+      own-partition overwrite;
+    - ``dedup_bites``: the cross-batch duplicate was dropped at the
+      dedup stage (deduped < ingested in the summed log).
+
+    Ground truth collects the survivor relation (≤ gated-corpus size at
+    audit SFs — the bounded-audit convention). Pre-staged with the
+    constant-boolean oracle above."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        bpe_tokens,
+        fingerprint,
+        quality_score,
+        tokens,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        CORPUS_LANG,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+        gated_corpus,
+    )
+    from data_warehouse_product_mix_clustering_spark.streaming.corpus_ingest import (
+        gated_ingest_batch,
+        read_gate_waterfall,
+        read_gated_corpus,
+        streaming_gated_ingest,
+        DOC_SCHEMA,
+        GATE_STAGES,
+    )
+    from pyspark.sql import Window
+
+    recipe = dict(
+        lang=CORPUS_LANG,
+        quality_min=QUALITY_MIN,
+        tok_lo=TOKEN_BUDGET[0],
+        tok_hi=TOKEN_BUDGET[1],
+    )
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b1 = docs.filter(F.col("doc_id") < 250)
+    # cross-batch exact duplicate: slice-1's lowest-id text under a new id
+    reingest = (
+        b1.orderBy("doc_id")
+        .limit(1)
+        .select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    b2 = docs.filter(F.col("doc_id") >= 250).unionByName(reingest)
+
+    root = tempfile.mkdtemp(prefix="spark_graft_gated_ingest_")
+    try:
+        corpus_dir = os.path.join(root, "corpus")
+        landing = os.path.join(root, "landing")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        f1 = os.path.join(landing, "b1.parquet")
+        f2 = os.path.join(landing, "b2.parquet")
+
+        def _write_landing(df: DataFrame, path: str) -> None:
+            import glob as _glob
+
+            stage = path + "__stage"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
+            shutil.rmtree(stage, ignore_errors=True)
+
+        _write_landing(b1, f1)
+        _write_landing(b2, f2)
+        now = os.path.getmtime(f2)
+        os.utime(f1, (now - 10, now - 10))
+        n = streaming_gated_ingest(
+            spark, landing, corpus_dir, ckpt, **recipe
+        )
+
+        def survivors_set():
+            return {
+                (r["doc_id"], r["lang"], r["n_tokens"], r["quality_score"])
+                for r in read_gated_corpus(spark, corpus_dir).collect()
+            }
+
+        def waterfall_map():
+            return {
+                r["stage"]: (r["stage_order"], r["n_docs"])
+                for r in read_gate_waterfall(spark, corpus_dir).collect()
+            }
+
+        got = survivors_set()
+        want = {
+            (r["doc_id"], r["lang"], r["n_tokens"], r["quality_score"])
+            for r in gated_corpus(spark, sf_dir).collect()
+        }
+        matches_batch = n == 2 and got == want
+
+        # batch-truth stage counts over the union input, one staged pass
+        union = b1.unionByName(b2)
+        w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+        kept = (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        t = kept.select(
+            "doc_id", "lang",
+            tokens(F.col("text")).alias("t"),
+            bpe_tokens(F.col("text")).alias("bt"),
+        ).filter(F.size("t") > 0)
+        scored = t.select(
+            "doc_id", "lang",
+            F.size("bt").cast("long").alias("n_tokens"),
+            quality_score(F.col("t")).alias("quality_score"),
+        ).localCheckpoint(eager=True)
+        lang_ok = scored.filter(F.col("lang") == recipe["lang"])
+        quality_ok = lang_ok.filter(
+            F.col("quality_score") >= recipe["quality_min"]
+        ).localCheckpoint(eager=True)
+        budget_ok = quality_ok.filter(
+            F.col("n_tokens").between(recipe["tok_lo"], recipe["tok_hi"])
+        )
+        truth_counts = [
+            union.count(), kept.count(), scored.count(),
+            lang_ok.count(), quality_ok.count(), budget_ok.count(),
+        ]
+        wf = waterfall_map()
+        waterfall_consistent = wf == {
+            s: (i, c) for i, (s, c) in enumerate(zip(GATE_STAGES, truth_counts))
+        }
+        dedup_bites = wf["deduped"][1] < wf["ingested"][1]
+
+        n2 = streaming_gated_ingest(
+            spark, landing, corpus_dir, ckpt, **recipe
+        )
+        rerun_is_noop = n2 == 0 and survivors_set() == got and waterfall_map() == wf
+
+        b2_w = spark.read.schema(DOC_SCHEMA).parquet(f2)
+        gated_ingest_batch(spark, b2_w, 1, corpus_dir, **recipe)
+        replay_idempotent = survivors_set() == got and waterfall_map() == wf
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                matches_batch,
+                waterfall_consistent,
+                rerun_is_noop,
+                replay_idempotent,
+                dedup_bites,
+            )
+        ],
+        "matches_batch boolean, waterfall_consistent boolean, "
+        "rerun_is_noop boolean, replay_idempotent boolean, dedup_bites boolean",
+    )

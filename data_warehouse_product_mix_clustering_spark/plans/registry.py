@@ -176,6 +176,14 @@ _DRIVER_PRIORITY: list[str] = [
     #   sf0.01; test_training_recipe_manifest_audit_contract is the dry
     #   run. Shares plans/text.py::gated_corpus with the registered
     #   training_corpus - one gate-pipeline definition).
+    # - `stream_gated_corpus_audit` (plans/pipeline.py - streaming
+    #   gated-corpus ingestion, streaming/corpus_ingest.py: per-batch
+    #   gates + seen-fingerprint incremental dedup + incrementally-
+    #   maintained attrition waterfall; five contract booleans
+    #   (matches_batch, waterfall_consistent, rerun_is_noop,
+    #   replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
+    #   AND sf0.01; constant-boolean oracle in the pre-stage comment;
+    #   test_stream_gated_corpus_audit_dry_run is the dry run).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

@@ -1,0 +1,226 @@
+"""Streaming GATED-corpus ingestion: continuous training-corpus
+construction with per-gate attrition accounting.
+
+The third leg of the repo's always-on feed story (CSV quarantine typing
+→ streaming/quarantine.py; embedding semantic dedup →
+streaming/ingest.py; this: DOCUMENT gates). A file-source stream over a
+landing directory of document batches runs each micro-batch through the
+training-corpus gate pipeline — exact dedup (batch-internal keep-lowest
++ anti-join against the fingerprints of every EARLIER-SEEN doc, via
+``operators/dedup.py::incremental_dedup``), non-empty tokenization,
+language, quality, token budget (the same shared expressions
+``plans/text.py::gated_corpus`` binds) — appends the survivors, and
+logs one row per gate stage so the corpus's attrition waterfall is
+maintained INCREMENTALLY (summing the per-batch log reproduces the
+batch waterfall).
+
+Why a SEEN-fingerprint store separate from survivors: batch semantics
+keep the lowest-doc_id representative per fingerprint and THEN gate it —
+a duplicate of a doc that was seen earlier but failed a gate must still
+drop. Deduping against survivor fingerprints alone would resurrect it;
+the seen store records every batch's post-batch-dedup fingerprints,
+gated or not.
+
+Idempotence discipline (the quarantine/semantic-ingest sinks'): all
+three stores — survivors, seen fingerprints, gate log — land partitioned
+by ``__batch_id`` with dynamic partition overwrite, and the sink reads
+only STRICTLY EARLIER partitions; an at-least-once replay of a batch
+recomputes from exactly the prefix its first attempt saw and overwrites
+only its own partitions. The checkpoint makes committed batches never
+replay. All stores read with explicit schemas (the r12 zero-survivor
+lesson: a fully-filtered batch leaves a file-less partition directory
+that schema inference cannot read).
+
+Equivalence contract (audited end-to-end by
+``plans/similarity.py``-style registered audit in plans/pipeline.py):
+when landing files are doc_id-ordered slices, the streamed survivor
+relation equals the batch ``gated_corpus`` over the union — the lowest
+doc_id occurrence of every fingerprint lives in the earliest batch
+containing it, so first-arrival dedup ≡ keep-lowest dedup (the
+``dedup_incremental_exact`` argument).
+
+Scale: per batch one fingerprint shuffle over the BATCH + one anti-join
+against the fingerprint store (fingerprints only — corpus text is never
+re-read), per-row gate expressions, and a 6-scalar stage aggregate.
+Never a corpus scan, never a corpus self-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.streaming.quarantine import BATCH_COL
+from data_warehouse_product_mix_clustering_spark.streaming.runner import run_available_now
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+SURVIVOR_SCHEMA = (
+    "doc_id bigint, lang string, n_tokens bigint, quality_score double"
+)
+SEEN_SCHEMA = "fingerprint string"
+GATE_LOG_SCHEMA = "stage string, stage_order bigint, n_docs bigint"
+
+# Telescoping stage names, in gate order (mirrors gated_corpus's plan:
+# dedup → non-empty tokenization → lang → quality → token budget).
+GATE_STAGES = ["ingested", "deduped", "tokenized", "lang", "quality", "token_budget"]
+
+
+def _store(corpus_dir: str, name: str) -> str:
+    return os.path.join(corpus_dir, name)
+
+
+def _read_store(
+    spark: SparkSession, corpus_dir: str, name: str, schema: str,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """One partitioned store, explicit schema, optionally restricted to
+    strictly-earlier batches (the replay-safe prefix view)."""
+    path = _store(corpus_dir, name)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], f"{schema}, {BATCH_COL} bigint")
+    df = spark.read.schema(f"{schema}, {BATCH_COL} bigint").parquet(path)
+    if before_batch is not None:
+        df = df.filter(F.col(BATCH_COL) < before_batch)
+    return df
+
+
+def read_gated_corpus(
+    spark: SparkSession, corpus_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The survivor relation (gated corpus-so-far)."""
+    return _read_store(
+        spark, corpus_dir, "survivors", SURVIVOR_SCHEMA, before_batch
+    ).select("doc_id", "lang", "n_tokens", "quality_score")
+
+
+def read_gate_waterfall(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The incrementally-maintained attrition waterfall: per-batch stage
+    counts summed across every ingested batch — one row per gate stage,
+    reproducing what a batch waterfall over the union input computes."""
+    log = _read_store(spark, corpus_dir, "gate_log", GATE_LOG_SCHEMA)
+    return (
+        log.groupBy("stage", "stage_order")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .select("stage", F.col("stage_order").cast("long"), "n_docs")
+    )
+
+
+def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    (
+        df.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+
+
+def gated_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    lang: str,
+    quality_min: float,
+    tok_lo: int,
+    tok_hi: int,
+) -> None:
+    """One micro-batch through the gates (module-level, not a closure —
+    the quarantine convention — so replay idempotence is unit-testable
+    by re-invoking with the same (batch_df, batch_id))."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        bpe_tokens,
+        quality_score,
+        tokens,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import incremental_dedup
+
+    seen = _read_store(
+        spark, corpus_dir, "seen", SEEN_SCHEMA, before_batch=batch_id
+    ).select("fingerprint")
+
+    n_in = batch_df.count()
+    deduped = incremental_dedup(batch_df, seen, "doc_id", "text").localCheckpoint(
+        eager=True
+    )  # read by the seen-store write, the gates, and the stage counts
+
+    t = deduped.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("t"),
+        bpe_tokens(F.col("text")).alias("bt"),
+    ).filter(F.size("t") > 0)
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.size("bt").cast("long").alias("n_tokens"),
+        quality_score(F.col("t")).alias("quality_score"),
+    ).localCheckpoint(eager=True)
+    lang_ok = scored.filter(F.col("lang") == lang).localCheckpoint(eager=True)
+    quality_ok = lang_ok.filter(
+        F.col("quality_score") >= quality_min
+    ).localCheckpoint(eager=True)
+    survivors = quality_ok.filter(
+        F.col("n_tokens").between(tok_lo, tok_hi)
+    ).localCheckpoint(eager=True)
+
+    counts = [
+        n_in,
+        deduped.count(),
+        scored.count(),
+        lang_ok.count(),
+        quality_ok.count(),
+        survivors.count(),
+    ]
+    log = spark.createDataFrame(
+        [(s, i, int(c)) for i, (s, c) in enumerate(zip(GATE_STAGES, counts))],
+        GATE_LOG_SCHEMA,
+    )
+    # Write order: derived stores first, survivors last — a crash mid-batch
+    # leaves an uncommitted batch whose replay overwrites every partial
+    # partition anyway (strictly-earlier reads make the order a nicety,
+    # not a correctness condition).
+    _write_partition(
+        deduped.select("fingerprint"), batch_id, _store(corpus_dir, "seen")
+    )
+    _write_partition(log, batch_id, _store(corpus_dir, "gate_log"))
+    _write_partition(
+        survivors.select("doc_id", "lang", "n_tokens", "quality_score"),
+        batch_id,
+        _store(corpus_dir, "survivors"),
+    )
+
+
+def streaming_gated_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    lang: str,
+    quality_min: float,
+    tok_lo: int,
+    tok_hi: int,
+    timeout_sec: int = 300,
+) -> int:
+    """One availableNow run over the landing directory: every unseen
+    file's docs run the gate pipeline against the corpus-so-far;
+    survivors, seen fingerprints, and gate-log rows land under
+    ``corpus_dir``. Returns the number of micro-batches executed."""
+    os.makedirs(corpus_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        # one landing file per micro-batch — sequential-slice semantics,
+        # the same contract the semantic ingest pins
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        gated_ingest_batch(
+            spark, batch_df, batch_id, corpus_dir,
+            lang=lang, quality_min=quality_min, tok_lo=tok_lo, tok_hi=tok_hi,
+        )
+
+    return run_available_now(stream, sink, checkpoint_dir, timeout_sec)

@@ -563,3 +563,70 @@ def test_ingest_reseed_with_stale_checkpoint_refuses_loudly(spark, tmp_path):
         spark, str(landing), corpus_dir, str(tmp_path / "ckpt2"),
         nlist=4, threshold=0.4, seed=42,
     ) == 1
+
+
+def test_stream_gated_corpus_audit_dry_run(spark):
+    """plans/pipeline.py::stream_gated_corpus_audit (pre-staged) — all
+    five contract booleans hold at smoke SF: streamed survivors equal
+    the batch gated_corpus, the incrementally-summed gate log equals the
+    batch waterfall, checkpoint rerun is a no-op, same-batch replay is
+    idempotent, and the injected cross-batch duplicate drops at the
+    dedup stage. The registration pastes the function plus its
+    constant-boolean oracle, so this test IS the dry run."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import stream_gated_corpus_audit
+    from conftest import SF_SMOKE
+
+    row = stream_gated_corpus_audit(spark, SF_SMOKE).collect()[0]
+    assert row.matches_batch
+    assert row.waterfall_consistent
+    assert row.rerun_is_noop
+    assert row.replay_idempotent
+    assert row.dedup_bites
+
+
+def test_gated_ingest_zero_survivor_batch_does_not_wedge(spark, tmp_path):
+    """A micro-batch whose rows ALL fail the gates (wrong language)
+    writes a file-less survivors partition; every later read and batch
+    must keep working (the r12 zero-survivor lesson, applied to the
+    gated stores from day one: explicit schemas everywhere). Also pins
+    that the gate log still records the batch (attrition accounting
+    covers fully-rejected batches) and that the seen store still dedups
+    against it."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.streaming.corpus_ingest import (
+        gated_ingest_batch,
+        read_gate_waterfall,
+        read_gated_corpus,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(1, "der rote fuchs springt", "de", "s0", 22),
+         (2, "die katze schlaeft gern", "de", "s0", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    gated_ingest_batch(
+        spark, docs, 0, corpus_dir,
+        lang="en", quality_min=0.0, tok_lo=1, tok_hi=100,
+    )
+    # zero survivors, but reads keep working and the log recorded it
+    assert read_gated_corpus(spark, corpus_dir).count() == 0
+    wf = {r["stage"]: r["n_docs"] for r in read_gate_waterfall(spark, corpus_dir).collect()}
+    assert wf["ingested"] == 2 and wf["lang"] == 0 and wf["token_budget"] == 0
+    # a later batch still ingests, and dedups against the REJECTED batch's
+    # seen fingerprints (batch semantics: a seen doc's duplicate drops
+    # even though the original never survived)
+    batch2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog near the red barn today", "en", "s0", 68),
+         (4, "der rote fuchs springt", "en", "s0", 22)],  # dup text of doc 1
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    gated_ingest_batch(
+        spark, batch2, 1, corpus_dir,
+        lang="en", quality_min=0.0, tok_lo=1, tok_hi=100,
+    )
+    ids = {r["doc_id"] for r in read_gated_corpus(spark, corpus_dir).collect()}
+    assert 3 in ids and 4 not in ids, ids
+    wf2 = {r["stage"]: r["n_docs"] for r in read_gate_waterfall(spark, corpus_dir).collect()}
+    assert wf2["ingested"] == 4 and wf2["deduped"] == 3
