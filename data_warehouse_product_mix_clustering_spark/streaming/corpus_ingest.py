@@ -144,36 +144,54 @@ def gated_ingest_batch(
     n_in = batch_df.count()
     deduped = incremental_dedup(batch_df, seen, "doc_id", "text").localCheckpoint(
         eager=True
-    )  # read by the seen-store write, the gates, and the stage counts
+    )  # read by the seen-store write, the flags pass, and the stage counts
 
+    # ONE scan computes every later gate as cumulative flags; the stage
+    # counts collapse to a single 5-scalar conditional aggregate instead
+    # of five sequential filter+count materializations (review r13 —
+    # same job, one pass).
     t = deduped.select(
         "doc_id",
         "lang",
         tokens(F.col("text")).alias("t"),
         bpe_tokens(F.col("text")).alias("bt"),
-    ).filter(F.size("t") > 0)
-    scored = t.select(
+    )
+    flags = t.select(
         "doc_id",
         "lang",
         F.size("bt").cast("long").alias("n_tokens"),
         quality_score(F.col("t")).alias("quality_score"),
-    ).localCheckpoint(eager=True)
-    lang_ok = scored.filter(F.col("lang") == lang).localCheckpoint(eager=True)
-    quality_ok = lang_ok.filter(
-        F.col("quality_score") >= quality_min
-    ).localCheckpoint(eager=True)
-    survivors = quality_ok.filter(
-        F.col("n_tokens").between(tok_lo, tok_hi)
+        (F.size("t") > 0).alias("__tok"),
+    ).select(
+        "*",
+        (F.col("__tok") & (F.col("lang") == lang)).alias("__lang"),
+    ).select(
+        "*",
+        (F.col("__lang") & (F.col("quality_score") >= quality_min)).alias("__qual"),
+    ).select(
+        "*",
+        (F.col("__qual") & F.col("n_tokens").between(tok_lo, tok_hi)).alias("__keep"),
     ).localCheckpoint(eager=True)
 
+    def _n(flag: str):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("c_dedup"),
+        _n("__tok").alias("c_tok"),
+        _n("__lang").alias("c_lang"),
+        _n("__qual").alias("c_qual"),
+        _n("__keep").alias("c_keep"),
+    ).first()
     counts = [
         n_in,
-        deduped.count(),
-        scored.count(),
-        lang_ok.count(),
-        quality_ok.count(),
-        survivors.count(),
+        int(agg["c_dedup"]),
+        int(agg["c_tok"]),
+        int(agg["c_lang"]),
+        int(agg["c_qual"]),
+        int(agg["c_keep"]),
     ]
+    survivors = flags.filter(F.col("__keep"))
     log = spark.createDataFrame(
         [(s, i, int(c)) for i, (s, c) in enumerate(zip(GATE_STAGES, counts))],
         GATE_LOG_SCHEMA,
