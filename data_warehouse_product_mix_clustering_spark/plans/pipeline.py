@@ -2417,16 +2417,10 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f1 = os.path.join(landing, "b1.parquet")
         f2 = os.path.join(landing, "b2.parquet")
 
-        def _write_landing(df: DataFrame, path: str) -> None:
-            import glob as _glob
+        from data_warehouse_product_mix_clustering_spark.sources.io import write_single_parquet_file
 
-            stage = path + "__stage"
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
-            shutil.rmtree(stage, ignore_errors=True)
-
-        _write_landing(b1, f1)
-        _write_landing(b2, f2)
+        write_single_parquet_file(b1, f1)
+        write_single_parquet_file(b2, f2)
         now = os.path.getmtime(f2)
         os.utime(f1, (now - 10, now - 10))
         n = streaming_gated_ingest(

@@ -1147,19 +1147,14 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f2 = os.path.join(landing, "b2.parquet")
 
         # Spark-write each landing file so the parquet element type stays
-        # FLOAT — pandas.to_parquet would widen to DOUBLE whenever Arrow
-        # conversion is off in the hosting session, and the file-source
-        # schema (EMBEDDING_SCHEMA, array<float>) refuses a DOUBLE column.
-        def _write_landing(df: DataFrame, path: str) -> None:
-            import glob as _glob
+        # FLOAT (sources/io.py::write_single_parquet_file — the shared
+        # landing-file helper; pandas.to_parquet would widen to DOUBLE
+        # whenever Arrow conversion is off in the hosting session, and
+        # the file-source schema refuses a DOUBLE column).
+        from data_warehouse_product_mix_clustering_spark.sources.io import write_single_parquet_file
 
-            stage = path + "__stage"
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
-            shutil.rmtree(stage, ignore_errors=True)
-
-        _write_landing(b1, f1)
-        _write_landing(b2, f2)
+        write_single_parquet_file(b1, f1)
+        write_single_parquet_file(b2, f2)
         # the file source takes files in mtime order (one per batch);
         # explicit utimes beat sleeping for the ordering
         now = os.path.getmtime(f2)

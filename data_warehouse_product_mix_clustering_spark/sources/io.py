@@ -20,6 +20,7 @@ Spark-first equivalents:
 
 from __future__ import annotations
 
+import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -49,6 +50,24 @@ def read_csv(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (S5)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_single_parquet_file(df: DataFrame, path: str) -> None:
+    """Write ``df`` as ONE bare parquet FILE at ``path`` (not a
+    directory) — the landing-file shape a file-source stream consumes
+    one-per-micro-batch. Spark-side write so column types survive
+    exactly (pandas.to_parquet widens float32 arrays to DOUBLE whenever
+    Arrow conversion is off in the hosting session, which an explicit
+    stream schema then refuses): stage a coalesce(1) directory, move the
+    single part file into place, drop the staging dir. Test/audit
+    utility — production sinks write partitioned directories."""
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = path + "__stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    _shutil.move(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], path)
+    _shutil.rmtree(stage, ignore_errors=True)
 
 
 def write_parquet_table(
