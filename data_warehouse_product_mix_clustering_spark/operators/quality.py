@@ -257,7 +257,11 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     engines, unlike murmur/xxhash), and the first-8-hex integer SUMS —
     addition is commutative, so partitioning, shuffle order, and file
     layout cannot move the result; a BIGINT holds ~2^31 row-hashes
-    before overflow could wrap (cast through DECIMAL beyond that).
+    before overflow — LOUD under Spark 4's default ANSI mode (the sum
+    throws rather than wrapping) and equally loud in the DuckDB twin
+    (HUGEINT→BIGINT cast fails), so past ~2e9 rows route the sum
+    through DECIMAL(38,0) on both sides, the corpus_fingerprint
+    (plans/pipeline.py) formulation.
     Collision odds for a mismatch slipping through: each differing row
     pair collides with p≈2^-32; a whole-table swap is detected with
     near-certainty.

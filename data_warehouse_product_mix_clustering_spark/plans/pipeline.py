@@ -2235,7 +2235,9 @@ def doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_fingerprint(df: DataFrame) -> tuple[int, int, int]:
     """Order-independent exact fingerprint of a gated corpus relation:
-    (n_docs, Σ int(md5(doc_id)[:12], 16), Σ n_tokens). Pure BIGINT sums —
+    (n_docs, Σ int(md5(doc_id)[:12], 16), Σ n_tokens). Exact integer sums
+    (the hash sum rides DECIMAL(38,0) — a BIGINT sum of 48-bit values
+    overflows, and ANSI mode throws, past ~30k worst-case docs) —
     commutative, so partitioning/ordering cannot move it, and exact, so
     equality means equality (no float tolerance). The same shape as
     ``lineitem_replica_checksum``'s content hash, reduced to the id+size
@@ -2244,9 +2246,13 @@ def corpus_fingerprint(df: DataFrame) -> tuple[int, int, int]:
     reproducibility receipt, not an integrity MAC)."""
     row = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        # DECIMAL(28,0) per row → DECIMAL(38,0) sum: a LONG sum of 48-bit
+        # values overflows (and, under Spark 4's default ANSI mode,
+        # THROWS) past ~30k worst-case docs; the decimal sum is exact to
+        # ~3e23 docs (review r13 — the 100 TB posture audit caught it)
         F.sum(
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-            .cast("long")
+            .cast("decimal(28,0)")
         ).alias("h"),
         F.sum("n_tokens").cast("long").alias("t"),
     ).first()

@@ -2293,3 +2293,28 @@ def test_corpus_filter_waterfall_by_source_matches_duckdb_twin(spark):
     for a, b in zip(stages, stages[1:]):
         assert (got[b] <= got[a]).all(), (a, b)
     assert got["n_budget"].sum() == training_corpus(spark, SF_SMOKE).count()
+
+
+def test_corpus_fingerprint_no_overflow_and_matches_python(spark):
+    """plans/pipeline.py::corpus_fingerprint must survive corpus sizes
+    where a BIGINT hash sum overflows (ANSI mode throws past ~30k
+    worst-case docs — the DECIMAL(38,0) sum is the fix, review r13) and
+    equal the python ground truth exactly. 70k rows ≈ 2.3× the
+    worst-case overflow point; expected sum ≈ 1e19 > LONG_MAX, so this
+    test FAILS (throws) on the long-sum formulation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import corpus_fingerprint
+
+    n = 70_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(3).cast("long").alias("n_tokens")
+    )
+    got = corpus_fingerprint(df)
+    want_h = sum(
+        int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) for i in range(n)
+    )
+    assert got == (n, want_h, 3 * n)
+    assert want_h > 2**63 - 1, "test must actually exceed LONG_MAX"
