@@ -132,7 +132,16 @@ _DRIVER_PRIORITY: list[str] = [
     # queries insert at the very top of this list (keep <= ~10 so the
     # r9 tail clears and the r10 cohort rotates in after these).
     # Registration-ready r14 candidates (operators + twins + tests
-    # landed r12/r13, only the @register deferred):
+    # landed r12/r13, only the @register deferred). Recommended r14
+    # registration order (exactly fills the <=10-new budget; the
+    # rows-only `doc_context_windows_bpe` defers - its audit carries the
+    # hash-attestable contract):
+    #   1. stream_gated_corpus_audit        6. batch_padding_efficiency
+    #   2. training_corpus_resampled        7. corpus_filter_waterfall_by_source
+    #   3. training_corpus_resampled_repeats 8. doc_context_windows_bpe_audit
+    #   4. training_corpus_interleaved      9. training_recipe_manifest_audit
+    #   5. doc_length_bucket_batches       10. customer_revenue_gini_distributed
+    # Details per candidate:
     # - `customer_revenue_gini_distributed` (plans/analytics.py - the
     #   Gini escape hatch as code, exact distributed twin via
     #   with_rank_and_running; registering it is a paste of the
