@@ -1061,3 +1061,46 @@ def test_corpus_bpe_merges_cached_and_invalidated(spark):
     assert not [k for k in text_plans._MERGES_CACHE if k[1] == sf], (
         "invalidation must drop tokenizers trained on the rewritten data"
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_interleave_rank_matches_pandas_reference(spark, rows):
+    """plans/pipeline.py::_interleave_rank (the shared group-rank
+    machinery under the interleave and batching queries) ≡ the pandas
+    per-group rank on ARBITRARY group/order profiles — including
+    duplicate order values (doc_id tiebreak makes the order total),
+    single-group inputs, and groups of size 1. The machinery itself is
+    otherwise pinned only through its consumers' oracle equality."""
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import _interleave_rank
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "doc_id long, grp string, v long",
+    )
+    got = {
+        r["doc_id"]: r["__rk"]
+        for r in _interleave_rank(
+            df, "grp", [F.col("v"), F.col("doc_id")], "__rk"
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        columns=["doc_id", "grp", "v"],
+    ).sort_values(["grp", "v", "doc_id"])
+    pdf["rk"] = pdf.groupby("grp").cumcount() + 1
+    want = dict(zip(pdf["doc_id"], pdf["rk"]))
+    assert got == want
