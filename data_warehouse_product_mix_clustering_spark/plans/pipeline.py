@@ -2338,8 +2338,8 @@ def training_recipe_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFram
 # Pre-staged r14/r15 registration (r13's window is exactly full):
 # @register("stream_gated_corpus_audit", oracle="""
 #     SELECT TRUE AS matches_batch, TRUE AS waterfall_consistent,
-#            TRUE AS rerun_is_noop, TRUE AS replay_idempotent,
-#            TRUE AS dedup_bites
+#            TRUE AS by_source_consistent, TRUE AS rerun_is_noop,
+#            TRUE AS replay_idempotent, TRUE AS dedup_bites
 # """)
 def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end contract audit for the streaming gated-corpus
@@ -2357,6 +2357,10 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``waterfall_consistent``: the incrementally-summed gate log equals
       the batch stage counts computed over the union input in one pass
       here — per-gate attrition survives batching;
+    - ``by_source_consistent``: the log's per-SOURCE regroup
+      (``read_gate_waterfall_by_source``) equals the per-source batch
+      truth — the streamed twin of ``corpus_filter_waterfall_by_source``
+      holds, source by source, stage by stage;
     - ``rerun_is_noop``: a second availableNow run executes ZERO batches
       and leaves survivors AND waterfall identical;
     - ``replay_idempotent``: re-invoking batch 1's sink verbatim (the
@@ -2386,6 +2390,7 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_product_mix_clustering_spark.streaming.corpus_ingest import (
         gated_ingest_batch,
         read_gate_waterfall,
+        read_gate_waterfall_by_source,
         read_gated_corpus,
         streaming_gated_ingest,
         DOC_SCHEMA,
@@ -2452,33 +2457,81 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         matches_batch = n == 2 and got == want
 
-        # batch-truth stage counts over the union input, one staged pass
+        # batch-truth stage counts over the union input — cumulative
+        # flags with source carried, so the scalar AND per-source
+        # truths come from ONE staged relation
         union = b1.unionByName(b2)
         w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
         kept = (
             union.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
         )
-        t = kept.select(
-            "doc_id", "lang",
-            tokens(F.col("text")).alias("t"),
-            bpe_tokens(F.col("text")).alias("bt"),
-        ).filter(F.size("t") > 0)
-        scored = t.select(
-            "doc_id", "lang",
-            F.size("bt").cast("long").alias("n_tokens"),
-            quality_score(F.col("t")).alias("quality_score"),
-        ).localCheckpoint(eager=True)
-        lang_ok = scored.filter(F.col("lang") == recipe["lang"])
-        quality_ok = lang_ok.filter(
-            F.col("quality_score") >= recipe["quality_min"]
-        ).localCheckpoint(eager=True)
-        budget_ok = quality_ok.filter(
-            F.col("n_tokens").between(recipe["tok_lo"], recipe["tok_hi"])
+        tflags = (
+            kept.select(
+                "doc_id", "lang", "source",
+                tokens(F.col("text")).alias("t"),
+                bpe_tokens(F.col("text")).alias("bt"),
+            )
+            .select(
+                "source",
+                (F.size("t") > 0).alias("f_tok"),
+                F.size("bt").cast("long").alias("__nt"),
+                quality_score(F.col("t")).alias("__q"),
+                "lang",
+            )
+            .select(
+                "source", "f_tok", "__nt",
+                (F.col("f_tok") & (F.col("lang") == recipe["lang"])).alias("f_lang"),
+                "__q",
+            )
+            .select(
+                "source", "f_tok", "__nt", "f_lang",
+                (F.col("f_lang") & (F.col("__q") >= recipe["quality_min"])).alias("f_qual"),
+            )
+            .select(
+                "source", "f_tok", "f_lang", "f_qual",
+                (
+                    F.col("f_qual")
+                    & F.col("__nt").between(recipe["tok_lo"], recipe["tok_hi"])
+                ).alias("f_keep"),
+            )
+            .localCheckpoint(eager=True)
         )
+
+        def _nf(flag: str):
+            return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+        truth_src = (
+            union.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_in"))
+            .join(
+                tflags.groupBy("source").agg(
+                    F.count(F.lit(1)).cast("long").alias("c_dedup"),
+                    _nf("f_tok").alias("c_tok"),
+                    _nf("f_lang").alias("c_lang"),
+                    _nf("f_qual").alias("c_qual"),
+                    _nf("f_keep").alias("c_keep"),
+                ),
+                "source",
+                "full_outer",
+            )
+            .fillna(0)
+            .collect()  # ≤ |sources| rows
+        )
+        stage_cols = ["c_in", "c_dedup", "c_tok", "c_lang", "c_qual", "c_keep"]
+        want_by_src = {
+            (r["source"], stage, i): int(r[c])
+            for r in truth_src
+            for i, (stage, c) in enumerate(zip(GATE_STAGES, stage_cols))
+        }
+        got_by_src = {
+            (r["source"], r["stage"], r["stage_order"]): r["n_docs"]
+            for r in read_gate_waterfall_by_source(spark, corpus_dir).collect()
+        }
+        by_source_consistent = got_by_src == want_by_src
         truth_counts = [
-            union.count(), kept.count(), scored.count(),
-            lang_ok.count(), quality_ok.count(), budget_ok.count(),
+            sum(v for (src, st, i), v in want_by_src.items() if st == stage)
+            for stage in GATE_STAGES
         ]
         wf = waterfall_map()
         waterfall_consistent = wf == {
@@ -2501,13 +2554,15 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 matches_batch,
                 waterfall_consistent,
+                by_source_consistent,
                 rerun_is_noop,
                 replay_idempotent,
                 dedup_bites,
             )
         ],
         "matches_batch boolean, waterfall_consistent boolean, "
-        "rerun_is_noop boolean, replay_idempotent boolean, dedup_bites boolean",
+        "by_source_consistent boolean, rerun_is_noop boolean, "
+        "replay_idempotent boolean, dedup_bites boolean",
     )
 
 

@@ -188,9 +188,10 @@ _DRIVER_PRIORITY: list[str] = [
     # - `stream_gated_corpus_audit` (plans/pipeline.py - streaming
     #   gated-corpus ingestion, streaming/corpus_ingest.py: per-batch
     #   gates + seen-fingerprint incremental dedup + incrementally-
-    #   maintained attrition waterfall; five contract booleans
-    #   (matches_batch, waterfall_consistent, rerun_is_noop,
-    #   replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
+    #   maintained attrition waterfall (corpus-wide AND per-source -
+    #   the gate log carries source); six contract booleans
+    #   (matches_batch, waterfall_consistent, by_source_consistent,
+    #   rerun_is_noop, replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
     #   AND sf0.01; constant-boolean oracle in the pre-stage comment;
     #   test_stream_gated_corpus_audit_dry_run is the dry run).
     # - `batch_padding_efficiency` (plans/pipeline.py - per-bucket batch

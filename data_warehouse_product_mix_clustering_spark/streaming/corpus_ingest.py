@@ -10,9 +10,9 @@ training-corpus gate pipeline — exact dedup (batch-internal keep-lowest
 ``operators/dedup.py::incremental_dedup``), non-empty tokenization,
 language, quality, token budget (the same shared expressions
 ``plans/text.py::gated_corpus`` binds) — appends the survivors, and
-logs one row per gate stage so the corpus's attrition waterfall is
-maintained INCREMENTALLY (summing the per-batch log reproduces the
-batch waterfall).
+logs one row per (gate stage, source) so BOTH attrition waterfalls —
+corpus-wide and per-source — are maintained INCREMENTALLY (summing the
+per-batch log reproduces the batch waterfalls).
 
 Why a SEEN-fingerprint store separate from survivors: batch semantics
 keep the lowest-doc_id representative per fingerprint and THEN gate it —
@@ -60,7 +60,9 @@ SURVIVOR_SCHEMA = (
     "doc_id bigint, lang string, n_tokens bigint, quality_score double"
 )
 SEEN_SCHEMA = "fingerprint string"
-GATE_LOG_SCHEMA = "stage string, stage_order bigint, n_docs bigint"
+GATE_LOG_SCHEMA = (
+    "stage string, stage_order bigint, source string, n_docs bigint"
+)
 
 # Telescoping stage names, in gate order (mirrors gated_corpus's plan:
 # dedup → non-empty tokenization → lang → quality → token budget).
@@ -104,6 +106,22 @@ def read_gate_waterfall(spark: SparkSession, corpus_dir: str) -> DataFrame:
         log.groupBy("stage", "stage_order")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
         .select("stage", F.col("stage_order").cast("long"), "n_docs")
+    )
+
+
+def read_gate_waterfall_by_source(
+    spark: SparkSession, corpus_dir: str
+) -> DataFrame:
+    """The per-SOURCE attrition breakdown, incrementally maintained —
+    the streamed twin of ``corpus_filter_waterfall_by_source``: which
+    feed is losing docs at which gate, kept current batch by batch
+    (the log carries source from day one, so this is a regroup of the
+    same store, not a second accounting)."""
+    log = _read_store(spark, corpus_dir, "gate_log", GATE_LOG_SCHEMA)
+    return (
+        log.groupBy("source", "stage", "stage_order")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .select("source", "stage", F.col("stage_order").cast("long"), "n_docs")
     )
 
 
@@ -153,12 +171,14 @@ def gated_ingest_batch(
     t = deduped.select(
         "doc_id",
         "lang",
+        "source",
         tokens(F.col("text")).alias("t"),
         bpe_tokens(F.col("text")).alias("bt"),
     )
     flags = t.select(
         "doc_id",
         "lang",
+        "source",
         F.size("bt").cast("long").alias("n_tokens"),
         quality_score(F.col("t")).alias("quality_score"),
         (F.size("t") > 0).alias("__tok"),
@@ -176,26 +196,31 @@ def gated_ingest_batch(
     def _n(flag: str):
         return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
 
-    agg = flags.agg(
+    # PER-SOURCE stage counts (|sources|-row relations): "ingested"
+    # counts the raw batch; dedup survivors attribute to the KEPT row's
+    # source (the by-source batch waterfall's semantics). Full outer +
+    # zero-fill keeps a source whose batch rows were ALL duplicates.
+    ingested = batch_df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_in")
+    )
+    gates = flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("c_dedup"),
         _n("__tok").alias("c_tok"),
         _n("__lang").alias("c_lang"),
         _n("__qual").alias("c_qual"),
         _n("__keep").alias("c_keep"),
-    ).first()
-    counts = [
-        n_in,
-        int(agg["c_dedup"]),
-        int(agg["c_tok"]),
-        int(agg["c_lang"]),
-        int(agg["c_qual"]),
-        int(agg["c_keep"]),
-    ]
-    survivors = flags.filter(F.col("__keep"))
-    log = spark.createDataFrame(
-        [(s, i, int(c)) for i, (s, c) in enumerate(zip(GATE_STAGES, counts))],
-        GATE_LOG_SCHEMA,
     )
+    per_src = ingested.join(gates, "source", "full_outer").fillna(0)
+    stage_cols = ["c_in", "c_dedup", "c_tok", "c_lang", "c_qual", "c_keep"]
+    log_rows = [
+        (stage, i, r["source"], int(r[c]))
+        for r in per_src.collect()  # ≤ |sources| rows — dimension-sized
+        for i, (stage, c) in enumerate(zip(GATE_STAGES, stage_cols))
+    ]
+    counts = [sum(r[3] for r in log_rows if r[0] == st) for st in GATE_STAGES]
+    assert counts[0] == n_in  # per-source rows must cover the batch
+    survivors = flags.filter(F.col("__keep"))
+    log = spark.createDataFrame(log_rows, GATE_LOG_SCHEMA)
     # Write order: derived stores first, survivors last — a crash mid-batch
     # leaves an uncommitted batch whose replay overwrites every partial
     # partition anyway (strictly-earlier reads make the order a nicety,

@@ -579,6 +579,7 @@ def test_stream_gated_corpus_audit_dry_run(spark):
     row = stream_gated_corpus_audit(spark, SF_SMOKE).collect()[0]
     assert row.matches_batch
     assert row.waterfall_consistent
+    assert row.by_source_consistent
     assert row.rerun_is_noop
     assert row.replay_idempotent
     assert row.dedup_bites
