@@ -1241,3 +1241,96 @@ def stream_semantic_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_idempotent boolean, dedup_bites boolean, "
         "reseed_gate_refuses boolean",
     )
+
+
+_CORESET_K = 12
+_CORESET_CAP = 300  # audit twin's bounded-collect slice (vec_id < cap)
+
+
+# Pre-staged r14/r15 registration (rows-only candidate — the pick loop is
+# iterative; the AUDIT below carries the hash-attestable contract):
+# @register("coreset_maxmin_sample")
+def coreset_maxmin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-budgeted data selection: the greedy max-min (k-center)
+    coreset over the embeddings corpus (operators/selection.py) as a
+    relation — one row per pick: (pick_order, vec_id, min_sq_dist), the
+    k examples that maximally COVER embedding space under the classic
+    2-approximation. SemDeDup's constructive complement: instead of
+    dropping near-duplicates above ε, keep a fixed budget of
+    maximally-spread exemplars (coreset / active-learning selection).
+    O(n·k) distance work in k distributed passes; driver state is the
+    k picks. Pre-staged; the adjacent audit pins the python-twin
+    equality the iterative loop cannot state in SQL."""
+    from data_warehouse_product_mix_clustering_spark.operators.selection import maxmin_coreset
+
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    picks = maxmin_coreset(emb, "vec_id", "embedding", _CORESET_K)
+    return spark.createDataFrame(
+        [
+            (i, int(vid), ratio_round_py(d))
+            for i, (vid, d) in enumerate(picks)
+        ],
+        "pick_order long, vec_id long, min_sq_dist double",
+    )
+
+
+def ratio_round_py(x: float) -> float:
+    """Driver-side twin of functions/numeric.py::ratio_round for the
+    handful of scalars an iterative operator emits from the driver."""
+    return round(x + 1e-9, 6)
+
+
+# Pre-staged r14/r15 registration (r13's window is exactly full):
+# @register("coreset_maxmin_audit", oracle="""
+#     SELECT TRUE AS picks_match_twin, TRUE AS first_is_seed,
+#            TRUE AS dists_nonincreasing, TRUE AS k_picks,
+#            TRUE AS picks_distinct
+# """)
+def coreset_maxmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``maxmin_coreset`` — iterative argmax is not
+    SQL-expressible, so the driver-attestable truth is python-twin
+    equality plus the greedy invariants (the ``bpe_train_audit`` mold:
+    bounded slice, exact-fold determinism):
+
+    - ``picks_match_twin``: the distributed pick sequence over the
+      vec_id < cap slice equals ``maxmin_coreset_py``'s EXACTLY — ids,
+      order, AND distances (both sides fold components sequentially in
+      IEEE doubles and break argmax ties on lowest id, so equality
+      needs no tolerance);
+    - ``first_is_seed``: pick 0 is the lowest id at distance 0;
+    - ``dists_nonincreasing``: the max-min radius shrinks (or holds)
+      with every pick — the greedy's defining invariant;
+    - ``k_picks``: the full budget was spent (the slice has ≥ k
+      distinct vectors);
+    - ``picks_distinct``: no vector is picked twice.
+
+    Bounds: the twin collects the cap-slice vectors once (≤ cap rows —
+    the capped-collect discipline); the distributed side runs the SAME
+    slice, so both sides see identical inputs."""
+    from data_warehouse_product_mix_clustering_spark.operators.selection import (
+        maxmin_coreset,
+        maxmin_coreset_py,
+    )
+
+    emb = (
+        table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < _CORESET_CAP)
+    )
+    got = maxmin_coreset(emb, "vec_id", "embedding", _CORESET_K)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()  # ≤ cap rows — bounded by construction
+    }
+    want = maxmin_coreset_py(vecs, _CORESET_K)
+    picks_match_twin = got == want
+    first_is_seed = bool(got) and got[0] == (min(vecs), 0.0)
+    tail = [d for _, d in got[1:]]
+    dists_nonincreasing = all(a >= b for a, b in zip(tail, tail[1:]))
+    k_picks = len(got) == _CORESET_K
+    picks_distinct = len({i for i, _ in got}) == len(got)
+    return spark.createDataFrame(
+        [(picks_match_twin, first_is_seed, dists_nonincreasing, k_picks, picks_distinct)],
+        "picks_match_twin boolean, first_is_seed boolean, "
+        "dists_nonincreasing boolean, k_picks boolean, picks_distinct boolean",
+    )

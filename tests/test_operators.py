@@ -2318,3 +2318,51 @@ def test_corpus_fingerprint_no_overflow_and_matches_python(spark):
     )
     assert got == (n, want_h, 3 * n)
     assert want_h > 2**63 - 1, "test must actually exceed LONG_MAX"
+
+
+def test_coreset_maxmin_audit_contract(spark):
+    """plans/similarity.py::coreset_maxmin_audit (pre-staged) — all five
+    contract booleans at smoke SF: distributed picks ≡ python twin
+    exactly (ids, order, distances — sequential IEEE fold both sides),
+    seed/monotonicity/budget/distinctness invariants. This test IS the
+    registration's dry run."""
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import coreset_maxmin_audit
+
+    row = coreset_maxmin_audit(spark, SF_SMOKE).collect()[0]
+    assert row.picks_match_twin
+    assert row.first_is_seed
+    assert row.dists_nonincreasing
+    assert row.k_picks
+    assert row.picks_distinct
+
+
+def test_maxmin_coreset_edges(spark):
+    """operators/selection.py::maxmin_coreset edge semantics: k > n
+    stops at n picks; an all-duplicates corpus stops after the seed
+    (max-min distance 0 means the space is covered — returning
+    duplicate picks would be a lie about coverage); k <= 0 raises;
+    empty input returns no picks."""
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.operators.selection import (
+        maxmin_coreset,
+        maxmin_coreset_py,
+    )
+
+    three = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0])],
+        "id long, v array<float>",
+    )
+    picks = maxmin_coreset(three, "id", "v", 10)
+    assert [i for i, _ in picks] == [1, 3, 2]  # seed, farthest, remaining
+    assert picks == maxmin_coreset_py(
+        {1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 2.0]}, 10
+    )
+    dups = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(5)], "id long, v array<float>"
+    )
+    assert maxmin_coreset(dups, "id", "v", 3) == [(0, 0.0)]
+    with pytest.raises(ValueError):
+        maxmin_coreset(three, "id", "v", 0)
+    empty = spark.createDataFrame([], "id long, v array<float>")
+    assert maxmin_coreset(empty, "id", "v", 2) == []

@@ -1104,3 +1104,36 @@ def test_interleave_rank_matches_pandas_reference(spark, rows):
     pdf["rk"] = pdf.groupby("grp").cumcount() + 1
     want = dict(zip(pdf["doc_id"], pdf["rk"]))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-4, 4).map(float), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(1, 6),
+)
+def test_maxmin_coreset_matches_python_twin(spark, vecs, k):
+    """operators/selection.py::maxmin_coreset ≡ maxmin_coreset_py on
+    ARBITRARY small integer-grid corpora (ties everywhere — the argmax
+    tie-break and duplicate-distance early stop get exercised hard) —
+    ids, order, and distances exactly."""
+    from data_warehouse_product_mix_clustering_spark.operators.selection import (
+        maxmin_coreset,
+        maxmin_coreset_py,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<float>"
+    )
+    got = maxmin_coreset(df, "id", "v", k)
+    want = maxmin_coreset_py({i: v for i, v in enumerate(vecs)}, k)
+    assert got == want
