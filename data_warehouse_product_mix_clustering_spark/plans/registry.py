@@ -205,77 +205,6 @@ _DRIVER_PRIORITY: list[str] = [
     #   adjacent oracle builder-verified value-exact at sf0.001 AND
     #   sf0.01; test_corpus_filter_waterfall_by_source_matches_duckdb_twin
     #   is the dry run).
-    # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
-    #   TRUE context windows: trained 20-merge BPE counts as the packing
-    #   weight; the five-invariant constant-boolean contract is in the
-    #   pre-stage comment, all booleans builder-verified TRUE at sf0.001
-    #   AND sf0.01; test_doc_context_windows_bpe_audit_contract is the
-    #   dry run. The production `doc_context_windows_bpe` itself is the
-    #   rows-only candidate - trained-tokenizer counts are not
-    #   SQL-expressible, so the audit carries the hash gate; both are
-    #   property-tested end-to-end vs the python twin).
-    "basket_pagerank_audit",
-    "lineitem_replica_checksum",
-    "product_clusters",
-    "ann_lsh_topk",
-    "cluster_profile",
-    "clustering_quality",
-    "dedup_embedding_lsh",
-    "embedding_clusters",
-    "sequence_embeddings_lstm",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_recall_audit",
-    "category_rollup",
-    "cluster_trajectories",
-    "contamination_check",
-    "cube_category_priority",
-    "customer_value_quartiles",
-    "dedup_best_of_group",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dim_date_intervals",
-    "doc_bpe_tokens",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_split",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "doc_top_terms",
-    "events_stream_dedup",
-    "features_pca",
-    # r10 cohort and everything else follow in registration order.
-]
-
-
-def all_queries() -> dict[str, Query]:
-    """Import every query module (side effect: registration) and return all.
-
-    The returned dict is ordered: ``_DRIVER_PRIORITY`` names first, then the
-    rest in registration order (see the priority list's comment for why).
-    """
-    import data_warehouse_product_mix_clustering_spark.plans.warehouse  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.text  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.dedup  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.similarity  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.events  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.ml  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.media  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.sequences  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.sql_api  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.quality  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.pipeline  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.analytics  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.relational  # noqa: F401
-    import data_warehouse_product_mix_clustering_spark.plans.mv  # noqa: F401
-
-    prioritized = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
-    prioritized.update(_REGISTRY)
-    return prioritized    #   test_corpus_filter_waterfall_by_source_matches_duckdb_twin
-    #   is the dry run).
     # - `coreset_maxmin_audit` / rows-only `coreset_maxmin_sample`
     #   (plans/similarity.py; operators/selection.py - greedy max-min
     #   k-center coreset, SemDeDup's constructive complement: keep a
@@ -284,211 +213,7 @@ def all_queries() -> dict[str, Query]:
     #   (sequential IEEE fold both sides) + greedy invariants - five
     #   booleans builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_coreset_maxmin_audit_contract is the dry run; r15-tail
-    #   candidates behind the r14 recommended ten).d §2 is exposed as a named query:
-``fn(spark, sf_dir) -> DataFrame`` (the Spark plan) plus, where the
-semantics are SQL-expressible, a DuckDB ``oracle`` string over the same
-parquet tables. The driver's correctness gate runs both sides at sf0.01
-and hash-compares; ``__spark_entry__.py`` is a thin adapter over this
-registry.
-
-Cross-engine determinism rules (enforced by convention in every query):
-- Alias every computed column identically in Spark and SQL.
-- Cast counts/row_numbers to long/BIGINT on both sides (DuckDB COUNT is
-  BIGINT, Spark row_number is int, DuckDB SUM(int) is HUGEINT — explicit
-  casts keep schemas identical).
-- Round floating aggregates: coarse (integer cents/dollars) for sums over
-  many rows, 4-6 decimals for ratios — double summation order differs
-  across engines, so low bits are not comparable.
-- Never output raw nanosecond timestamps (Spark truncates parquet ns to µs).
-"""
-
-from __future__ import annotations
-
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass
-class Query:
-    name: str
-    fn: QueryFn
-    oracle: str | None = None
-    headline: bool = False  # included in bench.py's headline set
-    doc: str = ""
-
-
-_REGISTRY: dict[str, Query] = {}
-
-
-def register(
-    name: str, oracle: str | None = None, headline: bool = False
-) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in _REGISTRY:
-            raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, headline, (fn.__doc__ or "").strip())
-        return fn
-
-    return deco
-
-
-# Names surfaced FIRST by all_queries(). The driver's correctness gate runs
-# (at most) the first 50 entries per round, so queries that have not yet
-# received a driver CORRECTNESS row are listed here to steer coverage; the
-# remaining (already driver-attested in r1/r2) queries follow in registration
-# order. Ordering affects only iteration order — every query stays reachable
-# by name regardless.
-_DRIVER_PRIORITY: list[str] = [
-    # ---- Round-13 window (positions 0-49) ----
-    # `semantic_dedup_sweep_audit` was REGISTERED in r12 (rode the full
-    # oracle sweep) but sat just outside the 50-slot driver window; it
-    # leads r13 so it gets its driver row (VERDICT r12 brief #1).
-    "semantic_dedup_sweep_audit",
-    # New in round 13 - the ten registration-ready operators pre-staged
-    # in r12 (operators + builder-verified DuckDB twins + tests landed
-    # then; the @register was deferred to respect the <=10-new budget),
-    # plus the streaming semantic-dedup ingest contract audit
-    # (VERDICT r12 brief #2).
-    "doc_lang_logprob",
-    "training_corpus_lm_by_lang",
-    "doc_crosscorpus_logprob",
-    "semantic_dedup_incremental_audit",
-    "doc_context_windows",
-    "source_mixture_temperature",
-    "corpus_filter_waterfall",
-    "source_token_kl",
-    "revenue_pareto_share_distributed",
-    "stream_semantic_ingest_audit",
-    # r8-cohort tail (22): the remaining queries whose latest driver
-    # attestation is r8 (VERDICT r12 brief #3). All pass the judge's
-    # 205/205 sweep - freshness only; this clears the whole r8 tail,
-    # raising the attestation floor to r9.
-    "doc_weighted_sample",
-    "product_pagination_keyset",
-    "dedup_overlap_coefficient",
-    "events_markov_transitions",
-    "revenue_pareto_share",
-    "order_amount_benford",
-    "customer_rfm_segments",
-    "basket_part_pairs",
-    "events_daily_paths",
-    "nation_supplier_hhi",
-    "urgent_revenue_sql",
-    "discount_quantity_correlation",
-    "customer_revenue_gini",
-    "lineitem_drift_check",
-    "ann_cosine_topk",
-    "dedup_groups",
-    "doc_profile",
-    "documents_dedup",
-    "embedding_centroids",
-    "features_zscore",
-    "nation_revenue_sql",
-    "order_priority_sql",
-    # r9 cohort, first 17 of 50 (r9-window order; the other 33 pre-stage
-    # r14 below the boundary).
-    "mv_maintenance_audit",
-    "customer_fuzzy_matches",
-    "events_audience_overlap",
-    "events_audience_overlap_sketch_audit",
-    "snapshot_consistency_audit",
-    "ann_ivfpq_indexed_audit",
-    "revenue_forecast_backtest",
-    "basket_triangle_stats",
-    "lineitem_nested_roundtrip_audit",
-    "revenue_sample_estimate",
-    "events_rolling_dau_approx",
-    "dedup_duplicated_ngrams",
-    "zorder_pruning_audit",
-    "python_datasource_scan",
-    "ann_ivf_indexed_audit",
-    "mv_rewrite_audit",
-    "checked_write_audit",
-    # ---- window boundary (driver attests ~50/round; 1 carried + 10 new
-    # + 22 r8 + 17 r9 above fill it exactly - judge-checkable at
-    # position 50) ----
-    # Round-14 rotation order (pre-staged): the 33 remaining r9-cohort
-    # entries below lead round 14; at round-14 start, any NEW r14
-    # queries insert at the very top of this list (keep <= ~10 so the
-    # r9 tail clears and the r10 cohort rotates in after these).
-    # Registration-ready r14 candidates (operators + twins + tests
-    # landed r12/r13, only the @register deferred). Recommended r14
-    # registration order (exactly fills the <=10-new budget; the
-    # rows-only `doc_context_windows_bpe` defers - its audit carries the
-    # hash-attestable contract):
-    #   1. stream_gated_corpus_audit        6. batch_padding_efficiency
-    #   2. training_corpus_resampled        7. corpus_filter_waterfall_by_source
-    #   3. training_corpus_resampled_repeats 8. doc_context_windows_bpe_audit
-    #   4. training_corpus_interleaved      9. training_recipe_manifest_audit
-    #   5. doc_length_bucket_batches       10. customer_revenue_gini_distributed
-    # Details per candidate:
-    # - `customer_revenue_gini_distributed` (plans/analytics.py - the
-    #   Gini escape hatch as code, exact distributed twin via
-    #   with_rank_and_running; registering it is a paste of the
-    #   registered query's oracle, mirroring
-    #   revenue_pareto_share_distributed's r13 path).
-    # - `training_corpus_resampled` (plans/pipeline.py - the temperature
-    #   weights APPLIED: per-source md5-threshold downsampling at the
-    #   alpha-derived rates; adjacent oracle `_resampled_oracle()`
-    #   builder-verified value-exact at sf0.001 AND sf0.01;
-    #   test_training_corpus_resampled_matches_duckdb_twin is the dry
-    #   run).
-    # - `training_corpus_resampled_repeats` (plans/pipeline.py - the
-    #   same weights realized WITH upsampling: floor(w) + hash-Bernoulli
-    #   copies per doc, the multiple-epochs shape; adjacent oracle
-    #   `_resampled_repeats_oracle()` builder-verified value-exact at
-    #   sf0.001 AND sf0.01 with upsampling biting at both;
-    #   test_training_corpus_resampled_repeats_matches_duckdb_twin is
-    #   the dry run).
-    # - `training_corpus_interleaved` (plans/pipeline.py - the mixture
-    #   realized as a training ORDER: stride scheduling v = (rk-1/2)/tgt
-    #   with BOTH ranks on the distributed prefix-sum machinery (no
-    #   global or per-source window - plan-pinned); adjacent oracle
-    #   `_interleaved_oracle()` builder-verified value-exact at sf0.001
-    #   AND sf0.01, prefix fairness within ±1 slot measured at both;
-    #   test_training_corpus_interleaved_matches_duckdb_twin is the dry
-    #   run).
-    # - `doc_length_bucket_batches` (plans/pipeline.py - length-bucketed
-    #   dynamic batching: power-of-two padding buckets via an explicit
-    #   CASE, within-bucket hash rank via the shared `_interleave_rank`
-    #   distributed machinery, batch_id = (rk-1) DIV 32; adjacent oracle
-    #   `_length_batches_oracle()` builder-verified value-exact at
-    #   sf0.001 AND sf0.01;
-    #   test_doc_length_bucket_batches_matches_duckdb_twin is the dry
-    #   run).
-    # - `training_recipe_manifest_audit` (plans/pipeline.py -
-    #   reproducible-recipe receipt: gate knobs + exact corpus
-    #   fingerprint persisted as a manifest; rebuild-from-manifest
-    #   reproduces the fingerprint, a tampered knob is detected,
-    #   fingerprint repartition-invariant; constant-boolean oracle in
-    #   the pre-stage comment, all TRUE builder-verified at sf0.001 AND
-    #   sf0.01; test_training_recipe_manifest_audit_contract is the dry
-    #   run. Shares plans/text.py::gated_corpus with the registered
-    #   training_corpus - one gate-pipeline definition).
-    # - `stream_gated_corpus_audit` (plans/pipeline.py - streaming
-    #   gated-corpus ingestion, streaming/corpus_ingest.py: per-batch
-    #   gates + seen-fingerprint incremental dedup + incrementally-
-    #   maintained attrition waterfall (corpus-wide AND per-source -
-    #   the gate log carries source); six contract booleans
-    #   (matches_batch, waterfall_consistent, by_source_consistent,
-    #   rerun_is_noop, replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
-    #   AND sf0.01; constant-boolean oracle in the pre-stage comment;
-    #   test_stream_gated_corpus_audit_dry_run is the dry run).
-    # - `batch_padding_efficiency` (plans/pipeline.py - per-bucket batch
-    #   plan cost summary: batches, real vs padded tokens, fill ratio;
-    #   adjacent oracle builder-verified value-exact at sf0.001 AND
-    #   sf0.01; test_batch_padding_efficiency_matches_duckdb_twin is the
-    #   dry run).
-    # - `corpus_filter_waterfall_by_source` (plans/pipeline.py - the
-    #   waterfall's per-source breakdown, wide telescoping counts, one
-    #   fingerprint shuffle + cumulative-flag scan + |sources| groupBy;
-    #   adjacent oracle builder-verified value-exact at sf0.001 AND
-    #   sf0.01; test_corpus_filter_waterfall_by_source_matches_duckdb_twin
-    #   is the dry run).
+    #   candidates behind the r14 recommended ten).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the
