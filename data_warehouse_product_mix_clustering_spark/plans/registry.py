@@ -214,6 +214,12 @@ _DRIVER_PRIORITY: list[str] = [
     #   booleans builder-verified TRUE at sf0.001 AND sf0.01;
     #   test_coreset_maxmin_audit_contract is the dry run; r15-tail
     #   candidates behind the r14 recommended ten).
+    # - `doc_quality_lm_calibration` (plans/text.py - gate-agreement
+    #   diagnostic: quality-score deciles vs mean LM bits/token, the
+    #   cheap-vs-expensive filter alignment table; adjacent oracle
+    #   builder-verified value-exact at sf0.001 AND sf0.01;
+    #   test_doc_quality_lm_calibration_matches_duckdb_twin is the dry
+    #   run; r15-tail candidate behind the r14 recommended ten).
     # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
     #   TRUE context windows: trained 20-merge BPE counts as the packing
     #   weight; the five-invariant constant-boolean contract is in the

@@ -1863,3 +1863,73 @@ def corpus_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+def _quality_lm_calibration_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.operators.lm import SQL_UNIGRAM_SELF_SCORE
+
+    lm = SQL_UNIGRAM_SELF_SCORE.format(
+        tokens=sql_tokens("text"),
+        a=0.5,
+        round_avg=sql_ratio_round("-avg(logp)"),
+    )
+    return f"""
+        WITH lm_scores AS ({lm}),
+        q AS (
+            SELECT doc_id, {sql_quality_score(sql_tokens("text"))} AS quality_score
+            FROM documents
+        ), joined AS (
+            SELECT q.doc_id, q.quality_score, lm_scores.bits_per_token,
+                   ntile(10) OVER (ORDER BY q.quality_score, q.doc_id)
+                       AS decile
+            FROM q JOIN lm_scores ON q.doc_id = lm_scores.doc_id
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {sql_ratio_round("avg(quality_score)")} AS avg_quality,
+               {sql_ratio_round("avg(bits_per_token)")} AS avg_bits_per_token
+        FROM joined
+        GROUP BY decile
+    """
+
+
+# Pre-staged r14/r15 registration (r13's window is exactly full):
+# @register("doc_quality_lm_calibration", oracle=_quality_lm_calibration_oracle())
+def doc_quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-agreement diagnostic: does the CHEAP heuristic quality score
+    rank documents the way the EXPENSIVE LM perplexity filter does? Docs
+    bucket into quality-score deciles (ntile over (score, doc_id) — the
+    doc_id tie-break makes bucket edges deterministic across engines);
+    each decile reports its mean quality and mean LM bits/token. A
+    calibrated pipeline shows bits falling as quality rises; a flat or
+    inverted profile means the cheap pre-filter is throwing away docs
+    the LM gate would keep (the scores → gates alignment check a
+    pipeline owner reads before tightening either threshold).
+
+    Scale note: the decile ntile is a single global-order window over
+    per-doc scalars — the registered Pareto/percent_rank class; the
+    coded escape hatch at 1e9+ docs is decile edges from ONE
+    percentile_approx sketch + a broadcast bucket join (the
+    ``training_corpus_lm_filtered_approx`` move), or exact edges via
+    ``with_rank_and_running``. Everything upstream is the proven LM
+    relation (two word-key shuffles) + one quality-expression scan.
+    Pre-staged with ``_quality_lm_calibration_oracle()``."""
+    from data_warehouse_product_mix_clustering_spark.operators.lm import unigram_logprob_scores
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    lm = unigram_logprob_scores(docs).select("doc_id", "bits_per_token")
+    q = docs.select(
+        "doc_id", quality_score(tokens(F.col("text"))).alias("quality_score")
+    )
+    joined = q.join(lm, "doc_id").withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy("quality_score", "doc_id"))
+        .cast("long"),
+    )
+    return joined.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        ratio_round(F.avg("quality_score")).alias("avg_quality"),
+        ratio_round(F.avg("bits_per_token")).alias("avg_bits_per_token"),
+    )

@@ -1137,3 +1137,35 @@ def test_maxmin_coreset_matches_python_twin(spark, vecs, k):
     got = maxmin_coreset(df, "id", "v", k)
     want = maxmin_coreset_py({i: v for i, v in enumerate(vecs)}, k)
     assert got == want
+
+
+def test_doc_quality_lm_calibration_matches_duckdb_twin(spark):
+    """plans/text.py::doc_quality_lm_calibration (pre-staged) ≡ its
+    adjacent DuckDB oracle at sf0.001 — the registration's dry run —
+    plus the bucket contract: 10 deciles, near-equal sizes (ntile
+    spreads the remainder over the leading buckets), covering every
+    scoreable doc exactly once."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        _quality_lm_calibration_oracle,
+        doc_quality_lm_calibration,
+        doc_unigram_logprob,
+    )
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    got = doc_quality_lm_calibration(spark, SF_SMOKE).toPandas()
+    want = con.sql(_quality_lm_calibration_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.shape == w.shape == (10, 4)
+    assert (g.astype(str).values == w.astype(str).values).all()
+    sizes = got.sort_values("decile")["n_docs"]
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.sum() == doc_unigram_logprob(spark, SF_SMOKE).count()
