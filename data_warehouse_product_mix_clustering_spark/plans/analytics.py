@@ -1822,13 +1822,39 @@ def revenue_pareto_share_distributed(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "customer_revenue_gini_distributed",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue ASC, o_custkey) AS rk,
+                   count(*) OVER () AS n,
+                   CAST(sum(revenue) OVER () AS DECIMAL(38,4)) AS total
+            FROM per_cust
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               {sql_ratio_round(
+                   "(2.0 * sum(CAST(rk AS DOUBLE) * CAST(revenue AS DOUBLE))"
+                   " / (max(n) * CAST(max(total) AS DOUBLE)))"
+                   " - (max(n) + 1.0) / max(n)")} AS gini
+        FROM ranked
+    """,
+)
 def customer_revenue_gini_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact twin of ``customer_revenue_gini`` — global
-    ranks from the same two-pass prefix-sum machinery, no global
-    window; exactly equal by associativity (equality test-pinned).
-    Pre-staged r14 (``revenue_pareto_share_distributed`` took the
-    family's r13 slot): registering it is a paste of the registered
-    query's oracle onto this function."""
+    ranks from the same two-pass prefix-sum machinery
+    (operators/packing.py::with_rank_and_running), no global window;
+    exactly equal by associativity (equality test-pinned). Same oracle
+    as the registered windowed query: integer ranks over decimal-snapped
+    revenue in a pinned total order make the weighted sum's inputs
+    identical on both engines. At attested SFs the single window over
+    the tiny per-customer aggregate is cheaper; past ~1e8 customers
+    THIS is the plan."""
     from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
 
     o = table(spark, "orders", sf_dir)

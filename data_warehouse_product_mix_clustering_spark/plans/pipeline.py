@@ -1678,8 +1678,7 @@ def _resampled_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("training_corpus_resampled", oracle=_resampled_oracle())
+@register("training_corpus_resampled", oracle=_resampled_oracle())
 def training_corpus_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature-scaled mixture APPLIED: a deterministic per-source
     downsampled corpus realizing ``source_mixture_temperature``'s target
@@ -1748,10 +1747,10 @@ def _bpe_window_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r14 registration (rows-only — the trained tokenizer's counts
-# are the iterative-merge family the SQL oracle cannot express; the
-# adjacent AUDIT below carries the hash-attestable contract):
-# @register("doc_context_windows_bpe")
+# Rows-only — the trained tokenizer's counts are the iterative-merge
+# family the SQL oracle cannot express; the adjacent AUDIT below carries
+# the hash-attestable contract (so this never takes a driver-window slot).
+@register("doc_context_windows_bpe")
 def doc_context_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_context_windows`` under TRAINED-tokenizer token counts — the
     shape a tensor writer actually executes (training budgets are
@@ -1779,11 +1778,13 @@ def doc_context_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_WINDOWS_AUDIT_CAP = 2000  # ground-truth twin runs on doc_id < cap
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("doc_context_windows_bpe_audit", oracle="""
-#     SELECT TRUE AS counts_match_reference, TRUE AS windows_match_twin,
-#            TRUE AS coverage_exact, TRUE AS tiling_exact, TRUE AS any_split
-# """)
+@register(
+    "doc_context_windows_bpe_audit",
+    oracle="""
+        SELECT TRUE AS counts_match_reference, TRUE AS windows_match_twin,
+               TRUE AS coverage_exact, TRUE AS tiling_exact, TRUE AS any_split
+    """,
+)
 def doc_context_windows_bpe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for ``doc_context_windows_bpe`` — the trained
     tokenizer makes the weights non-SQL-expressible (iterative merges),
@@ -1945,8 +1946,7 @@ def _resampled_repeats_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("training_corpus_resampled_repeats", oracle=_resampled_repeats_oracle())
+@register("training_corpus_resampled_repeats", oracle=_resampled_repeats_oracle())
 def training_corpus_resampled_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature mixture realized WITH UPSAMPLING — the
     multiple-epochs shape multilingual pretraining actually ships
@@ -2039,8 +2039,7 @@ def _interleaved_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("training_corpus_interleaved", oracle=_interleaved_oracle())
+@register("training_corpus_interleaved", oracle=_interleaved_oracle())
 def training_corpus_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature mixture realized as a training ORDER — stride
     scheduling: training consumes ONE stream, and what makes a mixture
@@ -2175,8 +2174,7 @@ def _length_batches_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("doc_length_bucket_batches", oracle=_length_batches_oracle())
+@register("doc_length_bucket_batches", oracle=_length_batches_oracle())
 def doc_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch planning — the dynamic-batching step a
     padded-tensor training job runs: bucket each doc to the next
@@ -2259,11 +2257,13 @@ def corpus_fingerprint(df: DataFrame) -> tuple[int, int, int]:
     return (int(row["n"]), int(row["h"] or 0), int(row["t"] or 0))
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("training_recipe_manifest_audit", oracle="""
-#     SELECT TRUE AS manifest_roundtrip, TRUE AS rebuild_matches,
-#            TRUE AS tamper_detected, TRUE AS fingerprint_order_free
-# """)
+@register(
+    "training_recipe_manifest_audit",
+    oracle="""
+        SELECT TRUE AS manifest_roundtrip, TRUE AS rebuild_matches,
+               TRUE AS tamper_detected, TRUE AS fingerprint_order_free
+    """,
+)
 def training_recipe_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible-recipe contract: the gated training corpus
     (plans/text.py::gated_corpus — the SAME parameterized pipeline the
@@ -2335,12 +2335,15 @@ def training_recipe_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# Pre-staged r14/r15 registration (r13's window is exactly full):
-# @register("stream_gated_corpus_audit", oracle="""
-#     SELECT TRUE AS matches_batch, TRUE AS waterfall_consistent,
-#            TRUE AS by_source_consistent, TRUE AS rerun_is_noop,
-#            TRUE AS replay_idempotent, TRUE AS dedup_bites
-# """)
+@register(
+    "stream_gated_corpus_audit",
+    oracle="""
+        SELECT TRUE AS matches_batch, TRUE AS waterfall_consistent,
+               TRUE AS by_source_consistent, TRUE AS mixture_matches_batch,
+               TRUE AS rerun_is_noop, TRUE AS replay_idempotent,
+               TRUE AS dedup_bites
+    """,
+)
 def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end contract audit for the streaming gated-corpus
     ingestion (streaming/corpus_ingest.py) — the `stream_quarantine_audit`
@@ -2361,6 +2364,13 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``read_gate_waterfall_by_source``) equals the per-source batch
       truth — the streamed twin of ``corpus_filter_waterfall_by_source``
       holds, source by source, stage by stage;
+    - ``mixture_matches_batch``: the mixture derived from the
+      incrementally-maintained log alone (``read_source_mixture``, zero
+      corpus re-scan) equals the registered ``source_mixture_weights``
+      over the documents table EXACTLY — the deduped union IS the
+      document relation (first-arrival ≡ keep-lowest on ordered slices),
+      so per-source token sums and the derived shares/weights agree to
+      the bit;
     - ``rerun_is_noop``: a second availableNow run executes ZERO batches
       and leaves survivors AND waterfall identical;
     - ``replay_idempotent``: re-invoking batch 1's sink verbatim (the
@@ -2370,8 +2380,7 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       dedup stage (deduped < ingested in the summed log).
 
     Ground truth collects the survivor relation (≤ gated-corpus size at
-    audit SFs — the bounded-audit convention). Pre-staged with the
-    constant-boolean oracle above."""
+    audit SFs — the bounded-audit convention)."""
     import shutil
     import tempfile
 
@@ -2392,6 +2401,7 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_gate_waterfall,
         read_gate_waterfall_by_source,
         read_gated_corpus,
+        read_source_mixture,
         streaming_gated_ingest,
         DOC_SCHEMA,
         GATE_STAGES,
@@ -2529,6 +2539,21 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in read_gate_waterfall_by_source(spark, corpus_dir).collect()
         }
         by_source_consistent = got_by_src == want_by_src
+
+        # mixture from the log alone ≡ the registered batch mixture
+        # (both dimension-sized collects)
+        def _mix_set(df):
+            return {
+                (
+                    r["source"], r["n_docs"], r["total_tokens"],
+                    r["observed_share"], r["uniform_weight"],
+                )
+                for r in df.collect()
+            }
+
+        mixture_matches_batch = _mix_set(
+            read_source_mixture(spark, corpus_dir)
+        ) == _mix_set(source_mixture_weights(spark, sf_dir))
         truth_counts = [
             sum(v for (src, st, i), v in want_by_src.items() if st == stage)
             for stage in GATE_STAGES
@@ -2555,14 +2580,16 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 matches_batch,
                 waterfall_consistent,
                 by_source_consistent,
+                mixture_matches_batch,
                 rerun_is_noop,
                 replay_idempotent,
                 dedup_bites,
             )
         ],
         "matches_batch boolean, waterfall_consistent boolean, "
-        "by_source_consistent boolean, rerun_is_noop boolean, "
-        "replay_idempotent boolean, dedup_bites boolean",
+        "by_source_consistent boolean, mixture_matches_batch boolean, "
+        "rerun_is_noop boolean, replay_idempotent boolean, "
+        "dedup_bites boolean",
     )
 
 
@@ -2598,8 +2625,7 @@ def _padding_efficiency_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("batch_padding_efficiency", oracle=_padding_efficiency_oracle())
+@register("batch_padding_efficiency", oracle=_padding_efficiency_oracle())
 def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cost summary a batching plan is judged by: per padding bucket,
     how many batches ship, how many REAL tokens they carry vs the padded
@@ -2670,8 +2696,7 @@ def _waterfall_by_source_oracle() -> str:
     """
 
 
-# Pre-staged r14 registration (r13's window is exactly full):
-# @register("corpus_filter_waterfall_by_source", oracle=_waterfall_by_source_oracle())
+@register("corpus_filter_waterfall_by_source", oracle=_waterfall_by_source_oracle())
 def corpus_filter_waterfall_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``corpus_filter_waterfall``'s per-source breakdown — WHICH feed is
     losing docs at WHICH gate, the table a mixture owner reads when a

@@ -59,197 +59,43 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-13 window (positions 0-49) ----
-    # `semantic_dedup_sweep_audit` was REGISTERED in r12 (rode the full
-    # oracle sweep) but sat just outside the 50-slot driver window; it
-    # leads r13 so it gets its driver row (VERDICT r12 brief #1).
-    "semantic_dedup_sweep_audit",
-    # New in round 13 - the ten registration-ready operators pre-staged
-    # in r12 (operators + builder-verified DuckDB twins + tests landed
-    # then; the @register was deferred to respect the <=10-new budget),
-    # plus the streaming semantic-dedup ingest contract audit
-    # (VERDICT r12 brief #2).
-    "doc_lang_logprob",
-    "training_corpus_lm_by_lang",
-    "doc_crosscorpus_logprob",
-    "semantic_dedup_incremental_audit",
-    "doc_context_windows",
-    "source_mixture_temperature",
-    "corpus_filter_waterfall",
-    "source_token_kl",
-    "revenue_pareto_share_distributed",
-    "stream_semantic_ingest_audit",
-    # r8-cohort tail (22): the remaining queries whose latest driver
-    # attestation is r8 (VERDICT r12 brief #3). All pass the judge's
-    # 205/205 sweep - freshness only; this clears the whole r8 tail,
-    # raising the attestation floor to r9.
-    "doc_weighted_sample",
-    "product_pagination_keyset",
-    "dedup_overlap_coefficient",
-    "events_markov_transitions",
-    "revenue_pareto_share",
-    "order_amount_benford",
-    "customer_rfm_segments",
-    "basket_part_pairs",
-    "events_daily_paths",
-    "nation_supplier_hhi",
-    "urgent_revenue_sql",
-    "discount_quantity_correlation",
-    "customer_revenue_gini",
-    "lineitem_drift_check",
-    "ann_cosine_topk",
-    "dedup_groups",
-    "doc_profile",
-    "documents_dedup",
-    "embedding_centroids",
-    "features_zscore",
-    "nation_revenue_sql",
-    "order_priority_sql",
-    # r9 cohort, first 17 of 50 (r9-window order; the other 33 pre-stage
-    # r14 below the boundary).
-    "mv_maintenance_audit",
-    "customer_fuzzy_matches",
-    "events_audience_overlap",
-    "events_audience_overlap_sketch_audit",
-    "snapshot_consistency_audit",
-    "ann_ivfpq_indexed_audit",
-    "revenue_forecast_backtest",
-    "basket_triangle_stats",
-    "lineitem_nested_roundtrip_audit",
-    "revenue_sample_estimate",
-    "events_rolling_dau_approx",
-    "dedup_duplicated_ngrams",
-    "zorder_pruning_audit",
-    "python_datasource_scan",
-    "ann_ivf_indexed_audit",
-    "mv_rewrite_audit",
-    "checked_write_audit",
-    # ---- window boundary (driver attests ~50/round; 1 carried + 10 new
-    # + 22 r8 + 17 r9 above fill it exactly - judge-checkable at
-    # position 50) ----
-    # Round-14 rotation order (pre-staged): the 33 remaining r9-cohort
-    # entries below lead round 14; at round-14 start, any NEW r14
-    # queries insert at the very top of this list (keep <= ~10 so the
-    # r9 tail clears and the r10 cohort rotates in after these).
-    # Registration-ready r14 candidates (operators + twins + tests
-    # landed r12/r13, only the @register deferred). Recommended r14
-    # registration order (exactly fills the <=10-new budget; the
-    # rows-only `doc_context_windows_bpe` defers - its audit carries the
-    # hash-attestable contract):
-    #   1. stream_gated_corpus_audit        6. batch_padding_efficiency
-    #   2. training_corpus_resampled        7. corpus_filter_waterfall_by_source
-    #   3. training_corpus_resampled_repeats 8. doc_context_windows_bpe_audit
-    #   4. training_corpus_interleaved      9. training_recipe_manifest_audit
-    #   5. doc_length_bucket_batches       10. customer_revenue_gini_distributed
-    # Details per candidate:
-    # - `customer_revenue_gini_distributed` (plans/analytics.py - the
-    #   Gini escape hatch as code, exact distributed twin via
-    #   with_rank_and_running; registering it is a paste of the
-    #   registered query's oracle, mirroring
-    #   revenue_pareto_share_distributed's r13 path).
-    # - `training_corpus_resampled` (plans/pipeline.py - the temperature
-    #   weights APPLIED: per-source md5-threshold downsampling at the
-    #   alpha-derived rates; adjacent oracle `_resampled_oracle()`
-    #   builder-verified value-exact at sf0.001 AND sf0.01;
-    #   test_training_corpus_resampled_matches_duckdb_twin is the dry
-    #   run).
-    # - `training_corpus_resampled_repeats` (plans/pipeline.py - the
-    #   same weights realized WITH upsampling: floor(w) + hash-Bernoulli
-    #   copies per doc, the multiple-epochs shape; adjacent oracle
-    #   `_resampled_repeats_oracle()` builder-verified value-exact at
-    #   sf0.001 AND sf0.01 with upsampling biting at both;
-    #   test_training_corpus_resampled_repeats_matches_duckdb_twin is
-    #   the dry run).
-    # - `training_corpus_interleaved` (plans/pipeline.py - the mixture
-    #   realized as a training ORDER: stride scheduling v = (rk-1/2)/tgt
-    #   with BOTH ranks on the distributed prefix-sum machinery (no
-    #   global or per-source window - plan-pinned); adjacent oracle
-    #   `_interleaved_oracle()` builder-verified value-exact at sf0.001
-    #   AND sf0.01, prefix fairness within ±1 slot measured at both;
-    #   test_training_corpus_interleaved_matches_duckdb_twin is the dry
-    #   run).
-    # - `doc_length_bucket_batches` (plans/pipeline.py - length-bucketed
-    #   dynamic batching: power-of-two padding buckets via an explicit
-    #   CASE, within-bucket hash rank via the shared `_interleave_rank`
-    #   distributed machinery, batch_id = (rk-1) DIV 32; adjacent oracle
-    #   `_length_batches_oracle()` builder-verified value-exact at
-    #   sf0.001 AND sf0.01;
-    #   test_doc_length_bucket_batches_matches_duckdb_twin is the dry
-    #   run).
-    # - `training_recipe_manifest_audit` (plans/pipeline.py -
-    #   reproducible-recipe receipt: gate knobs + exact corpus
-    #   fingerprint persisted as a manifest; rebuild-from-manifest
-    #   reproduces the fingerprint, a tampered knob is detected,
-    #   fingerprint repartition-invariant; constant-boolean oracle in
-    #   the pre-stage comment, all TRUE builder-verified at sf0.001 AND
-    #   sf0.01; test_training_recipe_manifest_audit_contract is the dry
-    #   run. Shares plans/text.py::gated_corpus with the registered
-    #   training_corpus - one gate-pipeline definition).
-    # - `stream_gated_corpus_audit` (plans/pipeline.py - streaming
-    #   gated-corpus ingestion, streaming/corpus_ingest.py: per-batch
-    #   gates + seen-fingerprint incremental dedup + incrementally-
-    #   maintained attrition waterfall (corpus-wide AND per-source -
-    #   the gate log carries source); six contract booleans
-    #   (matches_batch, waterfall_consistent, by_source_consistent,
-    #   rerun_is_noop, replay_idempotent, dedup_bites) builder-verified TRUE at sf0.001
-    #   AND sf0.01; constant-boolean oracle in the pre-stage comment;
-    #   test_stream_gated_corpus_audit_dry_run is the dry run).
-    # - `batch_padding_efficiency` (plans/pipeline.py - per-bucket batch
-    #   plan cost summary: batches, real vs padded tokens, fill ratio;
-    #   adjacent oracle builder-verified value-exact at sf0.001 AND
-    #   sf0.01; test_batch_padding_efficiency_matches_duckdb_twin is the
-    #   dry run).
-    # - `corpus_filter_waterfall_by_source` (plans/pipeline.py - the
-    #   waterfall's per-source breakdown, wide telescoping counts, one
-    #   fingerprint shuffle + cumulative-flag scan + |sources| groupBy;
-    #   adjacent oracle builder-verified value-exact at sf0.001 AND
-    #   sf0.01; test_corpus_filter_waterfall_by_source_matches_duckdb_twin
-    #   is the dry run).
-    # - `coreset_maxmin_audit` / rows-only `coreset_maxmin_sample`
-    #   (plans/similarity.py; operators/selection.py - greedy max-min
-    #   k-center coreset, SemDeDup's constructive complement: keep a
-    #   budget of maximally-spread exemplars. Iterative argmax is not
-    #   SQL-expressible, so the audit pins python-twin EXACT equality
-    #   (sequential IEEE fold both sides) + greedy invariants - five
-    #   booleans builder-verified TRUE at sf0.001 AND sf0.01;
-    #   test_coreset_maxmin_audit_contract is the dry run; r15-tail
-    #   candidates behind the r14 recommended ten).
-    # - `doc_quality_lm_calibration` (plans/text.py - gate-agreement
-    #   diagnostic: quality-score deciles vs mean LM bits/token, the
-    #   cheap-vs-expensive filter alignment table; adjacent oracle
-    #   builder-verified value-exact at sf0.001 AND sf0.01;
-    #   test_doc_quality_lm_calibration_matches_duckdb_twin is the dry
-    #   run; r15-tail candidate behind the r14 recommended ten).
-    # - `doc_context_windows_bpe_audit` (plans/pipeline.py - tokenizer-
-    #   TRUE context windows: trained 20-merge BPE counts as the packing
-    #   weight; the five-invariant constant-boolean contract is in the
-    #   pre-stage comment, all booleans builder-verified TRUE at sf0.001
-    #   AND sf0.01; test_doc_context_windows_bpe_audit_contract is the
-    #   dry run. The production `doc_context_windows_bpe` itself is the
-    #   rows-only candidate - trained-tokenizer counts are not
-    #   SQL-expressible, so the audit carries the hash gate; both are
-    #   property-tested end-to-end vs the python twin).
+    # ---- Round-14 window (positions 0-49) ----
+    # Rotation hygiene (VERDICT r13 "What's wrong" #2): rows-only names
+    # are EXCLUDED from driver windows from now on — they can only
+    # produce `err: no_oracle` rows; their contracts ride the adjacent
+    # green oracle-bearing audits. 18 registered rows-only queries stay
+    # reachable by name and in the full sweep.
+    #
+    # New in round 14 — the ten pre-staged r12/r13 operators registered
+    # this round (VERDICT r13 brief #1), flagship composition first:
+    "stream_gated_corpus_audit",
+    "training_corpus_resampled",
+    "training_corpus_resampled_repeats",
+    "training_corpus_interleaved",
+    "doc_length_bucket_batches",
+    "batch_padding_efficiency",
+    "corpus_filter_waterfall_by_source",
+    "doc_context_windows_bpe_audit",
+    "training_recipe_manifest_audit",
+    "customer_revenue_gini_distributed",
+    # r9-cohort tail (21 oracle-bearing of the 33 remaining; the 12
+    # rows-only r9 names — product_clusters, ann_lsh_topk,
+    # cluster_profile, clustering_quality, dedup_embedding_lsh,
+    # embedding_clusters, sequence_embeddings_lstm, ann_ivf_topk,
+    # ann_pq_topk, cluster_trajectories, dedup_simhash, features_pca —
+    # are out per the hygiene rule above; their audits are all
+    # separately attested). Clearing these raises the oracle-bearing
+    # attestation floor to r10.
     "basket_pagerank_audit",
     "lineitem_replica_checksum",
-    "product_clusters",
-    "ann_lsh_topk",
-    "cluster_profile",
-    "clustering_quality",
-    "dedup_embedding_lsh",
-    "embedding_clusters",
-    "sequence_embeddings_lstm",
-    "ann_ivf_topk",
-    "ann_pq_topk",
     "ann_recall_audit",
     "category_rollup",
-    "cluster_trajectories",
     "contamination_check",
     "cube_category_priority",
     "customer_value_quartiles",
     "dedup_best_of_group",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dim_date_intervals",
     "doc_bpe_tokens",
     "doc_fingerprints",
@@ -261,8 +107,63 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_token_stats",
     "doc_top_terms",
     "events_stream_dedup",
-    "features_pca",
-    # r10 cohort and everything else follow in registration order.
+    # r10 cohort, first 19 oracle-bearing (r10-window order; the other
+    # 26 pre-stage r15 below the boundary).
+    "ann_index_incremental_audit",
+    "dedup_span_scrub",
+    "stream_refresh_audit",
+    "table_compaction_audit",
+    "dedup_minhash_index_audit",
+    "table_stats_audit",
+    "training_corpus_scrubbed",
+    "bpe_train_audit",
+    "bpe_encode_audit",
+    "interval_join_per_product",
+    "media_metadata",
+    "order_priority_check",
+    "order_value_histogram",
+    "pivot_category_priority",
+    "quarterly_running_revenue",
+    "quarterly_sequences",
+    "returnflag_priority_split",
+    "sequence_arrays",
+    "sequence_embeddings",
+    # ---- window boundary (10 new + 21 r9 + 19 r10 fill the 50 slots
+    # exactly — judge-checkable at position 50) ----
+    # Round-15 rotation order (pre-staged): the 26 remaining r10-cohort
+    # oracle-bearing entries below lead round 15; at round-15 start, any
+    # NEW r15 queries insert at the very top of this list (keep <= ~10).
+    # Registration-ready r15 candidates (operators + twins + tests
+    # landed, only the @register deferred): `training_batches_audit`
+    # (plans/pipeline.py — the end-to-end corpus→batches composition),
+    # `coreset_maxmin_audit` (plans/similarity.py),
+    # `doc_quality_lm_calibration` (plans/text.py).
+    "stream_sessions_audit",
+    "training_corpus",
+    "trajectory_stats",
+    "value_segments_audit",
+    "anti_join_inactive_customers",
+    "category_pct_of_total",
+    "category_values",
+    "cluster_quality_audit",
+    "customer_order_setops",
+    "customer_revenue_distribution",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_audit",
+    "embedding_cluster_audit",
+    "events_funnel",
+    "events_props_stats",
+    "events_session_window",
+    "events_sessions",
+    "events_sliding_qtr_hour",
+    "events_stream_attribution",
+    "events_stream_hourly",
+    "events_stream_topk",
+    "events_tumbling_hourly",
+    "global_metrics",
+    "latest_order_top1",
+    "lstm_quality_audit",
 ]
 
 

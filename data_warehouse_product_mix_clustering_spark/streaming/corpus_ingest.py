@@ -10,9 +10,11 @@ training-corpus gate pipeline — exact dedup (batch-internal keep-lowest
 ``operators/dedup.py::incremental_dedup``), non-empty tokenization,
 language, quality, token budget (the same shared expressions
 ``plans/text.py::gated_corpus`` binds) — appends the survivors, and
-logs one row per (gate stage, source) so BOTH attrition waterfalls —
-corpus-wide and per-source — are maintained INCREMENTALLY (summing the
-per-batch log reproduces the batch waterfalls).
+logs one row per (gate stage, source) — doc count AND whitespace-token
+sum — so BOTH attrition waterfalls (corpus-wide and per-source) AND the
+per-source token MIXTURE are maintained INCREMENTALLY (summing the
+per-batch log reproduces the batch waterfalls; ``read_source_mixture``
+reproduces ``source_mixture_weights`` from the log alone).
 
 Why a SEEN-fingerprint store separate from survivors: batch semantics
 keep the lowest-doc_id representative per fingerprint and THEN gate it —
@@ -60,8 +62,13 @@ SURVIVOR_SCHEMA = (
     "doc_id bigint, lang string, n_tokens bigint, quality_score double"
 )
 SEEN_SCHEMA = "fingerprint string"
+# One row per (batch, gate stage, source): doc count AND whitespace-token
+# sum of the docs standing at that stage — the token column is what makes
+# the mixture (per-source token shares) incrementally maintainable from
+# the log alone (``read_source_mixture``), with no corpus re-scan.
 GATE_LOG_SCHEMA = (
-    "stage string, stage_order bigint, source string, n_docs bigint"
+    "stage string, stage_order bigint, source string, n_docs bigint, "
+    "n_tokens bigint"
 )
 
 # Telescoping stage names, in gate order (mirrors gated_corpus's plan:
@@ -125,6 +132,49 @@ def read_gate_waterfall_by_source(
     )
 
 
+def read_source_mixture(
+    spark: SparkSession, corpus_dir: str, stage: str = "deduped"
+) -> DataFrame:
+    """Per-source mixture accounting derived from the incrementally-
+    maintained gate log — the streamed twin of
+    ``plans/pipeline.py::source_mixture_weights`` (same columns, same
+    ratio rounding), with zero corpus re-scan: the log already carries
+    per-(batch, stage, source) doc counts and whitespace-token sums, so
+    the mixture is a |log|-row groupBy + a |sources|-row window.
+
+    ``stage`` picks where in the gate funnel the mixture is measured;
+    the default ``"deduped"`` is the batch twin's semantics — the
+    deduped union of all ingested batches IS the de-duplicated document
+    relation ``_per_source_tokens`` scans (first-arrival dedup ≡
+    keep-lowest on ordered slices), so the audited equality
+    (``mixture_matches_batch`` on ``stream_gated_corpus_audit``) is
+    exact, not approximate."""
+    from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+    log = _read_store(spark, corpus_dir, "gate_log", GATE_LOG_SCHEMA)
+    per_src = (
+        log.filter(F.col("stage") == stage)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        ratio_round(obs).alias("observed_share"),
+        ratio_round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / obs).alias(
+            "uniform_weight"
+        ),
+    )
+
+
 def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
     (
         df.withColumn(BATCH_COL, F.lit(batch_id))
@@ -180,6 +230,7 @@ def gated_ingest_batch(
         "lang",
         "source",
         F.size("bt").cast("long").alias("n_tokens"),
+        F.size("t").cast("long").alias("__nws"),  # mixture base: whitespace tokens
         quality_score(F.col("t")).alias("quality_score"),
         (F.size("t") > 0).alias("__tok"),
     ).select(
@@ -196,26 +247,40 @@ def gated_ingest_batch(
     def _n(flag: str):
         return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
 
-    # PER-SOURCE stage counts (|sources|-row relations): "ingested"
-    # counts the raw batch; dedup survivors attribute to the KEPT row's
-    # source (the by-source batch waterfall's semantics). Full outer +
-    # zero-fill keeps a source whose batch rows were ALL duplicates.
+    def _tn(flag: str):
+        return F.sum(F.when(F.col(flag), F.col("__nws")).otherwise(0)).cast("long")
+
+    # PER-SOURCE stage counts + whitespace-token sums (|sources|-row
+    # relations): "ingested" counts the raw batch; dedup survivors
+    # attribute to the KEPT row's source (the by-source batch waterfall's
+    # semantics). Full outer + zero-fill keeps a source whose batch rows
+    # were ALL duplicates. The token column makes the mixture derivable
+    # from the log (``read_source_mixture``) with no corpus re-scan.
     ingested = batch_df.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("c_in")
+        F.count(F.lit(1)).cast("long").alias("c_in"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("t_in"),
     )
     gates = flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("c_dedup"),
+        F.sum("__nws").cast("long").alias("t_dedup"),
         _n("__tok").alias("c_tok"),
+        _tn("__tok").alias("t_tok"),
         _n("__lang").alias("c_lang"),
+        _tn("__lang").alias("t_lang"),
         _n("__qual").alias("c_qual"),
+        _tn("__qual").alias("t_qual"),
         _n("__keep").alias("c_keep"),
+        _tn("__keep").alias("t_keep"),
     )
     per_src = ingested.join(gates, "source", "full_outer").fillna(0)
     stage_cols = ["c_in", "c_dedup", "c_tok", "c_lang", "c_qual", "c_keep"]
+    token_cols = ["t_in", "t_dedup", "t_tok", "t_lang", "t_qual", "t_keep"]
     log_rows = [
-        (stage, i, r["source"], int(r[c]))
+        (stage, i, r["source"], int(r[c]), int(r[tc]))
         for r in per_src.collect()  # ≤ |sources| rows — dimension-sized
-        for i, (stage, c) in enumerate(zip(GATE_STAGES, stage_cols))
+        for i, (stage, c, tc) in enumerate(
+            zip(GATE_STAGES, stage_cols, token_cols)
+        )
     ]
     counts = [sum(r[3] for r in log_rows if r[0] == st) for st in GATE_STAGES]
     assert counts[0] == n_in  # per-source rows must cover the batch

@@ -1178,9 +1178,10 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-13 window is exactly 1 carried + 10 new + 22 r8-cohort +
-    17 r9-cohort names, and the in-window boundary name is the
-    documented one."""
+    round-14 window is exactly 10 new + 21 r9-cohort + 19 r10-cohort
+    names, every window slot is oracle-bearing (VERDICT r13 hygiene
+    rule: rows-only names cannot earn hash rows and stay out of
+    windows), and the in-window boundary name is the documented one."""
     from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
 
     qs = all_queries()
@@ -1190,12 +1191,15 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "semantic_dedup_sweep_audit",
-        "doc_lang_logprob",
-        "training_corpus_lm_by_lang",
+        "stream_gated_corpus_audit",
+        "training_corpus_resampled",
+        "training_corpus_resampled_repeats",
     ]
-    assert window[10] == "stream_semantic_ingest_audit"
-    assert window[49] == "checked_write_audit"
+    assert window[9] == "customer_revenue_gini_distributed"
+    assert window[10] == "basket_pagerank_audit"
+    assert window[49] == "sequence_embeddings"
+    rows_only_in_window = [n for n in window if qs[n].oracle is None]
+    assert not rows_only_in_window, rows_only_in_window
 
 
 def test_semantic_dedup_incremental_audit_dry_run(spark):

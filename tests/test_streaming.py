@@ -566,13 +566,14 @@ def test_ingest_reseed_with_stale_checkpoint_refuses_loudly(spark, tmp_path):
 
 
 def test_stream_gated_corpus_audit_dry_run(spark):
-    """plans/pipeline.py::stream_gated_corpus_audit (pre-staged) — all
-    five contract booleans hold at smoke SF: streamed survivors equal
-    the batch gated_corpus, the incrementally-summed gate log equals the
-    batch waterfall, checkpoint rerun is a no-op, same-batch replay is
-    idempotent, and the injected cross-batch duplicate drops at the
-    dedup stage. The registration pastes the function plus its
-    constant-boolean oracle, so this test IS the dry run."""
+    """plans/pipeline.py::stream_gated_corpus_audit (registered r14) —
+    all seven contract booleans hold at smoke SF: streamed survivors
+    equal the batch gated_corpus, the incrementally-summed gate log
+    equals the batch waterfall (corpus-wide AND per-source), the mixture
+    derived from the log alone equals the registered
+    source_mixture_weights, checkpoint rerun is a no-op, same-batch
+    replay is idempotent, and the injected cross-batch duplicate drops
+    at the dedup stage."""
     from data_warehouse_product_mix_clustering_spark.plans.pipeline import stream_gated_corpus_audit
     from conftest import SF_SMOKE
 
@@ -580,9 +581,46 @@ def test_stream_gated_corpus_audit_dry_run(spark):
     assert row.matches_batch
     assert row.waterfall_consistent
     assert row.by_source_consistent
+    assert row.mixture_matches_batch
     assert row.rerun_is_noop
     assert row.replay_idempotent
     assert row.dedup_bites
+
+
+def test_read_source_mixture_matches_batch_weights(spark, tmp_path):
+    """streaming/corpus_ingest.py::read_source_mixture — the mixture
+    derived from the incrementally-maintained gate log (zero corpus
+    re-scan) equals plans/pipeline.py::source_mixture_weights computed
+    over the same documents, after two batches whose union (post-dedup)
+    is exactly the documents relation (VERDICT r13 brief #5)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import source_mixture_weights
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from data_warehouse_product_mix_clustering_spark.streaming.corpus_ingest import (
+        gated_ingest_batch,
+        read_source_mixture,
+    )
+    from conftest import SF_SMOKE
+
+    corpus_dir = str(tmp_path / "corpus")
+    docs = table(spark, "documents", SF_SMOKE).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    knobs = dict(lang="en", quality_min=0.3, tok_lo=5, tok_hi=500)
+    gated_ingest_batch(
+        spark, docs.filter(F.col("doc_id") < 200), 0, corpus_dir, **knobs
+    )
+    gated_ingest_batch(
+        spark, docs.filter(F.col("doc_id") >= 200), 1, corpus_dir, **knobs
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(read_source_mixture(spark, corpus_dir))
+    want = rows(source_mixture_weights(spark, SF_SMOKE))
+    assert got == want
 
 
 def test_gated_ingest_zero_survivor_batch_does_not_wedge(spark, tmp_path):
