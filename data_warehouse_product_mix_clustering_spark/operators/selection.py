@@ -83,10 +83,9 @@ def maxmin_coreset(
         if fdist == 0.0:
             break  # every remaining vector duplicates a pick — k exhausted
         picks.append((fid, fdist))
-        center = [
-            float(x)
-            for x in cur.filter(F.col("__id") == fid).collect()[0]["__v"]
-        ]
+        # the top-1 row already carries the pick's vector — no second scan
+        # (one distributed job per pick, not two)
+        center = [float(x) for x in far[0]["__v"]]
     return picks
 
 
