@@ -2366,3 +2366,56 @@ def test_maxmin_coreset_edges(spark):
         maxmin_coreset(three, "id", "v", 0)
     empty = spark.createDataFrame([], "id long, v array<float>")
     assert maxmin_coreset(empty, "id", "v", 2) == []
+
+
+def test_training_batches_audit_contract(spark):
+    """plans/pipeline.py::training_batches_audit (pre-staged r15) returns
+    all-TRUE at sf0.001: the one-call corpus→batches composition
+    conserves tokens corpus→windows→batches, ships exact dense-tensor
+    batch shapes, carries interleave prefix-fairness through to batch
+    order, rebuilds to the same fingerprint from a JSON-roundtripped
+    recipe, and — the deployment-shape claim — equals the same five
+    stages run as separate parquet-materialized jobs with reshuffled
+    layouts. This test IS the registration's dry run."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import training_batches_audit
+
+    row = training_batches_audit(spark, SF_SMOKE).collect()[0]
+    assert row["tokens_conserved"]
+    assert row["batches_exact"]
+    assert row["prefix_fair"]
+    assert row["fingerprint_reproducible"]
+    assert row["matches_staged"]
+    assert row["contract_bites"]
+
+
+def test_training_batches_plan_shape(spark):
+    """plans/pipeline.py::training_batches structural receipts at
+    sf0.001 beyond the audit booleans: the output schema is the
+    documented gather plan, positions are a contiguous 1..N total order
+    over the resampled survivors, every (seq_id, seq_offset) window
+    cell is unique (no overlapping slices), and batch_id is exactly
+    seq_id DIV batch_size."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _BATCH_SIZE,
+        training_batches,
+    )
+
+    plan = training_batches(spark, SF_SMOKE).localCheckpoint(eager=True)
+    assert plan.columns == [
+        "batch_id", "seq_id", "position", "doc_id", "source",
+        "slice_start", "slice_len", "seq_offset",
+    ]
+    pos = sorted(
+        r["position"] for r in plan.select("position").distinct().collect()
+    )
+    assert pos == list(range(1, len(pos) + 1))
+    n = plan.count()
+    assert plan.select("seq_id", "seq_offset").distinct().count() == n
+    assert (
+        plan.filter(
+            F.col("batch_id") != F.expr(f"seq_id DIV {_BATCH_SIZE}")
+        ).count()
+        == 0
+    )
