@@ -1641,6 +1641,142 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOREMI_TAU = 1.0  # reweighting temperature: excess bits → 2^(excess/τ)
+
+
+def _doremi_oracle() -> str:
+    t = sql_tokens("text")
+    return f"""
+        WITH toks AS (
+            SELECT source, {t} AS t FROM documents
+        ), tok AS (
+            SELECT source, unnest(t) AS word FROM toks
+        ), sw AS (
+            SELECT source, word, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), cw AS (
+            SELECT word, CAST(sum(c) AS BIGINT) AS c FROM sw GROUP BY 1
+        ), ct AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM cw
+        ), clm AS (
+            SELECT word, log2((c + 0.5) / (n + 0.5 * v)) AS logp_c
+            FROM cw, ct
+        ), st AS (
+            SELECT source, CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM sw GROUP BY 1
+        ), slm AS (
+            SELECT source, word, c,
+                   log2((c + 0.5) / (n + 0.5 * v)) AS logp_s
+            FROM sw JOIN st USING (source)
+        ), ex AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   {sql_ratio_round(
+                       "sum(c * (logp_s - logp_c)) / sum(c)"
+                   )} AS excess_bits
+            FROM slm JOIN clm USING (word)
+            GROUP BY 1
+        ), raw AS (
+            SELECT source, n_tokens, excess_bits,
+                   CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS obs,
+                   (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())
+                       * pow(2.0, excess_bits / {DOREMI_TAU}) AS w
+            FROM ex
+        )
+        SELECT source, n_tokens,
+               {sql_ratio_round("obs")} AS observed_share,
+               excess_bits,
+               {sql_ratio_round("w / sum(w) OVER ()")} AS doremi_weight
+        FROM raw
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("source_mixture_doremi", oracle=_doremi_oracle())
+def source_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    composed from the repo's LM ladder: per source, the EXCESS BITS a
+    generic corpus-wide unigram LM pays over the source's OWN in-domain
+    LM (the engine's stand-in for DoReMi's proxy-vs-reference loss gap —
+    how much a one-size-fits-all model underserves the domain), then the
+    exponentiated-gradient reweight w_s ∝ observed_share_s ·
+    2^(excess_s/τ), normalized. Domains with learnable headroom get
+    up-weighted; domains a generic model already fits get thinned —
+    the loss-aware alternative to the purely size-based
+    ``source_mixture_temperature``. One row per source: (source,
+    n_tokens, observed_share, excess_bits, doremi_weight); the weight
+    column drops into the same resample/interleave machinery the
+    temperature weights feed.
+
+    Determinism: excess_bits is 6-dp-snapped BEFORE exponentiation, so
+    both engines raise 2 to the identical double; the final weight takes
+    the nudged ratio round (the pow last-ulp discipline
+    ``source_mixture_temperature`` established).
+
+    Scale: ONE (source, word) shuffle builds the count relation both
+    LMs derive from (the ``source_token_kl`` cost shape); the corpus LM
+    is a second groupBy of it; scoring is a vocabulary-sized join (not
+    a corpus re-scan — integer counts carry the token mass); the share/
+    normalize windows run over |sources| rows. No Python anywhere."""
+    a = 0.5  # additive smoothing, the operators/lm.py default
+    docs = table(spark, "documents", sf_dir)
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+    sw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)  # read by both LM fits + the scoring join
+    cw = sw.groupBy("word").agg(F.sum("c").cast("long").alias("c"))
+    ct = F.broadcast(
+        cw.agg(
+            F.sum("c").cast("double").alias("__n"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+        )
+    )
+    clm = cw.crossJoin(ct).select(
+        "word",
+        F.log2(
+            (F.col("c") + F.lit(a)) / (F.col("__n") + F.lit(a) * F.col("__v"))
+        ).alias("logp_c"),
+    )
+    st = F.broadcast(
+        sw.groupBy("source").agg(
+            F.sum("c").cast("double").alias("__n"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+        )
+    )
+    slm = sw.join(st, "source").select(
+        "source",
+        "word",
+        "c",
+        F.log2(
+            (F.col("c") + F.lit(a)) / (F.col("__n") + F.lit(a) * F.col("__v"))
+        ).alias("logp_s"),
+    )
+    ex = (
+        slm.join(clm, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            ratio_round(
+                F.sum(F.col("c") * (F.col("logp_s") - F.col("logp_c")))
+                / F.sum("c")
+            ).alias("excess_bits"),
+        )
+    )
+    w = Window.partitionBy()
+    obs = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    raw = obs * F.pow(F.lit(2.0), F.col("excess_bits") / F.lit(DOREMI_TAU))
+    return ex.select(
+        "source",
+        "n_tokens",
+        ratio_round(obs).alias("observed_share"),
+        "excess_bits",
+        ratio_round(raw / F.sum(raw).over(w)).alias("doremi_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Applying the temperature weights: the resampled corpus (VERDICT r12 #6).
 # `source_mixture_temperature` PRODUCES target weights; this query APPLIES

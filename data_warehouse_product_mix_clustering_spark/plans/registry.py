@@ -134,10 +134,22 @@ _DRIVER_PRIORITY: list[str] = [
     # oracle-bearing entries below lead round 15; at round-15 start, any
     # NEW r15 queries insert at the very top of this list (keep <= ~10).
     # Registration-ready r15 candidates (operators + twins + tests
-    # landed, only the @register deferred): `training_batches_audit`
-    # (plans/pipeline.py — the end-to-end corpus→batches composition),
-    # `coreset_maxmin_audit` (plans/similarity.py),
-    # `doc_quality_lm_calibration` (plans/text.py).
+    # landed, only the @register deferred), recommended order:
+    #   1. training_batches_audit (plans/pipeline.py — the end-to-end
+    #      corpus→batches composition; six contract booleans
+    #      builder-verified TRUE at sf0.001 AND sf0.01;
+    #      test_training_batches_audit_contract is the dry run)
+    #   2. coreset_maxmin_audit (plans/similarity.py; five booleans
+    #      TRUE at both SFs; test_coreset_maxmin_audit_contract)
+    #   3. source_mixture_doremi (plans/pipeline.py — DoReMi-style
+    #      loss-aware domain reweighting from the LM ladder; adjacent
+    #      oracle builder-verified value-exact at sf0.001 AND sf0.01;
+    #      test_source_mixture_doremi_matches_duckdb_twin)
+    #   4. doc_quality_lm_calibration (plans/text.py; twin-exact at
+    #      both SFs; test dry run landed r13)
+    #   5. rows-only tail (audits above carry their contracts):
+    #      training_batches, coreset_maxmin_sample — register outside
+    #      the window like doc_context_windows_bpe.
     "stream_sessions_audit",
     "training_corpus",
     "trajectory_stats",

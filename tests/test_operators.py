@@ -2419,3 +2419,38 @@ def test_training_batches_plan_shape(spark):
         ).count()
         == 0
     )
+
+
+def test_source_mixture_doremi_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_mixture_doremi (pre-staged r15) ≡ its
+    adjacent DuckDB oracle at sf0.001, plus the method's invariants:
+    weights normalize to 1, every domain's excess bits is nonnegative
+    (its own LM cannot fit it worse than the corpus LM does — both are
+    additive-smoothed MLE fits of the same counts), and the reweight
+    moves mass toward higher-excess domains relative to size-only
+    sampling (sign of (doremi_weight − observed_share) tracks excess
+    vs the mixture-average excess)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _doremi_oracle,
+        source_mixture_doremi,
+    )
+
+    got = source_mixture_doremi(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_doremi_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert abs(got["doremi_weight"].sum() - 1.0) < 1e-4
+    assert (got["excess_bits"] >= 0).all()
+    # exponentiated reweight: above-average-excess domains gain share
+    avg_excess = (got["excess_bits"] * got["observed_share"]).sum()
+    gained = got[got["doremi_weight"] > got["observed_share"] + 1e-9]
+    assert (gained["excess_bits"] > avg_excess - 0.02).all()
