@@ -1778,6 +1778,185 @@ def source_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Budget-constrained mixture: exact water-filling. The temperature/DoReMi
+# queries answer "what SHARES"; a training run also has a hard TOKEN BUDGET.
+# Water-filling allocates B tokens at target shares, capping each source at
+# what it actually has and redistributing the slack — the classic
+# max-min-fair allocation, here engine-deterministic.
+# ---------------------------------------------------------------------------
+
+BUDGET_ALPHA = 0.0  # uniform target: equal parts per source (α-generic code)
+BUDGET_FRAC = 0.95  # token budget as a fraction of the corpus
+_GU = 1_000_000  # target shares as integer micro-units (exact prefix sums)
+
+
+def _budget_allocation_oracle() -> str:
+    return f"""
+        {_PER_SRC_CTE}
+        , tot AS (
+            SELECT CAST(sum(total_tokens) AS BIGINT) AS tt FROM per_src
+        ), tgtu AS (
+            SELECT source, total_tokens AS t, tt,
+                   CAST(round({_GU} *
+                        pow(CAST(total_tokens AS DOUBLE) / tt, {BUDGET_ALPHA})
+                        / sum(pow(CAST(total_tokens AS DOUBLE) / tt,
+                                  {BUDGET_ALPHA})) OVER (), 0) AS BIGINT) AS gu
+            FROM per_src, tot
+        ), ranked AS (
+            SELECT *, CAST(round({BUDGET_FRAC} * tt, 0) AS BIGINT) AS b,
+                   CAST(t AS DOUBLE) / gu AS r,
+                   row_number() OVER (
+                       ORDER BY CAST(t AS DOUBLE) / gu, source) AS rk,
+                   sum(gu) OVER () AS gtot
+            FROM tgtu
+        ), lams AS (
+            SELECT *,
+                   (b - COALESCE(sum(t) OVER (
+                        ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0))
+                   / CAST(gtot - COALESCE(sum(gu) OVER (
+                        ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS DOUBLE) AS lam
+            FROM ranked
+        ), star AS (
+            SELECT *, min(CASE WHEN lam < r THEN rk END) OVER () AS jstar
+            FROM lams
+        ), lamstar AS (
+            SELECT *, max(CASE WHEN rk = jstar THEN lam END) OVER () AS ls
+            FROM star
+        )
+        SELECT source, t AS total_tokens,
+               {sql_ratio_round(f"gu / {_GU}.0")} AS target_share,
+               CAST(round(CASE WHEN ls IS NULL OR ls * gu >= t THEN t
+                               ELSE ls * gu END, 0) AS BIGINT) AS alloc_tokens,
+               {sql_ratio_round(
+                   "CASE WHEN ls IS NULL OR ls * gu >= t THEN 1.0"
+                   " ELSE ls * gu / t END")} AS keep_rate,
+               (ls IS NULL OR ls * gu >= t) AS saturated
+        FROM lamstar
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("source_budget_allocation", oracle=_budget_allocation_oracle())
+def source_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact water-filling of a token budget across sources: allocate
+    B = {BUDGET_FRAC}·|corpus| tokens at the target shares (α = 0 →
+    equal parts per source), capping each source at the tokens it
+    actually HAS and redistributing the slack to the rest — the
+    max-min-fair allocation a budgeted recipe runs when targets exceed
+    small sources' inventory (the pure-rate temperature resample cannot
+    hit a budget: it has no feedback from saturated sources). Closed
+    form, no iteration: sources sorted by inventory-to-target ratio
+    saturate in order; for each candidate frontier k the water level
+    λ(k) = (B − Σ_{{sat}} T) / Σ_{{unsat}} g is a prefix-sum expression,
+    and the true frontier is the first row with λ < T/g. One row per
+    source: (source, total_tokens, target_share, alloc_tokens,
+    keep_rate, saturated); Σ alloc_tokens = B up to per-source rounding.
+
+    Engine determinism (the discrete-frontier risk): target shares are
+    snapped to integer MICRO-UNITS first, so every prefix sum in the
+    frontier search is integer-exact and order-free; the sort key and
+    every λ are single IEEE divisions of identical integers — both
+    engines pick the identical frontier row, provably, not just at 6 dp.
+    (α ≠ 0 would put a pow() inside the share sum — then micro-unit
+    snapping still bounds the drift to one µunit per source, the same
+    class the temperature query documents.)
+
+    Scale: one scan + one dimension-sized groupBy; everything after is
+    windows over |sources| rows."""
+    per_src = _per_source_tokens(spark, sf_dir)
+    w = Window.partitionBy()
+    tt = F.sum("total_tokens").over(w)
+    obs = F.col("total_tokens").cast("double") / tt
+    tgt = F.pow(obs, F.lit(BUDGET_ALPHA)) / F.sum(
+        F.pow(obs, F.lit(BUDGET_ALPHA))
+    ).over(w)
+    base = per_src.select(
+        "source",
+        F.col("total_tokens").alias("t"),
+        F.round(F.lit(_GU) * tgt, 0).cast("long").alias("gu"),
+        F.round(F.lit(BUDGET_FRAC) * tt, 0).cast("long").alias("b"),
+    ).withColumn("r", F.col("t").cast("double") / F.col("gu"))
+    pre = Window.orderBy("r", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lams = base.select(
+        "*",
+        F.row_number().over(Window.orderBy("r", "source")).alias("rk"),
+        (
+            (F.col("b") - F.coalesce(F.sum("t").over(pre), F.lit(0)))
+            / (
+                F.sum("gu").over(w)
+                - F.coalesce(F.sum("gu").over(pre), F.lit(0))
+            ).cast("double")
+        ).alias("lam"),
+    )
+    star = lams.withColumn(
+        "jstar", F.min(F.when(F.col("lam") < F.col("r"), F.col("rk"))).over(w)
+    ).withColumn(
+        "ls", F.max(F.when(F.col("rk") == F.col("jstar"), F.col("lam"))).over(w)
+    )
+    sat = F.col("ls").isNull() | (F.col("ls") * F.col("gu") >= F.col("t"))
+    return star.select(
+        "source",
+        F.col("t").alias("total_tokens"),
+        ratio_round(F.col("gu") / F.lit(float(_GU))).alias("target_share"),
+        F.round(
+            F.when(sat, F.col("t").cast("double")).otherwise(
+                F.col("ls") * F.col("gu")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+        ratio_round(
+            F.when(sat, F.lit(1.0)).otherwise(
+                F.col("ls") * F.col("gu") / F.col("t")
+            )
+        ).alias("keep_rate"),
+        sat.alias("saturated"),
+    )
+
+
+def _budgeted_corpus_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    frac = _hex_fraction_sql("CAST(doc_id AS STRING)")
+    return f"""
+        WITH alloc AS ({_budget_allocation_oracle()})
+        SELECT d.doc_id, d.source, a.keep_rate
+        FROM documents d JOIN alloc a ON d.source = a.source
+        WHERE {frac} < a.keep_rate
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("training_corpus_budgeted", oracle=_budgeted_corpus_oracle())
+def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The water-filled allocation APPLIED: the budgeted corpus —
+    every source thinned to its ``source_budget_allocation`` keep rate
+    by the shared md5 hex-fraction draw (RNG-free, partitioning- and
+    engine-independent; expected kept tokens per source = its
+    allocation, so the whole corpus lands on the B-token budget in
+    expectation). Saturated sources ride through at 100%. The same
+    rates→corpus closure as ``training_corpus_resampled``, with
+    allocation rates instead of pure temperature rates. Scale: the
+    dimension-sized allocation broadcast back onto documents + a pure
+    per-row filter."""
+    from data_warehouse_product_mix_clustering_spark.plans.sql_api import _hex_fraction_sql
+
+    rates = source_budget_allocation(spark, sf_dir).select("source", "keep_rate")
+    docs = table(spark, "documents", sf_dir).select("doc_id", "source")
+    frac = F.expr(_hex_fraction_sql("CAST(doc_id AS STRING)"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Applying the temperature weights: the resampled corpus (VERDICT r12 #6).
 # `source_mixture_temperature` PRODUCES target weights; this query APPLIES
 # them — the weights → corpus closure, the same move the LM gate made for

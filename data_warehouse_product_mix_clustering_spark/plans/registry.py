@@ -147,7 +147,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      test_source_mixture_doremi_matches_duckdb_twin)
     #   4. doc_quality_lm_calibration (plans/text.py; twin-exact at
     #      both SFs; test dry run landed r13)
-    #   5. rows-only tail (audits above carry their contracts):
+    #   5. source_budget_allocation + training_corpus_budgeted
+    #      (plans/pipeline.py — exact water-filling of a token budget,
+    #      integer-µunit frontier so both engines pick the identical
+    #      saturation set; adjacent oracles value-exact at sf0.001 AND
+    #      sf0.01; test_source_budget_allocation_matches_duckdb_twin /
+    #      test_training_corpus_budgeted_matches_duckdb_twin)
+    #   6. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample — register outside
     #      the window like doc_context_windows_bpe.
     "stream_sessions_audit",

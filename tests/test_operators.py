@@ -2454,3 +2454,83 @@ def test_source_mixture_doremi_matches_duckdb_twin(spark):
     avg_excess = (got["excess_bits"] * got["observed_share"]).sum()
     gained = got[got["doremi_weight"] > got["observed_share"] + 1e-9]
     assert (gained["excess_bits"] > avg_excess - 0.02).all()
+
+
+def test_source_budget_allocation_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_budget_allocation (pre-staged r15) ≡
+    its adjacent DuckDB oracle at sf0.001, plus the water-filling
+    invariants: Σ alloc_tokens hits the budget to within per-source
+    rounding, saturation actually bites (some sources capped, some
+    not — the frontier search is exercised), saturated sources keep
+    100%, and no source is allocated more than it has."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        BUDGET_FRAC,
+        _budget_allocation_oracle,
+        source_budget_allocation,
+    )
+
+    got = source_budget_allocation(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_budget_allocation_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+    budget = round(BUDGET_FRAC * got["total_tokens"].sum())
+    assert abs(got["alloc_tokens"].sum() - budget) <= len(got)
+    assert 0 < got["saturated"].sum() < len(got)
+    sat = got[got["saturated"]]
+    assert (sat["alloc_tokens"] == sat["total_tokens"]).all()
+    assert (sat["keep_rate"] == 1.0).all()
+    assert (got["alloc_tokens"] <= got["total_tokens"]).all()
+
+
+def test_training_corpus_budgeted_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_budgeted (pre-staged r15) ≡
+    its adjacent DuckDB oracle at sf0.001, and the rates→corpus closure
+    holds: every saturated source rides through complete, no source
+    keeps more docs than it has, and the corpus as a whole is thinned
+    (per-source thinning is in EXPECTATION — a small unsaturated source
+    at rate ~0.95 can keep everything by hash luck, so only the
+    saturated direction is deterministic per source)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _budgeted_corpus_oracle,
+        source_budget_allocation,
+        training_corpus_budgeted,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+    from pyspark.sql import functions as F
+
+    got = training_corpus_budgeted(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_budgeted_corpus_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    alloc = source_budget_allocation(spark, SF_SMOKE).toPandas()
+    docs = (
+        table(spark, "documents", SF_SMOKE)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    kept = got.groupby("source").size()
+    for _, row in alloc.iterrows():
+        n_src = int(docs[docs["source"] == row["source"]]["n"].iloc[0])
+        n_kept = int(kept.get(row["source"], 0))
+        assert n_kept <= n_src, row["source"]
+        if row["saturated"]:
+            assert n_kept == n_src, row["source"]
+    assert len(got) < int(docs["n"].sum())
