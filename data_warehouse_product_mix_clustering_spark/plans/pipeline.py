@@ -183,6 +183,96 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination is stricter than the 0.2 contamination FLAG threshold:
+# a doc flagged for review at 20% overlap is obviously poisoned, but a
+# training corpus drops anything over 5% — the flag and the gate serve
+# different consumers (GPT-3's decontamination used any-13-gram-collision;
+# with 3-gram shingles on this corpus "any" would drop ~60%, so the ratio
+# gate is the honest analog).
+DECONTAM_THRESHOLD = 0.05
+
+
+def _decontaminated_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        CORPUS_LANG,
+        QUALITY_MIN,
+        TOKEN_BUDGET,
+    )
+
+    return f"""
+        WITH keep AS (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY {sql_fingerprint("text")}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), ctoks AS (
+            SELECT doc_id, lang, {sql_tokens("text")} AS t,
+                   {sql_bpe_tokens("text")} AS bt
+            FROM keep WHERE rn = 1
+        ), corpus AS (
+            SELECT doc_id, lang,
+                   CAST(len(bt) AS BIGINT) AS n_tokens,
+                   {sql_quality_score('t')} AS quality_score
+            FROM ctoks WHERE len(t) > 0
+              AND lang = '{CORPUS_LANG}'
+              AND {sql_quality_score('t')} >= {QUALITY_MIN}
+              AND len(bt) BETWEEN {TOKEN_BUDGET[0]} AND {TOKEN_BUDGET[1]}
+        ), toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({sql_word_ngrams("t", 3)})) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ), contam AS (
+            SELECT doc_id
+            FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+            GROUP BY doc_id
+            HAVING {sql_ratio_round(
+                "count(*) FILTER (shingle IN (SELECT shingle FROM ev))"
+                " * 1.0 / count(*)"
+            )} >= {DECONTAM_THRESHOLD}
+        )
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM corpus
+        WHERE doc_id % {EVAL_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("training_corpus_decontaminated", oracle=_decontaminated_oracle())
+def training_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination screen APPLIED — the detect→apply closure
+    (the same move the LM gate and the temperature weights made):
+    the gated training corpus minus (a) the held-out benchmark docs
+    themselves and (b) every train doc whose distinct-3-gram overlap
+    with the benchmark shingle set reaches DECONTAM_THRESHOLD — what a
+    training run actually ships after ``contamination_check`` reports.
+    Same output shape as ``training_corpus`` (doc_id, lang, n_tokens,
+    quality_score), so it drops into every downstream consumer
+    (resample/interleave/windows) unchanged.
+
+    Scale: the gate pipeline's one fingerprint shuffle + the
+    contamination screen's benchmark-sized broadcast semi-join + one
+    anti-join on doc_id — no new shuffle class; the shingle relation is
+    the ``contamination_check`` cost, paid once here."""
+    from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
+
+    corpus = gated_corpus(spark, sf_dir)
+    contaminated = (
+        contamination_check(spark, sf_dir)
+        .filter(F.col("overlap_ratio") >= DECONTAM_THRESHOLD)
+        .select("doc_id")
+    )
+    return (
+        corpus.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
 SOURCE_CAP = 5
 
 

@@ -153,7 +153,12 @@ _DRIVER_PRIORITY: list[str] = [
     #      saturation set; adjacent oracles value-exact at sf0.001 AND
     #      sf0.01; test_source_budget_allocation_matches_duckdb_twin /
     #      test_training_corpus_budgeted_matches_duckdb_twin)
-    #   6. rows-only tail (audits above carry their contracts):
+    #   6. training_corpus_decontaminated (plans/pipeline.py — the
+    #      contamination detect→apply closure: gated corpus minus eval
+    #      docs minus overlap-gated train docs; adjacent oracle
+    #      value-exact at sf0.001 AND sf0.01;
+    #      test_training_corpus_decontaminated_matches_duckdb_twin)
+    #   7. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample — register outside
     #      the window like doc_context_windows_bpe.
     "stream_sessions_audit",

@@ -2534,3 +2534,36 @@ def test_training_corpus_budgeted_matches_duckdb_twin(spark):
         if row["saturated"]:
             assert n_kept == n_src, row["source"]
     assert len(got) < int(docs["n"].sum())
+
+
+def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_decontaminated (pre-staged
+    r15) ≡ its adjacent DuckDB oracle at sf0.001, and BOTH exclusion
+    clauses bite: the held-out benchmark docs are gone AND at least one
+    train doc is dropped for shingle overlap beyond the eval exclusion
+    (the gate is exercised, not vacuous)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        EVAL_MOD,
+        _decontaminated_oracle,
+        training_corpus_decontaminated,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
+
+    got = training_corpus_decontaminated(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_decontaminated_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+    assert (got["doc_id"] % EVAL_MOD != 0).all()
+    gated = gated_corpus(spark, SF_SMOKE).toPandas()
+    n_eval_in_gated = int((gated["doc_id"] % EVAL_MOD == 0).sum())
+    assert n_eval_in_gated > 0  # the eval clause has something to remove
+    assert len(got) < len(gated) - n_eval_in_gated  # overlap clause bites too
