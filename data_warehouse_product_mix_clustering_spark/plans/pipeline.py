@@ -3209,13 +3209,15 @@ def _tb_gated_with_source(
 ) -> DataFrame:
     """Stage A: the gated corpus (ONE gate-pipeline definition —
     plans/text.py::gated_corpus, shared with training_corpus and the
-    manifest audit) with `source` re-attached for the mixture stages.
-    (doc_id, source, n_tokens)."""
+    manifest audit) with the mixture key carried through the same plan
+    (``keep_source`` — one projected column, not a second documents
+    scan + doc_id join). (doc_id, source, n_tokens)."""
     from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
 
-    g = gated_corpus(spark, sf_dir, lang, quality_min, tok_lo, tok_hi)
-    src = table(spark, "documents", sf_dir).select("doc_id", "source")
-    return g.join(src, "doc_id").select("doc_id", "source", "n_tokens")
+    g = gated_corpus(
+        spark, sf_dir, lang, quality_min, tok_lo, tok_hi, keep_source=True
+    )
+    return g.select("doc_id", "source", "n_tokens")
 
 
 def _tb_resample(gated: DataFrame, alpha: float) -> DataFrame:

@@ -392,34 +392,42 @@ def gated_corpus(
     quality_min: float = QUALITY_MIN,
     tok_lo: int = TOKEN_BUDGET[0],
     tok_hi: int = TOKEN_BUDGET[1],
+    keep_source: bool = False,
 ) -> DataFrame:
     """``training_corpus``'s gate pipeline with the recipe knobs as
     parameters — the registered query binds the module constants; the
     recipe-manifest audit (plans/pipeline.py) re-binds them from a
     persisted manifest to prove the recipe reproduces. One definition
     (the r12 gate-constant consolidation rule: a drifted copy of the
-    gates is exactly the bug class this prevents)."""
+    gates is exactly the bug class this prevents). ``keep_source``
+    carries the mixture key through the same plan for downstream
+    resamplers (training_batches) — one extra projected column instead
+    of a second documents scan + doc_id join; the registered query's
+    output schema is unchanged at the default."""
     from data_warehouse_product_mix_clustering_spark.functions.text import bpe_tokens, fingerprint
     from pyspark.sql import Window
 
+    extra = ["source"] if keep_source else []
     docs = table(spark, "documents", sf_dir)
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
     kept = (
         docs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("doc_id", "lang", "text")
+        .select("doc_id", "lang", "text", *extra)
     )
     t = kept.select(
         "doc_id",
         "lang",
         tokens(F.col("text")).alias("t"),
         bpe_tokens(F.col("text")).alias("bt"),
+        *extra,
     ).filter(F.size("t") > 0)
     scored = t.select(
         "doc_id",
         "lang",
         F.size("bt").cast("long").alias("n_tokens"),
         quality_score(F.col("t")).alias("quality_score"),
+        *extra,
     )
     return scored.filter(
         (F.col("lang") == lang)
