@@ -2545,6 +2545,7 @@ def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
     import duckdb
 
     from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        EVAL_CAP,
         EVAL_MOD,
         _decontaminated_oracle,
         training_corpus_decontaminated,
@@ -2562,8 +2563,10 @@ def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert g.shape == w.shape
     assert (g.astype(str).values == w.astype(str).values).all()
-    assert (got["doc_id"] % EVAL_MOD != 0).all()
+    is_eval = (got["doc_id"] % EVAL_MOD == 0) & (got["doc_id"] < EVAL_CAP)
+    assert not is_eval.any()
     gated = gated_corpus(spark, SF_SMOKE).toPandas()
-    n_eval_in_gated = int((gated["doc_id"] % EVAL_MOD == 0).sum())
+    gated_eval = (gated["doc_id"] % EVAL_MOD == 0) & (gated["doc_id"] < EVAL_CAP)
+    n_eval_in_gated = int(gated_eval.sum())
     assert n_eval_in_gated > 0  # the eval clause has something to remove
     assert len(got) < len(gated) - n_eval_in_gated  # overlap clause bites too
