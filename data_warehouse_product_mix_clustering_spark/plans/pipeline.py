@@ -1984,18 +1984,31 @@ def source_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan + one dimension-sized groupBy; everything after is
     windows over |sources| rows."""
-    per_src = _per_source_tokens(spark, sf_dir)
+    return waterfill_allocation(
+        _per_source_tokens(spark, sf_dir), BUDGET_ALPHA, BUDGET_FRAC
+    )
+
+
+def waterfill_allocation(
+    per_src: DataFrame, alpha: float, budget_frac: float
+) -> DataFrame:
+    """The water-filling math over any (source, total_tokens) relation —
+    factored from the registered query so property tests can feed
+    synthetic inventories and other recipes can allocate over GATED or
+    streamed per-source relations. Dimension-sized input by contract;
+    see ``source_budget_allocation`` for the algorithm and the
+    integer-µunit determinism argument (exact for α = 0; α ≠ 0 puts a
+    pow() inside the share sum — µunit snapping bounds the drift to one
+    µunit per source, the temperature query's documented class)."""
     w = Window.partitionBy()
     tt = F.sum("total_tokens").over(w)
     obs = F.col("total_tokens").cast("double") / tt
-    tgt = F.pow(obs, F.lit(BUDGET_ALPHA)) / F.sum(
-        F.pow(obs, F.lit(BUDGET_ALPHA))
-    ).over(w)
+    tgt = F.pow(obs, F.lit(alpha)) / F.sum(F.pow(obs, F.lit(alpha))).over(w)
     base = per_src.select(
         "source",
         F.col("total_tokens").alias("t"),
         F.round(F.lit(_GU) * tgt, 0).cast("long").alias("gu"),
-        F.round(F.lit(BUDGET_FRAC) * tt, 0).cast("long").alias("b"),
+        F.round(F.lit(budget_frac) * tt, 0).cast("long").alias("b"),
     ).withColumn("r", F.col("t").cast("double") / F.col("gu"))
     pre = Window.orderBy("r", "source").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2036,6 +2049,39 @@ def source_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_rate"),
         sat.alias("saturated"),
     )
+
+
+def waterfill_py(
+    tokens_by_source: dict[str, int], budget: int
+) -> dict[str, tuple[int, bool]]:
+    """Pure-python twin of ``waterfill_allocation`` at α = 0 (uniform
+    µunit targets) — the SAME arithmetic operation sequence in IEEE
+    doubles with HALF_UP rounding, so allocations match EXACTLY (no
+    tolerance). Returns {source: (alloc_tokens, saturated)}."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    s = len(tokens_by_source)
+    gu = _half_up(_GU * (1.0 / s))  # α = 0: identical share for every source
+    order = sorted(tokens_by_source, key=lambda k: (tokens_by_source[k] / gu, k))
+    sat_t, suf_g = 0, gu * s
+    lam = None
+    for src in order:
+        cand = (budget - sat_t) / float(suf_g)
+        if cand < tokens_by_source[src] / gu:
+            lam = cand
+            break
+        sat_t += tokens_by_source[src]
+        suf_g -= gu
+    out = {}
+    for src, t in tokens_by_source.items():
+        if lam is None or lam * gu >= t:
+            out[src] = (t, True)
+        else:
+            out[src] = (_half_up(lam * gu), False)
+    return out
 
 
 def _budgeted_corpus_oracle() -> str:

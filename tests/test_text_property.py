@@ -1169,3 +1169,47 @@ def test_doc_quality_lm_calibration_matches_duckdb_twin(spark):
     sizes = got.sort_values("decile")["n_docs"]
     assert sizes.max() - sizes.min() <= 1
     assert sizes.sum() == doc_unigram_logprob(spark, SF_SMOKE).count()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    inventories=st.lists(
+        st.integers(1, 2000), min_size=2, max_size=10
+    ),
+    frac_pct=st.integers(30, 99),
+)
+def test_waterfill_allocation_matches_python_twin(spark, inventories, frac_pct):
+    """plans/pipeline.py::waterfill_allocation ≡ waterfill_py on
+    ARBITRARY small inventories at α = 0 — allocations and saturation
+    flags exactly (the SAME IEEE arithmetic sequence + HALF_UP rounds
+    on both sides), plus the allocation laws: nothing exceeds
+    inventory, Σ alloc hits the budget to within per-source rounding,
+    and every unsaturated source sits at the common water level."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        waterfill_allocation,
+        waterfill_py,
+    )
+
+    toks = {f"s{i:02d}": t for i, t in enumerate(inventories)}
+    frac = frac_pct / 100.0
+    per_src = spark.createDataFrame(
+        [(s, t) for s, t in toks.items()], "source string, total_tokens long"
+    )
+    got = {
+        r["source"]: (int(r["alloc_tokens"]), bool(r["saturated"]))
+        for r in waterfill_allocation(per_src, 0.0, frac).collect()
+    }
+    total = sum(toks.values())
+    from decimal import ROUND_HALF_UP, Decimal
+
+    budget = int(
+        Decimal(repr(frac * total)).quantize(Decimal("1"), ROUND_HALF_UP)
+    )
+    want = waterfill_py(toks, budget)
+    assert got == want
+    assert all(a <= toks[s] for s, (a, _) in got.items())
+    assert abs(sum(a for a, _ in got.values()) - budget) <= len(toks)
