@@ -276,6 +276,21 @@ def training_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
     benchmark)."""
     from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
 
+    corpus = gated_corpus(spark, sf_dir)
+    return _apply_decontamination(spark, sf_dir, corpus).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+
+
+def _apply_decontamination(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """The decontamination EXCLUSION clauses (fixed-benchmark eval docs
+    out; overlap-gated train docs out) applied to any doc_id-keyed
+    relation — shared by ``training_corpus_decontaminated`` and the
+    ``training_batches(decontaminate=True)`` stage, so the gate cannot
+    drift between them. Gate-knob-independent by design: the clauses
+    reference only the benchmark anchor, never the quality gates."""
     docs = table(spark, "documents", sf_dir)
     sh = shingle_sets(docs, "doc_id", "text", n=3)
     is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_CAP)
@@ -294,12 +309,7 @@ def training_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("doc_id")
     )
-    corpus = gated_corpus(spark, sf_dir)
-    return (
-        corpus.filter(~is_eval)
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_tokens", "quality_score")
-    )
+    return corpus.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
 
 
 SOURCE_CAP = 5
@@ -3281,18 +3291,25 @@ def corpus_filter_waterfall_by_source(spark: SparkSession, sf_dir: str) -> DataF
 def _tb_gated_with_source(
     spark: SparkSession, sf_dir: str,
     lang: str, quality_min: float, tok_lo: int, tok_hi: int,
+    decontaminate: bool = False,
 ) -> DataFrame:
     """Stage A: the gated corpus (ONE gate-pipeline definition —
     plans/text.py::gated_corpus, shared with training_corpus and the
     manifest audit) with the mixture key carried through the same plan
     (``keep_source`` — one projected column, not a second documents
-    scan + doc_id join). (doc_id, source, n_tokens)."""
+    scan + doc_id join). ``decontaminate`` additionally applies the
+    fixed-benchmark exclusion (``training_corpus_decontaminated``'s
+    clauses — eval docs out, overlap-gated docs out) so the one-call
+    flow can ship benchmark-clean batches. (doc_id, source,
+    n_tokens)."""
     from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
 
     g = gated_corpus(
         spark, sf_dir, lang, quality_min, tok_lo, tok_hi, keep_source=True
-    )
-    return g.select("doc_id", "source", "n_tokens")
+    ).select("doc_id", "source", "n_tokens")
+    if decontaminate:
+        g = _apply_decontamination(spark, sf_dir, g)
+    return g
 
 
 def _tb_resample(gated: DataFrame, alpha: float) -> DataFrame:
@@ -3430,6 +3447,7 @@ def training_batches(
     alpha: float = MIXTURE_ALPHA,
     context_len: int = CONTEXT_LEN,
     batch_size: int = _BATCH_SIZE,
+    decontaminate: bool = False,
 ) -> DataFrame:
     """The one-call corpus→batches plan: gated corpus → temperature
     resample → stride interleave → trained-BPE weights → context
@@ -3439,7 +3457,10 @@ def training_batches(
     tensor writer executes. Deterministic end-to-end (hash draws, 6-dp
     key snapping, distributed exact ranks), so the same (data, recipe)
     always yields the same plan — the reproducibility claim
-    ``training_batches_audit`` holds it to.
+    ``training_batches_audit`` holds it to. ``decontaminate=True``
+    additionally applies the fixed-benchmark exclusion clauses
+    (``_apply_decontamination`` — shared with
+    ``training_corpus_decontaminated``) before the mixture stages.
 
     Scale: gate = one fingerprint shuffle + per-row expressions;
     resample = dimension-sized rates broadcast back; interleave = two
@@ -3457,7 +3478,10 @@ def training_batches(
     quality_min = QUALITY_MIN if quality_min is None else quality_min
     tok_lo = TOKEN_BUDGET[0] if tok_lo is None else tok_lo
     tok_hi = TOKEN_BUDGET[1] if tok_hi is None else tok_hi
-    gated = _tb_gated_with_source(spark, sf_dir, lang, quality_min, tok_lo, tok_hi)
+    gated = _tb_gated_with_source(
+        spark, sf_dir, lang, quality_min, tok_lo, tok_hi,
+        decontaminate=decontaminate,
+    )
     survivors = _tb_resample(gated, alpha)
     positioned = _tb_interleave(survivors)
     weighted = _tb_bpe_weights(spark, sf_dir, positioned)

@@ -2570,3 +2570,41 @@ def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
     n_eval_in_gated = int(gated_eval.sum())
     assert n_eval_in_gated > 0  # the eval clause has something to remove
     assert len(got) < len(gated) - n_eval_in_gated  # overlap clause bites too
+
+
+def test_training_batches_decontaminate_knob(spark):
+    """plans/pipeline.py::training_batches(decontaminate=True) composes
+    the fixed-benchmark exclusion into the one-call flow: no excluded
+    doc (eval or overlap-gated) appears in the clean plan, the plan
+    actually changes (the knob bites — note the doc set is NOT a strict
+    subset of the default plan's: the resample rates correctly track
+    the corpus being shipped, so a thinner source's keep rate rises),
+    and the plan stays structurally exact (every non-final window
+    tiles)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _apply_decontamination,
+        training_batches,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
+
+    base = training_batches(spark, SF_SMOKE).localCheckpoint(eager=True)
+    clean = training_batches(spark, SF_SMOKE, decontaminate=True).localCheckpoint(
+        eager=True
+    )
+    base_docs = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    clean_docs = {r["doc_id"] for r in clean.select("doc_id").distinct().collect()}
+    assert clean_docs != base_docs  # the knob bites
+    kept_after_decontam = {
+        r["doc_id"]
+        for r in _apply_decontamination(
+            spark, SF_SMOKE, gated_corpus(spark, SF_SMOKE)
+        ).select("doc_id").collect()
+    }
+    assert clean_docs <= kept_after_decontam  # nothing excluded leaks in
+    # structural exactness survives the knob
+    L = 64
+    per_win = clean.groupBy("seq_id").agg(F.sum("slice_len").alias("s"))
+    mx = clean.agg(F.max("seq_id")).first()[0]
+    assert per_win.filter((F.col("seq_id") < mx) & (F.col("s") != L)).count() == 0
