@@ -2608,3 +2608,22 @@ def test_training_batches_decontaminate_knob(spark):
     per_win = clean.groupBy("seq_id").agg(F.sum("slice_len").alias("s"))
     mx = clean.agg(F.max("seq_id")).first()[0]
     assert per_win.filter((F.col("seq_id") < mx) & (F.col("s") != L)).count() == 0
+
+
+def test_waterfill_budget_exceeds_inventory(spark):
+    """plans/pipeline.py::waterfill_allocation edge: a budget at or
+    above the whole inventory saturates every source (no unsaturated
+    frontier row exists, the NULL-water-level branch) — every
+    allocation equals its inventory at keep rate 1."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import waterfill_allocation
+
+    per_src = spark.createDataFrame(
+        [("a", 100), ("b", 300), ("c", 50)],
+        "source string, total_tokens long",
+    )
+    got = {r["source"]: r.asDict() for r in
+           waterfill_allocation(per_src, 0.0, 1.5).collect()}
+    for s, t in (("a", 100), ("b", 300), ("c", 50)):
+        assert got[s]["alloc_tokens"] == t
+        assert got[s]["keep_rate"] == 1.0
+        assert got[s]["saturated"]
