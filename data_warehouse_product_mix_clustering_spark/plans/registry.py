@@ -161,6 +161,15 @@ _DRIVER_PRIORITY: list[str] = [
     #   7. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample — register outside
     #      the window like doc_context_windows_bpe.
+    # Window arithmetic for r15: ~10 new + the 26 r10 names below +
+    # the first r11-cohort oracle-bearing names (r11-window order) to
+    # fill 50 exactly. The r11 cohort leads with: doc_unigram_logprob,
+    # semantic_dedup_audit, nation_revenue, orders_above_customer_avg,
+    # pca_variance_audit, pricing_summary, product_pagination,
+    # product_search, promo_revenue_pct, quarter_rollup,
+    # recent_activity, returnflag_stats, revenue_grouping_sets,
+    # semi_join_large_parts, ... (all still green in the 225/225 r14
+    # sweep — freshness-only rotation).
     "stream_sessions_audit",
     "training_corpus",
     "trajectory_stats",
