@@ -149,6 +149,8 @@ def read_source_mixture(
     keep-lowest on ordered slices), so the audited equality
     (``mixture_matches_batch`` on ``stream_gated_corpus_audit``) is
     exact, not approximate."""
+    from pyspark.sql import Window
+
     from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
 
     log = _read_store(spark, corpus_dir, "gate_log", GATE_LOG_SCHEMA)
@@ -160,8 +162,6 @@ def read_source_mixture(
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy()
     obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
     return per_src.select(
