@@ -1621,6 +1621,68 @@ _CONTEXT_WINDOWS_ORACLE = f"""
 
 
 
+_EOD_WINDOWS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len({sql_tokens("text")}) + 1 AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS strt
+        FROM toks
+    ), spans AS (
+        SELECT doc_id, n_tokens, strt,
+               strt // {CONTEXT_LEN} AS fw,
+               (strt + n_tokens - 1) // {CONTEXT_LEN} AS lw
+        FROM cum
+    ), ex AS (
+        SELECT doc_id, n_tokens, strt,
+               unnest(generate_series(fw, lw)) AS seq_id
+        FROM spans
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(strt, seq_id * {CONTEXT_LEN}) - strt AS BIGINT)
+               AS slice_start,
+           CAST(least(strt + n_tokens, (seq_id + 1) * {CONTEXT_LEN})
+                - greatest(strt, seq_id * {CONTEXT_LEN}) AS BIGINT)
+               AS slice_len,
+           CAST(greatest(strt, seq_id * {CONTEXT_LEN})
+                - seq_id * {CONTEXT_LEN} AS BIGINT) AS seq_offset
+    FROM ex
+"""
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("doc_context_windows_eod", oracle=_EOD_WINDOWS_ORACLE)
+def doc_context_windows_eod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_context_windows`` with an end-of-document SEPARATOR token —
+    the shape GPT-style pretraining actually packs: every document
+    contributes its tokens PLUS one EOD marker, so the model learns
+    document boundaries and generation can stop. Each doc's weight is
+    n_tokens + 1; its final slice covers the separator position
+    (slice indices address the doc's tokens-then-EOD stream of length
+    n+1 — the writer emits the tokens then the EOD id). Consequences
+    the plain variant doesn't have: EMPTY documents appear (a bare
+    separator — weight 1 > 0, nothing is silently dropped), and
+    Σ slice_len = Σ tokens + |docs| exactly (separator accounting —
+    test-pinned). Same distributed prefix-sum machinery, same
+    ≤ weight/L + 1 explode bound."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    docs = table(spark, "documents", sf_dir)
+    weights = docs.select(
+        "doc_id",
+        (F.size(tokens(F.col("text"))) + 1).cast("long").alias("n_tokens"),
+    )
+    return context_windows(
+        weights, order_col="doc_id", weight_col="n_tokens",
+        context_len=CONTEXT_LEN,
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+
+
 @register("doc_context_windows", oracle=_CONTEXT_WINDOWS_ORACLE)
 def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing index (GPT-pretraining shape): docs

@@ -158,7 +158,11 @@ _DRIVER_PRIORITY: list[str] = [
     #      docs minus overlap-gated train docs; adjacent oracle
     #      value-exact at sf0.001 AND sf0.01;
     #      test_training_corpus_decontaminated_matches_duckdb_twin)
-    #   7. rows-only tail (audits above carry their contracts):
+    #   7. doc_context_windows_eod (plans/pipeline.py — the packing
+    #      index WITH end-of-document separator tokens, the GPT shape;
+    #      adjacent oracle value-exact at sf0.001 AND sf0.01;
+    #      test_doc_context_windows_eod_matches_duckdb_twin)
+    #   8. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample — register outside
     #      the window like doc_context_windows_bpe.
     # Window arithmetic for r15: ~10 new + the 26 r10 names below +

@@ -2627,3 +2627,38 @@ def test_waterfill_budget_exceeds_inventory(spark):
         assert got[s]["alloc_tokens"] == t
         assert got[s]["keep_rate"] == 1.0
         assert got[s]["saturated"]
+
+
+def test_doc_context_windows_eod_matches_duckdb_twin(spark):
+    """plans/pipeline.py::doc_context_windows_eod (pre-staged r15) ≡ its
+    adjacent DuckDB oracle at sf0.001, plus the separator accounting:
+    Σ slice_len = Σ whitespace tokens + |docs| exactly (one EOD per
+    document), and EVERY document appears — including any with zero
+    tokens (a bare separator), which the plain variant drops."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _EOD_WINDOWS_ORACLE,
+        doc_context_windows_eod,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    got = doc_context_windows_eod(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_EOD_WINDOWS_ORACLE).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+    docs = table(spark, "documents", SF_SMOKE)
+    total_tokens = docs.agg(F.sum(F.size(tokens(F.col("text"))))).first()[0]
+    n_docs = docs.count()
+    assert int(got["slice_len"].sum()) == int(total_tokens) + n_docs
+    assert got["doc_id"].nunique() == n_docs
