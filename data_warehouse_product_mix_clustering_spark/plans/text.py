@@ -1559,20 +1559,13 @@ def training_corpus_lm_by_lang_oracle() -> str:
     )
 
 
-@register("training_corpus_lm_by_lang", oracle=training_corpus_lm_by_lang_oracle())
-def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL CCNet shape (VERDICT r11 #5 completed end-to-end): a
-    MULTILINGUAL corpus (the same dedup → quality → token-budget gates
-    as ``training_corpus``, minus its single-language filter) where each
-    doc is scored against ITS OWN language's unigram LM
-    (``operators/lm.py::lang_logprob_scores``) and each LANGUAGE's
-    perplexity distribution is gated independently — percent_rank
-    PARTITIONED BY lang, keep head+middle (≤ 0.7) per language. The
-    per-lang partition also fixes the corpus-wide gate's one scale
-    caveat: the rank window distributes across languages instead of
-    running single-partition (each partition is one language's
-    survivors — the same bounded class, now parallel). Pre-staged for
-    r13 registration with ``training_corpus_lm_by_lang_oracle``."""
+def _lm_by_lang_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual survivors-with-scores relation (doc_id, lang,
+    n_tokens, quality_score, bits_per_token) both per-lang LM gates cut:
+    dedup → non-empty → quality → token budget (NO language filter),
+    each doc scored against its own language's LM. Shared by the
+    registered exact gate and the approx scale twin so the base cannot
+    drift between them."""
     from pyspark.sql import Window
 
     from data_warehouse_product_mix_clustering_spark.functions.text import (
@@ -1606,7 +1599,28 @@ def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_tokens").between(*TOKEN_BUDGET)
     )
     scores = lang_logprob_scores(docs).select("doc_id", "bits_per_token")
-    ranked = surviving.join(scores, "doc_id").withColumn(
+    return surviving.join(scores, "doc_id")
+
+
+@register("training_corpus_lm_by_lang", oracle=training_corpus_lm_by_lang_oracle())
+def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CCNet shape (VERDICT r11 #5 completed end-to-end): a
+    MULTILINGUAL corpus (the same dedup → quality → token-budget gates
+    as ``training_corpus``, minus its single-language filter) where each
+    doc is scored against ITS OWN language's unigram LM
+    (``operators/lm.py::lang_logprob_scores``) and each LANGUAGE's
+    perplexity distribution is gated independently — percent_rank
+    PARTITIONED BY lang, keep head+middle (≤ 0.7) per language. The
+    per-lang partition also fixes the corpus-wide gate's one scale
+    caveat: the rank window distributes across languages instead of
+    running single-partition (each partition is one language's
+    survivors — the same bounded class, now parallel, though a corpus
+    dominated by ONE language still funnels; the approx twin below is
+    that case's escape). Registered r13 with
+    ``training_corpus_lm_by_lang_oracle``."""
+    from pyspark.sql import Window
+
+    ranked = _lm_by_lang_scored(spark, sf_dir).withColumn(
         "__pr",
         F.percent_rank().over(
             Window.partitionBy("lang").orderBy("bits_per_token")
@@ -1614,6 +1628,38 @@ def training_corpus_lm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("__pr") <= _LM_KEEP_FRAC).select(
         "doc_id", "lang", "n_tokens", "quality_score", "bits_per_token"
+    )
+
+
+def training_corpus_lm_by_lang_approx(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_frac: float = _LM_KEEP_FRAC,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB variant of ``training_corpus_lm_by_lang`` — the
+    per-language escape the registered query's docstring points to for
+    a corpus dominated by one language (its per-lang rank window then
+    funnels most of the corpus through one partition): the percent_rank
+    windows are replaced by ONE ``groupBy(lang).percentile_approx``
+    sketch aggregate (mergeable state, |languages| threshold rows)
+    broadcast-joined back on lang — keep rows with bits_per_token ≤
+    their language's threshold. Same semantic delta as the corpus-wide
+    ``training_corpus_lm_filtered_approx``, now PER LANGUAGE: the
+    sketch's rank error (≤ rows_lang/accuracy) can move each language's
+    cut by that many ranks, and a boundary tie group is kept whole.
+    The agreement test pins every disagreement to each language's
+    boundary neighborhood. Not oracle-exact by construction — the
+    unregistered scale twin of the registered exact query (the
+    exact/approx knob discipline)."""
+    joined = _lm_by_lang_scored(spark, sf_dir).localCheckpoint(eager=True)
+    bounds = joined.groupBy("lang").agg(
+        F.percentile_approx("bits_per_token", keep_frac, accuracy).alias("__thr")
+    )
+    return (
+        joined.join(F.broadcast(bounds), "lang")
+        .filter(F.col("bits_per_token") <= F.col("__thr"))
+        .select("doc_id", "lang", "n_tokens", "quality_score", "bits_per_token")
     )
 
 

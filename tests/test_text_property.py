@@ -1213,3 +1213,43 @@ def test_waterfill_allocation_matches_python_twin(spark, inventories, frac_pct):
     assert got == want
     assert all(a <= toks[s] for s, (a, _) in got.items())
     assert abs(sum(a for a, _ in got.values()) - budget) <= len(toks)
+
+
+def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
+    """The per-language LM gate's approx scale twin
+    (plans/text.py::training_corpus_lm_by_lang_approx) must reproduce
+    the exact per-lang keep-sets up to the documented sketch delta,
+    LANGUAGE BY LANGUAGE: per-lang size within rank error + boundary
+    tie group, every disagreement at that language's boundary, and
+    per-lang threshold-gate monotonicity."""
+    from collections import defaultdict
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        training_corpus_lm_by_lang,
+        training_corpus_lm_by_lang_approx,
+    )
+    from conftest import SF_SMOKE
+
+    def by_lang(df):
+        out = defaultdict(dict)
+        for r in df.collect():
+            out[r["lang"]][r["doc_id"]] = r["bits_per_token"]
+        return out
+
+    exact = by_lang(training_corpus_lm_by_lang(spark, SF_SMOKE))
+    approx = by_lang(training_corpus_lm_by_lang_approx(spark, SF_SMOKE))
+    assert exact and set(exact) == set(approx)
+    for lang in exact:
+        ex, ap = exact[lang], approx[lang]
+        assert ex and ap, lang
+        boundary_exact = max(ex.values())
+        boundary_approx = max(ap.values())
+        lo, hi = sorted((boundary_exact, boundary_approx))
+        ties = sum(1 for b in ap.values() if b == boundary_approx)
+        assert abs(len(ap) - len(ex)) <= len(ex) / 10000 + ties + 1, lang
+        for d in set(ex) ^ set(ap):
+            b = ex.get(d, ap.get(d))
+            assert lo <= b <= hi, (lang, d, b, lo, hi)
+        dropped = set(ex) - set(ap)
+        if dropped:
+            assert min(ex[d] for d in dropped) >= boundary_approx, lang
