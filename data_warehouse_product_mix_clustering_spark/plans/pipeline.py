@@ -3750,3 +3750,197 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint_reproducible boolean, matches_staged boolean, "
         "contract_bites boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# The mixture family answers "how much per SOURCE"; DSIR answers "which
+# DOCUMENTS": score every raw doc by how target-like its hashed n-gram
+# profile is — log p_target(doc)/p_raw(doc) under two bag-of-hashed-ngrams
+# unigram models — and keep the docs the target model prefers. The hash
+# trick is what makes it a 100 TB operator: the feature space is FIXED at
+# 16^DSIR_HEX buckets regardless of corpus vocabulary, so both models are
+# broadcast-sized BY CONSTRUCTION (vs the LM ladder's vocabulary-sized
+# relations). Engine-portable hashing via the fingerprint discipline
+# (functions/text.py:101): bucket = substr(md5(feature), 1, DSIR_HEX) — a
+# STRING bucket key both engines compute bit-identically, no hex→int
+# dialect split.
+# ---------------------------------------------------------------------------
+
+DSIR_HEX = 3  # md5-prefix bucket key → 16^3 = 4096 hashed feature buckets
+DSIR_A = 0.5  # additive smoothing (the operators/lm.py default)
+
+
+def _dsir_oracle() -> str:
+    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+
+    m = 16**DSIR_HEX
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {sql_tokens("text")} AS t FROM documents
+        ), feats AS (
+            SELECT doc_id, unnest(t) AS feat FROM toks
+            UNION ALL
+            SELECT doc_id, unnest({sql_word_ngrams("t", 2)}) AS feat FROM toks
+        ), fc AS (
+            SELECT doc_id, substr(md5(feat), 1, {DSIR_HEX}) AS bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM feats GROUP BY 1, 2
+        ), nz AS (
+            SELECT doc_id, lang, t FROM toks WHERE len(t) > 0
+        ), tgt AS (
+            SELECT doc_id FROM nz
+            WHERE lang = '{CORPUS_LANG}'
+              AND {sql_quality_score('t')} >= {QUALITY_MIN}
+        ), rawm AS (
+            SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM fc GROUP BY 1
+        ), tgtm AS (
+            SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+            FROM fc JOIN tgt USING (doc_id) GROUP BY 1
+        ), nt AS (
+            SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS n FROM tgtm
+        ), nr AS (
+            SELECT CAST(sum(cr) AS DOUBLE) AS n FROM rawm
+        ), llr AS (
+            SELECT r.bucket,
+                   log2((coalesce(t.ct, 0) + {DSIR_A}) / (nt.n + {DSIR_A} * {m}))
+                   - log2((r.cr + {DSIR_A}) / (nr.n + {DSIR_A} * {m})) AS llr
+            FROM rawm r LEFT JOIN tgtm t USING (bucket), nt, nr
+        ), scored AS (
+            SELECT fc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                   {sql_ratio_round("sum(c * llr)")} AS dsir_logw,
+                   {sql_ratio_round("sum(c * llr) / sum(c)")} AS dsir_logw_rate
+            FROM fc JOIN llr USING (bucket) GROUP BY 1
+        ), cut AS (
+            SELECT {sql_ratio_round("avg(dsir_logw_rate)")} AS mu FROM scored
+        )
+        SELECT d.doc_id, d.source,
+               CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+               coalesce(s.dsir_logw, 0.0) AS dsir_logw,
+               coalesce(s.dsir_logw_rate, 0.0) AS dsir_logw_rate,
+               coalesce(s.dsir_logw_rate > cut.mu, FALSE) AS dsir_selected
+        FROM documents d LEFT JOIN scored s USING (doc_id), cut
+    """
+
+
+def _dsir_feature_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, c): hashed unigram+bigram bag per document.
+
+    One corpus token scan exploded twice (unigrams, bigram shingles) →
+    ONE (doc_id, bucket) groupBy. The bucket key is the md5-prefix
+    string, computed JVM-side; no Python."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import word_ngrams
+
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    feats = t.select("doc_id", F.explode("t").alias("feat")).unionAll(
+        t.select("doc_id", F.explode(word_ngrams("t", 2)).alias("feat"))
+    )
+    return feats.groupBy(
+        "doc_id", F.substring(F.md5("feat"), 1, DSIR_HEX).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("doc_dsir_weight", oracle=_dsir_oracle())
+def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per raw document, the
+    log-likelihood ratio of its hashed n-gram (unigram+bigram) bag under
+    a TARGET bag-of-buckets unigram model vs the RAW-corpus model, both
+    additive-smoothed over the fixed 4096-bucket hashed feature space.
+    Target slice = the ``training_corpus`` language+quality gate (the
+    engine's stand-in for the paper's formal-text target); raw = every
+    document. ``dsir_logw_rate`` is the PER-FEATURE log ratio (the raw
+    sum is length-shifted: every feature pays a smoothing toll, so long
+    docs drift negative regardless of affinity — measured 5-8 bits of
+    en-vs-rest separation under a length-proportional shift at both test
+    SFs); ``dsir_selected`` keeps docs whose rate beats the corpus mean
+    rate — ONE broadcast scalar, no global quantile window, the
+    deterministic stand-in for the paper's Gumbel resampling. Rescues
+    target-like docs the heuristic gate rejected and flags gate-passing
+    docs whose n-gram profile is raw-like: the learned complement to the
+    rule-based gate, and the per-document counterpart of the per-source
+    DoReMi reweight.
+
+    Determinism: both models derive from exact integer bucket counts,
+    so each bucket's log-ratio is the identical double on both engines;
+    the per-doc sum, its rate, and the mean cutoff are each 6-dp
+    ratio-rounded before the strict > decision, so a summation-order
+    last-ulp cannot flip selection on any engine.
+
+    Scale: the feature relation is ONE (doc_id, bucket) shuffle of the
+    corpus token scan; both models are ≤ 4096-row aggregates of it —
+    broadcast-sized BY CONSTRUCTION (the DSIR hash trick); scoring is a
+    broadcast join + one per-doc re-aggregation; the final attach is a
+    doc_id equi-join. No vocabulary-sized relation anywhere, no global
+    window, no Python. Mirrors the reference's driver-side scoring
+    loops (src/pipelines, SURVEY §2.8) re-expressed as set operations."""
+    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+
+    m = 16**DSIR_HEX
+    docs = table(spark, "documents", sf_dir)
+    fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
+
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    nz = t.filter(F.size("t") > 0)
+    tgt = nz.filter(
+        (F.col("lang") == CORPUS_LANG)
+        & (quality_score(F.col("t")) >= QUALITY_MIN)
+    ).select("doc_id")
+
+    rawm = fc.groupBy("bucket").agg(F.sum("c").cast("long").alias("cr"))
+    tgtm = fc.join(tgt, "doc_id").groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("ct")
+    )
+    nt = tgtm.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("__nt")
+    )
+    nr = rawm.agg(F.sum("cr").cast("double").alias("__nr"))
+    llr = (
+        rawm.join(tgtm, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(DSIR_A))
+                    / (F.col("__nt") + F.lit(DSIR_A * m))
+                )
+                - F.log2(
+                    (F.col("cr") + F.lit(DSIR_A))
+                    / (F.col("__nr") + F.lit(DSIR_A * m))
+                )
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        fc.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            ratio_round(F.sum(F.col("c") * F.col("llr"))).alias("dsir_logw"),
+            ratio_round(
+                F.sum(F.col("c") * F.col("llr")) / F.sum("c")
+            ).alias("dsir_logw_rate"),
+        )
+        .localCheckpoint(eager=True)  # read twice: the cutoff agg + the attach
+    )
+    cut = F.broadcast(
+        scored.agg(ratio_round(F.avg("dsir_logw_rate")).alias("__mu"))
+    )
+    out = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .crossJoin(cut)
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
+        F.coalesce(F.col("dsir_logw_rate"), F.lit(0.0)).alias("dsir_logw_rate"),
+        F.coalesce(
+            F.col("dsir_logw_rate") > F.col("__mu"), F.lit(False)
+        ).alias("dsir_selected"),
+    )

@@ -162,7 +162,12 @@ _DRIVER_PRIORITY: list[str] = [
     #      index WITH end-of-document separator tokens, the GPT shape;
     #      adjacent oracle value-exact at sf0.001 AND sf0.01;
     #      test_doc_context_windows_eod_matches_duckdb_twin)
-    #   8. rows-only tail (audits above carry their contracts):
+    #   8. doc_dsir_weight (plans/pipeline.py — DSIR importance
+    #      resampling, Xie et al. 2023; hashed 4096-bucket n-gram
+    #      models, broadcast-sized by construction; adjacent oracle
+    #      value-exact at sf0.001 AND sf0.01;
+    #      test_doc_dsir_weight_matches_duckdb_twin)
+    #   9. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample — register outside
     #      the window like doc_context_windows_bpe.
     # Window arithmetic for r15: ~10 new + the 26 r10 names below +

@@ -2662,3 +2662,46 @@ def test_doc_context_windows_eod_matches_duckdb_twin(spark):
     n_docs = docs.count()
     assert int(got["slice_len"].sum()) == int(total_tokens) + n_docs
     assert got["doc_id"].nunique() == n_docs
+
+
+def test_doc_dsir_weight_matches_duckdb_twin(spark):
+    """plans/pipeline.py::doc_dsir_weight (pre-staged r15) ≡ its adjacent
+    DuckDB oracle at sf0.001, plus the method's invariants: the selection
+    bites (a strict nonempty proper subset of the corpus), the hashed
+    feature space stays within its fixed 4096-bucket bound on both model
+    sides (the DSIR broadcast-by-construction guarantee), and the
+    length-normalized score separates the target language — en docs'
+    mean dsir_logw_rate beats every other language's (the importance
+    weights rank target-affinity, not length)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        DSIR_HEX,
+        _dsir_feature_counts,
+        _dsir_oracle,
+        doc_dsir_weight,
+    )
+
+    got = doc_dsir_weight(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_dsir_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    n_sel = int(got["dsir_selected"].sum())
+    assert 0 < n_sel < len(got)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fc = _dsir_feature_counts(docs)
+    n_buckets = fc.select("bucket").distinct().count()
+    assert n_buckets <= 16**DSIR_HEX
+
+    langs = con.sql("SELECT doc_id, lang FROM documents").df()
+    rates = got.merge(langs, on="doc_id").groupby("lang")["dsir_logw_rate"].mean()
+    assert all(rates["en"] > rates[lg] for lg in rates.index if lg != "en")
