@@ -1,0 +1,252 @@
+"""Distributed full-batch logistic regression over hashed features.
+
+fastText-shaped (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification"): a linear classifier over a FIXED hashed feature space,
+so the weight vector is broadcast-sized BY CONSTRUCTION — the same hash
+trick that makes DSIR (plans/pipeline.py) a 100 TB operator. The engine
+uses it to DISTILL the rule-based document-quality gate into a learned
+scorer (plans/pipeline.py::doc_quality_classifier); the reference's
+analogue is its driver-side sklearn fit-predict loops
+(reference src/pipelines, SURVEY §2.8-2.9), re-expressed as set
+operations plus a bounded driver scan per iteration.
+
+Determinism contract (the repo's snapped-arithmetic discipline,
+functions/numeric.py): every distributed reduction is 6-dp ratio-rounded
+before it feeds the next step — per-doc margins, per-doc probabilities,
+per-bucket gradient sums, the loss — and the weight update itself runs
+driver-side in plain python on those snapped values. Floating-point sums
+of snapped inputs differ across engines/partitionings only in the last
+ulps (~1e-12 relative), far below the 5e-7 snap threshold, and the
+RATIO_EPS nudge keeps exact half-boundary rationals from splitting. The
+result: ``train_logreg`` (distributed) and ``train_logreg_py`` (the
+in-memory twin) produce BIT-IDENTICAL weight vectors, loss traces, and
+predictions — pinned exactly by ``quality_classifier_audit``, no
+tolerance anywhere.
+
+Scale: the joined (id, bucket, x, y) relation is checkpointed once,
+hash-partitioned by id; each iteration is (1) one broadcast join with
+the ≤(buckets+1)-row weight relation + an exchange-free per-id
+aggregation, (2) one id-aligned join attaching residuals (both sides
+already partitioned by id — no exchange on the big side), and (3) one
+(bucket,) aggregation whose output — the gradient — is the ONLY thing
+collected: ≤ buckets+1 rows. Full-batch GD scans the corpus once per
+iteration; at 100 TB you train on a deterministic hash-sample (the
+caller's job — see doc_quality_classifier's % 2 split) and score
+everywhere with one broadcast join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+
+# The intercept rides the feature relation as a synthetic always-on
+# feature so margins, gradients, and updates treat it uniformly (it is
+# excluded from L2 — standard practice). The key cannot collide with
+# md5-prefix buckets (hex alphabet) or the plan-side "__len" feature.
+BIAS_KEY = "__bias"
+
+# Probability clip for the log-loss only (snapped probabilities can be
+# exactly 0.0 or 1.0; the decision path never clips).
+_P_CLIP = 1e-6
+
+# Margins are clamped here before the sigmoid on BOTH paths: sigmoid(±30)
+# snaps to exactly 0/1 at 6 dp anyway, and the clamp keeps python's
+# math.exp from raising OverflowError where the JVM would return inf.
+_M_CLAMP = 30.0
+
+
+def _snap(x: float) -> float:
+    """Driver-side twin of functions/numeric.py::ratio_round."""
+    return round(x + 1e-9, 6)
+
+
+def _sigmoid(m):
+    """Clamped sigmoid, JVM expression form."""
+    mc = F.least(F.greatest(m, F.lit(-_M_CLAMP)), F.lit(_M_CLAMP))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mc))
+
+
+def _sigmoid_py(m: float) -> float:
+    """Clamped sigmoid, driver/twin form — same clamp, same formula."""
+    mc = min(max(m, -_M_CLAMP), _M_CLAMP)
+    return 1.0 / (1.0 + math.exp(-mc))
+
+
+def _update(
+    w: dict[str, float],
+    acc: dict[str, float],
+    grad: dict[str, float],
+    n: int,
+    lr: float,
+    l2: float,
+) -> dict[str, float]:
+    """One Adagrad step on snapped gradient SUMS (shared by both
+    trainers); mutates and reuses ``acc``, the per-feature squared-
+    gradient accumulator.
+
+    Adagrad (Duchi et al. 2011) rather than plain GD because the
+    feature scales here span orders of magnitude — hashed n-gram rates
+    ~1e-2 vs the engineered scalars and the always-1 bias — and a
+    single shared step size either stalls the small features or
+    oscillates the large ones (both observed). The per-feature
+    1/sqrt(acc) rate is computed driver-side in exact IEEE arithmetic
+    on 6-dp-snapped gradient sums, so it is identical on the
+    distributed and twin paths by construction.
+
+    Gradients arrive as per-bucket SUMS, not means: sums are O(n) and
+    survive 6-dp snapping, where a mean over a large corpus would snap
+    to zero and silently stop training. The /n happens here."""
+    out = {}
+    for b, wb in w.items():
+        g = grad.get(b, 0.0) / n + (0.0 if b == BIAS_KEY else l2 * wb)
+        acc[b] = acc.get(b, 0.0) + g * g
+        out[b] = _snap(wb - lr * g / math.sqrt(acc[b] + 1e-10))
+    return out
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    *,
+    n_iter: int = 16,
+    lr: float = 4.0,
+    l2: float = 1e-6,
+    track_loss: bool = False,
+) -> tuple[dict[str, float], list[float]]:
+    """Full-batch logistic regression; returns (weights, loss_trace).
+
+    ``feats``: (__id, bucket string, x double) with x already 6-dp
+    snapped by the caller; ``labels``: (__id, y double) with y ∈ {0,1}.
+    Every labeled id trains (a bias row is injected per id, so
+    featureless ids still contribute); feature rows without a label are
+    dropped. ``weights[BIAS_KEY]`` is the intercept. ``loss_trace`` has
+    one snapped mean log-loss per iteration when ``track_loss`` (one
+    extra scalar action per iteration — audits only).
+    """
+    spark = feats.sparkSession
+    ids = labels.select("__id", "y")
+    base = (
+        feats.select("__id", "bucket", "x")
+        .unionAll(
+            ids.select(
+                "__id", F.lit(BIAS_KEY).alias("bucket"), F.lit(1.0).alias("x")
+            )
+        )
+        .join(ids, "__id")
+        .repartition("__id")  # one shuffle, reused by every iteration
+        .localCheckpoint(eager=True)
+    )
+    n_docs = ids.count()
+    buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
+    w = {b: 0.0 for b in buckets}
+    acc: dict[str, float] = {}
+
+    losses: list[float] = []
+    for _ in range(n_iter):
+        wdf = spark.createDataFrame(
+            list(w.items()), "bucket string, w double"
+        )
+        # Per-id margin/probability/residual: broadcast join preserves
+        # the id-partitioning, so this groupBy is exchange-free.
+        per_id = (
+            base.join(F.broadcast(wdf), "bucket")
+            .groupBy("__id", "y")
+            .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
+            .select(
+                "__id",
+                "y",
+                ratio_round(_sigmoid(F.col("m"))).alias("p"),
+            )
+            .withColumn("resid", F.col("p") - F.col("y"))
+        )
+        if track_loss:
+            pc = F.least(
+                F.greatest(F.col("p"), F.lit(_P_CLIP)), F.lit(1.0 - _P_CLIP)
+            )
+            ll = -(
+                F.col("y") * F.log(pc)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+            )
+            losses.append(
+                per_id.agg(ratio_round(F.avg(ll)).alias("l")).collect()[0]["l"]
+            )
+        # Gradient SUM per bucket — the only collect: ≤ buckets+1 rows.
+        grad = {
+            r["bucket"]: r["g"]
+            for r in base.join(
+                per_id.select("__id", "resid"), "__id"
+            )  # both sides partitioned by __id — no exchange on base
+            .groupBy("bucket")
+            .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
+            .collect()
+        }
+        w = _update(w, acc, grad, n_docs, lr, l2)
+    return w, losses
+
+
+def train_logreg_py(
+    feats: dict[object, dict[str, float]],
+    labels: dict[object, float],
+    *,
+    n_iter: int = 16,
+    lr: float = 4.0,
+    l2: float = 1e-6,
+    track_loss: bool = False,
+) -> tuple[dict[str, float], list[float]]:
+    """In-memory twin of ``train_logreg`` — same snaps, same update.
+
+    ``feats`` maps id → {bucket: x}; ids present only in ``labels``
+    train on the bias alone, ids absent from ``labels`` are ignored —
+    exactly the distributed trainer's join semantics."""
+    rows = {
+        i: {**feats.get(i, {}), BIAS_KEY: 1.0} for i in labels
+    }
+    n_docs = len(rows)
+    w: dict[str, float] = {
+        b: 0.0 for d in rows.values() for b in d
+    }
+    acc: dict[str, float] = {}
+    losses: list[float] = []
+    for _ in range(n_iter):
+        grad: dict[str, float] = {b: 0.0 for b in w}
+        loss = 0.0
+        for i in sorted(rows, key=repr):
+            m = _snap(sum(x * w[b] for b, x in sorted(rows[i].items())))
+            p = _snap(_sigmoid_py(m))
+            y = labels[i]
+            if track_loss:
+                pc = min(max(p, _P_CLIP), 1.0 - _P_CLIP)
+                loss += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+            resid = p - y
+            for b, x in rows[i].items():
+                grad[b] += x * resid
+        if track_loss:
+            losses.append(_snap(loss / n_docs))
+        w = _update(w, acc, {b: _snap(g) for b, g in grad.items()}, n_docs, lr, l2)
+    return w, losses
+
+
+def score_logreg(
+    spark: SparkSession, feats: DataFrame, ids: DataFrame, w: dict[str, float]
+) -> DataFrame:
+    """(__id, p): snapped keep-probability for every id in ``ids``.
+
+    One broadcast join with the ≤(buckets+1)-row weight relation + one
+    per-id aggregation — the 100 TB scoring shape. Ids with no feature
+    rows score on the bias alone (the injected bias row guarantees a
+    group per id)."""
+    wdf = spark.createDataFrame(list(w.items()), "bucket string, w double")
+    base = feats.select("__id", "bucket", "x").unionAll(
+        ids.select("__id", F.lit(BIAS_KEY).alias("bucket"), F.lit(1.0).alias("x"))
+    )
+    return (
+        base.join(F.broadcast(wdf), "bucket")
+        .groupBy("__id")
+        .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
+        .select("__id", ratio_round(_sigmoid(F.col("m"))).alias("p"))
+    )

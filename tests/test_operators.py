@@ -2705,3 +2705,59 @@ def test_doc_dsir_weight_matches_duckdb_twin(spark):
     langs = con.sql("SELECT doc_id, lang FROM documents").df()
     rates = got.merge(langs, on="doc_id").groupby("lang")["dsir_logw_rate"].mean()
     assert all(rates["en"] > rates[lg] for lg in rates.index if lg != "en")
+
+
+def test_train_logreg_py_learns_separable_toy():
+    """ml/logreg.py::train_logreg_py on a linearly separable toy set:
+    Adagrad drives the loss down and the decisions to the true labels,
+    and the run is deterministic (same inputs → identical weights)."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        BIAS_KEY,
+        _sigmoid_py,
+        _snap,
+        train_logreg_py,
+    )
+
+    feats = {i: {"f": _snap(i / 20.0)} for i in range(20)}
+    labels = {i: 1.0 if i >= 10 else 0.0 for i in range(20)}
+    w, losses = train_logreg_py(
+        feats, labels, n_iter=40, lr=2.0, l2=0.0, track_loss=True
+    )
+    assert losses[-1] < losses[0]
+    for i, y in labels.items():
+        m = _snap(feats[i]["f"] * w["f"] + w[BIAS_KEY])
+        assert (_snap(_sigmoid_py(m)) >= 0.5) == (y == 1.0)
+    w2, _ = train_logreg_py(feats, labels, n_iter=40, lr=2.0, l2=0.0)
+    assert w == w2
+
+
+def test_quality_classifier_audit_contract(spark):
+    """plans/pipeline.py::quality_classifier_audit (pre-staged r15) — the
+    registration dry run: all five contract booleans TRUE at sf0.001
+    (twin bit-equality incl. the loss trace, rerun identity, descending
+    loss, held-out accuracy ≥ floor, gate separation)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import quality_classifier_audit
+
+    row = quality_classifier_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
+
+
+def test_doc_quality_classifier_shape_and_holdout(spark):
+    """plans/pipeline.py::doc_quality_classifier (pre-staged r15,
+    rows-only): one row per document, the disagreement flag is exactly
+    predicted != gate_label, the held_out flag is doc_id parity, and
+    held-out agreement with the gate clears the audit floor."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        CLF_ACC_FLOOR,
+        doc_quality_classifier,
+    )
+
+    got = doc_quality_classifier(spark, SF_SMOKE).toPandas()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(got) == n_docs
+    assert got["doc_id"].nunique() == n_docs
+    assert (got["disagrees"] == (got["predicted"] != got["gate_label"])).all()
+    assert (got["held_out"] == (got["doc_id"] % 2 != 0)).all()
+    held = got[got["held_out"]]
+    assert 1.0 - held["disagrees"].mean() >= CLF_ACC_FLOOR
+    assert got["p_keep"].between(0.0, 1.0).all()
