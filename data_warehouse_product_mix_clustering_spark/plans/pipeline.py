@@ -4187,3 +4187,31 @@ def quality_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loss_decreases boolean, holdout_accuracy_ok boolean, "
         "separates_gate boolean",
     )
+
+
+def _dsir_corpus_oracle() -> str:
+    return f"""
+        WITH dsir AS ({_dsir_oracle()})
+        SELECT doc_id, source, dsir_logw_rate
+        FROM dsir WHERE dsir_selected
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("training_corpus_dsir", oracle=_dsir_corpus_oracle())
+def training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection APPLIED: the corpus kept by ``doc_dsir_weight``'s
+    importance-resampling rule (per-feature log-ratio rate above the
+    corpus mean — the deterministic stand-in for the paper's Gumbel
+    draw), carrying the rate for downstream weighting. The learned
+    per-DOCUMENT counterpart of ``training_corpus_resampled``'s
+    per-SOURCE thinning: same composition seam (doc_id+source corpus
+    rows), so the mixture/packing tail composes over either.
+
+    Scale: exactly ``doc_dsir_weight``'s plan (one (doc_id, bucket)
+    shuffle, broadcast models) plus a per-row filter — nothing new
+    materializes."""
+    d = doc_dsir_weight(spark, sf_dir)
+    return d.filter(F.col("dsir_selected")).select(
+        "doc_id", "source", "dsir_logw_rate"
+    )

@@ -2761,3 +2761,29 @@ def test_doc_quality_classifier_shape_and_holdout(spark):
     held = got[got["held_out"]]
     assert 1.0 - held["disagrees"].mean() >= CLF_ACC_FLOOR
     assert got["p_keep"].between(0.0, 1.0).all()
+
+
+def test_training_corpus_dsir_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_dsir (pre-staged r15) ≡ its
+    adjacent DuckDB oracle at sf0.001 and keeps a strict nonempty proper
+    subset of the corpus (the selection bites both ways)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _dsir_corpus_oracle,
+        training_corpus_dsir,
+    )
+
+    got = training_corpus_dsir(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_dsir_corpus_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert 0 < len(got) < n_docs
