@@ -1,0 +1,215 @@
+"""DSIR hashed-feature models: batch construction + incremental store.
+
+The model side of DSIR (Xie et al. 2023 — see
+plans/pipeline.py::doc_dsir_weight for the method and the determinism
+contract): two bag-of-hashed-ngrams unigram models — RAW (every doc) and
+TARGET (gate-passing docs) — over a feature space FIXED at
+16^DSIR_HEX buckets, so each model is an exact-integer relation of at
+most 4096 rows regardless of corpus size.
+
+That fixed size is what makes the models INCREMENTALLY maintainable for
+free: a batch's contribution is a ≤4096-row (bucket, Δcr, Δct) delta,
+and the current model is the per-bucket SUM of all deltas — exact
+integers, so the incrementally-maintained model equals the batch-built
+model bit-for-bit, and every score derived from it follows (pinned by
+``plans/pipeline.py::dsir_incremental_audit``). The store follows the
+repo's partitioned-delta discipline (streaming/corpus_ingest.py): one
+partition per ``__batch_id`` written with dynamic partition overwrite —
+an at-least-once replay overwrites only its own partition (idempotent) —
+and reads use an explicit schema (the r12 zero-survivor lesson: an
+all-filtered batch leaves a file-less partition directory that schema
+inference cannot read).
+
+Scale: ingest is O(batch) — one (id, bucket) shuffle of the BATCH plus
+two ≤4096-row aggregates; the corpus is never re-read. Model read is a
+sum over ≤4096 × n_batches delta rows (compactable by rewriting as one
+batch if n_batches ever matters). Scoring a batch against the models is
+one broadcast join + one per-id aggregation.
+
+The gate that defines the TARGET slice is the CALLER's input
+(``target_ids``): this module knows hashing and counting, not corpus
+policy — the same separation the minhash index keeps
+(operators/dedup.py:597).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_round
+from data_warehouse_product_mix_clustering_spark.functions.text import tokens, word_ngrams
+
+DSIR_HEX = 3  # md5-prefix bucket key → 16^3 = 4096 hashed feature buckets
+DSIR_A = 0.5  # additive smoothing (the operators/lm.py default)
+
+BATCH_COL = "__batch_id"
+_DELTAS = "model_deltas"
+_DELTA_SCHEMA = "bucket string, d_cr bigint, d_ct bigint"
+
+
+def feature_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket, c): hashed unigram+bigram bag per document.
+
+    One token scan exploded twice (unigrams, bigram shingles) → ONE
+    (id, bucket) groupBy. The bucket key is the md5-prefix STRING,
+    computed JVM-side and bit-identical in DuckDB (the fingerprint
+    discipline, functions/text.py:101) — no hex→int dialect split."""
+    t = docs.select(id_col, tokens(F.col(text_col)).alias("t"))
+    feats = t.select(id_col, F.explode("t").alias("feat")).unionAll(
+        t.select(id_col, F.explode(word_ngrams("t", 2)).alias("feat"))
+    )
+    return feats.groupBy(
+        id_col, F.substring(F.md5("feat"), 1, DSIR_HEX).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def dsir_models(
+    fc: DataFrame, target_ids: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(rawm, tgtm): the two exact-count models from a feature relation.
+
+    rawm = (bucket, cr) over every doc; tgtm = (bucket, ct) over the
+    target slice — each ≤ 16^DSIR_HEX rows, broadcast-sized by
+    construction."""
+    rawm = fc.groupBy("bucket").agg(F.sum("c").cast("long").alias("cr"))
+    tgtm = (
+        fc.join(target_ids.select(id_col), id_col)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("ct"))
+    )
+    return rawm, tgtm
+
+
+def dsir_score(
+    base: DataFrame,
+    fc: DataFrame,
+    rawm: DataFrame,
+    tgtm: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every row of ``base`` against the models — the single
+    scoring implementation shared by the batch query
+    (plans/pipeline.py::doc_dsir_weight, whose adjacent DuckDB oracle
+    pins these semantics) and the incremental store path.
+
+    ``base`` carries the id plus any pass-through columns; output
+    appends (n_feats, dsir_logw, dsir_logw_rate, dsir_selected). All
+    distributed reductions 6-dp snapped (the determinism contract);
+    docs with no features coalesce to 0/0.0/FALSE. One broadcast join
+    (models) + one per-id aggregation + one id equi-join."""
+    m = 16**DSIR_HEX
+    nt = tgtm.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("__nt")
+    )
+    nr = rawm.agg(F.sum("cr").cast("double").alias("__nr"))
+    llr = (
+        rawm.join(tgtm, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(DSIR_A))
+                    / (F.col("__nt") + F.lit(DSIR_A * m))
+                )
+                - F.log2(
+                    (F.col("cr") + F.lit(DSIR_A))
+                    / (F.col("__nr") + F.lit(DSIR_A * m))
+                )
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        fc.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            ratio_round(F.sum(F.col("c") * F.col("llr"))).alias("dsir_logw"),
+            ratio_round(
+                F.sum(F.col("c") * F.col("llr")) / F.sum("c")
+            ).alias("dsir_logw_rate"),
+        )
+        .localCheckpoint(eager=True)  # read twice: the cutoff agg + the attach
+    )
+    cut = F.broadcast(
+        scored.agg(ratio_round(F.avg("dsir_logw_rate")).alias("__mu"))
+    )
+    out = base.join(scored, id_col, "left").crossJoin(cut)
+    return out.select(
+        *base.columns,
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
+        F.coalesce(F.col("dsir_logw_rate"), F.lit(0.0)).alias("dsir_logw_rate"),
+        F.coalesce(
+            F.col("dsir_logw_rate") > F.col("__mu"), F.lit(False)
+        ).alias("dsir_selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental model store
+# ---------------------------------------------------------------------------
+
+
+def ingest_dsir_batch(
+    store_dir: str,
+    batch_id: int,
+    batch_docs: DataFrame,
+    target_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold one document batch into the model store: O(batch) work, one
+    ≤16^DSIR_HEX-row (bucket, d_cr, d_ct) delta partition. Replaying a
+    batch_id overwrites exactly its own partition (idempotent)."""
+    fc = feature_counts(batch_docs, id_col, text_col)
+    raw_d = fc.groupBy("bucket").agg(F.sum("c").cast("long").alias("d_cr"))
+    tgt_d = (
+        fc.join(target_ids.select(id_col), id_col)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("d_ct"))
+    )
+    delta = raw_d.join(tgt_d, "bucket", "left").select(
+        "bucket",
+        "d_cr",
+        F.coalesce(F.col("d_ct"), F.lit(0)).cast("long").alias("d_ct"),
+    )
+    (
+        delta.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(os.path.join(store_dir, _DELTAS))
+    )
+
+
+def read_dsir_deltas(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The raw delta log, explicit schema (empty-store / file-less
+    partition safe)."""
+    path = os.path.join(store_dir, _DELTAS)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], f"{_DELTA_SCHEMA}, {BATCH_COL} bigint")
+    return spark.read.schema(f"{_DELTA_SCHEMA}, {BATCH_COL} bigint").parquet(
+        path
+    )
+
+
+def read_dsir_models(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(rawm, tgtm) from the delta log alone — per-bucket integer sums,
+    so equality with the batch-built models is exact. tgtm keeps only
+    ct > 0 buckets, matching ``dsir_models``'s inner-join shape."""
+    agg = read_dsir_deltas(spark, store_dir).groupBy("bucket").agg(
+        F.sum("d_cr").cast("long").alias("cr"),
+        F.sum("d_ct").cast("long").alias("ct"),
+    )
+    rawm = agg.select("bucket", "cr")
+    tgtm = agg.filter(F.col("ct") > 0).select("bucket", "ct")
+    return rawm, tgtm

@@ -3767,8 +3767,10 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dialect split.
 # ---------------------------------------------------------------------------
 
-DSIR_HEX = 3  # md5-prefix bucket key → 16^3 = 4096 hashed feature buckets
-DSIR_A = 0.5  # additive smoothing (the operators/lm.py default)
+from data_warehouse_product_mix_clustering_spark.operators.dsir import (  # noqa: E402 — re-exported
+    DSIR_A,
+    DSIR_HEX,
+)
 
 
 def _dsir_oracle() -> str:
@@ -3824,20 +3826,29 @@ def _dsir_oracle() -> str:
 
 
 def _dsir_feature_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket, c): hashed unigram+bigram bag per document.
+    """(doc_id, bucket, c) — operators/dsir.py::feature_counts on the
+    documents schema (hashing/counting core factored out r14 so the
+    incremental model store shares one implementation)."""
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import feature_counts
 
-    One corpus token scan exploded twice (unigrams, bigram shingles) →
-    ONE (doc_id, bucket) groupBy. The bucket key is the md5-prefix
-    string, computed JVM-side; no Python."""
-    from data_warehouse_product_mix_clustering_spark.functions.text import word_ngrams
+    return feature_counts(docs)
 
-    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    feats = t.select("doc_id", F.explode("t").alias("feat")).unionAll(
-        t.select("doc_id", F.explode(word_ngrams("t", 2)).alias("feat"))
+
+def _dsir_target(docs: DataFrame) -> DataFrame:
+    """(doc_id,): the DSIR target slice — the ``training_corpus``
+    language+quality gate (metadata lang + quality score), the corpus
+    policy the operators/dsir.py core deliberately does not know."""
+    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    return (
+        t.filter(F.size("t") > 0)
+        .filter(
+            (F.col("lang") == CORPUS_LANG)
+            & (quality_score(F.col("t")) >= QUALITY_MIN)
+        )
+        .select("doc_id")
     )
-    return feats.groupBy(
-        "doc_id", F.substring(F.md5("feat"), 1, DSIR_HEX).alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
 
 
 # Pre-staged r15 registration (r14's window is exactly full):
@@ -3875,75 +3886,12 @@ def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id equi-join. No vocabulary-sized relation anywhere, no global
     window, no Python. Mirrors the reference's driver-side scoring
     loops (src/pipelines, SURVEY §2.8) re-expressed as set operations."""
-    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import dsir_models, dsir_score
 
-    m = 16**DSIR_HEX
     docs = table(spark, "documents", sf_dir)
     fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
-
-    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
-    nz = t.filter(F.size("t") > 0)
-    tgt = nz.filter(
-        (F.col("lang") == CORPUS_LANG)
-        & (quality_score(F.col("t")) >= QUALITY_MIN)
-    ).select("doc_id")
-
-    rawm = fc.groupBy("bucket").agg(F.sum("c").cast("long").alias("cr"))
-    tgtm = fc.join(tgt, "doc_id").groupBy("bucket").agg(
-        F.sum("c").cast("long").alias("ct")
-    )
-    nt = tgtm.agg(
-        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("__nt")
-    )
-    nr = rawm.agg(F.sum("cr").cast("double").alias("__nr"))
-    llr = (
-        rawm.join(tgtm, "bucket", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "bucket",
-            (
-                F.log2(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(DSIR_A))
-                    / (F.col("__nt") + F.lit(DSIR_A * m))
-                )
-                - F.log2(
-                    (F.col("cr") + F.lit(DSIR_A))
-                    / (F.col("__nr") + F.lit(DSIR_A * m))
-                )
-            ).alias("llr"),
-        )
-    )
-    scored = (
-        fc.join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_feats"),
-            ratio_round(F.sum(F.col("c") * F.col("llr"))).alias("dsir_logw"),
-            ratio_round(
-                F.sum(F.col("c") * F.col("llr")) / F.sum("c")
-            ).alias("dsir_logw_rate"),
-        )
-        .localCheckpoint(eager=True)  # read twice: the cutoff agg + the attach
-    )
-    cut = F.broadcast(
-        scored.agg(ratio_round(F.avg("dsir_logw_rate")).alias("__mu"))
-    )
-    out = (
-        docs.select("doc_id", "source")
-        .join(scored, "doc_id", "left")
-        .crossJoin(cut)
-    )
-    return out.select(
-        "doc_id",
-        "source",
-        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
-        F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
-        F.coalesce(F.col("dsir_logw_rate"), F.lit(0.0)).alias("dsir_logw_rate"),
-        F.coalesce(
-            F.col("dsir_logw_rate") > F.col("__mu"), F.lit(False)
-        ).alias("dsir_selected"),
-    )
+    rawm, tgtm = dsir_models(fc, _dsir_target(docs))
+    return dsir_score(docs.select("doc_id", "source"), fc, rawm, tgtm)
 
 
 # ---------------------------------------------------------------------------
@@ -4214,4 +4162,112 @@ def training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = doc_dsir_weight(spark, sf_dir)
     return d.filter(F.col("dsir_selected")).select(
         "doc_id", "source", "dsir_logw_rate"
+    )
+
+
+# Pre-staged r15 registration:
+# @register("dsir_incremental_audit", oracle="""
+#     SELECT TRUE AS models_match_batch, TRUE AS scores_match_batch,
+#            TRUE AS replay_idempotent, TRUE AS empty_batch_noop,
+#            TRUE AS deltas_bounded
+# """)
+def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the incremental DSIR model store
+    (operators/dsir.py) — the maintenance path a continuously-ingesting
+    corpus uses instead of re-reading 100 TB per model refresh:
+
+    - ``models_match_batch``: after ingesting the corpus as three
+      doc_id-sliced batches, the store-derived (rawm, tgtm) equal the
+      batch-built models EXACTLY (integer counts — no tolerance);
+    - ``scores_match_batch``: scoring the corpus against the
+      store-derived models reproduces the registered
+      ``doc_dsir_weight`` output bit-for-bit (weights, rates, AND the
+      selection flags);
+    - ``replay_idempotent``: re-ingesting the last batch (an
+      at-least-once delivery) leaves the models unchanged — dynamic
+      partition overwrite replaces exactly that batch's delta;
+    - ``empty_batch_noop``: an all-filtered batch (zero docs) ingests
+      cleanly and changes nothing — the explicit-schema read survives
+      the file-less partition (the r12 zero-survivor lesson);
+    - ``deltas_bounded``: every delta partition holds ≤ 16^DSIR_HEX
+      rows — the O(buckets), not O(batch-vocabulary), write bound the
+      hash trick guarantees.
+
+    Bounds: model comparisons collect ≤ 4096-row relations; the score
+    comparison collects the documents-table-sized output (bounded audit
+    ground truth, the stream_gated_corpus_audit discipline)."""
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import (
+        DSIR_HEX,
+        dsir_models,
+        dsir_score,
+        ingest_dsir_batch,
+        read_dsir_deltas,
+        read_dsir_models,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    tgt = _dsir_target(docs).localCheckpoint(eager=True)
+    store = tempfile.mkdtemp(prefix="spark_graft_dsir_store_")
+
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        ingest_dsir_batch(store, b, batch, tgt)
+
+    def _collect_models(rawm, tgtm):
+        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
+        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
+        return r, t
+
+    fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
+    want_r, want_t = _collect_models(*dsir_models(fc, tgt))
+    got_r, got_t = _collect_models(*read_dsir_models(spark, store))
+    models_match_batch = got_r == want_r and got_t == want_t
+
+    rawm_s, tgtm_s = read_dsir_models(spark, store)
+    got_scores = (
+        dsir_score(docs.select("doc_id", "source"), fc, rawm_s, tgtm_s)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_scores = (
+        doc_dsir_weight(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    scores_match_batch = got_scores.equals(want_scores)
+
+    ingest_dsir_batch(store, 2, docs.filter(F.col("doc_id") % 3 == 2), tgt)
+    re_r, re_t = _collect_models(*read_dsir_models(spark, store))
+    replay_idempotent = re_r == want_r and re_t == want_t
+
+    empty = spark.createDataFrame([], docs.schema)
+    ingest_dsir_batch(store, 3, empty, tgt)
+    e_r, e_t = _collect_models(*read_dsir_models(spark, store))
+    empty_batch_noop = e_r == want_r and e_t == want_t
+
+    per_batch = (
+        read_dsir_deltas(spark, store)
+        .groupBy("__batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    deltas_bounded = all(r["n"] <= 16**DSIR_HEX for r in per_batch)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(models_match_batch),
+                bool(scores_match_batch),
+                bool(replay_idempotent),
+                bool(empty_batch_noop),
+                bool(deltas_bounded),
+            )
+        ],
+        "models_match_batch boolean, scores_match_batch boolean, "
+        "replay_idempotent boolean, empty_batch_noop boolean, "
+        "deltas_bounded boolean",
     )

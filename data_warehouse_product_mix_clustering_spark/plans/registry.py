@@ -176,7 +176,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      rerun-identical, loss descends, held-out accuracy ≥ 0.80,
     #      gate separation; all five booleans TRUE at sf0.001 AND
     #      sf0.01; test_quality_classifier_audit_contract)
-    #  10. rows-only tail (audits above carry their contracts):
+    #  10. dsir_incremental_audit (plans/pipeline.py — the DSIR model
+    #      store, operators/dsir.py: streamed delta-log models ≡ batch
+    #      models exactly, scores bit-equal to doc_dsir_weight, replay
+    #      idempotent, empty batch no-op, deltas ≤ 4096 rows; all five
+    #      booleans TRUE at sf0.001 AND sf0.01;
+    #      test_dsir_incremental_audit_contract)
+    #  11. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier — register outside the window like
     #      doc_context_windows_bpe.

@@ -2787,3 +2787,14 @@ def test_training_corpus_dsir_matches_duckdb_twin(spark):
     assert (g.astype(str).values == w.astype(str).values).all()
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert 0 < len(got) < n_docs
+
+
+def test_dsir_incremental_audit_contract(spark):
+    """plans/pipeline.py::dsir_incremental_audit (pre-staged r15) — the
+    registration dry run: all five contract booleans TRUE at sf0.001
+    (store ≡ batch models exactly, scores bit-equal to doc_dsir_weight,
+    replay idempotent, empty batch no-op, per-batch deltas ≤ 4096 rows)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import dsir_incremental_audit
+
+    row = dsir_incremental_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
