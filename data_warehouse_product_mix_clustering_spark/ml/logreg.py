@@ -250,3 +250,71 @@ def score_logreg(
         .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
         .select("__id", ratio_round(_sigmoid(F.col("m"))).alias("p"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Model persistence: train once, serve anywhere. The artifact is the
+# index families' shape (operators/dedup.py::build_minhash_index): a
+# parquet weight relation + a meta sidecar pinning everything that must
+# match at serve time + the torn-write commit marker. Weights are
+# ≤(buckets+1) rows — the artifact is KB-sized regardless of corpus.
+# ---------------------------------------------------------------------------
+
+_MODEL_META = "logreg_meta.json"
+_WEIGHTS = "weights"
+
+
+def save_logreg(
+    spark: SparkSession, w: dict[str, float], model_dir: str, meta: dict
+) -> None:
+    """Persist a trained model: weight relation + meta (the caller's
+    feature-spec/hyperparameter pins, stored verbatim and REQUIRED to
+    match at load — operators/ivm.py's refuse-don't-guess contract) +
+    commit marker against torn writes."""
+    import json
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import mark_committed, mark_dirty
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import write_small_file_atomic
+
+    os.makedirs(model_dir, exist_ok=True)
+    mark_dirty(model_dir)
+    spark.createDataFrame(
+        list(w.items()), "bucket string, w double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(model_dir, _WEIGHTS)
+    )
+    write_small_file_atomic(
+        os.path.join(model_dir, _MODEL_META), json.dumps(meta, sort_keys=True)
+    )
+    mark_committed(model_dir)
+
+
+def load_logreg(
+    spark: SparkSession, model_dir: str, expect_meta: dict | None = None
+) -> tuple[dict[str, float], dict]:
+    """Load (weights, meta); refuses a torn artifact (no commit marker)
+    and, when ``expect_meta`` is given, any stored meta that differs —
+    scoring with a model trained under a different feature spec or
+    hyperparameters is silent garbage, so mismatch is an error, never a
+    guess (the minhash-index column-pin discipline)."""
+    import json
+    import os
+
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import require_committed
+
+    require_committed(model_dir, "logreg model")
+    with open(os.path.join(model_dir, _MODEL_META)) as f:
+        meta = json.load(f)
+    if expect_meta is not None and meta != expect_meta:
+        raise ValueError(
+            f"logreg model at {model_dir} was trained under {meta}; caller "
+            f"expects {expect_meta} — refusing to serve a mismatched model"
+        )
+    w = {
+        r["bucket"]: float(r["w"])
+        for r in spark.read.schema("bucket string, w double")
+        .parquet(os.path.join(model_dir, _WEIGHTS))
+        .collect()  # ≤ buckets+1 rows — broadcast-sized by construction
+    }
+    return w, meta

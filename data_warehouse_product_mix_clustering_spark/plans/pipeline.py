@@ -4271,3 +4271,111 @@ def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_idempotent boolean, empty_batch_noop boolean, "
         "deltas_bounded boolean",
     )
+
+
+def _clf_meta() -> dict:
+    """Everything that must match between training and serving: the
+    feature spec (hash width + engineered scalars) and hyperparameters.
+    Stored verbatim in the model artifact; load refuses any drift."""
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import DSIR_HEX
+
+    return {
+        "features": f"hashed_unigram_bigram_rates(hex={DSIR_HEX})"
+        f"+__len(sat={CLF_LEN_SAT})+__sw",
+        "n_iter": CLF_ITERS,
+        "lr": CLF_LR,
+        "l2": CLF_L2,
+        "train_slice": "doc_id % 2 == 0",
+    }
+
+
+# Pre-staged r15 registration:
+# @register("quality_model_serving_audit", oracle="""
+#     SELECT TRUE AS roundtrip_identical, TRUE AS scores_identical,
+#            TRUE AS mismatch_refused, TRUE AS torn_refused
+# """)
+def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the persisted quality-gate model
+    (ml/logreg.py::save_logreg/load_logreg) — the serve path a 100 TB
+    pipeline uses: train ONCE on a bounded sample, persist the KB-sized
+    weight artifact, score every batch/stream against the loaded copy:
+
+    - ``roundtrip_identical``: save → load returns the trained weight
+      dict EXACTLY (bit-for-bit doubles through parquet — no tolerance);
+    - ``scores_identical``: scoring through the loaded model reproduces
+      the in-memory model's probabilities exactly on every doc;
+    - ``mismatch_refused``: loading under a different expected meta
+      (here: a changed l2) raises instead of serving silent garbage —
+      the minhash-index column-pin discipline;
+    - ``torn_refused``: an artifact whose commit marker is missing (a
+      crashed save) refuses to load.
+
+    Bounds: trains on the audit cap slice; weight/score collects are
+    model-sized / cap-slice-sized."""
+    import os
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        load_logreg,
+        save_logreg,
+        score_logreg,
+        train_logreg,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import COMMIT_MARKER
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+
+    model_dir = tempfile.mkdtemp(prefix="spark_graft_logreg_model_")
+    save_logreg(spark, w, model_dir, _clf_meta())
+    w2, meta2 = load_logreg(spark, model_dir, expect_meta=_clf_meta())
+    roundtrip_identical = w2 == w and meta2 == _clf_meta()
+
+    ids = labels.select("__id")
+    mem = {
+        r["__id"]: r["p"]
+        for r in score_logreg(spark, feats, ids, w).collect()  # ≤ cap rows
+    }
+    srv = {
+        r["__id"]: r["p"]
+        for r in score_logreg(spark, feats, ids, w2).collect()
+    }
+    scores_identical = mem == srv
+
+    try:
+        bad = dict(_clf_meta(), l2=CLF_L2 * 10)
+        load_logreg(spark, model_dir, expect_meta=bad)
+        mismatch_refused = False
+    except ValueError:
+        mismatch_refused = True
+
+    os.remove(os.path.join(model_dir, COMMIT_MARKER))
+    try:
+        load_logreg(spark, model_dir)
+        torn_refused = False
+    except RuntimeError:
+        torn_refused = True
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(roundtrip_identical),
+                bool(scores_identical),
+                bool(mismatch_refused),
+                bool(torn_refused),
+            )
+        ],
+        "roundtrip_identical boolean, scores_identical boolean, "
+        "mismatch_refused boolean, torn_refused boolean",
+    )

@@ -182,7 +182,12 @@ _DRIVER_PRIORITY: list[str] = [
     #      idempotent, empty batch no-op, deltas ≤ 4096 rows; all five
     #      booleans TRUE at sf0.001 AND sf0.01;
     #      test_dsir_incremental_audit_contract)
-    #  11. rows-only tail (audits above carry their contracts):
+    #  11. quality_model_serving_audit (plans/pipeline.py — persisted
+    #      quality-gate model: save/load roundtrip bit-exact, served
+    #      scores ≡ in-memory, meta mismatch + torn artifact refused;
+    #      all four booleans TRUE at sf0.001 AND sf0.01;
+    #      test_quality_model_serving_audit_contract)
+    #  12. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier — register outside the window like
     #      doc_context_windows_bpe.

@@ -2798,3 +2798,14 @@ def test_dsir_incremental_audit_contract(spark):
 
     row = dsir_incremental_audit(spark, SF_SMOKE).collect()[0]
     assert all(row.asDict().values()), row.asDict()
+
+
+def test_quality_model_serving_audit_contract(spark):
+    """plans/pipeline.py::quality_model_serving_audit (pre-staged r15) —
+    the registration dry run: all four contract booleans TRUE at
+    sf0.001 (save/load weight roundtrip bit-exact, served scores ≡
+    in-memory, meta mismatch refused, torn artifact refused)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import quality_model_serving_audit
+
+    row = quality_model_serving_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
