@@ -4379,3 +4379,146 @@ def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roundtrip_identical boolean, scores_identical boolean, "
         "mismatch_refused boolean, torn_refused boolean",
     )
+
+
+# Pre-staged r15 registration:
+# @register("stream_model_scoring_audit", oracle="""
+#     SELECT TRUE AS streamed_matches_batch, TRUE AS log_reconciles,
+#            TRUE AS rerun_is_noop, TRUE AS replay_idempotent
+# """)
+def stream_model_scoring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit for streaming quality-model scoring
+    (streaming/model_scoring.py) — the serve path run continuously
+    against a frozen persisted artifact (the ``stream_gated_corpus``
+    mold: landing feed → availableNow drain → streamed ≡ batch):
+
+    - ``streamed_matches_batch``: the union of per-batch score
+      partitions equals scoring the whole corpus in one batch against
+      the same artifact — (doc_id, p_keep, predicted) EXACTLY (scoring
+      is per-doc pure under a frozen model, so batching cannot move a
+      score; this pins that the plumbing doesn't either);
+    - ``log_reconciles``: the per-(batch, source) count log, summed per
+      source, equals the batch per-source (n_docs, n_keep) truth — the
+      keep-rate observability never needs to re-read scored batches;
+    - ``rerun_is_noop``: a second availableNow run executes ZERO batches
+      and leaves scores identical;
+    - ``replay_idempotent``: re-invoking batch 0's sink verbatim (the
+      at-least-once shape) changes nothing — per-batch purity + own-
+      partition overwrite.
+
+    Ground truth collects the documents-table-sized score relation
+    (bounded audit convention). Trains the model once on the even
+    doc_ids — the registered ``doc_quality_classifier`` recipe —
+    persists it, and both paths serve the SAME loaded artifact."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        load_logreg,
+        save_logreg,
+        score_logreg,
+        train_logreg,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.io import write_single_parquet_file
+    from data_warehouse_product_mix_clustering_spark.streaming.model_scoring import (
+        read_score_log,
+        read_scores,
+        score_batch,
+        streaming_model_scoring,
+    )
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_model_scoring_")
+    try:
+        model_dir = os.path.join(root, "model")
+        landing = os.path.join(root, "landing")
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        save_logreg(spark, w, model_dir, _clf_meta())
+
+        b0 = docs.filter(F.col("doc_id") < 250)
+        b1 = docs.filter(F.col("doc_id") >= 250)
+        f0 = os.path.join(landing, "b0.parquet")
+        f1 = os.path.join(landing, "b1.parquet")
+        write_single_parquet_file(b0, f0)
+        write_single_parquet_file(b1, f1)
+        now = os.path.getmtime(f1)
+        os.utime(f0, (now - 10, now - 10))
+
+        streaming_model_scoring(
+            spark, landing, out_dir, ckpt, model_dir, expect_meta=_clf_meta()
+        )
+
+        def scores_map():
+            return {
+                r["doc_id"]: (r["p_keep"], r["predicted"], r["source"])
+                for r in read_scores(spark, out_dir).collect()  # ≤ |docs|
+            }
+
+        got = scores_map()
+        w_served, _ = load_logreg(spark, model_dir, expect_meta=_clf_meta())
+        batch_scores = (
+            score_logreg(
+                spark, feats, docs.select(F.col("doc_id").alias("__id")), w_served
+            )
+            .withColumnRenamed("__id", "doc_id")
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        want = {
+            r["doc_id"]: (r["p"], bool(r["p"] >= 0.5), r["source"])
+            for r in batch_scores.collect()
+        }
+        streamed_matches_batch = got == want
+
+        log_sum = {
+            r["source"]: (r["n"], r["k"])
+            for r in read_score_log(spark, out_dir)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n"),
+                F.sum("n_keep").cast("long").alias("k"),
+            )
+            .collect()
+        }
+        truth = {}
+        for doc_id, (p, pred, src) in want.items():
+            n, k = truth.get(src, (0, 0))
+            truth[src] = (n + 1, k + int(pred))
+        log_reconciles = log_sum == truth
+
+        n2 = streaming_model_scoring(
+            spark, landing, out_dir, ckpt, model_dir, expect_meta=_clf_meta()
+        )
+        rerun_is_noop = n2 == 0 and scores_map() == got
+
+        score_batch(spark, out_dir, 0, b0, w_served)
+        replay_idempotent = scores_map() == got
+
+        return spark.createDataFrame(
+            [
+                (
+                    bool(streamed_matches_batch),
+                    bool(log_reconciles),
+                    bool(rerun_is_noop),
+                    bool(replay_idempotent),
+                )
+            ],
+            "streamed_matches_batch boolean, log_reconciles boolean, "
+            "rerun_is_noop boolean, replay_idempotent boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

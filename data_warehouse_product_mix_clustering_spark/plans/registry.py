@@ -187,7 +187,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      scores ≡ in-memory, meta mismatch + torn artifact refused;
     #      all four booleans TRUE at sf0.001 AND sf0.01;
     #      test_quality_model_serving_audit_contract)
-    #  12. rows-only tail (audits above carry their contracts):
+    #  12. stream_model_scoring_audit (plans/pipeline.py — streaming
+    #      scoring against the frozen persisted model,
+    #      streaming/model_scoring.py: streamed ≡ one-batch scoring,
+    #      count log reconciles, rerun no-op, replay idempotent; all
+    #      four booleans TRUE at sf0.001 AND sf0.01;
+    #      test_stream_model_scoring_audit_contract)
+    #  13. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier — register outside the window like
     #      doc_context_windows_bpe.

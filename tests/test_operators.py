@@ -2809,3 +2809,14 @@ def test_quality_model_serving_audit_contract(spark):
 
     row = quality_model_serving_audit(spark, SF_SMOKE).collect()[0]
     assert all(row.asDict().values()), row.asDict()
+
+
+def test_stream_model_scoring_audit_contract(spark):
+    """plans/pipeline.py::stream_model_scoring_audit (pre-staged r15) —
+    the registration dry run: all four contract booleans TRUE at
+    sf0.001 (streamed ≡ one-batch scoring under the frozen artifact,
+    count log reconciles, rerun no-op, replay idempotent)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import stream_model_scoring_audit
+
+    row = stream_model_scoring_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
