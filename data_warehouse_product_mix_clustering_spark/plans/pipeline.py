@@ -4522,3 +4522,85 @@ def stream_model_scoring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _contamination_report_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({sql_word_ngrams("t", 3)})) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh
+            WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_CAP}
+        ), tr AS (
+            SELECT * FROM sh
+            WHERE NOT (doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_CAP})
+        ), stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (
+                        shingle IN (SELECT shingle FROM ev)
+                   ) AS BIGINT) AS n_shared
+            FROM tr GROUP BY doc_id
+        )
+        SELECT s.doc_id, d.source, s.n_shingles, s.n_shared,
+               {sql_ratio_round("s.n_shared * 1.0 / s.n_shingles")} AS overlap,
+               {sql_ratio_round("s.n_shared * 1.0 / s.n_shingles")}
+                   >= {DECONTAM_THRESHOLD} AS flagged
+        FROM stats s JOIN documents d USING (doc_id)
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("benchmark_contamination_report", oracle=_contamination_report_oracle())
+def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate's REPORT side — per train document, its
+    distinct-3-gram overlap with the FIXED benchmark set and whether
+    the apply path (``training_corpus_decontaminated`` /
+    ``training_batches(decontaminate=True)``) drops it. The detect→
+    report→apply triple every production screen ships: the registered
+    ``contamination_check`` screens candidate docs against the growing
+    held-out set; this reports against the SAME fixed anchor the apply
+    path cuts on, so a recipe owner can see exactly which docs the gate
+    costs and how close the survivors sit to the threshold (the
+    threshold-tuning table).
+
+    Determinism: overlap is 6-dp ratio-rounded on both engines before
+    the >= comparison — the gate's own snap, so report flags ≡ apply
+    drops by construction.
+
+    Scale: one (doc_id, shingle) relation + a benchmark-sized broadcast
+    membership check folded into the SAME per-doc aggregate that counts
+    shingles (conditional count, not a second join) + one doc_id
+    equi-join to attach source. The benchmark side is ≤ 10 docs of
+    shingles regardless of corpus size (the fixed-anchor lesson)."""
+    docs = table(spark, "documents", sf_dir)
+    sh = shingle_sets(docs, "doc_id", "text", n=3)
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_CAP)
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    ev_set = F.broadcast(ev.withColumn("__hit", F.lit(1)))
+    stats = (
+        sh.filter(~is_eval)
+        .join(ev_set, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    overlap = ratio_round(F.col("n_shared") / F.col("n_shingles"))
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_shared",
+            overlap.alias("overlap"),
+            (overlap >= F.lit(DECONTAM_THRESHOLD)).alias("flagged"),
+        )
+    )

@@ -158,6 +158,10 @@ _DRIVER_PRIORITY: list[str] = [
     #      docs minus overlap-gated train docs; adjacent oracle
     #      value-exact at sf0.001 AND sf0.01;
     #      test_training_corpus_decontaminated_matches_duckdb_twin)
+    #      + its report twin benchmark_contamination_report (same file;
+    #      adjacent oracle value-exact at both SFs, report flags ≡
+    #      apply drops pinned;
+    #      test_benchmark_contamination_report_matches_duckdb_twin)
     #   7. doc_context_windows_eod (plans/pipeline.py — the packing
     #      index WITH end-of-document separator tokens, the GPT shape;
     #      adjacent oracle value-exact at sf0.001 AND sf0.01;

@@ -2820,3 +2820,42 @@ def test_stream_model_scoring_audit_contract(spark):
 
     row = stream_model_scoring_audit(spark, SF_SMOKE).collect()[0]
     assert all(row.asDict().values()), row.asDict()
+
+
+def test_benchmark_contamination_report_matches_duckdb_twin(spark):
+    """plans/pipeline.py::benchmark_contamination_report (pre-staged
+    r15) ≡ its adjacent DuckDB oracle at sf0.001, and the report's
+    flags ARE the apply path's drops: the decontaminated corpus equals
+    the gated corpus minus benchmark docs minus flagged doc_ids."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        EVAL_CAP,
+        EVAL_MOD,
+        _contamination_report_oracle,
+        benchmark_contamination_report,
+        training_corpus_decontaminated,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.text import gated_corpus
+
+    got = benchmark_contamination_report(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_contamination_report_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    flagged = set(got[got["flagged"]]["doc_id"])
+    gated = {r["doc_id"] for r in gated_corpus(spark, SF_SMOKE).collect()}
+    is_eval = lambda i: i % EVAL_MOD == 0 and i < EVAL_CAP  # noqa: E731
+    expect = {i for i in gated if not is_eval(i) and i not in flagged}
+    decon = {
+        r["doc_id"]
+        for r in training_corpus_decontaminated(spark, SF_SMOKE).collect()
+    }
+    assert decon == expect
