@@ -2859,3 +2859,30 @@ def test_benchmark_contamination_report_matches_duckdb_twin(spark):
         for r in training_corpus_decontaminated(spark, SF_SMOKE).collect()
     }
     assert decon == expect
+
+
+def test_dsir_feature_counts_conserve_tokens(spark):
+    """operators/dsir.py::feature_counts — per-doc bucket counts sum to
+    exactly 2n−1 for an n-token doc (n unigrams + n−1 bigrams): hashing
+    relocates features, never creates or drops them."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import feature_counts
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in feature_counts(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    }
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for i, n in lens.items():
+        assert got.get(i, 0) == (2 * n - 1 if n >= 1 else 0)
