@@ -4604,3 +4604,45 @@ def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFram
             (overlap >= F.lit(DECONTAM_THRESHOLD)).alias("flagged"),
         )
     )
+
+
+def _dsir_by_source_oracle() -> str:
+    return f"""
+        WITH dsir AS ({_dsir_oracle()})
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (dsir_selected) AS BIGINT) AS n_selected,
+               {sql_ratio_round(
+                   "count(*) FILTER (dsir_selected) * 1.0 / count(*)"
+               )} AS keep_rate,
+               {sql_ratio_round("avg(dsir_logw_rate)")} AS mean_logw_rate
+        FROM dsir GROUP BY source
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("source_dsir_mixture", oracle=_dsir_by_source_oracle())
+def source_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE view of the DSIR gate — what fraction of each source
+    the importance-resampling rule keeps and its mean target-affinity
+    rate. The bridge between per-doc DSIR and the per-source mixture
+    family: where ``source_mixture_temperature`` asks "how much per
+    source" from SIZE and ``source_mixture_doremi`` from LM loss, this
+    reads the realized answer off the learned per-doc gate — the table
+    a recipe owner checks before swapping the temperature mixture for
+    DSIR selection (does it starve a source?).
+
+    Scale: ``doc_dsir_weight``'s plan + one |sources|-row aggregate —
+    nothing new materializes; mean-of-snapped-rates re-snapped (both
+    engines)."""
+    d = doc_dsir_weight(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("dsir_selected").cast("long"))
+        .cast("long")
+        .alias("n_selected"),
+        ratio_round(
+            F.sum(F.col("dsir_selected").cast("long")) / F.count(F.lit(1))
+        ).alias("keep_rate"),
+        ratio_round(F.avg("dsir_logw_rate")).alias("mean_logw_rate"),
+    )

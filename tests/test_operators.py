@@ -2886,3 +2886,32 @@ def test_dsir_feature_counts_conserve_tokens(spark):
     }
     for i, n in lens.items():
         assert got.get(i, 0) == (2 * n - 1 if n >= 1 else 0)
+
+
+def test_source_dsir_mixture_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_dsir_mixture (pre-staged r15) ≡ its
+    adjacent DuckDB oracle at sf0.001, one row per source, counts
+    reconciling with doc_dsir_weight."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _dsir_by_source_oracle,
+        doc_dsir_weight,
+        source_dsir_mixture,
+    )
+
+    got = source_dsir_mixture(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_dsir_by_source_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    per_doc = doc_dsir_weight(spark, SF_SMOKE).toPandas()
+    assert int(got["n_docs"].sum()) == len(per_doc)
+    assert int(got["n_selected"].sum()) == int(per_doc["dsir_selected"].sum())
