@@ -2915,3 +2915,29 @@ def test_source_dsir_mixture_matches_duckdb_twin(spark):
     per_doc = doc_dsir_weight(spark, SF_SMOKE).toPandas()
     assert int(got["n_docs"].sum()) == len(per_doc)
     assert int(got["n_selected"].sum()) == int(per_doc["dsir_selected"].sum())
+
+
+def test_train_logreg_partitioning_invariant(spark):
+    """ml/logreg.py::train_logreg — the snapped-arithmetic contract's
+    point: weights cannot depend on physical partitioning. Train the
+    same slice under shuffle widths 2 and 7; weight dicts must be
+    identical (==, no tolerance)."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import train_logreg
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import _clf_features, _gate_labels
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "doc_id < 120"
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("2", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            w, _ = train_logreg(feats, labels, n_iter=6, lr=4.0, l2=1e-4)
+            results.append(w)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
