@@ -4646,3 +4646,111 @@ def source_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_rate"),
         ratio_round(F.avg("dsir_logw_rate")).alias("mean_logw_rate"),
     )
+
+
+def _dsir_budgeted_oracle() -> str:
+    return f"""
+        WITH dsir AS ({_dsir_oracle()}),
+        allocq AS ({_budget_allocation_oracle()}),
+        sized AS (
+            SELECT doc_id,
+                   CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), rows_ AS (
+            SELECT d.doc_id, d.source, d.dsir_logw_rate, s.n_tokens
+            FROM dsir d JOIN sized s USING (doc_id)
+        ), ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY dsir_logw_rate DESC, doc_id
+                   ) AS BIGINT) AS src_rank,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source
+                        ORDER BY dsir_logw_rate DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prior_tokens
+            FROM rows_
+        )
+        SELECT doc_id, source, n_tokens, dsir_logw_rate, src_rank
+        FROM ranked JOIN allocq USING (source)
+        WHERE prior_tokens < alloc_tokens
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("training_corpus_dsir_budgeted", oracle=_dsir_budgeted_oracle())
+def training_corpus_dsir_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked budget fill — three families composed: each
+    source's water-filling token allocation
+    (``source_budget_allocation``) is spent on that source's BEST
+    documents by DSIR target-affinity (``doc_dsir_weight``), greedily
+    in (rate DESC, doc_id) order until the allocation is exhausted
+    (a document is taken while its source's prior-token total is still
+    under the allocation — the straddling doc is kept, so every
+    positive allocation fills). Where ``training_corpus_budgeted``
+    realizes the budget by HASH-rate thinning (unbiased, quality-blind),
+    this is the "fill the budget with your best data" recipe.
+
+    Determinism: the per-source order (6-dp-snapped rate, doc_id
+    tie-break) is total; running token sums are exact integers; the
+    keep comparison is integer < integer — both engines cut the same
+    docs. The oracle states the semantics as per-source windows; the
+    Spark plan computes the SAME ranks and running sums with the
+    no-window machinery (global distributed rank+running over
+    (source, rate DESC, doc_id) minus per-source broadcast offsets —
+    ``_interleave_rank``'s trick widened to weights), so no source
+    funnels through one partition at any scale.
+
+    Scale: DSIR's plan + one distributed rank/running pass (one range
+    partitioning, one ≤P-row collect) + two dimension-sized broadcast
+    joins."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    alloc = source_budget_allocation(spark, sf_dir).select(
+        "source", "alloc_tokens"
+    )
+    docs = table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    rows = (
+        doc_dsir_weight(spark, sf_dir)
+        .select("doc_id", "source", "dsir_logw_rate")
+        .join(sized, "doc_id")
+    )
+    order = [
+        F.col("source"),
+        F.col("dsir_logw_rate").desc(),
+        F.col("doc_id"),
+    ]
+    ranked = with_rank_and_running(
+        rows.withColumn("__one", F.lit(1).cast("long")),
+        order,
+        "n_tokens",
+        rank_col="__grk",
+        running_col="__grun",
+    ).drop("__pid", "__one")
+    # per-source offsets of earlier sources' counts and token totals
+    # (rows of one source are contiguous under source-major order)
+    per_src = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("n_tokens").cast("long").alias("__t"),
+    )
+    off_w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_src.select(
+        "source",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__noff"),
+        F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__toff"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "source")
+        .join(F.broadcast(alloc), "source")
+        .withColumn("src_rank", (F.col("__grk") - F.col("__noff")).cast("long"))
+        .withColumn(
+            "__prior",
+            (F.col("__grun") - F.col("__toff") - F.col("n_tokens")).cast("long"),
+        )
+        .filter(F.col("__prior") < F.col("alloc_tokens"))
+        .select("doc_id", "source", "n_tokens", "dsir_logw_rate", "src_rank")
+    )

@@ -171,10 +171,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      models, broadcast-sized by construction; adjacent oracle
     #      value-exact at sf0.001 AND sf0.01;
     #      test_doc_dsir_weight_matches_duckdb_twin) + its applied
-    #      corpus training_corpus_dsir and per-source view
-    #      source_dsir_mixture (same file; adjacent oracles value-exact
-    #      at both SFs; test_training_corpus_dsir_matches_duckdb_twin,
-    #      test_source_dsir_mixture_matches_duckdb_twin)
+    #      corpus training_corpus_dsir, per-source view
+    #      source_dsir_mixture, and quality-ranked budget fill
+    #      training_corpus_dsir_budgeted (same file; adjacent oracles
+    #      value-exact at both SFs;
+    #      test_training_corpus_dsir_matches_duckdb_twin,
+    #      test_source_dsir_mixture_matches_duckdb_twin,
+    #      test_training_corpus_dsir_budgeted_matches_duckdb_twin)
     #   9. quality_classifier_audit (plans/pipeline.py — the learned
     #      quality gate's contract: distributed Adagrad logistic
     #      regression ≡ python twin bit-exactly incl. the loss trace,

@@ -2941,3 +2941,42 @@ def test_train_logreg_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results[0] == results[1]
+
+
+def test_training_corpus_dsir_budgeted_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_dsir_budgeted (pre-staged r15)
+    ≡ its adjacent DuckDB oracle at sf0.001, plus the greedy-fill
+    invariants: within each source the kept ranks are the contiguous
+    prefix 1..k (best docs first, no gaps), and each source's kept
+    tokens stay under allocation + its straddling doc."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _dsir_budgeted_oracle,
+        source_budget_allocation,
+        training_corpus_dsir_budgeted,
+    )
+
+    got = training_corpus_dsir_budgeted(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_dsir_budgeted_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    for src, grp in got.groupby("source"):
+        ranks = sorted(grp["src_rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+    alloc = {
+        r["source"]: r["alloc_tokens"]
+        for r in source_budget_allocation(spark, SF_SMOKE).collect()
+    }
+    for src, grp in got.groupby("source"):
+        kept = int(grp["n_tokens"].sum())
+        straddle = int(grp.loc[grp["src_rank"].idxmax(), "n_tokens"])
+        assert kept - straddle < alloc[src]
