@@ -205,9 +205,14 @@ _DRIVER_PRIORITY: list[str] = [
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier — register outside the window like
     #      doc_context_windows_bpe.
-    # Window arithmetic for r15: ~10 new + the 26 r10 names below +
-    # the first r11-cohort oracle-bearing names (r11-window order) to
-    # fill 50 exactly. The r11 cohort leads with: doc_unigram_logprob,
+    # Window arithmetic for r15: the candidate list above has grown to
+    # 17 oracle-bearing names (the r14 continuation kept building) —
+    # register ~10 in the numbered priority order, spill the remainder
+    # to the TOP of r16's candidates (the ≤10-new-per-round budget
+    # holds; nothing expires, every candidate stays twin-verified at
+    # both SFs with a dry-run test). Fill the rest of the 50-slot
+    # window with the 26 r10 names below + the first r11-cohort
+    # oracle-bearing names (r11-window order) to reach 50 exactly. The r11 cohort leads with: doc_unigram_logprob,
     # semantic_dedup_audit, nation_revenue, orders_above_customer_avg,
     # pca_variance_audit, pricing_summary, product_pagination,
     # product_search, promo_revenue_pct, quarter_rollup,
