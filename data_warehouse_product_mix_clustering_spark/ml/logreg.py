@@ -318,3 +318,201 @@ def load_logreg(
         .collect()  # ≤ buckets+1 rows — broadcast-sized by construction
     }
     return w, meta
+
+
+# ---------------------------------------------------------------------------
+# Multinomial (softmax) variant — the fastText lang-id shape. Same
+# snapped-arithmetic contract: margins, per-class probabilities, and
+# per-(class, bucket) gradient sums are 6-dp snapped distributed
+# reductions; the Adagrad update runs driver-side on both paths. The
+# gradient collect is ≤ |classes|·(buckets+1) rows — still
+# broadcast-sized for any classifier worth hashing.
+# ---------------------------------------------------------------------------
+
+
+def train_softmax(
+    feats: DataFrame,
+    labels: DataFrame,
+    *,
+    n_iter: int = 16,
+    lr: float = 4.0,
+    l2: float = 1e-6,
+    track_loss: bool = False,
+) -> tuple[dict[str, dict[str, float]], list[float]]:
+    """Full-batch softmax regression; returns ({class: weights}, loss).
+
+    ``labels``: (__id, y string — the class). Per iteration: one
+    broadcast join with the (bucket, class) weight relation, one
+    per-(id, class) margin agg, a per-id max/sum pair for the stable
+    softmax, and one (class, bucket) gradient agg — every reduction
+    snapped, every division replayed identically by the twin."""
+    spark = feats.sparkSession
+    ids = labels.select("__id", "y")
+    base = (
+        feats.select("__id", "bucket", "x")
+        .unionAll(
+            ids.select(
+                "__id", F.lit(BIAS_KEY).alias("bucket"), F.lit(1.0).alias("x")
+            )
+        )
+        .join(ids, "__id")
+        .repartition("__id")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = ids.count()
+    classes = sorted(
+        r["y"] for r in ids.select("y").distinct().collect()
+    )  # ≤ |classes| rows
+    buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
+    w = {c: {b: 0.0 for b in buckets} for c in classes}
+    acc: dict[tuple[str, str], float] = {}
+
+    losses: list[float] = []
+    for _ in range(n_iter):
+        wdf = spark.createDataFrame(
+            [(c, b, wb) for c, ws in w.items() for b, wb in ws.items()],
+            "cls string, bucket string, w double",
+        )
+        margins = (
+            base.join(F.broadcast(wdf), "bucket")
+            .groupBy("__id", "y", "cls")
+            .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
+        )
+        stats = margins.groupBy("__id").agg(F.max("m").alias("__mx"))
+        e = margins.join(stats, "__id").select(
+            "__id",
+            "y",
+            "cls",
+            ratio_round(F.exp(F.col("m") - F.col("__mx"))).alias("e"),
+        )
+        z = e.groupBy("__id").agg(ratio_round(F.sum("e")).alias("__z"))
+        probs = (
+            e.join(z, "__id")
+            .select(
+                "__id",
+                "y",
+                "cls",
+                ratio_round(F.col("e") / F.col("__z")).alias("p"),
+            )
+            .withColumn(
+                "resid",
+                F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
+            )
+            .localCheckpoint(eager=True)  # read by grad (+ loss)
+        )
+        if track_loss:
+            own = probs.filter(F.col("y") == F.col("cls"))
+            pc = F.least(
+                F.greatest(F.col("p"), F.lit(_P_CLIP)), F.lit(1.0 - _P_CLIP)
+            )
+            losses.append(
+                own.agg(ratio_round(F.avg(-F.log(pc))).alias("l")).collect()[
+                    0
+                ]["l"]
+            )
+        grad = {
+            (r["cls"], r["bucket"]): r["g"]
+            for r in base.join(
+                probs.select("__id", "cls", "resid"), "__id"
+            )  # id-partitioned join; the (cls, bucket) agg shuffles
+            .groupBy("cls", "bucket")
+            .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
+            .collect()  # ≤ |classes|·(buckets+1) rows
+        }
+        for c in classes:
+            gc = {b: grad.get((c, b), 0.0) for b in w[c]}
+            ac = {b: acc.get((c, b), 0.0) for b in w[c]}
+            w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
+            for b, v in ac.items():
+                acc[(c, b)] = v
+    return w, losses
+
+
+def train_softmax_py(
+    feats: dict[object, dict[str, float]],
+    labels: dict[object, str],
+    *,
+    n_iter: int = 16,
+    lr: float = 4.0,
+    l2: float = 1e-6,
+    track_loss: bool = False,
+) -> tuple[dict[str, dict[str, float]], list[float]]:
+    """In-memory twin of ``train_softmax`` — same snaps, same update."""
+    rows = {i: {**feats.get(i, {}), BIAS_KEY: 1.0} for i in labels}
+    n_docs = len(rows)
+    classes = sorted(set(labels.values()))
+    bucket_set = {b for d in rows.values() for b in d}
+    w = {c: {b: 0.0 for b in bucket_set} for c in classes}
+    acc: dict[tuple[str, str], float] = {}
+    losses: list[float] = []
+    for _ in range(n_iter):
+        grad: dict[tuple[str, str], float] = {}
+        loss = 0.0
+        for i in sorted(rows, key=repr):
+            ms = {
+                c: _snap(
+                    sum(x * w[c][b] for b, x in sorted(rows[i].items()))
+                )
+                for c in classes
+            }
+            mx = max(ms.values())
+            es = {c: _snap(math.exp(ms[c] - mx)) for c in classes}
+            zz = _snap(sum(es[c] for c in classes))
+            ps = {c: _snap(es[c] / zz) for c in classes}
+            if track_loss:
+                pc = min(max(ps[labels[i]], _P_CLIP), 1.0 - _P_CLIP)
+                loss += -math.log(pc)
+            for c in classes:
+                resid = ps[c] - (1.0 if labels[i] == c else 0.0)
+                for b, x in rows[i].items():
+                    grad[(c, b)] = grad.get((c, b), 0.0) + x * resid
+        if track_loss:
+            losses.append(_snap(loss / n_docs))
+        for c in classes:
+            gc = {b: _snap(grad.get((c, b), 0.0)) for b in w[c]}
+            ac = {b: acc.get((c, b), 0.0) for b in w[c]}
+            w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
+            for b, v in ac.items():
+                acc[(c, b)] = v
+    return w, losses
+
+
+def predict_softmax(
+    spark: SparkSession,
+    feats: DataFrame,
+    ids: DataFrame,
+    w: dict[str, dict[str, float]],
+) -> DataFrame:
+    """(__id, pred, p): argmax class and its snapped probability for
+    every id — one broadcast join + two per-id aggs; ties break on the
+    alphabetically first class (deterministic argmax)."""
+    wdf = spark.createDataFrame(
+        [(c, b, wb) for c, ws in w.items() for b, wb in ws.items()],
+        "cls string, bucket string, w double",
+    )
+    base = feats.select("__id", "bucket", "x").unionAll(
+        ids.select("__id", F.lit(BIAS_KEY).alias("bucket"), F.lit(1.0).alias("x"))
+    )
+    margins = (
+        base.join(F.broadcast(wdf), "bucket")
+        .groupBy("__id", "cls")
+        .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
+    )
+    stats = margins.groupBy("__id").agg(F.max("m").alias("__mx"))
+    e = margins.join(stats, "__id").select(
+        "__id", "cls", ratio_round(F.exp(F.col("m") - F.col("__mx"))).alias("e")
+    )
+    z = e.groupBy("__id").agg(ratio_round(F.sum("e")).alias("__z"))
+    p = e.join(z, "__id").select(
+        "__id", "cls", ratio_round(F.col("e") / F.col("__z")).alias("p")
+    )
+    # argmax via min over (-p, cls): a p tie resolves to the
+    # alphabetically FIRST class on both engines
+    best = p.groupBy("__id").agg(
+        F.min(F.struct((-F.col("p")).alias("np"), F.col("cls"))).alias("__b")
+    )
+    return best.select(
+        "__id",
+        F.col("__b.cls").alias("pred"),
+        (-F.col("__b.np")).alias("p"),
+    )

@@ -4754,3 +4754,182 @@ def training_corpus_dsir_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("__prior") < F.col("alloc_tokens"))
         .select("doc_id", "source", "n_tokens", "dsir_logw_rate", "src_rank")
     )
+
+
+def _lang_labels(docs: DataFrame) -> DataFrame:
+    """(__id, y): the TEXT-DERIVED language label — the engine's own
+    stopword-argmax lang-ID (functions/text.py::predicted_lang) on
+    nonempty docs. Text-derived for the same Bayes reason as
+    ``_gate_labels``: the metadata lang column is independent of the
+    text in this corpus; a learnable teacher must be a function of what
+    the student sees (fastText lang-id's actual setup)."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import predicted_lang
+
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    return t.select("__id", predicted_lang(F.col("t")).alias("y"))
+
+
+def _lang_features(docs: DataFrame) -> DataFrame:
+    """(__id, bucket, x): the shared hashed-rate features plus one
+    engineered "__sw_<lang>" stopword-rate scalar PER language — the
+    exact per-language hit rates ``predicted_lang`` argmaxes over, so
+    the teacher is a deterministic function of the feature vector (the
+    fastText lang-id setup: character/word features that carry the
+    language signal directly). Keys cannot collide with hex buckets."""
+    base = _clf_features(docs)
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    per_lang = [
+        t.select(
+            "__id",
+            F.lit(f"__sw_{lang}").alias("bucket"),
+            ratio_round(
+                stopword_hits(F.col("t"), ws).cast("double") / F.size("t")
+            ).alias("x"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    out = base
+    for p in per_lang:
+        out = out.unionAll(p)
+    return out
+
+
+LANG_CLF_ITERS = 24
+LANG_CLF_LR = 4.0
+LANG_CLF_L2 = 1e-4
+
+
+# Pre-staged r15 registration, rows-only (iterative training is not
+# SQL-expressible; lang_classifier_audit carries the contract):
+# @register("doc_lang_classifier")
+def doc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID (the fastText lang-id shape, multinomial):
+    softmax regression over the shared hashed n-gram rates plus the
+    per-language stopword-rate scalars, distilling the engine's
+    stopword-argmax ``predicted_lang`` teacher; trained on the even
+    doc_ids, every nonempty document scored. Output per doc: the argmax
+    class with its snapped probability, the teacher's label, agreement,
+    and the holdout flag. On this corpus the teacher's label space
+    degenerates to {en, und} (every doc draws from one word pool — the
+    metadata-lang lesson in ``_gate_labels`` applies doubly here), so
+    the audit's accuracy bar is BEATS-THE-MAJORITY-CLASS, not a fixed
+    constant: the model must earn its keep over the trivial predictor.
+
+    Determinism: ml/logreg.py's snapped softmax contract — weights ≡
+    python twin bit-for-bit (audited); argmax ties break alphabetically
+    on both engines.
+
+    Scale: training per iteration is one broadcast join with the
+    ≤|classes|·(buckets+1)-row weight relation, exchange-free per-id
+    aggs, one (class, bucket) gradient agg; prediction is one broadcast
+    join + two per-id aggs. Mirrors the reference's sklearn fit/predict
+    loops (SURVEY §2.9) as set operations."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import predict_softmax, train_softmax
+
+    docs = table(spark, "documents", sf_dir)
+    feats = _lang_features(docs).localCheckpoint(eager=True)
+    labels = _lang_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_softmax(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=LANG_CLF_ITERS,
+        lr=LANG_CLF_LR,
+        l2=LANG_CLF_L2,
+    )
+    pred = predict_softmax(spark, feats, labels.select("__id"), w)
+    return (
+        labels.join(pred, "__id")
+        .join(docs.select(F.col("doc_id").alias("__id"), "source"), "__id")
+        .select(
+            F.col("__id").alias("doc_id"),
+            "source",
+            F.col("pred").alias("lang_pred"),
+            F.col("p").alias("p_top"),
+            F.col("y").alias("lang_teacher"),
+            (F.col("pred") == F.col("y")).alias("agrees"),
+            (F.col("__id") % 2 != 0).alias("held_out"),
+        )
+    )
+
+
+# Pre-staged r15 registration:
+# @register("lang_classifier_audit", oracle="""
+#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+#            TRUE AS loss_decreases, TRUE AS beats_majority
+# """)
+def lang_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``doc_lang_classifier`` (the
+    ``quality_classifier_audit`` mold, multiclass):
+
+    - ``weights_match_twin``: the distributed softmax trainer's
+      {class: weights} over the doc_id < cap slice equals
+      ``train_softmax_py``'s EXACTLY, loss trace included;
+    - ``rerun_identical``: a second distributed run returns the
+      identical nested dict;
+    - ``loss_decreases``: final snapped cross-entropy < first;
+    - ``beats_majority``: held-out argmax accuracy vs the teacher
+      STRICTLY exceeds the held-out majority-class share — the model
+      beats the trivial predictor on a degenerate-prone label space
+      (both sides computed in-audit, so the bar moves with the data).
+
+    Bounds: the twin collects the cap-slice feature relation once; the
+    accuracy pass collects ≤ cap rows."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        predict_softmax,
+        train_softmax,
+        train_softmax_py,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _lang_features(docs).localCheckpoint(eager=True)
+    labels = _lang_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    tr_f, tr_l = feats.filter(even), labels.filter(even)
+
+    kw = dict(n_iter=LANG_CLF_ITERS, lr=LANG_CLF_LR, l2=LANG_CLF_L2)
+    w1, losses = train_softmax(tr_f, tr_l, track_loss=True, **kw)
+    w2, _ = train_softmax(tr_f, tr_l, **kw)
+
+    f_py: dict[int, dict[str, float]] = {}
+    for r in tr_f.collect():  # bounded: cap-slice features only
+        f_py.setdefault(int(r["__id"]), {})[r["bucket"]] = float(r["x"])
+    l_py = {int(r["__id"]): r["y"] for r in tr_l.collect()}
+    w_py, losses_py = train_softmax_py(f_py, l_py, track_loss=True, **kw)
+
+    weights_match_twin = w1 == w_py and losses == losses_py
+    rerun_identical = w1 == w2
+    loss_decreases = losses[-1] < losses[0]
+
+    held = (
+        predict_softmax(spark, feats, labels.select("__id"), w1)
+        .join(labels, "__id")
+        .filter(F.col("__id") % 2 != 0)
+        .select("pred", "y")
+        .collect()  # ≤ cap rows
+    )
+    acc = sum(1 for r in held if r["pred"] == r["y"]) / len(held)
+    counts: dict[str, int] = {}
+    for r in held:
+        counts[r["y"]] = counts.get(r["y"], 0) + 1
+    majority = max(counts.values()) / len(held)
+    beats_majority = acc > majority
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(weights_match_twin),
+                bool(rerun_identical),
+                bool(loss_decreases),
+                bool(beats_majority),
+            )
+        ],
+        "weights_match_twin boolean, rerun_identical boolean, "
+        "loss_decreases boolean, beats_majority boolean",
+    )

@@ -195,16 +195,22 @@ _DRIVER_PRIORITY: list[str] = [
     #      scores ≡ in-memory, meta mismatch + torn artifact refused;
     #      all four booleans TRUE at sf0.001 AND sf0.01;
     #      test_quality_model_serving_audit_contract)
-    #  12. stream_model_scoring_audit (plans/pipeline.py — streaming
+    #  12. lang_classifier_audit (plans/pipeline.py — multinomial
+    #      softmax lang-ID distilling predicted_lang: distributed ≡
+    #      python twin bit-exactly incl. the loss trace,
+    #      rerun-identical, cross-entropy descends, held-out accuracy
+    #      strictly beats the majority class; all four booleans TRUE
+    #      at sf0.001 AND sf0.01; test_lang_classifier_audit_contract)
+    #  13. stream_model_scoring_audit (plans/pipeline.py — streaming
     #      scoring against the frozen persisted model,
     #      streaming/model_scoring.py: streamed ≡ one-batch scoring,
     #      count log reconciles, rerun no-op, replay idempotent; all
     #      four booleans TRUE at sf0.001 AND sf0.01;
     #      test_stream_model_scoring_audit_contract)
-    #  13. rows-only tail (audits above carry their contracts):
+    #  14. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
-    #      doc_quality_classifier — register outside the window like
-    #      doc_context_windows_bpe.
+    #      doc_quality_classifier, doc_lang_classifier — register
+    #      outside the window like doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
     # 17 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder

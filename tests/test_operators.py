@@ -2980,3 +2980,37 @@ def test_training_corpus_dsir_budgeted_matches_duckdb_twin(spark):
         kept = int(grp["n_tokens"].sum())
         straddle = int(grp.loc[grp["src_rank"].idxmax(), "n_tokens"])
         assert kept - straddle < alloc[src]
+
+
+def test_lang_classifier_audit_contract(spark):
+    """plans/pipeline.py::lang_classifier_audit (pre-staged r15) — the
+    registration dry run: all four contract booleans TRUE at sf0.001
+    (softmax twin bit-equality incl. the loss trace, rerun identity,
+    descending cross-entropy, held-out accuracy strictly beating the
+    majority class)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import lang_classifier_audit
+
+    row = lang_classifier_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
+
+
+def test_doc_lang_classifier_shape(spark):
+    """plans/pipeline.py::doc_lang_classifier (pre-staged r15,
+    rows-only): one row per nonempty doc, agrees ≡ (pred == teacher),
+    p_top in (0, 1], and held-out agreement beats the held-out majority
+    share."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _lang_labels,
+        doc_lang_classifier,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.registry import table
+
+    got = doc_lang_classifier(spark, SF_SMOKE).toPandas()
+    docs = table(spark, "documents", SF_SMOKE)
+    n_labeled = _lang_labels(docs).count()
+    assert len(got) == n_labeled
+    assert (got["agrees"] == (got["lang_pred"] == got["lang_teacher"])).all()
+    assert (got["p_top"] > 0).all() and (got["p_top"] <= 1.0).all()
+    held = got[got["held_out"]]
+    majority = held["lang_teacher"].value_counts(normalize=True).max()
+    assert held["agrees"].mean() > majority
