@@ -23,7 +23,7 @@ in-memory twin) produce BIT-IDENTICAL weight vectors, loss traces, and
 predictions — pinned exactly by ``quality_classifier_audit``, no
 tolerance anywhere.
 
-Scale: the joined (id, bucket, x, y) relation is checkpointed once,
+Scale: the joined (id, bucket, x, y) relation is cached once,
 hash-partitioned by id; each iteration is (1) one broadcast join with
 the ≤(buckets+1)-row weight relation + an exchange-free per-id
 aggregation, (2) one id-aligned join attaching residuals (both sides
@@ -130,6 +130,11 @@ def train_logreg(
     """
     spark = feats.sparkSession
     ids = labels.select("__id", "y")
+    # persist, not localCheckpoint: the cached InMemoryTableScan KEEPS
+    # the repartition's outputPartitioning, so every iteration's per-id
+    # agg and residual join reuse it exchange-free; a checkpoint drops
+    # the partitioning metadata and re-shuffles twice per iteration
+    # (caught by an .explain pass). Unpersisted in the finally.
     base = (
         feats.select("__id", "bucket", "x")
         .unionAll(
@@ -139,53 +144,65 @@ def train_logreg(
         )
         .join(ids, "__id")
         .repartition("__id")  # one shuffle, reused by every iteration
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    n_docs = ids.count()
+    n_docs = base.select("__id").distinct().count()  # materializes the cache
     buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
     w = {b: 0.0 for b in buckets}
     acc: dict[str, float] = {}
 
     losses: list[float] = []
-    for _ in range(n_iter):
-        wdf = spark.createDataFrame(
-            list(w.items()), "bucket string, w double"
-        )
-        # Per-id margin/probability/residual: broadcast join preserves
-        # the id-partitioning, so this groupBy is exchange-free.
-        per_id = (
-            base.join(F.broadcast(wdf), "bucket")
-            .groupBy("__id", "y")
-            .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
-            .select(
-                "__id",
-                "y",
-                ratio_round(_sigmoid(F.col("m"))).alias("p"),
+    try:
+        for _ in range(n_iter):
+            wdf = spark.createDataFrame(
+                list(w.items()), "bucket string, w double"
             )
-            .withColumn("resid", F.col("p") - F.col("y"))
-        )
-        if track_loss:
-            pc = F.least(
-                F.greatest(F.col("p"), F.lit(_P_CLIP)), F.lit(1.0 - _P_CLIP)
+            # Per-id margin/probability/residual: the broadcast join
+            # preserves the cached id-partitioning and the groupBy key
+            # matches it, so this agg is exchange-free (y rides as min
+            # — constant per id; grouping on (__id, y) would defeat the
+            # partitioning match).
+            per_id = (
+                base.join(F.broadcast(wdf), "bucket")
+                .groupBy("__id")
+                .agg(
+                    F.min("y").alias("y"),
+                    ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"),
+                )
+                .select(
+                    "__id",
+                    "y",
+                    ratio_round(_sigmoid(F.col("m"))).alias("p"),
+                )
+                .withColumn("resid", F.col("p") - F.col("y"))
             )
-            ll = -(
-                F.col("y") * F.log(pc)
-                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
-            )
-            losses.append(
-                per_id.agg(ratio_round(F.avg(ll)).alias("l")).collect()[0]["l"]
-            )
-        # Gradient SUM per bucket — the only collect: ≤ buckets+1 rows.
-        grad = {
-            r["bucket"]: r["g"]
-            for r in base.join(
-                per_id.select("__id", "resid"), "__id"
-            )  # both sides partitioned by __id — no exchange on base
-            .groupBy("bucket")
-            .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
-            .collect()
-        }
-        w = _update(w, acc, grad, n_docs, lr, l2)
+            if track_loss:
+                pc = F.least(
+                    F.greatest(F.col("p"), F.lit(_P_CLIP)),
+                    F.lit(1.0 - _P_CLIP),
+                )
+                ll = -(
+                    F.col("y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                )
+                losses.append(
+                    per_id.agg(ratio_round(F.avg(ll)).alias("l")).collect()[
+                        0
+                    ]["l"]
+                )
+            # Gradient SUM per bucket — the only collect: ≤ buckets+1 rows.
+            grad = {
+                r["bucket"]: r["g"]
+                for r in base.join(
+                    per_id.select("__id", "resid"), "__id"
+                )  # both sides partitioned by __id — no exchange on base
+                .groupBy("bucket")
+                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
+                .collect()
+            }
+            w = _update(w, acc, grad, n_docs, lr, l2)
+    finally:
+        base.unpersist()
     return w, losses
 
 
@@ -348,6 +365,10 @@ def train_softmax(
     snapped, every division replayed identically by the twin."""
     spark = feats.sparkSession
     ids = labels.select("__id", "y")
+    # persist, not localCheckpoint — train_logreg's reason: the cache
+    # keeps the id-partitioning, and hash partitioning on a SUBSET of
+    # the grouping keys satisfies the (id, …) clusterings below, so the
+    # margin agg and the residual join stay exchange-free per iteration.
     base = (
         feats.select("__id", "bucket", "x")
         .unionAll(
@@ -357,9 +378,9 @@ def train_softmax(
         )
         .join(ids, "__id")
         .repartition("__id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    n_docs = ids.count()
+    n_docs = base.select("__id").distinct().count()  # materializes the cache
     classes = sorted(
         r["y"] for r in ids.select("y").distinct().collect()
     )  # ≤ |classes| rows
@@ -368,63 +389,67 @@ def train_softmax(
     acc: dict[tuple[str, str], float] = {}
 
     losses: list[float] = []
-    for _ in range(n_iter):
-        wdf = spark.createDataFrame(
-            [(c, b, wb) for c, ws in w.items() for b, wb in ws.items()],
-            "cls string, bucket string, w double",
-        )
-        margins = (
-            base.join(F.broadcast(wdf), "bucket")
-            .groupBy("__id", "y", "cls")
-            .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
-        )
-        stats = margins.groupBy("__id").agg(F.max("m").alias("__mx"))
-        e = margins.join(stats, "__id").select(
-            "__id",
-            "y",
-            "cls",
-            ratio_round(F.exp(F.col("m") - F.col("__mx"))).alias("e"),
-        )
-        z = e.groupBy("__id").agg(ratio_round(F.sum("e")).alias("__z"))
-        probs = (
-            e.join(z, "__id")
-            .select(
+    try:
+        for _ in range(n_iter):
+            wdf = spark.createDataFrame(
+                [(c, b, wb) for c, ws in w.items() for b, wb in ws.items()],
+                "cls string, bucket string, w double",
+            )
+            margins = (
+                base.join(F.broadcast(wdf), "bucket")
+                .groupBy("__id", "y", "cls")
+                .agg(ratio_round(F.sum(F.col("x") * F.col("w"))).alias("m"))
+            )
+            stats = margins.groupBy("__id").agg(F.max("m").alias("__mx"))
+            e = margins.join(stats, "__id").select(
                 "__id",
                 "y",
                 "cls",
-                ratio_round(F.col("e") / F.col("__z")).alias("p"),
+                ratio_round(F.exp(F.col("m") - F.col("__mx"))).alias("e"),
             )
-            .withColumn(
-                "resid",
-                F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
+            z = e.groupBy("__id").agg(ratio_round(F.sum("e")).alias("__z"))
+            probs = (
+                e.join(z, "__id")
+                .select(
+                    "__id",
+                    "y",
+                    "cls",
+                    ratio_round(F.col("e") / F.col("__z")).alias("p"),
+                )
+                .withColumn(
+                    "resid",
+                    F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
+                )
+                .localCheckpoint(eager=True)  # read by grad (+ loss)
             )
-            .localCheckpoint(eager=True)  # read by grad (+ loss)
-        )
-        if track_loss:
-            own = probs.filter(F.col("y") == F.col("cls"))
-            pc = F.least(
-                F.greatest(F.col("p"), F.lit(_P_CLIP)), F.lit(1.0 - _P_CLIP)
-            )
-            losses.append(
-                own.agg(ratio_round(F.avg(-F.log(pc))).alias("l")).collect()[
-                    0
-                ]["l"]
-            )
-        grad = {
-            (r["cls"], r["bucket"]): r["g"]
-            for r in base.join(
-                probs.select("__id", "cls", "resid"), "__id"
-            )  # id-partitioned join; the (cls, bucket) agg shuffles
-            .groupBy("cls", "bucket")
-            .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
-            .collect()  # ≤ |classes|·(buckets+1) rows
-        }
-        for c in classes:
-            gc = {b: grad.get((c, b), 0.0) for b in w[c]}
-            ac = {b: acc.get((c, b), 0.0) for b in w[c]}
-            w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
-            for b, v in ac.items():
-                acc[(c, b)] = v
+            if track_loss:
+                own = probs.filter(F.col("y") == F.col("cls"))
+                pc = F.least(
+                    F.greatest(F.col("p"), F.lit(_P_CLIP)),
+                    F.lit(1.0 - _P_CLIP),
+                )
+                losses.append(
+                    own.agg(
+                        ratio_round(F.avg(-F.log(pc))).alias("l")
+                    ).collect()[0]["l"]
+                )
+            grad = {
+                (r["cls"], r["bucket"]): r["g"]
+                for r in base.join(
+                    probs.select("__id", "cls", "resid"), "__id"
+                )  # id-partitioned join; the (cls, bucket) agg shuffles
+                .groupBy("cls", "bucket")
+                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
+                .collect()  # ≤ |classes|·(buckets+1) rows
+            }
+            for c in classes:
+                gc = {b: grad.get((c, b), 0.0) for b in w[c]}
+                ac = {b: acc.get((c, b), 0.0) for b in w[c]}
+                w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
+                for b, v in ac.items():
+                    acc[(c, b)] = v
+    finally:
+        base.unpersist()
     return w, losses
 
 
