@@ -3014,3 +3014,30 @@ def test_doc_lang_classifier_shape(spark):
     held = got[got["held_out"]]
     majority = held["lang_teacher"].value_counts(normalize=True).max()
     assert held["agrees"].mean() > majority
+
+
+def test_softmax_model_roundtrip_and_refusals(spark, tmp_path):
+    """ml/logreg.py::save_softmax/load_softmax — bit-exact nested-dict
+    roundtrip through parquet, meta-drift refusal, torn-artifact
+    refusal (the save_logreg contract, multiclass)."""
+    import os
+
+    import pytest
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import load_softmax, save_softmax
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import COMMIT_MARKER
+
+    w = {
+        "en": {"aaa": 0.123456, "__bias": -1.5},
+        "und": {"aaa": -0.000001, "__bias": 0.75},
+    }
+    meta = {"features": "test", "n_iter": 3}
+    d = str(tmp_path / "m")
+    save_softmax(spark, w, d, meta)
+    w2, meta2 = load_softmax(spark, d, expect_meta=meta)
+    assert w2 == w and meta2 == meta
+    with pytest.raises(ValueError):
+        load_softmax(spark, d, expect_meta={"features": "other"})
+    os.remove(os.path.join(d, COMMIT_MARKER))
+    with pytest.raises(RuntimeError):
+        load_softmax(spark, d)
