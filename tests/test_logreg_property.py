@@ -67,3 +67,28 @@ def test_twin_weights_are_snapped_and_bias_present(feats, seed):
     for v in w.values():
         assert v == _snap(v)
         assert abs(v) < 1e6
+
+
+@settings(max_examples=15, deadline=None)
+@given(feats=_dataset, seed=st.integers(0, 2**16))
+def test_softmax_twin_is_permutation_invariant(feats, seed):
+    """The multiclass twin inherits the binary twin's guarantee: dict
+    insertion order cannot move the nested weight dicts or losses."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import train_softmax_py
+
+    rng = random.Random(seed)
+    labels = {i: rng.choice(["en", "und", "xx"]) for i in feats}
+    w1, l1 = train_softmax_py(feats, labels, n_iter=4, lr=2.0, track_loss=True)
+
+    ids = list(feats)
+    rng.shuffle(ids)
+    feats2 = {
+        i: dict(sorted(feats[i].items(), key=lambda kv: rng.random()))
+        for i in ids
+    }
+    labels2 = {i: labels[i] for i in ids}
+    w2, l2 = train_softmax_py(
+        feats2, labels2, n_iter=4, lr=2.0, track_loss=True
+    )
+    assert w1 == w2
+    assert l1 == l2
