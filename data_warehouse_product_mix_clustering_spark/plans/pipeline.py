@@ -4933,3 +4933,121 @@ def lang_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weights_match_twin boolean, rerun_identical boolean, "
         "loss_decreases boolean, beats_majority boolean",
     )
+
+
+EQUIDEPTH_K = 8  # equi-depth length buckets (ntile semantics)
+
+
+def _equidepth_batches_oracle() -> str:
+    n = f"CAST(len({sql_tokens('text')}) AS BIGINT)"
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, {n} AS n_tokens FROM documents
+        ), ranked AS (
+            SELECT doc_id, n_tokens,
+                   CAST(ntile({EQUIDEPTH_K}) OVER (
+                        ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket_id,
+                   CAST(row_number() OVER (
+                        ORDER BY n_tokens, doc_id) AS BIGINT) AS rk
+            FROM sized
+        ), buck AS (
+            SELECT bucket_id,
+                   CAST(max(n_tokens) AS BIGINT) AS pad_len,
+                   CAST(min(rk) AS BIGINT) AS start_rk
+            FROM ranked GROUP BY bucket_id
+        )
+        SELECT r.doc_id, r.n_tokens, r.bucket_id, b.pad_len,
+               CAST((r.rk - b.start_rk) // {_BATCH_SIZE} AS BIGINT)
+                   AS batch_id
+        FROM ranked r JOIN buck b USING (bucket_id)
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("doc_length_equidepth_batches", oracle=_equidepth_batches_oracle())
+def doc_length_equidepth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH length bucketing — the alternative to
+    ``doc_length_bucket_batches``' fixed power-of-two grid: ntile the
+    corpus into EQUIDEPTH_K equal-count buckets under the total
+    (n_tokens, doc_id) order and pad each bucket to ITS OWN max length.
+    Fixed grids waste padding wherever the corpus's length distribution
+    clumps inside one power-of-two span (every doc pays up to 2× its
+    length); equi-depth adapts the boundaries to the distribution at
+    the cost of a per-snapshot recompute — the right trade for a batch
+    plan, which is rebuilt per corpus snapshot anyway (the rank-based
+    non-growth-stability note on the fixed-grid query applies even
+    more so here). One row per doc: (doc_id, n_tokens, bucket_id,
+    pad_len, batch_id).
+
+    Determinism: the order is total (doc_id tie-break); bucket
+    assignment is the exact integer ntile arithmetic (first n mod k
+    buckets take ceil(n/k) rows) on the distributed rank, so it equals
+    the oracle's ntile() bit-for-bit; batch_id is integer DIV on the
+    in-bucket rank.
+
+    Scale: the oracle states a global ntile window; the Spark plan
+    computes the SAME assignment from ``with_rank_and_running``'s
+    distributed rank (one range partitioning, one ≤P-row collect) +
+    one broadcast |k|-row (pad_len, start_rk) map + pure integer
+    expressions — no global window, no per-bucket sort funnel."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    docs = table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    ranked = with_rank_and_running(
+        sized.withColumn("__one", F.lit(1).cast("long")),
+        [F.col("n_tokens"), F.col("doc_id")],
+        "__one",
+        rank_col="__rk",
+    ).drop("__pid", "running", "__one")
+    cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+    k = F.lit(EQUIDEPTH_K)
+    withb = ranked.crossJoin(cnt).select(
+        "doc_id",
+        "n_tokens",
+        "__rk",
+        # exact ntile arithmetic: big = n % k buckets of size n//k + 1
+        # come first, the rest take n//k
+        F.when(
+            F.col("__rk")
+            <= (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1),
+            F.floor(
+                (F.col("__rk") - 1) / (F.floor(F.col("__n") / k) + 1)
+            )
+            + 1,
+        )
+        .otherwise(
+            (F.col("__n") % k)
+            + F.floor(
+                (
+                    F.col("__rk")
+                    - (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1)
+                    - 1
+                )
+                / F.floor(F.col("__n") / k)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("bucket_id"),
+    )
+    buck = F.broadcast(
+        withb.groupBy("bucket_id").agg(
+            F.max("n_tokens").cast("long").alias("pad_len"),
+            F.min("__rk").cast("long").alias("__start"),
+        )
+    )
+    return (
+        withb.join(buck, "bucket_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket_id",
+            "pad_len",
+            F.floor((F.col("__rk") - F.col("__start")) / F.lit(_BATCH_SIZE))
+            .cast("long")
+            .alias("batch_id"),
+        )
+    )

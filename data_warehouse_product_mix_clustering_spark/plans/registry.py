@@ -207,7 +207,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      count log reconciles, rerun no-op, replay idempotent; all
     #      four booleans TRUE at sf0.001 AND sf0.01;
     #      test_stream_model_scoring_audit_contract)
-    #  14. rows-only tail (audits above carry their contracts):
+    #  14. doc_length_equidepth_batches (plans/pipeline.py — ntile
+    #      equi-depth length buckets padded to their own max, the
+    #      adaptive alternative to the power-of-two grid; no-window
+    #      distributed rank + exact integer ntile arithmetic; adjacent
+    #      oracle value-exact at sf0.001 AND sf0.01;
+    #      test_doc_length_equidepth_batches_matches_duckdb_twin)
+    #  15. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier, doc_lang_classifier — register
     #      outside the window like doc_context_windows_bpe.

@@ -3041,3 +3041,42 @@ def test_softmax_model_roundtrip_and_refusals(spark, tmp_path):
     os.remove(os.path.join(d, COMMIT_MARKER))
     with pytest.raises(RuntimeError):
         load_softmax(spark, d)
+
+
+def test_doc_length_equidepth_batches_matches_duckdb_twin(spark):
+    """plans/pipeline.py::doc_length_equidepth_batches (pre-staged r15)
+    ≡ its adjacent DuckDB ntile oracle at sf0.001, plus the equi-depth
+    invariants: bucket sizes differ by at most one doc (ntile's
+    defining property), every doc fits its bucket's pad length, and
+    the adaptive buckets waste no more padding than the fixed
+    power-of-two grid on the same corpus."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        EQUIDEPTH_K,
+        _equidepth_batches_oracle,
+        doc_length_bucket_batches,
+        doc_length_equidepth_batches,
+    )
+
+    got = doc_length_equidepth_batches(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_equidepth_batches_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    sizes = got.groupby("bucket_id").size()
+    assert len(sizes) == EQUIDEPTH_K
+    assert sizes.max() - sizes.min() <= 1
+    assert (got["n_tokens"] <= got["pad_len"]).all()
+
+    fixed = doc_length_bucket_batches(spark, SF_SMOKE).toPandas()
+    waste_eq = int((got["pad_len"] - got["n_tokens"]).sum())
+    waste_fx = int((fixed["bucket_len"] - fixed["n_tokens"]).sum())
+    assert waste_eq <= waste_fx
