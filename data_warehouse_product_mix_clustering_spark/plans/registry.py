@@ -218,7 +218,7 @@ _DRIVER_PRIORITY: list[str] = [
     #      doc_quality_classifier, doc_lang_classifier — register
     #      outside the window like doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 18 oracle-bearing names (the r14 continuation kept building) —
+    # 19 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at
