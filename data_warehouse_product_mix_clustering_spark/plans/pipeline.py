@@ -5051,3 +5051,41 @@ def doc_length_equidepth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("batch_id"),
         )
     )
+
+
+def _equidepth_efficiency_oracle() -> str:
+    return f"""
+        WITH plan_ AS ({_equidepth_batches_oracle()})
+        SELECT bucket_id, pad_len,
+               CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(count(*) * pad_len AS BIGINT) AS padded_tokens,
+               {sql_ratio_round("sum(n_tokens) * 1.0 / (count(*) * pad_len)")}
+                   AS fill_ratio
+        FROM plan_ GROUP BY bucket_id, pad_len
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("equidepth_padding_efficiency", oracle=_equidepth_efficiency_oracle())
+def equidepth_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``batch_padding_efficiency``'s twin for the EQUI-DEPTH plan — the
+    side-by-side cost table that settles fixed-grid vs adaptive buckets
+    for a given corpus (on the test corpora the adaptive fill ratio is
+    strictly higher; the test pins ≤ waste). Same relation as
+    ``doc_length_equidepth_batches`` aggregated one level up: one
+    dimension-sized groupBy (EQUIDEPTH_K rows)."""
+    plan = doc_length_equidepth_batches(spark, sf_dir)
+    return plan.groupBy("bucket_id", "pad_len").agg(
+        F.count_distinct("batch_id").cast("long").alias("n_batches"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("pad_len").cast("long"))
+        .cast("long")
+        .alias("padded_tokens"),
+        ratio_round(
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("pad_len"))
+        ).alias("fill_ratio"),
+    )

@@ -213,12 +213,16 @@ _DRIVER_PRIORITY: list[str] = [
     #      distributed rank + exact integer ntile arithmetic; adjacent
     #      oracle value-exact at sf0.001 AND sf0.01;
     #      test_doc_length_equidepth_batches_matches_duckdb_twin)
+    #      + its cost table equidepth_padding_efficiency (same file;
+    #      adjacent oracle value-exact at both SFs; overall fill 0.91
+    #      vs the fixed grid's 0.72 on the test corpora;
+    #      test_equidepth_padding_efficiency_matches_duckdb_twin)
     #  15. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier, doc_lang_classifier — register
     #      outside the window like doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 19 oracle-bearing names (the r14 continuation kept building) —
+    # 20 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

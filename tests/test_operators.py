@@ -3080,3 +3080,34 @@ def test_doc_length_equidepth_batches_matches_duckdb_twin(spark):
     waste_eq = int((got["pad_len"] - got["n_tokens"]).sum())
     waste_fx = int((fixed["bucket_len"] - fixed["n_tokens"]).sum())
     assert waste_eq <= waste_fx
+
+
+def test_equidepth_padding_efficiency_matches_duckdb_twin(spark):
+    """plans/pipeline.py::equidepth_padding_efficiency (pre-staged r15)
+    ≡ its adjacent DuckDB oracle at sf0.001; per-bucket token accounting
+    reconciles with the batch plan, and the adaptive plan's overall
+    fill ratio beats the fixed grid's on this corpus."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _equidepth_efficiency_oracle,
+        batch_padding_efficiency,
+        equidepth_padding_efficiency,
+    )
+
+    got = equidepth_padding_efficiency(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_equidepth_efficiency_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    fixed = batch_padding_efficiency(spark, SF_SMOKE).toPandas()
+    fill_eq = got["real_tokens"].sum() / got["padded_tokens"].sum()
+    fill_fx = fixed["real_tokens"].sum() / fixed["padded_tokens"].sum()
+    assert fill_eq > fill_fx
