@@ -5089,3 +5089,60 @@ def equidepth_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.col("pad_len"))
         ).alias("fill_ratio"),
     )
+
+
+def _dsir_windows_oracle() -> str:
+    return f"""
+        WITH corpus AS ({_dsir_budgeted_oracle()}),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS strt
+            FROM corpus
+        ), spans AS (
+            SELECT doc_id, n_tokens, strt,
+                   strt // {CONTEXT_LEN} AS fw,
+                   (strt + n_tokens - 1) // {CONTEXT_LEN} AS lw
+            FROM cum WHERE n_tokens > 0
+        ), ex AS (
+            SELECT doc_id, n_tokens, strt,
+                   unnest(generate_series(fw, lw)) AS seq_id
+            FROM spans
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(greatest(strt, seq_id * {CONTEXT_LEN}) - strt AS BIGINT)
+                   AS slice_start,
+               CAST(least(strt + n_tokens, (seq_id + 1) * {CONTEXT_LEN})
+                    - greatest(strt, seq_id * {CONTEXT_LEN}) AS BIGINT)
+                   AS slice_len,
+               CAST(greatest(strt, seq_id * {CONTEXT_LEN})
+                    - seq_id * {CONTEXT_LEN} AS BIGINT) AS seq_offset
+        FROM ex
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("dsir_context_windows", oracle=_dsir_windows_oracle())
+def dsir_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection→packing, end to end under ONE oracle: the quality-
+    ranked budget-filled corpus (``training_corpus_dsir_budgeted`` —
+    DSIR scores × water-fill allocations) concatenated in doc_id order
+    and cut into context windows (``doc_context_windows``' shape). The
+    whole path — hashed-model scoring, mean-rate selection, per-source
+    greedy fill, distributed prefix sum, window explode — is value-
+    checked as a single relation, so the composition seams (does the
+    packer see exactly the selected docs? do token weights survive the
+    joins?) are pinned by the driver gate, not just by each piece's own
+    oracle. Same machinery, same ≤ weight/L + 1 explode bound; the
+    selection stage adds no shuffle class the pieces didn't have."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+
+    corpus = training_corpus_dsir_budgeted(spark, sf_dir).select(
+        "doc_id", "n_tokens"
+    )
+    return context_windows(
+        corpus, order_col="doc_id", weight_col="n_tokens",
+        context_len=CONTEXT_LEN,
+    ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")

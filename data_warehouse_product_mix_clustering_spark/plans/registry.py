@@ -177,7 +177,11 @@ _DRIVER_PRIORITY: list[str] = [
     #      value-exact at both SFs;
     #      test_training_corpus_dsir_matches_duckdb_twin,
     #      test_source_dsir_mixture_matches_duckdb_twin,
-    #      test_training_corpus_dsir_budgeted_matches_duckdb_twin)
+    #      test_training_corpus_dsir_budgeted_matches_duckdb_twin) and
+    #      the selection→packing composition dsir_context_windows
+    #      (end-to-end oracle over budget fill + prefix-sum packing;
+    #      value-exact at both SFs;
+    #      test_dsir_context_windows_matches_duckdb_twin)
     #   9. quality_classifier_audit (plans/pipeline.py — the learned
     #      quality gate's contract: distributed Adagrad logistic
     #      regression ≡ python twin bit-exactly incl. the loss trace,
@@ -222,7 +226,7 @@ _DRIVER_PRIORITY: list[str] = [
     #      doc_quality_classifier, doc_lang_classifier — register
     #      outside the window like doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 20 oracle-bearing names (the r14 continuation kept building) —
+    # 21 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

@@ -3111,3 +3111,37 @@ def test_equidepth_padding_efficiency_matches_duckdb_twin(spark):
     fill_eq = got["real_tokens"].sum() / got["padded_tokens"].sum()
     fill_fx = fixed["real_tokens"].sum() / fixed["padded_tokens"].sum()
     assert fill_eq > fill_fx
+
+
+def test_dsir_context_windows_matches_duckdb_twin(spark):
+    """plans/pipeline.py::dsir_context_windows (pre-staged r15) ≡ its
+    adjacent end-to-end oracle at sf0.001, and token conservation holds
+    across the composition: Σ slice_len equals the budgeted corpus's
+    total kept tokens, and the packed doc set IS the budgeted corpus."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _dsir_windows_oracle,
+        dsir_context_windows,
+        training_corpus_dsir_budgeted,
+    )
+
+    got = dsir_context_windows(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_dsir_windows_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    corpus = training_corpus_dsir_budgeted(spark, SF_SMOKE).toPandas()
+    assert int(got["slice_len"].sum()) == int(
+        corpus.loc[corpus["n_tokens"] > 0, "n_tokens"].sum()
+    )
+    assert set(got["doc_id"]) == set(
+        corpus.loc[corpus["n_tokens"] > 0, "doc_id"]
+    )
