@@ -5146,3 +5146,91 @@ def dsir_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, order_col="doc_id", weight_col="n_tokens",
         context_len=CONTEXT_LEN,
     ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
+
+
+FUZZY_CONTAM_THRESHOLD = 0.1  # bigram Jaccard vs the fixed benchmark
+
+
+def _fuzzy_contamination_oracle() -> str:
+    ev = f"(doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_CAP})"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({sql_word_ngrams("t", 2)})) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE NOT (a.doc_id % {EVAL_MOD} = 0 AND a.doc_id < {EVAL_CAP})
+              AND (b.doc_id % {EVAL_MOD} = 0 AND b.doc_id < {EVAL_CAP})
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT da AS doc_id, db AS bench_doc_id,
+               {sql_ratio_round("i / (sa.n + sb.n - i)")} AS jaccard
+        FROM inter
+        JOIN sizes sa ON da = sa.doc_id
+        JOIN sizes sb ON db = sb.doc_id
+        WHERE {sql_ratio_round("i / (sa.n + sb.n - i)")}
+              >= {FUZZY_CONTAM_THRESHOLD}
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("benchmark_contamination_fuzzy", oracle=_fuzzy_contamination_oracle())
+def benchmark_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark contamination — bigram-Jaccard similarity of
+    every train doc against the FIXED benchmark set, thresholded at
+    FUZZY_CONTAM_THRESHOLD. The exact 3-gram OVERLAP screen
+    (``benchmark_contamination_report``) asks "does this doc CONTAIN
+    benchmark text?"; this asks "IS this doc a near-paraphrase of a
+    benchmark doc?" — the two failure modes real decontamination
+    pipelines screen separately (verbatim inclusion vs re-worded test
+    questions). On the test corpora the threshold cleanly splits true
+    near-duplicates (j ≥ 0.15, up to 0.98) from the ~0.05 noise floor.
+
+    Scale: NO LSH needed — one side is the fixed ≤10-doc benchmark, so
+    the screen is one broadcast join of the corpus shingle relation
+    (the session-shared one the dedup family already pays for) against
+    the benchmark's shingles + one (train, bench) aggregate: strictly
+    cheaper than any banded-bucket scheme when one side is
+    benchmark-sized. The dedup family's exact-Jaccard semantics and
+    rounding, restricted to train × benchmark pairs."""
+    from data_warehouse_product_mix_clustering_spark.plans.dedup import shared_shingles
+
+    sh = shared_shingles(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_CAP)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    bench = sh.filter(is_eval).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    inter = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = ratio_round(
+        F.col("__i")
+        / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    )
+    return (
+        # train-side sizes: a normal equi-join (inter is bounded by docs
+        # sharing a shingle with the benchmark, but sizes is corpus-sized
+        # — never broadcast it); bench-side sizes: ≤10 rows, broadcast.
+        inter.join(sizes.select("doc_id", F.col("__n").alias("__na")), "doc_id")
+        .join(
+            F.broadcast(
+                sizes.filter(is_eval).select(
+                    F.col("doc_id").alias("bench_doc_id"),
+                    F.col("__n").alias("__nb"),
+                )
+            ),
+            "bench_doc_id",
+        )
+        .filter(jac >= FUZZY_CONTAM_THRESHOLD)
+        .select("doc_id", "bench_doc_id", jac.alias("jaccard"))
+    )

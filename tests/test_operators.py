@@ -3145,3 +3145,40 @@ def test_dsir_context_windows_matches_duckdb_twin(spark):
     assert set(got["doc_id"]) == set(
         corpus.loc[corpus["n_tokens"] > 0, "doc_id"]
     )
+
+
+def test_benchmark_contamination_fuzzy_matches_duckdb_twin(spark):
+    """plans/pipeline.py::benchmark_contamination_fuzzy (pre-staged r15)
+    ≡ its adjacent DuckDB oracle at sf0.001; nonempty (near-paraphrases
+    of benchmark docs exist in the corpus), no benchmark doc on the
+    train side, and every pair's Jaccard clears the threshold."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        EVAL_CAP,
+        EVAL_MOD,
+        FUZZY_CONTAM_THRESHOLD,
+        _fuzzy_contamination_oracle,
+        benchmark_contamination_fuzzy,
+    )
+
+    got = benchmark_contamination_fuzzy(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_fuzzy_contamination_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    assert len(got) > 0
+    assert (got["jaccard"] >= FUZZY_CONTAM_THRESHOLD).all()
+    assert not (
+        (got["doc_id"] % EVAL_MOD == 0) & (got["doc_id"] < EVAL_CAP)
+    ).any()
+    assert (
+        (got["bench_doc_id"] % EVAL_MOD == 0) & (got["bench_doc_id"] < EVAL_CAP)
+    ).all()
