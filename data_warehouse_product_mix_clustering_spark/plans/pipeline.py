@@ -5234,3 +5234,35 @@ def benchmark_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(jac >= FUZZY_CONTAM_THRESHOLD)
         .select("doc_id", "bench_doc_id", jac.alias("jaccard"))
     )
+
+
+def _decontaminated_fuzzy_oracle() -> str:
+    return f"""
+        WITH base AS ({_decontaminated_oracle()}),
+        fuzzy AS ({_fuzzy_contamination_oracle()})
+        SELECT doc_id, lang, n_tokens, quality_score
+        FROM base
+        WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM fuzzy)
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("training_corpus_decontaminated_fuzzy",
+#           oracle=_decontaminated_fuzzy_oracle())
+def training_corpus_decontaminated_fuzzy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOTH contamination screens APPLIED: the decontaminated corpus
+    (fixed-benchmark docs out, 3-gram-overlap-gated docs out) minus
+    every doc the FUZZY screen flags as a benchmark near-paraphrase
+    (``benchmark_contamination_fuzzy``) — the full detect→report→apply
+    closure for both failure modes, in the ``training_corpus`` output
+    shape so every downstream consumer drops in unchanged.
+
+    Scale: the exact-screen plan + the fuzzy screen's broadcast
+    benchmark join + one anti-join on doc_id — no new shuffle class."""
+    base = training_corpus_decontaminated(spark, sf_dir)
+    flagged = benchmark_contamination_fuzzy(spark, sf_dir).select(
+        "doc_id"
+    ).distinct()
+    return base.join(flagged, "doc_id", "left_anti")

@@ -166,6 +166,9 @@ _DRIVER_PRIORITY: list[str] = [
     #      (bigram Jaccard vs the fixed benchmark, broadcast — no LSH
     #      needed on a benchmark-sized side; value-exact at both SFs;
     #      test_benchmark_contamination_fuzzy_matches_duckdb_twin)
+    #      + both screens applied training_corpus_decontaminated_fuzzy
+    #      (value-exact at both SFs;
+    #      test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin)
     #   7. doc_context_windows_eod (plans/pipeline.py — the packing
     #      index WITH end-of-document separator tokens, the GPT shape;
     #      adjacent oracle value-exact at sf0.001 AND sf0.01;
@@ -230,7 +233,7 @@ _DRIVER_PRIORITY: list[str] = [
     #      doc_quality_classifier, doc_lang_classifier — register
     #      outside the window like doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 22 oracle-bearing names (the r14 continuation kept building) —
+    # 23 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

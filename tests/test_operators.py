@@ -3182,3 +3182,40 @@ def test_benchmark_contamination_fuzzy_matches_duckdb_twin(spark):
     assert (
         (got["bench_doc_id"] % EVAL_MOD == 0) & (got["bench_doc_id"] < EVAL_CAP)
     ).all()
+
+
+def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
+    """plans/pipeline.py::training_corpus_decontaminated_fuzzy
+    (pre-staged r15) ≡ its adjacent DuckDB oracle at sf0.001, and the
+    closure reconciles: base decontaminated corpus minus the fuzzy
+    screen's flagged doc_ids."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _decontaminated_fuzzy_oracle,
+        benchmark_contamination_fuzzy,
+        training_corpus_decontaminated,
+        training_corpus_decontaminated_fuzzy,
+    )
+
+    got = training_corpus_decontaminated_fuzzy(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_decontaminated_fuzzy_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    base = set(
+        r["doc_id"]
+        for r in training_corpus_decontaminated(spark, SF_SMOKE).collect()
+    )
+    flagged = set(
+        r["doc_id"]
+        for r in benchmark_contamination_fuzzy(spark, SF_SMOKE).collect()
+    )
+    assert set(got["doc_id"]) == base - flagged
