@@ -5266,3 +5266,132 @@ def training_corpus_decontaminated_fuzzy(
         "doc_id"
     ).distinct()
     return base.join(flagged, "doc_id", "left_anti")
+
+
+TOPIC_SAMPLE_FRAC = 0.5  # target kept share of the corpus
+TOPIC_K = 10  # the embedding_clusters k
+
+
+# Pre-staged r15 registration, rows-only (cluster labels are
+# engine-hash-dependent; topic_balanced_corpus_audit carries the
+# contract):
+# @register("topic_balanced_corpus")
+def topic_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling — the diversity knob the mixture
+    family lacks: sources balance PROVENANCE, DSIR balances target
+    AFFINITY, this balances CONTENT. Cluster the document embeddings
+    (the registered ``embedding_clusters`` k=10 fit; vec_id ↔ doc_id —
+    the ``doc_hybrid_rrf`` linkage) and keep at most
+    ceil(target / k) docs per cluster by md5(doc_id) rank — so one
+    dominant topic cannot crowd the sample, and small topics survive
+    whole. Deterministic end to end: seeded k-means + hash-ranked
+    selection, no RNG. Total kept ≤ target + k (no cross-cluster
+    redistribution — recipes that must hit an exact budget compose the
+    water-fill instead, ``source_budget_allocation``'s docstring).
+    One row per kept doc: (doc_id, cluster, topic_rank).
+
+    Scale: the k-means fit is the existing MLlib path; ranking rides
+    ``_interleave_rank`` (global distributed rank minus ≤k broadcast
+    offsets — no per-cluster window funnels); the cap filter is a
+    per-row comparison. Mirrors the reference's cluster-then-inspect
+    loop (SURVEY §2.8) turned into a sampler."""
+    import math as _math
+
+    from data_warehouse_product_mix_clustering_spark.plans.ml import embedding_clusters
+
+    clusters = embedding_clusters(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    n = clusters.count()
+    cap = _math.ceil(TOPIC_SAMPLE_FRAC * n / TOPIC_K)
+    hashed = clusters.withColumn(
+        "__h", F.md5(F.col("doc_id").cast("string"))
+    )
+    ranked = _interleave_rank(
+        hashed, "cluster", [F.col("__h"), F.col("doc_id")], "topic_rank"
+    ).drop("__h")
+    return ranked.filter(F.col("topic_rank") <= cap).select(
+        "doc_id", "cluster", F.col("topic_rank").cast("long").alias("topic_rank")
+    )
+
+
+# Pre-staged r15 registration:
+# @register("topic_balanced_corpus_audit", oracle="""
+#     SELECT TRUE AS one_row_per_doc, TRUE AS cap_respected,
+#            TRUE AS ranks_are_prefix, TRUE AS rerun_identical,
+#            TRUE AS assignment_consistent
+# """)
+def topic_balanced_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``topic_balanced_corpus`` (cluster labels are
+    not SQL-expressible — the ``embedding_cluster_audit`` pattern):
+
+    - ``one_row_per_doc``: kept doc_ids are distinct and a subset of
+      the embedding ids;
+    - ``cap_respected``: every cluster keeps EXACTLY
+      min(cluster size, cap) docs — the balancing actually binds on
+      clusters above the cap and spares those below it;
+    - ``ranks_are_prefix``: each cluster's kept ranks are 1..kept —
+      the hash order's head, no gaps (determinism of the cut);
+    - ``rerun_identical``: a second full run (new k-means fit included)
+      returns the identical relation;
+    - ``assignment_consistent``: every kept doc's cluster equals the
+      registered ``embedding_clusters`` label for that id.
+
+    Bounds: collects are sample-sized (≤ corpus at audit SFs — the
+    bounded-audit convention)."""
+    import math as _math
+
+    from data_warehouse_product_mix_clustering_spark.plans.ml import embedding_clusters
+
+    got = {
+        (r["doc_id"], r["cluster"], r["topic_rank"])
+        for r in topic_balanced_corpus(spark, sf_dir).collect()
+    }
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in embedding_clusters(spark, sf_dir).collect()
+    }
+    n = len(clusters)
+    cap = _math.ceil(TOPIC_SAMPLE_FRAC * n / TOPIC_K)
+
+    kept_ids = [d for d, _, _ in got]
+    one_row_per_doc = len(kept_ids) == len(set(kept_ids)) and set(
+        kept_ids
+    ) <= set(clusters)
+
+    sizes: dict[int, int] = {}
+    for c in clusters.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    kept_per: dict[int, list[int]] = {}
+    for _, c, rk in got:
+        kept_per.setdefault(c, []).append(rk)
+    cap_respected = all(
+        len(kept_per.get(c, [])) == min(sz, cap) for c, sz in sizes.items()
+    )
+    ranks_are_prefix = all(
+        sorted(rks) == list(range(1, len(rks) + 1))
+        for rks in kept_per.values()
+    )
+
+    again = {
+        (r["doc_id"], r["cluster"], r["topic_rank"])
+        for r in topic_balanced_corpus(spark, sf_dir).collect()
+    }
+    rerun_identical = again == got
+
+    assignment_consistent = all(clusters.get(d) == c for d, c, _ in got)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(one_row_per_doc),
+                bool(cap_respected),
+                bool(ranks_are_prefix),
+                bool(rerun_identical),
+                bool(assignment_consistent),
+            )
+        ],
+        "one_row_per_doc boolean, cap_respected boolean, "
+        "ranks_are_prefix boolean, rerun_identical boolean, "
+        "assignment_consistent boolean",
+    )

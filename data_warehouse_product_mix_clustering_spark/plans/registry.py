@@ -212,13 +212,19 @@ _DRIVER_PRIORITY: list[str] = [
     #      rerun-identical, cross-entropy descends, held-out accuracy
     #      strictly beats the majority class; all four booleans TRUE
     #      at sf0.001 AND sf0.01; test_lang_classifier_audit_contract)
-    #  13. stream_model_scoring_audit (plans/pipeline.py — streaming
+    #  13. topic_balanced_corpus_audit (plans/pipeline.py — content-
+    #      diversity sampling: embedding k-means clusters capped at
+    #      ceil(target/k) docs each by md5 rank; five booleans TRUE at
+    #      sf0.001 AND sf0.01; its rows-only query
+    #      topic_balanced_corpus registers outside the window;
+    #      test_topic_balanced_corpus_audit_contract)
+    #  14. stream_model_scoring_audit (plans/pipeline.py — streaming
     #      scoring against the frozen persisted model,
     #      streaming/model_scoring.py: streamed ≡ one-batch scoring,
     #      count log reconciles, rerun no-op, replay idempotent; all
     #      four booleans TRUE at sf0.001 AND sf0.01;
     #      test_stream_model_scoring_audit_contract)
-    #  14. doc_length_equidepth_batches (plans/pipeline.py — ntile
+    #  15. doc_length_equidepth_batches (plans/pipeline.py — ntile
     #      equi-depth length buckets padded to their own max, the
     #      adaptive alternative to the power-of-two grid; no-window
     #      distributed rank + exact integer ntile arithmetic; adjacent
@@ -228,12 +234,13 @@ _DRIVER_PRIORITY: list[str] = [
     #      adjacent oracle value-exact at both SFs; overall fill 0.91
     #      vs the fixed grid's 0.72 on the test corpora;
     #      test_equidepth_padding_efficiency_matches_duckdb_twin)
-    #  15. rows-only tail (audits above carry their contracts):
+    #  16. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
-    #      doc_quality_classifier, doc_lang_classifier — register
-    #      outside the window like doc_context_windows_bpe.
+    #      doc_quality_classifier, doc_lang_classifier,
+    #      topic_balanced_corpus — register outside the window like
+    #      doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 23 oracle-bearing names (the r14 continuation kept building) —
+    # 24 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

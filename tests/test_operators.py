@@ -3219,3 +3219,15 @@ def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
         for r in benchmark_contamination_fuzzy(spark, SF_SMOKE).collect()
     )
     assert set(got["doc_id"]) == base - flagged
+
+
+def test_topic_balanced_corpus_audit_contract(spark):
+    """plans/pipeline.py::topic_balanced_corpus_audit (pre-staged r15) —
+    the registration dry run: all five contract booleans TRUE at
+    sf0.001 (subset/distinct, per-cluster cap binds exactly, hash-rank
+    prefixes, rerun identity through a fresh k-means fit, assignment
+    consistency with embedding_clusters)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import topic_balanced_corpus_audit
+
+    row = topic_balanced_corpus_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
