@@ -5395,3 +5395,123 @@ def topic_balanced_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ranks_are_prefix boolean, rerun_identical boolean, "
         "assignment_consistent boolean",
     )
+
+
+VOCAB_DECILES = 10
+
+
+def _vocab_growth_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokens("text")}) AS word
+            FROM documents
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n FROM toks
+        ), firsts AS (
+            SELECT word, min(doc_id) AS first_doc,
+                   CAST(count(*) AS BIGINT) AS occurrences
+            FROM toks GROUP BY word
+        ), ranked_docs AS (
+            SELECT doc_id,
+                   CAST(ntile({VOCAB_DECILES}) OVER (ORDER BY doc_id)
+                        AS BIGINT) AS decile
+            FROM (SELECT DISTINCT doc_id FROM toks)
+        ), per AS (
+            SELECT rd.decile,
+                   CAST(count(f.word) AS BIGINT) AS new_words,
+                   CAST(coalesce(sum(f.occurrences), 0) AS BIGINT)
+                       AS new_word_occurrences
+            FROM ranked_docs rd
+            LEFT JOIN firsts f ON f.first_doc = rd.doc_id
+            GROUP BY rd.decile
+        )
+        SELECT decile, new_words, new_word_occurrences,
+               CAST(sum(new_words) OVER (
+                    ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_size
+        FROM per
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("vocab_growth", oracle=_vocab_growth_oracle())
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law table a tokenizer budget
+    is sized from): cumulative distinct-word count after each corpus
+    decile (doc_id order), plus each decile's newly-introduced words
+    and their total occurrences. A flattening curve says the BPE vocab
+    can stop growing; a linear one says the corpus keeps minting types
+    (IDs, code, noise) and the tokenizer/quality gates should look.
+
+    The trick that makes it ONE pass instead of ten prefix scans: a
+    word's contribution to every cumulative count is determined by its
+    FIRST-occurrence doc alone, so distinct-per-prefix = running sum of
+    first-occurrences per decile — one (word) aggregate, one
+    decile-sized join + rollup, one 10-row window. The doc-decile
+    split reuses the exact integer ntile arithmetic (the equi-depth
+    batching machinery) on the no-window distributed rank.
+
+    Scale: one (word) shuffle of the token scan (the LM ladder's
+    class); everything after is ≤|docs|-row then ≤10-row relations. A
+    100 TB corpus pays the same single token pass its unigram LM
+    already pays."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+
+    docs = table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    firsts = toks.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+    )
+    ids = toks.select("doc_id").distinct()
+    ranked = with_rank_and_running(
+        ids.withColumn("__one", F.lit(1).cast("long")),
+        [F.col("doc_id")],
+        "__one",
+        rank_col="__rk",
+    ).drop("__pid", "running", "__one")
+    cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+    k = F.lit(VOCAB_DECILES)
+    deciled = ranked.crossJoin(cnt).select(
+        "doc_id",
+        F.when(
+            F.col("__rk")
+            <= (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1),
+            F.floor((F.col("__rk") - 1) / (F.floor(F.col("__n") / k) + 1))
+            + 1,
+        )
+        .otherwise(
+            (F.col("__n") % k)
+            + F.floor(
+                (
+                    F.col("__rk")
+                    - (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1)
+                    - 1
+                )
+                / F.floor(F.col("__n") / k)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    per = (
+        deciled.join(
+            firsts, deciled["doc_id"] == firsts["first_doc"], "left"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("word").cast("long").alias("new_words"),
+            F.coalesce(F.sum("occurrences"), F.lit(0))
+            .cast("long")
+            .alias("new_word_occurrences"),
+        )
+    )
+    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "new_words",
+        "new_word_occurrences",
+        F.sum("new_words").over(w10).cast("long").alias("vocab_size"),
+    )

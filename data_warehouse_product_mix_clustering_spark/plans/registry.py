@@ -234,13 +234,18 @@ _DRIVER_PRIORITY: list[str] = [
     #      adjacent oracle value-exact at both SFs; overall fill 0.91
     #      vs the fixed grid's 0.72 on the test corpora;
     #      test_equidepth_padding_efficiency_matches_duckdb_twin)
-    #  16. rows-only tail (audits above carry their contracts):
+    #  16. vocab_growth (plans/pipeline.py — Heaps-law vocabulary
+    #      growth table via the first-occurrence trick: ONE token pass,
+    #      distinct-per-prefix = running sum of first occurrences per
+    #      decile; adjacent oracle value-exact at sf0.001 AND sf0.01;
+    #      test_vocab_growth_matches_duckdb_twin)
+    #  17. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier, doc_lang_classifier,
     #      topic_balanced_corpus — register outside the window like
     #      doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 24 oracle-bearing names (the r14 continuation kept building) —
+    # 25 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

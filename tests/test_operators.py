@@ -3231,3 +3231,46 @@ def test_topic_balanced_corpus_audit_contract(spark):
 
     row = topic_balanced_corpus_audit(spark, SF_SMOKE).collect()[0]
     assert all(row.asDict().values()), row.asDict()
+
+
+def test_vocab_growth_matches_duckdb_twin(spark):
+    """plans/pipeline.py::vocab_growth (pre-staged r15) ≡ its adjacent
+    DuckDB oracle at sf0.001, plus the accounting identities: the final
+    cumulative vocab equals the corpus's distinct word count, deciles
+    are exactly 1..10, and Σ new_word_occurrences equals the corpus's
+    total token count (every occurrence charged to its word's first
+    decile, none lost)."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        VOCAB_DECILES,
+        _vocab_growth_oracle,
+        vocab_growth,
+    )
+
+    got = vocab_growth(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_vocab_growth_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    truth = con.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        )
+        SELECT count(DISTINCT word), count(*) FROM toks
+        """
+    ).fetchone()
+    assert sorted(got["decile"]) == list(range(1, VOCAB_DECILES + 1))
+    assert int(got["vocab_size"].max()) == truth[0]
+    assert int(got["new_word_occurrences"].sum()) == truth[1]
