@@ -3274,3 +3274,43 @@ def test_vocab_growth_matches_duckdb_twin(spark):
     assert sorted(got["decile"]) == list(range(1, VOCAB_DECILES + 1))
     assert int(got["vocab_size"].max()) == truth[0]
     assert int(got["new_word_occurrences"].sum()) == truth[1]
+
+
+def test_read_keep_rate_drift_reconciles(spark, tmp_path):
+    """streaming/model_scoring.py::read_keep_rate_drift — the drift
+    table derives from the count log alone and reconciles with directly
+    recomputed rates; a constructed drifting batch flags and a
+    conforming one does not."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.streaming.model_scoring import (
+        DRIFT_TOLERANCE,
+        _write_partition,
+        read_keep_rate_drift,
+    )
+
+    out = str(tmp_path / "out")
+    rows0 = spark.createDataFrame(
+        [("a", 100, 50), ("b", 100, 80)],
+        "source string, n_docs bigint, n_keep bigint",
+    )
+    rows1 = spark.createDataFrame(
+        [("a", 100, 50), ("b", 100, 10)],  # b crashes from 0.8 to 0.1
+        "source string, n_docs bigint, n_keep bigint",
+    )
+    import os
+
+    _write_partition(rows0, 0, os.path.join(out, "score_log"))
+    _write_partition(rows1, 1, os.path.join(out, "score_log"))
+
+    got = {
+        (r["batch_id"], r["source"]): (r["batch_rate"], r["cum_rate"], r["drifted"])
+        for r in read_keep_rate_drift(spark, out).collect()
+    }
+    assert got[(0, "a")][0] == 0.5 and not got[(0, "a")][2]
+    assert got[(1, "a")][0] == 0.5 and not got[(1, "a")][2]
+    # b: cumulative (80+10)/200 = 0.45; batch rates 0.8 and 0.1 both
+    # deviate by 0.35 > tolerance
+    assert got[(0, "b")][1] == 0.45
+    assert got[(0, "b")][2] and got[(1, "b")][2]
+    assert DRIFT_TOLERANCE < 0.35
