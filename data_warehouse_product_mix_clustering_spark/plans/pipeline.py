@@ -5515,3 +5515,89 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_word_occurrences",
         F.sum("new_words").over(w10).cast("long").alias("vocab_size"),
     )
+
+
+def _source_vocab_overlap_oracle() -> str:
+    return f"""
+        WITH sw AS (
+            SELECT DISTINCT source, word FROM (
+                SELECT source, unnest({sql_tokens("text")}) AS word
+                FROM documents
+            )
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n FROM sw
+            GROUP BY source
+        ), inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sw a JOIN sw b
+              ON a.word = b.word AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, sa.n AS vocab_a, sb.n AS vocab_b,
+               n_shared,
+               {sql_ratio_round("n_shared / (sa.n + sb.n - n_shared)")}
+                   AS vocab_jaccard
+        FROM inter
+        JOIN sizes sa ON source_a = sa.source
+        JOIN sizes sb ON source_b = sb.source
+    """
+
+
+# Pre-staged r15 registration (r14's window is exactly full):
+# @register("source_vocab_overlap", oracle=_source_vocab_overlap_oracle())
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — the SET-level companion to
+    ``source_token_kl``'s distributional drift: KL says how differently
+    two sources USE words, this says whether they share words at all.
+    Low overlap between sources a mixture treats as one bucket is the
+    signal to split them (distinct domains); near-1 overlap between
+    sources DoReMi weights apart says the difference is usage, not
+    vocabulary. One row per unordered source pair.
+
+    Scale: the distinct (source, word) relation is ≤ |vocab|·|sources|
+    rows; the pair intersection self-joins on WORD — each word fans out
+    to at most |sources|² pair rows (sources are dimension-sized by
+    contract), so the join is vocab-bounded, never corpus-bounded;
+    sizes attach by dimension-sized broadcast joins."""
+    docs = table(spark, "documents", sf_dir)
+    sw = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read three times below
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sw.select(F.col("source").alias("source_a"), "word")
+    b = sw.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    jac = ratio_round(
+        F.col("n_shared")
+        / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("vocab_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("vocab_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "vocab_a", "vocab_b", "n_shared",
+            jac.alias("vocab_jaccard"),
+        )
+    )

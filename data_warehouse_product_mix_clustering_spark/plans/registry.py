@@ -239,13 +239,18 @@ _DRIVER_PRIORITY: list[str] = [
     #      distinct-per-prefix = running sum of first occurrences per
     #      decile; adjacent oracle value-exact at sf0.001 AND sf0.01;
     #      test_vocab_growth_matches_duckdb_twin)
-    #  17. rows-only tail (audits above carry their contracts):
+    #  17. source_vocab_overlap (plans/pipeline.py — pairwise source
+    #      vocabulary Jaccard, the set-level companion to
+    #      source_token_kl; vocab-bounded word self-join; adjacent
+    #      oracle value-exact at sf0.001 AND sf0.01;
+    #      test_source_vocab_overlap_matches_duckdb_twin)
+    #  18. rows-only tail (audits above carry their contracts):
     #      training_batches, coreset_maxmin_sample,
     #      doc_quality_classifier, doc_lang_classifier,
     #      topic_balanced_corpus — register outside the window like
     #      doc_context_windows_bpe.
     # Window arithmetic for r15: the candidate list above has grown to
-    # 25 oracle-bearing names (the r14 continuation kept building) —
+    # 26 oracle-bearing names (the r14 continuation kept building) —
     # register ~10 in the numbered priority order, spill the remainder
     # to the TOP of r16's candidates (the ≤10-new-per-round budget
     # holds; nothing expires, every candidate stays twin-verified at

@@ -3314,3 +3314,36 @@ def test_read_keep_rate_drift_reconciles(spark, tmp_path):
     assert got[(0, "b")][1] == 0.45
     assert got[(0, "b")][2] and got[(1, "b")][2]
     assert DRIFT_TOLERANCE < 0.35
+
+
+def test_source_vocab_overlap_matches_duckdb_twin(spark):
+    """plans/pipeline.py::source_vocab_overlap (pre-staged r15) ≡ its
+    adjacent DuckDB oracle at sf0.001; exactly C(|sources|, 2) unordered
+    pairs, intersections bounded by both vocabularies, Jaccard in
+    (0, 1]."""
+    import duckdb
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        _source_vocab_overlap_oracle,
+        source_vocab_overlap,
+    )
+
+    got = source_vocab_overlap(spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.sql(_source_vocab_overlap_oracle()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert (g.astype(str).values == w.astype(str).values).all()
+
+    n_sources = con.sql(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(got) == n_sources * (n_sources - 1) // 2
+    assert (got["n_shared"] <= got[["vocab_a", "vocab_b"]].min(axis=1)).all()
+    assert (got["vocab_jaccard"] > 0).all()
+    assert (got["vocab_jaccard"] <= 1.0).all()
