@@ -22,7 +22,7 @@ formulation for any partitioning (prefix sums are associative).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_product_mix_clustering_spark.operators.keys import materialized_range_partitions
@@ -227,3 +227,35 @@ def with_rank_and_running(
     return with_pid.withColumn(
         rank_col, (F.row_number().over(w) + cnt_map).cast("long")
     ).withColumn(running_col, running_local + w_map)
+
+
+def ntile_from_rank(rank_col: Column, n_col: Column, k: int) -> Column:
+    """Exact integer ntile: the bucket (1-based) of the ``rank_col``-th
+    row among ``n_col`` rows split into ``k`` equal-count buckets —
+    bit-identical to SQL ntile(k) (the first n mod k buckets take
+    ceil(n/k) rows, the rest floor(n/k)) but computed as pure integer
+    expressions on a DISTRIBUTED rank, so no engine needs a global
+    ntile window. Shared by the equi-depth batcher and the vocab-growth
+    deciles; property-tested against a python reference over random
+    (n, k). Callers must pass a 1-based total-order rank."""
+    big = n_col % k  # buckets that take the extra row
+    size_big = F.floor(n_col / k) + 1
+    size_small = F.floor(n_col / k)
+    boundary = big * size_big  # ranks 1..boundary live in big buckets
+    return (
+        F.when(rank_col <= boundary, F.floor((rank_col - 1) / size_big) + 1)
+        .otherwise(big + F.floor((rank_col - boundary - 1) / size_small) + 1)
+        .cast("long")
+    )
+
+
+def ntile_from_rank_py(rank: int, n: int, k: int) -> int:
+    """Driver/twin reference of ``ntile_from_rank`` — the SQL ntile
+    definition in plain integers."""
+    big = n % k
+    size_big = n // k + 1
+    size_small = n // k
+    boundary = big * size_big
+    if rank <= boundary:
+        return (rank - 1) // size_big + 1
+    return big + (rank - boundary - 1) // size_small + 1

@@ -5002,36 +5002,17 @@ def doc_length_equidepth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__one",
         rank_col="__rk",
     ).drop("__pid", "running", "__one")
+    from data_warehouse_product_mix_clustering_spark.operators.packing import ntile_from_rank
+
     cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
-    k = F.lit(EQUIDEPTH_K)
     withb = ranked.crossJoin(cnt).select(
         "doc_id",
         "n_tokens",
         "__rk",
-        # exact ntile arithmetic: big = n % k buckets of size n//k + 1
-        # come first, the rest take n//k
-        F.when(
-            F.col("__rk")
-            <= (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1),
-            F.floor(
-                (F.col("__rk") - 1) / (F.floor(F.col("__n") / k) + 1)
-            )
-            + 1,
-        )
-        .otherwise(
-            (F.col("__n") % k)
-            + F.floor(
-                (
-                    F.col("__rk")
-                    - (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1)
-                    - 1
-                )
-                / F.floor(F.col("__n") / k)
-            )
-            + 1
-        )
-        .cast("long")
-        .alias("bucket_id"),
+        # exact ntile arithmetic, shared + property-tested
+        ntile_from_rank(F.col("__rk"), F.col("__n"), EQUIDEPTH_K).alias(
+            "bucket_id"
+        ),
     )
     buck = F.broadcast(
         withb.groupBy("bucket_id").agg(
@@ -5456,7 +5437,10 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     class); everything after is ≤|docs|-row then ≤10-row relations. A
     100 TB corpus pays the same single token pass its unigram LM
     already pays."""
-    from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
+    from data_warehouse_product_mix_clustering_spark.operators.packing import (
+        ntile_from_rank,
+        with_rank_and_running,
+    )
 
     docs = table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
@@ -5472,29 +5456,11 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="__rk",
     ).drop("__pid", "running", "__one")
     cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
-    k = F.lit(VOCAB_DECILES)
     deciled = ranked.crossJoin(cnt).select(
         "doc_id",
-        F.when(
-            F.col("__rk")
-            <= (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1),
-            F.floor((F.col("__rk") - 1) / (F.floor(F.col("__n") / k) + 1))
-            + 1,
-        )
-        .otherwise(
-            (F.col("__n") % k)
-            + F.floor(
-                (
-                    F.col("__rk")
-                    - (F.col("__n") % k) * (F.floor(F.col("__n") / k) + 1)
-                    - 1
-                )
-                / F.floor(F.col("__n") / k)
-            )
-            + 1
-        )
-        .cast("long")
-        .alias("decile"),
+        ntile_from_rank(F.col("__rk"), F.col("__n"), VOCAB_DECILES).alias(
+            "decile"
+        ),
     )
     per = (
         deciled.join(

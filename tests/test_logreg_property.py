@@ -92,3 +92,29 @@ def test_softmax_twin_is_permutation_invariant(feats, seed):
     )
     assert w1 == w2
     assert l1 == l2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    k=st.integers(min_value=1, max_value=64),
+    seed=st.integers(0, 2**16),
+)
+def test_ntile_from_rank_py_matches_sql_definition(n, k, seed):
+    """operators/packing.py::ntile_from_rank_py ≡ the SQL ntile(k)
+    definition over random sizes: buckets are contiguous, 1..min(n,k),
+    sizes within one of each other with the larger buckets first —
+    checked by reconstructing bucket sizes from the formula over every
+    rank."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import ntile_from_rank_py
+
+    buckets = [ntile_from_rank_py(r, n, k) for r in range(1, n + 1)]
+    assert buckets == sorted(buckets)
+    assert buckets[0] == 1 and buckets[-1] == min(n, k) if n else True
+    sizes: dict[int, int] = {}
+    for b in buckets:
+        sizes[b] = sizes.get(b, 0) + 1
+    counts = [sizes[b] for b in sorted(sizes)]
+    assert sum(counts) == n
+    assert max(counts) - min(counts) <= 1
+    assert counts == sorted(counts, reverse=True)  # big buckets first
