@@ -146,7 +146,8 @@ def train_logreg(
         .repartition("__id")  # one shuffle, reused by every iteration
         .persist()
     )
-    n_docs = base.select("__id").distinct().count()  # materializes the cache
+    base.count()  # materialize the cache (cheap count, no extra shuffle)
+    n_docs = ids.count()  # labels-sized job — not a distinct over base
     buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
     w = {b: 0.0 for b in buckets}
     acc: dict[str, float] = {}
@@ -380,7 +381,8 @@ def train_softmax(
         .repartition("__id")
         .persist()
     )
-    n_docs = base.select("__id").distinct().count()  # materializes the cache
+    base.count()  # materialize the cache (cheap count, no extra shuffle)
+    n_docs = ids.count()
     classes = sorted(
         r["y"] for r in ids.select("y").distinct().collect()
     )  # ≤ |classes| rows

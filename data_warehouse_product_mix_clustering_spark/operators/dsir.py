@@ -168,7 +168,12 @@ def ingest_dsir_batch(
     """Fold one document batch into the model store: O(batch) work, one
     ≤16^DSIR_HEX-row (bucket, d_cr, d_ct) delta partition. Replaying a
     batch_id overwrites exactly its own partition (idempotent)."""
-    fc = feature_counts(batch_docs, id_col, text_col)
+    # checkpoint: BOTH model deltas aggregate this relation — without it
+    # the batch token scan runs twice per ingest (exchange reuse is not
+    # guaranteed across differently-keyed aggregates)
+    fc = feature_counts(batch_docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     raw_d = fc.groupBy("bucket").agg(F.sum("c").cast("long").alias("d_cr"))
     tgt_d = (
         fc.join(target_ids.select(id_col), id_col)
