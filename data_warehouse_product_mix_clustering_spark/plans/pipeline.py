@@ -251,8 +251,7 @@ def _decontaminated_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_corpus_decontaminated", oracle=_decontaminated_oracle())
+@register("training_corpus_decontaminated", oracle=_decontaminated_oracle())
 def training_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contamination screen APPLIED — the detect→apply closure
     (the same move the LM gate and the temperature weights made):
@@ -1884,8 +1883,7 @@ def _doremi_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("source_mixture_doremi", oracle=_doremi_oracle())
+@register("source_mixture_doremi", oracle=_doremi_oracle())
 def source_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
     Optimizing Data Mixtures Speeds Up Language Model Pretraining")
@@ -2028,8 +2026,7 @@ def _budget_allocation_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("source_budget_allocation", oracle=_budget_allocation_oracle())
+@register("source_budget_allocation", oracle=_budget_allocation_oracle())
 def source_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact water-filling of a token budget across sources: allocate
     B = {BUDGET_FRAC}·|corpus| tokens at the target shares (α = 0 →
@@ -2168,8 +2165,7 @@ def _budgeted_corpus_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_corpus_budgeted", oracle=_budgeted_corpus_oracle())
+@register("training_corpus_budgeted", oracle=_budgeted_corpus_oracle())
 def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The water-filled allocation APPLIED: the budgeted corpus —
     every source thinned to its ``source_budget_allocation`` keep rate
@@ -3571,12 +3567,11 @@ def _batch_plan_fingerprint(plan: DataFrame) -> tuple[int, int, int]:
     return (int(row["n"]), int(row["h"] or 0), int(row["t"] or 0))
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_batches_audit", oracle="""
-#     SELECT TRUE AS tokens_conserved, TRUE AS batches_exact,
-#            TRUE AS prefix_fair, TRUE AS fingerprint_reproducible,
-#            TRUE AS matches_staged, TRUE AS contract_bites
-# """)
+@register("training_batches_audit", oracle="""
+    SELECT TRUE AS tokens_conserved, TRUE AS batches_exact,
+           TRUE AS prefix_fair, TRUE AS fingerprint_reproducible,
+           TRUE AS matches_staged, TRUE AS contract_bites
+""")
 def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end contract audit for ``training_batches`` — the
     composition IS the product, so the invariants are pinned on the
@@ -4553,8 +4548,7 @@ def _contamination_report_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("benchmark_contamination_report", oracle=_contamination_report_oracle())
+@register("benchmark_contamination_report", oracle=_contamination_report_oracle())
 def benchmark_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination gate's REPORT side — per train document, its
     distinct-3-gram overlap with the FIXED benchmark set and whether
@@ -5160,8 +5154,7 @@ def _fuzzy_contamination_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("benchmark_contamination_fuzzy", oracle=_fuzzy_contamination_oracle())
+@register("benchmark_contamination_fuzzy", oracle=_fuzzy_contamination_oracle())
 def benchmark_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY benchmark contamination — bigram-Jaccard similarity of
     every train doc against the FIXED benchmark set, thresholded at
@@ -5227,9 +5220,8 @@ def _decontaminated_fuzzy_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_corpus_decontaminated_fuzzy",
-#           oracle=_decontaminated_fuzzy_oracle())
+@register("training_corpus_decontaminated_fuzzy",
+          oracle=_decontaminated_fuzzy_oracle())
 def training_corpus_decontaminated_fuzzy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1280,12 +1280,11 @@ def ratio_round_py(x: float) -> float:
     return round(x + 1e-9, 6)
 
 
-# Pre-staged r14/r15 registration (r13's window is exactly full):
-# @register("coreset_maxmin_audit", oracle="""
-#     SELECT TRUE AS picks_match_twin, TRUE AS first_is_seed,
-#            TRUE AS dists_nonincreasing, TRUE AS k_picks,
-#            TRUE AS picks_distinct
-# """)
+@register("coreset_maxmin_audit", oracle="""
+    SELECT TRUE AS picks_match_twin, TRUE AS first_is_seed,
+           TRUE AS dists_nonincreasing, TRUE AS k_picks,
+           TRUE AS picks_distinct
+""")
 def coreset_maxmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for ``maxmin_coreset`` — iterative argmax is not
     SQL-expressible, so the driver-attestable truth is python-twin

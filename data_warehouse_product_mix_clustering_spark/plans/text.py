@@ -1947,8 +1947,7 @@ def _quality_lm_calibration_oracle() -> str:
     """
 
 
-# Pre-staged r14/r15 registration (r13's window is exactly full):
-# @register("doc_quality_lm_calibration", oracle=_quality_lm_calibration_oracle())
+@register("doc_quality_lm_calibration", oracle=_quality_lm_calibration_oracle())
 def doc_quality_lm_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-agreement diagnostic: does the CHEAP heuristic quality score
     rank documents the way the EXPENSIVE LM perplexity filter does? Docs
