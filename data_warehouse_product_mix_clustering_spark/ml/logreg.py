@@ -391,6 +391,7 @@ def train_softmax(
     acc: dict[tuple[str, str], float] = {}
 
     losses: list[float] = []
+    probs = None
     try:
         for _ in range(n_iter):
             wdf = spark.createDataFrame(
@@ -422,8 +423,14 @@ def train_softmax(
                     "resid",
                     F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
                 )
-                .localCheckpoint(eager=True)  # read by grad (+ loss)
+                # persist, not localCheckpoint: read twice (grad + loss),
+                # and the cache keeps the (__id) outputPartitioning that
+                # localCheckpoint drops — AND it can be unpersisted, so
+                # iterations don't accumulate checkpointed RDDs for the
+                # life of the session.
+                .persist()
             )
+            probs.count()  # materialize once for the two consumers
             if track_loss:
                 own = probs.filter(F.col("y") == F.col("cls"))
                 pc = F.least(
@@ -450,8 +457,11 @@ def train_softmax(
                 w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
                 for b, v in ac.items():
                     acc[(c, b)] = v
+            probs.unpersist()
     finally:
         base.unpersist()
+        if probs is not None:
+            probs.unpersist()  # no-op when the loop already released it
     return w, losses
 
 

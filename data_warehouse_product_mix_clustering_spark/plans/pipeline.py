@@ -4191,6 +4191,7 @@ def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds: model comparisons collect ≤ 4096-row relations; the score
     comparison collects the documents-table-sized output (bounded audit
     ground truth, the stream_gated_corpus_audit discipline)."""
+    import shutil
     import tempfile
 
     from data_warehouse_product_mix_clustering_spark.operators.dsir import (
@@ -4206,51 +4207,56 @@ def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _dsir_target(docs).localCheckpoint(eager=True)
     store = tempfile.mkdtemp(prefix="spark_graft_dsir_store_")
 
-    for b in range(3):
-        batch = docs.filter(F.col("doc_id") % 3 == b)
-        ingest_dsir_batch(store, b, batch, tgt)
-
     def _collect_models(rawm, tgtm):
         r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
         t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
         return r, t
 
-    fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
-    want_r, want_t = _collect_models(*dsir_models(fc, tgt))
-    got_r, got_t = _collect_models(*read_dsir_models(spark, store))
-    models_match_batch = got_r == want_r and got_t == want_t
+    try:
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b)
+            ingest_dsir_batch(store, b, batch, tgt)
 
-    rawm_s, tgtm_s = read_dsir_models(spark, store)
-    got_scores = (
-        dsir_score(docs.select("doc_id", "source"), fc, rawm_s, tgtm_s)
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    want_scores = (
-        doc_dsir_weight(spark, sf_dir)
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    scores_match_batch = got_scores.equals(want_scores)
+        fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
+        want_r, want_t = _collect_models(*dsir_models(fc, tgt))
+        got_r, got_t = _collect_models(*read_dsir_models(spark, store))
+        models_match_batch = got_r == want_r and got_t == want_t
 
-    ingest_dsir_batch(store, 2, docs.filter(F.col("doc_id") % 3 == 2), tgt)
-    re_r, re_t = _collect_models(*read_dsir_models(spark, store))
-    replay_idempotent = re_r == want_r and re_t == want_t
+        rawm_s, tgtm_s = read_dsir_models(spark, store)
+        got_scores = (
+            dsir_score(docs.select("doc_id", "source"), fc, rawm_s, tgtm_s)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want_scores = (
+            doc_dsir_weight(spark, sf_dir)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        scores_match_batch = got_scores.equals(want_scores)
 
-    empty = spark.createDataFrame([], docs.schema)
-    ingest_dsir_batch(store, 3, empty, tgt)
-    e_r, e_t = _collect_models(*read_dsir_models(spark, store))
-    empty_batch_noop = e_r == want_r and e_t == want_t
+        ingest_dsir_batch(
+            store, 2, docs.filter(F.col("doc_id") % 3 == 2), tgt
+        )
+        re_r, re_t = _collect_models(*read_dsir_models(spark, store))
+        replay_idempotent = re_r == want_r and re_t == want_t
 
-    per_batch = (
-        read_dsir_deltas(spark, store)
-        .groupBy("__batch_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    deltas_bounded = all(r["n"] <= 16**DSIR_HEX for r in per_batch)
+        empty = spark.createDataFrame([], docs.schema)
+        ingest_dsir_batch(store, 3, empty, tgt)
+        e_r, e_t = _collect_models(*read_dsir_models(spark, store))
+        empty_batch_noop = e_r == want_r and e_t == want_t
+
+        per_batch = (
+            read_dsir_deltas(spark, store)
+            .groupBy("__batch_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        deltas_bounded = all(r["n"] <= 16**DSIR_HEX for r in per_batch)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
     return spark.createDataFrame(
         [
@@ -4308,6 +4314,7 @@ def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds: trains on the audit cap slice; weight/score collects are
     model-sized / cap-slice-sized."""
     import os
+    import shutil
     import tempfile
 
     from data_warehouse_product_mix_clustering_spark.ml.logreg import (
@@ -4333,34 +4340,37 @@ def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     model_dir = tempfile.mkdtemp(prefix="spark_graft_logreg_model_")
-    save_logreg(spark, w, model_dir, _clf_meta())
-    w2, meta2 = load_logreg(spark, model_dir, expect_meta=_clf_meta())
-    roundtrip_identical = w2 == w and meta2 == _clf_meta()
-
-    ids = labels.select("__id")
-    mem = {
-        r["__id"]: r["p"]
-        for r in score_logreg(spark, feats, ids, w).collect()  # ≤ cap rows
-    }
-    srv = {
-        r["__id"]: r["p"]
-        for r in score_logreg(spark, feats, ids, w2).collect()
-    }
-    scores_identical = mem == srv
-
     try:
-        bad = dict(_clf_meta(), l2=CLF_L2 * 10)
-        load_logreg(spark, model_dir, expect_meta=bad)
-        mismatch_refused = False
-    except ValueError:
-        mismatch_refused = True
+        save_logreg(spark, w, model_dir, _clf_meta())
+        w2, meta2 = load_logreg(spark, model_dir, expect_meta=_clf_meta())
+        roundtrip_identical = w2 == w and meta2 == _clf_meta()
 
-    os.remove(os.path.join(model_dir, COMMIT_MARKER))
-    try:
-        load_logreg(spark, model_dir)
-        torn_refused = False
-    except RuntimeError:
-        torn_refused = True
+        ids = labels.select("__id")
+        mem = {
+            r["__id"]: r["p"]
+            for r in score_logreg(spark, feats, ids, w).collect()  # ≤ cap
+        }
+        srv = {
+            r["__id"]: r["p"]
+            for r in score_logreg(spark, feats, ids, w2).collect()
+        }
+        scores_identical = mem == srv
+
+        try:
+            bad = dict(_clf_meta(), l2=CLF_L2 * 10)
+            load_logreg(spark, model_dir, expect_meta=bad)
+            mismatch_refused = False
+        except ValueError:
+            mismatch_refused = True
+
+        os.remove(os.path.join(model_dir, COMMIT_MARKER))
+        try:
+            load_logreg(spark, model_dir)
+            torn_refused = False
+        except RuntimeError:
+            torn_refused = True
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)
 
     return spark.createDataFrame(
         [
@@ -4771,7 +4781,10 @@ def _lang_features(docs: DataFrame) -> DataFrame:
     exact per-language hit rates ``predicted_lang`` argmaxes over, so
     the teacher is a deterministic function of the feature vector (the
     fastText lang-id setup: character/word features that carry the
-    language signal directly). Keys cannot collide with hex buckets."""
+    language signal directly). Keys cannot collide with hex buckets.
+    "en" is skipped here: ``_clf_features`` already emits the en
+    stopword rate as "__sw", and a second copy under "__sw_en" would be
+    perfectly collinear — one wasted weight, zero signal."""
     base = _clf_features(docs)
     t = docs.select(
         F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
@@ -4785,6 +4798,7 @@ def _lang_features(docs: DataFrame) -> DataFrame:
             ).alias("x"),
         )
         for lang, ws in sorted(STOPWORDS.items())
+        if lang != "en"  # "__sw" (en) already rides in from _clf_features
     ]
     out = base
     for p in per_lang:
@@ -4792,9 +4806,15 @@ def _lang_features(docs: DataFrame) -> DataFrame:
     return out
 
 
-LANG_CLF_ITERS = 24
-LANG_CLF_LR = 4.0
-LANG_CLF_L2 = 1e-4
+# Retuned on the twin after the "__sw_en" collinearity fix (ADVICE r14):
+# the duplicate had halved the effective L2 on the en-stopword direction,
+# and removing it left held-out accuracy exactly TYING the majority class
+# at sf0.01 (0.9533 = 143/150). Grid over lr×{4,8,16}, iters×{24,48},
+# l2×{5e-5,1e-5}: this point beats majority by +7 docs at sf0.001 and +2
+# at sf0.01 — the widest joint margin; every 24-iter point sat at ±1.
+LANG_CLF_ITERS = 48
+LANG_CLF_LR = 8.0
+LANG_CLF_L2 = 5e-5
 
 
 # Pre-staged r15 registration, rows-only (iterative training is not
