@@ -3,9 +3,9 @@
 fastText-shaped (Joulin et al. 2016, "Bag of Tricks for Efficient Text
 Classification"): a linear classifier over a FIXED hashed feature space,
 so the weight vector is broadcast-sized BY CONSTRUCTION — the same hash
-trick that makes DSIR (plans/pipeline.py) a 100 TB operator. The engine
+trick that makes DSIR (plans/pipeline) a 100 TB operator. The engine
 uses it to DISTILL the rule-based document-quality gate into a learned
-scorer (plans/pipeline.py::doc_quality_classifier); the reference's
+scorer (plans/pipeline/classifiers.py::doc_quality_classifier); the reference's
 analogue is its driver-side sklearn fit-predict loops
 (reference src/pipelines, SURVEY §2.8-2.9), re-expressed as set
 operations plus a bounded driver scan per iteration.

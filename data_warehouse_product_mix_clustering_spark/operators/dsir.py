@@ -1,7 +1,7 @@
 """DSIR hashed-feature models: batch construction + incremental store.
 
 The model side of DSIR (Xie et al. 2023 — see
-plans/pipeline.py::doc_dsir_weight for the method and the determinism
+plans/pipeline/dsir.py::doc_dsir_weight for the method and the determinism
 contract): two bag-of-hashed-ngrams unigram models — RAW (every doc) and
 TARGET (gate-passing docs) — over a feature space FIXED at
 16^DSIR_HEX buckets, so each model is an exact-integer relation of at
@@ -12,7 +12,7 @@ free: a batch's contribution is a ≤4096-row (bucket, Δcr, Δct) delta,
 and the current model is the per-bucket SUM of all deltas — exact
 integers, so the incrementally-maintained model equals the batch-built
 model bit-for-bit, and every score derived from it follows (pinned by
-``plans/pipeline.py::dsir_incremental_audit``). The store follows the
+``plans/pipeline/dsir.py::dsir_incremental_audit``). The store follows the
 repo's partitioned-delta discipline (streaming/corpus_ingest.py): one
 partition per ``__batch_id`` written with dynamic partition overwrite —
 an at-least-once replay overwrites only its own partition (idempotent) —
@@ -94,7 +94,7 @@ def dsir_score(
 ) -> DataFrame:
     """Score every row of ``base`` against the models — the single
     scoring implementation shared by the batch query
-    (plans/pipeline.py::doc_dsir_weight, whose adjacent DuckDB oracle
+    (plans/pipeline/dsir.py::doc_dsir_weight, whose adjacent DuckDB oracle
     pins these semantics) and the incremental store path.
 
     ``base`` carries the id plus any pass-through columns; output

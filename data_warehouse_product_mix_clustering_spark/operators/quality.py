@@ -261,7 +261,7 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     throws rather than wrapping) and equally loud in the DuckDB twin
     (HUGEINT→BIGINT cast fails), so past ~2e9 rows route the sum
     through DECIMAL(38,0) on both sides, the corpus_fingerprint
-    (plans/pipeline.py) formulation.
+    (plans/pipeline) formulation.
     Collision odds for a mismatch slipping through: each differing row
     pair collides with p≈2^-32; a whole-table swap is detected with
     near-certainty.

@@ -1,0 +1,716 @@
+"""Learned gates distilled from the rule-based ones: the binary
+quality classifier (distributed logistic regression) and multinomial
+language classifier, their bit-exact-twin contract audits, model
+persistence/serving, and streaming scoring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_product_mix_clustering_spark.functions.numeric import (
+    ratio_round,
+)
+from data_warehouse_product_mix_clustering_spark.functions.text import (
+    STOPWORDS,
+    quality_score,
+    stopword_hits,
+    tokens,
+)
+from data_warehouse_product_mix_clustering_spark.plans.registry import register
+from data_warehouse_product_mix_clustering_spark.sources.registry import table
+from data_warehouse_product_mix_clustering_spark.plans.pipeline.dsir import (
+    _dsir_feature_counts,
+)
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate: distill the rule-based language+quality gate into a
+# fastText-shaped logistic regression over the SAME hashed n-gram buckets
+# DSIR uses (ml/logreg.py has the trainer + determinism contract). Where
+# DSIR scores target-AFFINITY with two counting models, this learns a
+# decision BOUNDARY — the pair brackets the "replace hand rules with a
+# model" step every production corpus pipeline eventually takes (the CCNet/
+# fastText quality-classifier stage), with the gate itself as free labels.
+# ---------------------------------------------------------------------------
+
+CLF_LEN_SAT = 50  # length-saturation cap — the gate's own (quality_score)
+# Tuned on the twin (cheap, exact): held-out accuracy 0.90/0.92 at the
+# two test SFs; l2 is the lever that stops ~4k hashed buckets from
+# memorizing a few-hundred-doc training slice (1e-6 → 0.81 held).
+CLF_ITERS = 24
+CLF_LR = 4.0
+CLF_L2 = 1e-4
+
+
+def _clf_features(docs: DataFrame) -> DataFrame:
+    """(__id, bucket, x): snapped per-doc feature rates.
+
+    Hashed unigram+bigram RATES (counts normalized by the doc's feature
+    total, so the signal is profile, not length) from the shared DSIR
+    relation, plus two engineered scalars — "__len" (the gate's own
+    min(n,50)/50 length saturation) and "__sw" (en-stopword ratio) —
+    that make the gate's quality half-space exactly linear in the
+    feature vector, leaving the model only the language boundary to
+    learn from the hashed buckets (distillation gets to use the
+    teacher's features). The keys cannot collide with hex md5-prefix
+    buckets. All rates 6-dp snapped (the trainer's determinism
+    contract)."""
+    fc = _dsir_feature_counts(docs)
+    nf = fc.groupBy("doc_id").agg(F.sum("c").alias("__nf"))
+    rates = fc.join(nf, "doc_id").select(
+        F.col("doc_id").alias("__id"),
+        "bucket",
+        ratio_round(F.col("c") / F.col("__nf")).alias("x"),
+    )
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    lens = t.select(
+        "__id",
+        F.lit("__len").alias("bucket"),
+        ratio_round(
+            F.least(F.size("t"), F.lit(CLF_LEN_SAT))
+            / F.lit(float(CLF_LEN_SAT))
+        ).alias("x"),
+    )
+    sw = t.select(
+        "__id",
+        F.lit("__sw").alias("bucket"),
+        ratio_round(
+            stopword_hits(F.col("t"), STOPWORDS["en"]).cast("double")
+            / F.size("t")
+        ).alias("x"),
+    )
+    return rates.unionAll(lens).unionAll(sw)
+
+
+def _gate_labels(docs: DataFrame) -> DataFrame:
+    """(__id, y): the TEXT-DERIVED quality gate as 0/1 labels —
+    predicted_lang(tokens) = en AND quality_score ≥ the corpus min.
+
+    Deliberately the predicted language (functions/text.py lang-ID),
+    not the ``lang`` metadata column: in the synthetic corpus the
+    metadata label is statistically independent of the text (every doc
+    draws from the same word pool), so a text-feature model distilling
+    the metadata gate is Bayes-capped at the majority rate — measured
+    exactly that (0.768/0.720 held at the two test SFs) before the
+    switch. A learnable teacher must be a function of what the student
+    sees; with the text-derived gate the same model reaches ~0.95+
+    held-out. Real pipelines are on this side anyway: CCNet's lang
+    label IS fastText output, not provenance metadata."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import predicted_lang
+    from data_warehouse_product_mix_clustering_spark.plans.text import CORPUS_LANG, QUALITY_MIN
+
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    )
+    y = (
+        (F.size("t") > 0)
+        & (predicted_lang(F.col("t")) == CORPUS_LANG)
+        & (quality_score(F.col("t")) >= QUALITY_MIN)
+    )
+    return t.select("__id", y.cast("double").alias("y"))
+
+
+# Pre-staged r15 registration, rows-only (iterative training is not
+# SQL-expressible; quality_classifier_audit carries the contract):
+# @register("doc_quality_classifier")
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate (fastText-style distillation, Joulin et al.
+    2016 / the CCNet quality-classifier stage): train a logistic
+    regression over hashed unigram+bigram rates + a length-saturation
+    feature on the EVEN doc_ids, labels = the rule-based
+    ``training_corpus`` gate; score EVERY document. Output per doc: the
+    snapped keep-probability, the model's decision, the gate's decision,
+    and the disagreement flag — the model's value is exactly where it
+    disagrees (gate-rejected docs the model would rescue and vice
+    versa), the same complement DSIR provides per-affinity.
+
+    Determinism: ml/logreg.py's snapped-arithmetic contract — weights
+    are bit-identical to the python twin (pinned by the audit), so the
+    scores and decisions here are engine-stable; the train/score split
+    is doc_id parity, not randomness.
+
+    Scale: training runs on a deterministic hash-sample (here % 2; at
+    100 TB a much smaller slice) — per iteration one exchange-free
+    per-id agg + one (bucket,) agg collecting ≤4098 weight rows;
+    scoring the full corpus is ONE broadcast join + one per-id agg.
+    The feature relation is checkpointed once and shared by both.
+    Mirrors the reference's sklearn fit/predict driver loops
+    (src/pipelines, SURVEY §2.9) as set operations."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import score_logreg, train_logreg
+
+    docs = table(spark, "documents", sf_dir)
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+    scored = score_logreg(spark, feats, labels.select("__id"), w)
+    out = (
+        labels.join(scored, "__id")
+        .join(
+            docs.select(F.col("doc_id").alias("__id"), "source"), "__id"
+        )
+        .select(
+            F.col("__id").alias("doc_id"),
+            "source",
+            (F.col("y") == 1.0).alias("gate_label"),
+            F.col("p").alias("p_keep"),
+            (F.col("p") >= 0.5).alias("predicted"),
+            ((F.col("p") >= 0.5) != (F.col("y") == 1.0)).alias("disagrees"),
+            (F.col("__id") % 2 != 0).alias("held_out"),
+        )
+    )
+    return out
+
+
+# Audit slice: small enough that the python twin's feature collect is a
+# bounded driver scan (≤ CLF_AUDIT_CAP docs × ~2·tokens rows), big enough
+# that the distilled model clears the accuracy floor.
+CLF_AUDIT_CAP = 300
+CLF_ACC_FLOOR = 0.80
+
+
+# Pre-staged r15 registration:
+# @register("quality_classifier_audit", oracle="""
+#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+#            TRUE AS loss_decreases, TRUE AS holdout_accuracy_ok,
+#            TRUE AS separates_gate
+# """)
+def quality_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``doc_quality_classifier`` — iterative GD is
+    not SQL-expressible, so the driver-attestable truth is python-twin
+    equality plus the method's invariants (the ``bpe_train_audit`` /
+    ``coreset_maxmin_audit`` mold: bounded slice, snapped-fold
+    determinism):
+
+    - ``weights_match_twin``: the distributed trainer's weight dict
+      over the doc_id < cap slice equals ``train_logreg_py``'s EXACTLY
+      (every bucket, bit-for-bit — the snapped-arithmetic contract
+      needs no tolerance), and so does the loss trace;
+    - ``rerun_identical``: a second distributed training run returns
+      the identical dict (partitioning/run-to-run stability);
+    - ``loss_decreases``: final snapped log-loss < first — GD went
+      downhill;
+    - ``holdout_accuracy_ok``: decision accuracy vs the gate on the
+      held-out odd ids ≥ the floor — the distillation genuinely
+      learned the gate, not noise;
+    - ``separates_gate``: mean p among gate-true docs exceeds mean p
+      among gate-false docs on the full slice.
+
+    Bounds: the twin collects the cap-slice feature relation once
+    (≤ cap docs × ~2·tokens rows — the capped-collect discipline); the
+    distributed side trains on the SAME slice, so both see identical
+    inputs."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import train_logreg, train_logreg_py
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    tr_f, tr_l = feats.filter(even), labels.filter(even)
+
+    kw = dict(n_iter=CLF_ITERS, lr=CLF_LR, l2=CLF_L2)
+    w1, losses = train_logreg(tr_f, tr_l, track_loss=True, **kw)
+    w2, _ = train_logreg(tr_f, tr_l, **kw)
+
+    f_py: dict[int, dict[str, float]] = {}
+    for r in tr_f.collect():  # bounded: cap-slice features only
+        f_py.setdefault(int(r["__id"]), {})[r["bucket"]] = float(r["x"])
+    l_py = {int(r["__id"]): float(r["y"]) for r in tr_l.collect()}
+    w_py, losses_py = train_logreg_py(f_py, l_py, track_loss=True, **kw)
+
+    weights_match_twin = w1 == w_py and losses == losses_py
+    rerun_identical = w1 == w2
+    loss_decreases = losses[-1] < losses[0]
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import score_logreg
+
+    scored = (
+        score_logreg(spark, feats, labels.select("__id"), w1)
+        .join(labels, "__id")
+        .select("__id", "p", "y")
+        .collect()  # ≤ cap rows
+    )
+    held = [r for r in scored if int(r["__id"]) % 2 != 0]
+    acc = sum(
+        1 for r in held if (r["p"] >= 0.5) == (r["y"] == 1.0)
+    ) / len(held)
+    holdout_accuracy_ok = acc >= CLF_ACC_FLOOR
+    pos = [r["p"] for r in scored if r["y"] == 1.0]
+    neg = [r["p"] for r in scored if r["y"] == 0.0]
+    separates_gate = sum(pos) / len(pos) > sum(neg) / len(neg)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(weights_match_twin),
+                bool(rerun_identical),
+                bool(loss_decreases),
+                bool(holdout_accuracy_ok),
+                bool(separates_gate),
+            )
+        ],
+        "weights_match_twin boolean, rerun_identical boolean, "
+        "loss_decreases boolean, holdout_accuracy_ok boolean, "
+        "separates_gate boolean",
+    )
+
+
+def _clf_meta() -> dict:
+    """Everything that must match between training and serving: the
+    feature spec (hash width + engineered scalars) and hyperparameters.
+    Stored verbatim in the model artifact; load refuses any drift."""
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import DSIR_HEX
+
+    return {
+        "features": f"hashed_unigram_bigram_rates(hex={DSIR_HEX})"
+        f"+__len(sat={CLF_LEN_SAT})+__sw",
+        "n_iter": CLF_ITERS,
+        "lr": CLF_LR,
+        "l2": CLF_L2,
+        "train_slice": "doc_id % 2 == 0",
+    }
+
+
+# Pre-staged r15 registration:
+# @register("quality_model_serving_audit", oracle="""
+#     SELECT TRUE AS roundtrip_identical, TRUE AS scores_identical,
+#            TRUE AS mismatch_refused, TRUE AS torn_refused
+# """)
+def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the persisted quality-gate model
+    (ml/logreg.py::save_logreg/load_logreg) — the serve path a 100 TB
+    pipeline uses: train ONCE on a bounded sample, persist the KB-sized
+    weight artifact, score every batch/stream against the loaded copy:
+
+    - ``roundtrip_identical``: save → load returns the trained weight
+      dict EXACTLY (bit-for-bit doubles through parquet — no tolerance);
+    - ``scores_identical``: scoring through the loaded model reproduces
+      the in-memory model's probabilities exactly on every doc;
+    - ``mismatch_refused``: loading under a different expected meta
+      (here: a changed l2) raises instead of serving silent garbage —
+      the minhash-index column-pin discipline;
+    - ``torn_refused``: an artifact whose commit marker is missing (a
+      crashed save) refuses to load.
+
+    Bounds: trains on the audit cap slice; weight/score collects are
+    model-sized / cap-slice-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        load_logreg,
+        save_logreg,
+        score_logreg,
+        train_logreg,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import COMMIT_MARKER
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+
+    model_dir = tempfile.mkdtemp(prefix="spark_graft_logreg_model_")
+    try:
+        save_logreg(spark, w, model_dir, _clf_meta())
+        w2, meta2 = load_logreg(spark, model_dir, expect_meta=_clf_meta())
+        roundtrip_identical = w2 == w and meta2 == _clf_meta()
+
+        ids = labels.select("__id")
+        mem = {
+            r["__id"]: r["p"]
+            for r in score_logreg(spark, feats, ids, w).collect()  # ≤ cap
+        }
+        srv = {
+            r["__id"]: r["p"]
+            for r in score_logreg(spark, feats, ids, w2).collect()
+        }
+        scores_identical = mem == srv
+
+        try:
+            bad = dict(_clf_meta(), l2=CLF_L2 * 10)
+            load_logreg(spark, model_dir, expect_meta=bad)
+            mismatch_refused = False
+        except ValueError:
+            mismatch_refused = True
+
+        os.remove(os.path.join(model_dir, COMMIT_MARKER))
+        try:
+            load_logreg(spark, model_dir)
+            torn_refused = False
+        except RuntimeError:
+            torn_refused = True
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(roundtrip_identical),
+                bool(scores_identical),
+                bool(mismatch_refused),
+                bool(torn_refused),
+            )
+        ],
+        "roundtrip_identical boolean, scores_identical boolean, "
+        "mismatch_refused boolean, torn_refused boolean",
+    )
+
+
+# Pre-staged r15 registration:
+# @register("stream_model_scoring_audit", oracle="""
+#     SELECT TRUE AS streamed_matches_batch, TRUE AS log_reconciles,
+#            TRUE AS rerun_is_noop, TRUE AS replay_idempotent
+# """)
+def stream_model_scoring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit for streaming quality-model scoring
+    (streaming/model_scoring.py) — the serve path run continuously
+    against a frozen persisted artifact (the ``stream_gated_corpus``
+    mold: landing feed → availableNow drain → streamed ≡ batch):
+
+    - ``streamed_matches_batch``: the union of per-batch score
+      partitions equals scoring the whole corpus in one batch against
+      the same artifact — (doc_id, p_keep, predicted) EXACTLY (scoring
+      is per-doc pure under a frozen model, so batching cannot move a
+      score; this pins that the plumbing doesn't either);
+    - ``log_reconciles``: the per-(batch, source) count log, summed per
+      source, equals the batch per-source (n_docs, n_keep) truth — the
+      keep-rate observability never needs to re-read scored batches;
+    - ``rerun_is_noop``: a second availableNow run executes ZERO batches
+      and leaves scores identical;
+    - ``replay_idempotent``: re-invoking batch 0's sink verbatim (the
+      at-least-once shape) changes nothing — per-batch purity + own-
+      partition overwrite.
+
+    Ground truth collects the documents-table-sized score relation
+    (bounded audit convention). Trains the model once on the even
+    doc_ids — the registered ``doc_quality_classifier`` recipe —
+    persists it, and both paths serve the SAME loaded artifact."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        load_logreg,
+        save_logreg,
+        score_logreg,
+        train_logreg,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.io import write_single_parquet_file
+    from data_warehouse_product_mix_clustering_spark.streaming.model_scoring import (
+        read_score_log,
+        read_scores,
+        score_batch,
+        streaming_model_scoring,
+    )
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    feats = _clf_features(docs).localCheckpoint(eager=True)
+    labels = _gate_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_logreg(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=CLF_ITERS,
+        lr=CLF_LR,
+        l2=CLF_L2,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_model_scoring_")
+    try:
+        model_dir = os.path.join(root, "model")
+        landing = os.path.join(root, "landing")
+        out_dir = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        save_logreg(spark, w, model_dir, _clf_meta())
+
+        b0 = docs.filter(F.col("doc_id") < 250)
+        b1 = docs.filter(F.col("doc_id") >= 250)
+        f0 = os.path.join(landing, "b0.parquet")
+        f1 = os.path.join(landing, "b1.parquet")
+        write_single_parquet_file(b0, f0)
+        write_single_parquet_file(b1, f1)
+        now = os.path.getmtime(f1)
+        os.utime(f0, (now - 10, now - 10))
+
+        streaming_model_scoring(
+            spark, landing, out_dir, ckpt, model_dir, expect_meta=_clf_meta()
+        )
+
+        def scores_map():
+            return {
+                r["doc_id"]: (r["p_keep"], r["predicted"], r["source"])
+                for r in read_scores(spark, out_dir).collect()  # ≤ |docs|
+            }
+
+        got = scores_map()
+        w_served, _ = load_logreg(spark, model_dir, expect_meta=_clf_meta())
+        batch_scores = (
+            score_logreg(
+                spark, feats, docs.select(F.col("doc_id").alias("__id")), w_served
+            )
+            .withColumnRenamed("__id", "doc_id")
+            .join(docs.select("doc_id", "source"), "doc_id")
+        )
+        want = {
+            r["doc_id"]: (r["p"], bool(r["p"] >= 0.5), r["source"])
+            for r in batch_scores.collect()
+        }
+        streamed_matches_batch = got == want
+
+        log_sum = {
+            r["source"]: (r["n"], r["k"])
+            for r in read_score_log(spark, out_dir)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n"),
+                F.sum("n_keep").cast("long").alias("k"),
+            )
+            .collect()
+        }
+        truth = {}
+        for doc_id, (p, pred, src) in want.items():
+            n, k = truth.get(src, (0, 0))
+            truth[src] = (n + 1, k + int(pred))
+        log_reconciles = log_sum == truth
+
+        n2 = streaming_model_scoring(
+            spark, landing, out_dir, ckpt, model_dir, expect_meta=_clf_meta()
+        )
+        rerun_is_noop = n2 == 0 and scores_map() == got
+
+        score_batch(spark, out_dir, 0, b0, w_served)
+        replay_idempotent = scores_map() == got
+
+        return spark.createDataFrame(
+            [
+                (
+                    bool(streamed_matches_batch),
+                    bool(log_reconciles),
+                    bool(rerun_is_noop),
+                    bool(replay_idempotent),
+                )
+            ],
+            "streamed_matches_batch boolean, log_reconciles boolean, "
+            "rerun_is_noop boolean, replay_idempotent boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _lang_labels(docs: DataFrame) -> DataFrame:
+    """(__id, y): the TEXT-DERIVED language label — the engine's own
+    stopword-argmax lang-ID (functions/text.py::predicted_lang) on
+    nonempty docs. Text-derived for the same Bayes reason as
+    ``_gate_labels``: the metadata lang column is independent of the
+    text in this corpus; a learnable teacher must be a function of what
+    the student sees (fastText lang-id's actual setup)."""
+    from data_warehouse_product_mix_clustering_spark.functions.text import predicted_lang
+
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    return t.select("__id", predicted_lang(F.col("t")).alias("y"))
+
+
+def _lang_features(docs: DataFrame) -> DataFrame:
+    """(__id, bucket, x): the shared hashed-rate features plus one
+    engineered "__sw_<lang>" stopword-rate scalar PER language — the
+    exact per-language hit rates ``predicted_lang`` argmaxes over, so
+    the teacher is a deterministic function of the feature vector (the
+    fastText lang-id setup: character/word features that carry the
+    language signal directly). Keys cannot collide with hex buckets.
+    "en" is skipped here: ``_clf_features`` already emits the en
+    stopword rate as "__sw", and a second copy under "__sw_en" would be
+    perfectly collinear — one wasted weight, zero signal."""
+    base = _clf_features(docs)
+    t = docs.select(
+        F.col("doc_id").alias("__id"), tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    per_lang = [
+        t.select(
+            "__id",
+            F.lit(f"__sw_{lang}").alias("bucket"),
+            ratio_round(
+                stopword_hits(F.col("t"), ws).cast("double") / F.size("t")
+            ).alias("x"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+        if lang != "en"  # "__sw" (en) already rides in from _clf_features
+    ]
+    out = base
+    for p in per_lang:
+        out = out.unionAll(p)
+    return out
+
+
+# Retuned on the twin after the "__sw_en" collinearity fix (ADVICE r14):
+# the duplicate had halved the effective L2 on the en-stopword direction,
+# and removing it left held-out accuracy exactly TYING the majority class
+# at sf0.01 (0.9533 = 143/150). Grid over lr×{4,8,16}, iters×{24,48},
+# l2×{5e-5,1e-5}: this point beats majority by +7 docs at sf0.001 and +2
+# at sf0.01 — the widest joint margin; every 24-iter point sat at ±1.
+LANG_CLF_ITERS = 48
+LANG_CLF_LR = 8.0
+LANG_CLF_L2 = 5e-5
+
+
+# Pre-staged r15 registration, rows-only (iterative training is not
+# SQL-expressible; lang_classifier_audit carries the contract):
+# @register("doc_lang_classifier")
+def doc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID (the fastText lang-id shape, multinomial):
+    softmax regression over the shared hashed n-gram rates plus the
+    per-language stopword-rate scalars, distilling the engine's
+    stopword-argmax ``predicted_lang`` teacher; trained on the even
+    doc_ids, every nonempty document scored. Output per doc: the argmax
+    class with its snapped probability, the teacher's label, agreement,
+    and the holdout flag. On this corpus the teacher's label space
+    degenerates to {en, und} (every doc draws from one word pool — the
+    metadata-lang lesson in ``_gate_labels`` applies doubly here), so
+    the audit's accuracy bar is BEATS-THE-MAJORITY-CLASS, not a fixed
+    constant: the model must earn its keep over the trivial predictor.
+
+    Determinism: ml/logreg.py's snapped softmax contract — weights ≡
+    python twin bit-for-bit (audited); argmax ties break alphabetically
+    on both engines.
+
+    Scale: training per iteration is one broadcast join with the
+    ≤|classes|·(buckets+1)-row weight relation, exchange-free per-id
+    aggs, one (class, bucket) gradient agg; prediction is one broadcast
+    join + two per-id aggs. Mirrors the reference's sklearn fit/predict
+    loops (SURVEY §2.9) as set operations."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import predict_softmax, train_softmax
+
+    docs = table(spark, "documents", sf_dir)
+    feats = _lang_features(docs).localCheckpoint(eager=True)
+    labels = _lang_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    w, _ = train_softmax(
+        feats.filter(even),
+        labels.filter(even),
+        n_iter=LANG_CLF_ITERS,
+        lr=LANG_CLF_LR,
+        l2=LANG_CLF_L2,
+    )
+    pred = predict_softmax(spark, feats, labels.select("__id"), w)
+    return (
+        labels.join(pred, "__id")
+        .join(docs.select(F.col("doc_id").alias("__id"), "source"), "__id")
+        .select(
+            F.col("__id").alias("doc_id"),
+            "source",
+            F.col("pred").alias("lang_pred"),
+            F.col("p").alias("p_top"),
+            F.col("y").alias("lang_teacher"),
+            (F.col("pred") == F.col("y")).alias("agrees"),
+            (F.col("__id") % 2 != 0).alias("held_out"),
+        )
+    )
+
+
+# Pre-staged r15 registration:
+# @register("lang_classifier_audit", oracle="""
+#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+#            TRUE AS loss_decreases, TRUE AS beats_majority
+# """)
+def lang_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``doc_lang_classifier`` (the
+    ``quality_classifier_audit`` mold, multiclass):
+
+    - ``weights_match_twin``: the distributed softmax trainer's
+      {class: weights} over the doc_id < cap slice equals
+      ``train_softmax_py``'s EXACTLY, loss trace included;
+    - ``rerun_identical``: a second distributed run returns the
+      identical nested dict;
+    - ``loss_decreases``: final snapped cross-entropy < first;
+    - ``beats_majority``: held-out argmax accuracy vs the teacher
+      STRICTLY exceeds the held-out majority-class share — the model
+      beats the trivial predictor on a degenerate-prone label space
+      (both sides computed in-audit, so the bar moves with the data).
+
+    Bounds: the twin collects the cap-slice feature relation once; the
+    accuracy pass collects ≤ cap rows."""
+    from data_warehouse_product_mix_clustering_spark.ml.logreg import (
+        predict_softmax,
+        train_softmax,
+        train_softmax_py,
+    )
+
+    docs = table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < CLF_AUDIT_CAP
+    )
+    feats = _lang_features(docs).localCheckpoint(eager=True)
+    labels = _lang_labels(docs).localCheckpoint(eager=True)
+    even = F.col("__id") % 2 == 0
+    tr_f, tr_l = feats.filter(even), labels.filter(even)
+
+    kw = dict(n_iter=LANG_CLF_ITERS, lr=LANG_CLF_LR, l2=LANG_CLF_L2)
+    w1, losses = train_softmax(tr_f, tr_l, track_loss=True, **kw)
+    w2, _ = train_softmax(tr_f, tr_l, **kw)
+
+    f_py: dict[int, dict[str, float]] = {}
+    for r in tr_f.collect():  # bounded: cap-slice features only
+        f_py.setdefault(int(r["__id"]), {})[r["bucket"]] = float(r["x"])
+    l_py = {int(r["__id"]): r["y"] for r in tr_l.collect()}
+    w_py, losses_py = train_softmax_py(f_py, l_py, track_loss=True, **kw)
+
+    weights_match_twin = w1 == w_py and losses == losses_py
+    rerun_identical = w1 == w2
+    loss_decreases = losses[-1] < losses[0]
+
+    held = (
+        predict_softmax(spark, feats, labels.select("__id"), w1)
+        .join(labels, "__id")
+        .filter(F.col("__id") % 2 != 0)
+        .select("pred", "y")
+        .collect()  # ≤ cap rows
+    )
+    acc = sum(1 for r in held if r["pred"] == r["y"]) / len(held)
+    counts: dict[str, int] = {}
+    for r in held:
+        counts[r["y"]] = counts.get(r["y"], 0) + 1
+    majority = max(counts.values()) / len(held)
+    beats_majority = acc > majority
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(weights_match_twin),
+                bool(rerun_identical),
+                bool(loss_decreases),
+                bool(beats_majority),
+            )
+        ],
+        "weights_match_twin boolean, rerun_identical boolean, "
+        "loss_decreases boolean, beats_majority boolean",
+    )
+
+

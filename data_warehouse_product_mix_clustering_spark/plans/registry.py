@@ -131,13 +131,13 @@ _DRIVER_PRIORITY: list[str] = [
     # ---- window boundary ----
     # Round-16 rotation order (pre-decided): register the next <= 10 of
     # the remaining pre-staged backlog in VERDICT r14 brief order —
-    #   1. doc_context_windows_eod (plans/pipeline.py)
+    #   1. doc_context_windows_eod (plans/pipeline/packing.py)
     #   2. the DSIR five: doc_dsir_weight, training_corpus_dsir,
     #      source_dsir_mixture, training_corpus_dsir_budgeted,
-    #      dsir_context_windows (plans/pipeline.py)
-    #   3. quality_classifier_audit (plans/pipeline.py)
-    #   4. dsir_incremental_audit (plans/pipeline.py)
-    #   5. doremi_training_batches_audit (plans/pipeline.py — the r15
+    #      dsir_context_windows (plans/pipeline/dsir.py)
+    #   3. quality_classifier_audit (plans/pipeline/classifiers.py)
+    #   4. dsir_incremental_audit (plans/pipeline/dsir.py)
+    #   5. doremi_training_batches_audit (plans/pipeline/batches.py — the r15
     #      seam audit, VERDICT r14 brief #6; dry-run tested)
     # — that fills the 10-slot budget exactly; then r17 takes
     # quality_model_serving_audit, lang_classifier_audit,

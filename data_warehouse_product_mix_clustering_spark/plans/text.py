@@ -396,7 +396,7 @@ def gated_corpus(
 ) -> DataFrame:
     """``training_corpus``'s gate pipeline with the recipe knobs as
     parameters — the registered query binds the module constants; the
-    recipe-manifest audit (plans/pipeline.py) re-binds them from a
+    recipe-manifest audit (plans/pipeline) re-binds them from a
     persisted manifest to prove the recipe reproduces. One definition
     (the r12 gate-constant consolidation rule: a drifted copy of the
     gates is exactly the bug class this prevents). ``keep_source``

@@ -34,7 +34,7 @@ lesson: a fully-filtered batch leaves a file-less partition directory
 that schema inference cannot read).
 
 Equivalence contract (audited end-to-end by
-``plans/similarity.py``-style registered audit in plans/pipeline.py):
+``plans/similarity.py``-style registered audit in plans/pipeline):
 when landing files are doc_id-ordered slices, the streamed survivor
 relation equals the batch ``gated_corpus`` over the union — the lowest
 doc_id occurrence of every fingerprint lives in the earliest batch
@@ -137,7 +137,7 @@ def read_source_mixture(
 ) -> DataFrame:
     """Per-source mixture accounting derived from the incrementally-
     maintained gate log — the streamed twin of
-    ``plans/pipeline.py::source_mixture_weights`` (same columns, same
+    ``plans/pipeline/corpus.py::source_mixture_weights`` (same columns, same
     ratio rounding), with zero corpus re-scan: the log already carries
     per-(batch, stage, source) doc counts and whitespace-token sums, so
     the mixture is a |log|-row groupBy + a |sources|-row window.
@@ -181,7 +181,7 @@ def read_source_temperature_rates(
     """Temperature keep rates derived from the incrementally-maintained
     gate log — ``read_source_mixture``'s per-source token sums fed
     through the ONE shared temperature rule
-    (plans/pipeline.py::_temperature_keep_rates), so a streaming
+    (plans/pipeline/mixture.py::_temperature_keep_rates), so a streaming
     pipeline can resample its corpus-so-far without any corpus re-scan:
     (source, keep_rate). Equal to the batch rates over the ingested
     union by the audited mixture equality."""

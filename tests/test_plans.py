@@ -1178,7 +1178,7 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-14 window is exactly 10 new + 21 r9-cohort + 19 r10-cohort
+    round-15 window is exactly 10 new + 26 r10-cohort + 14 r11-cohort
     names, every window slot is oracle-bearing (VERDICT r13 hygiene
     rule: rows-only names cannot earn hash rows and stay out of
     windows), and the in-window boundary name is the documented one."""
@@ -1191,13 +1191,14 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "stream_gated_corpus_audit",
-        "training_corpus_resampled",
-        "training_corpus_resampled_repeats",
+        "training_batches_audit",
+        "coreset_maxmin_audit",
+        "source_mixture_doremi",
     ]
-    assert window[9] == "customer_revenue_gini_distributed"
-    assert window[10] == "basket_pagerank_audit"
-    assert window[49] == "sequence_embeddings"
+    assert window[9] == "training_corpus_decontaminated_fuzzy"
+    assert window[10] == "stream_sessions_audit"
+    assert window[36] == "doc_unigram_logprob"
+    assert window[49] == "semi_join_large_parts"
     rows_only_in_window = [n for n in window if qs[n].oracle is None]
     assert not rows_only_in_window, rows_only_in_window
 

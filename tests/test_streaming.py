@@ -566,7 +566,7 @@ def test_ingest_reseed_with_stale_checkpoint_refuses_loudly(spark, tmp_path):
 
 
 def test_stream_gated_corpus_audit_dry_run(spark):
-    """plans/pipeline.py::stream_gated_corpus_audit (registered r14) —
+    """plans/pipeline/manifest.py::stream_gated_corpus_audit (registered r14) —
     all seven contract booleans hold at smoke SF: streamed survivors
     equal the batch gated_corpus, the incrementally-summed gate log
     equals the batch waterfall (corpus-wide AND per-source), the mixture
@@ -590,7 +590,7 @@ def test_stream_gated_corpus_audit_dry_run(spark):
 def test_read_source_mixture_matches_batch_weights(spark, tmp_path):
     """streaming/corpus_ingest.py::read_source_mixture — the mixture
     derived from the incrementally-maintained gate log (zero corpus
-    re-scan) equals plans/pipeline.py::source_mixture_weights computed
+    re-scan) equals plans/pipeline/corpus.py::source_mixture_weights computed
     over the same documents, after two batches whose union (post-dedup)
     is exactly the documents relation (VERDICT r13 brief #5)."""
     from pyspark.sql import functions as F

@@ -1076,7 +1076,7 @@ def test_corpus_bpe_merges_cached_and_invalidated(spark):
     )
 )
 def test_interleave_rank_matches_pandas_reference(spark, rows):
-    """plans/pipeline.py::_interleave_rank (the shared group-rank
+    """plans/pipeline/packing.py::_interleave_rank (the shared group-rank
     machinery under the interleave and batching queries) ≡ the pandas
     per-group rank on ARBITRARY group/order profiles — including
     duplicate order values (doc_id tiebreak makes the order total),
@@ -1183,7 +1183,7 @@ def test_doc_quality_lm_calibration_matches_duckdb_twin(spark):
     frac_pct=st.integers(30, 99),
 )
 def test_waterfill_allocation_matches_python_twin(spark, inventories, frac_pct):
-    """plans/pipeline.py::waterfill_allocation ≡ waterfill_py on
+    """plans/pipeline/mixture.py::waterfill_allocation ≡ waterfill_py on
     ARBITRARY small inventories at α = 0 — allocations and saturation
     flags exactly (the SAME IEEE arithmetic sequence + HALF_UP rounds
     on both sides), plus the allocation laws: nothing exceeds
