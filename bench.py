@@ -56,6 +56,17 @@ SHARED_SHINGLES = {
 }
 POS_SHINGLES = {"dedup_span_scrub"}
 
+# Heavy end-to-end pipeline compositions (VERDICT r14 Missing #2): the
+# registered audits whose wall-clock was previously invisible to the
+# bench gate. Run ONCE each (not best-of-3 — each is a many-stage job
+# whose single-run wall IS the deployment cost, and tripling a ~30 s
+# composition would dominate bench wall), AFTER the headline loop so the
+# JVM/codegen warm-up is identical round to round. Reported under a
+# separate "compositions" key and NOT added to "value", so the headline
+# total stays comparable across the BENCH_r* series; bench_budgets.json
+# pins each composition's wall separately.
+COMPOSITIONS = ("stream_gated_corpus_audit", "training_batches_audit")
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -109,6 +120,15 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
+    compositions: dict[str, float] = {}
+    all_qs = all_queries()
+    for name in COMPOSITIONS:
+        if name not in all_qs:
+            continue
+        t0 = time.perf_counter()
+        _force(all_qs[name].fn(spark, SF_DIR))
+        compositions[name] = round(time.perf_counter() - t0, 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -122,6 +142,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "relations": relations,
+                "compositions": compositions,
                 "shared_relation": sorted(
                     (SHARED_SHINGLES | POS_SHINGLES) & set(timings)
                 ),

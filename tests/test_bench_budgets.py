@@ -93,3 +93,35 @@ def test_cold_paths_within_budget():
         "either fix the fit regression or consciously raise "
         "bench_budgets.json cold_budgets with a justification"
     )
+
+
+def test_compositions_within_budget():
+    """The heavy end-to-end compositions (bench.py::COMPOSITIONS) report
+    single-run wall under the bench's ``compositions`` block, outside the
+    headline total. VERDICT r14 Missing #2: the heaviest registered
+    queries previously had no wall-clock budget, so a perf regression
+    there rode silently — pin each one here the same way the headline
+    queries are pinned."""
+    budgets_doc = json.loads((REPO / "bench_budgets.json").read_text())
+    comp_budgets = budgets_doc.get("composition_budgets", {})
+    if not comp_budgets:
+        pytest.skip("no composition budgets pinned")
+
+    latest = _latest_bench(int(budgets_doc.get("since_round", 0)))
+    if latest is None:
+        pytest.skip("no successful BENCH_r*.json artifact to check")
+    name, parsed = latest
+    if parsed.get("sf") != budgets_doc["sf"]:
+        pytest.skip(f"{name} ran at sf={parsed.get('sf')}, budgets pin sf0.1")
+
+    comps = parsed.get("compositions", {})
+    breaches = {
+        q: (sec, comp_budgets[q])
+        for q, sec in comps.items()
+        if q in comp_budgets and sec > comp_budgets[q]
+    }
+    assert not breaches, (
+        f"{name}: compositions over budget (sec vs budget): {breaches} — "
+        "either fix the plan regression or consciously raise "
+        "bench_budgets.json composition_budgets with a justification"
+    )

@@ -669,7 +669,7 @@ def test_context_windows_matches_sequential(spark):
 
 
 def test_doc_context_windows_matches_duckdb_twin(spark):
-    """plans/pipeline.py::doc_context_windows (pre-staged r13) ≡ its
+    """plans/pipeline/packing.py::doc_context_windows (pre-staged r13) ≡ its
     adjacent DuckDB oracle at sf0.001 — the r13 registration pastes
     exactly these two sides, so this test IS the registration's dry
     run. Also pins the tiling contract: every window except the ragged
@@ -1888,7 +1888,7 @@ def test_semantic_dedup_groups_matches_union_find(spark):
 
 
 def test_source_token_kl_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_token_kl (pre-staged r13) ≡ its
+    """plans/pipeline/mixture.py::source_token_kl (pre-staged r13) ≡ its
     adjacent DuckDB oracle at sf0.001 — the r13 registration pastes
     exactly these two sides, so this test IS the registration's dry
     run. Also pins Gibbs' inequality (KL ≥ 0 for every source — a
@@ -1950,7 +1950,7 @@ def test_with_rank_and_running_matches_sequential(spark):
 
 
 def test_source_mixture_temperature_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_mixture_temperature (pre-staged r13) ≡
+    """plans/pipeline/mixture.py::source_mixture_temperature (pre-staged r13) ≡
     its adjacent DuckDB oracle at sf0.001 — alpha-sampling mixture
     targets (target ∝ observedᵅ). The r13 registration pastes exactly
     these two sides, so this test IS the registration's dry run. Also
@@ -1992,7 +1992,7 @@ def test_source_mixture_temperature_matches_duckdb_twin(spark):
 
 
 def test_training_corpus_resampled_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_resampled (pre-staged r14) ≡
+    """plans/pipeline/mixture.py::training_corpus_resampled (pre-staged r14) ≡
     its adjacent DuckDB oracle at sf0.001 — the r14 registration pastes
     exactly these two sides, so this test IS the registration's dry run.
     Also pins the downsample-only realization: every keep_rate ≤ 1.0 and
@@ -2026,7 +2026,7 @@ def test_training_corpus_resampled_matches_duckdb_twin(spark):
 
 
 def test_doc_context_windows_bpe_audit_contract(spark):
-    """plans/pipeline.py::doc_context_windows_bpe_audit (pre-staged r14)
+    """plans/pipeline/packing.py::doc_context_windows_bpe_audit (pre-staged r14)
     returns all-TRUE at sf0.001 — the five-invariant contract (python-
     twin counts + windows on the capped slice, distributed coverage and
     tiling over the full relation, splitting bites) that the r14
@@ -2045,7 +2045,7 @@ def test_doc_context_windows_bpe_audit_contract(spark):
 
 
 def test_training_corpus_resampled_repeats_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_resampled_repeats (pre-staged
+    """plans/pipeline/mixture.py::training_corpus_resampled_repeats (pre-staged
     r14) ≡ its adjacent DuckDB oracle at sf0.001 — the registration's
     dry run. Also pins the upsampling semantics the downsample-only
     variant cannot express: at least one doc repeats (copy_id ≥ 2),
@@ -2080,7 +2080,7 @@ def test_training_corpus_resampled_repeats_matches_duckdb_twin(spark):
 
 
 def test_training_corpus_interleaved_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_interleaved (pre-staged r14)
+    """plans/pipeline/mixture.py::training_corpus_interleaved (pre-staged r14)
     ≡ its adjacent DuckDB oracle at sf0.001 — the registration's dry
     run — plus the two contracts that make it an interleave: (a) stride
     fairness — every prefix of the stream holds each source's target
@@ -2146,7 +2146,7 @@ def test_training_corpus_interleaved_matches_duckdb_twin(spark):
 
 
 def test_doc_length_bucket_batches_matches_duckdb_twin(spark):
-    """plans/pipeline.py::doc_length_bucket_batches (pre-staged r14) ≡
+    """plans/pipeline/packing.py::doc_length_bucket_batches (pre-staged r14) ≡
     its adjacent DuckDB oracle at sf0.001 — the registration's dry run —
     plus the batching contract: bucket_len is the smallest power-of-two
     bound ≥ n_tokens (from the shared bucket table), every batch holds
@@ -2212,7 +2212,7 @@ def test_resampled_corpus_plans_broadcast_the_rates(spark):
 
 
 def test_training_recipe_manifest_audit_contract(spark):
-    """plans/pipeline.py::training_recipe_manifest_audit (pre-staged r14)
+    """plans/pipeline/manifest.py::training_recipe_manifest_audit (pre-staged r14)
     returns all-TRUE at sf0.001 — manifest knobs round-trip, a rebuild
     from the manifest reproduces the exact corpus fingerprint, a
     tampered knob is detected, and the fingerprint is repartition-
@@ -2231,7 +2231,7 @@ def test_training_recipe_manifest_audit_contract(spark):
 
 
 def test_batch_padding_efficiency_matches_duckdb_twin(spark):
-    """plans/pipeline.py::batch_padding_efficiency (pre-staged r14) ≡ its
+    """plans/pipeline/packing.py::batch_padding_efficiency (pre-staged r14) ≡ its
     adjacent DuckDB oracle at sf0.001, plus the accounting identities:
     padded_tokens = n_docs × bucket_len, fill_ratio ≤ 1, and per-bucket
     doc counts reconcile with the batch plan."""
@@ -2264,7 +2264,7 @@ def test_batch_padding_efficiency_matches_duckdb_twin(spark):
 
 
 def test_corpus_filter_waterfall_by_source_matches_duckdb_twin(spark):
-    """plans/pipeline.py::corpus_filter_waterfall_by_source (pre-staged
+    """plans/pipeline/manifest.py::corpus_filter_waterfall_by_source (pre-staged
     r14) ≡ its adjacent DuckDB oracle at sf0.001, plus the reconciliation
     contracts: per-source counts telescope (each stage ≤ the previous),
     every column sums to the corpus-wide stage count, and the final
@@ -2296,7 +2296,7 @@ def test_corpus_filter_waterfall_by_source_matches_duckdb_twin(spark):
 
 
 def test_corpus_fingerprint_no_overflow_and_matches_python(spark):
-    """plans/pipeline.py::corpus_fingerprint must survive corpus sizes
+    """plans/pipeline/manifest.py::corpus_fingerprint must survive corpus sizes
     where a BIGINT hash sum overflows (ANSI mode throws past ~30k
     worst-case docs — the DECIMAL(38,0) sum is the fix, review r13) and
     equal the python ground truth exactly. 70k rows ≈ 2.3× the
@@ -2369,7 +2369,7 @@ def test_maxmin_coreset_edges(spark):
 
 
 def test_training_batches_audit_contract(spark):
-    """plans/pipeline.py::training_batches_audit (pre-staged r15) returns
+    """plans/pipeline/batches.py::training_batches_audit (pre-staged r15) returns
     all-TRUE at sf0.001: the one-call corpus→batches composition
     conserves tokens corpus→windows→batches, ships exact dense-tensor
     batch shapes, carries interleave prefix-fairness through to batch
@@ -2388,8 +2388,28 @@ def test_training_batches_audit_contract(spark):
     assert row["contract_bites"]
 
 
+def test_doremi_training_batches_audit_contract(spark):
+    """plans/pipeline/batches.py::doremi_training_batches_audit
+    (pre-staged r16) returns all-TRUE at sf0.001: the DoReMi mixture
+    enters ``training_batches`` as a recipe field, its keep rates match
+    a driver twin exactly, the realized survivors are the policy's
+    survivors, the recipe (mixture field included) rebuilds to the same
+    fingerprint, and the field demonstrably changes the plan vs the
+    temperature default. This test IS the registration's dry run."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        doremi_training_batches_audit,
+    )
+
+    row = doremi_training_batches_audit(spark, SF_SMOKE).collect()[0]
+    assert row["rates_match_twin"]
+    assert row["policy_applied"]
+    assert row["fingerprint_reproducible"]
+    assert row["differs_from_temperature"]
+    assert row["tokens_conserved"]
+
+
 def test_training_batches_plan_shape(spark):
-    """plans/pipeline.py::training_batches structural receipts at
+    """plans/pipeline/batches.py::training_batches structural receipts at
     sf0.001 beyond the audit booleans: the output schema is the
     documented gather plan, positions are a contiguous 1..N total order
     over the resampled survivors, every (seq_id, seq_offset) window
@@ -2422,7 +2442,7 @@ def test_training_batches_plan_shape(spark):
 
 
 def test_source_mixture_doremi_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_mixture_doremi (pre-staged r15) ≡ its
+    """plans/pipeline/mixture.py::source_mixture_doremi (pre-staged r15) ≡ its
     adjacent DuckDB oracle at sf0.001, plus the method's invariants:
     weights normalize to 1, every domain's excess bits is nonnegative
     (its own LM cannot fit it worse than the corpus LM does — both are
@@ -2457,7 +2477,7 @@ def test_source_mixture_doremi_matches_duckdb_twin(spark):
 
 
 def test_source_budget_allocation_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_budget_allocation (pre-staged r15) ≡
+    """plans/pipeline/mixture.py::source_budget_allocation (pre-staged r15) ≡
     its adjacent DuckDB oracle at sf0.001, plus the water-filling
     invariants: Σ alloc_tokens hits the budget to within per-source
     rounding, saturation actually bites (some sources capped, some
@@ -2492,7 +2512,7 @@ def test_source_budget_allocation_matches_duckdb_twin(spark):
 
 
 def test_training_corpus_budgeted_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_budgeted (pre-staged r15) ≡
+    """plans/pipeline/mixture.py::training_corpus_budgeted (pre-staged r15) ≡
     its adjacent DuckDB oracle at sf0.001, and the rates→corpus closure
     holds: every saturated source rides through complete, no source
     keeps more docs than it has, and the corpus as a whole is thinned
@@ -2537,7 +2557,7 @@ def test_training_corpus_budgeted_matches_duckdb_twin(spark):
 
 
 def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_decontaminated (pre-staged
+    """plans/pipeline/contamination.py::training_corpus_decontaminated (pre-staged
     r15) ≡ its adjacent DuckDB oracle at sf0.001, and BOTH exclusion
     clauses bite: the held-out benchmark docs are gone AND at least one
     train doc is dropped for shingle overlap beyond the eval exclusion
@@ -2573,7 +2593,7 @@ def test_training_corpus_decontaminated_matches_duckdb_twin(spark):
 
 
 def test_training_batches_decontaminate_knob(spark):
-    """plans/pipeline.py::training_batches(decontaminate=True) composes
+    """plans/pipeline/batches.py::training_batches(decontaminate=True) composes
     the fixed-benchmark exclusion into the one-call flow: no excluded
     doc (eval or overlap-gated) appears in the clean plan, the plan
     actually changes (the knob bites — note the doc set is NOT a strict
@@ -2611,7 +2631,7 @@ def test_training_batches_decontaminate_knob(spark):
 
 
 def test_waterfill_budget_exceeds_inventory(spark):
-    """plans/pipeline.py::waterfill_allocation edge: a budget at or
+    """plans/pipeline/mixture.py::waterfill_allocation edge: a budget at or
     above the whole inventory saturates every source (no unsaturated
     frontier row exists, the NULL-water-level branch) — every
     allocation equals its inventory at keep rate 1."""
@@ -2630,7 +2650,7 @@ def test_waterfill_budget_exceeds_inventory(spark):
 
 
 def test_doc_context_windows_eod_matches_duckdb_twin(spark):
-    """plans/pipeline.py::doc_context_windows_eod (pre-staged r15) ≡ its
+    """plans/pipeline/packing.py::doc_context_windows_eod (pre-staged r15) ≡ its
     adjacent DuckDB oracle at sf0.001, plus the separator accounting:
     Σ slice_len = Σ whitespace tokens + |docs| exactly (one EOD per
     document), and EVERY document appears — including any with zero
@@ -2665,7 +2685,7 @@ def test_doc_context_windows_eod_matches_duckdb_twin(spark):
 
 
 def test_doc_dsir_weight_matches_duckdb_twin(spark):
-    """plans/pipeline.py::doc_dsir_weight (pre-staged r15) ≡ its adjacent
+    """plans/pipeline/dsir.py::doc_dsir_weight (pre-staged r15) ≡ its adjacent
     DuckDB oracle at sf0.001, plus the method's invariants: the selection
     bites (a strict nonempty proper subset of the corpus), the hashed
     feature space stays within its fixed 4096-bucket bound on both model
@@ -2732,7 +2752,7 @@ def test_train_logreg_py_learns_separable_toy():
 
 
 def test_quality_classifier_audit_contract(spark):
-    """plans/pipeline.py::quality_classifier_audit (pre-staged r15) — the
+    """plans/pipeline/classifiers.py::quality_classifier_audit (pre-staged r15) — the
     registration dry run: all five contract booleans TRUE at sf0.001
     (twin bit-equality incl. the loss trace, rerun identity, descending
     loss, held-out accuracy ≥ floor, gate separation)."""
@@ -2743,7 +2763,7 @@ def test_quality_classifier_audit_contract(spark):
 
 
 def test_doc_quality_classifier_shape_and_holdout(spark):
-    """plans/pipeline.py::doc_quality_classifier (pre-staged r15,
+    """plans/pipeline/classifiers.py::doc_quality_classifier (pre-staged r15,
     rows-only): one row per document, the disagreement flag is exactly
     predicted != gate_label, the held_out flag is doc_id parity, and
     held-out agreement with the gate clears the audit floor."""
@@ -2764,7 +2784,7 @@ def test_doc_quality_classifier_shape_and_holdout(spark):
 
 
 def test_training_corpus_dsir_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_dsir (pre-staged r15) ≡ its
+    """plans/pipeline/dsir.py::training_corpus_dsir (pre-staged r15) ≡ its
     adjacent DuckDB oracle at sf0.001 and keeps a strict nonempty proper
     subset of the corpus (the selection bites both ways)."""
     import duckdb
@@ -2790,7 +2810,7 @@ def test_training_corpus_dsir_matches_duckdb_twin(spark):
 
 
 def test_dsir_incremental_audit_contract(spark):
-    """plans/pipeline.py::dsir_incremental_audit (pre-staged r15) — the
+    """plans/pipeline/dsir.py::dsir_incremental_audit (pre-staged r15) — the
     registration dry run: all five contract booleans TRUE at sf0.001
     (store ≡ batch models exactly, scores bit-equal to doc_dsir_weight,
     replay idempotent, empty batch no-op, per-batch deltas ≤ 4096 rows)."""
@@ -2801,7 +2821,7 @@ def test_dsir_incremental_audit_contract(spark):
 
 
 def test_quality_model_serving_audit_contract(spark):
-    """plans/pipeline.py::quality_model_serving_audit (pre-staged r15) —
+    """plans/pipeline/classifiers.py::quality_model_serving_audit (pre-staged r15) —
     the registration dry run: all four contract booleans TRUE at
     sf0.001 (save/load weight roundtrip bit-exact, served scores ≡
     in-memory, meta mismatch refused, torn artifact refused)."""
@@ -2812,7 +2832,7 @@ def test_quality_model_serving_audit_contract(spark):
 
 
 def test_stream_model_scoring_audit_contract(spark):
-    """plans/pipeline.py::stream_model_scoring_audit (pre-staged r15) —
+    """plans/pipeline/classifiers.py::stream_model_scoring_audit (pre-staged r15) —
     the registration dry run: all four contract booleans TRUE at
     sf0.001 (streamed ≡ one-batch scoring under the frozen artifact,
     count log reconciles, rerun no-op, replay idempotent)."""
@@ -2823,7 +2843,7 @@ def test_stream_model_scoring_audit_contract(spark):
 
 
 def test_benchmark_contamination_report_matches_duckdb_twin(spark):
-    """plans/pipeline.py::benchmark_contamination_report (pre-staged
+    """plans/pipeline/contamination.py::benchmark_contamination_report (pre-staged
     r15) ≡ its adjacent DuckDB oracle at sf0.001, and the report's
     flags ARE the apply path's drops: the decontaminated corpus equals
     the gated corpus minus benchmark docs minus flagged doc_ids."""
@@ -2889,7 +2909,7 @@ def test_dsir_feature_counts_conserve_tokens(spark):
 
 
 def test_source_dsir_mixture_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_dsir_mixture (pre-staged r15) ≡ its
+    """plans/pipeline/dsir.py::source_dsir_mixture (pre-staged r15) ≡ its
     adjacent DuckDB oracle at sf0.001, one row per source, counts
     reconciling with doc_dsir_weight."""
     import duckdb
@@ -2944,7 +2964,7 @@ def test_train_logreg_partitioning_invariant(spark):
 
 
 def test_training_corpus_dsir_budgeted_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_dsir_budgeted (pre-staged r15)
+    """plans/pipeline/dsir.py::training_corpus_dsir_budgeted (pre-staged r15)
     ≡ its adjacent DuckDB oracle at sf0.001, plus the greedy-fill
     invariants: within each source the kept ranks are the contiguous
     prefix 1..k (best docs first, no gaps), and each source's kept
@@ -2983,7 +3003,7 @@ def test_training_corpus_dsir_budgeted_matches_duckdb_twin(spark):
 
 
 def test_lang_classifier_audit_contract(spark):
-    """plans/pipeline.py::lang_classifier_audit (pre-staged r15) — the
+    """plans/pipeline/classifiers.py::lang_classifier_audit (pre-staged r15) — the
     registration dry run: all four contract booleans TRUE at sf0.001
     (softmax twin bit-equality incl. the loss trace, rerun identity,
     descending cross-entropy, held-out accuracy strictly beating the
@@ -2995,7 +3015,7 @@ def test_lang_classifier_audit_contract(spark):
 
 
 def test_doc_lang_classifier_shape(spark):
-    """plans/pipeline.py::doc_lang_classifier (pre-staged r15,
+    """plans/pipeline/classifiers.py::doc_lang_classifier (pre-staged r15,
     rows-only): one row per nonempty doc, agrees ≡ (pred == teacher),
     p_top in (0, 1], and held-out agreement beats the held-out majority
     share."""
@@ -3044,7 +3064,7 @@ def test_softmax_model_roundtrip_and_refusals(spark, tmp_path):
 
 
 def test_doc_length_equidepth_batches_matches_duckdb_twin(spark):
-    """plans/pipeline.py::doc_length_equidepth_batches (pre-staged r15)
+    """plans/pipeline::doc_length_equidepth_batches (pre-staged r15)
     ≡ its adjacent DuckDB ntile oracle at sf0.001, plus the equi-depth
     invariants: bucket sizes differ by at most one doc (ntile's
     defining property), every doc fits its bucket's pad length, and
@@ -3083,7 +3103,7 @@ def test_doc_length_equidepth_batches_matches_duckdb_twin(spark):
 
 
 def test_equidepth_padding_efficiency_matches_duckdb_twin(spark):
-    """plans/pipeline.py::equidepth_padding_efficiency (pre-staged r15)
+    """plans/pipeline/packing.py::equidepth_padding_efficiency (pre-staged r15)
     ≡ its adjacent DuckDB oracle at sf0.001; per-bucket token accounting
     reconciles with the batch plan, and the adaptive plan's overall
     fill ratio beats the fixed grid's on this corpus."""
@@ -3114,7 +3134,7 @@ def test_equidepth_padding_efficiency_matches_duckdb_twin(spark):
 
 
 def test_dsir_context_windows_matches_duckdb_twin(spark):
-    """plans/pipeline.py::dsir_context_windows (pre-staged r15) ≡ its
+    """plans/pipeline/dsir.py::dsir_context_windows (pre-staged r15) ≡ its
     adjacent end-to-end oracle at sf0.001, and token conservation holds
     across the composition: Σ slice_len equals the budgeted corpus's
     total kept tokens, and the packed doc set IS the budgeted corpus."""
@@ -3148,7 +3168,7 @@ def test_dsir_context_windows_matches_duckdb_twin(spark):
 
 
 def test_benchmark_contamination_fuzzy_matches_duckdb_twin(spark):
-    """plans/pipeline.py::benchmark_contamination_fuzzy (pre-staged r15)
+    """plans/pipeline/contamination.py::benchmark_contamination_fuzzy (pre-staged r15)
     ≡ its adjacent DuckDB oracle at sf0.001; nonempty (near-paraphrases
     of benchmark docs exist in the corpus), no benchmark doc on the
     train side, and every pair's Jaccard clears the threshold."""
@@ -3185,7 +3205,7 @@ def test_benchmark_contamination_fuzzy_matches_duckdb_twin(spark):
 
 
 def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
-    """plans/pipeline.py::training_corpus_decontaminated_fuzzy
+    """plans/pipeline/contamination.py::training_corpus_decontaminated_fuzzy
     (pre-staged r15) ≡ its adjacent DuckDB oracle at sf0.001, and the
     closure reconciles: base decontaminated corpus minus the fuzzy
     screen's flagged doc_ids."""
@@ -3222,7 +3242,7 @@ def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
 
 
 def test_topic_balanced_corpus_audit_contract(spark):
-    """plans/pipeline.py::topic_balanced_corpus_audit (pre-staged r15) —
+    """plans/pipeline/observability.py::topic_balanced_corpus_audit (pre-staged r15) —
     the registration dry run: all five contract booleans TRUE at
     sf0.001 (subset/distinct, per-cluster cap binds exactly, hash-rank
     prefixes, rerun identity through a fresh k-means fit, assignment
@@ -3234,7 +3254,7 @@ def test_topic_balanced_corpus_audit_contract(spark):
 
 
 def test_vocab_growth_matches_duckdb_twin(spark):
-    """plans/pipeline.py::vocab_growth (pre-staged r15) ≡ its adjacent
+    """plans/pipeline/observability.py::vocab_growth (pre-staged r15) ≡ its adjacent
     DuckDB oracle at sf0.001, plus the accounting identities: the final
     cumulative vocab equals the corpus's distinct word count, deciles
     are exactly 1..10, and Σ new_word_occurrences equals the corpus's
@@ -3317,7 +3337,7 @@ def test_read_keep_rate_drift_reconciles(spark, tmp_path):
 
 
 def test_source_vocab_overlap_matches_duckdb_twin(spark):
-    """plans/pipeline.py::source_vocab_overlap (pre-staged r15) ≡ its
+    """plans/pipeline/observability.py::source_vocab_overlap (pre-staged r15) ≡ its
     adjacent DuckDB oracle at sf0.001; exactly C(|sources|, 2) unordered
     pairs, intersections bounded by both vocabularies, Jaccard in
     (0, 1]."""
