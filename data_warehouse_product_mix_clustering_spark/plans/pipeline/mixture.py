@@ -822,9 +822,3 @@ def training_corpus_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("position", "doc_id", "source")
     )
 
-
-# Power-of-two padding buckets for batch planning. An explicit CASE (not
-# pow(2, ceil(log2 n))) so both engines bucket IDENTICALLY — a libm log2
-# at an exact power-of-two boundary is the kind of last-ulp coin flip the
-# repo's determinism rules exist to avoid. Token budget caps doc length
-# well under the top bucket.

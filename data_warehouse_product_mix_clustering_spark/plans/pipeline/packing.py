@@ -332,6 +332,11 @@ def doc_context_windows_bpe_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Power-of-two padding buckets for batch planning. An explicit CASE (not
+# pow(2, ceil(log2 n))) so both engines bucket IDENTICALLY — a libm log2
+# at an exact power-of-two boundary is the kind of last-ulp coin flip the
+# repo's determinism rules exist to avoid. Token budget caps doc length
+# well under the top bucket.
 _PAD_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
 _BATCH_SIZE = 32  # docs per padded batch
 
