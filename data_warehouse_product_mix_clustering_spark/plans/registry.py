@@ -139,8 +139,9 @@ _DRIVER_PRIORITY: list[str] = [
     #   4. dsir_incremental_audit (plans/pipeline/dsir.py)
     #   5. doremi_training_batches_audit (plans/pipeline/batches.py — the r15
     #      seam audit, VERDICT r14 brief #6; dry-run tested)
-    # — that fills the 10-slot budget exactly; then r17 takes
-    # quality_model_serving_audit, lang_classifier_audit,
+    #   6. quality_model_serving_audit (plans/pipeline/classifiers.py)
+    # — that fills the 10-slot budget exactly (1+5+1+1+1+1); then r17
+    # takes lang_classifier_audit,
     # topic_balanced_corpus_audit, stream_model_scoring_audit,
     # doc_length_equidepth_batches, equidepth_padding_efficiency,
     # vocab_growth, source_vocab_overlap, and the rows-only tail
