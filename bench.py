@@ -123,8 +123,17 @@ def main() -> None:
     compositions: dict[str, float] = {}
     all_qs = all_queries()
     for name in COMPOSITIONS:
+        # Hard error, not a skip: a renamed/deregistered composition that
+        # silently vanished from the artifact would also vanish from the
+        # budget gate (test_compositions_within_budget only checks names
+        # PRESENT in the artifact) — the exact invisibility this group
+        # exists to prevent. Rename here in the same change.
         if name not in all_qs:
-            continue
+            raise KeyError(
+                f"bench COMPOSITIONS entry {name!r} is not a registered "
+                "query — update bench.py::COMPOSITIONS alongside the "
+                "registry change"
+            )
         t0 = time.perf_counter()
         _force(all_qs[name].fn(spark, SF_DIR))
         compositions[name] = round(time.perf_counter() - t0, 3)

@@ -423,11 +423,14 @@ def train_softmax(
                     "resid",
                     F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
                 )
-                # persist, not localCheckpoint: read twice (grad + loss),
-                # and the cache keeps the (__id) outputPartitioning that
-                # localCheckpoint drops — AND it can be unpersisted, so
-                # iterations don't accumulate checkpointed RDDs for the
-                # life of the session.
+                # persist, not localCheckpoint: read twice (grad + loss)
+                # so it must be materialized once either way, but a cache
+                # can be UNPERSISTED — checkpointed RDDs would accumulate
+                # for the life of the session, one per iteration (ADVICE
+                # r14). Partitioning is NOT the reason here: the grad
+                # join broadcasts this model-output-sized relation, so
+                # its outputPartitioning never matters (verified in the
+                # PERF_NOTES r15 exchange-profile read).
                 .persist()
             )
             probs.count()  # materialize once for the two consumers

@@ -114,7 +114,19 @@ def test_compositions_within_budget():
     if parsed.get("sf") != budgets_doc["sf"]:
         pytest.skip(f"{name} ran at sf={parsed.get('sf')}, budgets pin sf0.1")
 
-    comps = parsed.get("compositions", {})
+    comps = parsed.get("compositions")
+    if comps is None:
+        pytest.skip(f"{name} predates the compositions bench group")
+    # Coverage before breaches: a budgeted composition MISSING from the
+    # artifact means it silently left the gate (renamed, deregistered, or
+    # dropped from bench.py::COMPOSITIONS) — the invisibility this gate
+    # exists to prevent, so it fails rather than skips.
+    missing = sorted(set(comp_budgets) - set(comps))
+    assert not missing, (
+        f"{name}: budgeted compositions absent from the bench artifact: "
+        f"{missing} — keep bench.py::COMPOSITIONS and composition_budgets "
+        "in lockstep"
+    )
     breaches = {
         q: (sec, comp_budgets[q])
         for q, sec in comps.items()
