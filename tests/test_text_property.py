@@ -1215,6 +1215,65 @@ def test_waterfill_allocation_matches_python_twin(spark, inventories, frac_pct):
     assert abs(sum(a for a, _ in got.values()) - budget) <= len(toks)
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    masses=st.lists(st.integers(1, 5000), min_size=2, max_size=8),
+    weights=st.lists(st.integers(1, 1000), min_size=8, max_size=8),
+)
+def test_target_keep_rates_match_python_twin(spark, masses, weights):
+    """plans/pipeline/mixture.py::_target_keep_rates ≡ the driver twin
+    on ARBITRARY per-source token masses × explicit target shares (the
+    DoReMi seam's rate rule, the same arithmetic
+    doremi_training_batches_audit pins on real data): w = tgt/obs
+    normalized by max, 6-dp snapped. Also the rate laws: every rate in
+    (0, 1], exactly one source at 1.0 (the max, up to snap ties), and
+    rates scale-invariant in the weight vector (targets need not be
+    normalized — only ratios matter)."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import _target_keep_rates
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import ratio_round_py
+
+    srcs = [f"s{i:02d}" for i in range(len(masses))]
+    w_raw = weights[: len(masses)]
+    total_w = sum(w_raw)
+    per_src = spark.createDataFrame(
+        list(zip(srcs, masses)), "source string, total_tokens long"
+    )
+    targets = spark.createDataFrame(
+        [(s, w / total_w) for s, w in zip(srcs, w_raw)],
+        "source string, target_share double",
+    )
+    got = {
+        r["source"]: float(r["keep_rate"])
+        for r in _target_keep_rates(per_src, targets).collect()
+    }
+
+    total_m = sum(masses)
+    raw = {
+        s: (w / total_w) / (m / total_m)
+        for s, m, w in zip(srcs, masses, w_raw)
+    }
+    mx = max(raw.values())
+    want = {s: ratio_round_py(v / mx) for s, v in raw.items()}
+    assert got == want
+    assert all(0.0 < r <= 1.0 + 1e-9 for r in got.values())
+    assert max(got.values()) >= 1.0
+
+    # scale invariance: doubling every target share changes nothing
+    targets2 = spark.createDataFrame(
+        [(s, 2.0 * w / total_w) for s, w in zip(srcs, w_raw)],
+        "source string, target_share double",
+    )
+    got2 = {
+        r["source"]: float(r["keep_rate"])
+        for r in _target_keep_rates(per_src, targets2).collect()
+    }
+    assert got2 == got
+
+
 def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
     """The per-language LM gate's approx scale twin
     (plans/text.py::training_corpus_lm_by_lang_approx) must reproduce
