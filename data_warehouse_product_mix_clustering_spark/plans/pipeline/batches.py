@@ -199,6 +199,10 @@ def _tb_batch_plan(
     )
 
 
+# Rows-only (the composed plan's contract is hash-attested by the
+# registered training_batches_audit; registered r15 alongside it,
+# outside the driver window per the rows-only hygiene rule):
+@register("training_batches")
 def training_batches(
     spark: SparkSession,
     sf_dir: str,

@@ -145,9 +145,10 @@ _DRIVER_PRIORITY: list[str] = [
     # topic_balanced_corpus_audit, stream_model_scoring_audit,
     # doc_length_equidepth_batches, equidepth_padding_efficiency,
     # vocab_growth, source_vocab_overlap, and the rows-only tail
-    # (training_batches, coreset_maxmin_sample, doc_quality_classifier,
-    # doc_lang_classifier, topic_balanced_corpus) registers outside the
-    # window as each audit lands. Fill the rest of the r16 window with
+    # (doc_quality_classifier, doc_lang_classifier,
+    # topic_balanced_corpus) registers outside the window as each audit
+    # lands (training_batches and coreset_maxmin_sample already did so
+    # in r15, their audits being registered). Fill the rest of the r16 window with
     # the remaining 36 r11-cohort oracle-bearing names below
     # (r11-window order) to reach 50 exactly; the floor then sits one
     # registration-round from r12.

@@ -1247,9 +1247,10 @@ _CORESET_K = 12
 _CORESET_CAP = 300  # audit twin's bounded-collect slice (vec_id < cap)
 
 
-# Pre-staged r14/r15 registration (rows-only candidate — the pick loop is
-# iterative; the AUDIT below carries the hash-attestable contract):
-# @register("coreset_maxmin_sample")
+# Rows-only (the pick loop is iterative; the adjacent registered AUDIT
+# carries the hash-attestable contract — registered r15 alongside it,
+# outside the driver window per the rows-only hygiene rule):
+@register("coreset_maxmin_sample")
 def coreset_maxmin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-budgeted data selection: the greedy max-min (k-center)
     coreset over the embeddings corpus (operators/selection.py) as a
