@@ -3204,6 +3204,158 @@ def test_benchmark_contamination_fuzzy_matches_duckdb_twin(spark):
     ).all()
 
 
+def test_contamination_screens_match_independent_python(spark):
+    """THIRD-PATH check for both contamination screens: the Spark plan
+    and its DuckDB oracle mirror each other, so a shared misconception
+    would pass the hash gate — this recomputes the exact 3-gram report
+    AND the fuzzy bigram-Jaccard pairs from the raw parquet with plain
+    python string ops (re.split tokens, sliced n-grams, set algebra),
+    sharing NO code with either engine path, and requires exact
+    equality (6-dp snap included)."""
+    import re
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        DECONTAM_THRESHOLD,
+        EVAL_CAP,
+        EVAL_MOD,
+        FUZZY_CONTAM_THRESHOLD,
+        benchmark_contamination_fuzzy,
+        benchmark_contamination_report,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+
+    def grams(text, n):
+        t = [w for w in re.split(r"\s+", text.strip()) if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    is_eval = lambda d: d % EVAL_MOD == 0 and d < EVAL_CAP  # noqa: E731
+
+    # -- exact screen: distinct-3-gram overlap vs the benchmark union --
+    tri = {int(r.doc_id): grams(r.text, 3) for r in docs.itertuples()}
+    bench_union = set().union(
+        *(s for d, s in tri.items() if is_eval(d)), set()
+    )
+    want_report = {
+        d: (
+            len(s),
+            len(s & bench_union),
+            snap(len(s & bench_union) / len(s)),
+            snap(len(s & bench_union) / len(s)) >= DECONTAM_THRESHOLD,
+        )
+        for d, s in tri.items()
+        if not is_eval(d) and s
+    }
+    got_report = {
+        int(r.doc_id): (
+            int(r.n_shingles),
+            int(r.n_shared),
+            float(r.overlap),
+            bool(r.flagged),
+        )
+        for r in benchmark_contamination_report(spark, SF_SMOKE)
+        .toPandas()
+        .itertuples()
+    }
+    assert got_report == want_report
+    assert any(v[3] for v in want_report.values())  # the screen bites
+
+    # -- fuzzy screen: per-pair bigram Jaccard vs each benchmark doc --
+    bi = {int(r.doc_id): grams(r.text, 2) for r in docs.itertuples()}
+    want_fuzzy = {}
+    for d, s in bi.items():
+        if is_eval(d) or not s:
+            continue
+        for b, t in bi.items():
+            if not is_eval(b) or not t:
+                continue
+            i = len(s & t)
+            if i and snap(i / (len(s) + len(t) - i)) >= FUZZY_CONTAM_THRESHOLD:
+                want_fuzzy[(d, b)] = snap(i / (len(s) + len(t) - i))
+    got_fuzzy = {
+        (int(r.doc_id), int(r.bench_doc_id)): float(r.jaccard)
+        for r in benchmark_contamination_fuzzy(spark, SF_SMOKE)
+        .toPandas()
+        .itertuples()
+    }
+    assert got_fuzzy == want_fuzzy
+    assert want_fuzzy  # near-paraphrases exist at this SF
+
+
+def test_doremi_weights_match_independent_python(spark):
+    """THIRD-PATH check for ``source_mixture_doremi`` (same rationale as
+    the contamination third-path test): per-source excess bits and the
+    exponentiated-gradient weights recomputed from the raw parquet with
+    collections.Counter LMs — additive smoothing a=0.5, log2 scoring,
+    excess snapped BEFORE exponentiation, raw (unsnapped) observed
+    shares inside the reweight — compared exactly to the registered
+    query."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        DOREMI_TAU,
+        source_mixture_doremi,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source", "text"]]
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    a = 0.5
+    sw: dict[str, Counter] = {}
+    for r in docs.itertuples():
+        toks = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        sw.setdefault(r.source, Counter()).update(toks)
+    cw = Counter()
+    for c in sw.values():
+        cw.update(c)
+    n_c, v_c = sum(cw.values()), len(cw)
+    logp_c = {w: math.log2((c + a) / (n_c + a * v_c)) for w, c in cw.items()}
+
+    rows = {}
+    for s, counts in sw.items():
+        n_s, v_s = sum(counts.values()), len(counts)
+        excess = snap(
+            sum(
+                c * (math.log2((c + a) / (n_s + a * v_s)) - logp_c[w])
+                for w, c in counts.items()
+            )
+            / n_s
+        )
+        rows[s] = (n_s, excess)
+    total = sum(n for n, _ in rows.values())
+    raw = {
+        s: (n / total) * (2.0 ** (ex / DOREMI_TAU)) for s, (n, ex) in rows.items()
+    }
+    z = sum(raw.values())
+    want = {
+        s: (n, snap(n / total), ex, snap(raw[s] / z))
+        for s, (n, ex) in rows.items()
+    }
+    got = {
+        r.source: (
+            int(r.n_tokens),
+            float(r.observed_share),
+            float(r.excess_bits),
+            float(r.doremi_weight),
+        )
+        for r in source_mixture_doremi(spark, SF_SMOKE).toPandas().itertuples()
+    }
+    assert got == want
+
+
 def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
     """plans/pipeline/contamination.py::training_corpus_decontaminated_fuzzy
     (pre-staged r15) ≡ its adjacent DuckDB oracle at sf0.001, and the
