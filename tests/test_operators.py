@@ -3356,6 +3356,48 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_budgeted_corpus_draw_matches_hashlib(spark):
+    """THIRD-PATH check for the md5 hex-fraction draw — the RNG-free
+    selection primitive every resample/budget query rides
+    (plans/sql_api.py::_hex_fraction_sql): recompute
+    ``training_corpus_budgeted``'s survivor set from the raw parquet
+    with python's hashlib (first 6 hex digits as a base-16 integer,
+    +0.5, /16^6) against the registered allocation rates. Exact set
+    equality proves the engine-side polynomial-from-instr evaluation
+    IS the md5 fraction it claims to be, independent of both engines'
+    md5/arithmetic dialects."""
+    import hashlib
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        source_budget_allocation,
+        training_corpus_budgeted,
+    )
+
+    rates = {
+        r["source"]: float(r["keep_rate"])
+        for r in source_budget_allocation(spark, SF_SMOKE).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+
+    def frac(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:6]
+        return (int(h, 16) + 0.5) / 16**6
+
+    want = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if frac(int(r.doc_id)) < rates[r.source]
+    }
+    got = {
+        int(r["doc_id"])
+        for r in training_corpus_budgeted(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(docs)  # the budget thins but keeps most
+
+
 def test_training_corpus_decontaminated_fuzzy_matches_duckdb_twin(spark):
     """plans/pipeline/contamination.py::training_corpus_decontaminated_fuzzy
     (pre-staged r15) ≡ its adjacent DuckDB oracle at sf0.001, and the
