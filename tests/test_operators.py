@@ -3356,6 +3356,53 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_doc_quality_matches_independent_python(spark):
+    """THIRD-PATH check for the quality gate's backbone scalar
+    (functions/text.py::quality_score, surfaced by ``doc_quality``):
+    recompute per-doc stopword ratio, quality score, and bucket from
+    the raw parquet with plain python (re.split tokens, list count
+    against the literal en stopword list, the documented
+    0.5·ratio + 0.5·saturation formula, 6-dp snap) — no shared code
+    with either engine path. The gate feeds training_corpus, the
+    curriculum, the classifier labels, and the gated compositions, so
+    a mirrored misconception here would propagate everywhere."""
+    import re
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.text import doc_quality
+
+    EN = ["the", "a", "and", "of", "to", "is", "in", "on", "for", "with"]
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        t = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        n = len(t)
+        if n == 0:
+            continue  # the gate's empty-doc contract is pinned elsewhere
+        hits = sum(1 for w in t if w in EN)
+        qs = snap(0.5 * (hits / n) + 0.5 * (min(n, 50) / 50.0))
+        bucket = "high" if qs >= 0.6 else "medium" if qs >= 0.45 else "low"
+        want[int(r.doc_id)] = (n, snap(hits / n), qs, bucket)
+
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_tokens"]),
+            float(r["stopword_ratio"]),
+            float(r["quality_score"]),
+            r["quality_bucket"],
+        )
+        for r in doc_quality(spark, SF_SMOKE).collect()
+        if r["n_tokens"] > 0
+    }
+    assert got == want
+    assert len(set(b for _, _, _, b in want.values())) >= 2  # buckets bite
+
+
 def test_budgeted_corpus_draw_matches_hashlib(spark):
     """THIRD-PATH check for the md5 hex-fraction draw — the RNG-free
     selection primitive every resample/budget query rides
