@@ -3356,6 +3356,36 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_corpus_fingerprint_matches_hashlib(spark):
+    """THIRD-PATH check for the reproducibility-receipt primitive
+    (plans/pipeline/manifest.py::corpus_fingerprint): recompute the
+    (n_docs, Σ int(md5(doc_id)[:12], 16), Σ n_tokens) triple from the
+    collected training corpus with python hashlib and integer sums —
+    the manifest audit, the batch-plan fingerprints, and the gated
+    ingest checks all trust this primitive, so its md5/substr/conv
+    chain must BE the md5 prefix sum it claims, on both the Spark
+    expression and the independent arithmetic."""
+    import hashlib
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import corpus_fingerprint
+    from data_warehouse_product_mix_clustering_spark.plans.text import training_corpus
+
+    corpus = training_corpus(spark, SF_SMOKE)
+    got = corpus_fingerprint(corpus)
+
+    rows = corpus.select("doc_id", "n_tokens").collect()
+    want = (
+        len(rows),
+        sum(
+            int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:12], 16)
+            for r in rows
+        ),
+        sum(int(r["n_tokens"]) for r in rows),
+    )
+    assert got == want
+    assert got[0] > 0
+
+
 def test_doc_quality_matches_independent_python(spark):
     """THIRD-PATH check for the quality gate's backbone scalar
     (functions/text.py::quality_score, surfaced by ``doc_quality``):
