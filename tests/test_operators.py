@@ -3356,6 +3356,57 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_dedup_jaccard_pairs_match_independent_python(spark):
+    """THIRD-PATH check for the exact near-dup pair family: recompute
+    every bigram-Jaccard pair ≥ 0.8 with plain python set algebra over
+    the raw parquet and require BOTH registered pair queries — the
+    exact relational formulation AND the MinHash-LSH candidate path
+    (which verifies candidates with the true Jaccard, so it shares the
+    exact oracle) — to equal it exactly. Catches any mirrored
+    misconception in the shingle relation both engines share AND any
+    LSH false negative on this corpus."""
+    import re
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    bi = {}
+    for r in docs.itertuples():
+        t = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        s = {" ".join(t[i : i + 2]) for i in range(len(t) - 1)}
+        if s:
+            bi[int(r.doc_id)] = s
+    ids = sorted(bi)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(bi[a] & bi[b])
+            if inter:
+                j = snap(inter / (len(bi[a]) + len(bi[b]) - inter))
+                if j >= 0.8:
+                    want[(a, b)] = j
+
+    for q in (dedup_ngram_jaccard, dedup_minhash_lsh):
+        got = {
+            (
+                min(int(r["doc_a"]), int(r["doc_b"])),
+                max(int(r["doc_a"]), int(r["doc_b"])),
+            ): float(r["jaccard"])
+            for r in q(spark, SF_SMOKE).collect()
+        }
+        assert got == want, q.__name__
+    assert want  # near-dups exist at this SF
+
+
 def test_corpus_fingerprint_matches_hashlib(spark):
     """THIRD-PATH check for the reproducibility-receipt primitive
     (plans/pipeline/manifest.py::corpus_fingerprint): recompute the
