@@ -3356,6 +3356,56 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_ann_cosine_topk_matches_numpy(spark):
+    """THIRD-PATH check for the exact ANN baseline (headline
+    ``ann_cosine_topk``): recompute cosine top-10 per probe with numpy
+    from the raw parquet — float64 dot products, the documented 6-dp
+    snap, (cosine DESC, vec_id) tie-break — sharing no code with the
+    Spark GEMM path or the DuckDB list_cosine_similarity oracle. The
+    recall audits measure the approximate variants AGAINST this
+    baseline, so the baseline itself deserves an engine-independent
+    pin."""
+    import numpy as np
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_cosine_topk,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")[
+        ["vec_id", "embedding"]
+    ]
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    want = {}
+    for qpos in np.flatnonzero(ids < N_QUERIES):
+        qid = int(ids[qpos])
+        cos = (M @ M[qpos]) / (norms * norms[qpos])
+        scored = sorted(
+            (
+                (-snap(float(c)), int(v))
+                for c, v in zip(cos, ids)
+                if int(v) != qid
+            ),
+        )[:TOP_K]
+        for rk, (negc, v) in enumerate(scored, 1):
+            want[(qid, v)] = (-negc, rk)
+
+    got = {
+        (int(r["query_id"]), int(r["vec_id"])): (float(r["cosine"]), int(r["rank"]))
+        for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) == N_QUERIES * TOP_K
+
+
 def test_dedup_jaccard_pairs_match_independent_python(spark):
     """THIRD-PATH check for the exact near-dup pair family: recompute
     every bigram-Jaccard pair ≥ 0.8 with plain python set algebra over
