@@ -3356,6 +3356,77 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_events_aggregations_match_independent_pandas(spark):
+    """THIRD-PATH check for the events family's two core shapes:
+    tumbling hourly counts/sums (headline) and 30-minute-gap
+    sessionization, recomputed from the raw parquet with pandas
+    groupby/sort loops — no Spark window functions, no DuckDB. Pins
+    the hour-truncation alignment, the gap rule (strictly > 30 min
+    starts a new session), the (ts, event_id) tie-break, and the
+    2-dp nudge rounding."""
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.events import (
+        events_sessions,
+        events_tumbling_hourly,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    ]
+
+    def r2(x):
+        return round(x + 1e-9, 2)
+
+    # -- tumbling hourly --
+    hourly = {}
+    for r in ev.itertuples():
+        key = (r.ts.floor("h"), r.event_type)
+        n, s = hourly.get(key, (0, 0.0))
+        hourly[key] = (n + 1, s + r.value)
+    want_hourly = {(k[0], k[1]): (n, r2(s)) for k, (n, s) in hourly.items()}
+    got_hourly = {
+        (pd.Timestamp(r["window_start"]), r["event_type"]): (
+            int(r["n_events"]),
+            float(r["sum_value"]),
+        )
+        for r in events_tumbling_hourly(spark, SF_SMOKE).collect()
+    }
+    assert got_hourly == want_hourly
+
+    # -- gap sessionization --
+    want_sessions = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq, prev = 0, None
+        cur = None  # (start, end, n, sum)
+        for r in g.itertuples():
+            if prev is None or (r.ts - prev) > pd.Timedelta(minutes=30):
+                if cur:
+                    want_sessions[(int(uid), seq)] = cur
+                seq += 1
+                cur = (r.ts, r.ts, 1, r.value)
+            else:
+                cur = (cur[0], r.ts, cur[2] + 1, cur[3] + r.value)
+            prev = r.ts
+        if cur:
+            want_sessions[(int(uid), seq)] = cur
+    want_sessions = {
+        k: (st, int((en - st).total_seconds()), n, r2(s))
+        for k, (st, en, n, s) in want_sessions.items()
+    }
+    got_sessions = {
+        (int(r["user_id"]), int(r["session_seq"])): (
+            pd.Timestamp(r["session_start"]),
+            int(r["duration_sec"]),
+            int(r["n_events"]),
+            float(r["sum_value"]),
+        )
+        for r in events_sessions(spark, SF_SMOKE).collect()
+    }
+    assert got_sessions == want_sessions
+    assert any(n > 1 for _, _, n, _ in want_sessions.values())
+
+
 def test_ann_cosine_topk_matches_numpy(spark):
     """THIRD-PATH check for the exact ANN baseline (headline
     ``ann_cosine_topk``): recompute cosine top-10 per probe with numpy
