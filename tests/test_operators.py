@@ -3356,6 +3356,100 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_product_features_match_independent_pandas(spark):
+    """THIRD-PATH check for the clustering feature matrix (headline
+    ``product_features`` — the densest feature algebra in the repo,
+    F1-F8 incl. the deliberately non-standard revenue_growth and
+    FINAL_DATE semantics): rebuild the priced fact AND all eight
+    features from the raw parquet with plain pandas/python — the
+    deterministic cost curve, quarter intervals, 365-day window,
+    per-order two-level aggregation, and every rounding rule
+    re-derived from the documented formulas, no shared code."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import product_features
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+
+    def snap(x, out=6):
+        return round(x + 1e-9, out)
+
+    def money(x):
+        d = Decimal(repr(float(x))).quantize(
+            Decimal("0.0001"), ROUND_HALF_UP
+        )
+        return float(d.quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+    fact = li.merge(
+        orders[["o_orderkey", "o_orderdate", "o_custkey"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    fact["LineTotal"] = fact.l_extendedprice * (1.0 - fact.l_discount)
+    fact["OrderDate"] = pd.to_datetime(fact.o_orderdate)
+
+    # quarter intervals + deterministic cost curve
+    qstarts = sorted(fact.OrderDate.dt.to_period("Q").dt.start_time.unique())
+    interval_id = {q: i + 1 for i, q in enumerate(qstarts)}
+    retail = dict(zip(part.p_partkey, part.p_retailprice))
+    fact["__iid"] = fact.OrderDate.dt.to_period("Q").dt.start_time.map(interval_id)
+    fact["__cost"] = [
+        retail[p] * (0.45 + 0.03 * ((i + p) % 7))
+        for p, i in zip(fact.l_partkey, fact["__iid"])
+    ]
+    fact["profit"] = fact.LineTotal - fact["__cost"] * fact.l_quantity
+
+    final_date = fact.OrderDate.max() + pd.Timedelta(days=1)
+    window_lo = final_date - pd.Timedelta(days=365)
+
+    per_order = fact.groupby(["l_partkey", "l_orderkey"]).agg(
+        OrderDate=("OrderDate", "min"),
+        CustomerID=("o_custkey", "min"),
+        o_qty=("l_quantity", "sum"),
+        o_line=("LineTotal", "sum"),
+        o_profit=("profit", "sum"),
+    )
+    want = {}
+    for pid, g in per_order.groupby(level=0):
+        inw = g[g.OrderDate >= window_lo]
+        freq = len(inw)
+        if freq == 0:
+            continue
+        dur = (final_date.normalize() - g.OrderDate.min().normalize()).days
+        nuniq = inw.CustomerID.nunique()
+        want[int(pid)] = (
+            money(inw.o_profit.sum()),
+            snap(inw.o_profit.sum() / inw.o_line.sum()),
+            snap(inw.o_line.sum() / inw.o_qty.sum(), 4),
+            snap(inw.o_qty.sum() / freq),
+            int(nuniq),
+            snap(freq / nuniq),
+            snap(inw.o_line.sum() * dur / (g.o_line.sum() * 365)),
+            dur,
+        )
+
+    got = {
+        int(r["product_id"]): (
+            float(r["profit"]),
+            float(r["profit_margin"]),
+            float(r["average_unit_price"]),
+            float(r["avg_quantity_sold"]),
+            int(r["nunique_customer"]),
+            float(r["customer_loyalty"]),
+            float(r["revenue_growth"]),
+            int(r["selling_duration"]),
+        )
+        for r in product_features(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {p: (got[p], want[p]) for p in got if got[p] != want[p]}
+    assert not mismatches, dict(list(mismatches.items())[:3])
+
+
 def test_events_aggregations_match_independent_pandas(spark):
     """THIRD-PATH check for the events family's two core shapes:
     tumbling hourly counts/sums (headline) and 30-minute-gap
