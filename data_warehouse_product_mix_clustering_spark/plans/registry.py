@@ -148,10 +148,12 @@ _DRIVER_PRIORITY: list[str] = [
     # (doc_quality_classifier, doc_lang_classifier,
     # topic_balanced_corpus) registers outside the window as each audit
     # lands (training_batches and coreset_maxmin_sample already did so
-    # in r15, their audits being registered). Fill the rest of the r16 window with
-    # the remaining 36 r11-cohort oracle-bearing names below
-    # (r11-window order) to reach 50 exactly; the floor then sits one
-    # registration-round from r12.
+    # in r15, their audits being registered). Fill the rest of the r16
+    # window with the remaining 36 r11-cohort oracle-bearing names
+    # below (r11-window order) PLUS the first four r12-cohort names in
+    # r12-window order — doc_bigram_logprob, semantic_dedup_groups_audit,
+    # training_corpus_lm_filtered, media_wav_metadata — so 10 + 36 + 4
+    # fill the 50 slots exactly and the floor rises to r12.
     "asof_price_intervals",
     "cluster_summary",
     "shipping_priority",
