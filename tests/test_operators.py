@@ -3356,6 +3356,101 @@ def test_doremi_weights_match_independent_python(spark):
     assert got == want
 
 
+def test_flagship_summaries_match_independent_pandas(spark):
+    """THIRD-PATH check for the two flagship warehouse summaries: the
+    driver-contract entry query ``cluster_summary`` (left join +
+    distinct-order counts + COALESCE zeros) and the TPC-H-Q1-shaped
+    headline ``pricing_summary``, both recomputed from raw parquet
+    with pandas groupbys and the documented decimal-snap roundings —
+    no star-schema code, no DuckDB."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import (
+        cluster_summary,
+        pricing_summary,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+
+    def money(x, out=2, snap=4):
+        d = Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-snap), ROUND_HALF_UP
+        )
+        return float(d.quantize(Decimal(1).scaleb(-out), ROUND_HALF_UP))
+
+    def ratio(x, out=6):
+        return round(x + 1e-9, out)
+
+    # -- cluster_summary: every product row, zero-filled when unsold --
+    li2 = li.assign(line_total=li.l_extendedprice * (1.0 - li.l_discount))
+    per_order = li2.groupby(["l_partkey", "l_orderkey"]).agg(
+        qty=("l_quantity", "sum"), line=("line_total", "sum")
+    )
+    per_product = per_order.groupby(level=0).agg(
+        freq=("qty", "size"), tq=("qty", "sum"), tr=("line", "sum")
+    )
+    want_cs = {}
+    for r in part.itertuples():
+        pid = int(r.p_partkey)
+        if pid in per_product.index:
+            row = per_product.loc[pid]
+            want_cs[pid] = (
+                r.p_name,
+                int(row.freq),
+                float(row.tq),
+                money(row.tr),
+            )
+        else:
+            want_cs[pid] = (r.p_name, 0, 0.0, 0.0)
+    got_cs = {
+        int(r["product_id"]): (
+            r["product_name"],
+            int(r["order_frequency"]),
+            float(r["total_quantity"]),
+            float(r["total_revenue"]),
+        )
+        for r in cluster_summary(spark, SF_SMOKE).collect()
+    }
+    assert got_cs == want_cs
+    assert any(v[1] == 0 for v in want_cs.values()) or len(want_cs) == len(
+        per_product
+    )
+
+    # -- pricing_summary (Q1 shape) --
+    cut = pd.Timestamp("2000-09-02")
+    q = li[pd.to_datetime(li.l_shipdate) <= cut]
+    want_ps = {}
+    for (rf, ls), g in q.groupby(["l_returnflag", "l_linestatus"]):
+        disc = g.l_extendedprice * (1.0 - g.l_discount)
+        want_ps[(rf, ls)] = (
+            float(g.l_quantity.sum()),
+            money(g.l_extendedprice.sum(), 0),
+            money(disc.sum(), 0),
+            money((disc * (1.0 + g.l_tax)).sum(), 0, 6),
+            ratio(g.l_quantity.mean(), 4),
+            ratio(g.l_extendedprice.mean(), 2),
+            ratio(g.l_discount.mean()),
+            len(g),
+        )
+    got_ps = {
+        (r["return_flag"], r["line_status"]): (
+            float(r["sum_qty"]),
+            float(r["sum_base_price"]),
+            float(r["sum_disc_price"]),
+            float(r["sum_charge"]),
+            float(r["avg_qty"]),
+            float(r["avg_price"]),
+            float(r["avg_disc"]),
+            int(r["count_order"]),
+        )
+        for r in pricing_summary(spark, SF_SMOKE).collect()
+    }
+    assert got_ps == want_ps
+
+
 def test_product_features_match_independent_pandas(spark):
     """THIRD-PATH check for the clustering feature matrix (headline
     ``product_features`` — the densest feature algebra in the repo,
