@@ -73,6 +73,55 @@ def invalidate(path: str | None = None) -> None:
         del _TABLE_CACHE[key]
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor python workers, once per SparkContext.
+
+    Worker-executed functions (Arrow pandas UDFs, the
+    ``applyInPandasWithState`` session kernel, ``mapInPandas`` media
+    kernels) are pickled BY REFERENCE to their defining module, so every
+    worker interpreter must be able to ``import data_warehouse_product_mix_clustering_spark``. That
+    works for free when the driver ran from the repo root (cwd is on the
+    worker's sys.path), but a harness that imports the package via a
+    patched ``sys.path`` from another cwd ships closures the workers
+    cannot resolve (observed: ModuleNotFoundError from /tmp). A
+    source-only zip through ``addPyFile`` fixes it for ANY cwd and ANY
+    session — including sessions this library did not create — at the
+    cost of one ~sub-MB zip per process."""
+    sc = spark.sparkContext
+    if sc.applicationId in _PYFILES_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    try:
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        sc.addPyFile(zpath)
+    except Exception:  # noqa: BLE001
+        # Best-effort: on any env where shipping fails, keep the default
+        # behavior (cwd-importable packages still work); failing table()
+        # over a robustness shim would be worse than the gap it closes.
+        pass
+    _PYFILES_SHIPPED.add(sc.applicationId)
+
+
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one testdata table. Lazy; nothing is scanned until an action.
 
@@ -81,6 +130,7 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     The resolved scan is cached per (session, path) — repeated plan
     construction over the same table skips the file-listing/footer read.
     """
+    _ensure_worker_imports(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     app_id = spark.sparkContext.applicationId

@@ -69,6 +69,13 @@ def stream_events(
     ``watermark=None`` skips the watermark for callers that rename the
     event-time column first (re-defining a watermark is disallowed).
     """
+    from data_warehouse_product_mix_clustering_spark.sources.registry import _ensure_worker_imports
+
+    # Streaming micro-batch tasks unpickle worker kernels by module
+    # reference; ship the package before the first batch regardless of
+    # which reader path the caller came through (table() also does this,
+    # but a stream can start without any batch table read).
+    _ensure_worker_imports(spark)
     schema = _events_file_schema(spark, sf_dir)
     stage = os.path.join(
         tempfile.gettempdir(),
@@ -130,6 +137,9 @@ def run_available_now(
     streaming plans oracle-checkable. Append mode is for row-emitting
     stateful operators (dedup) that cannot run in complete mode.
     """
+    from data_warehouse_product_mix_clustering_spark.sources.registry import _ensure_worker_imports
+
+    _ensure_worker_imports(spark)  # see stream_events — same contract
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
