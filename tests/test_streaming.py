@@ -716,3 +716,44 @@ def test_read_source_temperature_rates_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_worker_kernels_import_from_any_driver_cwd():
+    """Regression for the cwd-dependent worker-import bug (round 15):
+    executor python workers unpickle stateful/Arrow kernels by module
+    reference, which only resolved when the driver ran from the repo
+    root. sources/registry.py::_ensure_worker_imports must make a
+    streaming query work in a FRESH process whose cwd is /tmp and whose
+    only link to the repo is a sys.path insert."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "    .config('spark.sql.shuffle.partitions','4')\n"
+        "    .config('spark.sql.session.timeZone','UTC')\n"
+        "    .config('spark.ui.enabled','false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from data_warehouse_product_mix_clustering_spark.plans.events import events_stream_sessions\n"
+        "n = events_stream_sessions(spark, %r).count()\n"
+        "assert n > 0, n\n"
+        "print('OK', n)\n"
+    ) % (repo, "/root/testdata/sf0.001")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)  # the bug hid behind inherited paths
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
