@@ -29,6 +29,13 @@ def run_available_now(
     re-run next invocation, so sinks must be batch-idempotent (see
     streaming/quarantine.py for the batch_id-keyed pattern).
     """
+    from data_warehouse_product_mix_clustering_spark.sources.registry import _ensure_worker_imports
+
+    # foreachBatch sinks may run Arrow kernels (semantic ingest, model
+    # scoring) whose module references executor workers must resolve
+    # regardless of the driver's cwd — same contract as
+    # streaming/events.py::run_available_now.
+    _ensure_worker_imports(stream.sparkSession)
     n_batches = 0
 
     def counting_sink(batch_df: DataFrame, batch_id: int) -> None:
