@@ -468,12 +468,11 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r16 registration (r15's 10-slot budget is spent):
-# @register("doremi_training_batches_audit", oracle="""
-#     SELECT TRUE AS rates_match_twin, TRUE AS policy_applied,
-#            TRUE AS fingerprint_reproducible,
-#            TRUE AS differs_from_temperature, TRUE AS tokens_conserved
-# """)
+@register("doremi_training_batches_audit", oracle="""
+    SELECT TRUE AS rates_match_twin, TRUE AS policy_applied,
+           TRUE AS fingerprint_reproducible,
+           TRUE AS differs_from_temperature, TRUE AS tokens_conserved
+""")
 def doremi_training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seam contract for the DoReMi mixture feeding ``training_batches``
     (VERDICT r14 #6): the loss-aware weights enter the one-call flow as

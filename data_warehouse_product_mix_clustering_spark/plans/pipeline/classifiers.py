@@ -182,12 +182,11 @@ CLF_AUDIT_CAP = 300
 CLF_ACC_FLOOR = 0.80
 
 
-# Pre-staged r15 registration:
-# @register("quality_classifier_audit", oracle="""
-#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
-#            TRUE AS loss_decreases, TRUE AS holdout_accuracy_ok,
-#            TRUE AS separates_gate
-# """)
+@register("quality_classifier_audit", oracle="""
+    SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+           TRUE AS loss_decreases, TRUE AS holdout_accuracy_ok,
+           TRUE AS separates_gate
+""")
 def quality_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for ``doc_quality_classifier`` — iterative GD is
     not SQL-expressible, so the driver-attestable truth is python-twin
@@ -286,11 +285,10 @@ def _clf_meta() -> dict:
     }
 
 
-# Pre-staged r15 registration:
-# @register("quality_model_serving_audit", oracle="""
-#     SELECT TRUE AS roundtrip_identical, TRUE AS scores_identical,
-#            TRUE AS mismatch_refused, TRUE AS torn_refused
-# """)
+@register("quality_model_serving_audit", oracle="""
+    SELECT TRUE AS roundtrip_identical, TRUE AS scores_identical,
+           TRUE AS mismatch_refused, TRUE AS torn_refused
+""")
 def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for the persisted quality-gate model
     (ml/logreg.py::save_logreg/load_logreg) — the serve path a 100 TB

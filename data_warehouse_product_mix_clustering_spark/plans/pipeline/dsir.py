@@ -131,8 +131,7 @@ def _dsir_target(docs: DataFrame) -> DataFrame:
     )
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("doc_dsir_weight", oracle=_dsir_oracle())
+@register("doc_dsir_weight", oracle=_dsir_oracle())
 def doc_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): per raw document, the
@@ -182,8 +181,7 @@ def _dsir_corpus_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_corpus_dsir", oracle=_dsir_corpus_oracle())
+@register("training_corpus_dsir", oracle=_dsir_corpus_oracle())
 def training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection APPLIED: the corpus kept by ``doc_dsir_weight``'s
     importance-resampling rule (per-feature log-ratio rate above the
@@ -202,12 +200,11 @@ def training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r15 registration:
-# @register("dsir_incremental_audit", oracle="""
-#     SELECT TRUE AS models_match_batch, TRUE AS scores_match_batch,
-#            TRUE AS replay_idempotent, TRUE AS empty_batch_noop,
-#            TRUE AS deltas_bounded
-# """)
+@register("dsir_incremental_audit", oracle="""
+    SELECT TRUE AS models_match_batch, TRUE AS scores_match_batch,
+           TRUE AS replay_idempotent, TRUE AS empty_batch_noop,
+           TRUE AS deltas_bounded
+""")
 def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for the incremental DSIR model store
     (operators/dsir.py) — the maintenance path a continuously-ingesting
@@ -330,8 +327,7 @@ def _dsir_by_source_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("source_dsir_mixture", oracle=_dsir_by_source_oracle())
+@register("source_dsir_mixture", oracle=_dsir_by_source_oracle())
 def source_dsir_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE view of the DSIR gate — what fraction of each source
     the importance-resampling rule keeps and its mean target-affinity
@@ -388,8 +384,7 @@ def _dsir_budgeted_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("training_corpus_dsir_budgeted", oracle=_dsir_budgeted_oracle())
+@register("training_corpus_dsir_budgeted", oracle=_dsir_budgeted_oracle())
 def training_corpus_dsir_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked budget fill — three families composed: each
     source's water-filling token allocation
@@ -498,8 +493,7 @@ def _dsir_windows_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("dsir_context_windows", oracle=_dsir_windows_oracle())
+@register("dsir_context_windows", oracle=_dsir_windows_oracle())
 def dsir_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selection→packing, end to end under ONE oracle: the quality-
     ranked budget-filled corpus (``training_corpus_dsir_budgeted`` —

@@ -93,8 +93,7 @@ _EOD_WINDOWS_ORACLE = f"""
 """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("doc_context_windows_eod", oracle=_EOD_WINDOWS_ORACLE)
+@register("doc_context_windows_eod", oracle=_EOD_WINDOWS_ORACLE)
 def doc_context_windows_eod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_context_windows`` with an end-of-document SEPARATOR token —
     the shape GPT-style pretraining actually packs: every document

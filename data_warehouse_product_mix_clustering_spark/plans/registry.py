@@ -59,101 +59,30 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-15 window (positions 0-49) ----
+    # ---- Round-16 window (positions 0-49) ----
     # Rotation hygiene (VERDICT r13 "What's wrong" #2, standing): rows-only
     # names are EXCLUDED from driver windows — they can only produce
     # `err: no_oracle` rows; their contracts ride the adjacent green
     # oracle-bearing audits. All registered rows-only queries stay
     # reachable by name and in the full sweep.
     #
-    # New in round 15 — the first ten of the pre-staged r14 backlog,
-    # registered in the order VERDICT r14 brief #1 fixed (flagship
-    # end-to-end composition first; remainder spills to r16 below):
-    "training_batches_audit",
-    "coreset_maxmin_audit",
-    "source_mixture_doremi",
-    "doc_quality_lm_calibration",
-    "source_budget_allocation",
-    "training_corpus_budgeted",
-    "training_corpus_decontaminated",
-    "benchmark_contamination_report",
-    "benchmark_contamination_fuzzy",
-    "training_corpus_decontaminated_fuzzy",
-    # r10-cohort tail (all 26 remaining oracle-bearing r10 names — the 5
-    # other r10 rows (bpe_merge_table, events_approx_stats,
-    # events_stream_sessions, sequence_clusters, sequence_clusters_lstm)
-    # are rows-only, excluded per the hygiene rule; their audits are
-    # separately attested). Clearing these raises the oracle-bearing
-    # attestation floor to r11.
-    "stream_sessions_audit",
-    "training_corpus",
-    "trajectory_stats",
-    "value_segments_audit",
-    "anti_join_inactive_customers",
-    "category_pct_of_total",
-    "category_values",
-    "cluster_quality_audit",
-    "customer_order_setops",
-    "customer_revenue_distribution",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash_audit",
-    "embedding_cluster_audit",
-    "events_funnel",
-    "events_props_stats",
-    "events_session_window",
-    "events_sessions",
-    "events_sliding_qtr_hour",
-    "events_stream_attribution",
-    "events_stream_hourly",
-    "events_stream_topk",
-    "events_tumbling_hourly",
-    "global_metrics",
-    "latest_order_top1",
-    "lstm_quality_audit",
-    # r11-cohort head (14 oldest r11-window oracle-bearing rows, in
-    # r11-window order — 10 + 26 + 14 fill the 50 slots exactly;
-    # judge-checkable at position 50):
-    "doc_unigram_logprob",
-    "semantic_dedup_audit",
-    "nation_revenue",
-    "orders_above_customer_avg",
-    "pca_variance_audit",
-    "pricing_summary",
-    "product_pagination",
-    "product_search",
-    "promo_revenue_pct",
-    "quarter_rollup",
-    "recent_activity",
-    "returnflag_stats",
-    "revenue_grouping_sets",
-    "semi_join_large_parts",
-    # ---- window boundary ----
-    # Round-16 rotation order (pre-decided): register the next <= 10 of
-    # the remaining pre-staged backlog in VERDICT r14 brief order —
-    #   1. doc_context_windows_eod (plans/pipeline/packing.py)
-    #   2. the DSIR five: doc_dsir_weight, training_corpus_dsir,
-    #      source_dsir_mixture, training_corpus_dsir_budgeted,
-    #      dsir_context_windows (plans/pipeline/dsir.py)
-    #   3. quality_classifier_audit (plans/pipeline/classifiers.py)
-    #   4. dsir_incremental_audit (plans/pipeline/dsir.py)
-    #   5. doremi_training_batches_audit (plans/pipeline/batches.py — the r15
-    #      seam audit, VERDICT r14 brief #6; dry-run tested)
-    #   6. quality_model_serving_audit (plans/pipeline/classifiers.py)
-    # — that fills the 10-slot budget exactly (1+5+1+1+1+1); then r17
-    # takes lang_classifier_audit,
-    # topic_balanced_corpus_audit, stream_model_scoring_audit,
-    # doc_length_equidepth_batches, equidepth_padding_efficiency,
-    # vocab_growth, source_vocab_overlap, and the rows-only tail
-    # (doc_quality_classifier, doc_lang_classifier,
-    # topic_balanced_corpus) registers outside the window as each audit
-    # lands (training_batches and coreset_maxmin_sample already did so
-    # in r15, their audits being registered). Fill the rest of the r16
-    # window with the remaining 36 r11-cohort oracle-bearing names
-    # below (r11-window order) PLUS the first four r12-cohort names in
-    # r12-window order — doc_bigram_logprob, semantic_dedup_groups_audit,
-    # training_corpus_lm_filtered, media_wav_metadata — so 10 + 36 + 4
-    # fill the 50 slots exactly and the floor rises to r12.
+    # New in round 16 — the next ten of the pre-staged backlog, registered
+    # in the order the r15 registry comment fixed (EOD packing, the DSIR
+    # five, then the classifier/DSIR-maintenance/DoReMi-seam/serving
+    # audits — 1+5+1+1+1+1 fills the 10-slot budget exactly):
+    "doc_context_windows_eod",
+    "doc_dsir_weight",
+    "training_corpus_dsir",
+    "source_dsir_mixture",
+    "training_corpus_dsir_budgeted",
+    "dsir_context_windows",
+    "quality_classifier_audit",
+    "dsir_incremental_audit",
+    "doremi_training_batches_audit",
+    "quality_model_serving_audit",
+    # r11-cohort tail (all 36 remaining oracle-bearing r11 names, in
+    # r11-window order). Clearing these raises the oracle-bearing
+    # attestation floor past r11.
     "asof_price_intervals",
     "cluster_summary",
     "shipping_priority",
@@ -190,6 +119,76 @@ _DRIVER_PRIORITY: list[str] = [
     "top_supplier_period",
     "trailing_30d_revenue",
     "untapped_customer_balance",
+    # r12-cohort head (4 oldest r12-window oracle-bearing rows, in
+    # r12-window order — 10 + 36 + 4 fill the 50 slots exactly; the
+    # attestation floor rises to r12):
+    "doc_bigram_logprob",
+    "semantic_dedup_groups_audit",
+    "training_corpus_lm_filtered",
+    "media_wav_metadata",
+    # ---- window boundary ----
+    # Round-17 rotation order (pre-decided): register the LAST ten of the
+    # pre-staged backlog — the observability tail, in VERDICT r15 brief #6
+    # order —
+    #   1. vocab_growth (plans/pipeline/observability.py)
+    #   2. source_vocab_overlap (observability.py)
+    #   3. doc_length_equidepth_batches (plans/pipeline/packing.py)
+    #   4. equidepth_padding_efficiency (packing.py)
+    #   5. lang_classifier_audit (plans/pipeline/classifiers.py)
+    #   6. stream_model_scoring_audit (classifiers.py)
+    #   7. topic_balanced_corpus_audit (observability.py)
+    # — 7 oracle-bearing window slots; the rows-only tail
+    # (doc_quality_classifier, doc_lang_classifier, topic_balanced_corpus)
+    # registers OUTSIDE the window as its audits land, per the hygiene
+    # rule. That clears the backlog to zero. Fill the remaining 43 slots
+    # with the r12-cohort tail below (r12-window order) so the floor
+    # rises toward r13.
+    "monthly_revenue_gapfill",
+    "nation_profit_by_year",
+    "nation_revenue_trend",
+    "per_source_sample",
+    "product_features",
+    "product_fuzzy_search",
+    "product_monthly_ffill",
+    "referential_integrity",
+    "returnflag_metrics_unpivot",
+    "returnflag_robust_stats",
+    "revenue_mom_growth",
+    "sequence_cluster_audit",
+    "shard_packing",
+    "small_quantity_part_revenue",
+    "source_mixture_weights",
+    "training_corpus_sharded",
+    "volume_shipping_nations",
+    "waiting_orders_by_supplier",
+    "refresh_rollup_audit",
+    "stream_quarantine_audit",
+    "events_rolling_dau_approx_audit",
+    "refresh_tombstone_audit",
+    "doc_bm25_indexed_search",
+    "postings_incremental_audit",
+    "merge_upsert_audit",
+    "time_travel_audit",
+    "jdbc_roundtrip_audit",
+    "min_cost_supplier",
+    "returned_item_customers",
+    "important_supply_value",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "supplier_variety",
+    "disjunctive_bracket_revenue",
+    "dominant_suppliers",
+    "dedup_incremental_exact",
+    "dedup_incremental_ngram",
+    "lateral_top_suppliers",
+    "doc_bm25_search",
+    "doc_hybrid_rrf",
+    "events_freq_items_audit",
+    "events_daily_anomalies",
+    "events_rolling_dau",
+    "doc_bm25_snippets",
+    "events_user_streaks",
+    "events_multitouch_attribution",
 ]
 
 
