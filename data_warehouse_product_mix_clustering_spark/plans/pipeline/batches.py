@@ -540,10 +540,16 @@ def doremi_training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     # -- rates_match_twin --
     masses = {r["source"]: int(r["total_tokens"]) for r in per_src.collect()}
     weights = {r["source"]: float(r["target_share"]) for r in doremi.collect()}
-    total = sum(masses.values())
-    raw = {
-        s: weights[s] / (m / total) for s, m in masses.items() if s in weights
-    }
+    # The operator's documented rule normalizes observed shares over the
+    # JOINED (weight-covered) set, so the twin's total must too (ADVICE
+    # r15 — a total over ALL gated sources is a different formula exactly
+    # when a source lacks a DoReMi weight; _target_keep_rates now raises
+    # on that, and the audit corpus is full-coverage, so the two totals
+    # coincide here — but the twin must implement the rule, not rely on
+    # the coincidence).
+    covered = {s: m for s, m in masses.items() if s in weights}
+    total = sum(covered.values())
+    raw = {s: weights[s] / (m / total) for s, m in covered.items()}
     mx = max(raw.values())
     rates_py = {s: ratio_round_py(v / mx) for s, v in raw.items()}
     rates_spark = {

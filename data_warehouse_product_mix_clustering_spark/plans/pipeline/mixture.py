@@ -550,10 +550,28 @@ def _target_keep_rates(per_src: DataFrame, targets: DataFrame) -> DataFrame:
     given (source, target_share) relation (e.g. the DoReMi weights, so
     the loss-aware mixture drops into the same resample machinery as a
     recipe field). Observed shares are computed over the JOINED set, so
-    a source the gate emptied cannot skew the distribution. Inputs are
-    dimension-sized by contract; rates 6-dp-snapped (the boundary-doc
-    discipline)."""
-    j = per_src.join(F.broadcast(targets), "source")
+    a source the gate emptied cannot skew the distribution. Targets must
+    COVER every gated source (ADVICE r15): a gated source missing from
+    the weight relation would otherwise vanish from the resampled corpus
+    silently (the temperature path keeps every source), so the plan
+    raises at execution on the first uncovered source — a filter-guarded
+    ``raise_error``, not a build-time count, so no extra job when
+    coverage holds. Inputs are dimension-sized by contract; rates
+    6-dp-snapped (the boundary-doc discipline)."""
+    j = per_src.join(F.broadcast(targets), "source", "left").where(
+        F.when(F.col("target_share").isNotNull(), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("_target_keep_rates: gated source "),
+                    F.col("source"),
+                    F.lit(
+                        " has no target_share — the target mixture must"
+                        " cover every gated source"
+                    ),
+                )
+            )
+        )
+    )
     w = Window.partitionBy()
     obs = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w)
     wts = j.select("source", (F.col("target_share") / obs).alias("__w"))

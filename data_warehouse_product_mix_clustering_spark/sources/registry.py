@@ -74,6 +74,11 @@ def invalidate(path: str | None = None) -> None:
 
 
 _PYFILES_SHIPPED: set[str] = set()
+# appId -> failed-attempt count. A transient failure (disk full, zip write
+# error) must NOT permanently disable the shim (ADVICE r15): retry on later
+# table() calls, bounded so a persistent failure doesn't warn per-query.
+_PYFILES_FAILED: dict[str, int] = {}
+_PYFILES_MAX_ATTEMPTS = 3
 
 
 def _ensure_worker_imports(spark: SparkSession) -> None:
@@ -91,7 +96,10 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     session — including sessions this library did not create — at the
     cost of one ~sub-MB zip per process."""
     sc = spark.sparkContext
-    if sc.applicationId in _PYFILES_SHIPPED:
+    app_id = sc.applicationId
+    if app_id in _PYFILES_SHIPPED:
+        return
+    if _PYFILES_FAILED.get(app_id, 0) >= _PYFILES_MAX_ATTEMPTS:
         return
     import tempfile
     import zipfile
@@ -99,11 +107,17 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_name = os.path.basename(pkg_dir)
     try:
-        zpath = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
-        )
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        # A fresh mkstemp path per SparkContext, never a predictable or
+        # reused name (ADVICE r15): a fixed /tmp path keyed by pid invited
+        # pid-recycling staleness, truncated-zip reuse after a crash, and
+        # pre-creation by another user on a shared host. The zip is
+        # rebuilt from current sources every time it ships (sub-MB, ms),
+        # so driver and workers cannot skew.
+        fd, zpath = tempfile.mkstemp(prefix="spark_graft_pkg_", suffix=".zip")
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(
+                fh, "w", zipfile.ZIP_DEFLATED
+            ) as zf:
                 for root, _dirs, files in os.walk(pkg_dir):
                     for fn in files:
                         if not fn.endswith(".py"):
@@ -113,13 +127,34 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                             pkg_name, os.path.relpath(full, pkg_dir)
                         )
                         zf.write(full, rel)
-        sc.addPyFile(zpath)
-    except Exception:  # noqa: BLE001
-        # Best-effort: on any env where shipping fails, keep the default
-        # behavior (cwd-importable packages still work); failing table()
-        # over a robustness shim would be worse than the gap it closes.
-        pass
-    _PYFILES_SHIPPED.add(sc.applicationId)
+            sc.addPyFile(zpath)
+        except BaseException:
+            # addPyFile never saw a working zip — don't leak the temp file.
+            # (On success the file must outlive this call: executors fetch
+            # it lazily; it is reaped with the process's temp dir.)
+            try:
+                os.unlink(zpath)
+            except OSError:
+                pass
+            raise
+    except Exception as ex:  # noqa: BLE001
+        # Best-effort, but VISIBLY so (ADVICE r15): warn and leave the
+        # appId un-cached so a later table() call retries (bounded above).
+        # Failing table() over a robustness shim would be worse than the
+        # gap it closes — cwd-importable packages still work without it.
+        _PYFILES_FAILED[app_id] = _PYFILES_FAILED.get(app_id, 0) + 1
+        import warnings
+
+        warnings.warn(
+            f"worker-import shim: shipping the package zip failed "
+            f"(attempt {_PYFILES_FAILED[app_id]}/{_PYFILES_MAX_ATTEMPTS}: "
+            f"{ex!r}); executor-side imports may require the driver cwd "
+            f"to be the repo root",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
+    _PYFILES_SHIPPED.add(app_id)
 
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -757,3 +757,59 @@ def test_worker_kernels_import_from_any_driver_cwd():
         timeout=300,
     )
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_worker_import_shim_failure_warns_and_retries(spark, monkeypatch):
+    """ADVICE r15: a transient zip-ship failure must not silently and
+    permanently disable the worker-import shim. Contract: each failed
+    attempt emits a RuntimeWarning and leaves the appId un-cached so the
+    next table() call retries; retries are bounded (no warning storm on
+    a persistently broken host); a later success ships and caches."""
+    import warnings
+    import zipfile
+
+    from data_warehouse_product_mix_clustering_spark.sources import registry as reg
+
+    app_id = spark.sparkContext.applicationId
+    saved_shipped = set(reg._PYFILES_SHIPPED)
+    saved_failed = dict(reg._PYFILES_FAILED)
+    try:
+        reg._PYFILES_SHIPPED.discard(app_id)
+        reg._PYFILES_FAILED.pop(app_id, None)
+
+        def boom(*a, **k):
+            raise OSError("disk full (simulated)")
+
+        monkeypatch.setattr(zipfile, "ZipFile", boom)
+        for attempt in (1, 2):
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter("always")
+                reg._ensure_worker_imports(spark)
+            msgs = [str(w.message) for w in rec]
+            assert any("worker-import shim" in m for m in msgs), msgs
+            assert app_id not in reg._PYFILES_SHIPPED
+            assert reg._PYFILES_FAILED[app_id] == attempt
+
+        # Exhaust the retry budget: attempt 3 warns, attempt 4 is silent.
+        with warnings.catch_warnings(record=True):
+            warnings.simplefilter("always")
+            reg._ensure_worker_imports(spark)
+        assert reg._PYFILES_FAILED[app_id] == reg._PYFILES_MAX_ATTEMPTS
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            reg._ensure_worker_imports(spark)
+        assert not rec and app_id not in reg._PYFILES_SHIPPED
+
+        # Recovery: reset the budget (fresh appId in real life), unbreak
+        # the zip — the shim ships and caches.
+        monkeypatch.undo()
+        reg._PYFILES_FAILED.pop(app_id, None)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            reg._ensure_worker_imports(spark)
+        assert not rec and app_id in reg._PYFILES_SHIPPED
+    finally:
+        reg._PYFILES_SHIPPED.clear()
+        reg._PYFILES_SHIPPED.update(saved_shipped | {app_id})
+        reg._PYFILES_FAILED.clear()
+        reg._PYFILES_FAILED.update(saved_failed)

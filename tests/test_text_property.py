@@ -4,6 +4,7 @@ fixed documents fixture."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1272,6 +1273,38 @@ def test_target_keep_rates_match_python_twin(spark, masses, weights):
         for r in _target_keep_rates(per_src, targets2).collect()
     }
     assert got2 == got
+
+
+def test_target_keep_rates_raise_on_uncovered_source(spark):
+    """ADVICE r15: a gated source missing from the target-weight relation
+    must fail LOUDLY at execution, not silently vanish from the resampled
+    corpus (the inner join dropped it; the temperature path keeps every
+    source — the asymmetry was invisible). The guard is a filter-wrapped
+    raise_error naming the uncovered source, so full-coverage plans pay
+    nothing and partial coverage cannot pass."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import _target_keep_rates
+
+    per_src = spark.createDataFrame(
+        [("web", 1000), ("books", 500), ("orphan", 250)],
+        "source string, total_tokens long",
+    )
+    targets = spark.createDataFrame(
+        [("web", 0.7), ("books", 0.3)], "source string, target_share double"
+    )
+    with pytest.raises(Exception, match="orphan.*no target_share"):
+        _target_keep_rates(per_src, targets).collect()
+
+    # Full coverage is untouched by the guard: same rates as the twin.
+    full = spark.createDataFrame(
+        [("web", 0.6), ("books", 0.3), ("orphan", 0.1)],
+        "source string, target_share double",
+    )
+    got = {
+        r["source"]: float(r["keep_rate"])
+        for r in _target_keep_rates(per_src, full).collect()
+    }
+    assert set(got) == {"web", "books", "orphan"}
+    assert max(got.values()) >= 1.0
 
 
 def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
