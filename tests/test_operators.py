@@ -3999,3 +3999,90 @@ def test_source_vocab_overlap_matches_duckdb_twin(spark):
     assert (got["n_shared"] <= got[["vocab_a", "vocab_b"]].min(axis=1)).all()
     assert (got["vocab_jaccard"] > 0).all()
     assert (got["vocab_jaccard"] <= 1.0).all()
+
+
+def test_asof_price_intervals_matches_pandas_merge_asof(spark):
+    """THIRD-PATH check for the as-of join family (VERDICT r15 #7 — the
+    one headline family whose engine-independent check was property-based
+    vs merge_asof on synthetic frames but not yet recomputed from RAW
+    parquet): rebuild ``asof_price_intervals`` end-to-end with pandas —
+    lineitem⋈orders merge, quarter-start calendar with next-start−1day
+    ends (NULL = open), ``pd.merge_asof`` backward + the reference's
+    interval post-filter (src/pipelines/etl.py:27-42 shape), pandas
+    groupbys, the documented money snap. No star-schema code, no
+    operators/asof_join.py, no DuckDB — a mirrored misconception in the
+    engine's interval semantics cannot survive this."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.warehouse import asof_price_intervals
+
+    def money(x, out=2, snap=4):
+        d = Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-snap), ROUND_HALF_UP
+        )
+        return float(d.quantize(Decimal(1).scaleb(-out), ROUND_HALF_UP))
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"]
+    ]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    fact = li.merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).assign(
+        OrderDate=lambda d: pd.to_datetime(d.o_orderdate).astype(
+            "datetime64[ns]"  # parquet dates read as µs; merge_asof needs one unit
+        ),
+        LineTotal=lambda d: d.l_extendedprice * (1.0 - d.l_discount),
+    )
+
+    # Quarter calendar exactly as dim_date documents: distinct observed
+    # quarter starts; EndDate = next start − 1 day, NaT for the open last.
+    starts = (
+        fact.OrderDate.dt.to_period("Q").dt.start_time.drop_duplicates()
+        .sort_values()
+        .reset_index(drop=True)
+    )
+    dims = pd.DataFrame(
+        {
+            "StartDate": starts,
+            "EndDate": starts.shift(-1) - pd.Timedelta(days=1),
+            "IntervalId": range(1, len(starts) + 1),
+        }
+    )
+
+    joined = pd.merge_asof(
+        fact.sort_values("OrderDate"),
+        dims.sort_values("StartDate"),
+        left_on="OrderDate",
+        right_on="StartDate",
+        direction="backward",
+    )
+    joined = joined[
+        joined.EndDate.isna() | (joined.OrderDate <= joined.EndDate)
+    ]
+    grp = joined.groupby("IntervalId")
+    want = {
+        int(iid): (
+            int(g.shape[0]),
+            int(g.l_partkey.nunique()),
+            money(g.LineTotal.sum()),
+        )
+        for iid, g in grp
+    }
+
+    got = {
+        int(r["interval_id"]): (
+            int(r["n_lines"]),
+            int(r["n_products"]),
+            float(r["revenue"]),
+        )
+        for r in asof_price_intervals(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # The pin has teeth: multiple intervals, every fact row lands in one.
+    assert len(want) >= 2
+    assert sum(n for n, _, _ in want.values()) == len(fact)
