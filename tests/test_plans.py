@@ -1178,10 +1178,10 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-15 window is exactly 10 new + 26 r10-cohort + 14 r11-cohort
+    round-16 window is exactly 10 new + 36 r11-cohort + 4 r12-cohort
     names, every window slot is oracle-bearing (VERDICT r13 hygiene
     rule: rows-only names cannot earn hash rows and stay out of
-    windows), and the in-window boundary name is the documented one."""
+    windows), and the in-window boundary names are the documented ones."""
     from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
 
     qs = all_queries()
@@ -1191,14 +1191,15 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "training_batches_audit",
-        "coreset_maxmin_audit",
-        "source_mixture_doremi",
+        "doc_context_windows_eod",
+        "doc_dsir_weight",
+        "training_corpus_dsir",
     ]
-    assert window[9] == "training_corpus_decontaminated_fuzzy"
-    assert window[10] == "stream_sessions_audit"
-    assert window[36] == "doc_unigram_logprob"
-    assert window[49] == "semi_join_large_parts"
+    assert window[9] == "quality_model_serving_audit"
+    assert window[10] == "asof_price_intervals"  # r11-cohort tail starts
+    assert window[45] == "untapped_customer_balance"  # r11-cohort tail ends
+    assert window[46] == "doc_bigram_logprob"  # r12-cohort head starts
+    assert window[49] == "media_wav_metadata"
     rows_only_in_window = [n for n in window if qs[n].oracle is None]
     assert not rows_only_in_window, rows_only_in_window
 
