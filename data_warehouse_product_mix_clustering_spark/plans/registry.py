@@ -141,8 +141,11 @@ _DRIVER_PRIORITY: list[str] = [
     # (doc_quality_classifier, doc_lang_classifier, topic_balanced_corpus)
     # registers OUTSIDE the window as its audits land, per the hygiene
     # rule. That clears the backlog to zero. Fill the remaining 43 slots
-    # with the r12-cohort tail below (r12-window order) so the floor
-    # rises toward r13.
+    # with the FIRST 43 of the 46 r12-cohort tail names below
+    # (r12-window order, through "events_rolling_dau") — 7 + 43 fill
+    # the 50 slots exactly; the last three (doc_bm25_snippets,
+    # events_user_streaks, events_multitouch_attribution) lead r18's
+    # window, which otherwise rotates the then-oldest cohort as usual.
     "monthly_revenue_gapfill",
     "nation_profit_by_year",
     "nation_revenue_trend",

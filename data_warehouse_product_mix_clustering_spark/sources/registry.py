@@ -73,6 +73,13 @@ def invalidate(path: str | None = None) -> None:
         del _TABLE_CACHE[key]
 
 
+def _unlink_quietly(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 _PYFILES_SHIPPED: set[str] = set()
 # appId -> failed-attempt count. A transient failure (disk full, zip write
 # error) must NOT permanently disable the shim (ADVICE r15): retry on later
@@ -128,14 +135,18 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                         )
                         zf.write(full, rel)
             sc.addPyFile(zpath)
+            # On success the file must outlive this call (executors fetch
+            # it lazily, and addPyFile re-serves it to late-joining
+            # workers), but the system temp dir is NOT per-process — an
+            # un-reaped zip per SparkContext would accumulate on a
+            # long-lived host. Unlink at interpreter exit: by then every
+            # executor of this app has either fetched it or died with it.
+            import atexit
+
+            atexit.register(_unlink_quietly, zpath)
         except BaseException:
             # addPyFile never saw a working zip — don't leak the temp file.
-            # (On success the file must outlive this call: executors fetch
-            # it lazily; it is reaped with the process's temp dir.)
-            try:
-                os.unlink(zpath)
-            except OSError:
-                pass
+            _unlink_quietly(zpath)
             raise
     except Exception as ex:  # noqa: BLE001
         # Best-effort, but VISIBLY so (ADVICE r15): warn and leave the

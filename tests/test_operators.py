@@ -14,6 +14,16 @@ from data_warehouse_product_mix_clustering_spark.functions.text import tokens, w
 from conftest import SF_SMOKE
 
 
+def money_snap(x, out=2, snap=4):
+    """The engine's money rounding (functions/numeric.py::money_round
+    discipline) recomputed with stdlib Decimal for third-path tests:
+    HALF_UP at `snap` decimals, then HALF_UP at `out`."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-snap), ROUND_HALF_UP)
+    return float(d.quantize(Decimal(1).scaleb(-out), ROUND_HALF_UP))
+
+
 def test_lsh_recall_vs_brute_force(spark):
     """LSH top-k must find ≥80% of the true top-5 neighbors on the fixture."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
@@ -3363,7 +3373,6 @@ def test_flagship_summaries_match_independent_pandas(spark):
     headline ``pricing_summary``, both recomputed from raw parquet
     with pandas groupbys and the documented decimal-snap roundings —
     no star-schema code, no DuckDB."""
-    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
@@ -3375,11 +3384,7 @@ def test_flagship_summaries_match_independent_pandas(spark):
     li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
     part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
 
-    def money(x, out=2, snap=4):
-        d = Decimal(repr(float(x))).quantize(
-            Decimal(1).scaleb(-snap), ROUND_HALF_UP
-        )
-        return float(d.quantize(Decimal(1).scaleb(-out), ROUND_HALF_UP))
+    money = money_snap
 
     def ratio(x, out=6):
         return round(x + 1e-9, out)
@@ -3460,7 +3465,6 @@ def test_product_features_match_independent_pandas(spark):
     deterministic cost curve, quarter intervals, 365-day window,
     per-order two-level aggregation, and every rounding rule
     re-derived from the documented formulas, no shared code."""
-    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
@@ -3473,11 +3477,7 @@ def test_product_features_match_independent_pandas(spark):
     def snap(x, out=6):
         return round(x + 1e-9, out)
 
-    def money(x):
-        d = Decimal(repr(float(x))).quantize(
-            Decimal("0.0001"), ROUND_HALF_UP
-        )
-        return float(d.quantize(Decimal("0.01"), ROUND_HALF_UP))
+    money = money_snap
 
     fact = li.merge(
         orders[["o_orderkey", "o_orderdate", "o_custkey"]],
@@ -4012,17 +4012,12 @@ def test_asof_price_intervals_matches_pandas_merge_asof(spark):
     groupbys, the documented money snap. No star-schema code, no
     operators/asof_join.py, no DuckDB — a mirrored misconception in the
     engine's interval semantics cannot survive this."""
-    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
     from data_warehouse_product_mix_clustering_spark.plans.warehouse import asof_price_intervals
 
-    def money(x, out=2, snap=4):
-        d = Decimal(repr(float(x))).quantize(
-            Decimal(1).scaleb(-snap), ROUND_HALF_UP
-        )
-        return float(d.quantize(Decimal(1).scaleb(-out), ROUND_HALF_UP))
+    money = money_snap
 
     li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
         ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"]
