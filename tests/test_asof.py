@@ -58,14 +58,22 @@ def test_asof_interval_semantics(spark, frames, strategy):
     assert got == EXPECTED, f"{strategy}: {got}"
 
 
-@pytest.mark.parametrize("disjoint", [False, True])
-@pytest.mark.parametrize("bucket", [None, "month", "quarter"])
+@pytest.mark.parametrize(
+    "disjoint,bucket",
+    [
+        (d, b)
+        for d in (False, True)
+        for b in (None, "month", "quarter")
+        # (False, None) IS the generic baseline, covered just above —
+        # excluded from the grid rather than runtime-skipped so the suite
+        # reports no perpetual skip.
+        if not (d is False and b is None)
+    ],
+)
 def test_asof_fast_paths_same_semantics(spark, frames, disjoint, bucket):
     """disjoint (window-free) and bucket (hash-join) paths must be
     semantically identical to the generic range join — incl. open
     intervals, pre-interval rows, and rows far past the last bucket."""
-    if disjoint is False and bucket is None:
-        pytest.skip("baseline covered above")
     left, right = frames
     out = asof_join(
         left,
