@@ -116,9 +116,9 @@ def _gate_labels(docs: DataFrame) -> DataFrame:
     return t.select("__id", y.cast("double").alias("y"))
 
 
-# Pre-staged r15 registration, rows-only (iterative training is not
-# SQL-expressible; quality_classifier_audit carries the contract):
-# @register("doc_quality_classifier")
+# Rows-only (iterative training is not SQL-expressible;
+# quality_classifier_audit carries the contract):
+@register("doc_quality_classifier")
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality gate (fastText-style distillation, Joulin et al.
     2016 / the CCNet quality-classifier stage): train a logistic
@@ -380,11 +380,10 @@ def quality_model_serving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r15 registration:
-# @register("stream_model_scoring_audit", oracle="""
-#     SELECT TRUE AS streamed_matches_batch, TRUE AS log_reconciles,
-#            TRUE AS rerun_is_noop, TRUE AS replay_idempotent
-# """)
+@register("stream_model_scoring_audit", oracle="""
+    SELECT TRUE AS streamed_matches_batch, TRUE AS log_reconciles,
+           TRUE AS rerun_is_noop, TRUE AS replay_idempotent
+""")
 def stream_model_scoring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end contract audit for streaming quality-model scoring
     (streaming/model_scoring.py) — the serve path run continuously
@@ -580,9 +579,9 @@ LANG_CLF_LR = 8.0
 LANG_CLF_L2 = 5e-5
 
 
-# Pre-staged r15 registration, rows-only (iterative training is not
-# SQL-expressible; lang_classifier_audit carries the contract):
-# @register("doc_lang_classifier")
+# Rows-only (iterative training is not SQL-expressible;
+# lang_classifier_audit carries the contract):
+@register("doc_lang_classifier")
 def doc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned language ID (the fastText lang-id shape, multinomial):
     softmax regression over the shared hashed n-gram rates plus the
@@ -634,11 +633,10 @@ def doc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r15 registration:
-# @register("lang_classifier_audit", oracle="""
-#     SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
-#            TRUE AS loss_decreases, TRUE AS beats_majority
-# """)
+@register("lang_classifier_audit", oracle="""
+    SELECT TRUE AS weights_match_twin, TRUE AS rerun_identical,
+           TRUE AS loss_decreases, TRUE AS beats_majority
+""")
 def lang_classifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for ``doc_lang_classifier`` (the
     ``quality_classifier_audit`` mold, multiclass):

@@ -28,10 +28,9 @@ TOPIC_SAMPLE_FRAC = 0.5  # target kept share of the corpus
 TOPIC_K = 10  # the embedding_clusters k
 
 
-# Pre-staged r15 registration, rows-only (cluster labels are
-# engine-hash-dependent; topic_balanced_corpus_audit carries the
-# contract):
-# @register("topic_balanced_corpus")
+# Rows-only (cluster labels are engine-hash-dependent;
+# topic_balanced_corpus_audit carries the contract):
+@register("topic_balanced_corpus")
 def topic_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced corpus sampling — the diversity knob the mixture
     family lacks: sources balance PROVENANCE, DSIR balances target
@@ -71,12 +70,11 @@ def topic_balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pre-staged r15 registration:
-# @register("topic_balanced_corpus_audit", oracle="""
-#     SELECT TRUE AS one_row_per_doc, TRUE AS cap_respected,
-#            TRUE AS ranks_are_prefix, TRUE AS rerun_identical,
-#            TRUE AS assignment_consistent
-# """)
+@register("topic_balanced_corpus_audit", oracle="""
+    SELECT TRUE AS one_row_per_doc, TRUE AS cap_respected,
+           TRUE AS ranks_are_prefix, TRUE AS rerun_identical,
+           TRUE AS assignment_consistent
+""")
 def topic_balanced_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit for ``topic_balanced_corpus`` (cluster labels are
     not SQL-expressible — the ``embedding_cluster_audit`` pattern):
@@ -190,8 +188,7 @@ def _vocab_growth_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("vocab_growth", oracle=_vocab_growth_oracle())
+@register("vocab_growth", oracle=_vocab_growth_oracle())
 def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary growth curve (the Heaps-law table a tokenizer budget
     is sized from): cumulative distinct-word count after each corpus
@@ -285,8 +282,7 @@ def _source_vocab_overlap_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("source_vocab_overlap", oracle=_source_vocab_overlap_oracle())
+@register("source_vocab_overlap", oracle=_source_vocab_overlap_oracle())
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard — the SET-level companion to
     ``source_token_kl``'s distributional drift: KL says how differently

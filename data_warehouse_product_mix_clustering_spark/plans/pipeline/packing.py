@@ -534,8 +534,7 @@ def _equidepth_batches_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("doc_length_equidepth_batches", oracle=_equidepth_batches_oracle())
+@register("doc_length_equidepth_batches", oracle=_equidepth_batches_oracle())
 def doc_length_equidepth_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH length bucketing — the alternative to
     ``doc_length_bucket_batches``' fixed power-of-two grid: ntile the
@@ -619,8 +618,7 @@ def _equidepth_efficiency_oracle() -> str:
     """
 
 
-# Pre-staged r15 registration (r14's window is exactly full):
-# @register("equidepth_padding_efficiency", oracle=_equidepth_efficiency_oracle())
+@register("equidepth_padding_efficiency", oracle=_equidepth_efficiency_oracle())
 def equidepth_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``batch_padding_efficiency``'s twin for the EQUI-DEPTH plan — the
     side-by-side cost table that settles fixed-grid vs adaptive buckets

@@ -59,93 +59,30 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-16 window (positions 0-49) ----
+    # ---- Round-17 window (positions 0-49) ----
     # Rotation hygiene (VERDICT r13 "What's wrong" #2, standing): rows-only
     # names are EXCLUDED from driver windows — they can only produce
     # `err: no_oracle` rows; their contracts ride the adjacent green
     # oracle-bearing audits. All registered rows-only queries stay
     # reachable by name and in the full sweep.
     #
-    # New in round 16 — the next ten of the pre-staged backlog, registered
-    # in the order the r15 registry comment fixed (EOD packing, the DSIR
-    # five, then the classifier/DSIR-maintenance/DoReMi-seam/serving
-    # audits — 1+5+1+1+1+1 fills the 10-slot budget exactly):
-    "doc_context_windows_eod",
-    "doc_dsir_weight",
-    "training_corpus_dsir",
-    "source_dsir_mixture",
-    "training_corpus_dsir_budgeted",
-    "dsir_context_windows",
-    "quality_classifier_audit",
-    "dsir_incremental_audit",
-    "doremi_training_batches_audit",
-    "quality_model_serving_audit",
-    # r11-cohort tail (all 36 remaining oracle-bearing r11 names, in
-    # r11-window order). Clearing these raises the oracle-bearing
-    # attestation floor past r11.
-    "asof_price_intervals",
-    "cluster_summary",
-    "shipping_priority",
-    "top3_per_category",
-    "asof_union_monthly_quotes",
-    "asof_forward_next_quote",
-    "asof_nearest_bucketed_quote",
-    "asof_nearest_quote",
-    "asof_tolerance_quotes",
-    "corpus_shuffle",
-    "curriculum_stages",
-    "customer_first_last_order",
-    "customer_spend_deciles",
-    "customer_trailing_order_count",
-    "dedup_embedding_lsh_audit",
-    "discounted_bulk_revenue",
-    "doc_chunks",
-    "doc_chunks_tokens",
-    "doc_pii_redacted",
-    "doc_repetition",
-    "embedding_quantize_int8",
-    "events_approx_stats_audit",
-    "events_props_map",
-    "events_props_variant",
-    "events_retention_cohorts",
-    "events_stream_enriched",
-    "lang_token_percentiles",
-    "large_order_customers",
-    "lineitem_profile",
-    "lineitem_quality",
-    "market_share_by_year",
-    "media_frame_features",
-    "media_resized",
-    "top_supplier_period",
-    "trailing_30d_revenue",
-    "untapped_customer_balance",
-    # r12-cohort head (4 oldest r12-window oracle-bearing rows, in
-    # r12-window order — 10 + 36 + 4 fill the 50 slots exactly; the
-    # attestation floor rises to r12):
-    "doc_bigram_logprob",
-    "semantic_dedup_groups_audit",
-    "training_corpus_lm_filtered",
-    "media_wav_metadata",
-    # ---- window boundary ----
-    # Round-17 rotation order (pre-decided): register the LAST ten of the
-    # pre-staged backlog — the observability tail, in VERDICT r15 brief #6
-    # order —
-    #   1. vocab_growth (plans/pipeline/observability.py)
-    #   2. source_vocab_overlap (observability.py)
-    #   3. doc_length_equidepth_batches (plans/pipeline/packing.py)
-    #   4. equidepth_padding_efficiency (packing.py)
-    #   5. lang_classifier_audit (plans/pipeline/classifiers.py)
-    #   6. stream_model_scoring_audit (classifiers.py)
-    #   7. topic_balanced_corpus_audit (observability.py)
-    # — 7 oracle-bearing window slots; the rows-only tail
+    # New in round 17 — the LAST seven oracle-bearing names of the
+    # pre-staged backlog (the observability tail), in the order the r16
+    # registry comment fixed; the three rows-only companions
     # (doc_quality_classifier, doc_lang_classifier, topic_balanced_corpus)
-    # registers OUTSIDE the window as its audits land, per the hygiene
-    # rule. That clears the backlog to zero. Fill the remaining 43 slots
-    # with the FIRST 43 of the 46 r12-cohort tail names below
-    # (r12-window order, through "events_rolling_dau") — 7 + 43 fill
-    # the 50 slots exactly; the last three (doc_bm25_snippets,
-    # events_user_streaks, events_multitouch_attribution) lead r18's
-    # window, which otherwise rotates the then-oldest cohort as usual.
+    # are registered this round too but sit OUTSIDE the window per the
+    # hygiene rule. The pre-staged backlog is now ZERO.
+    "vocab_growth",
+    "source_vocab_overlap",
+    "doc_length_equidepth_batches",
+    "equidepth_padding_efficiency",
+    "lang_classifier_audit",
+    "stream_model_scoring_audit",
+    "topic_balanced_corpus_audit",
+    # r12-cohort tail (first 43 of the 46 remaining names whose newest
+    # driver attestation is r12, in r12-window order) — 7 + 43 fill the
+    # 50 slots exactly; after this round the oracle-bearing attestation
+    # floor shrinks to the three r12 stragglers below.
     "monthly_revenue_gapfill",
     "nation_profit_by_year",
     "nation_revenue_trend",
@@ -189,9 +126,63 @@ _DRIVER_PRIORITY: list[str] = [
     "events_freq_items_audit",
     "events_daily_anomalies",
     "events_rolling_dau",
+    # ---- window boundary ----
+    # Round-18 rotation order (pre-decided): the three r12 stragglers
+    # lead, then the first 47 of the 49 r13-cohort names in r13-window
+    # order (through ann_ivf_indexed_audit) — 3 + 47 fill the 50 slots
+    # exactly; (mv_rewrite_audit, checked_write_audit) lead r19's window.
     "doc_bm25_snippets",
     "events_user_streaks",
     "events_multitouch_attribution",
+    "semantic_dedup_sweep_audit",
+    "doc_lang_logprob",
+    "training_corpus_lm_by_lang",
+    "doc_crosscorpus_logprob",
+    "semantic_dedup_incremental_audit",
+    "doc_context_windows",
+    "source_mixture_temperature",
+    "corpus_filter_waterfall",
+    "source_token_kl",
+    "revenue_pareto_share_distributed",
+    "stream_semantic_ingest_audit",
+    "doc_weighted_sample",
+    "product_pagination_keyset",
+    "dedup_overlap_coefficient",
+    "events_markov_transitions",
+    "revenue_pareto_share",
+    "order_amount_benford",
+    "customer_rfm_segments",
+    "basket_part_pairs",
+    "events_daily_paths",
+    "nation_supplier_hhi",
+    "urgent_revenue_sql",
+    "discount_quantity_correlation",
+    "customer_revenue_gini",
+    "lineitem_drift_check",
+    "ann_cosine_topk",
+    "dedup_groups",
+    "doc_profile",
+    "documents_dedup",
+    "embedding_centroids",
+    "features_zscore",
+    "nation_revenue_sql",
+    "order_priority_sql",
+    "mv_maintenance_audit",
+    "customer_fuzzy_matches",
+    "events_audience_overlap",
+    "events_audience_overlap_sketch_audit",
+    "snapshot_consistency_audit",
+    "ann_ivfpq_indexed_audit",
+    "revenue_forecast_backtest",
+    "basket_triangle_stats",
+    "lineitem_nested_roundtrip_audit",
+    "revenue_sample_estimate",
+    "dedup_duplicated_ngrams",
+    "zorder_pruning_audit",
+    "python_datasource_scan",
+    "ann_ivf_indexed_audit",
+    "mv_rewrite_audit",
+    "checked_write_audit",
 ]
 
 
