@@ -22,9 +22,12 @@ inference cannot read).
 
 Scale: ingest is O(batch) — one (id, bucket) shuffle of the BATCH plus
 two ≤4096-row aggregates; the corpus is never re-read. Model read is a
-sum over ≤4096 × n_batches delta rows (compactable by rewriting as one
-batch if n_batches ever matters). Scoring a batch against the models is
-one broadcast join + one per-id aggregation.
+sum over ≤4096 × n_batches delta rows; when n_batches matters,
+``compact_dsir_store`` folds the log back to ONE partition behind a
+generation marker (maintained ≡ batch preserved exactly, replays of
+folded ids turned into no-ops — pinned by
+``plans/pipeline/dsir.py::dsir_compaction_audit``). Scoring a batch
+against the models is one broadcast join + one per-id aggregation.
 
 The gate that defines the TARGET slice is the CALLER's input
 (``target_ids``): this module knows hashing and counting, not corpus
@@ -157,6 +160,34 @@ def dsir_score(
 # ---------------------------------------------------------------------------
 
 
+_GEN_MARKER = "_DELTA_GEN"
+
+
+def _read_gen(store_dir: str) -> tuple[int, int]:
+    """(generation, compacted_through) from the compaction marker.
+
+    (0, -1) when no marker exists — the legacy pre-compaction layout,
+    where the log lives directly in ``model_deltas`` and no batch has
+    been folded. The marker is JSON written atomically (temp +
+    ``os.replace``), flipped LAST by ``compact_dsir_store`` — the
+    versioned-sink commit discipline (sources/versioned.py)."""
+    path = os.path.join(store_dir, _GEN_MARKER)
+    if not os.path.exists(path):
+        return 0, -1
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        meta = json.load(f)
+    return int(meta["gen"]), int(meta["compacted_through"])
+
+
+def _deltas_dir(store_dir: str, gen: int) -> str:
+    """Generation g's delta-log directory; gen 0 keeps the legacy name
+    so pre-compaction stores read/write unchanged."""
+    name = _DELTAS if gen == 0 else f"{_DELTAS}.g={gen}"
+    return os.path.join(store_dir, name)
+
+
 def ingest_dsir_batch(
     store_dir: str,
     batch_id: int,
@@ -167,7 +198,16 @@ def ingest_dsir_batch(
 ) -> None:
     """Fold one document batch into the model store: O(batch) work, one
     ≤16^DSIR_HEX-row (bucket, d_cr, d_ct) delta partition. Replaying a
-    batch_id overwrites exactly its own partition (idempotent)."""
+    batch_id overwrites exactly its own partition (idempotent). After a
+    compaction, replaying an already-folded batch (id ≤ the marker's
+    ``compacted_through``) is a NO-OP — its counts live inside the
+    folded partition, so re-writing them would double-count; the marker
+    check keeps at-least-once delivery safe across compactions. New
+    batches must use ids ABOVE ``compacted_through`` (ingest order is
+    monotone by contract)."""
+    gen, through = _read_gen(store_dir)
+    if batch_id <= through:
+        return  # folded into the compacted partition — replay no-op
     # checkpoint: BOTH model deltas aggregate this relation — without it
     # the batch token scan runs twice per ingest (exchange reuse is not
     # guaranteed across differently-keyed aggregates)
@@ -190,19 +230,98 @@ def ingest_dsir_batch(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BATCH_COL)
-        .parquet(os.path.join(store_dir, _DELTAS))
+        .parquet(_deltas_dir(store_dir, gen))
     )
 
 
 def read_dsir_deltas(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The raw delta log, explicit schema (empty-store / file-less
-    partition safe)."""
-    path = os.path.join(store_dir, _DELTAS)
+    """The raw delta log (current generation), explicit schema
+    (empty-store / file-less partition safe)."""
+    gen, _ = _read_gen(store_dir)
+    path = _deltas_dir(store_dir, gen)
     if not os.path.exists(path):
         return spark.createDataFrame([], f"{_DELTA_SCHEMA}, {BATCH_COL} bigint")
     return spark.read.schema(f"{_DELTA_SCHEMA}, {BATCH_COL} bigint").parquet(
         path
     )
+
+
+def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
+    """Fold the whole delta log into ONE partition — the compaction the
+    module docstring promises ("compactable by rewriting as one batch").
+    Model reads sum ≤4096 × n_batches delta rows; a store ingesting for
+    months accumulates n_batches without bound, and with it footer-read
+    fan-out and planning overhead — the same operational decay
+    ``sources/versioned.py::compact_table`` exists for.
+
+    Commit discipline (marker-safe, the versioned-sink shape): the
+    folded ≤16^DSIR_HEX-row relation lands INVISIBLY in the next
+    generation's directory (``model_deltas.g=N``), the ``_DELTA_GEN``
+    marker flips last via atomic ``os.replace``, and only then is the
+    old generation removed — a reader resolves the marker first, so it
+    sees the old log or the new, never a double-counting union and
+    never a half-written one. Crash before the flip: the orphan
+    directory is overwritten by the next compaction attempt; the live
+    log is untouched.
+
+    The folded partition keeps ``__batch_id = max(folded ids)`` and the
+    marker records ``compacted_through`` = that id: per-bucket integer
+    sums are associative, so the post-compaction models equal the
+    pre-compaction models EXACTLY (the maintained ≡ batch contract
+    transfers through the fold), and ``ingest_dsir_batch`` turns
+    replays of folded ids into no-ops instead of double-counts.
+
+    O(log) work: one read of the ≤4096 × n_batches-row log, one
+    per-bucket sum, one ≤4096-row single-file write — the corpus is
+    never touched. Returns {'gen', 'compacted_through',
+    'partitions_before', 'rows_after', 'noop'}."""
+    import json
+    import shutil
+    import tempfile
+
+    gen, through = _read_gen(store_dir)
+    log = read_dsir_deltas(spark, store_dir)
+    ids = [r[BATCH_COL] for r in log.select(BATCH_COL).distinct().collect()]
+    if len(ids) <= 1:  # nothing to fold (empty store or already compact)
+        return {
+            "gen": gen,
+            "compacted_through": through,
+            "partitions_before": len(ids),
+            "rows_after": None,
+            "noop": True,
+        }
+    max_id = max(ids)
+    folded = (
+        log.groupBy("bucket")
+        .agg(
+            F.sum("d_cr").cast("long").alias("d_cr"),
+            F.sum("d_ct").cast("long").alias("d_ct"),
+        )
+        .withColumn(BATCH_COL, F.lit(max_id))
+        .coalesce(1)  # ≤16^DSIR_HEX rows — one file by construction
+    )
+    new_gen = gen + 1
+    new_dir = _deltas_dir(store_dir, new_gen)
+    shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a prior crash
+    folded.write.mode("overwrite").partitionBy(BATCH_COL).parquet(new_dir)
+    n_rows = (
+        spark.read.schema(f"{_DELTA_SCHEMA}, {BATCH_COL} bigint")
+        .parquet(new_dir)
+        .count()
+    )
+    # marker flips LAST, atomically — the publish point
+    fd, tmp = tempfile.mkstemp(dir=store_dir, prefix="._gen_tmp_")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump({"gen": new_gen, "compacted_through": int(max_id)}, f)
+    os.replace(tmp, os.path.join(store_dir, _GEN_MARKER))
+    shutil.rmtree(_deltas_dir(store_dir, gen), ignore_errors=True)
+    return {
+        "gen": new_gen,
+        "compacted_through": int(max_id),
+        "partitions_before": len(ids),
+        "rows_after": int(n_rows),
+        "noop": False,
+    }
 
 
 def read_dsir_models(

@@ -517,3 +517,137 @@ def dsir_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("seq_id", "doc_id", "slice_start", "slice_len", "seq_offset")
 
 
+
+
+@register("dsir_compaction_audit", oracle="""
+    SELECT TRUE AS models_survive_compaction, TRUE AS log_is_single_partition,
+           TRUE AS replay_folded_noop, TRUE AS ingest_after_compact_exact,
+           TRUE AS recompact_noop
+""")
+def dsir_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for ``compact_dsir_store`` (operators/dsir.py) —
+    the delta-log fold the store's docstring promised ("compactable by
+    rewriting as one batch"), closing the maintenance loop the
+    versioned-sink family already has (``compact_table`` /
+    ``compact_snapshot_table``). Filesystem + generation-marker effects
+    are not SQL-expressible, so the truth is the invariant set (the
+    ``dsir_incremental_audit`` mold — bounded ≤4096-row collects):
+
+    - ``models_survive_compaction``: after ingesting the corpus as
+      three batches and compacting, the store-derived (rawm, tgtm)
+      equal the pre-compaction (= batch-built) models EXACTLY — the
+      per-bucket integer fold is associative, no tolerance;
+    - ``log_is_single_partition``: the post-compaction log holds
+      exactly ONE ``__batch_id`` partition with ≤ 16^DSIR_HEX rows —
+      the O(buckets) footprint the fold exists to restore;
+    - ``replay_folded_noop``: re-ingesting an already-folded batch id
+      (at-least-once delivery straddling the compaction) changes
+      nothing — the marker's ``compacted_through`` turns it into a
+      no-op instead of a double-count;
+    - ``ingest_after_compact_exact``: a genuinely NEW batch ingested
+      after the fold lands as its own delta and the models equal the
+      batch-built models over corpus + new slice — maintenance keeps
+      its exact-integer contract ACROSS a compaction boundary;
+    - ``recompact_noop``: compacting twice in a row reports noop=True
+      the second time and leaves the models unchanged (idempotent
+      operational tooling, the compact_table expectation).
+
+    Bounds: model comparisons collect ≤4096-row relations; batch-id
+    enumeration collects ≤ n_batches rows."""
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import (
+        BATCH_COL,
+        DSIR_HEX,
+        compact_dsir_store,
+        dsir_models,
+        ingest_dsir_batch,
+        read_dsir_deltas,
+        read_dsir_models,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    tgt = _dsir_target(docs).localCheckpoint(eager=True)
+    store = tempfile.mkdtemp(prefix="spark_graft_dsir_compact_")
+
+    def _collect_models(rawm, tgtm):
+        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
+        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
+        return r, t
+
+    try:
+        for b in range(3):
+            ingest_dsir_batch(
+                store, b, docs.filter(F.col("doc_id") % 3 == b), tgt
+            )
+        before_r, before_t = _collect_models(*read_dsir_models(spark, store))
+
+        res = compact_dsir_store(spark, store)
+        after_r, after_t = _collect_models(*read_dsir_models(spark, store))
+        models_survive_compaction = (
+            not res["noop"]
+            and after_r == before_r
+            and after_t == before_t
+        )
+
+        per_batch = (
+            read_dsir_deltas(spark, store)
+            .groupBy(BATCH_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        log_is_single_partition = len(per_batch) == 1 and all(
+            r["n"] <= 16**DSIR_HEX for r in per_batch
+        )
+
+        # replay of a folded id straddles the compaction: must be a no-op
+        ingest_dsir_batch(
+            store, 1, docs.filter(F.col("doc_id") % 3 == 1), tgt
+        )
+        rp_r, rp_t = _collect_models(*read_dsir_models(spark, store))
+        replay_folded_noop = rp_r == before_r and rp_t == before_t
+
+        # a new batch (id above compacted_through) extends the store;
+        # maintained must equal batch-built over corpus + new slice
+        new_docs = docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            "source",
+            "text",
+        ).filter(F.col("doc_id") % 7 == 0)
+        ingest_dsir_batch(store, res["compacted_through"] + 1, new_docs, tgt)
+        ext_r, ext_t = _collect_models(*read_dsir_models(spark, store))
+        full = docs.select("doc_id", "source", "text").unionAll(new_docs)
+        want_r, want_t = _collect_models(
+            *dsir_models(_dsir_feature_counts(full), tgt)
+        )
+        ingest_after_compact_exact = ext_r == want_r and ext_t == want_t
+
+        # fold again (now 2 partitions: folded + the new batch), then a
+        # third compaction must be the idempotent no-op
+        res2 = compact_dsir_store(spark, store)
+        res3 = compact_dsir_store(spark, store)
+        rc_r, rc_t = _collect_models(*read_dsir_models(spark, store))
+        recompact_noop = (
+            not res2["noop"]
+            and res3["noop"]
+            and rc_r == ext_r
+            and rc_t == ext_t
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(models_survive_compaction),
+                bool(log_is_single_partition),
+                bool(replay_folded_noop),
+                bool(ingest_after_compact_exact),
+                bool(recompact_noop),
+            )
+        ],
+        "models_survive_compaction boolean, log_is_single_partition boolean, "
+        "replay_folded_noop boolean, ingest_after_compact_exact boolean, "
+        "recompact_noop boolean",
+    )

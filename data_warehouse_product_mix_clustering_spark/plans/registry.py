@@ -183,6 +183,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_indexed_audit",
     "mv_rewrite_audit",
     "checked_write_audit",
+    # New in r17 with no driver row yet (pytest-gated this round, window
+    # full): joins r19's window alongside the two names above.
+    "dsir_compaction_audit",
 ]
 
 

@@ -4081,3 +4081,66 @@ def test_asof_price_intervals_matches_pandas_merge_asof(spark):
     # The pin has teeth: multiple intervals, every fact row lands in one.
     assert len(want) >= 2
     assert sum(n for n, _, _ in want.values()) == len(fact)
+
+
+def test_dsir_compaction_audit_contract(spark):
+    """plans/pipeline/dsir.py::dsir_compaction_audit (r17) — all five
+    contract booleans TRUE at sf0.001: the delta-log fold preserves the
+    models exactly, leaves one ≤4096-row partition, turns folded-batch
+    replays into no-ops, keeps maintenance exact across the compaction
+    boundary, and is idempotent."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import dsir_compaction_audit
+
+    row = dsir_compaction_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
+
+
+def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
+    """operators/dsir.py::compact_dsir_store — the operational receipt:
+    partitions_before reflects the log, rows_after ≤ 16^DSIR_HEX, the
+    generation marker advances, and a crash orphan (a stale next-gen
+    directory from a failed prior attempt) is overwritten cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import (
+        DSIR_HEX,
+        _deltas_dir,
+        _read_gen,
+        compact_dsir_store,
+        ingest_dsir_batch,
+        read_dsir_models,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tgt = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    for b in range(2):
+        ingest_dsir_batch(store, b, docs.filter(F.col("doc_id") % 2 == b), tgt)
+
+    # plant a crash orphan where generation 1 will land
+    orphan = _deltas_dir(store, 1)
+    os.makedirs(os.path.join(orphan, "__batch_id=99"))
+
+    def _models(store_dir):
+        rawm, tgtm = read_dsir_models(spark, store_dir)
+        return (
+            {r["bucket"]: r["cr"] for r in rawm.collect()},
+            {r["bucket"]: r["ct"] for r in tgtm.collect()},
+        )
+
+    before = _models(store)
+    res = compact_dsir_store(spark, store)
+    assert res == {
+        "gen": 1,
+        "compacted_through": 1,
+        "partitions_before": 2,
+        "rows_after": res["rows_after"],
+        "noop": False,
+    }
+    assert 0 < res["rows_after"] <= 16**DSIR_HEX
+    assert _read_gen(store) == (1, 1)
+    assert not os.path.exists(_deltas_dir(store, 0))
+    assert _models(store) == before
