@@ -556,8 +556,15 @@ def _target_keep_rates(per_src: DataFrame, targets: DataFrame) -> DataFrame:
     silently (the temperature path keeps every source), so the plan
     raises at execution on the first uncovered source — a filter-guarded
     ``raise_error``, not a build-time count, so no extra job when
-    coverage holds. Inputs are dimension-sized by contract; rates
-    6-dp-snapped (the boundary-doc discipline)."""
+    coverage holds. Catalyst dependency (ADVICE r16): the guard relies
+    on EliminateOuterJoin NOT null-evaluating the predicate — it must
+    neither throw at planning time nor treat raise_error's unknown
+    nullability as null-rejecting and convert the join to Inner (which
+    would silently drop the uncovered source instead of raising).
+    Verified on the pinned PySpark 4.1.2; the regression test asserts
+    the optimized plan keeps the join LeftOuter so an optimizer upgrade
+    fails loudly rather than silently. Inputs are dimension-sized by
+    contract; rates 6-dp-snapped (the boundary-doc discipline)."""
     j = per_src.join(F.broadcast(targets), "source", "left").where(
         F.when(F.col("target_share").isNotNull(), F.lit(True)).otherwise(
             F.raise_error(

@@ -166,6 +166,10 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
         )
         return
     _PYFILES_SHIPPED.add(app_id)
+    # A shipped app no longer needs its failure history (ADVICE r16): a
+    # long-lived process cycling many SparkContexts would otherwise
+    # accumulate stale appId keys here forever.
+    _PYFILES_FAILED.pop(app_id, None)
 
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

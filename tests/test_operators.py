@@ -4056,8 +4056,15 @@ def test_asof_price_intervals_matches_pandas_merge_asof(spark):
         right_on="StartDate",
         direction="backward",
     )
+    # Mirror the reference's containment filter exactly (src/pipelines/
+    # etl.py:39-42): StartDate <= OrderDate <= EndDate. The >= StartDate
+    # term is vacuous BY CONSTRUCTION here (interval starts derive from
+    # observed order dates, so backward merge_asof always finds one),
+    # but stating it keeps this pin a literal transcription, not a
+    # simplification someone must re-derive (ADVICE r16).
     joined = joined[
-        joined.EndDate.isna() | (joined.OrderDate <= joined.EndDate)
+        (joined.OrderDate >= joined.StartDate)
+        & (joined.EndDate.isna() | (joined.OrderDate <= joined.EndDate))
     ]
     grp = joined.groupby("IntervalId")
     want = {

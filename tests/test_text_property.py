@@ -1306,6 +1306,20 @@ def test_target_keep_rates_raise_on_uncovered_source(spark):
     assert set(got) == {"web", "books", "orphan"}
     assert max(got.values()) >= 1.0
 
+    # Optimizer-version pin (ADVICE r16): the guard only works while
+    # EliminateOuterJoin declines to null-evaluate the raise_error
+    # predicate — if a Catalyst upgrade starts treating it as
+    # null-rejecting, the left join silently becomes Inner and the
+    # uncovered source vanishes instead of raising. Assert the OPTIMIZED
+    # plan keeps the join LeftOuter so that upgrade fails here, loudly.
+    optimized = (
+        _target_keep_rates(per_src, targets)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftOuter" in optimized, optimized
+
 
 def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
     """The per-language LM gate's approx scale twin
