@@ -280,6 +280,18 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
     import tempfile
 
     gen, through = _read_gen(store_dir)
+    # Sweep generations the marker no longer references: a crash between
+    # a prior flip and its old-gen removal (or before a flip) leaves an
+    # orphan directory that would otherwise persist forever. The marker
+    # is the single source of truth, so anything not current is garbage.
+    for entry in os.listdir(store_dir):
+        full = os.path.join(store_dir, entry)
+        stale_legacy = entry == _DELTAS and gen != 0
+        stale_gen = entry.startswith(f"{_DELTAS}.g=") and entry != (
+            f"{_DELTAS}.g={gen}"
+        )
+        if stale_legacy or stale_gen:
+            shutil.rmtree(full, ignore_errors=True)
     log = read_dsir_deltas(spark, store_dir)
     ids = [r[BATCH_COL] for r in log.select(BATCH_COL).distinct().collect()]
     if len(ids) <= 1:  # nothing to fold (empty store or already compact)
@@ -301,8 +313,7 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
         .coalesce(1)  # ≤16^DSIR_HEX rows — one file by construction
     )
     new_gen = gen + 1
-    new_dir = _deltas_dir(store_dir, new_gen)
-    shutil.rmtree(new_dir, ignore_errors=True)  # orphan from a prior crash
+    new_dir = _deltas_dir(store_dir, new_gen)  # swept above if a crash orphan
     folded.write.mode("overwrite").partitionBy(BATCH_COL).parquet(new_dir)
     n_rows = (
         spark.read.schema(f"{_DELTA_SCHEMA}, {BATCH_COL} bigint")

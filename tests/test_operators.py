@@ -4151,3 +4151,14 @@ def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
     assert _read_gen(store) == (1, 1)
     assert not os.path.exists(_deltas_dir(store, 0))
     assert _models(store) == before
+
+    # A crash AFTER a flip but before the old-gen removal leaves the
+    # superseded directory behind; the next compact call (here a no-op
+    # fold) must sweep it, plus any unreferenced future-gen orphan.
+    os.makedirs(os.path.join(_deltas_dir(store, 0), "__batch_id=0"))
+    os.makedirs(os.path.join(_deltas_dir(store, 5), "__batch_id=9"))
+    res2 = compact_dsir_store(spark, store)
+    assert res2["noop"] is True
+    assert not os.path.exists(_deltas_dir(store, 0))
+    assert not os.path.exists(_deltas_dir(store, 5))
+    assert _models(store) == before
