@@ -651,3 +651,138 @@ def dsir_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replay_folded_noop boolean, ingest_after_compact_exact boolean, "
         "recompact_noop boolean",
     )
+
+
+@register("stream_dsir_ingest_audit", oracle="""
+    SELECT TRUE AS streamed_matches_batch, TRUE AS scores_match_batch,
+           TRUE AS compaction_mid_stream, TRUE AS rerun_is_noop,
+           TRUE AS replay_folded_noop
+""")
+def stream_dsir_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contract audit for streaming DSIR model maintenance
+    (streaming/dsir_ingest.py) — the landing feed, the exact-integer
+    incremental store, and the generation-marker compaction composed
+    into one always-on flow (the ``stream_model_scoring_audit`` mold:
+    landing feed → availableNow drain → streamed ≡ batch):
+
+    - ``streamed_matches_batch``: after draining the corpus as three
+      mtime-ordered landing slices WITH a mid-stream compaction
+      (compact_every=2), the store-derived (rawm, tgtm) equal the
+      batch-built models over the whole corpus EXACTLY — integer
+      counts, no tolerance, the composition seams add nothing;
+    - ``scores_match_batch``: scoring the corpus against the
+      streamed-maintained models reproduces the registered
+      ``doc_dsir_weight`` output bit-for-bit (weights, rates, AND
+      selection flags);
+    - ``compaction_mid_stream``: the generation marker actually
+      advanced during the drain (gen ≥ 1, compacted_through = the
+      second batch) and the post-drain log holds FEWER delta
+      partitions than batches executed — the fold happened in the
+      loop, not in a separate maintenance pause;
+    - ``rerun_is_noop``: a second availableNow run over the same
+      checkpoint executes ZERO batches and leaves the models
+      identical;
+    - ``replay_folded_noop``: re-invoking the sink verbatim for the
+      FIRST batch (an at-least-once delivery straddling the
+      compaction) changes nothing — the marker turns the folded
+      replay into a no-op instead of a double-count.
+
+    Bounds: model comparisons collect ≤4096-row relations; the score
+    comparison collects the documents-table-sized output (bounded
+    audit ground truth, the family convention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import (
+        BATCH_COL,
+        dsir_models,
+        dsir_score,
+        read_dsir_deltas,
+        read_dsir_models,
+    )
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import _read_gen
+    from data_warehouse_product_mix_clustering_spark.sources.io import write_single_parquet_file
+    from data_warehouse_product_mix_clustering_spark.streaming.dsir_ingest import (
+        dsir_ingest_sink,
+        streaming_dsir_ingest,
+    )
+
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_dsir_")
+
+    def _collect_models(rawm, tgtm):
+        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
+        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
+        return r, t
+
+    try:
+        landing = os.path.join(root, "landing")
+        store = os.path.join(root, "store")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        os.makedirs(store)
+
+        slices = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+        paths = [os.path.join(landing, f"b{b}.parquet") for b in range(3)]
+        for df, p in zip(slices, paths):
+            write_single_parquet_file(df, p)
+        now = os.path.getmtime(paths[-1])
+        for i, p in enumerate(paths):
+            os.utime(p, (now - 10 * (len(paths) - i), now - 10 * (len(paths) - i)))
+
+        n1 = streaming_dsir_ingest(spark, landing, store, ckpt, compact_every=2)
+
+        fc = _dsir_feature_counts(docs).localCheckpoint(eager=True)
+        tgt = _dsir_target(docs)
+        want_r, want_t = _collect_models(*dsir_models(fc, tgt))
+        got_r, got_t = _collect_models(*read_dsir_models(spark, store))
+        streamed_matches_batch = n1 == 3 and got_r == want_r and got_t == want_t
+
+        rawm_s, tgtm_s = read_dsir_models(spark, store)
+        got_scores = (
+            dsir_score(docs.select("doc_id", "source"), fc, rawm_s, tgtm_s)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want_scores = (
+            doc_dsir_weight(spark, sf_dir)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        scores_match_batch = got_scores.equals(want_scores)
+
+        gen, through = _read_gen(store)
+        n_parts = (
+            read_dsir_deltas(spark, store).select(BATCH_COL).distinct().count()
+        )
+        compaction_mid_stream = gen >= 1 and through == 1 and n_parts < n1
+
+        n2 = streaming_dsir_ingest(spark, landing, store, ckpt, compact_every=2)
+        re_r, re_t = _collect_models(*read_dsir_models(spark, store))
+        rerun_is_noop = n2 == 0 and re_r == want_r and re_t == want_t
+
+        dsir_ingest_sink(spark, store, 0, slices[0], compact_every=2)
+        rp_r, rp_t = _collect_models(*read_dsir_models(spark, store))
+        replay_folded_noop = rp_r == want_r and rp_t == want_t
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                bool(streamed_matches_batch),
+                bool(scores_match_batch),
+                bool(compaction_mid_stream),
+                bool(rerun_is_noop),
+                bool(replay_folded_noop),
+            )
+        ],
+        "streamed_matches_batch boolean, scores_match_batch boolean, "
+        "compaction_mid_stream boolean, rerun_is_noop boolean, "
+        "replay_folded_noop boolean",
+    )

@@ -184,8 +184,9 @@ _DRIVER_PRIORITY: list[str] = [
     "mv_rewrite_audit",
     "checked_write_audit",
     # New in r17 with no driver row yet (pytest-gated this round, window
-    # full): joins r19's window alongside the two names above.
+    # full): join r19's window alongside the two names above.
     "dsir_compaction_audit",
+    "stream_dsir_ingest_audit",
 ]
 
 

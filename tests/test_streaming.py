@@ -863,3 +863,16 @@ def test_stream_hourly_matches_raw_parquet_python_fold(spark):
         for r in events_stream_hourly(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_stream_dsir_ingest_audit_contract(spark):
+    """plans/pipeline/dsir.py::stream_dsir_ingest_audit (r17) — all five
+    contract booleans TRUE at sf0.001: the landing-feed drain with a
+    mid-stream compaction maintains models ≡ batch exactly, scores
+    reproduce doc_dsir_weight bit-for-bit, the fold really happened in
+    the loop, the checkpointed rerun is a zero-batch no-op, and a
+    folded-batch replay cannot double-count."""
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import stream_dsir_ingest_audit
+
+    row = stream_dsir_ingest_audit(spark, SF_SMOKE).collect()[0]
+    assert all(row.asDict().values()), row.asDict()
