@@ -16,9 +16,8 @@ SQL feature engineering); extends the LLM-data-pipeline family
 (SURVEY §2.11) next to the Gopher-style repetition metrics and the
 stopword-ratio quality score.
 
-Round-11 pre-stage: registration as an oracle-bearing query is deferred
-(round 10 already carries its 10-new-query budget); the SQL twin below
-mirrors the rule verbatim so the r11 registration is a paste.
+Registered (oracle-bearing) since round 11; the SQL twin below mirrors
+the rule verbatim, which is what made that registration a paste.
 """
 
 from __future__ import annotations
