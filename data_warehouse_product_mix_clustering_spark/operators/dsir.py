@@ -163,6 +163,13 @@ def dsir_score(
 _GEN_MARKER = "_DELTA_GEN"
 
 
+def _unlink_quietly_path(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 def _read_gen(store_dir: str) -> tuple[int, int]:
     """(generation, compacted_through) from the compaction marker.
 
@@ -195,7 +202,7 @@ def ingest_dsir_batch(
     target_ids: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> bool:
     """Fold one document batch into the model store: O(batch) work, one
     ≤16^DSIR_HEX-row (bucket, d_cr, d_ct) delta partition. Replaying a
     batch_id overwrites exactly its own partition (idempotent). After a
@@ -204,10 +211,28 @@ def ingest_dsir_batch(
     folded partition, so re-writing them would double-count; the marker
     check keeps at-least-once delivery safe across compactions. New
     batches must use ids ABOVE ``compacted_through`` (ingest order is
-    monotone by contract)."""
+    monotone by contract — Structured Streaming's checkpoint guarantees
+    it; a caller that RESTARTS ids against a compacted store, e.g. by
+    pointing a fresh checkpoint at an old store dir, violates it and
+    would be silently dropped here, so the skip WARNS: a one-off
+    warning is a replay, a stream of them is the violation).
+
+    Returns True when the delta was written, False when the folded-id
+    check skipped it."""
     gen, through = _read_gen(store_dir)
     if batch_id <= through:
-        return  # folded into the compacted partition — replay no-op
+        import warnings
+
+        warnings.warn(
+            f"dsir store {store_dir}: batch {batch_id} <= "
+            f"compacted_through {through} — skipped as an already-folded "
+            f"replay. If this is a NEW batch (checkpoint reset against a "
+            f"compacted store), its data is NOT ingested; resume with ids "
+            f"above {through} or start a fresh store.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return False
     # checkpoint: BOTH model deltas aggregate this relation — without it
     # the batch token scan runs twice per ingest (exchange reuse is not
     # guaranteed across differently-keyed aggregates)
@@ -232,6 +257,7 @@ def ingest_dsir_batch(
         .partitionBy(BATCH_COL)
         .parquet(_deltas_dir(store_dir, gen))
     )
+    return True
 
 
 def read_dsir_deltas(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -256,13 +282,23 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
 
     Commit discipline (marker-safe, the versioned-sink shape): the
     folded ≤16^DSIR_HEX-row relation lands INVISIBLY in the next
-    generation's directory (``model_deltas.g=N``), the ``_DELTA_GEN``
-    marker flips last via atomic ``os.replace``, and only then is the
-    old generation removed — a reader resolves the marker first, so it
-    sees the old log or the new, never a double-counting union and
-    never a half-written one. Crash before the flip: the orphan
-    directory is overwritten by the next compaction attempt; the live
-    log is untouched.
+    generation's directory (``model_deltas.g=N``), and the
+    ``_DELTA_GEN`` marker flips last via atomic ``os.replace`` — a
+    reader resolves the marker first, so it sees the old log or the
+    new, never a double-counting union and never a half-written one.
+    Crash before the flip: the orphan directory is overwritten by the
+    next compaction attempt; the live log is untouched.
+
+    Retention (the vacuum discipline, sources/versioned.py): the
+    superseded generation is NOT deleted at flip time — Spark readers
+    resolve the marker at PLAN time but read files at ACTION time, so
+    deleting immediately would crash any in-flight job planned against
+    the old log. Each compaction instead sweeps generations older than
+    the PREVIOUS one (current−1 is retained), which keeps the window a
+    reader must finish inside at one full compaction cycle — at any
+    ``compact_every`` cadence that is many micro-batches, not
+    milliseconds. Stale marker temp files from crashed flips are swept
+    on the same pass.
 
     The folded partition keeps ``__batch_id = max(folded ids)`` and the
     marker records ``compacted_through`` = that id: per-bucket integer
@@ -280,18 +316,19 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
     import tempfile
 
     gen, through = _read_gen(store_dir)
-    # Sweep generations the marker no longer references: a crash between
-    # a prior flip and its old-gen removal (or before a flip) leaves an
-    # orphan directory that would otherwise persist forever. The marker
-    # is the single source of truth, so anything not current is garbage.
+    # Sweep everything the marker doesn't reference EXCEPT the previous
+    # generation (retained for in-flight lazy readers — docstring) plus
+    # marker temp files from crashed flips. The marker is the single
+    # source of truth; anything older than current−1 is garbage from a
+    # crash window or a superseded fold.
+    keep = {_deltas_dir(store_dir, g) for g in (gen, gen - 1) if g >= 0}
     for entry in os.listdir(store_dir):
         full = os.path.join(store_dir, entry)
-        stale_legacy = entry == _DELTAS and gen != 0
-        stale_gen = entry.startswith(f"{_DELTAS}.g=") and entry != (
-            f"{_DELTAS}.g={gen}"
-        )
-        if stale_legacy or stale_gen:
+        is_gen_dir = entry == _DELTAS or entry.startswith(f"{_DELTAS}.g=")
+        if is_gen_dir and full not in keep:
             shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith("._gen_tmp_"):
+            _unlink_quietly_path(full)
     log = read_dsir_deltas(spark, store_dir)
     ids = [r[BATCH_COL] for r in log.select(BATCH_COL).distinct().collect()]
     if len(ids) <= 1:  # nothing to fold (empty store or already compact)
@@ -325,7 +362,8 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
     with os.fdopen(fd, "w", encoding="utf-8") as f:
         json.dump({"gen": new_gen, "compacted_through": int(max_id)}, f)
     os.replace(tmp, os.path.join(store_dir, _GEN_MARKER))
-    shutil.rmtree(_deltas_dir(store_dir, gen), ignore_errors=True)
+    # The superseded generation (now current−1) is retained for
+    # in-flight readers; the NEXT compaction's sweep removes it.
     return {
         "gen": new_gen,
         "compacted_through": int(max_id),

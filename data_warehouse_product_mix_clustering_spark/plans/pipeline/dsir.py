@@ -200,6 +200,14 @@ def training_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collect_models(rawm, tgtm):
+    """Driver-side model snapshot for the DSIR audits — two ≤4096-row
+    collects (the fixed 16^DSIR_HEX feature space bounds both)."""
+    r = {row["bucket"]: row["cr"] for row in rawm.collect()}
+    t = {row["bucket"]: row["ct"] for row in tgtm.collect()}
+    return r, t
+
+
 @register("dsir_incremental_audit", oracle="""
     SELECT TRUE AS models_match_batch, TRUE AS scores_match_batch,
            TRUE AS replay_idempotent, TRUE AS empty_batch_noop,
@@ -245,11 +253,6 @@ def dsir_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     tgt = _dsir_target(docs).localCheckpoint(eager=True)
     store = tempfile.mkdtemp(prefix="spark_graft_dsir_store_")
-
-    def _collect_models(rawm, tgtm):
-        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
-        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
-        return r, t
 
     try:
         for b in range(3):
@@ -571,11 +574,6 @@ def dsir_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _dsir_target(docs).localCheckpoint(eager=True)
     store = tempfile.mkdtemp(prefix="spark_graft_dsir_compact_")
 
-    def _collect_models(rawm, tgtm):
-        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
-        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
-        return r, t
-
     try:
         for b in range(3):
             ingest_dsir_batch(
@@ -712,11 +710,6 @@ def stream_dsir_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"
     )
     root = tempfile.mkdtemp(prefix="spark_graft_stream_dsir_")
-
-    def _collect_models(rawm, tgtm):
-        r = {row["bucket"]: row["cr"] for row in rawm.collect()}  # ≤4096
-        t = {row["bucket"]: row["ct"] for row in tgtm.collect()}  # ≤4096
-        return r, t
 
     try:
         landing = os.path.join(root, "landing")

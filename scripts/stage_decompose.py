@@ -70,6 +70,9 @@ def main() -> None:
 
     walls: dict[str, float] = {}
     for name in names:
+        # warm pass under its OWN group — otherwise its stages would be
+        # attributed to the PREVIOUS query's timed table
+        sc.setJobGroup(f"warm:{name}", f"warm {name}")
         _force(qs[name].fn(spark, SF_DIR))  # per-query warm pass (untimed)
         sc.setJobGroup(f"q:{name}", name)
         t0 = time.perf_counter()
@@ -128,7 +131,13 @@ def main() -> None:
                 st["shuffle_write"] = st.get("shuffle_write", 0) + sw.get(
                     "Shuffle Bytes Written", 0
                 )
+                # Run Time = task wall (incl. I/O + fetch wait + GC), ms;
+                # CPU Time = on-CPU only, NANOseconds. Report both — their
+                # gap is what separates compute-bound from blocked stages.
                 st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
+                st["cpu_ms"] = st.get("cpu_ms", 0) + m.get(
+                    "Executor CPU Time", 0
+                ) // 1_000_000
 
     result: dict[str, dict] = {}
     for name in names:
@@ -138,13 +147,13 @@ def main() -> None:
             if stage_to_group.get(sid) == f"q:{name}" and "wall_ms" in st
         ]
         print(f"\n== {name}: end-to-end {walls[name]} s ==")
-        print(f"{'stage':>5} {'wall ms':>8} {'cpu ms':>8} {'tasks':>5} "
-              f"{'shuf R MB':>9} {'shuf W MB':>9}  name")
+        print(f"{'stage':>5} {'wall ms':>8} {'run ms':>8} {'cpu ms':>8} "
+              f"{'tasks':>5} {'shuf R MB':>9} {'shuf W MB':>9}  name")
         qstages = []
         for sid, st in rows:
             print(
                 f"{sid:>5} {st['wall_ms']:>8} {st.get('run_ms', 0):>8} "
-                f"{st.get('tasks', 0):>5} "
+                f"{st.get('cpu_ms', 0):>8} {st.get('tasks', 0):>5} "
                 f"{st.get('shuffle_read', 0) / 1e6:>9.1f} "
                 f"{st.get('shuffle_write', 0) / 1e6:>9.1f}  {st['name']}"
             )
@@ -152,7 +161,8 @@ def main() -> None:
                 {
                     "stage": sid,
                     "wall_ms": st["wall_ms"],
-                    "cpu_ms": st.get("run_ms", 0),
+                    "run_ms": st.get("run_ms", 0),
+                    "cpu_ms": st.get("cpu_ms", 0),
                     "tasks": st.get("tasks", 0),
                     "shuffle_read_mb": round(st.get("shuffle_read", 0) / 1e6, 1),
                     "shuffle_write_mb": round(st.get("shuffle_write", 0) / 1e6, 1),

@@ -4105,8 +4105,10 @@ def test_dsir_compaction_audit_contract(spark):
 def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
     """operators/dsir.py::compact_dsir_store — the operational receipt:
     partitions_before reflects the log, rows_after ≤ 16^DSIR_HEX, the
-    generation marker advances, and a crash orphan (a stale next-gen
-    directory from a failed prior attempt) is overwritten cleanly."""
+    generation marker advances, a crash orphan (a stale next-gen
+    directory from a failed prior attempt) is overwritten cleanly, the
+    PREVIOUS generation is retained for in-flight lazy readers, and the
+    sweep clears everything older plus marker temp litter."""
     import os
 
     from pyspark.sql import functions as F
@@ -4125,11 +4127,16 @@ def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
     store = str(tmp_path / "store")
     os.makedirs(store)
     for b in range(2):
-        ingest_dsir_batch(store, b, docs.filter(F.col("doc_id") % 2 == b), tgt)
+        assert ingest_dsir_batch(
+            store, b, docs.filter(F.col("doc_id") % 2 == b), tgt
+        )
 
-    # plant a crash orphan where generation 1 will land
+    # plant a crash orphan where generation 1 will land, plus marker
+    # temp litter from a hypothetical crashed flip
     orphan = _deltas_dir(store, 1)
     os.makedirs(os.path.join(orphan, "__batch_id=99"))
+    litter = os.path.join(store, "._gen_tmp_crashed")
+    open(litter, "w").close()
 
     def _models(store_dir):
         rawm, tgtm = read_dsir_models(spark, store_dir)
@@ -4139,6 +4146,9 @@ def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
         )
 
     before = _models(store)
+    # A lazy reader planned BEFORE the compaction must still execute
+    # after it (plan-time marker resolution vs action-time file reads).
+    rawm_inflight, _ = read_dsir_models(spark, store)
     res = compact_dsir_store(spark, store)
     assert res == {
         "gen": 1,
@@ -4149,16 +4159,30 @@ def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
     }
     assert 0 < res["rows_after"] <= 16**DSIR_HEX
     assert _read_gen(store) == (1, 1)
-    assert not os.path.exists(_deltas_dir(store, 0))
+    assert not os.path.exists(litter)
+    # retention: the superseded generation survives one compaction...
+    assert os.path.exists(_deltas_dir(store, 0))
+    assert {r["bucket"]: r["cr"] for r in rawm_inflight.collect()} == before[0]
     assert _models(store) == before
 
-    # A crash AFTER a flip but before the old-gen removal leaves the
-    # superseded directory behind; the next compact call (here a no-op
-    # fold) must sweep it, plus any unreferenced future-gen orphan.
-    os.makedirs(os.path.join(_deltas_dir(store, 0), "__batch_id=0"))
+    # ...and anything older than current−1 is swept by the next call
+    # (here a no-op fold), along with unreferenced future-gen orphans.
     os.makedirs(os.path.join(_deltas_dir(store, 5), "__batch_id=9"))
     res2 = compact_dsir_store(spark, store)
     assert res2["noop"] is True
-    assert not os.path.exists(_deltas_dir(store, 0))
+    assert os.path.exists(_deltas_dir(store, 0))  # still the previous gen
     assert not os.path.exists(_deltas_dir(store, 5))
+    assert _models(store) == before
+
+    # A folded-id replay is skipped WITH a warning (the id-restart
+    # tripwire), and reports the skip in its return value.
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        wrote = ingest_dsir_batch(
+            store, 0, docs.filter(F.col("doc_id") % 2 == 0), tgt
+        )
+    assert wrote is False
+    assert any("compacted_through" in str(w.message) for w in rec)
     assert _models(store) == before
