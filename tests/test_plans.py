@@ -1178,9 +1178,9 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-16 window is exactly 10 new + 36 r11-cohort + 4 r12-cohort
-    names, every window slot is oracle-bearing (VERDICT r13 hygiene
-    rule: rows-only names cannot earn hash rows and stay out of
+    round-17 window is exactly 7 observability-tail names + 43
+    r12-cohort names, every window slot is oracle-bearing (VERDICT r13
+    hygiene rule: rows-only names cannot earn hash rows and stay out of
     windows), and the in-window boundary names are the documented ones."""
     from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
 
@@ -1191,15 +1191,19 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "doc_context_windows_eod",
-        "doc_dsir_weight",
-        "training_corpus_dsir",
+        "vocab_growth",
+        "source_vocab_overlap",
+        "doc_length_equidepth_batches",
     ]
-    assert window[9] == "quality_model_serving_audit"
-    assert window[10] == "asof_price_intervals"  # r11-cohort tail starts
-    assert window[45] == "untapped_customer_balance"  # r11-cohort tail ends
-    assert window[46] == "doc_bigram_logprob"  # r12-cohort head starts
-    assert window[49] == "media_wav_metadata"
+    assert window[6] == "topic_balanced_corpus_audit"  # last r17 name
+    assert window[7] == "monthly_revenue_gapfill"  # r12-cohort tail starts
+    assert window[49] == "events_rolling_dau"  # 43rd r12-cohort name
+    # the three r12 stragglers lead the pre-decided r18 window
+    assert _DRIVER_PRIORITY[50:53] == [
+        "doc_bm25_snippets",
+        "events_user_streaks",
+        "events_multitouch_attribution",
+    ]
     rows_only_in_window = [n for n in window if qs[n].oracle is None]
     assert not rows_only_in_window, rows_only_in_window
 
