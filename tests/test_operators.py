@@ -4186,3 +4186,87 @@ def test_dsir_compact_store_marker_and_counts(spark, tmp_path):
     assert wrote is False
     assert any("compacted_through" in str(w.message) for w in rec)
     assert _models(store) == before
+
+
+def test_dsir_fold_exact_under_random_splits_and_repeated_compaction(spark):
+    """Property pin for the compaction fold: per-bucket integer sums are
+    associative, so ANY batch partitioning of the corpus, compacted
+    after EVERY ingest (the most aggressive cadence — four sequential
+    generation advances), must still yield models identical to the
+    single-batch build. Also pins the retention window arithmetic:
+    after k compactions only the current and previous generation
+    directories remain on disk."""
+    import os
+    import tempfile
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.operators.dsir import (
+        _deltas_dir,
+        _read_gen,
+        compact_dsir_store,
+        dsir_models,
+        feature_counts,
+        ingest_dsir_batch,
+        read_dsir_models,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tgt = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+
+    def _models(rawm, tgtm):
+        return (
+            {r["bucket"]: r["cr"] for r in rawm.collect()},
+            {r["bucket"]: r["ct"] for r in tgtm.collect()},
+        )
+
+    want = _models(*dsir_models(feature_counts(docs), tgt))
+
+    for seed in (7, 23):
+        store = tempfile.mkdtemp(prefix=f"spark_graft_dsir_prop_{seed}_")
+        try:
+            # seeded pseudo-random 4-way split (md5 of doc_id ++ seed)
+            bucketed = docs.withColumn(
+                "__b",
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("doc_id"), F.lit(seed))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4,
+            )
+            n_gens = 0
+            for b in range(4):
+                batch = bucketed.filter(F.col("__b") == b).drop("__b")
+                ingest_dsir_batch(store, b, batch, tgt)
+                res = compact_dsir_store(spark, store)
+                if not res["noop"]:
+                    n_gens = res["gen"]
+            got = _models(*read_dsir_models(spark, store))
+            assert got == want, f"seed {seed}: fold diverged from batch"
+            gen, _ = _read_gen(store)
+            assert gen == n_gens >= 2
+            present = {
+                e
+                for e in os.listdir(store)
+                if e == "model_deltas" or e.startswith("model_deltas.g=")
+            }
+            # The sweep runs at compact START, so immediately after a
+            # flip at most THREE generations exist: current (just
+            # written), current−1 (retained for in-flight readers), and
+            # current−2 (was retained by this compact's own sweep; the
+            # NEXT compact removes it). Anything older must be gone.
+            must = {
+                os.path.basename(_deltas_dir(store, g)) for g in (gen, gen - 1)
+            }
+            allowed = must | {os.path.basename(_deltas_dir(store, gen - 2))}
+            assert must <= present <= allowed, (present, must, allowed)
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
