@@ -4270,3 +4270,99 @@ def test_dsir_fold_exact_under_random_splits_and_repeated_compaction(spark):
             assert must <= present <= allowed, (present, must, allowed)
         finally:
             shutil.rmtree(store, ignore_errors=True)
+
+
+def test_observability_family_matches_raw_parquet_python_fold(spark):
+    """THIRD-PATH pin for the r17 observability registrations:
+    ``vocab_growth`` (the Heaps-law decile table) and
+    ``source_vocab_overlap`` (pairwise source-vocab Jaccard) recomputed
+    from the RAW parquet with plain python dict/set folds — pyarrow
+    reader, str.split() whitespace tokens, the exact-integer ntile twin,
+    the 6-dp ratio twin; no Spark relational code, no DuckDB. Pins the
+    first-occurrence trick (distinct-per-prefix ≡ running sum of
+    first-occurrence counts), the nonempty-docs-only decile base, and
+    the unordered-pair orientation."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_product_mix_clustering_spark.operators.packing import ntile_from_rank_py
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        source_vocab_overlap,
+        vocab_growth,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline.observability import VOCAB_DECILES
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import ratio_round_py
+
+    tbl = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    rows = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("source").to_pylist(),
+        )
+    )
+
+    # -- vocab_growth --
+    toks = {d: t.strip().split() for d, t, _ in rows}
+    first_doc: dict[str, int] = {}
+    occurrences: dict[str, int] = {}
+    for d in sorted(toks):
+        for w in toks[d]:
+            occurrences[w] = occurrences.get(w, 0) + 1
+            if w not in first_doc or d < first_doc[w]:
+                first_doc[w] = d
+    nonempty = sorted(d for d, t in toks.items() if t)
+    decile_of = {
+        d: ntile_from_rank_py(i + 1, len(nonempty), VOCAB_DECILES)
+        for i, d in enumerate(nonempty)
+    }
+    per = {q: [0, 0] for q in range(1, VOCAB_DECILES + 1)}
+    for w, d in first_doc.items():
+        q = decile_of[d]
+        per[q][0] += 1
+        per[q][1] += occurrences[w]
+    want_vg, cum = {}, 0
+    for q in range(1, VOCAB_DECILES + 1):
+        cum += per[q][0]
+        want_vg[q] = (per[q][0], per[q][1], cum)
+    got_vg = {
+        int(r["decile"]): (
+            int(r["new_words"]),
+            int(r["new_word_occurrences"]),
+            int(r["vocab_size"]),
+        )
+        for r in vocab_growth(spark, SF_SMOKE).collect()
+    }
+    assert got_vg == want_vg
+    assert sum(n for n, _, _ in want_vg.values()) == len(first_doc)
+
+    # -- source_vocab_overlap --
+    vocab: dict[str, set] = {}
+    for d, t, s in rows:
+        vocab.setdefault(s, set()).update(toks[d])
+    srcs = sorted(vocab)
+    want_ov = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue  # the oracle's inner join drops empty pairs
+            union = len(vocab[a]) + len(vocab[b]) - inter
+            want_ov[(a, b)] = (
+                len(vocab[a]),
+                len(vocab[b]),
+                inter,
+                ratio_round_py(inter / union),
+            )
+    got_ov = {
+        (r["source_a"], r["source_b"]): (
+            int(r["vocab_a"]),
+            int(r["vocab_b"]),
+            int(r["n_shared"]),
+            float(r["vocab_jaccard"]),
+        )
+        for r in source_vocab_overlap(spark, SF_SMOKE).collect()
+    }
+    assert got_ov == want_ov
+    assert want_ov, "no overlapping source pairs — data no longer exercises this"
