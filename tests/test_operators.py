@@ -4366,3 +4366,89 @@ def test_observability_family_matches_raw_parquet_python_fold(spark):
     }
     assert got_ov == want_ov
     assert want_ov, "no overlapping source pairs — data no longer exercises this"
+
+
+def test_equidepth_batching_matches_raw_parquet_python_fold(spark):
+    """THIRD-PATH pin for the equi-depth batching pair (r17):
+    ``doc_length_equidepth_batches`` and its per-bucket rollup
+    ``equidepth_padding_efficiency`` recomputed from raw parquet with a
+    plain python sort + the integer ntile twin — pins the total
+    (n_tokens, doc_id) order, the per-bucket pad-to-own-max rule, the
+    in-bucket batch cut, and the fill-ratio arithmetic independently of
+    both engines."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_product_mix_clustering_spark.operators.packing import ntile_from_rank_py
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline import (
+        doc_length_equidepth_batches,
+        equidepth_padding_efficiency,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline.packing import (
+        _BATCH_SIZE,
+        EQUIDEPTH_K,
+    )
+    from data_warehouse_product_mix_clustering_spark.plans.similarity import ratio_round_py
+
+    tbl = pq.read_table(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sized = sorted(
+        (len(t.strip().split()), d)
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+    )
+    n = len(sized)
+    plan = {}
+    start_rk: dict[int, int] = {}
+    pad: dict[int, int] = {}
+    for i, (ntok, d) in enumerate(sized):
+        rk = i + 1
+        b = ntile_from_rank_py(rk, n, EQUIDEPTH_K)
+        start_rk.setdefault(b, rk)
+        pad[b] = max(pad.get(b, 0), ntok)
+        plan[d] = (ntok, b, rk)
+    want = {
+        d: (ntok, b, pad[b], (rk - start_rk[b]) // _BATCH_SIZE)
+        for d, (ntok, b, rk) in plan.items()
+    }
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_tokens"]),
+            int(r["bucket_id"]),
+            int(r["pad_len"]),
+            int(r["batch_id"]),
+        )
+        for r in doc_length_equidepth_batches(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # rollup: per (bucket, pad_len) batch/doc/token/padding accounting
+    roll: dict[tuple, list] = {}
+    for d, (ntok, b, pl, bid) in want.items():
+        acc = roll.setdefault((b, pl), [set(), 0, 0])
+        acc[0].add(bid)
+        acc[1] += 1
+        acc[2] += ntok
+    want_eff = {
+        k: (
+            len(bids),
+            ndocs,
+            real,
+            ndocs * k[1],
+            ratio_round_py(real / (ndocs * k[1])),
+        )
+        for k, (bids, ndocs, real) in roll.items()
+    }
+    got_eff = {
+        (int(r["bucket_id"]), int(r["pad_len"])): (
+            int(r["n_batches"]),
+            int(r["n_docs"]),
+            int(r["real_tokens"]),
+            int(r["padded_tokens"]),
+            float(r["fill_ratio"]),
+        )
+        for r in equidepth_padding_efficiency(spark, SF_SMOKE).collect()
+    }
+    assert got_eff == want_eff
+    assert len(want_eff) >= 2
