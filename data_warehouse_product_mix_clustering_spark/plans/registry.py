@@ -59,78 +59,19 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-17 window (positions 0-49) ----
+    # ---- Round-18 window (positions 0-49) ----
     # Rotation hygiene (VERDICT r13 "What's wrong" #2, standing): rows-only
     # names are EXCLUDED from driver windows — they can only produce
     # `err: no_oracle` rows; their contracts ride the adjacent green
     # oracle-bearing audits. All registered rows-only queries stay
     # reachable by name and in the full sweep.
     #
-    # New in round 17 — the LAST seven oracle-bearing names of the
-    # pre-staged backlog (the observability tail), in the order the r16
-    # registry comment fixed; the three rows-only companions
-    # (doc_quality_classifier, doc_lang_classifier, topic_balanced_corpus)
-    # are registered this round too but sit OUTSIDE the window per the
-    # hygiene rule. The pre-staged backlog is now ZERO.
-    "vocab_growth",
-    "source_vocab_overlap",
-    "doc_length_equidepth_batches",
-    "equidepth_padding_efficiency",
-    "lang_classifier_audit",
-    "stream_model_scoring_audit",
-    "topic_balanced_corpus_audit",
-    # r12-cohort tail (first 43 of the 46 remaining names whose newest
-    # driver attestation is r12, in r12-window order) — 7 + 43 fill the
-    # 50 slots exactly; after this round the oracle-bearing attestation
-    # floor shrinks to the three r12 stragglers below.
-    "monthly_revenue_gapfill",
-    "nation_profit_by_year",
-    "nation_revenue_trend",
-    "per_source_sample",
-    "product_features",
-    "product_fuzzy_search",
-    "product_monthly_ffill",
-    "referential_integrity",
-    "returnflag_metrics_unpivot",
-    "returnflag_robust_stats",
-    "revenue_mom_growth",
-    "sequence_cluster_audit",
-    "shard_packing",
-    "small_quantity_part_revenue",
-    "source_mixture_weights",
-    "training_corpus_sharded",
-    "volume_shipping_nations",
-    "waiting_orders_by_supplier",
-    "refresh_rollup_audit",
-    "stream_quarantine_audit",
-    "events_rolling_dau_approx_audit",
-    "refresh_tombstone_audit",
-    "doc_bm25_indexed_search",
-    "postings_incremental_audit",
-    "merge_upsert_audit",
-    "time_travel_audit",
-    "jdbc_roundtrip_audit",
-    "min_cost_supplier",
-    "returned_item_customers",
-    "important_supply_value",
-    "late_shipment_priority",
-    "customer_order_distribution",
-    "supplier_variety",
-    "disjunctive_bracket_revenue",
-    "dominant_suppliers",
-    "dedup_incremental_exact",
-    "dedup_incremental_ngram",
-    "lateral_top_suppliers",
-    "doc_bm25_search",
-    "doc_hybrid_rrf",
-    "events_freq_items_audit",
-    "events_daily_anomalies",
-    "events_rolling_dau",
-    # ---- window boundary ----
-    # Round-18 rotation order (pre-decided): the three r12 stragglers
-    # lead, then the first 47 of the 49 r13-cohort names in r13-window
-    # order (through ann_ivf_indexed_audit) — 3 + 47 fill the 50 slots
-    # exactly; (mv_rewrite_audit, checked_write_audit) lead r19's window.
+    # Exactly as pre-decided in the r17 registry tail (and pinned by the
+    # r17 VERDICT brief #2): the three r12 stragglers lead, then the
+    # first 47 of the 49 r13-cohort names in r13-window order (through
+    # ann_ivf_indexed_audit) — 3 + 47 fill the 50 slots exactly. After
+    # this round the oracle-bearing attestation floor rises to r13
+    # (exactly the two r13 leftovers below the boundary).
     "doc_bm25_snippets",
     "events_user_streaks",
     "events_multitouch_attribution",
@@ -181,12 +122,65 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_pruning_audit",
     "python_datasource_scan",
     "ann_ivf_indexed_audit",
+    # ---- window boundary ----
+    # Round-19 rotation order (pre-decided): the two r13-cohort leftovers
+    # lead, then the two r17-registered audits still without a driver row
+    # (dsir_compaction_audit, stream_dsir_ingest_audit — VERDICT r17
+    # Missing #1 queues them here; pytest- + sweep-gated meanwhile), then
+    # the first 46 of the 50 r14-cohort names in r14-window order
+    # (through quarterly_running_revenue) — 2 + 2 + 46 fill the 50 slots
+    # exactly; (quarterly_sequences, returnflag_priority_split,
+    # sequence_arrays, sequence_embeddings) lead r20's window.
     "mv_rewrite_audit",
     "checked_write_audit",
-    # New in r17 with no driver row yet (pytest-gated this round, window
-    # full): join r19's window alongside the two names above.
     "dsir_compaction_audit",
     "stream_dsir_ingest_audit",
+    "stream_gated_corpus_audit",
+    "training_corpus_resampled",
+    "training_corpus_resampled_repeats",
+    "training_corpus_interleaved",
+    "doc_length_bucket_batches",
+    "batch_padding_efficiency",
+    "corpus_filter_waterfall_by_source",
+    "doc_context_windows_bpe_audit",
+    "training_recipe_manifest_audit",
+    "customer_revenue_gini_distributed",
+    "basket_pagerank_audit",
+    "lineitem_replica_checksum",
+    "ann_recall_audit",
+    "category_rollup",
+    "contamination_check",
+    "cube_category_priority",
+    "customer_value_quartiles",
+    "dedup_best_of_group",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dim_date_intervals",
+    "doc_bpe_tokens",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_split",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_top_terms",
+    "events_stream_dedup",
+    "ann_index_incremental_audit",
+    "dedup_span_scrub",
+    "stream_refresh_audit",
+    "table_compaction_audit",
+    "dedup_minhash_index_audit",
+    "table_stats_audit",
+    "training_corpus_scrubbed",
+    "bpe_train_audit",
+    "bpe_encode_audit",
+    "interval_join_per_product",
+    "media_metadata",
+    "order_priority_check",
+    "order_value_histogram",
+    "pivot_category_priority",
+    "quarterly_running_revenue",
 ]
 
 

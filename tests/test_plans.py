@@ -1178,10 +1178,11 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-17 window is exactly 7 observability-tail names + 43
-    r12-cohort names, every window slot is oracle-bearing (VERDICT r13
-    hygiene rule: rows-only names cannot earn hash rows and stay out of
-    windows), and the in-window boundary names are the documented ones."""
+    round-18 window is exactly the 3 r12 stragglers + 47 r13-cohort
+    names as pre-decided in the r17 registry tail, every window slot is
+    oracle-bearing (VERDICT r13 hygiene rule: rows-only names cannot
+    earn hash rows and stay out of windows), and the in-window boundary
+    names are the documented ones."""
     from data_warehouse_product_mix_clustering_spark.plans.registry import _DRIVER_PRIORITY, all_queries
 
     qs = all_queries()
@@ -1191,19 +1192,22 @@ def test_driver_priority_window_composition():
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
     assert window[:3] == [
-        "vocab_growth",
-        "source_vocab_overlap",
-        "doc_length_equidepth_batches",
-    ]
-    assert window[6] == "topic_balanced_corpus_audit"  # last r17 name
-    assert window[7] == "monthly_revenue_gapfill"  # r12-cohort tail starts
-    assert window[49] == "events_rolling_dau"  # 43rd r12-cohort name
-    # the three r12 stragglers lead the pre-decided r18 window
-    assert _DRIVER_PRIORITY[50:53] == [
         "doc_bm25_snippets",
         "events_user_streaks",
         "events_multitouch_attribution",
     ]
+    assert window[3] == "semantic_dedup_sweep_audit"  # r13 cohort starts
+    assert window[49] == "ann_ivf_indexed_audit"  # 47th r13-cohort name
+    # the pre-decided r19 window leads the tail: the two r13-cohort
+    # leftovers, then the two r17-registered audits without a driver row
+    assert _DRIVER_PRIORITY[50:54] == [
+        "mv_rewrite_audit",
+        "checked_write_audit",
+        "dsir_compaction_audit",
+        "stream_dsir_ingest_audit",
+    ]
+    assert _DRIVER_PRIORITY[54] == "stream_gated_corpus_audit"  # r14 cohort
+    assert len(_DRIVER_PRIORITY) == 100  # r18 window + full r19 window
     rows_only_in_window = [n for n in window if qs[n].oracle is None]
     assert not rows_only_in_window, rows_only_in_window
 
