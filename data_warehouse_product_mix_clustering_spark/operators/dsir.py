@@ -217,6 +217,21 @@ def ingest_dsir_batch(
     would be silently dropped here, so the skip WARNS: a one-off
     warning is a replay, a stream of them is the violation).
 
+    Writer discipline (ADVICE r17 #1): the intended deployment is a
+    SINGLE writer that both ingests and compacts in the same loop
+    (streaming/dsir_ingest.py) — then ingest and compaction never
+    overlap by construction. An out-of-band ``compact_dsir_store``
+    (operational tooling against a live store) could still flip the
+    generation marker between this function's entry and its delta
+    write, stranding the delta in the superseded directory that the
+    next compaction sweeps — a silently lost batch. Guarded here: the
+    marker is RE-READ after the write; if the generation advanced and
+    the concurrent fold did not include this batch (its
+    ``compacted_through`` is below ``batch_id`` — under the monotone-id
+    contract this id is the largest live one, so a fold that saw the
+    delta records ``compacted_through >= batch_id``), the delta is
+    re-written into the new generation's directory and re-checked.
+
     Returns True when the delta was written, False when the folded-id
     check skipped it."""
     gen, through = _read_gen(store_dir)
@@ -250,14 +265,30 @@ def ingest_dsir_batch(
         "d_cr",
         F.coalesce(F.col("d_ct"), F.lit(0)).cast("long").alias("d_ct"),
     )
-    (
-        delta.withColumn(BATCH_COL, F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BATCH_COL)
-        .parquet(_deltas_dir(store_dir, gen))
+    for _ in range(3):
+        (
+            delta.withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BATCH_COL)
+            .parquet(_deltas_dir(store_dir, gen))
+        )
+        # Concurrent out-of-band compaction guard (docstring): re-read
+        # the marker. Unchanged generation, or a fold whose
+        # compacted_through covers this id (it read the delta), means
+        # the write is live; otherwise the delta sits in a superseded
+        # directory — re-write it into the current generation.
+        new_gen, new_through = _read_gen(store_dir)
+        if new_gen == gen or new_through >= batch_id:
+            return True
+        gen = new_gen
+    raise RuntimeError(
+        f"dsir store {store_dir}: batch {batch_id} delta superseded by "
+        "concurrent compactions 3 times in a row — compaction is racing "
+        "ingest far faster than the single-writer deployment contract "
+        "allows; stop the out-of-band compactor or fold compaction into "
+        "the ingest loop (streaming/dsir_ingest.py)."
     )
-    return True
 
 
 def read_dsir_deltas(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -294,11 +325,14 @@ def compact_dsir_store(spark: SparkSession, store_dir: str) -> dict:
     resolve the marker at PLAN time but read files at ACTION time, so
     deleting immediately would crash any in-flight job planned against
     the old log. Each compaction instead sweeps generations older than
-    the PREVIOUS one (current−1 is retained), which keeps the window a
-    reader must finish inside at one full compaction cycle — at any
-    ``compact_every`` cadence that is many micro-batches, not
-    milliseconds. Stale marker temp files from crashed flips are swept
-    on the same pass.
+    the PREVIOUS one (current−1 is retained), so a lazy reader must
+    reach its action within ONE compaction interval of planning
+    (ADVICE r17 #2: at the ``compact_every=2`` cadence the shipped
+    audits and sink use, that interval is two micro-batches — a plan
+    held across more than that must ``collect``/``localCheckpoint``
+    first, or the store must be compacted on a coarser cadence sized
+    to its slowest reader). Stale marker temp files from crashed flips
+    are swept on the same pass.
 
     The folded partition keeps ``__batch_id = max(folded ids)`` and the
     marker records ``compacted_through`` = that id: per-bucket integer

@@ -61,7 +61,15 @@ def dsir_ingest_sink(
     ``compact_every`` batches. Idempotent under replay in every window
     (module docstring) — a re-delivered batch either rewrites its own
     delta identically or no-ops against the marker, and the trailing
-    compact degenerates to a no-op fold of a single partition."""
+    compact degenerates to a no-op fold of a single partition.
+
+    This in-loop shape IS the store's single-writer deployment
+    contract (ADVICE r17 #1): ingest and compaction run sequentially
+    in one sink, so they never overlap. Readers of a store compacted
+    on this cadence must materialize within one compaction interval of
+    planning (``compact_dsir_store`` retention docstring) — size
+    ``compact_every`` to the slowest concurrent reader, or leave it
+    None and compact out-of-band during a feed pause."""
     from data_warehouse_product_mix_clustering_spark.operators.dsir import (
         compact_dsir_store,
         ingest_dsir_batch,

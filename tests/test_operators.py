@@ -4452,3 +4452,70 @@ def test_equidepth_batching_matches_raw_parquet_python_fold(spark):
     }
     assert got_eff == want_eff
     assert len(want_eff) >= 2
+
+
+def test_dsir_ingest_survives_concurrent_out_of_band_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17 #1 guard: an out-of-band compact_dsir_store flipping
+    the generation marker between ingest_dsir_batch's entry and its
+    delta write used to strand the delta in the superseded directory
+    (silently lost at the next sweep). The guard re-reads the marker
+    after the write and re-writes the delta into the new generation.
+    Simulated physically: the post-write marker read finds a store a
+    concurrent compactor flipped to gen 1 having folded ONLY batch 0
+    (it read the log before batch 1's delta landed), so batch 1's
+    delta sits stranded in gen 0 — the retry must land it in gen 1 and
+    the maintained models must equal the batch-built ones exactly."""
+    import json
+    import os
+    import shutil
+
+    import data_warehouse_product_mix_clustering_spark.operators.dsir as dsir
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tgt = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    assert dsir.ingest_dsir_batch(store, 0, b0, tgt)
+
+    real = dsir._read_gen
+    state = {"calls": 0}
+
+    def racing_read_gen(store_dir):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # batch 1's POST-write check: emulate the out-of-band
+            # compactor having read the log BEFORE that write — fold
+            # exactly batch 0 into gen 1 and flip the marker
+            g1 = dsir._deltas_dir(store_dir, 1)
+            shutil.copytree(
+                os.path.join(dsir._deltas_dir(store_dir, 0), "__batch_id=0"),
+                os.path.join(g1, "__batch_id=0"),
+            )
+            with open(
+                os.path.join(store_dir, dsir._GEN_MARKER), "w",
+                encoding="utf-8",
+            ) as f:
+                json.dump({"gen": 1, "compacted_through": 0}, f)
+        return real(store_dir)
+
+    monkeypatch.setattr(dsir, "_read_gen", racing_read_gen)
+    assert dsir.ingest_dsir_batch(store, 1, b1, tgt)  # entry=call 1
+    monkeypatch.setattr(dsir, "_read_gen", real)
+
+    assert state["calls"] >= 3  # entry, raced post-write, retry post-write
+    # the retry landed batch 1 in the CURRENT generation, not gen 0
+    assert os.path.exists(
+        os.path.join(dsir._deltas_dir(store, 1), "__batch_id=1")
+    )
+    rawm, tgtm = dsir.read_dsir_models(spark, store)
+    want_raw, want_tgt = dsir.dsir_models(dsir.feature_counts(docs), tgt)
+    assert {r["bucket"]: r["cr"] for r in rawm.collect()} == {
+        r["bucket"]: r["cr"] for r in want_raw.collect()
+    }
+    assert {r["bucket"]: r["ct"] for r in tgtm.collect()} == {
+        r["bucket"]: r["ct"] for r in want_tgt.collect()
+    }
