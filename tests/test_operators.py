@@ -4519,3 +4519,95 @@ def test_dsir_ingest_survives_concurrent_out_of_band_compaction(
     assert {r["bucket"]: r["ct"] for r in tgtm.collect()} == {
         r["bucket"]: r["ct"] for r in want_tgt.collect()
     }
+
+
+def test_doc_dsir_weight_matches_independent_python(spark):
+    """THIRD-PATH check for the DSIR scoring family (VERDICT r17 brief
+    #5): recompute ``doc_dsir_weight`` at smoke SF from the raw parquet
+    with a pure-python hashed-ngram model — hashlib md5 3-hex-prefix
+    buckets over whitespace unigrams + space-joined bigrams, dict
+    counts, additive-smoothed log2 ratio over the fixed 4096-bucket
+    space, 6-dp snaps at the documented points — sharing no code with
+    the Spark plan or the DuckDB oracle. Pins every output column
+    including the mean-rate cutoff's selection bit, doc by doc. The
+    family's other checks (DuckDB twin, incremental/compaction property
+    pins) share the engine pair; this is the engine-independent
+    recomputation the other headline families already carry."""
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    from data_warehouse_product_mix_clustering_spark.plans.pipeline.dsir import doc_dsir_weight
+
+    EN = ["the", "a", "and", "of", "to", "is", "in", "on", "for", "with"]
+    M, A = 16**3, 0.5
+
+    def snap(x):
+        return round(x + 1e-9, 6)
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "lang", "text"]
+    ]
+    fc: dict[int, dict[str, int]] = {}
+    target: set[int] = set()
+    for r in docs.itertuples():
+        t = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        feats = t + [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        counts: dict[str, int] = {}
+        for f in feats:
+            b = hashlib.md5(f.encode()).hexdigest()[:3]
+            counts[b] = counts.get(b, 0) + 1
+        fc[int(r.doc_id)] = counts
+        if t and r.lang == "en":
+            hits = sum(1 for w in t if w in EN)
+            q = snap(0.5 * (hits / len(t)) + 0.5 * (min(len(t), 50) / 50.0))
+            if q >= 0.45:
+                target.add(int(r.doc_id))
+
+    rawm: dict[str, int] = {}
+    tgtm: dict[str, int] = {}
+    for did, counts in fc.items():
+        for b, c in counts.items():
+            rawm[b] = rawm.get(b, 0) + c
+            if did in target:
+                tgtm[b] = tgtm.get(b, 0) + c
+    nr, nt = float(sum(rawm.values())), float(sum(tgtm.values()))
+    llr = {
+        b: math.log2((tgtm.get(b, 0) + A) / (nt + A * M))
+        - math.log2((cr + A) / (nr + A * M))
+        for b, cr in rawm.items()
+    }
+
+    want = {}
+    rates = []
+    for r in docs.itertuples():
+        counts = fc[int(r.doc_id)]
+        n = sum(counts.values())
+        if n == 0:
+            want[int(r.doc_id)] = (r.source, 0, 0.0, 0.0, None)
+            continue
+        s = sum(c * llr[b] for b, c in counts.items())
+        rate = snap(s / n)
+        want[int(r.doc_id)] = (r.source, n, snap(s), rate, None)
+        rates.append(rate)
+    mu = snap(sum(rates) / len(rates))
+    want = {
+        did: (src, n, lw, rate, (n > 0 and rate > mu))
+        for did, (src, n, lw, rate, _) in want.items()
+    }
+
+    got = {
+        int(r["doc_id"]): (
+            r["source"],
+            int(r["n_feats"]),
+            float(r["dsir_logw"]),
+            float(r["dsir_logw_rate"]),
+            bool(r["dsir_selected"]),
+        )
+        for r in doc_dsir_weight(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(sel for *_, sel in want.values())  # the cutoff bites
+    assert not all(sel for *_, sel in want.values())
