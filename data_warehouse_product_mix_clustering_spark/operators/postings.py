@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
 
+# Block-max metadata granularity: doc-id space is cut into ~this many
+# equal-width GLOBAL blocks at build time (width persisted in stats/, so
+# maintenance and serving agree forever). Global doc-id ranges — not
+# per-term posting positions — so a block either contains ALL of a
+# doc's query-term postings or none of them: a pruned read never sees a
+# partial document, which is what makes the WAND prune exact.
+BLOCK_TARGET = 256
+
 # Completion-marker discipline (ADVICE r8): shared with every persisted
 # index family since r10 — the canonical definitions live in
 # operators/ivm.py; these aliases keep this module's historical internal
@@ -113,6 +121,24 @@ def build_postings_index(
 
 
 def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
+    # total_dl is stored alongside so the stats row is incrementally
+    # maintainable (update_postings_index adds/subtracts per-doc lengths);
+    # avgdl is derived but persisted for the read path's convenience.
+    # block_width fixes the global doc-id → block mapping for the life of
+    # the index (maintenance preserves it; a different corpus would pick
+    # a different width, which is why rebuild-equality checks compare
+    # postings content, not block metadata).
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("__t")).cast("long").alias("total_dl"),
+        F.avg(F.size("__t")).alias("avgdl"),
+        F.max("doc_id").cast("long").alias("__max_id"),
+    ).first()
+    width = max(1, int(stats["__max_id"] or 0) // BLOCK_TARGET + 1)
+    toks.sparkSession.createDataFrame(
+        [(stats["n_docs"], stats["total_dl"], stats["avgdl"], width)],
+        "n_docs long, total_dl long, avgdl double, block_width long",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
     postings = (
         toks.select(
             "doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term")
@@ -121,11 +147,16 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
     )
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(index_dir, "postings"))
-    # df folds the just-written postings (re-read beats recompute: the
-    # scan is columnar and already bucket-partitioned)
+    # sorted within each bucket partition by (term, doc_id) so parquet
+    # row-group min/max stats make a (term IN ..., doc_id range) filter
+    # an actual skip — the pruned search's survivor-block ranges ride it
+    postings.repartition("bucket").sortWithinPartitions(
+        "term", "doc_id"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    # df + block-max metadata fold the just-written postings (re-read
+    # beats recompute: the scan is columnar and already bucket-partitioned)
     written = read_postings(toks.sparkSession, index_dir)
     (
         written.groupBy("bucket", "term")
@@ -135,14 +166,33 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "terms"))
     )
-    # total_dl is stored alongside so the stats row is incrementally
-    # maintainable (update_postings_index adds/subtracts per-doc lengths);
-    # avgdl is derived but persisted for the read path's convenience.
-    toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size("__t")).cast("long").alias("total_dl"),
-        F.avg(F.size("__t")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    _write_blocks_meta(written, index_dir, width)
+
+
+def _write_blocks_meta(
+    postings: DataFrame, index_dir: str, width: int, dynamic: bool = False
+) -> None:
+    """(bucket, term, block, max_tf, min_dl, n_postings) — the block-max
+    skip metadata (Broder et al. WAND / Ding & Suel block-max): per
+    (term, global doc-id block), the ingredients of a per-block score
+    upper bound. Only monotone ingredients are stored (BM25 term score
+    rises with tf, falls with dl), so the bound survives corpus-stat
+    drift — idf/avgdl are applied at query time from the live terms/ and
+    stats/ relations. ≤ |vocab-bucket| × ~BLOCK_TARGET rows per bucket."""
+    w = (
+        postings.withColumn("block", (F.col("doc_id") / width).cast("long"))
+        .groupBy("bucket", "term", "block")
+        .agg(
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("dl").cast("int").alias("min_dl"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+    )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("bucket").parquet(os.path.join(index_dir, "blocks"))
 
 
 def _doc_id_type(index_dir: str) -> str:
@@ -168,6 +218,45 @@ def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
         spark,
         os.path.join(index_dir, "terms"),
         "bucket int, term string, df long",
+    )
+
+
+def read_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, "blocks"),
+        # partition column LAST, matching the inferred non-empty layout
+        "term string, block long, max_tf long, min_dl int, "
+        "n_postings long, bucket int",
+    )
+
+
+def _bm25_term_score(k1: float, b: float):
+    """The single BM25 per-posting score expression — shared by the full
+    scan, the seed pass, and the survivor pass so indexed, pruned, and
+    ad-hoc retrieval stay value-identical by construction."""
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+
+
+def _score_postings(
+    post: DataFrame, tdf: DataFrame, stats: DataFrame, k1: float, b: float
+) -> DataFrame:
+    return (
+        post.join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(_bm25_term_score(k1, b)) + F.lit(1e-9), 6).alias(
+                "bm25"
+            )
+        )
     )
 
 
@@ -209,20 +298,190 @@ def search_postings_index(
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*terms))
         .select("term", "df")
     )
-    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = (
-        idf
-        * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
+        "n_docs", "avgdl"
     )
-    scored = (
-        post.join(F.broadcast(tdf), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score) + F.lit(1e-9), 6).alias("bm25"))
-    )
+    scored = _score_postings(post, tdf, stats, k1, b)
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k)
+
+
+def search_postings_index_wand(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Block-max WAND top-k over the postings index: EXACTLY the
+    ``search_postings_index`` result, reading only the doc-id blocks
+    whose score upper bound can still reach the top-k threshold.
+
+    The distributed re-expression of WAND's skip pointers (Broder et
+    al. 2003; block-max variant Ding & Suel 2011): instead of a
+    sequential cursor walk, two set-shaped passes —
+
+    1. SEED: from the tiny blocks/ metadata (query buckets only) compute
+       each block's joint upper bound UBΣ(B) = Σ_terms UB(term, B),
+       where UB = idf · σ(max_tf, min_dl) with σ the BM25 term score
+       (monotone ↑tf, ↓dl, so σ(max_tf, min_dl) dominates every member
+       posting; idf/avgdl come from the LIVE terms//stats/ relations, so
+       bounds stay valid under CDC maintenance). Exactly score the
+       highest-UBΣ blocks holding ≥ max(4·top_k, 64) postings. Blocks
+       are GLOBAL doc-id ranges, so every seed doc is scored COMPLETELY
+       — the k-th seed score θ is a true lower bound on the final k-th
+       score.
+    2. PRUNE + FINISH: exactly score only blocks with UBΣ ≥ θ − 1e-6
+       (the margin covers the +1e-9/6-dp rounding nudge); every other
+       block's docs score strictly below θ and cannot enter the top-k,
+       ties included. Survivor blocks land as merged doc_id RANGE
+       predicates next to the term filter, so parquet row-group min/max
+       stats skip the pruned blocks' bytes inside each bucket file (the
+       build sorts by (term, doc_id) for exactly this) — on top of the
+       bucket partition prune both passes already have.
+
+    Driver state is bounded by construction: ≤ |terms| df rows, ≤
+    |terms| × ~BLOCK_TARGET block-meta rows, top_k seed scores. Falls
+    back to the unpruned search for a pre-block-metadata index layout.
+    """
+    if not terms:
+        raise ValueError(
+            "search_postings_index_wand requires at least one query term"
+        )
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"postings index at {index_dir!r} has no {COMMIT_MARKER} marker "
+            "(torn build/update) — rebuild it before serving searches"
+        )
+    if not os.path.exists(os.path.join(index_dir, "blocks")):
+        return search_postings_index(
+            spark, index_dir, terms, k1, b, top_k, n_buckets
+        )
+    df_, info = _wand_survivor_postings(
+        spark, index_dir, terms, k1, b, top_k, n_buckets
+    )
+    return df_
+
+
+def _wand_survivor_postings(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...],
+    k1: float,
+    b: float,
+    top_k: int,
+    n_buckets: int,
+) -> tuple[DataFrame, dict]:
+    """(top-k DataFrame, prune receipt) — the WAND core; the receipt
+    {'blocks_total', 'blocks_seed', 'blocks_scored'} feeds the audit."""
+    import math
+
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    stats_row = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    n_docs, avgdl = stats_row["n_docs"], stats_row["avgdl"]
+    width = int(stats_row["block_width"])
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+    tdf = (
+        read_terms(spark, index_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*terms))
+        .select("term", "df")
+    )
+    # bounded collects (documented above): ≤ |terms| and ≤ |terms| × blocks
+    idf = {
+        r["term"]: math.log(
+            1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+        )
+        for r in tdf.collect()
+    }
+    meta = (
+        read_blocks(spark, index_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*terms))
+        .collect()
+    )
+    if not meta:
+        empty = _score_postings(
+            read_postings(spark, index_dir).filter(F.lit(False)), tdf, stats,
+            k1, b,
+        )
+        return empty.orderBy(F.col("bm25").desc(), "doc_id").limit(top_k), {
+            "blocks_total": 0, "blocks_seed": 0, "blocks_scored": 0,
+            "ub": {}, "width": width,
+        }
+
+    ub: dict[int, float] = {}
+    n_post: dict[int, int] = {}
+    for r in meta:
+        sigma = (r["max_tf"] * (k1 + 1)) / (
+            r["max_tf"] + k1 * (1 - b + b * r["min_dl"] / avgdl)
+        )
+        ub[r["block"]] = ub.get(r["block"], 0.0) + idf[r["term"]] * sigma
+        n_post[r["block"]] = n_post.get(r["block"], 0) + r["n_postings"]
+
+    def scored_over(blocks: list[int]) -> DataFrame:
+        post = read_postings(spark, index_dir).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(*terms)
+        )
+        if len(blocks) < len(ub):  # only filter when it actually prunes
+            post = post.filter(_block_range_pred(blocks, width))
+        return _score_postings(post, tdf, stats, k1, b)
+
+    by_ub = sorted(ub, key=lambda blk: (-ub[blk], blk))
+    need, got, seed = max(4 * top_k, 64), 0, []
+    for blk in by_ub:
+        if got >= need:
+            break
+        seed.append(blk)
+        got += n_post[blk]
+    seed_rows = (
+        scored_over(seed)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top_k)
+        .collect()
+    )
+    theta = seed_rows[-1]["bm25"] if len(seed_rows) == top_k else None
+    survivors = (
+        list(ub)
+        if theta is None
+        else [blk for blk in ub if ub[blk] >= theta - 1e-6]
+    )
+    out = (
+        scored_over(survivors)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top_k)
+    )
+    return out, {
+        "blocks_total": len(ub),
+        "blocks_seed": len(seed),
+        "blocks_scored": len(survivors),
+        "ub": ub,  # per-block joint upper bounds — the audit's soundness probe
+        "width": width,
+    }
+
+
+def _block_range_pred(blocks: list[int], width: int):
+    """Survivor blocks as merged doc_id range predicates — contiguous
+    blocks collapse into one BETWEEN, so the parquet pushdown sees a
+    short OR-of-ranges over the file-sort column, not a giant IN."""
+    from functools import reduce
+    from operator import or_
+
+    ranges = []
+    for blk in sorted(blocks):
+        lo, hi = blk * width, (blk + 1) * width - 1
+        if ranges and ranges[-1][1] == lo - 1:
+            ranges[-1][1] = hi
+        else:
+            ranges.append([lo, hi])
+    return reduce(
+        or_,
+        [
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            for lo, hi in ranges
+        ],
+    )
 
 
 def update_postings_index(
@@ -314,9 +573,10 @@ def update_postings_index(
         updated = survivors.select("term", id_col, "dl", "tf", "bucket").unionByName(
             new_postings.select("term", id_col, "dl", "tf", "bucket")
         )
-        updated = updated.localCheckpoint(eager=True)  # feeds 2 writes + dir diff
+        updated = updated.localCheckpoint(eager=True)  # feeds 3 writes + dir diff
         (
             updated.repartition("bucket")
+            .sortWithinPartitions("term", id_col)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
@@ -331,9 +591,24 @@ def update_postings_index(
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "terms"))
         )
+        # block-max metadata rides the same touched-bucket rewrite; the
+        # block width is FIXED at build (stats sidecar) so maintained
+        # bounds keep addressing the same doc-id ranges. A legacy index
+        # without blocks/ stays legacy (the WAND search falls back).
+        if os.path.exists(os.path.join(index_dir, "blocks")):
+            width = int(
+                spark.read.parquet(os.path.join(index_dir, "stats"))
+                .first()["block_width"]
+            )
+            _write_blocks_meta(
+                updated.withColumnRenamed(id_col, "doc_id"),
+                index_dir,
+                width,
+                dynamic=True,
+            )
         nonempty = {r.bucket for r in updated.select("bucket").distinct().collect()}
         for b in set(touched) - nonempty:
-            for rel in ("postings", "terms"):
+            for rel in ("postings", "terms", "blocks"):
                 shutil.rmtree(
                     os.path.join(index_dir, rel, f"bucket={b}"), ignore_errors=True
                 )
@@ -347,9 +622,15 @@ def update_postings_index(
     )
     n_docs = old_stats["n_docs"] + counts.get("added", 0) - counts.get("removed", 0)
     total_dl = old_stats["total_dl"] + (delta["ddl"] or 0)
+    # block_width is immutable for the life of the index (the block-max
+    # metadata addresses doc-id ranges in its units); legacy pre-block
+    # stats rows carry it forward as NULL.
+    width = (
+        old_stats["block_width"] if "block_width" in old_stats.__fields__ else None
+    )
     spark.createDataFrame(
-        [(n_docs, total_dl, (total_dl / n_docs) if n_docs else None)],
-        "n_docs long, total_dl long, avgdl double",
+        [(n_docs, total_dl, (total_dl / n_docs) if n_docs else None, width)],
+        "n_docs long, total_dl long, avgdl double, block_width long",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
     # No explicit unpersist: Dataset.unpersist does NOT release
     # localCheckpoint blocks (review r11); d releases via ContextCleaner

@@ -4611,3 +4611,79 @@ def test_doc_dsir_weight_matches_independent_python(spark):
     assert got == want
     assert any(sel for *_, sel in want.values())  # the cutoff bites
     assert not all(sel for *_, sel in want.values())
+
+
+def test_wand_search_exact_and_block_meta_survives_maintenance(spark, tmp_path):
+    """search_postings_index_wand ≡ search_postings_index on an arbitrary
+    corpus, and the block-max metadata stays CONSISTENT with the
+    postings through a CDC update: after update_postings_index, the
+    stored blocks/ relation equals a recomputation from the maintained
+    postings at the index's immutable block width, and the WAND search
+    over the maintained index still matches the unpruned scan. A stale
+    max_tf/min_dl after maintenance is the failure mode that silently
+    drops true top-k docs — this pins it at the operator level (the
+    registered bm25_wand_prune_audit pins the session-index path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        read_blocks,
+        read_postings,
+        search_postings_index,
+        search_postings_index_wand,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    nxt = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" dup dup"))
+        ).otherwise(F.col("text")),
+    )
+    tdir = str(tmp_path / "corpus")
+    write_version(base, tdir)
+    write_version(nxt, tdir)
+    idx = str(tmp_path / "idx")
+    build_postings_index(base, idx, tokens(F.col("text")))
+    terms = ("merge", "join", "dup")
+
+    def ranked(df):
+        return [(r.doc_id, r.bm25) for r in df.collect()]
+
+    assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
+        search_postings_index(spark, idx, terms)
+    )
+
+    update_postings_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["doc_id"]),
+        lambda c: tokens(c),
+    )
+    width = int(
+        spark.read.parquet(os.path.join(idx, "stats")).first()["block_width"]
+    )
+    recomputed = (
+        read_postings(spark, idx)
+        .withColumn("block", (F.col("doc_id") / width).cast("long"))
+        .groupBy("bucket", "term", "block")
+        .agg(
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("dl").cast("int").alias("min_dl"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+        )
+    )
+    cols = ["bucket", "term", "block", "max_tf", "min_dl", "n_postings"]
+    stored = read_blocks(spark, idx).select(*cols)
+    recomputed = recomputed.select(*cols)
+    assert stored.exceptAll(recomputed).isEmpty()
+    assert recomputed.exceptAll(stored).isEmpty()
+    assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
+        search_postings_index(spark, idx, terms)
+    )

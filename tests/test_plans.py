@@ -703,6 +703,38 @@ def test_bm25_indexed_search_prunes_to_query_buckets(spark):
     assert "In(term, [dup,join,merge])" in plan  # pushdown inside the bucket
 
 
+def test_bm25_wand_prune_pushes_block_ranges(spark):
+    """The WAND serving path's BOTH prunes, plan-pinned (VERDICT r17
+    brief #7): bucket partition pruning AND the survivor-block upper-
+    bound skip, visible as merged doc_id range predicates in the
+    parquet PushedFilters — row-group min/max stats skip the pruned
+    blocks' bytes because the build sorts each bucket by (term,
+    doc_id). Also pins that the prune is real at this SF (fewer blocks
+    scored than exist) via the audit's own receipt."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import _wand_survivor_postings
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _postings_index_for,
+    )
+
+    idx = _postings_index_for(spark, SF_SMOKE)
+    df, info = _wand_survivor_postings(
+        spark, idx, _BM25_TERMS, _BM25_K1, _BM25_B, 20, 64
+    )
+    assert 0 < info["blocks_scored"] < info["blocks_total"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket#" in plan
+    scan_filters = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "In(term, [dup,join,merge])" in l
+        and ("Or(" in l or "GreaterThanOrEqual(doc_id" in l)
+        and "doc_id" in l
+        for l in scan_filters
+    ), "\n".join(scan_filters)
+
+
 def test_bm25_indexed_matches_adhoc(spark):
     """Indexed and ad-hoc BM25 retrieval are value-identical (same
     scoring expression, same corpus) — rank for rank, score for score."""
