@@ -1359,3 +1359,56 @@ def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
         dropped = set(ex) - set(ap)
         if dropped:
             assert min(ex[d] for d in dropped) >= boundary_approx, lang
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=5000),
+        values=_bm25_doc,
+        min_size=1,
+        max_size=25,
+    ),
+    top_k=st.integers(min_value=1, max_value=4),
+)
+def test_wand_prune_equals_exact_on_arbitrary_corpora(
+    spark, tmp_path_factory, corpus, top_k
+):
+    """The WAND prune's exactness promise on ARBITRARY corpora, doc-id
+    layouts, and k — not just the documents fixture: sparse doc ids up
+    to 5000 put postings into scattered blocks (block width ~20 at this
+    range), small k makes the threshold and the tie-margin actually
+    bite, and the equality is list-exact including doc_id tie-breaks.
+    This is where block-boundary/threshold-tie bugs live that the fixed
+    fixture cannot reach."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        search_postings_index,
+        search_postings_index_wand,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in sorted(corpus.items())],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("wand_prop"))
+    build_postings_index(docs, idx, tokens(F.col("text")))
+    terms = ("merge", "join", "dup")
+    exact = [
+        (r.doc_id, r.bm25)
+        for r in search_postings_index(spark, idx, terms, top_k=top_k).collect()
+    ]
+    pruned = [
+        (r.doc_id, r.bm25)
+        for r in search_postings_index_wand(
+            spark, idx, terms, top_k=top_k
+        ).collect()
+    ]
+    assert pruned == exact
