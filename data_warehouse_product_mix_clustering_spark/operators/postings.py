@@ -38,13 +38,30 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
 
-# Block-max metadata granularity: doc-id space is cut into ~this many
-# equal-width GLOBAL blocks at build time (width persisted in stats/, so
+# Block-max metadata granularity: the doc-id space is cut into GLOBAL
+# fixed-width blocks at build time (width persisted in stats/, so
 # maintenance and serving agree forever). Global doc-id ranges — not
 # per-term posting positions — so a block either contains ALL of a
 # doc's query-term postings or none of them: a pruned read never sees a
 # partial document, which is what makes the WAND prune exact.
-BLOCK_TARGET = 256
+#
+# Width = max(DOCS_PER_BLOCK, ceil(id-range / MAX_BLOCKS)): block SIZE
+# is fixed (the block-max literature's shape — bounds tighten as the
+# corpus grows, because a small block's max_tf/min_dl describe few
+# docs), with a block-COUNT cap so the serving driver's metadata
+# collect stays ≤ |terms| × MAX_BLOCKS rows at any corpus size. Sizing
+# measured round 18 on the documents fixture (top-20, 3 terms): width 2
+# scores 63 of 2485 blocks at sf0.1 and 23 of 248 at smoke, while
+# width 8 already degenerates to no-prune — per-block maxima over even
+# a handful of docs dominate the top-20 threshold, so blocks must be
+# tiny. Past ~MAX_BLOCKS × DOCS_PER_BLOCK docs the widening cap
+# loosens bounds again — at that scale the survivor selection belongs
+# in a distributed aggregation over per-bucket metadata rather than
+# one driver fold (documented trade; the cap keeps today's path
+# honest, and the fallback is always the still-bucket-pruned exact
+# scan).
+DOCS_PER_BLOCK = 2
+MAX_BLOCKS = 4096
 
 # Completion-marker discipline (ADVICE r8): shared with every persisted
 # index family since r10 — the canonical definitions live in
@@ -134,7 +151,7 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
         F.avg(F.size("__t")).alias("avgdl"),
         F.max("doc_id").cast("long").alias("__max_id"),
     ).first()
-    width = max(1, int(stats["__max_id"] or 0) // BLOCK_TARGET + 1)
+    width = max(DOCS_PER_BLOCK, int(stats["__max_id"] or 0) // MAX_BLOCKS + 1)
     toks.sparkSession.createDataFrame(
         [(stats["n_docs"], stats["total_dl"], stats["avgdl"], width)],
         "n_docs long, total_dl long, avgdl double, block_width long",
