@@ -94,21 +94,26 @@ def build_postings_index(
     tokens_expr,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Tokenize ``docs`` (doc_id, text) once and persist the three index
+    """Tokenize ``docs`` (doc_id, text) once and persist the four index
     relations under ``index_dir``:
 
-    - ``postings/`` — (term, doc_id, tf, dl) partitioned by ``bucket``;
-      repartitioned BY the bucket column before the write so each shuffle
-      task emits only its own partition directories (≈1 file per bucket,
-      not tasks×buckets small files — the small-file problem is the
-      classic index-build failure at scale);
+    - ``postings/`` — (term, doc_id, tf, dl) partitioned by ``bucket``,
+      sorted within each partition by (term, doc_id) for row-group
+      skipping; repartitioned BY the bucket column before the write so
+      each shuffle task emits only its own partition directories (≈1
+      file per bucket, not tasks×buckets small files — the small-file
+      problem is the classic index-build failure at scale);
     - ``terms/`` — (term, df) per term, same bucketing;
-    - ``stats/`` — the 1-row (n_docs, avgdl) corpus scalars.
+    - ``blocks/`` — per (term, doc-id block) block-max skip metadata
+      (``_write_blocks_meta``), same bucketing;
+    - ``stats/`` — the 1-row (n_docs, total_dl, avgdl, block_width)
+      corpus scalars.
 
-    One corpus scan feeds all three (the tokenized projection is reused;
-    postings aggregate (term, doc) once, df folds the postings, stats
-    fold the docs). Incremental maintenance at scale composes with
-    sources/versioned.py: re-index changed docs' buckets from a CDC diff.
+    One corpus scan feeds all four (the tokenized projection is reused;
+    postings aggregate (term, doc) once, df and block metadata fold the
+    postings, stats fold the docs). Incremental maintenance at scale
+    composes with sources/versioned.py: re-index changed docs' buckets
+    from a CDC diff.
     """
     # Persisted so the postings write and the stats sidecar share ONE
     # tokenize pass (the regex tokenizer over full text is the dominant
@@ -195,7 +200,8 @@ def _write_blocks_meta(
     upper bound. Only monotone ingredients are stored (BM25 term score
     rises with tf, falls with dl), so the bound survives corpus-stat
     drift — idf/avgdl are applied at query time from the live terms/ and
-    stats/ relations. ≤ |vocab-bucket| × ~BLOCK_TARGET rows per bucket."""
+    stats/ relations. ≤ |vocab-bucket| × blocks rows per bucket (blocks
+    ≤ MAX_BLOCKS by the width formula)."""
     w = (
         postings.withColumn("block", (F.col("doc_id") / width).cast("long"))
         .groupBy("bucket", "term", "block")
@@ -359,7 +365,7 @@ def search_postings_index_wand(
        bucket partition prune both passes already have.
 
     Driver state is bounded by construction: ≤ |terms| df rows, ≤
-    |terms| × ~BLOCK_TARGET block-meta rows, top_k seed scores. Falls
+    |terms| × MAX_BLOCKS block-meta rows, top_k seed scores. Falls
     back to the unpruned search for a pre-block-metadata index layout.
     """
     if not terms:

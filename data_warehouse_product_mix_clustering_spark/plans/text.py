@@ -1120,7 +1120,7 @@ def bm25_wand_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       boolean makes it loud.
 
     Scale: the audit's ground-truth full scan is audit-SF-bounded; the
-    serving path it gates reads ≤ |terms| df rows + |terms| × ~256
+    serving path it gates reads ≤ |terms| df rows + |terms| × MAX_BLOCKS
     block-meta rows on the driver and only surviving blocks' bytes on
     the executors."""
     from data_warehouse_product_mix_clustering_spark.operators.postings import (
@@ -1163,7 +1163,7 @@ def bm25_wand_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score_postings(post, tdf, stats, _BM25_K1, _BM25_B)
         .groupBy((F.col("doc_id") / info["width"]).cast("long").alias("block"))
         .agg(F.max("bm25").alias("true_max"))
-        .collect()  # bounded: ≤ blocks_total rows (~256 by construction)
+        .collect()  # bounded: ≤ blocks_total ≤ MAX_BLOCKS rows (width cap)
     )
     bounds_sound = all(
         r["true_max"] <= info["ub"][r["block"]] + 1e-6 for r in block_max
