@@ -4687,3 +4687,63 @@ def test_wand_search_exact_and_block_meta_survives_maintenance(spark, tmp_path):
     assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
         search_postings_index(spark, idx, terms)
     )
+
+
+def test_wand_falls_back_on_legacy_index_layout(spark, tmp_path):
+    """An index from before the blocks/ relation (simulated: blocks/
+    deleted, stats rewritten to the legacy 3-column row) must still be
+    servable — search_postings_index_wand falls back to the unpruned
+    bucket-pruned scan — and maintainable: update_postings_index skips
+    the blocks rewrite, carries block_width forward as NULL, and the
+    maintained legacy index keeps answering correctly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        search_postings_index,
+        search_postings_index_wand,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "merge join")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_postings_index(docs, idx, tokens(F.col("text")))
+    shutil.rmtree(os.path.join(idx, "blocks"))
+    legacy = spark.read.parquet(os.path.join(idx, "stats")).select(
+        "n_docs", "total_dl", "avgdl"
+    )
+    legacy.write.mode("overwrite").parquet(os.path.join(idx, "stats_tmp"))
+    shutil.rmtree(os.path.join(idx, "stats"))
+    os.rename(os.path.join(idx, "stats_tmp"), os.path.join(idx, "stats"))
+
+    def ranked(df):
+        return [(r.doc_id, r.bm25) for r in df.collect()]
+
+    assert ranked(search_postings_index_wand(spark, idx, ("beta",))) == ranked(
+        search_postings_index(spark, idx, ("beta",))
+    )
+    tdir = str(tmp_path / "corpus")
+    write_version(docs, tdir)
+    write_version(
+        docs.unionByName(
+            spark.createDataFrame([(4, "delta beta")], "doc_id long, text string")
+        ),
+        tdir,
+    )
+    res = update_postings_index(
+        spark, idx, version_diff(spark, tdir, 0, 1, key=["doc_id"]),
+        lambda c: tokens(c),
+    )
+    assert res["added"] == 1
+    assert not os.path.exists(os.path.join(idx, "blocks"))  # stays legacy
+    got = ranked(search_postings_index_wand(spark, idx, ("beta",)))
+    assert got == ranked(search_postings_index(spark, idx, ("beta",)))
+    assert {d for d, _ in got} == {1, 2, 4}
