@@ -4747,3 +4747,39 @@ def test_wand_falls_back_on_legacy_index_layout(spark, tmp_path):
     got = ranked(search_postings_index_wand(spark, idx, ("beta",)))
     assert got == ranked(search_postings_index(spark, idx, ("beta",)))
     assert {d for d, _ in got} == {1, 2, 4}
+
+
+def test_wand_edge_cases_absent_terms_and_large_k(spark, tmp_path):
+    """WAND edge branches: every query term absent from the corpus takes
+    the empty-metadata path (typed-empty result, no crash); a mix of
+    present and absent terms scores like the exact scan; top_k beyond
+    the corpus disables the threshold (theta None → all blocks scored)
+    and still returns every match."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        search_postings_index,
+        search_postings_index_wand,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_postings_index(docs, idx, tokens(F.col("text")))
+    assert search_postings_index_wand(spark, idx, ("zzz", "qqq")).collect() == []
+    got = [
+        (r.doc_id, r.bm25)
+        for r in search_postings_index_wand(spark, idx, ("beta", "zzz")).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25)
+        for r in search_postings_index(spark, idx, ("beta", "zzz")).collect()
+    ]
+    assert got == want and len(got) == 2
+    assert {
+        r.doc_id
+        for r in search_postings_index_wand(spark, idx, ("beta",), top_k=50).collect()
+    } == {1, 2}
