@@ -484,6 +484,82 @@ def _wand_survivor_postings(
     }
 
 
+def search_postings_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, tuple[str, ...]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Score MANY queries in ONE pass over the union of their term
+    buckets — the scatter-gather a search SERVICE actually runs, where a
+    batch of thousands of queries amortizes the index read that per-query
+    serving pays each time.
+
+    (qid, doc_id, bm25, rank ≤ top_k) for every query. The tiny
+    (qid, term) map broadcasts onto the single bucket-pruned postings
+    scan (a term shared by queries fans its postings out once per
+    consuming qid — correct by construction), per-(qid, doc) scores
+    aggregate with the exact single-query expression, and the per-query
+    top-k is a rank-filtered window PARTITIONED BY qid — Spark's
+    WindowGroupLimit pushes the k-cut below the shuffle, so no query's
+    full match list is ever globally sorted. Value-identical to running
+    ``search_postings_index`` per query (same expression, same rounding,
+    same doc_id tie-break); pinned by test + the registered batch
+    query's DuckDB oracle.
+
+    Scale: one scan of O(Σ query-term postings) bytes regardless of
+    |queries|; the qid map is |queries| × |terms| rows (broadcast); no
+    driver-side per-query loop."""
+    from pyspark.sql import Window
+
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError(
+            "search_postings_index_batch requires ≥1 query, each with ≥1 term"
+        )
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"postings index at {index_dir!r} has no {COMMIT_MARKER} marker "
+            "(torn build/update) — rebuild it before serving searches"
+        )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    qmap = spark.createDataFrame(
+        sorted((q, t) for q, ts in queries.items() for t in set(ts)),
+        "qid string, term string",
+    )
+    post = read_postings(spark, index_dir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    tdf = (
+        read_terms(spark, index_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).select(
+        "n_docs", "avgdl"
+    )
+    scored = (
+        post.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum(_bm25_term_score(k1, b)) + F.lit(1e-9), 6).alias(
+                "bm25"
+            )
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "doc_id", "bm25", "rank")
+    )
+
+
 def _block_range_pred(blocks: list[int], width: int):
     """Survivor blocks as merged doc_id range predicates — contiguous
     blocks collapse into one BETWEEN, so the parquet pushdown sees a

@@ -690,30 +690,34 @@ _BM25_TERMS = ("merge", "join", "dup")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def bm25_scored_cte() -> str:
-    """The CTE chain defining ``scored(doc_id, bm25)`` — shared by the
-    ``doc_bm25_search`` oracle and the hybrid-RRF oracle
-    (plans/similarity.py) so the scoring formula exists once per engine."""
-    return f"""toks AS (
+def bm25_scored_cte(
+    terms: tuple[str, ...] = _BM25_TERMS, prefix: str = ""
+) -> str:
+    """The CTE chain defining ``{prefix}scored(doc_id, bm25)`` — shared
+    by the ``doc_bm25_search`` oracle, the hybrid-RRF oracle
+    (plans/similarity.py), and (prefixed, once per query) the batch
+    oracle, so the scoring formula exists once per engine."""
+    p = prefix
+    return f"""{p}toks AS (
             SELECT doc_id, {sql_tokens("text")} AS t FROM documents
-        ), stats AS (
-            SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
-        ), tf AS (
+        ), {p}stats AS (
+            SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM {p}toks
+        ), {p}tf AS (
             SELECT doc_id, len(t) AS dl, u.term, CAST(count(*) AS BIGINT) AS tf
-            FROM toks, unnest(t) AS u(term)
-            WHERE u.term IN {str(_BM25_TERMS)}
+            FROM {p}toks, unnest(t) AS u(term)
+            WHERE u.term IN {str(terms)}
             GROUP BY 1, 2, 3
-        ), df AS (
-            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-        ), scored AS (
-            SELECT tf.doc_id,
+        ), {p}df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM {p}tf GROUP BY 1
+        ), {p}scored AS (
+            SELECT {p}tf.doc_id,
                    round(sum(
                        ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                        * (tf * ({_BM25_K1} + 1))
                        / (tf + {_BM25_K1} * (1 - {_BM25_B}
                           + {_BM25_B} * dl / avgdl))
                    ) + 1e-9, 6) AS bm25
-            FROM tf JOIN df USING (term) CROSS JOIN stats
+            FROM {p}tf JOIN {p}df USING (term) CROSS JOIN {p}stats
             GROUP BY 1
         )"""
 
@@ -1086,6 +1090,63 @@ def postings_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_added long, n_removed long, n_changed long, postings_match boolean, "
         "terms_match boolean, stats_match boolean, search_match boolean",
+    )
+
+
+_BM25_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_merge": _BM25_TERMS,  # two common + one rare — the existing query
+    "q_scan": ("scan", "sort", "key"),  # three common terms
+    "q_vector": ("vector", "hash", "stream"),
+}
+
+
+def _bm25_batch_oracle() -> str:
+    prefixes = {qid: f"{qid[2:]}_" for qid in _BM25_BATCH_QUERIES}
+    ctes = ", ".join(
+        bm25_scored_cte(terms, prefixes[qid])
+        for qid, terms in _BM25_BATCH_QUERIES.items()
+    )
+    union = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, doc_id, bm25 FROM {prefixes[qid]}scored"
+        for qid in _BM25_BATCH_QUERIES
+    )
+    return f"""
+        WITH {ctes}, unioned AS ({union}), ranked AS (
+            SELECT qid, doc_id, bm25,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY bm25 DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM unioned
+        )
+        SELECT qid, doc_id, bm25, rank FROM ranked WHERE rank <= 10
+        ORDER BY qid, rank
+    """
+
+
+@register("doc_bm25_batch_search", oracle=_bm25_batch_oracle())
+def doc_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 for THREE queries served in ONE pass over the
+    materialized postings index (operators/postings.py::
+    search_postings_index_batch) — the search-service scatter-gather
+    shape: a (qid, term) map broadcasts onto a single bucket-pruned
+    postings scan covering the union of all queries' buckets, per-
+    (qid, doc) scores aggregate with the exact single-query expression,
+    and each query's top-10 is a rank-filtered window partitioned by
+    qid (WindowGroupLimit — the k-cut runs below the shuffle, no global
+    sort). Value-identical to three independent ``doc_bm25_search``-
+    style runs; the oracle replays each query's full scoring chain
+    independently and unions, so any cross-query contamination in the
+    shared pass (df bleeding between queries, a qid fan-out bug)
+    hash-fails the row.
+
+    Scale: |queries| grows the broadcast map and the final window's
+    key-space, NOT the number of index reads — one scan of
+    O(Σ query-term postings) bytes for the whole batch."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import search_postings_index_batch
+
+    idx = _postings_index_for(spark, sf_dir)
+    return search_postings_index_batch(
+        spark, idx, _BM25_BATCH_QUERIES, k1=_BM25_K1, b=_BM25_B, top_k=10
     )
 
 

@@ -735,6 +735,45 @@ def test_bm25_wand_prune_pushes_block_ranges(spark):
     ), "\n".join(scan_filters)
 
 
+def test_bm25_batch_search_single_scan_group_limit(spark):
+    """The batch search's scale contract, plan-pinned: scoring THREE
+    queries takes exactly ONE postings scan (the (qid, term) map
+    broadcasts onto it — no per-query re-read), the per-query top-k is
+    a WindowGroupLimit (k-cut below the shuffle, no global sort), and
+    the scan's filters carry the UNION of all queries' terms and
+    buckets. Value equality per query vs independent single searches is
+    pinned alongside."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import search_postings_index
+    from data_warehouse_product_mix_clustering_spark.plans.text import (
+        _BM25_B,
+        _BM25_BATCH_QUERIES,
+        _BM25_K1,
+        _postings_index_for,
+    )
+
+    df = QUERIES["doc_bm25_batch_search"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    postings_scans = sum(
+        1
+        for l in plan.splitlines()
+        if "Scan parquet" in l and "tf#" in l and "dl#" in l
+    )
+    assert postings_scans == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "PartitionFilters: [bucket#" in plan
+
+    got = {
+        (r.qid, r.rank): (r.doc_id, r.bm25) for r in df.collect()
+    }
+    idx = _postings_index_for(spark, SF_SMOKE)
+    for qid, terms in _BM25_BATCH_QUERIES.items():
+        single = search_postings_index(
+            spark, idx, terms, k1=_BM25_K1, b=_BM25_B, top_k=10
+        ).collect()
+        for i, r in enumerate(single, start=1):
+            assert got[(qid, i)] == (r.doc_id, r.bm25), (qid, i)
+
+
 def test_bm25_indexed_matches_adhoc(spark):
     """Indexed and ad-hoc BM25 retrieval are value-identical (same
     scoring expression, same corpus) — rank for rank, score for score."""
