@@ -23,6 +23,14 @@ a corpus scan. Spark-first mapping:
   plan, so indexed and ad-hoc retrieval are value-identical and share one
   oracle.
 
+Three serving paths over the same layout (round 18):
+``search_postings_index`` (the bucket-pruned exact scan),
+``search_postings_index_wand`` (block-max WAND: additionally skips
+doc-id blocks whose score upper bound cannot reach the top-k threshold
+— exact by construction, see the function docstring), and
+``search_postings_index_batch`` (many queries against ONE scan of the
+union of their buckets, per-query top-k via WindowGroupLimit).
+
 Reference anchor: the reference app has no search service; this is part
 of the beyond-reference training-data/retrieval surface (SURVEY §6), kept
 Spark-idiomatic (DataFrame + layout, zero UDFs).
