@@ -139,3 +139,36 @@ def test_compositions_within_budget():
         "either fix the plan regression or consciously raise "
         "bench_budgets.json composition_budgets with a justification"
     )
+
+
+def test_bench_registry_budget_lockstep():
+    """Static drift guard between the three bench-channel surfaces (no
+    Spark session, runs in milliseconds): every bench.py composition is
+    a registered query (bench would KeyError at run time — catch it at
+    test time), every budget line names a current headline query or
+    composition (a renamed query would leave its stale budget binding
+    nothing, silently), and every headline query has a budget so new
+    headliners cannot ride unbudgeted (the r11 cold-fit lesson). This
+    is the static half of the artifact-side coverage check inside
+    test_compositions_within_budget."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from bench import COMPOSITIONS
+
+    from data_warehouse_product_mix_clustering_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    budgets_doc = json.loads((REPO / "bench_budgets.json").read_text())
+    headline = {n for n, q in qs.items() if q.headline}
+
+    missing_comp = [n for n in COMPOSITIONS if n not in qs]
+    assert not missing_comp, f"bench compositions not registered: {missing_comp}"
+    stale_budgets = sorted(set(budgets_doc["budgets"]) - headline)
+    assert not stale_budgets, f"budget lines for non-headline names: {stale_budgets}"
+    unbudgeted = sorted(headline - set(budgets_doc["budgets"]))
+    assert not unbudgeted, f"headline queries without budgets: {unbudgeted}"
+    stale_comp = sorted(set(budgets_doc["composition_budgets"]) - set(COMPOSITIONS))
+    assert not stale_comp, f"composition budgets not in bench: {stale_comp}"
+    unbudgeted_comp = sorted(set(COMPOSITIONS) - set(budgets_doc["composition_budgets"]))
+    assert not unbudgeted_comp, f"compositions without budgets: {unbudgeted_comp}"
