@@ -197,6 +197,21 @@ def _build_postings_relations(toks, index_dir: str, n_buckets: int) -> None:
         .parquet(os.path.join(index_dir, "terms"))
     )
     _write_blocks_meta(written, index_dir, width)
+    # positions/ — the phrase-search relation: per (term, doc), the
+    # sorted 0-based token positions. Same bucketing/sorting as
+    # postings/ so a phrase query's read is the same pruned seek; one
+    # extra (term, doc) shuffle of the SAME cached token scan at build.
+    (
+        toks.select("doc_id", F.posexplode("__t").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "positions"))
+    )
 
 
 def _write_blocks_meta(
@@ -261,6 +276,84 @@ def read_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
         # partition column LAST, matching the inferred non-empty layout
         "term string, block long, max_tf long, min_dl int, "
         "n_postings long, bucket int",
+    )
+
+
+def read_positions(spark: SparkSession, index_dir: str) -> DataFrame:
+    from data_warehouse_product_mix_clustering_spark.operators.ivm import read_index_relation
+
+    return read_index_relation(
+        spark,
+        os.path.join(index_dir, "positions"),
+        # partition column LAST, matching the inferred non-empty layout
+        f"term string, doc_id {_doc_id_type(index_dir)}, "
+        "positions array<int>, bucket int",
+    )
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: tuple[str, ...],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact phrase match served from the positions/ relation:
+    (doc_id, n_occurrences) for every document containing the phrase's
+    terms at consecutive token positions — no text re-scan, no regex.
+
+    The classic positional-index intersection as set operations: each
+    phrase slot's (doc_id, positions) rows (bucket-pruned + term-pushed,
+    like every read in this family) inner-join on doc_id — a doc missing
+    ANY slot's term drops immediately — and the occurrence count is an
+    array-lambda intersection: positions p of slot 0 where slot i's
+    array contains p+i for every i (JVM higher-order functions, no
+    Python). Repeated terms in the phrase join the same rows under
+    distinct aliases, so "merge merge" counts overlapping runs
+    correctly.
+
+    Scale: O(Σ phrase-term positions) bytes read; the join keys on
+    doc_id with per-term relations already filtered to single terms —
+    skew-free by construction."""
+    from functools import reduce
+    from operator import and_
+
+    if len(phrase) < 2:
+        raise ValueError("search_phrase requires a phrase of ≥2 terms")
+    if not index_is_committed(index_dir):
+        raise RuntimeError(
+            f"postings index at {index_dir!r} has no {COMMIT_MARKER} marker "
+            "(torn build/update) — rebuild it before serving searches"
+        )
+    if not os.path.exists(os.path.join(index_dir, "positions")):
+        raise RuntimeError(
+            f"postings index at {index_dir!r} predates the positions/ "
+            "relation — rebuild it to serve phrase queries"
+        )
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in phrase})
+    pos = read_positions(spark, index_dir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(*set(phrase))
+    )
+    joined = None
+    for i, t in enumerate(phrase):
+        slot = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        joined = slot if joined is None else joined.join(slot, "doc_id")
+    n = F.size(
+        F.filter(
+            F.col("__p0"),
+            lambda p: reduce(
+                and_,
+                [
+                    F.array_contains(F.col(f"__p{i}"), p + i)
+                    for i in range(1, len(phrase))
+                ],
+            ),
+        )
+    )
+    return (
+        joined.select("doc_id", n.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
     )
 
 
@@ -698,6 +791,41 @@ def update_postings_index(
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "terms"))
         )
+        # positions/ rides the same touched-bucket rewrite (same term →
+        # bucket map, so the touched set is identical); a legacy index
+        # without it stays legacy (search_phrase refuses with a rebuild
+        # message).
+        if os.path.exists(os.path.join(index_dir, "positions")):
+            new_positions = (
+                new_toks.select(
+                    id_col, F.posexplode("__t").alias("pos", "term")
+                )
+                .groupBy("term", id_col)
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                .withColumn(
+                    "bucket", _term_bucket_col(F.col("term"), n_buckets)
+                )
+            )
+            surv_pos = (
+                read_positions(spark, index_dir)
+                .filter(F.col("bucket").isin(touched))
+                .join(changed_ids, id_col, "left_anti")
+                .select("term", id_col, "positions", "bucket")
+            )
+            # materialized BEFORE the write — the plan reads the very
+            # partitions the dynamic overwrite replaces (the same
+            # discipline as the postings rewrite's localCheckpoint)
+            updated_pos = surv_pos.unionByName(
+                new_positions.select("term", id_col, "positions", "bucket")
+            ).localCheckpoint(eager=True)
+            (
+                updated_pos.repartition("bucket")
+                .sortWithinPartitions("term", id_col)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(os.path.join(index_dir, "positions"))
+            )
         # block-max metadata rides the same touched-bucket rewrite; the
         # block width is FIXED at build (stats sidecar) so maintained
         # bounds keep addressing the same doc-id ranges. A legacy index
@@ -715,7 +843,7 @@ def update_postings_index(
             )
         nonempty = {r.bucket for r in updated.select("bucket").distinct().collect()}
         for b in set(touched) - nonempty:
-            for rel in ("postings", "terms", "blocks"):
+            for rel in ("postings", "terms", "blocks", "positions"):
                 shutil.rmtree(
                     os.path.join(index_dir, rel, f"bucket={b}"), ignore_errors=True
                 )

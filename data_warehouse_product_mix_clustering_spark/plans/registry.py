@@ -129,11 +129,11 @@ _DRIVER_PRIORITY: list[str] = [
     # Missing #1 queues them here; pytest- + sweep-gated meanwhile), then
     # the first 46 of the 50 r14-cohort names in r14-window order
     # (through quarterly_running_revenue) — 2 + 2 + 46 fill the 50 slots
-    # exactly; r20's window then leads with the two r18-registered
-    # names (bm25_wand_prune_audit, doc_bm25_batch_search — no driver
-    # rows yet; pytest- + sweep-gated meanwhile) and the four r14-cohort
-    # leftovers (quarterly_sequences, returnflag_priority_split,
-    # sequence_arrays, sequence_embeddings).
+    # exactly; r20's window then leads with the three r18-registered
+    # names (bm25_wand_prune_audit, doc_bm25_batch_search,
+    # doc_phrase_search — no driver rows yet; pytest- + sweep-gated
+    # meanwhile) and the four r14-cohort leftovers (quarterly_sequences,
+    # returnflag_priority_split, sequence_arrays, sequence_embeddings).
     "mv_rewrite_audit",
     "checked_write_audit",
     "dsir_compaction_audit",

@@ -1150,6 +1150,50 @@ def doc_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = ("merge", "join")
+
+
+@register(
+    "doc_phrase_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(t, (x, i) ->
+                       x = '{_PHRASE[0]}' AND i < len(t)
+                       AND t[i + 1] = '{_PHRASE[1]}'
+                   )) AS BIGINT) AS n_occurrences
+            FROM toks
+        )
+        SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+        ORDER BY n_occurrences DESC, doc_id
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match ("{merge join}") served from the positional
+    index (operators/postings.py::search_phrase): per document, the
+    number of positions where the phrase's terms occur consecutively —
+    the positional-index intersection every search engine pairs with
+    BM25, as set operations (bucket-pruned per-term position reads,
+    doc_id inner joins, a JVM array-lambda consecutive-position count;
+    no text re-scan, no regex, no Python).
+
+    The oracle recomputes the count from the raw text with an indexed
+    DuckDB list lambda — a genuinely different algorithm (token-stream
+    walk vs position-set intersection), so agreement pins both the
+    positions/ relation's content and the intersection logic.
+
+    Scale: O(Σ phrase-term positions) bytes read at any corpus size;
+    the ad-hoc equivalent re-tokenizes the corpus per query."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import search_phrase
+
+    idx = _postings_index_for(spark, sf_dir)
+    return search_phrase(spark, idx, _PHRASE).orderBy(
+        F.col("n_occurrences").desc(), "doc_id"
+    )
+
+
 @register(
     "bm25_wand_prune_audit",
     oracle="""

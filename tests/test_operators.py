@@ -4687,6 +4687,27 @@ def test_wand_search_exact_and_block_meta_survives_maintenance(spark, tmp_path):
     assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
         search_postings_index(spark, idx, terms)
     )
+    # positions/ survives the same CDC cycle: maintained relation equals
+    # a from-scratch rebuild of the new corpus, and the served phrase
+    # counts agree with a direct recount of the new corpus text
+    from data_warehouse_product_mix_clustering_spark.operators.postings import read_positions, search_phrase
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_postings_index(nxt, rebuilt, tokens(F.col("text")))
+    pcols = ["bucket", "term", "doc_id", "positions"]
+    pm = read_positions(spark, idx).select(*pcols)
+    pr = read_positions(spark, rebuilt).select(*pcols)
+    assert pm.exceptAll(pr).isEmpty() and pr.exceptAll(pm).isEmpty()
+    got_phrase = {
+        r.doc_id: r.n_occurrences
+        for r in search_phrase(spark, idx, ("dup", "dup")).collect()
+    }
+    got_rebuilt = {
+        r.doc_id: r.n_occurrences
+        for r in search_phrase(spark, rebuilt, ("dup", "dup")).collect()
+    }
+    assert got_phrase == got_rebuilt
+    assert got_phrase  # the %7 amendment injected "dup dup" runs
 
 
 def test_wand_falls_back_on_legacy_index_layout(spark, tmp_path):

@@ -774,6 +774,23 @@ def test_bm25_batch_search_single_scan_group_limit(spark):
             assert got[(qid, i)] == (r.doc_id, r.bm25), (qid, i)
 
 
+def test_phrase_search_prunes_to_phrase_buckets(spark):
+    """The positional index read must show the family's seek contract:
+    only the phrase terms' bucket directories in PartitionFilters and
+    the term IN-filter pushed to parquet — a phrase query reads
+    O(phrase-term positions) bytes, never the corpus."""
+    from data_warehouse_product_mix_clustering_spark.operators.postings import term_bucket_py
+    from data_warehouse_product_mix_clustering_spark.plans.text import _PHRASE
+
+    plan = plan_of(spark, "doc_phrase_search")
+    want = sorted({term_bucket_py(t) for t in _PHRASE})
+    bucket_list = ",".join(str(b) for b in want)
+    assert "PartitionFilters: [bucket#" in plan and f"IN ({bucket_list})" in plan, (
+        "\n".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    )
+    assert "In(term, [join,merge])" in plan or "In(term, [merge,join])" in plan
+
+
 def test_bm25_indexed_matches_adhoc(spark):
     """Indexed and ad-hoc BM25 retrieval are value-identical (same
     scoring expression, same corpus) — rank for rank, score for score."""

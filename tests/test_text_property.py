@@ -1412,3 +1412,55 @@ def test_wand_prune_equals_exact_on_arbitrary_corpora(
         ).collect()
     ]
     assert pruned == exact
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=200),
+        values=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+    ),
+    phrase=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=3),
+)
+def test_phrase_search_matches_python_reference(
+    spark, tmp_path_factory, corpus, phrase
+):
+    """search_phrase on ARBITRARY corpora and phrases over a 3-word
+    vocabulary — small alphabet forces repeated terms and OVERLAPPING
+    occurrences ("a a a" contains "a a" twice), exactly where a
+    position-set intersection can diverge from a token-stream walk. The
+    reference is a pure-python sliding-window count."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        search_phrase,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in sorted(corpus.items())],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("phrase_prop"))
+    build_postings_index(docs, idx, tokens(F.col("text")))
+    want = {}
+    for i, d in corpus.items():
+        n = sum(
+            1
+            for j in range(len(d) - len(phrase) + 1)
+            if d[j : j + len(phrase)] == phrase
+        )
+        if n:
+            want[i] = n
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in search_phrase(spark, idx, tuple(phrase)).collect()
+    }
+    assert got == want
