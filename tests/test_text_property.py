@@ -1464,3 +1464,123 @@ def test_phrase_search_matches_python_reference(
         for r in search_phrase(spark, idx, tuple(phrase)).collect()
     }
     assert got == want
+
+
+_postings_doc = st.lists(
+    st.sampled_from(["merge", "join", "dup", "scan", "sort"]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_postings_doc, min_size=1, max_size=6),
+    adds=st.lists(_postings_doc, max_size=3),
+    data=st.data(),
+)
+def test_update_postings_index_equals_rebuild(
+    spark, tmp_path_factory, base, adds, data
+):
+    """update_postings_index ≡ build on the updated corpus for RANDOM
+    CDC batches across the WHOLE five-relation family — random
+    removals, random edits, random adds, duplicate texts. Content
+    relations (postings, terms, positions, stats) must match a rebuild
+    exactly; blocks/ must match a recomputation at the maintained
+    index's own immutable width (rebuild widths can differ — layout,
+    not content); and all three serving paths (exact, WAND, phrase)
+    must answer identically off the maintained and rebuilt indexes.
+    The fixed-scenario tests pin one path; this pins the algebra."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_product_mix_clustering_spark.functions.text import tokens
+    from data_warehouse_product_mix_clustering_spark.operators.postings import (
+        build_postings_index,
+        read_blocks,
+        read_positions,
+        read_postings,
+        search_phrase,
+        search_postings_index,
+        search_postings_index_wand,
+        update_postings_index,
+    )
+    from data_warehouse_product_mix_clustering_spark.sources.versioned import version_diff, write_version
+
+    ids = list(range(len(base)))
+    removed = set(data.draw(st.lists(st.sampled_from(ids), max_size=3, unique=True)))
+    survivors = [i for i in ids if i not in removed]
+    changed = set(
+        data.draw(st.lists(st.sampled_from(survivors), max_size=2, unique=True))
+        if survivors
+        else []
+    )
+    new_rows = [(i, " ".join(t)) for i, t in enumerate(base) if i not in removed]
+    new_rows = [
+        (i, (t + " merge join").strip() if i in changed else t)
+        for i, t in new_rows
+    ]
+    new_rows += [(100 + j, " ".join(t)) for j, t in enumerate(adds)]
+    if not new_rows:  # a fully-emptied corpus is the versioned sink's
+        new_rows = [(999, "scan sort")]  # territory, not this family's
+
+    root = str(tmp_path_factory.mktemp("postprop"))
+    base_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    nxt_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    tdir = os.path.join(root, "t")
+    write_version(base_df, tdir)
+    write_version(nxt_df, tdir)
+    m, r = os.path.join(root, "m"), os.path.join(root, "r")
+    build_postings_index(base_df, m, tokens(F.col("text")))
+    update_postings_index(
+        spark, m, version_diff(spark, tdir, 0, 1, key=["doc_id"]),
+        lambda c: tokens(c),
+    )
+    build_postings_index(nxt_df, r, tokens(F.col("text")))
+
+    def eq(a, b, cols):
+        a, b = a.select(*cols), b.select(*cols)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), (
+            base, removed, changed, adds, cols,
+            sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect())),
+        )
+
+    eq(read_postings(spark, m), read_postings(spark, r),
+       ["bucket", "term", "doc_id", "dl", "tf"])
+    eq(spark.read.parquet(os.path.join(m, "terms")),
+       spark.read.parquet(os.path.join(r, "terms")), ["bucket", "term", "df"])
+    eq(read_positions(spark, m), read_positions(spark, r),
+       ["bucket", "term", "doc_id", "positions"])
+    sm = spark.read.parquet(os.path.join(m, "stats")).first()
+    sr = spark.read.parquet(os.path.join(r, "stats")).first()
+    assert (sm["n_docs"], sm["total_dl"]) == (sr["n_docs"], sr["total_dl"])
+    width = int(sm["block_width"])
+    recomputed = (
+        read_postings(spark, m)
+        .withColumn("block", (F.col("doc_id") / width).cast("long"))
+        .groupBy("bucket", "term", "block")
+        .agg(
+            F.max("tf").cast("long").alias("max_tf"),
+            F.min("dl").cast("int").alias("min_dl"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+        )
+    )
+    eq(read_blocks(spark, m), recomputed,
+       ["bucket", "term", "block", "max_tf", "min_dl", "n_postings"])
+
+    terms = ("merge", "join", "dup")
+    for srch in (
+        lambda idx: search_postings_index(spark, idx, terms, top_k=5),
+        lambda idx: search_postings_index_wand(spark, idx, terms, top_k=5),
+        lambda idx: search_phrase(spark, idx, ("merge", "join")),
+    ):
+        got = sorted(map(tuple, srch(m).collect()))
+        want = sorted(map(tuple, srch(r).collect()))
+        assert got == want, (base, removed, changed, adds, got, want)
