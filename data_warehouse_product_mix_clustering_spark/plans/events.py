@@ -1250,8 +1250,16 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", F.col("__p.type_a").alias("type_a"), F.col("__p.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
     )
+    # Per-audience sizes from the SAME per-user type sets (optimization
+    # r18, guide §2.4): exploding each (day, user)'s deduplicated set and
+    # counting per (day, type) is exactly count(DISTINCT user) per
+    # audience — the former second `_audience_triples` pass re-scanned
+    # and re-distinct-shuffled the events fact once per join side (the
+    # two branches alias differently, so no exchange reuse fired: three
+    # fact scans + three fact-sized exchanges per run). Now ONE fact scan
+    # and ONE fact-sized exchange feed everything downstream.
     sizes = (
-        _audience_triples(spark, sf_dir)
+        per_user.select("day", F.explode("__ts").alias("event_type"))
         .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
