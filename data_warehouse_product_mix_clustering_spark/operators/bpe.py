@@ -171,13 +171,22 @@ def train_bpe(
     pair count break lexicographically on (left, right). Stops early if
     no adjacent pair remains (every word fully merged). NULL words are
     dropped (the twin's dict cannot hold one)."""
+    # LAZY localCheckpoints (optimization r18): each round's argmax
+    # collect is the checkpoint's first (and only pre-rewrite) action, so
+    # it materializes the pending rewrite as part of its own job — the
+    # lineage truncation is identical, but the trainer runs ONE job per
+    # merge instead of two (eager checkpoint job + collect job), and the
+    # final round's rewrite — which no consumer ever reads — is never
+    # computed at all. ~2× fewer driver round-trips per merge; at a
+    # 32k-merge production vocabulary that is 32k fewer job launches on
+    # the path the module docstring already flags as job-latency-bound.
     cur = (
         vocab.filter(F.col(word_col).isNotNull())
         .select(
             F.col(count_col).cast("long").alias("__c"),
             _char_syms(word_col).alias("__syms"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -197,7 +206,7 @@ def train_bpe(
         cur = (
             cur.filter(F.size("__syms") >= 2)
             .select("__c", _merge_fold(F.col("__syms"), a, b).alias("__syms"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return merges
 

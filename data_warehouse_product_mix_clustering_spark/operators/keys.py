@@ -34,10 +34,18 @@ def materialized_range_partitions(
     keys, mis-packed shards — review r8). The checkpoint's storage cost
     is the price of that consistency; both consumers (keys, packing)
     read it exactly twice.
+
+    LAZY checkpoint (optimization r18): every caller's immediately-next
+    action is its per-partition stats collect, which computes EVERY
+    partition (a groupBy reads them all), so the checkpoint completes
+    inside that job — one driver round-trip per call instead of two,
+    with the identical pinned layout (localCheckpoint blocks are
+    immutable once materialized, and Spark back-fills any partition a
+    first job skipped before truncating lineage).
     """
     return df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def with_surrogate_key(
