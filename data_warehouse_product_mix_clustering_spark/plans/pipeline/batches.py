@@ -350,43 +350,58 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     L, BS = CONTEXT_LEN, _BATCH_SIZE
 
-    # production flow, stage handles kept for the cross-stage checks
+    # production flow, stage handles kept for the cross-stage checks.
+    # LAZY checkpoints (optimization r18): each handle's first action —
+    # the interleave's stats collect, the conservation agg, the
+    # fingerprint agg — computes every partition, so the checkpoint
+    # completes inside a job the audit pays anyway instead of costing a
+    # materialization job of its own; later consumers read the same
+    # pinned blocks either way.
     gated = _tb_gated_with_source(
         spark, sf_dir, recipe["lang"], recipe["quality_min"],
         recipe["tok_lo"], recipe["tok_hi"],
     )
-    survivors = _tb_resample(gated, recipe["alpha"]).localCheckpoint(eager=True)
+    survivors = _tb_resample(gated, recipe["alpha"]).localCheckpoint(eager=False)
     positioned = _tb_interleave(survivors)
     weighted = _tb_bpe_weights(spark, sf_dir, positioned).localCheckpoint(
-        eager=True
+        eager=False
     )  # read by the plan, the conservation check, and nothing else twice
-    plan = _tb_batch_plan(weighted, L, BS).localCheckpoint(eager=True)
+    plan = _tb_batch_plan(weighted, L, BS).localCheckpoint(eager=False)
     fp = _batch_plan_fingerprint(plan)
 
     # -- tokens_conserved --
     corpus_total = int(weighted.agg(F.sum("w_tokens")).first()[0] or 0)
-    batch_total = int(
-        plan.groupBy("batch_id")
-        .agg(F.sum("slice_len").alias("__s"))
-        .agg(F.sum("__s"))
-        .first()[0]
-        or 0
-    )
+
+    # Plan-wide scalars in ONE job (optimization r18, guide §5: the
+    # driver actions over the checkpointed plan were four separate jobs;
+    # the per-batch regroup below still exercises the batch-granular sum
+    # path, so nothing the audit attests got weaker).
+    scalars = plan.agg(
+        F.max("batch_id").alias("__mb"), F.max("seq_id").alias("__mw")
+    ).first()
+    n_batches = int(scalars["__mb"] or 0) + 1
+    max_win = int(scalars["__mw"] or 0)
+
+    # -- batches_exact (+ the per-batch token regroup tokens_conserved
+    #    compares against) in one per-batch pass --
+    per_batch = (
+        plan.groupBy("batch_id").agg(
+            F.count_distinct("seq_id").alias("__nw"),
+            F.sum("slice_len").alias("__s"),
+        )
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("batch_id") < n_batches - 1) & (F.col("__nw") != BS), 1
+            ).otherwise(0)
+        ).alias("__bad_full"),
+        F.sum("__s").alias("__batch_total"),
+    ).first()
+    full_ok = int(per_batch["__bad_full"] or 0) == 0
+    batch_total = int(per_batch["__batch_total"] or 0)
     tokens_conserved = corpus_total == fp[2] == batch_total
 
-    # -- batches_exact --
-    n_batches = int(plan.agg(F.max("batch_id")).first()[0] or 0) + 1
-    per_batch = (
-        plan.select("batch_id", "seq_id").distinct().groupBy("batch_id").count()
-    )
-    full_ok = (
-        per_batch.filter(
-            (F.col("batch_id") < n_batches - 1) & (F.col("count") != BS)
-        ).count()
-        == 0
-    )
     per_win = plan.groupBy("seq_id").agg(F.sum("slice_len").alias("__s"))
-    max_win = int(plan.agg(F.max("seq_id")).first()[0] or 0)
     tiling_ok = (
         per_win.filter((F.col("seq_id") < max_win) & (F.col("__s") != L)).count()
         == 0
@@ -399,7 +414,6 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq_id").alias("__fs")
     )
     prefix = doc_first.filter(F.col("__fs") < half_seq)
-    P = prefix.count()
     src_n = {
         r["source"]: int(r["n"])
         for r in survivors.groupBy("source")
@@ -411,6 +425,7 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]: int(r["n"])
         for r in prefix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    P = sum(pre_n.values())  # |prefix| — the per-source counts partition it
     max_dev = max(
         abs(pre_n.get(s, 0) - P * n / N) for s, n in src_n.items()
     )
