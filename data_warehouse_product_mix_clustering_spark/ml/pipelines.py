@@ -79,10 +79,8 @@ def kmeans_assign(
 
         # localCheckpoint materializes the feature matrix once and truncates
         # lineage, so neither the size probe, the collect, nor the returned
-        # joined plan recomputes the upstream multi-join. Lazy (optimization
-        # r18): the size probe right below computes every partition, so the
-        # materialization rides the count's job instead of a job of its own.
-        df = df.localCheckpoint(eager=False)
+        # joined plan recomputes the upstream multi-join.
+        df = df.localCheckpoint(eager=True)
         if df.count() <= DRIVER_ROWS_CAP:
             # Sort driver-side (pandas) rather than paying a Spark sort
             # shuffle: any total order works, it only has to be the SAME
