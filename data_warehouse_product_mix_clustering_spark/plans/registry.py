@@ -59,81 +59,21 @@ def register(
 # order. Ordering affects only iteration order — every query stays reachable
 # by name regardless.
 _DRIVER_PRIORITY: list[str] = [
-    # ---- Round-18 window (positions 0-49) ----
+    # ---- Round-19 window (positions 0-49) ----
     # Rotation hygiene (VERDICT r13 "What's wrong" #2, standing): rows-only
     # names are EXCLUDED from driver windows — they can only produce
     # `err: no_oracle` rows; their contracts ride the adjacent green
     # oracle-bearing audits. All registered rows-only queries stay
     # reachable by name and in the full sweep.
     #
-    # Exactly as pre-decided in the r17 registry tail (and pinned by the
-    # r17 VERDICT brief #2): the three r12 stragglers lead, then the
-    # first 47 of the 49 r13-cohort names in r13-window order (through
-    # ann_ivf_indexed_audit) — 3 + 47 fill the 50 slots exactly. After
-    # this round the oracle-bearing attestation floor rises to r13
-    # (exactly the two r13 leftovers below the boundary).
-    "doc_bm25_snippets",
-    "events_user_streaks",
-    "events_multitouch_attribution",
-    "semantic_dedup_sweep_audit",
-    "doc_lang_logprob",
-    "training_corpus_lm_by_lang",
-    "doc_crosscorpus_logprob",
-    "semantic_dedup_incremental_audit",
-    "doc_context_windows",
-    "source_mixture_temperature",
-    "corpus_filter_waterfall",
-    "source_token_kl",
-    "revenue_pareto_share_distributed",
-    "stream_semantic_ingest_audit",
-    "doc_weighted_sample",
-    "product_pagination_keyset",
-    "dedup_overlap_coefficient",
-    "events_markov_transitions",
-    "revenue_pareto_share",
-    "order_amount_benford",
-    "customer_rfm_segments",
-    "basket_part_pairs",
-    "events_daily_paths",
-    "nation_supplier_hhi",
-    "urgent_revenue_sql",
-    "discount_quantity_correlation",
-    "customer_revenue_gini",
-    "lineitem_drift_check",
-    "ann_cosine_topk",
-    "dedup_groups",
-    "doc_profile",
-    "documents_dedup",
-    "embedding_centroids",
-    "features_zscore",
-    "nation_revenue_sql",
-    "order_priority_sql",
-    "mv_maintenance_audit",
-    "customer_fuzzy_matches",
-    "events_audience_overlap",
-    "events_audience_overlap_sketch_audit",
-    "snapshot_consistency_audit",
-    "ann_ivfpq_indexed_audit",
-    "revenue_forecast_backtest",
-    "basket_triangle_stats",
-    "lineitem_nested_roundtrip_audit",
-    "revenue_sample_estimate",
-    "dedup_duplicated_ngrams",
-    "zorder_pruning_audit",
-    "python_datasource_scan",
-    "ann_ivf_indexed_audit",
-    # ---- window boundary ----
-    # Round-19 rotation order (pre-decided): the two r13-cohort leftovers
-    # lead, then the two r17-registered audits still without a driver row
-    # (dsir_compaction_audit, stream_dsir_ingest_audit — VERDICT r17
-    # Missing #1 queues them here; pytest- + sweep-gated meanwhile), then
-    # the first 46 of the 50 r14-cohort names in r14-window order
-    # (through quarterly_running_revenue) — 2 + 2 + 46 fill the 50 slots
-    # exactly; r20's window then leads with the three r18-registered
-    # names (bm25_wand_prune_audit, doc_bm25_batch_search,
-    # doc_phrase_search — no driver rows yet; pytest- + sweep-gated
-    # meanwhile) and the four r14-cohort leftovers (quarterly_sequences,
-    # returnflag_priority_split, sequence_arrays, sequence_embeddings).
+    # Exactly as pre-decided in the r18 registry tail (and pinned by the
+    # r18 VERDICT brief #7): the two r13-cohort leftovers lead, then the
+    # two r17-registered audits that had no driver row yet
+    # (dsir_compaction_audit, stream_dsir_ingest_audit), then the first
+    # 46 of the 50 r14-cohort names in r14-window order (through
+    # quarterly_running_revenue) — 2 + 2 + 46 fill the 50 slots exactly.
+    # After this round the oracle-bearing attestation floor rises to r14
+    # (exactly the four r14 leftovers below the boundary).
     "mv_rewrite_audit",
     "checked_write_audit",
     "dsir_compaction_audit",
@@ -184,6 +124,67 @@ _DRIVER_PRIORITY: list[str] = [
     "order_value_histogram",
     "pivot_category_priority",
     "quarterly_running_revenue",
+    # ---- window boundary ----
+    # Round-20 rotation order (pre-decided): the three r18-registered
+    # names without a driver row yet (bm25_wand_prune_audit,
+    # doc_bm25_batch_search, doc_phrase_search — pytest- + sweep-gated
+    # meanwhile) lead, then the four r14-cohort leftovers
+    # (quarterly_sequences, returnflag_priority_split, sequence_arrays,
+    # sequence_embeddings), then the first 43 of the 50 r15-cohort names
+    # in r15-window order (through product_pagination) — 3 + 4 + 43 fill
+    # the 50 slots exactly; (product_search, promo_revenue_pct,
+    # quarter_rollup, recent_activity, returnflag_stats,
+    # revenue_grouping_sets, semi_join_large_parts) lead r21's window.
+    "bm25_wand_prune_audit",
+    "doc_bm25_batch_search",
+    "doc_phrase_search",
+    "quarterly_sequences",
+    "returnflag_priority_split",
+    "sequence_arrays",
+    "sequence_embeddings",
+    "training_batches_audit",
+    "coreset_maxmin_audit",
+    "source_mixture_doremi",
+    "doc_quality_lm_calibration",
+    "source_budget_allocation",
+    "training_corpus_budgeted",
+    "training_corpus_decontaminated",
+    "benchmark_contamination_report",
+    "benchmark_contamination_fuzzy",
+    "training_corpus_decontaminated_fuzzy",
+    "stream_sessions_audit",
+    "training_corpus",
+    "trajectory_stats",
+    "value_segments_audit",
+    "anti_join_inactive_customers",
+    "category_pct_of_total",
+    "category_values",
+    "cluster_quality_audit",
+    "customer_order_setops",
+    "customer_revenue_distribution",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_audit",
+    "embedding_cluster_audit",
+    "events_funnel",
+    "events_props_stats",
+    "events_session_window",
+    "events_sessions",
+    "events_sliding_qtr_hour",
+    "events_stream_attribution",
+    "events_stream_hourly",
+    "events_stream_topk",
+    "events_tumbling_hourly",
+    "global_metrics",
+    "latest_order_top1",
+    "lstm_quality_audit",
+    "doc_unigram_logprob",
+    "semantic_dedup_audit",
+    "nation_revenue",
+    "orders_above_customer_avg",
+    "pca_variance_audit",
+    "pricing_summary",
+    "product_pagination",
 ]
 
 

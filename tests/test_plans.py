@@ -1266,8 +1266,9 @@ def test_driver_priority_window_composition():
     (plans/registry.py::_DRIVER_PRIORITY). Pins: every priority name
     resolves to a registered query (a typo would silently shrink the
     window), no duplicates (a repeat would double-book a slot), the
-    round-18 window is exactly the 3 r12 stragglers + 47 r13-cohort
-    names as pre-decided in the r17 registry tail, every window slot is
+    round-19 window is exactly the 2 r13-cohort leftovers + 2
+    r17-registered audits + 46 r14-cohort names as pre-decided in the
+    r18 registry tail (VERDICT r18 brief #7), every window slot is
     oracle-bearing (VERDICT r13 hygiene rule: rows-only names cannot
     earn hash rows and stay out of windows), and the in-window boundary
     names are the documented ones."""
@@ -1279,23 +1280,27 @@ def test_driver_priority_window_composition():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
     window = list(qs)[:50]
     assert window == _DRIVER_PRIORITY[:50]
-    assert window[:3] == [
-        "doc_bm25_snippets",
-        "events_user_streaks",
-        "events_multitouch_attribution",
-    ]
-    assert window[3] == "semantic_dedup_sweep_audit"  # r13 cohort starts
-    assert window[49] == "ann_ivf_indexed_audit"  # 47th r13-cohort name
-    # the pre-decided r19 window leads the tail: the two r13-cohort
-    # leftovers, then the two r17-registered audits without a driver row
-    assert _DRIVER_PRIORITY[50:54] == [
+    assert window[:4] == [
         "mv_rewrite_audit",
         "checked_write_audit",
         "dsir_compaction_audit",
         "stream_dsir_ingest_audit",
     ]
-    assert _DRIVER_PRIORITY[54] == "stream_gated_corpus_audit"  # r14 cohort
-    assert len(_DRIVER_PRIORITY) == 100  # r18 window + full r19 window
+    assert window[4] == "stream_gated_corpus_audit"  # r14 cohort starts
+    assert window[49] == "quarterly_running_revenue"  # 46th r14-cohort name
+    # the pre-decided r20 window leads the tail: the three r18-registered
+    # names without a driver row, then the four r14-cohort leftovers
+    assert _DRIVER_PRIORITY[50:57] == [
+        "bm25_wand_prune_audit",
+        "doc_bm25_batch_search",
+        "doc_phrase_search",
+        "quarterly_sequences",
+        "returnflag_priority_split",
+        "sequence_arrays",
+        "sequence_embeddings",
+    ]
+    assert _DRIVER_PRIORITY[57] == "training_batches_audit"  # r15 cohort
+    assert len(_DRIVER_PRIORITY) == 100  # r19 window + full r20 window
     rows_only_in_window = [n for n in window if qs[n].oracle is None]
     assert not rows_only_in_window, rows_only_in_window
 
