@@ -87,7 +87,34 @@ def _jaccard_from_intersections(
     plan end here, so the denominator semantics live in exactly one place
     (pinned equal by test_incremental_jaccard_is_cross_split_slice_of_
     symmetric).
+
+    When both sides are the SAME relation, the two size branches join as
+    ALIASES of one frame instead of two renamed projections
+    (optimization r19, guide §2.4 exchange reuse): a rename below the
+    BroadcastExchange gives the two branches different canonicalized
+    plans, so the per-doc size aggregate was computed and broadcast
+    TWICE — measured as two full scans of the cached shingle relation
+    per query; alias-qualified joins keep one subtree and the runtime
+    reuses the first exchange.
     """
+    if sizes_a is sizes_b:
+        sa, sb = sizes_a.alias("__sa"), sizes_a.alias("__sb")
+        return (
+            inter.join(sa, F.col(a_col) == F.col(f"__sa.{id_col}"))
+            .join(sb, F.col(b_col) == F.col(f"__sb.{id_col}"))
+            .select(
+                a_col,
+                b_col,
+                (
+                    F.col("__inter")
+                    / (
+                        F.col("__sa.__n")
+                        + F.col("__sb.__n")
+                        - F.col("__inter")
+                    )
+                ).alias("jaccard"),
+            )
+        )
     na = sizes_a.select(F.col(id_col).alias(a_col), F.col("__n").alias("__na"))
     nb = sizes_b.select(F.col(id_col).alias(b_col), F.col("__n").alias("__nb"))
     return (
@@ -104,6 +131,84 @@ def _jaccard_from_intersections(
     )
 
 
+def group_pairs(
+    df: DataFrame, id_col: str, group_cols: list[str],
+    out_a: str = "doc_a", out_b: str = "doc_b",
+    pin_width: bool = False,
+) -> DataFrame:
+    """All ordered id pairs (a < b) co-occurring under one group key —
+    the aggregate-then-expand replacement for the group-key SELF-JOIN
+    (guide §2.4 remove-shuffles / §2.3 shuffle-fewer-bytes): ONE
+    exchange of the input on the group key plus a per-group JVM pair
+    expansion replace the two-sided join, which either shuffles the
+    relation twice or (as AQE picks at bench SF) broadcast-builds the
+    ENTIRE relation — measured the single most expensive step of the
+    shingle family. Emits exactly the multiset the self-join +
+    ``a < b`` filter yields: per group the (distinct — caller contract)
+    ids are collected once, sorted, and expanded to the C(k,2) ordered
+    pairs; a group of k rows still contributes k(k-1)/2 rows, so the
+    quadratic-in-co-occurrence output (and any ``max_shingle_freq``-style
+    cap a caller applies first) is unchanged."""
+    ids = F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    # pin_width: explicit hash repartition on the group key, which the
+    # groupBy reuses (same keys ⇒ no second exchange). For EXPANSIVE
+    # group distributions the pair expansion is the stage's real output,
+    # but AQE sizes post-shuffle partitions by the PRE-expansion bytes
+    # (a few MB of id lists) and coalesces the whole expansion onto one
+    # task — measured 34 s single-task at sf0.1 on the shingle key.
+    # For near-unit groups (LSH buckets: k≈2) the expansion is
+    # output-sized and AQE's coalescing is exactly right — leave False.
+    # The pinned width follows defaultParallelism, so it scales with the
+    # cluster rather than hard-coding a local constant.
+    grouped = df
+    if pin_width:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        grouped = df.repartition(p, *group_cols)
+    return (
+        grouped.groupBy(*group_cols)
+        .agg(ids)
+        .filter(F.size("__ids") >= 2)
+        .select(F.explode(pairs).alias("__p"))
+        .select(f"__p.{out_a}", f"__p.{out_b}")
+    )
+
+
+def pair_intersections(sh: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, __inter): shared-shingle counts for every
+    co-occurring doc pair — the shingle SELF-JOIN formulation, shared by
+    the exact-Jaccard and overlap-coefficient plans so the intersection
+    machinery has one definition.
+
+    Deliberately a self-join, not ``group_pairs`` (A/B'd r19 at sf0.1,
+    best-of-3): the broadcast self-join runs 1.85 s vs 4.1 s for the
+    shingle-grouped pair expansion and 6-8 s for its shuffled variants.
+    The join's stream side keeps the shingle relation's doc-contiguous
+    partitioning, so every pair (a, b) of a fixed doc_a materializes in
+    one task and the map-side partial aggregate collapses the k² pair
+    stream to the distinct-pair counts BEFORE the exchange (88.6 MB);
+    any shingle-keyed regrouping scatters the same pairs across tasks
+    (264.8 MB shuffled, 3× the cpu). At corpus scales where the relation
+    stops broadcasting, ``max_shingle_freq`` + the LSH path are the
+    answer, not a bigger exact join."""
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+
+
 def _pair_jaccard(
     sh: DataFrame, id_col: str, restrict: DataFrame | None = None
 ) -> DataFrame:
@@ -112,19 +217,27 @@ def _pair_jaccard(
     With ``restrict`` (a small (doc_a, doc_b) candidate list, e.g. from LSH)
     the plan is candidate-centric: candidates ⋈ shingles(doc_a) ⋈
     shingles(doc_b, same shingle) — linear in |candidates| × doc size, never
-    touching the quadratic shingle self-join. Without it, the exact
-    formulation: self-join on shingle (k docs sharing a shingle → k² rows).
+    touching the quadratic shingle pair expansion. Without it, the exact
+    formulation: ``pair_intersections`` (one shingle-key exchange +
+    per-group pair expansion; k docs sharing a shingle → k(k-1)/2 rows).
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Lazy checkpoint: the per-doc size relation is consumed by BOTH size
+    # joins, and exchange reuse does not fire across the two branches
+    # (measured r19: the aggregate ran twice, a full scan of the cached
+    # shingle relation each). The checkpointed relation is doc-count-sized
+    # (id + one long); materialization rides the first consumer's job.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(
+        eager=False
+    )
     if restrict is not None:
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
         b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
         pairs = F.broadcast(restrict).join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        inter = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("__inter")
+        )
     else:
-        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-        pairs = a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("__inter"))
+        inter = pair_intersections(sh, id_col)
     return _jaccard_from_intersections(inter, sizes, sizes, id_col, "doc_a", "doc_b")
 
 
@@ -252,6 +365,13 @@ def minhash_lsh_pairs(
     # most expensive stages in the plan — doubling the query. The cached
     # relation is narrow (id, band:int, key:int — N×bands rows, no text),
     # MEMORY_AND_DISK, so it spills rather than OOMs at corpus scale.
+    # Optimization r19 left this shape ALONE after measuring both
+    # alternatives worse in bench context: a group_pairs (collect_list +
+    # expand per bucket) rewrite benched 2.34 → 3.07 s, and dropping the
+    # persist in favor of exchange reuse recomputed the signature
+    # pipeline twice (the r19 decomposition shows shuffle-exchange reuse
+    # NOT firing across the aliased branches: two (band, key) exchange
+    # writes, 10.7 s + 4.6 s run).
     buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     ).persist()

@@ -33,6 +33,7 @@ from data_warehouse_product_mix_clustering_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    pair_intersections,
     shingle_sets,
     simhash64,
     simhash_near_pairs,
@@ -723,21 +724,20 @@ def dedup_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes → both fire; contained-subset → only this one.
     """
     sh = shared_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    # doc-count-sized; lazy-checkpointed because it feeds BOTH size joins
+    # and exchange reuse does not fire across the branches (measured r19
+    # — same fix as _pair_jaccard).
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(
+        eager=False
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("__n").alias("__nb"))
-    ov = F.col("__inter") / F.least(F.col("__na"), F.col("__nb"))
+    inter = pair_intersections(sh, "doc_id")
+    # alias-qualified joins of ONE sizes frame (not two renamed
+    # projections), so both branches read the same checkpointed blocks.
+    sa, sb = sizes.alias("__sa"), sizes.alias("__sb")
+    ov = F.col("__inter") / F.least(F.col("__sa.__n"), F.col("__sb.__n"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        inter.join(sa, F.col("doc_a") == F.col("__sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("__sb.doc_id"))
         .filter(ov >= 0.9)
         .select("doc_a", "doc_b", ratio_round(ov).alias("overlap"))
     )
@@ -946,9 +946,14 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation is a JVM expression.
     """
     from data_warehouse_product_mix_clustering_spark.operators.dedup import scrub_spans
+    from data_warehouse_product_mix_clustering_spark.operators.skew import fan_out
 
     sh = shared_pos_shingles(spark, sf_dir, 8)
-    toks = table(spark, "documents", sf_dir).select(
+    # fan_out: the tokenize + per-token mask lambdas downstream run on
+    # the documents scan's own partitioning — a few-row-group corpus
+    # file otherwise serializes the whole masking stage on one core
+    # (measured: the final stage ran as ONE 367 ms task at sf0.1).
+    toks = fan_out(table(spark, "documents", sf_dir)).select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
     return scrub_spans(toks, _top_spans(sh), "doc_id", 8, pos_shingles=sh).select(
