@@ -274,14 +274,20 @@ def encode_words(
     lineage from exploding the analyzer (the PageRank discipline; folds
     are cheap enough to batch). Unlike training, the relation cannot
     drop fully-merged rows (every word needs its encoding), so each fold
-    is size-gated (`_guarded_fold`) instead."""
+    is size-gated (`_guarded_fold`) instead. LAZY checkpoints
+    (optimization r19, the r18 train-side pattern): the consumer's first
+    action computes through the whole chain in ONE job, materializing
+    each checkpoint's blocks along the way and truncating lineage
+    exactly as the eager variant did — minus ⌈merges/4⌉ driver-job
+    launches per encode (measured: 5 one-task jobs per
+    ``bpe_token_counts`` call at the default 20 merges)."""
     cur = vocab.filter(F.col(word_col).isNotNull()).withColumn(
         "bpe_syms", _char_syms(word_col)
     )
     for j, (a, b, _) in enumerate(merges, 1):
         cur = cur.withColumn("bpe_syms", _guarded_fold(F.col("bpe_syms"), a, b))
         if j % 4 == 0 or j == len(merges):
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.localCheckpoint(eager=False)
     return cur
 
 

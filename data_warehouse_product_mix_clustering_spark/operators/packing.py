@@ -133,27 +133,47 @@ def context_windows(
     to output size, never to corpus × windows."""
     if context_len <= 0:
         raise ValueError(f"context_len must be positive: {context_len}")
-    L = int(context_len)
     started = with_running_weight_before(
         df, order_col, weight_col, "__start"
-    ).filter(F.col(weight_col) > 0)
-    first_w = F.expr(f"__start DIV {L}")
-    last_w = F.expr(f"(__start + {weight_col} - 1) DIV {L}")
+    )
+    return window_slices(started, weight_col, context_len).drop(
+        "__pid", "__start"
+    )
+
+
+def window_slices(
+    df: DataFrame,
+    weight_col: str,
+    context_len: int,
+    start_col: str = "__start",
+) -> DataFrame:
+    """The concat-and-chunk explode arithmetic of ``context_windows`` on
+    rows that ALREADY carry the exclusive running-weight offset
+    (``start_col``) — pure per-row expressions, no pass of its own.
+    Factored out (optimization r19) so a producer whose rank pass already
+    computed the running weight (``with_rank_and_running`` emits rank AND
+    running sum in ONE range partitioning) can skip the separate
+    ``with_running_weight_before`` pass ``context_windows`` pays; the
+    training-batch composition is that producer. Keeps ``start_col`` on
+    the output (callers drop it)."""
+    L = int(context_len)
+    started = df.filter(F.col(weight_col) > 0)
+    first_w = F.expr(f"{start_col} DIV {L}")
+    last_w = F.expr(f"({start_col} + {weight_col} - 1) DIV {L}")
     exploded = started.withColumn(
         "seq_id", F.explode(F.sequence(first_w, last_w))
     )
     win_start = F.col("seq_id") * L
-    slice_abs_start = F.greatest(F.col("__start"), win_start)
+    slice_abs_start = F.greatest(F.col(start_col), win_start)
     slice_abs_end = F.least(
-        F.col("__start") + F.col(weight_col), win_start + L
+        F.col(start_col) + F.col(weight_col), win_start + L
     )
     return (
         exploded.withColumn(
-            "slice_start", (slice_abs_start - F.col("__start")).cast("long")
+            "slice_start", (slice_abs_start - F.col(start_col)).cast("long")
         )
         .withColumn("slice_len", (slice_abs_end - slice_abs_start).cast("long"))
         .withColumn("seq_offset", (slice_abs_start - win_start).cast("long"))
-        .drop("__pid", "__start")
     )
 
 

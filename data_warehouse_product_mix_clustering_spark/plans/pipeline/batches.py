@@ -95,7 +95,9 @@ def _tb_resample(
     )
 
 
-def _tb_interleave(survivors: DataFrame) -> DataFrame:
+def _tb_interleave(
+    survivors: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """Stage C: stride-interleave the RESAMPLED corpus into one training
     order. The mixture was already realized by stage B, so the stride
     targets here are the REALIZED per-source doc shares (6-dp-snapped) —
@@ -104,7 +106,17 @@ def _tb_interleave(survivors: DataFrame) -> DataFrame:
     no-window machinery as the registered interleave query
     (``_interleave_rank`` + ``with_rank_and_running`` — two distributed
     range-partitioned passes, two ≤P-row collects, zero global or
-    per-source Window operators). (position, doc_id, source)."""
+    per-source Window operators). (position, doc_id, source).
+
+    With ``weight_col`` (optimization r19): the input carries a token
+    weight, which RIDES the final rank pass — ``with_rank_and_running``
+    computes rank AND inclusive running weight in the SAME range
+    partitioning, so the output additionally carries ``weight_col`` and
+    ``__start`` (the EXCLUSIVE running total: running − own weight),
+    exactly the offset ``context_windows`` would re-derive with a third
+    range-partitioned pass of its own. The batch planner consumes
+    ``__start`` directly (``window_slices``), cutting one
+    repartitionByRange + checkpoint + stats collect from every flow."""
     from data_warehouse_product_mix_clustering_spark.operators.packing import with_rank_and_running
 
     w = Window.partitionBy()
@@ -124,45 +136,69 @@ def _tb_interleave(survivors: DataFrame) -> DataFrame:
     ranked = _interleave_rank(
         hashed, "source", [F.col("__h"), F.col("doc_id")], "__rk"
     ).drop("__h")
+    carry = [weight_col] if weight_col else []
     keyed = (
         ranked.join(F.broadcast(shares), "source")
         .select(
             "doc_id",
             "source",
+            *carry,
             ratio_round(
                 (F.col("__rk") - F.lit(0.5)) / F.col("__tgt")
             ).alias("__vk"),
         )
-        .withColumn("__one", F.lit(1).cast("long"))
     )
+    if weight_col is None:
+        return (
+            with_rank_and_running(
+                keyed.withColumn("__one", F.lit(1).cast("long")),
+                [F.col("__vk"), F.col("doc_id")],
+                "__one",
+                rank_col="position",
+            )
+            .select("position", "doc_id", "source")
+        )
     return (
         with_rank_and_running(
-            keyed, [F.col("__vk"), F.col("doc_id")], "__one", rank_col="position"
+            keyed,
+            [F.col("__vk"), F.col("doc_id")],
+            weight_col,
+            rank_col="position",
+            running_col="__run",
         )
-        .select("position", "doc_id", "source")
+        .select(
+            "position",
+            "doc_id",
+            "source",
+            weight_col,
+            (F.col("__run") - F.col(weight_col)).cast("long").alias("__start"),
+        )
     )
 
 
 def _tb_bpe_weights(
-    spark: SparkSession, sf_dir: str, positioned: DataFrame
+    spark: SparkSession, sf_dir: str, survivors: DataFrame
 ) -> DataFrame:
     """Stage D: trained-tokenizer token counts for the survivors — the
     packing weights a tensor writer actually budgets by (the
     ``doc_context_windows_bpe`` lesson: training budgets are tokenizer
     tokens, not whitespace words). One session-memoized merge table
     (plans/text.py::corpus_bpe_merges), distinct-word encode + join-back
-    (|vocab| fold work, not |corpus|). (position, doc_id, source,
-    w_tokens)."""
+    (|vocab| fold work, not |corpus|). Runs BEFORE the interleave since
+    optimization r19 (the weights only key on doc_id, so attaching them
+    to the pre-interleave survivors lets the interleave's rank pass carry
+    the weight and emit the running token offset for free — see
+    ``_tb_interleave``). (doc_id, source, w_tokens)."""
     from data_warehouse_product_mix_clustering_spark.operators.bpe import bpe_token_counts
     from data_warehouse_product_mix_clustering_spark.plans.text import corpus_bpe_merges
 
     docs = table(spark, "documents", sf_dir).select("doc_id", "text")
-    subset = docs.join(positioned.select("doc_id"), "doc_id")
+    subset = docs.join(survivors.select("doc_id"), "doc_id")
     merges = corpus_bpe_merges(spark, sf_dir)
     counts = bpe_token_counts(subset, merges).select(
         "doc_id", F.col("n_bpe_tokens").alias("w_tokens")
     )
-    return positioned.join(counts, "doc_id")
+    return survivors.join(counts, "doc_id")
 
 
 def _tb_batch_plan(
@@ -178,12 +214,16 @@ def _tb_batch_plan(
     order). Packed fixed-length windows need no length bucketing — every
     batch is a dense (batch_size × context_len) tensor; the
     length-bucketed planner (``doc_length_bucket_batches``) is the
-    registered alternative for UNpacked padded batches."""
-    from data_warehouse_product_mix_clustering_spark.operators.packing import context_windows
+    registered alternative for UNpacked padded batches.
 
-    win = context_windows(
+    The input already carries ``__start`` (the exclusive running token
+    offset, computed inside the interleave's rank pass — optimization
+    r19), so the window cut is pure per-row arithmetic
+    (``window_slices``): no third range-partitioned prefix-sum pass."""
+    from data_warehouse_product_mix_clustering_spark.operators.packing import window_slices
+
+    win = window_slices(
         weighted,
-        order_col="position",
         weight_col="w_tokens",
         context_len=context_len,
     )
@@ -262,9 +302,9 @@ def training_batches(
             "source", F.col("doremi_weight").alias("target_share")
         )
     survivors = _tb_resample(gated, alpha, targets)
-    positioned = _tb_interleave(survivors)
-    weighted = _tb_bpe_weights(spark, sf_dir, positioned)
-    return _tb_batch_plan(weighted, context_len, batch_size)
+    weighted = _tb_bpe_weights(spark, sf_dir, survivors)
+    positioned = _tb_interleave(weighted, "w_tokens")
+    return _tb_batch_plan(positioned, context_len, batch_size)
 
 
 def _batch_plan_fingerprint(plan: DataFrame) -> tuple[int, int, int]:
@@ -352,25 +392,49 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # production flow, stage handles kept for the cross-stage checks.
     # LAZY checkpoints (optimization r18): each handle's first action —
-    # the interleave's stats collect, the conservation agg, the
-    # fingerprint agg — computes every partition, so the checkpoint
-    # completes inside a job the audit pays anyway instead of costing a
-    # materialization job of its own; later consumers read the same
-    # pinned blocks either way.
+    # the interleave's stats collect, the fused fingerprint+conservation
+    # agg — computes every partition, so the checkpoint completes inside
+    # a job the audit pays anyway instead of costing a materialization
+    # job of its own; later consumers read the same pinned blocks either
+    # way. Since r19 the weights attach BEFORE the interleave and the
+    # window offsets ride the interleave's rank pass (see
+    # _tb_interleave), so the flow has TWO range-partitioned passes, not
+    # three.
     gated = _tb_gated_with_source(
         spark, sf_dir, recipe["lang"], recipe["quality_min"],
         recipe["tok_lo"], recipe["tok_hi"],
     )
     survivors = _tb_resample(gated, recipe["alpha"]).localCheckpoint(eager=False)
-    positioned = _tb_interleave(survivors)
-    weighted = _tb_bpe_weights(spark, sf_dir, positioned).localCheckpoint(
+    weighted = _tb_bpe_weights(spark, sf_dir, survivors).localCheckpoint(
         eager=False
-    )  # read by the plan, the conservation check, and nothing else twice
-    plan = _tb_batch_plan(weighted, L, BS).localCheckpoint(eager=False)
-    fp = _batch_plan_fingerprint(plan)
+    )  # read by the interleave and the conservation agg
+    plan = _tb_batch_plan(
+        _tb_interleave(weighted, "w_tokens"), L, BS
+    ).localCheckpoint(eager=False)
 
-    # -- tokens_conserved --
-    corpus_total = int(weighted.agg(F.sum("w_tokens")).first()[0] or 0)
+    # -- fingerprint + tokens_conserved corpus side, ONE job (r19: the
+    #    fingerprint agg and the corpus-total agg were separate driver
+    #    actions over two checkpointed relations; a cross join of the two
+    #    1-row aggregates computes both in one action) --
+    key = F.concat_ws(
+        ":", "batch_id", "seq_id", "position", "doc_id", "source",
+        "slice_start", "slice_len", "seq_offset",
+    )
+    fprow = (
+        plan.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast(
+                    "decimal(28,0)"
+                )
+            ).alias("h"),
+            F.sum("slice_len").cast("long").alias("t"),
+        )
+        .crossJoin(weighted.agg(F.sum("w_tokens").alias("__ct")))
+        .first()
+    )
+    fp = (int(fprow["n"]), int(fprow["h"] or 0), int(fprow["t"] or 0))
+    corpus_total = int(fprow["__ct"] or 0)
 
     # Plan-wide scalars in ONE job (optimization r18, guide §5: the
     # driver actions over the checkpointed plan were four separate jobs;
@@ -383,53 +447,77 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_win = int(scalars["__mw"] or 0)
 
     # -- batches_exact (+ the per-batch token regroup tokens_conserved
-    #    compares against) in one per-batch pass --
-    per_batch = (
-        plan.groupBy("batch_id").agg(
-            F.count_distinct("seq_id").alias("__nw"),
-            F.sum("slice_len").alias("__s"),
+    #    compares against) in ONE job (r19): one per-(batch, window)
+    #    aggregate feeds BOTH the batch-granular regroup (full-batch
+    #    check + token total) and the window-tiling check; batch_id is a
+    #    pure function of seq_id, so grouping by the pair is the same
+    #    window grain the former per_win pass used --
+    per_seq = plan.groupBy("batch_id", "seq_id").agg(
+        F.sum("slice_len").alias("__s")
+    ).localCheckpoint(eager=False)  # windows-sized; read by both branches
+    shape = (
+        per_seq.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("__nw"), F.sum("__s").alias("__bs"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("batch_id") < n_batches - 1) & (F.col("__nw") != BS),
+                    1,
+                ).otherwise(0)
+            ).alias("__bad_full"),
+            F.sum("__bs").alias("__batch_total"),
         )
-    ).agg(
-        F.sum(
-            F.when(
-                (F.col("batch_id") < n_batches - 1) & (F.col("__nw") != BS), 1
-            ).otherwise(0)
-        ).alias("__bad_full"),
-        F.sum("__s").alias("__batch_total"),
-    ).first()
-    full_ok = int(per_batch["__bad_full"] or 0) == 0
-    batch_total = int(per_batch["__batch_total"] or 0)
-    tokens_conserved = corpus_total == fp[2] == batch_total
-
-    per_win = plan.groupBy("seq_id").agg(F.sum("slice_len").alias("__s"))
-    tiling_ok = (
-        per_win.filter((F.col("seq_id") < max_win) & (F.col("__s") != L)).count()
-        == 0
+        .crossJoin(
+            per_seq.agg(
+                F.sum(
+                    F.when(
+                        (F.col("seq_id") < max_win) & (F.col("__s") != L), 1
+                    ).otherwise(0)
+                ).alias("__bad_tile")
+            )
+        )
+        .first()
     )
+    full_ok = int(shape["__bad_full"] or 0) == 0
+    batch_total = int(shape["__batch_total"] or 0)
+    tokens_conserved = corpus_total == fp[2] == batch_total
+    tiling_ok = int(shape["__bad_tile"] or 0) == 0
     batches_exact = full_ok and tiling_ok
 
-    # -- prefix_fair (doc-granular stride bound at batch granularity) --
+    # -- prefix_fair + the any_split probe, ONE job (r19: survivor
+    #    per-source counts, prefix per-source counts, and the
+    #    split-document existence check were three separate actions; one
+    #    per-doc aggregate regrouped by source, full-outer-joined with
+    #    the survivor counts, carries all three in ≤ |sources| rows) --
     half_seq = (n_batches // 2) * BS
-    doc_first = plan.groupBy("doc_id", "source").agg(
-        F.min("seq_id").alias("__fs")
+    per_doc = plan.groupBy("doc_id", "source").agg(
+        F.min("seq_id").alias("__fs"),
+        F.count_distinct("seq_id").alias("__nw"),
     )
-    prefix = doc_first.filter(F.col("__fs") < half_seq)
-    src_n = {
-        r["source"]: int(r["n"])
-        for r in survivors.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
+    fair_rows = (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("__fs") < half_seq, 1).otherwise(0)
+            ).cast("long").alias("__pre"),
+            F.max("__nw").alias("__max_nw"),
+        )
+        .join(
+            survivors.groupBy("source").agg(F.count(F.lit(1)).alias("__n")),
+            "source",
+            "full_outer",
+        )
         .collect()  # ≤ |sources|
-    }
+    )
+    src_n = {r["source"]: int(r["__n"] or 0) for r in fair_rows}
+    pre_n = {r["source"]: int(r["__pre"] or 0) for r in fair_rows}
     N = sum(src_n.values())
-    pre_n = {
-        r["source"]: int(r["n"])
-        for r in prefix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     P = sum(pre_n.values())  # |prefix| — the per-source counts partition it
     max_dev = max(
         abs(pre_n.get(s, 0) - P * n / N) for s, n in src_n.items()
     )
     prefix_fair = max_dev <= 2.0
+    any_split = any(int(r["__max_nw"] or 0) >= 2 for r in fair_rows)
 
     # -- fingerprint_reproducible (JSON-roundtripped recipe rebuild) --
     loaded = json.loads(json.dumps(recipe))
@@ -453,17 +541,13 @@ def training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gated",
         )
         b = _rt(_tb_resample(a, recipe["alpha"]), "resampled")
-        c = _rt(_tb_interleave(b), "positioned")
-        d = _rt(_tb_bpe_weights(spark, sf_dir, c), "weighted")
+        c = _rt(_tb_bpe_weights(spark, sf_dir, b), "weighted")
+        d = _rt(_tb_interleave(c, "w_tokens"), "positioned")
         matches_staged = _batch_plan_fingerprint(_tb_batch_plan(d, L, BS)) == fp
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    # -- contract_bites --
-    any_split = (
-        plan.select("doc_id", "seq_id").distinct().groupBy("doc_id").count()
-        .filter(F.col("count") >= 2).count() > 0
-    )
+    # -- contract_bites (any_split rides the fairness job above) --
     contract_bites = n_batches >= 2 and any_split and P > 0
 
     return spark.createDataFrame(
@@ -577,11 +661,12 @@ def doremi_training_batches_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     survivors = _tb_resample(gated, recipe["alpha"], doremi).localCheckpoint(
         eager=True
     )
-    weighted = _tb_bpe_weights(
-        spark, sf_dir, _tb_interleave(survivors)
-    ).localCheckpoint(eager=True)
+    weighted = _tb_bpe_weights(spark, sf_dir, survivors).localCheckpoint(
+        eager=True
+    )
     plan = _tb_batch_plan(
-        weighted, recipe["context_len"], recipe["batch_size"]
+        _tb_interleave(weighted, "w_tokens"),
+        recipe["context_len"], recipe["batch_size"],
     ).localCheckpoint(eager=True)
     fp = _batch_plan_fingerprint(plan)
 
