@@ -49,6 +49,48 @@ from data_warehouse_product_mix_clustering_spark.functions.numeric import ratio_
 # excluded from L2 — standard practice). The key cannot collide with
 # md5-prefix buckets (hex alphabet) or the plan-side "__len" feature.
 BIAS_KEY = "__bias"
+# Tag for the loss scalar riding the per-iteration gradient collect — a
+# reserved name no feature bucket can take (buckets are md5-hex prefixes
+# or the engineered "__len"/"__sw"; the bias row is BIAS_KEY).
+_LOSS_TAG = "__loss"
+
+
+class _no_aqe:
+    """Disable AQE inside the iterative-trainer scope (restored on exit).
+
+    The per-iteration weight-update queries are MODEL-sized (a broadcast
+    of ≤ |classes|·buckets weight rows into one or two aggregates over
+    the cached training slice); AQE's per-query-stage jobs and runtime
+    re-planning are pure overhead at that shape — measured r19: the
+    multinomial audit ran 561 driver jobs and 72 s with AQE on vs 51 s
+    off, identical results. Static planning with the session's
+    configured shuffle partitions is exactly right for a bounded
+    training slice at any corpus scale (the trainer contract already
+    samples training data to a slice); callers that train over an
+    unbounded relation should reconsider — and get the conf restored
+    regardless."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+
+
+def _weights_df(spark, rows, schema):
+    """Tiny driver-side weight relation via the Arrow (pandas) path —
+    the tuple-list path pickles row by row and measured ~2× slower per
+    iteration (0.20 vs 0.107 s for the 12k-row multinomial frame);
+    dtypes are pinned by the explicit schema, so values round-trip
+    bit-identically (float64 end to end)."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
 
 # Probability clip for the log-loss only (snapped probabilities can be
 # exactly 0.0 or 1.0; the decision path never clips).
@@ -146,18 +188,19 @@ def train_logreg(
         .repartition("__id")  # one shuffle, reused by every iteration
         .persist()
     )
-    base.count()  # materialize the cache (cheap count, no extra shuffle)
     n_docs = ids.count()  # labels-sized job — not a distinct over base
+    # the bucket collect doubles as the cache materializer (a distinct
+    # over base computes every partition) — no separate count() job (r19)
     buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
     w = {b: 0.0 for b in buckets}
     acc: dict[str, float] = {}
 
     losses: list[float] = []
+    aqe = _no_aqe(spark)
+    aqe.__enter__()
     try:
         for _ in range(n_iter):
-            wdf = spark.createDataFrame(
-                list(w.items()), "bucket string, w double"
-            )
+            wdf = _weights_df(spark, list(w.items()), "bucket string, w double")
             # Per-id margin/probability/residual: the broadcast join
             # preserves the cached id-partitioning and the groupBy key
             # matches it, so this agg is exchange-free (y rides as min
@@ -177,6 +220,18 @@ def train_logreg(
                 )
                 .withColumn("resid", F.col("p") - F.col("y"))
             )
+            # Gradient SUM per bucket — ≤ buckets+1 rows; with track_loss
+            # the per-iteration loss scalar rides the SAME collect as a
+            # tagged extra row (r19, guide §5: one driver action per
+            # iteration instead of two — the aggregates themselves are
+            # unchanged, so the snapped values are bit-identical).
+            grad_rows = (
+                base.join(
+                    per_id.select("__id", "resid"), "__id"
+                )  # both sides partitioned by __id — no exchange on base
+                .groupBy("bucket")
+                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
+            )
             if track_loss:
                 pc = F.least(
                     F.greatest(F.col("p"), F.lit(_P_CLIP)),
@@ -186,23 +241,18 @@ def train_logreg(
                     F.col("y") * F.log(pc)
                     + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
                 )
-                losses.append(
-                    per_id.agg(ratio_round(F.avg(ll)).alias("l")).collect()[
-                        0
-                    ]["l"]
+                grad_rows = grad_rows.unionByName(
+                    per_id.agg(ratio_round(F.avg(ll)).alias("g")).select(
+                        F.lit(_LOSS_TAG).alias("bucket"), "g"
+                    )
                 )
-            # Gradient SUM per bucket — the only collect: ≤ buckets+1 rows.
-            grad = {
-                r["bucket"]: r["g"]
-                for r in base.join(
-                    per_id.select("__id", "resid"), "__id"
-                )  # both sides partitioned by __id — no exchange on base
-                .groupBy("bucket")
-                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
-                .collect()
-            }
+            collected = grad_rows.collect()
+            grad = {r["bucket"]: r["g"] for r in collected}
+            if track_loss:
+                losses.append(grad.pop(_LOSS_TAG))
             w = _update(w, acc, grad, n_docs, lr, l2)
     finally:
+        aqe.__exit__()
         base.unpersist()
     return w, losses
 
@@ -381,20 +431,25 @@ def train_softmax(
         .repartition("__id")
         .persist()
     )
-    base.count()  # materialize the cache (cheap count, no extra shuffle)
-    n_docs = ids.count()
-    classes = sorted(
-        r["y"] for r in ids.select("y").distinct().collect()
-    )  # ≤ |classes| rows
+    # one labels-sized job for BOTH the doc count and the class set (r19);
+    # the bucket collect below doubles as the cache materializer (a
+    # distinct over base computes every partition) — no count() job
+    idrow = ids.agg(
+        F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_set("y")).alias("cs")
+    ).first()
+    n_docs, classes = int(idrow["n"]), list(idrow["cs"])
     buckets = [r["bucket"] for r in base.select("bucket").distinct().collect()]
     w = {c: {b: 0.0 for b in buckets} for c in classes}
     acc: dict[tuple[str, str], float] = {}
 
     losses: list[float] = []
     probs = None
+    aqe = _no_aqe(spark)
+    aqe.__enter__()
     try:
         for _ in range(n_iter):
-            wdf = spark.createDataFrame(
+            wdf = _weights_df(
+                spark,
                 [(c, b, wb) for c, ws in w.items() for b, wb in ws.items()],
                 "cls string, bucket string, w double",
             )
@@ -423,6 +478,8 @@ def train_softmax(
                     "resid",
                     F.col("p") - (F.col("y") == F.col("cls")).cast("double"),
                 )
+            )
+            if track_loss:
                 # persist, not localCheckpoint: read twice (grad + loss)
                 # so it must be materialized once either way, but a cache
                 # can be UNPERSISTED — checkpointed RDDs would accumulate
@@ -430,38 +487,52 @@ def train_softmax(
                 # r14). Partitioning is NOT the reason here: the grad
                 # join broadcasts this model-output-sized relation, so
                 # its outputPartitioning never matters (verified in the
-                # PERF_NOTES r15 exchange-profile read).
-                .persist()
+                # PERF_NOTES r15 exchange-profile read). The fused
+                # collect below is the first consumer and materializes
+                # the cache inside its own job — no count() job (r19);
+                # without track_loss there is ONE consumer and the
+                # persist itself is skipped.
+                probs = probs.persist()
+            # Gradient SUMS per (class, bucket) — ≤ |classes|·(buckets+1)
+            # rows; with track_loss the per-iteration loss scalar rides
+            # the SAME collect as a tagged extra row (r19, guide §5: one
+            # driver action per iteration instead of three — the
+            # aggregates are unchanged, so the snapped values are
+            # bit-identical).
+            grad_rows = (
+                base.join(
+                    probs.select("__id", "cls", "resid"), "__id"
+                )  # id-partitioned join; the (cls, bucket) agg shuffles
+                .groupBy("cls", "bucket")
+                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
             )
-            probs.count()  # materialize once for the two consumers
             if track_loss:
                 own = probs.filter(F.col("y") == F.col("cls"))
                 pc = F.least(
                     F.greatest(F.col("p"), F.lit(_P_CLIP)),
                     F.lit(1.0 - _P_CLIP),
                 )
-                losses.append(
-                    own.agg(
-                        ratio_round(F.avg(-F.log(pc))).alias("l")
-                    ).collect()[0]["l"]
+                grad_rows = grad_rows.unionByName(
+                    own.agg(ratio_round(F.avg(-F.log(pc))).alias("g")).select(
+                        F.lit(_LOSS_TAG).alias("cls"),
+                        F.lit(_LOSS_TAG).alias("bucket"),
+                        "g",
+                    )
                 )
-            grad = {
-                (r["cls"], r["bucket"]): r["g"]
-                for r in base.join(
-                    probs.select("__id", "cls", "resid"), "__id"
-                )  # id-partitioned join; the (cls, bucket) agg shuffles
-                .groupBy("cls", "bucket")
-                .agg(ratio_round(F.sum(F.col("x") * F.col("resid"))).alias("g"))
-                .collect()  # ≤ |classes|·(buckets+1) rows
-            }
+            collected = grad_rows.collect()
+            grad = {(r["cls"], r["bucket"]): r["g"] for r in collected}
+            if track_loss:
+                losses.append(grad.pop((_LOSS_TAG, _LOSS_TAG)))
             for c in classes:
                 gc = {b: grad.get((c, b), 0.0) for b in w[c]}
                 ac = {b: acc.get((c, b), 0.0) for b in w[c]}
                 w[c] = _update(w[c], ac, gc, n_docs, lr, l2)
                 for b, v in ac.items():
                     acc[(c, b)] = v
-            probs.unpersist()
+            if track_loss:
+                probs.unpersist()
     finally:
+        aqe.__exit__()
         base.unpersist()
         if probs is not None:
             probs.unpersist()  # no-op when the loop already released it

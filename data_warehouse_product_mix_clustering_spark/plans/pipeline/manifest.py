@@ -306,7 +306,10 @@ def stream_gated_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("__nt").between(recipe["tok_lo"], recipe["tok_hi"])
                 ).alias("f_keep"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY (r19): the one consumer (truth_src's per-source agg)
+            # computes every partition, so the checkpoint materializes
+            # inside that job instead of paying its own eager job first.
+            .localCheckpoint(eager=False)
         )
 
         def _nf(flag: str):

@@ -206,6 +206,7 @@ _mh_text = st.lists(st.sampled_from(_MH_VOCAB), min_size=0, max_size=10).map(
 )
 
 
+@pytest.mark.heavy_sweep
 @settings(
     max_examples=6,
     deadline=None,
@@ -343,6 +344,7 @@ def test_encode_words_matches_python_reference(spark, words, n_merges):
         assert got[w] == encode_py(w, merges), (w, merges, got[w])
 
 
+@pytest.mark.heavy_sweep
 @settings(
     max_examples=6,
     deadline=None,
@@ -915,6 +917,7 @@ def test_context_windows_property(spark, weights, context_len):
     assert got == sorted(want)
 
 
+@pytest.mark.heavy_sweep
 @settings(
     max_examples=6,
     deadline=None,
@@ -1361,6 +1364,7 @@ def test_lm_by_lang_approx_agrees_with_exact_within_envelope(spark):
             assert min(ex[d] for d in dropped) >= boundary_approx, lang
 
 
+@pytest.mark.heavy_sweep
 @settings(
     max_examples=6,
     deadline=None,
@@ -1473,6 +1477,7 @@ _postings_doc = st.lists(
 )
 
 
+@pytest.mark.heavy_sweep
 @settings(
     max_examples=5,
     deadline=None,
