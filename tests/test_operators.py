@@ -4658,7 +4658,7 @@ def test_wand_search_exact_and_block_meta_survives_maintenance(spark, tmp_path):
     def ranked(df):
         return [(r.doc_id, r.bm25) for r in df.collect()]
 
-    assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
+    assert ranked(search_postings_index_wand(spark, idx, terms, min_total_dl=0)) == ranked(
         search_postings_index(spark, idx, terms)
     )
 
@@ -4684,7 +4684,7 @@ def test_wand_search_exact_and_block_meta_survives_maintenance(spark, tmp_path):
     recomputed = recomputed.select(*cols)
     assert stored.exceptAll(recomputed).isEmpty()
     assert recomputed.exceptAll(stored).isEmpty()
-    assert ranked(search_postings_index_wand(spark, idx, terms)) == ranked(
+    assert ranked(search_postings_index_wand(spark, idx, terms, min_total_dl=0)) == ranked(
         search_postings_index(spark, idx, terms)
     )
     # positions/ survives the same CDC cycle: maintained relation equals
@@ -4790,10 +4790,17 @@ def test_wand_edge_cases_absent_terms_and_large_k(spark, tmp_path):
     )
     idx = str(tmp_path / "idx")
     build_postings_index(docs, idx, tokens(F.col("text")))
-    assert search_postings_index_wand(spark, idx, ("zzz", "qqq")).collect() == []
+    assert (
+        search_postings_index_wand(
+            spark, idx, ("zzz", "qqq"), min_total_dl=0
+        ).collect()
+        == []
+    )
     got = [
         (r.doc_id, r.bm25)
-        for r in search_postings_index_wand(spark, idx, ("beta", "zzz")).collect()
+        for r in search_postings_index_wand(
+            spark, idx, ("beta", "zzz"), min_total_dl=0
+        ).collect()
     ]
     want = [
         (r.doc_id, r.bm25)
@@ -4802,5 +4809,7 @@ def test_wand_edge_cases_absent_terms_and_large_k(spark, tmp_path):
     assert got == want and len(got) == 2
     assert {
         r.doc_id
-        for r in search_postings_index_wand(spark, idx, ("beta",), top_k=50).collect()
+        for r in search_postings_index_wand(
+            spark, idx, ("beta",), top_k=50, min_total_dl=0
+        ).collect()
     } == {1, 2}

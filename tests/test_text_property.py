@@ -1412,7 +1412,7 @@ def test_wand_prune_equals_exact_on_arbitrary_corpora(
     pruned = [
         (r.doc_id, r.bm25)
         for r in search_postings_index_wand(
-            spark, idx, terms, top_k=top_k
+            spark, idx, terms, top_k=top_k, min_total_dl=0
         ).collect()
     ]
     assert pruned == exact
@@ -1583,7 +1583,7 @@ def test_update_postings_index_equals_rebuild(
     terms = ("merge", "join", "dup")
     for srch in (
         lambda idx: search_postings_index(spark, idx, terms, top_k=5),
-        lambda idx: search_postings_index_wand(spark, idx, terms, top_k=5),
+        lambda idx: search_postings_index_wand(spark, idx, terms, top_k=5, min_total_dl=0),
         lambda idx: search_phrase(spark, idx, ("merge", "join")),
     ):
         got = sorted(map(tuple, srch(m).collect()))
