@@ -42,6 +42,15 @@ def materialized_range_partitions(
     with the identical pinned layout (localCheckpoint blocks are
     immutable once materialized, and Spark back-fills any partition a
     first job skipped before truncating lineage).
+
+    CALLER CONTRACT (ADVICE r18): the lazy checkpoint only delivers the
+    pinned-layout guarantee if the caller's FIRST action over the result
+    computes every partition (the stats-collect-first pattern all three
+    current callers follow). A new consumer whose first action reads a
+    subset (a limit, a single-partition probe) would leave the remaining
+    partitions un-pinned until some later job computes them — pass the
+    result through ``.localCheckpoint(eager=True)`` at such a call site
+    instead of weakening the shared operator.
     """
     return df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols

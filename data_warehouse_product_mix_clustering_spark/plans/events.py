@@ -1258,6 +1258,12 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two branches alias differently, so no exchange reuse fired: three
     # fact scans + three fact-sized exchanges per run). Now ONE fact scan
     # and ONE fact-sized exchange feed everything downstream.
+    # NULL-group note (ADVICE r18): collect_set drops NULL event_types,
+    # so `sizes` has no NULL audience row where the old `_audience_triples`
+    # pass kept one. Output is unchanged ONLY because the inner joins
+    # below match on type EQUALITY (a NULL type can never match) — if a
+    # future change makes these joins null-safe (<=>) or outer, the NULL
+    # audience must be re-derived explicitly.
     sizes = (
         per_user.select("day", F.explode("__ts").alias("event_type"))
         .groupBy("day", "event_type")
