@@ -3666,6 +3666,37 @@ def test_ann_cosine_topk_matches_numpy(spark):
     assert len(got) == N_QUERIES * TOP_K
 
 
+def test_group_pairs_emits_the_self_join_multiset(spark):
+    """operators/dedup.py::group_pairs — the documented (A/B'd, not
+    adopted for the hot paths) aggregate-then-expand alternative to the
+    group-key self-join must emit EXACTLY the multiset the self-join +
+    (a < b) filter yields, on a fixture with singleton groups (dropped),
+    duplicate pairs across groups (kept as multiset), and a hot key
+    (C(4,2) expansion) — for both the AQE-coalesced and the
+    pin_width=True exchange shapes."""
+    from data_warehouse_product_mix_clustering_spark.operators.dedup import group_pairs
+
+    rows = [
+        (1, "g1"), (2, "g1"), (3, "g1"), (4, "g1"),  # hot key: 6 pairs
+        (1, "g2"), (2, "g2"),                        # duplicate pair (1,2)
+        (5, "g3"),                                   # singleton: no pairs
+        (2, "g4"), (6, "g4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    a = df.select(F.col("doc_id").alias("doc_a"), "grp")
+    b = df.select(F.col("doc_id").alias("doc_b"), "grp")
+    want = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, "grp").filter(F.col("doc_a") < F.col("doc_b")).collect()
+    )
+    for pin in (False, True):
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in group_pairs(df, "doc_id", ["grp"], pin_width=pin).collect()
+        )
+        assert got == want, (pin, got, want)
+
+
 def test_dedup_jaccard_pairs_match_independent_python(spark):
     """THIRD-PATH check for the exact near-dup pair family: recompute
     every bigram-Jaccard pair ≥ 0.8 with plain python set algebra over
