@@ -55,30 +55,14 @@ BIAS_KEY = "__bias"
 _LOSS_TAG = "__loss"
 
 
-class _no_aqe:
-    """Disable AQE inside the iterative-trainer scope (restored on exit).
-
-    The per-iteration weight-update queries are MODEL-sized (a broadcast
-    of ≤ |classes|·buckets weight rows into one or two aggregates over
-    the cached training slice); AQE's per-query-stage jobs and runtime
-    re-planning are pure overhead at that shape — measured r19: the
-    multinomial audit ran 561 driver jobs and 72 s with AQE on vs 51 s
-    off, identical results. Static planning with the session's
-    configured shuffle partitions is exactly right for a bounded
-    training slice at any corpus scale (the trainer contract already
-    samples training data to a slice); callers that train over an
-    unbounded relation should reconsider — and get the conf restored
-    regardless."""
-
-    def __init__(self, spark):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+# Disable AQE inside the iterative-trainer scope: the per-iteration
+# weight-update queries are MODEL-sized (an EXPLICIT broadcast of
+# ≤ |classes|·buckets weight rows into one or two aggregates over the
+# cached training slice) — see session.no_adaptive_execution for the
+# measured rationale and the join caveat.
+from data_warehouse_product_mix_clustering_spark.session import (
+    no_adaptive_execution as _no_aqe,
+)
 
 
 def _weights_df(spark, rows, schema):

@@ -189,25 +189,36 @@ def train_bpe(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
-            _pair_counts(cur)
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((a, b, cnt))
-        # Fully-merged (single-symbol) words can never pair again — drop
-        # them so the relation shrinks monotonically instead of paying
-        # the fold + checkpoint for dead rows every remaining iteration.
-        cur = (
-            cur.filter(F.size("__syms") >= 2)
-            .select("__c", _merge_fold(F.col("__syms"), a, b).alias("__syms"))
-            .localCheckpoint(eager=False)
-        )
+    # AQE off for the merge loop (optimization r19 — the logreg-trainer
+    # scope, see session.no_adaptive_execution): each round is one
+    # join-free aggregate + argmax over the checkpointed vocab relation,
+    # and AQE's per-query-stage jobs doubled the rounds' driver-job
+    # count; results are identical (deterministic argmax, same snaps).
+    from data_warehouse_product_mix_clustering_spark.session import no_adaptive_execution
+
+    with no_adaptive_execution(vocab.sparkSession):
+        for _ in range(n_merges):
+            best = (
+                _pair_counts(cur)
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((a, b, cnt))
+            # Fully-merged (single-symbol) words can never pair again —
+            # drop them so the relation shrinks monotonically instead of
+            # paying the fold + checkpoint for dead rows every remaining
+            # iteration.
+            cur = (
+                cur.filter(F.size("__syms") >= 2)
+                .select(
+                    "__c", _merge_fold(F.col("__syms"), a, b).alias("__syms")
+                )
+                .localCheckpoint(eager=False)
+            )
     return merges
 
 

@@ -23,6 +23,34 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = max(os.cpu_count() or 8, 8)
 
 
+class no_adaptive_execution:
+    """Scope that disables AQE for a driver-side iteration loop
+    (restored on exit — exception-safe).
+
+    For ITERATIVE trainers whose per-iteration queries are model-sized
+    (bounded aggregates over a cached/checkpointed slice, broadcasts
+    made EXPLICIT by the caller), AQE's one-job-per-query-stage
+    execution and runtime re-planning are pure overhead: measured r19,
+    the multinomial logreg audit ran 561 driver jobs and 72 s with AQE
+    on vs 51 s off at sf0.001, identical results. Scope it only around
+    loops that (a) run many small actions and (b) do not rely on AQE's
+    runtime join-strategy conversion — a loop that joins
+    checkpoint-backed relations WITHOUT an explicit broadcast hint must
+    keep AQE (the static planner sees unknown sizes and would pick a
+    sort-merge join)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+
+
 def get_spark(
     app_name: str = "data_warehouse_product_mix_clustering_spark",
     master: str | None = None,
