@@ -98,7 +98,15 @@ def pagerank(
         # as soon as Python drops the last reference on reassignment
         # below (refcount → py4j detach → JVM GC), so live storage stays
         # a handful of vectors rather than O(iterations) in practice.
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        # LAZY since r19: between residual checks no action runs, so an
+        # eager checkpoint was one driver job per iteration whose only
+        # purpose was materialization; the every-check_every residual
+        # action computes the ≤check_every-deep chain in ONE job,
+        # materializing each link's blocks along the way (plan
+        # truncation happens at wrap time either way, so analysis cost
+        # stays constant; un-materialized links stay JVM-reachable from
+        # their successor RDDs, so cleanup cannot outrun the chain).
+        new_ranks = new_ranks.localCheckpoint(eager=False)
         if it % check_every == 0 or it == max_iter:
             resid = (
                 new_ranks.join(
